@@ -1,0 +1,169 @@
+package graft.dedup
+
+import graft.QueryDef
+import graft.functions.GraftFunctions._
+import graft.util.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for a training-data pipeline: MinHash+LSH,
+  * SimHash, and n-gram Jaccard — all built from Catalyst expressions
+  * (xxhash64, array ops) with LSH banding so no step is quadratic in the
+  * corpus. The only shuffles are keyed groupBys/joins on (band, bucket)
+  * keys; candidate verification touches only bucket-collision pairs.
+  *
+  * Scale design: at 100 TB the bucket self-join is the risk point (a
+  * degenerate bucket full of identical docs explodes quadratically). We
+  * cap bucket width via a count filter — a production run would divert
+  * over-wide buckets to an exact-hash pre-dedup pass (dedup_exact removes
+  * them before LSH).
+  */
+object Dedup {
+
+  private val MaxBucket = 64 // cap on collision-bucket width for the pair join
+
+  /** (doc_id, shingles: array<long>) — word w-shingles hashed to i64.
+    * Short docs fall back to a single whole-doc shingle.
+    */
+  def wordShingles(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN size(toks) >= $w
+           THEN array_distinct(transform(sequence(0, size(toks) - $w),
+                i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $w)))))
+           ELSE array(xxhash64(concat_ws(' ', toks))) END""").as("shingles"))
+
+  /** (doc_id, shingles) from character n-grams of the normalized text. */
+  def charShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN length(t) >= $n
+           THEN array_distinct(transform(sequence(0, length(t) - $n),
+                i -> xxhash64(substring(t, i + 1, $n))))
+           ELSE array(xxhash64(t)) END""").as("shingles"))
+
+  /** MinHash signature: perms seeded hash functions, min over the shingle
+    * set. One explode + one hash agg (partial agg = map-side combine).
+    */
+  def minHashSignature(shingled: DataFrame, perms: Int): DataFrame = {
+    val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val mins: Seq[Column] =
+      (0 until perms).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
+    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: rows hash-combined per band → (doc_id, band, bucket). */
+  def bands(sig: DataFrame, perms: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = perms / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs from bucket collisions (id1 < id2), deduped across
+    * bands. Over-wide buckets are dropped (see MaxBucket).
+    */
+  def candidatePairs(banded: DataFrame): DataFrame = {
+    val sized = banded
+      .withColumn("bw", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bw") <= MaxBucket)
+      .drop("bw")
+    val a = sized.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+    val b = sized.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against shingle sets. */
+  def verifyJaccard(pairs: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
+    val s1 = shingled.select(col("doc_id").as("id1"), col("shingles").as("sh1"))
+    val s2 = shingled.select(col("doc_id").as("id2"), col("shingles").as("sh2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline over arbitrary shingle sets. */
+  def minHashDedup(shingled: DataFrame, perms: Int, rowsPerBand: Int,
+                   threshold: Double): DataFrame = {
+    val sig = minHashSignature(shingled, perms)
+    val cand = candidatePairs(bands(sig, perms, rowsPerBand))
+    verifyJaccard(cand, shingled, threshold)
+  }
+
+  // ---- registered queries (rows-only: LSH pipelines aren't ANSI-SQL) ----
+
+  /** Near-dup doc pairs via word-5-shingle MinHash (64 perms, 16 bands →
+    * ~0.5 Jaccard collision threshold), verified exactly. The summary agg
+    * keeps output deterministic regardless of which pairs collide.
+    */
+  val dedupMinHash: QueryDef = QueryDef(
+    "dedup_minhash",
+    (s, dir) => {
+      val sh = wordShingles(Tables(s, dir, "documents"), 5)
+      val pairs = minHashDedup(sh, perms = 64, rowsPerBand = 4, threshold = 0.5)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id1")).as("n_docs_with_dup"),
+        coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
+    })
+
+  /** Char-3-gram Jaccard near-dup (the n-gram variant): same LSH scaffold,
+    * different shingle space, lower threshold.
+    */
+  val dedupNgramJaccard: QueryDef = QueryDef(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = charShingles(Tables(s, dir, "documents"), 3)
+      val pairs = minHashDedup(sh, perms = 64, rowsPerBand = 4, threshold = 0.7)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
+    })
+
+  /** 64-bit SimHash over the token multiset; near-dups = pairs sharing one
+    * of four 16-bit bands with Hamming distance ≤ 3 (standard
+    * Charikar/Manku-Jain-Sarma banding: distance ≤3 ⇒ some 16-bit quarter
+    * is identical, so banding loses nothing).
+    */
+  val dedupSimHash: QueryDef = QueryDef(
+    "dedup_simhash",
+    (s, dir) => {
+      val tf = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map(i =>
+        sum(when(expr(s"(shiftrightunsigned(h, $i) & 1) = 1"), col("tf"))
+          .otherwise(-col("tf"))).as(s"b$i"))
+      val sums = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val sigExpr = (0 until 64)
+        .map(i => s"IF(b$i > 0, ${1L << i}L, 0L)").mkString(" + ")
+      val sigs = sums.select(col("doc_id"), expr(sigExpr).as("sig"))
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("band"),
+            expr(s"shiftrightunsigned(sig, ${k * 16}) & 65535").as("bucket"))): _*)).as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"), col("sig").as("sig1"))
+      val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"), col("sig").as("sig2"))
+      val pairs = a.join(b, Seq("band", "bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          expr("bit_count(sig1 ^ sig2)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(round(avg(col("hamming")), 4), lit(-1.0)).as("avg_hamming"))
+    })
+
+  val all: Seq[QueryDef] = Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash)
+}

@@ -1,0 +1,322 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.GraftFunctions._
+import graft.util.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.1 S4/S9, §2.3 A1–A5, §2.4 J1,
+  * §2.5 U1–U4, §2.6 O1–O8, §2.7 scalar functions) expressed over the driver
+  * test tables, each with a DuckDB oracle.
+  *
+  * Scale notes are inline per query: every aggregation here is a
+  * partial+final hash aggregate (map-side combine for free), joins either
+  * broadcast the dimension side or shuffle on the join key, and every
+  * aggregate that feeds a sort uses exact-decimal accumulation (see
+  * GraftFunctions.dsum) so results are reproducible under any partitioning.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** A1/A2 sum-by-key with map-side combine (cc-pyspark sparkcc.py:208-217,
+    * word_count.py:27-30). TPC-H Q1 shape: one shuffle, partial agg first.
+    */
+  val q1PricingSummary: QueryDef = QueryDef(
+    "q1_pricing_summary",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
+
+  /** Fact-fact join + filter pushdown + top-N (TPC-H Q3 shape). customer is
+    * the small side — Catalyst broadcasts it; orders⋈lineitem shuffles on
+    * the order key. Top-N is a TakeOrderedAndProject (no global sort).
+    */
+  val q3ShippingPriority: QueryDef = QueryDef(
+    "q3_shipping_priority",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1996-01-01'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** 6-way star join (TPC-H Q5 shape): all dimension tables broadcast,
+    * one shuffle for the fact-fact join, one for the final agg.
+    */
+  val q5RegionRevenue: QueryDef = QueryDef(
+    "q5_region_revenue",
+    (s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      r.join(n, col("r_regionkey") === col("n_regionkey"))
+        .join(c, col("n_nationkey") === col("c_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT r_name, n_name,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+      FROM region JOIN nation ON r_regionkey = n_regionkey
+      JOIN customer ON n_nationkey = c_nationkey
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      GROUP BY r_name, n_name"""))
+
+  /** S4/E2: user-SQL over a registered view of a parquet scan — the
+    * CCIndexSparkJob entry point (sparkcc.py:489-506). Predicate + column
+    * pruning reach the parquet reader via Catalyst.
+    */
+  val s4SqlPushdown: QueryDef = QueryDef(
+    "s4_sql_pushdown",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("ccindex")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        FROM ccindex
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY o_orderpriority"""))
+
+  /** A3 list-concat by key (sitemaps_from_robotstxt.py:55-100): sorted for
+    * determinism, per SURVEY §7.4.
+    */
+  val a3CollectList: QueryDef = QueryDef(
+    "a3_collect_list",
+    (s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+    },
+    Some("""SELECT r_name, list(n_name ORDER BY n_name) AS nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"""))
+
+  /** A5 count (sparkcc.py:513). */
+  val a5Count: QueryDef = QueryDef(
+    "a5_count",
+    (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("cnt")),
+    Some("SELECT COUNT(*) AS cnt FROM lineitem"))
+
+  /** J1 vertex-ID assignment + double equi-join (hostlinks_to_graph.py:
+    * 96-150): name→id via dense global ordering, then map both edge
+    * endpoints. The unpartitioned window mirrors the reference's explicit
+    * 1-partition mode; the scale path is sortBy+zipWithIndex (see
+    * graft.jobs.HostGraphBuilder).
+    */
+  val j1GraphIds: QueryDef = QueryDef(
+    "j1_graph_ids",
+    (s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val edges = n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name").as("s"), col("r_name").as("t"))
+      val verts = edges.select(col("s").as("name"))
+        .union(edges.select(col("t").as("name"))).distinct()
+      val ids = verts.withColumn("id", row_number().over(Window.orderBy(col("name"))))
+      edges.join(ids, col("s") === col("name")).select(col("id").as("s_id"), col("t"))
+        .join(ids, col("t") === col("name")).select(col("s_id"), col("id").as("t_id"))
+        .orderBy(col("s_id"), col("t_id"))
+    },
+    Some("""WITH edges AS (
+        SELECT n_name AS s, r_name AS t FROM nation JOIN region ON n_regionkey = r_regionkey),
+      verts AS (SELECT s AS name FROM edges UNION SELECT t AS name FROM edges),
+      ids AS (SELECT name, CAST(row_number() OVER (ORDER BY name) AS INT) AS id FROM verts)
+      SELECT i1.id AS s_id, i2.id AS t_id
+      FROM edges JOIN ids i1 ON edges.s = i1.name JOIN ids i2 ON edges.t = i2.name
+      ORDER BY s_id, t_id"""))
+
+  /** U1 schema-aligned union (hostlinks_to_graph.py:131-136). */
+  val u1Union: QueryDef = QueryDef(
+    "u1_union",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(su).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+      GROUP BY nationkey"""))
+
+  /** U2 distinct (hostlinks_to_graph.py:82-83). */
+  val u2Distinct: QueryDef = QueryDef(
+    "u2_distinct",
+    (s, dir) => t(s, dir, "customer").select(col("c_mktsegment").as("mktsegment")).distinct(),
+    Some("SELECT DISTINCT c_mktsegment AS mktsegment FROM customer"))
+
+  /** U3 dropDuplicates on full projection (wat_extract_links.py:314). */
+  val u3DropDuplicates: QueryDef = QueryDef(
+    "u3_drop_duplicates",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus")).dropDuplicates(),
+    Some("SELECT DISTINCT o_custkey, o_orderstatus FROM orders"))
+
+  /** U4 dropna (hostlinks_to_graph.py:89). */
+  val u4DropNa: QueryDef = QueryDef(
+    "u4_dropna",
+    (s, dir) => t(s, dir, "orders")
+      .withColumn("status", when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_orderstatus")))
+      .na.drop(Seq("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n")),
+    Some("""SELECT status, COUNT(*) AS n FROM (
+      SELECT nullif(o_orderstatus, 'O') AS status FROM orders)
+      WHERE status IS NOT NULL GROUP BY status"""))
+
+  /** O1+O8 global sort + limit → Spark plans TakeOrderedAndProject
+    * (no full sort at scale).
+    */
+  val o1TopN: QueryDef = QueryDef(
+    "o1_topn",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(10),
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 10"""))
+
+  /** O7 self-loop filter (hostlinks_to_graph.py:155-158). */
+  val o7SelfLoopFilter: QueryDef = QueryDef(
+    "o7_selfloop_filter",
+    (s, dir) => t(s, dir, "orders")
+      .select((col("o_custkey") % 100).as("s"), (col("o_orderkey") % 100).as("t"))
+      .filter(col("s") =!= col("t"))
+      .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT COUNT(*) AS cnt FROM (
+      SELECT o_custkey % 100 AS s, o_orderkey % 100 AS t FROM orders)
+      WHERE s <> t"""))
+
+  /** P14 field split (linkmap2parquet.py:15-24). */
+  val p14SplitPart: QueryDef = QueryDef(
+    "p14_split_part",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey"), element_at(split(col("c_name"), "#"), 2).as("name_num")),
+    Some("SELECT c_custkey, split_part(c_name, '#', 2) AS name_num FROM customer"))
+
+  /** §2.7 scalar-function battery: lower/trim/concat_ws/regexp_extract/
+    * length — all codegen'd built-ins.
+    */
+  val fScalarStrings: QueryDef = QueryDef(
+    "f_scalar_strings",
+    (s, dir) => t(s, dir, "supplier").select(
+      col("s_suppkey"),
+      lower(col("s_name")).as("lname"),
+      concat_ws("|", trim(col("s_name")), col("s_suppkey").cast("string")).as("joined"),
+      regexp_extract(col("s_name"), "([0-9]+)", 1).as("num"),
+      length(col("s_name")).as("len")),
+    Some("""SELECT s_suppkey, lower(s_name) AS lname,
+      concat_ws('|', trim(s_name), CAST(s_suppkey AS VARCHAR)) AS joined,
+      regexp_extract(s_name, '([0-9]+)', 1) AS num,
+      length(s_name) AS len FROM supplier"""))
+
+  /** Window: ranking (first N per key) over the events stream table.
+    * `ts` arrives as raw int64 nanos (see Tables); ordering is identical
+    * to timestamp ordering.
+    */
+  val w1RowNumber: QueryDef = QueryDef(
+    "w1_row_number",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    },
+    Some("""SELECT user_id, event_id, rn FROM (
+      SELECT user_id, event_id,
+        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+      FROM events) WHERE rn <= 3"""))
+
+  /** Window: running sum per key (exact decimal accumulation → double). */
+  val w2RunningSum: QueryDef = QueryDef(
+    "w2_running_sum",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), drunning(col("value"), w).as("running"))
+    },
+    Some("""SELECT user_id, event_id,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+      FROM events"""))
+
+  /** Time-bucketed aggregation over the stream table (batch view of the
+    * Structured Streaming windowed agg in graft.streaming).
+    */
+  val w3DailyRollup: QueryDef = QueryDef(
+    "w3_daily_rollup",
+    (s, dir) => t(s, dir, "events")
+      .select(to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+        col("event_type"), col("value"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total")),
+    Some("""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM events GROUP BY CAST(ts AS DATE), event_type"""))
+
+  /** JSON field extraction (WAT-payload analogue, json_importer.py:6-12):
+    * get_json_object is codegen'd Jackson under the hood.
+    */
+  val eJsonExtract: QueryDef = QueryDef(
+    "e_json_extract",
+    (s, dir) => t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("kmod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("ktotal")),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kmod,
+      COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS ktotal
+      FROM events GROUP BY kmod"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
+    a3CollectList, a5Count, j1GraphIds, u1Union, u2Distinct,
+    u3DropDuplicates, u4DropNa, o1TopN, o7SelfLoopFilter, p14SplitPart,
+    fScalarStrings, w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract)
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.GraftFunctions._
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators over the `documents` table: tokenization + TF/DF
+  * (cc-pyspark word_count.py:25-39), exact dedup, fingerprinting, quality
+  * scoring, language-ID heuristic, token counting — the text half of a
+  * training-data pipeline. All expressions are Catalyst built-ins (one
+  * narrow scan → hash agg; no UDFs, no collects).
+  */
+object TextOps {
+
+  /** P6 word count with per-word doc frequency (word_count.py:25-39:
+    * `(word, (tf, df))`). explode → two-level hash agg; the partial agg
+    * before the shuffle is the reference's per-doc Counter, for free.
+    */
+  val p6WordCount: QueryDef = QueryDef(
+    "p6_word_count",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(100),
+    Some("""SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents)
+      GROUP BY word ORDER BY tf DESC, word LIMIT 100"""))
+
+  /** Exact dedup: content-hash groupBy keeping the lowest doc_id. One
+    * shuffle on the 128-bit digest; survives any scale (key cardinality
+    * ≈ distinct documents).
+    */
+  val dedupExact: QueryDef = QueryDef(
+    "dedup_exact",
+    (s, dir) => Tables(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("sig"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(text) AS sig, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text)"""))
+
+  /** Document fingerprint (normalized-content hash) uniqueness per source. */
+  val fpUniqueness: QueryDef = QueryDef(
+    "fp_uniqueness",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("source"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("n_unique"), count(lit(1)).as("n_docs")),
+    Some("""SELECT source,
+      COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_unique,
+      COUNT(*) AS n_docs
+      FROM documents GROUP BY source"""))
+
+  /** Token counting per source (BPE-ish proxy: ASCII word tokens). */
+  val tokenCounts: QueryDef = QueryDef(
+    "token_counts",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("source"), size(tokens(col("text"))).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("total_tokens"), count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_tokens")),
+    Some("""SELECT source,
+      SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS total_tokens,
+      COUNT(*) AS n_docs,
+      MAX(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS max_tokens
+      FROM documents GROUP BY source"""))
+
+  /** Per-document quality scoring: token count, alpha density, stopword
+    * ratio — the length/punct/stopword heuristics of a pretraining-data
+    * quality filter, as pure column arithmetic (deterministic doubles:
+    * single IEEE expression per row, no aggregation order involved).
+    */
+  val textQuality: QueryDef = QueryDef(
+    "text_quality",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          size(tokens(col("text"))).as("n_tok"),
+          length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("alpha_chars"),
+          size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in)\\\\b', 0)")).as("stop_hits"))
+      d.select(col("doc_id"), col("n_tok"), col("alpha_chars"), col("stop_hits"),
+        round(col("alpha_chars").cast(DoubleType) / greatest(col("n_tok"), lit(1)), 6).as("avg_token_len"),
+        round(col("stop_hits").cast(DoubleType) / greatest(col("n_tok"), lit(1)), 6).as("stop_ratio"),
+        round(least(col("n_tok").cast(DoubleType) / lit(100.0), lit(1.0)) * lit(0.5)
+          + (col("stop_hits").cast(DoubleType) / greatest(col("n_tok"), lit(1))) * lit(0.5), 6).as("quality"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+        length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars,
+        len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS stop_hits
+      FROM documents)
+      SELECT doc_id, n_tok, alpha_chars, stop_hits,
+        round(CAST(alpha_chars AS DOUBLE) / greatest(n_tok, 1), 6) AS avg_token_len,
+        round(CAST(stop_hits AS DOUBLE) / greatest(n_tok, 1), 6) AS stop_ratio,
+        round(least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.5
+          + (CAST(stop_hits AS DOUBLE) / greatest(n_tok, 1)) * 0.5, 6) AS quality
+      FROM d"""))
+
+  /** Language-ID heuristic: per-language stopword hit counts, argmax with a
+    * fixed preference order (en > fr > es > de > unknown). N-gram/stopword
+    * profiling is the standard cheap lang-id; here the profiles are tiny
+    * and the whole classifier is one codegen'd CASE expression.
+    */
+  val langIdHeuristic: QueryDef = QueryDef(
+    "langid_heuristic",
+    (s, dir) => {
+      def hits(pat: String) = size(expr(s"regexp_extract_all(lower(text), '$pat', 0)"))
+      val scored = Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        hits("\\\\b(the|and|of|to|is)\\\\b").as("en_hits"),
+        hits("\\\\b(le|la|les|et|est)\\\\b").as("fr_hits"),
+        hits("\\\\b(el|los|las|es|y)\\\\b").as("es_hits"),
+        hits("\\\\b(der|die|das|und|ist)\\\\b").as("de_hits"))
+      scored.withColumn("predicted",
+        when(col("en_hits") + col("fr_hits") + col("es_hits") + col("de_hits") === 0, lit("unknown"))
+          .when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("es_hits")
+            && col("en_hits") >= col("de_hits"), lit("en"))
+          .when(col("fr_hits") >= col("es_hits") && col("fr_hits") >= col("de_hits"), lit("fr"))
+          .when(col("es_hits") >= col("de_hits"), lit("es"))
+          .otherwise(lit("de")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH h AS (SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS en_hits,
+        len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr_hits,
+        len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS es_hits,
+        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de_hits
+      FROM documents),
+      p AS (SELECT lang, CASE
+        WHEN en_hits + fr_hits + es_hits + de_hits = 0 THEN 'unknown'
+        WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+        WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+        WHEN es_hits >= de_hits THEN 'es'
+        ELSE 'de' END AS predicted FROM h)
+      SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY lang, predicted"""))
+
+  val all: Seq[QueryDef] = Seq(
+    p6WordCount, dedupExact, fpUniqueness, tokenCounts, textQuality, langIdHeuristic)
+}

@@ -1,0 +1,152 @@
+package graft.vector
+
+import graft.QueryDef
+import graft.functions.GraftFunctions._
+import graft.util.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the correctness baseline, random-hyperplane
+  * LSH and an IVF-style cell-probe variant as the scale paths, plus
+  * cosine near-dup pairing.
+  *
+  * All vector math is `zip_with`/`aggregate` column expressions (codegen,
+  * no UDFs). The query side is always the broadcast side; the corpus is
+  * never collected or crossed with itself.
+  */
+object VectorOps {
+
+  private val Dim = 64
+  private val MaxPlanes = 16
+
+  /** Deterministic random hyperplanes (fixed seed → reproducible plans). */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(MaxPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  /** n-bit signature: bit p = sign of <v, plane_p>. Pure expressions.
+    * Plane count trades bucket selectivity vs recall: more planes →
+    * smaller buckets (cheaper join, lower recall). The ANN path uses 8
+    * (≈corpus/256 per bucket); near-dup verification uses all 16 since
+    * cos≥0.99 pairs agree on almost every plane anyway.
+    */
+  def lshSignature(v: Column, nPlanes: Int): Column = {
+    val bits = planes.take(nPlanes).zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(w => lit(w)): _*)
+      when(aggregate(zip_with(v, planeLit, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  private def queriesDf(s: SparkSession, dir: String, n: Int): DataFrame =
+    corpus(s, dir).filter(col("vec_id") < n)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Brute-force exact cosine top-k: broadcast the (small) query set over
+    * the corpus — one corpus scan, no shuffle of the corpus, per-query
+    * top-k via window on the (queries × corpus) stream. At cluster scale
+    * this is the "exact rescoring" stage; candidate narrowing is the job
+    * of the LSH/IVF variants below.
+    */
+  val annBrute: QueryDef = QueryDef(
+    "ann_brute_topk",
+    (s, dir) => {
+      val q = broadcast(queriesDf(s, dir, 10))
+      val scored = corpus(s, dir).crossJoin(q)
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("q_emb"), col("embedding")).as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    })
+
+  /** LSH-bucketed ANN: corpus and queries hashed to 16-bit hyperplane
+    * signatures; candidates = same-bucket vectors (multi-probe: exact
+    * bucket plus 1-bit flips), exact cosine rescoring on candidates only.
+    * The corpus-side shuffle is keyed on the bucket — at 100 TB this is
+    * the difference between a cross join and a hash join.
+    */
+  val annLsh: QueryDef = QueryDef(
+    "ann_lsh_topk",
+    (s, dir) => {
+      val np = 8
+      val c = corpus(s, dir).withColumn("bucket", lshSignature(col("embedding"), np))
+      // multi-probe: query probes its bucket and all 1-bit neighbors
+      val probes = (-1 until np).map { i =>
+        if (i < 0) col("q_bucket") else expr(s"q_bucket ^ ${1L << i}L")
+      }
+      val q = queriesDf(s, dir, 10)
+        .withColumn("q_bucket", lshSignature(col("q_emb"), np))
+        .select(col("q_id"), col("q_emb"), explode(array(probes: _*)).as("bucket"))
+      val cand = c.join(broadcast(q), "bucket")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("q_emb"), col("embedding")).as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    })
+
+  /** IVF-style cell probe: coarse cells from the label partitioning (a
+    * k-means assignment in a production pipeline), centroid = mean vector
+    * per cell (computed distributed via posexplode, never collected),
+    * query probes its 2 nearest centroids, exact search within the probed
+    * cells only — i.e. the corpus join is keyed on the cell id.
+    */
+  val annIvf: QueryDef = QueryDef(
+    "ann_ivf_topk",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val centroids = c
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+        .select(col("label").as("cell"), expr("transform(pc, p -> p.cx)").as("centroid"))
+      val q = queriesDf(s, dir, 10)
+      val probed = q.crossJoin(broadcast(centroids))
+        .select(col("q_id"), col("q_emb"), col("cell"),
+          cosine(col("q_emb"), col("centroid")).as("ccos"))
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+      val cells = probed.withColumn("cr", row_number().over(wq)).filter(col("cr") <= 2)
+        .select(col("q_id"), col("q_emb"), col("cell"))
+      val cand = c.join(broadcast(cells), col("label") === col("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("q_emb"), col("embedding")).as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    })
+
+  /** Embedding-cosine near-dup pairs via LSH buckets (exact-bucket
+    * collision only), verified with exact cosine ≥ 0.99. Summary agg for
+    * deterministic output.
+    */
+  val dedupEmbedding: QueryDef = QueryDef(
+    "dedup_embedding",
+    (s, dir) => {
+      val c = corpus(s, dir).withColumn("bucket", lshSignature(col("embedding"), MaxPlanes))
+      val a = c.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
+      val b = c.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
+      val pairs = a.join(b, "bucket")
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("cos"))
+        .filter(col("cos") >= 0.99)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos"))
+    })
+
+  val all: Seq[QueryDef] = Seq(annBrute, annLsh, annIvf, dedupEmbedding)
+}
