@@ -1,0 +1,131 @@
+package graft.jobs
+
+import graft.ops.{Extractors, WatLinks}
+import graft.warc.{Predicates, WarcRecord, WarcSource}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The concrete analytics jobs of the reference (SURVEY §0.3), as thin
+  * compositions over the ops library.
+  */
+
+/** server_count.py — count distinct Server HTTP headers. */
+object ServerCountJob extends CCJob[String]()(org.apache.spark.sql.Encoders.STRING) {
+  val name = "server_count"
+  def extract(path: String, rec: WarcRecord, c: JobCounters): Iterator[(String, Long)] =
+    Extractors.serverNames(rec)
+}
+
+/** html_tag_count.py — histogram of HTML tag names. */
+object HtmlTagCountJob extends CCJob[String]()(org.apache.spark.sql.Encoders.STRING) {
+  val name = "html_tag_count"
+  def extract(path: String, rec: WarcRecord, c: JobCounters): Iterator[(String, Long)] =
+    Extractors.htmlTagCounts(rec)
+}
+
+/** server_ip_address.py — (host, ip) pair counts. */
+object ServerIpJob extends CCJob[(String, String)]()(
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING)) {
+  val name = "server_ip_address"
+  def extract(path: String, rec: WarcRecord, c: JobCounters): Iterator[((String, String), Long)] =
+    Extractors.hostIpPairs(rec)
+}
+
+/** word_count.py — word → (tf, df) over WET text records. */
+object WordCountJob {
+  val name = "word_count"
+
+  def aggregate(spark: SparkSession, records: Dataset[(String, WarcRecord)]): DataFrame = {
+    import spark.implicits._
+    records.flatMap { case (_, r) => Extractors.wordCounts(r) }
+      .map { case (w, (tf, df)) => (w, tf, df) }
+      .toDF("word", "tf", "df")
+      .groupBy("word")
+      .agg(struct(sum("tf").as("tf"), sum("df").as("df")).as("val"))
+  }
+}
+
+/** sitemaps_from_robotstxt.py — sitemap URL → announcing hosts. */
+object SitemapsJob {
+  val name = "sitemaps_from_robotstxt"
+
+  def aggregate(spark: SparkSession, records: Dataset[(String, WarcRecord)]): DataFrame = {
+    import spark.implicits._
+    records.flatMap { case (_, r) => Extractors.sitemapUrls(r) }
+      .toDF("sitemap_url", "host")
+      .groupBy("sitemap_url")
+      .agg(collect_list("host").as("hosts"))
+  }
+}
+
+/** wat_extract_links.py — host-level link edges (WAT + redirects + robots). */
+object ExtractHostLinksJob {
+  val name = "wat_extract_links"
+
+  def edges(spark: SparkSession, records: Dataset[(String, WarcRecord)]): DataFrame = {
+    import spark.implicits._
+    records.flatMap { case (path, r) =>
+      if (Predicates.isRobotsTxtArchive(path)) Extractors.sitemapHostEdges(r)
+      else if (Predicates.isWatJson(r)) WatLinks.hostEdges(r)
+      else Extractors.redirectLinks(r).flatMap { case (f, t) =>
+        for {
+          sh <- graft.ops.SurtHost.surtHostFromUrl(f)
+          th <- graft.ops.SurtHost.surtHostFromUrl(t)
+        } yield (sh, th)
+      }
+    }.toDF("s", "t")
+      .dropDuplicates()
+      .sortWithinPartitions("s", "t")
+  }
+}
+
+/** hostlinks_to_graph.py — edge list → integer-ID vertex/edge tables.
+  *
+  * Two ID-assignment modes, mirroring the reference exactly
+  * (hostlinks_to_graph.py:96-111):
+  *  - single-partition: coalesce(1) + monotonically_increasing_id
+  *    (contiguous 0..n-1 only because of the single partition);
+  *  - scalable: sortBy + zipWithIndex over N partitions (contiguous long
+  *    IDs without a single-node bottleneck) — the 100 TB path.
+  */
+object HostGraphBuilder {
+
+  final case class Graph(vertices: DataFrame, edges: DataFrame)
+
+  def build(spark: SparkSession, edges: DataFrame,
+            vertexPartitions: Int = 1,
+            validateHosts: Boolean = false): Graph = {
+    import spark.implicits._
+    val normalize = udf((h: String) =>
+      graft.ops.SurtHost.reverseHostNormalize(h).orNull)
+    val isValid = udf((h: String) => graft.ops.SurtHost.reverseHostIsValid(h))
+
+    var names = edges.select(col("s").as("name"))
+      .union(edges.select(col("t").as("name")))
+      .distinct()
+    if (validateHosts)
+      names = names.withColumn("name", normalize(col("name")))
+        .na.drop().filter(isValid(col("name"))).distinct()
+
+    val ids: DataFrame =
+      if (vertexPartitions == 1)
+        names.coalesce(1).sort("name")
+          .withColumn("id", monotonically_increasing_id())
+      else {
+        val rdd = names.as[String].rdd
+          .sortBy(identity, ascending = true, numPartitions = vertexPartitions)
+          .zipWithIndex()
+        spark.createDataFrame(rdd).toDF("name", "id")
+      }
+
+    val idsS = ids.select(col("name").as("s"), col("id").as("s_id"))
+    val idsT = ids.select(col("name").as("t"), col("id").as("t_id"))
+    val edgeIds = edges.join(idsS, "s").join(idsT, "t")
+      .select(col("s_id").as("s"), col("t_id").as("t"))
+      .filter(col("s") =!= col("t")) // self-loops dropped post-ID (O7)
+      .dropDuplicates()
+      .sortWithinPartitions("s", "t")
+    Graph(ids.select("id", "name"), edgeIds)
+  }
+}

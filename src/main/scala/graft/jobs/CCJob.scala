@@ -1,0 +1,71 @@
+package graft.jobs
+
+import graft.warc.{WarcRecord, WarcSource}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.util.LongAccumulator
+
+/** Job harness — the CCSparkJob analogue (reference sparkcc.py:24-466).
+  *
+  * Pipeline shape (sparkcc.py:212-227): manifest → Dataset[WarcRecord] →
+  * flatMap(extract) → groupBy(key).sum → coalesce → write. The reference's
+  * JVM↔Python worker boundary is gone: extraction closures are Scala, and
+  * the aggregation is a Catalyst hash aggregate (partial+final — the
+  * map-side combine the reference got from reduceByKey, for free).
+  */
+final case class JobConfig(
+    input: String,
+    output: String,
+    numInputPartitions: Int = 32,
+    numOutputPartitions: Int = 4,
+    outputFormat: String = "parquet",
+    outputCompression: String = "gzip")
+
+final case class JobCounters(
+    recordsProcessed: LongAccumulator,
+    recordsFailed: LongAccumulator)
+
+object JobCounters {
+  def apply(spark: SparkSession): JobCounters = JobCounters(
+    spark.sparkContext.longAccumulator("records_processed"),
+    spark.sparkContext.longAccumulator("records_failed"))
+}
+
+abstract class CCJob[K: org.apache.spark.sql.Encoder] extends Serializable {
+
+  def name: String
+
+  /** The per-record extraction hook (process_record analogue). */
+  def extract(path: String, rec: WarcRecord, counters: JobCounters): Iterator[(K, Long)]
+
+  /** records → extracted pairs → sum-by-key DataFrame <key, val>. */
+  def run(spark: SparkSession, config: JobConfig): DataFrame = {
+    val counters = JobCounters(spark)
+    val records = WarcSource.fromManifest(spark, config.input,
+      config.numInputPartitions, Some(counters.recordsFailed))
+    val df = aggregate(spark, records, counters)
+    write(df, config)
+    df
+  }
+
+  def aggregate(spark: SparkSession,
+                records: Dataset[(String, WarcRecord)],
+                counters: JobCounters): DataFrame = {
+    implicit val pairEnc: org.apache.spark.sql.Encoder[(K, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        implicitly[org.apache.spark.sql.Encoder[K]],
+        org.apache.spark.sql.Encoders.scalaLong)
+    records.flatMap { case (path, rec) =>
+      counters.recordsProcessed.add(1)
+      extract(path, rec, counters)
+    }.toDF("key", "cnt")
+      .groupBy("key")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("val"))
+  }
+
+  protected def write(df: DataFrame, config: JobConfig): Unit =
+    df.coalesce(config.numOutputPartitions)
+      .write.mode(SaveMode.Overwrite)
+      .format(config.outputFormat)
+      .option("compression", config.outputCompression)
+      .save(config.output)
+}

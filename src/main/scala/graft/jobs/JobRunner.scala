@@ -1,0 +1,52 @@
+package graft.jobs
+
+import graft.util.Sessions
+import graft.warc.WarcSource
+
+/** CLI entry point for the analytics jobs — the `python server_count.py
+  * <manifest> <output>` analogue of the reference (sparkcc.py:64-120).
+  *
+  * Usage: JobRunner <job> <input> <outputDir> [numInputPartitions] [numOutputPartitions]
+  *   job ∈ server_count | html_tag_count | server_ip | word_count |
+  *         sitemaps | extract_host_links | host_graph
+  *   input = manifest file (one WARC path per line) — for host_graph, a
+  *           parquet edge table with columns (s, t).
+  */
+object JobRunner {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: JobRunner <job> <input> <outputDir> [inParts] [outParts]")
+    val Array(job, input, output) = args.take(3)
+    val inParts = args.lift(3).map(_.toInt).getOrElse(8)
+    val outParts = args.lift(4).map(_.toInt).getOrElse(2)
+    val spark = Sessions.local(appName = s"graft-$job")
+    val config = JobConfig(input, output, inParts, outParts)
+    val counters = JobCounters(spark)
+
+    def records = WarcSource.fromManifest(spark, input, inParts, Some(counters.recordsFailed))
+
+    val df = job match {
+      case "server_count"   => ServerCountJob.aggregate(spark, records, counters)
+      case "html_tag_count" => HtmlTagCountJob.aggregate(spark, records, counters)
+      case "server_ip"      => ServerIpJob.aggregate(spark, records, counters)
+      case "word_count"     => WordCountJob.aggregate(spark, records)
+      case "sitemaps"       => SitemapsJob.aggregate(spark, records)
+      case "extract_host_links" => ExtractHostLinksJob.edges(spark, records)
+      case "host_graph" =>
+        val edges = spark.read.parquet(input)
+        val g = HostGraphBuilder.build(spark, edges, vertexPartitions = outParts)
+        g.vertices.coalesce(outParts).write.mode("overwrite")
+          .parquet(s"$output/vertices")
+        g.edges.coalesce(outParts).write.mode("overwrite")
+          .parquet(s"$output/edges")
+        spark.read.parquet(s"$output/edges")
+      case other => sys.error(s"unknown job: $other")
+    }
+    if (job != "host_graph")
+      df.coalesce(outParts).write.mode("overwrite").parquet(output)
+    println(s"[graft] job=$job rows=${spark.read.parquet(
+      if (job == "host_graph") s"$output/edges" else output).count()} " +
+      s"processed=${counters.recordsProcessed.value} failed=${counters.recordsFailed.value}")
+    spark.stop()
+  }
+}

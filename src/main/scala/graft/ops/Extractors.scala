@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.warc.{Predicates, WarcRecord}
+
+import scala.util.matching.Regex
+
+/** Per-record extraction functions — the `process_record` family
+  * (SURVEY §2.2 P3–P6, P9, P13). Each is a pure
+  * `WarcRecord => Iterator[...]` used from `Dataset.flatMap`.
+  */
+object Extractors {
+
+  // ---- P3: HTML tag histogram (html_tag_count.py:14-26) ----
+
+  private val TagRe: Regex = """<([a-zA-Z0-9]+)""".r
+
+  /** Per-document tag counts (per-doc pre-aggregation, A4). */
+  def htmlTagCounts(r: WarcRecord): Iterator[(String, Long)] = {
+    if (!Predicates.isResponse(r) || !Predicates.isHtml(r)) return Iterator.empty
+    val body = new String(r.contentBytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    TagRe.findAllMatchIn(body).foreach { m =>
+      val t = m.group(1).toLowerCase
+      counts.update(t, counts.getOrElse(t, 0L) + 1L)
+    }
+    counts.iterator
+  }
+
+  // ---- P4: Server header extraction (server_count.py:12-75) ----
+
+  val NoServer = "(no server in HTTP header)"
+
+  /** Distinct Server header values per response, fallback key when absent. */
+  def serverNames(r: WarcRecord): Iterator[(String, Long)] = {
+    if (!Predicates.isResponse(r)) return Iterator.empty
+    r.http match {
+      case Some(h) =>
+        val servers = h.headerValues("Server").map(_.trim).filter(_.nonEmpty).distinct
+        if (servers.isEmpty) Iterator.single((NoServer, 1L))
+        else servers.iterator.map(s => (s, 1L))
+      case None => Iterator.single((NoServer, 1L))
+    }
+  }
+
+  // ---- P5: host/IP pairs (server_ip_address.py:26-64) ----
+
+  def hostIpPairs(r: WarcRecord): Iterator[((String, String), Long)] = {
+    if (!Predicates.isResponse(r)) return Iterator.empty
+    val ip = r.ipAddress.getOrElse("(no IP address)")
+    val host = r.targetUri.flatMap(SurtHost.hostOf).getOrElse("(no host)")
+    Iterator.single(((host, ip), 1L))
+  }
+
+  // ---- P6: tokenization + per-doc TF (word_count.py:25-39) ----
+
+  private val WordRe: Regex = """[\p{L}\p{N}_]+""".r
+
+  /** (word, (tf, df=1)) with per-doc combine, from WET text records. */
+  def wordCounts(r: WarcRecord): Iterator[(String, (Long, Long))] = {
+    if (!Predicates.isWetText(r)) return Iterator.empty
+    val text = HtmlText.lenientDecode(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+    tokenizeCounts(text)
+  }
+
+  def tokenizeCounts(text: String): Iterator[(String, (Long, Long))] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    WordRe.findAllIn(text.toLowerCase).foreach { w =>
+      counts.update(w, counts.getOrElse(w, 0L) + 1L)
+    }
+    counts.iterator.map { case (w, tf) => (w, (tf, 1L)) }
+  }
+
+  // ---- P9: redirect targets (wat_extract_links.py:125-147) ----
+
+  /** (from_url, to_url) for 30x responses with a Location header. */
+  def redirectLinks(r: WarcRecord): Iterator[(String, String)] = {
+    if (!Predicates.isRedirect(r)) return Iterator.empty
+    (for {
+      uri <- r.targetUri
+      http <- r.http
+      loc <- http.header("Location")
+      resolved <- SurtHost.urlJoin(uri, loc)
+    } yield (uri, resolved)).iterator
+  }
+
+  // ---- P13: robots.txt sitemap URLs (sitemaps_from_robotstxt.py:20-106) ----
+
+  private val SitemapLine: Regex = """(?i)^\s*sitemap:\s*(\S+)\s*$""".r
+
+  /** (sitemap_url, robots_host) from HTTP-200 robots.txt captures; strict
+    * UTF-8 (undecodable bodies skipped), relative URLs resolved against
+    * the robots URL. Returns per-record results plus a flag set for
+    * accumulator-style counters.
+    */
+  def sitemapUrls(r: WarcRecord, maxPerFile: Int = 50): Iterator[(String, String)] = {
+    if (!Predicates.isResponse(r)) return Iterator.empty
+    if (!r.http.exists(_.statusCode == 200)) return Iterator.empty
+    val robotsUrl = r.targetUri.getOrElse(return Iterator.empty)
+    val body = r.http.map(_.body).getOrElse(return Iterator.empty)
+    val text = HtmlText.strictUtf8(body).getOrElse(return Iterator.empty)
+    lazy val host = SurtHost.hostOf(robotsUrl)
+    val out = Vector.newBuilder[(String, String)]
+    var n = 0
+    text.linesIterator.foreach { line =>
+      if (n < maxPerFile) SitemapLine.findFirstMatchIn(line).foreach { m =>
+        val raw = m.group(1)
+        val abs =
+          if (raw.matches("^https?://.*")) Some(raw)
+          else SurtHost.urlJoin(robotsUrl, raw)
+        for (u <- abs; h <- host) { out += ((u, h)); n += 1 }
+      }
+    }
+    out.result().iterator
+  }
+
+  // ---- P10: cross-host sitemap edges for the host graph
+  //      (wat_extract_links.py:523-547) ----
+
+  def sitemapHostEdges(r: WarcRecord): Iterator[(String, String)] = {
+    sitemapUrls(r, Int.MaxValue).flatMap { case (sitemapUrl, robotsHost) =>
+      for {
+        sitemapHost <- SurtHost.hostOf(sitemapUrl)
+        src <- SurtHost.reverseHost(robotsHost)
+        dst <- SurtHost.reverseHost(sitemapHost)
+        if src != dst
+      } yield (src, dst)
+    }
+  }
+
+  // ---- P7 composition: HTML response → plain text ----
+
+  def htmlToText(r: WarcRecord, declaredCharset: Option[String] = None): Option[String] = {
+    if (!Predicates.isResponse(r) || !Predicates.isHtml(r)) return None
+    val cs = declaredCharset
+      .orElse(r.headers.get("WARC-Identified-Content-Charset"))
+      .orElse(r.http.flatMap(_.header("Content-Type"))
+        .flatMap(ct => """charset=([\w\-]+)""".r.findFirstMatchIn(ct).map(_.group(1))))
+    Some(HtmlText.extractText(HtmlText.decode(r.contentBytes, cs)))
+  }
+}

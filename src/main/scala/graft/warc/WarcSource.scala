@@ -1,0 +1,113 @@
+package graft.warc
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.LongAccumulator
+
+/** Manifest-driven WARC scan (reference sparkcc.py:212-214 S1 + 367-392
+  * S2) and the ranged record fetch (sparkcc.py:617-640 S7/J2 — the
+  * "index → payload join", the system's signature operator).
+  *
+  * Scale design: the manifest is repartitioned so each task streams a
+  * few archives; record parsing never materializes a whole file. The
+  * ranged fetch shuffles only coordinate rows (url, file, offset, length)
+  * and opens each archive once per partition-local group — sort the
+  * coordinates by (file, offset) upstream so seeks are sequential.
+  */
+object WarcSource {
+
+  /** Records from a manifest (one archive URI per line). */
+  def fromManifest(spark: SparkSession, manifestPath: String,
+                   numPartitions: Int = 32,
+                   errorAcc: Option[LongAccumulator] = None): Dataset[(String, WarcRecord)] = {
+    import spark.implicits._
+    val paths = spark.read.textFile(manifestPath)
+      .filter(l => l.trim.nonEmpty && !l.startsWith("#"))
+      .repartition(numPartitions)
+    paths.flatMap { p =>
+      readPath(p, errorAcc).map(r => (p, r))
+    }
+  }
+
+  /** Records from explicit paths (testing / small jobs). */
+  def fromPaths(spark: SparkSession, paths: Seq[String],
+                numPartitions: Int = 4,
+                errorAcc: Option[LongAccumulator] = None): Dataset[(String, WarcRecord)] = {
+    import spark.implicits._
+    spark.createDataset(paths).repartition(numPartitions)
+      .flatMap(p => readPath(p, errorAcc).map(r => (p, r)))
+  }
+
+  private def readPath(p: String, errorAcc: Option[LongAccumulator]): Iterator[WarcRecord] = {
+    try {
+      val reader = WarcReader.open(p)
+      new Iterator[WarcRecord] {
+        override def hasNext: Boolean = {
+          val h = reader.hasNext
+          if (!h && reader.failures > 0) errorAcc.foreach(_.add(reader.failures))
+          h
+        }
+        override def next(): WarcRecord = reader.next()
+      }
+    } catch {
+      case _: Exception =>
+        errorAcc.foreach(_.add(1))
+        Iterator.empty
+    }
+  }
+
+  /** Coordinate row for the ranged fetch (sparkcc.py:553-557). */
+  final case class RecordCoord(url: String, warc_filename: String,
+                               warc_record_offset: Long, warc_record_length: Long,
+                               content_charset: Option[String] = None)
+
+  /** Ranged fetch: for each coordinate, read exactly [offset, offset+length)
+    * of the archive and parse the single gzip-member record inside
+    * (sparkcc.py:617-640). One open file handle per distinct archive per
+    * partition; seeks are forward-only if coordinates are sorted.
+    */
+  def fetchRecords(spark: SparkSession, coords: Dataset[RecordCoord],
+                   errorAcc: Option[LongAccumulator] = None): Dataset[(String, WarcRecord)] = {
+    import spark.implicits._
+    coords.mapPartitions { it =>
+      var current: (String, java.io.RandomAccessFile) = null
+      def file(name: String): java.io.RandomAccessFile = {
+        if (current == null || current._1 != name) {
+          if (current != null) current._2.close()
+          current = (name, new java.io.RandomAccessFile(
+            name.stripPrefix("file:"), "r"))
+        }
+        current._2
+      }
+      it.flatMap { c =>
+        try {
+          val raf = file(c.warc_filename)
+          raf.seek(c.warc_record_offset)
+          val buf = new Array[Byte](c.warc_record_length.toInt)
+          raf.readFully(buf)
+          val in: java.io.InputStream = {
+            val bais = new java.io.ByteArrayInputStream(buf)
+            if (c.warc_filename.endsWith(".gz"))
+              new java.util.zip.GZIPInputStream(bais) else bais
+          }
+          val reader = new WarcReader(in)
+          if (reader.hasNext) {
+            val rec = reader.next()
+            // charset forwarding (sparkcc.py:609-615): piggyback the
+            // coordinate row's charset as a pseudo-header
+            val withCs = c.content_charset match {
+              case Some(cs) => rec.copy(headers =
+                rec.headers + ("WARC-Identified-Content-Charset" -> cs))
+              case None => rec
+            }
+            Iterator.single((c.url, withCs))
+          } else {
+            errorAcc.foreach(_.add(1)); Iterator.empty
+          }
+        } catch {
+          case _: Exception =>
+            errorAcc.foreach(_.add(1)); Iterator.empty
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,117 @@
+package graft.jobs
+
+import graft.warc.{Fixtures, WarcSource, WarcWriter}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pattern B of the reference test suite: full pipelines through a local
+  * Spark session (test_sitemaps_from_robotstxt.py:231-362).
+  */
+class JobsE2ESpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val (warcPath, offsets) = {
+    val tmp = java.nio.file.Files.createTempFile("e2e", ".warc.gz").toString
+    val off = WarcWriter.writeFile(tmp, Fixtures.all)
+    (tmp, off)
+  }
+
+  lazy val manifest: String = {
+    val m = java.nio.file.Files.createTempFile("manifest", ".txt")
+    java.nio.file.Files.writeString(m, warcPath + "\n")
+    m.toString
+  }
+
+  test("ServerCount end-to-end (SURVEY §7.2 minimum slice)") {
+    val counters = JobCounters(spark)
+    val records = WarcSource.fromManifest(spark, manifest, 2, Some(counters.recordsFailed))
+    val df = ServerCountJob.aggregate(spark, records, counters)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("Apache/2.4") == 1L)
+    assert(got("nginx") == 1L)
+    // responseNoServer + responseRedirect + robotsTxt (no Server header)
+    assert(got(graft.ops.Extractors.NoServer) == 3L)
+    assert(counters.recordsProcessed.value == Fixtures.all.length)
+    assert(counters.recordsFailed.value == 0)
+  }
+
+  test("WordCount aggregation: tf summed, df counts docs") {
+    val records = WarcSource.fromPaths(spark, Seq(warcPath), 2)
+    val df = WordCountJob.aggregate(spark, records)
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    assert(got("hello") == ((3L, 1L)))
+  }
+
+  test("ranged fetch: coordinates → single records with charset forwarding") {
+    import spark.implicits._
+    val coords = offsets.zip(Fixtures.all).map { case ((off, len), r) =>
+      WarcSource.RecordCoord(r.targetUri.getOrElse(""), warcPath, off, len,
+        Some("utf-8"))
+    }
+    val ds = spark.createDataset(coords)
+    val fetched = WarcSource.fetchRecords(spark, ds).collect()
+    assert(fetched.length == Fixtures.all.length)
+    val byUrl = fetched.toMap
+    assert(byUrl.keySet == Fixtures.all.flatMap(_.targetUri).toSet)
+    assert(fetched.forall(_._2.headers.contains("WARC-Identified-Content-Charset")))
+  }
+
+  test("host graph: both ID modes give contiguous ids and drop self-loops") {
+    import spark.implicits._
+    val edges = Seq(
+      ("com.a", "com.b"), ("com.a", "com.b"), // dup
+      ("com.b", "com.c"), ("com.c", "com.c"), // self-loop
+      ("com.isolated", "com.isolated")        // isolated via self-loop only
+    ).toDF("s", "t")
+
+    for (parts <- Seq(1, 3)) {
+      val g = HostGraphBuilder.build(spark, edges, vertexPartitions = parts)
+      val verts = g.vertices.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+      assert(verts.keySet == Set("com.a", "com.b", "com.c", "com.isolated"))
+      // contiguous 0..n-1, sorted by name
+      assert(verts.values.toSeq.sorted == Seq(0L, 1L, 2L, 3L))
+      assert(verts("com.a") < verts("com.b"))
+      val e = g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(e == Set((verts("com.a"), verts("com.b")), (verts("com.b"), verts("com.c"))))
+    }
+  }
+
+  test("host graph validation drops invalid TLDs and normalizes IDN") {
+    import spark.implicits._
+    val edges = Seq(
+      ("com.good", "invalidtld.bad"),
+      ("de.müller", "com.good")).toDF("s", "t")
+    val g = HostGraphBuilder.build(spark, edges, vertexPartitions = 1, validateHosts = true)
+    val names = g.vertices.collect().map(_.getString(1)).toSet
+    assert(names == Set("com.good", "de.xn--mller-kva"))
+  }
+
+  test("ExtractHostLinksJob combines WAT, redirect, and robots sources") {
+    val records = WarcSource.fromPaths(spark, Seq(warcPath), 2)
+    val df = ExtractHostLinksJob.edges(spark, records)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("com.example", "net.example.cdn"))) // WAT link
+    assert(got.contains(("org.example.old", "org.example.old"))) // redirect self-host
+  }
+
+  test("sitemaps job: list concat across hosts for one sitemap URL") {
+    import spark.implicits._
+    val r1 = Fixtures.robots("https://a.example.com/robots.txt",
+      "Sitemap: https://shared.example.com/s.xml\n".getBytes("UTF-8"))
+    val r2 = Fixtures.robots("https://b.example.com/robots.txt",
+      "Sitemap: https://shared.example.com/s.xml\n".getBytes("UTF-8"))
+    val tmp = java.nio.file.Files.createTempFile("sm", ".warc.gz").toString
+    WarcWriter.writeFile(tmp, Seq(r1, r2))
+    val records = WarcSource.fromPaths(spark, Seq(tmp), 1)
+    val df = SitemapsJob.aggregate(spark, records)
+    val row = df.collect().find(_.getString(0) == "https://shared.example.com/s.xml").get
+    assert(row.getSeq[String](1).sorted == Seq("a.example.com", "b.example.com"))
+  }
+}

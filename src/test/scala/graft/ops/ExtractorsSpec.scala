@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.warc.Fixtures
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtractorsSpec extends AnyFunSuite {
+
+  test("server names: distinct per response, fallback key") {
+    val got = Extractors.serverNames(Fixtures.responseHtml).toMap
+    assert(got == Map("Apache/2.4" -> 1L, "nginx" -> 1L)) // dup Apache collapsed
+    val none = Extractors.serverNames(Fixtures.responseNoServer).toMap
+    assert(none == Map(Extractors.NoServer -> 1L))
+    assert(Extractors.serverNames(Fixtures.wetText).isEmpty)
+  }
+
+  test("html tag counts") {
+    val got = Extractors.htmlTagCounts(Fixtures.responseHtml).toMap
+    assert(got("html") == 1L)
+    assert(got("p") >= 1L)
+    assert(got("a") == 1L)
+    assert(got.contains("script")) // raw regex counts script tags too
+  }
+
+  test("host/ip pairs") {
+    val got = Extractors.hostIpPairs(Fixtures.responseHtml).toVector
+    assert(got == Vector(((("www.example.com"), "93.184.216.34"), 1L)))
+  }
+
+  test("word counts: unicode tokens, per-doc tf") {
+    val got = Extractors.wordCounts(Fixtures.wetText).toMap
+    assert(got("hello") == ((3L, 1L)))
+    assert(got("café") == ((1L, 1L)))
+    assert(got("123") == ((1L, 1L)))
+    assert(got("line") == ((1L, 1L)))
+  }
+
+  test("redirect links resolve Location against source") {
+    val got = Extractors.redirectLinks(Fixtures.responseRedirect).toVector
+    assert(got == Vector(("http://old.example.org/here", "http://old.example.org/there")))
+    assert(Extractors.redirectLinks(Fixtures.responseHtml).isEmpty)
+  }
+
+  test("sitemaps: absolute + relative, host attribution") {
+    val got = Extractors.sitemapUrls(Fixtures.robotsTxt).toVector
+    assert(got.contains(("https://www.example.com/sitemap.xml", "www.example.com")))
+    assert(got.contains(("https://www.example.com/sitemap2.xml", "www.example.com")))
+  }
+
+  test("sitemaps: non-UTF8 body skipped (strict decode)") {
+    assert(Extractors.sitemapUrls(Fixtures.robotsUtf16).isEmpty)
+  }
+
+  test("sitemaps: non-200 skipped and cap respected") {
+    val r404 = Fixtures.robots("https://x.example.com/robots.txt",
+      "Sitemap: https://x.example.com/s.xml\n".getBytes("UTF-8"), "HTTP/1.1 404 Not Found")
+    assert(Extractors.sitemapUrls(r404).isEmpty)
+    val many = Fixtures.robots("https://big.example.com/robots.txt",
+      (1 to 60).map(i => s"Sitemap: https://big.example.com/s$i.xml").mkString("\n").getBytes("UTF-8"))
+    assert(Extractors.sitemapUrls(many, maxPerFile = 50).size == 50)
+  }
+
+  test("sitemap host edges: cross-host only, SURT form") {
+    val cross = Fixtures.robots("https://www.a.com/robots.txt",
+      "Sitemap: https://cdn.b.org/sitemap.xml\nSitemap: https://www.a.com/self.xml\n".getBytes("UTF-8"))
+    val got = Extractors.sitemapHostEdges(cross).toVector
+    assert(got == Vector(("com.a", "org.b.cdn")))
+  }
+
+  test("htmlToText end-to-end: tags stripped, entities decoded") {
+    val txt = Extractors.htmlToText(Fixtures.responseHtml).get
+    assert(txt.contains("Hello é"))
+    assert(txt.contains("T & T"))
+    assert(txt.contains("World bold"))
+    assert(!txt.contains("ignored"))   // script stripped
+    assert(!txt.contains("color"))     // style stripped
+    assert(!txt.contains("<"))
+  }
+}
