@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.all ++
       operators.TextOps.all ++
       dedup.Dedup.all ++
-      vector.VectorOps.all
+      vector.VectorOps.all ++
+      media.MediaOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

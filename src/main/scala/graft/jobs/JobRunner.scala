@@ -8,9 +8,11 @@ import graft.warc.WarcSource
   *
   * Usage: JobRunner <job> <input> <outputDir> [numInputPartitions] [numOutputPartitions]
   *   job ∈ server_count | html_tag_count | server_ip | word_count |
-  *         sitemaps | extract_host_links | host_graph
+  *         sitemaps | extract_host_links | host_graph | wet_extract |
+  *         stream_windows
   *   input = manifest file (one WARC path per line) — for host_graph, a
-  *           parquet edge table with columns (s, t).
+  *           parquet edge table with columns (s, t); for stream_windows,
+  *           a directory of events parquet.
   */
 object JobRunner {
 
@@ -40,12 +42,29 @@ object JobRunner {
         g.edges.coalesce(outParts).write.mode("overwrite")
           .parquet(s"$output/edges")
         spark.read.parquet(s"$output/edges")
+      case "wet_extract" =>
+        val coords = graft.jobs.WetExtractor.run(spark, input, s"$output/wet", inParts)
+        coords.coalesce(outParts).write.mode("overwrite").parquet(s"$output/coords")
+        spark.read.parquet(s"$output/coords")
+      case "stream_windows" =>
+        val stream = graft.streaming.EventStream.readEvents(spark, input)
+        val q = graft.streaming.EventStream.windowedCounts(stream)
+          .writeStream.format("memory").queryName("win").outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+        val res = spark.sql("SELECT * FROM win")
+        res.coalesce(outParts).write.mode("overwrite").parquet(output)
+        spark.read.parquet(output)
       case other => sys.error(s"unknown job: $other")
     }
-    if (job != "host_graph")
+    val selfWriting = Set("host_graph", "wet_extract", "stream_windows")
+    if (!selfWriting.contains(job))
       df.coalesce(outParts).write.mode("overwrite").parquet(output)
-    println(s"[graft] job=$job rows=${spark.read.parquet(
-      if (job == "host_graph") s"$output/edges" else output).count()} " +
+    val countPath = job match {
+      case "host_graph"  => s"$output/edges"
+      case "wet_extract" => s"$output/coords"
+      case _             => output
+    }
+    println(s"[graft] job=$job rows=${spark.read.parquet(countPath).count()} " +
       s"processed=${counters.recordsProcessed.value} failed=${counters.recordsFailed.value}")
     spark.stop()
   }

@@ -1,0 +1,105 @@
+package graft.media
+
+import graft.QueryDef
+import graft.util.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-local batches —
+  * the Scala analogue of a `mapInPandas` decode/feature-extract stage.
+  *
+  * The actual media decode is STUBBED (no image/audio codecs in this
+  * container): `decodeStub` derives deterministic fake features from the
+  * bytes. Everything around it — schema, Dataset plumbing, batched
+  * partition processing, feature aggregation — is real and tested, so a
+  * production codec drops into `decodeStub` without touching the plan.
+  *
+  * Scale notes: payloads stay in executor memory only for the duration of
+  * one batch; features are narrow columns so downstream aggregation
+  * shuffles bytes-per-row ~100, not the payload. At 100 TB the payload
+  * column should be read lazily (parquet column pruning means queries not
+  * touching `payload` never read those pages).
+  */
+object MediaOps {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(media_id: Long, kind: String, source: String,
+                            payload: Array[Byte])
+
+  final case class MediaFeatures(media_id: Long, kind: String, source: String,
+                                 n_bytes: Int, entropy: Double,
+                                 width: Int, height: Int, frames: Int)
+
+  /** STUB decode: deterministic pseudo-features from payload bytes.
+    * A real implementation would decode image dimensions / audio duration /
+    * video frame count here (???), batch-wise, reusing one codec context
+    * per partition — which is exactly the structure below.
+    */
+  private def decodeStub(r: MediaRow): MediaFeatures = {
+    val bytes = r.payload
+    val hist = new Array[Int](256)
+    var i = 0
+    while (i < bytes.length) { hist(bytes(i) & 0xff) += 1; i += 1 }
+    var ent = 0.0
+    val n = math.max(1, bytes.length).toDouble
+    var j = 0
+    while (j < 256) {
+      if (hist(j) > 0) { val p = hist(j) / n; ent -= p * math.log(p) / math.log(2) }
+      j += 1
+    }
+    // fake dims derived deterministically from content hash
+    val h = java.util.Arrays.hashCode(bytes)
+    MediaFeatures(r.media_id, r.kind, r.source, bytes.length,
+      math.rint(ent * 1e6) / 1e6,
+      width = 64 + (math.abs(h) % 1024), height = 64 + (math.abs(h / 7) % 1024),
+      frames = if (r.kind == "video") 1 + math.abs(h / 11) % 300 else 1)
+  }
+
+  /** Batched decode over partitions — one "codec context" per partition,
+    * rows processed in groups of `batchSize` (the mapInPandas batch-shape
+    * analogue; a vectorized decoder would process each batch as one call).
+    */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    implicit val enc: org.apache.spark.sql.Encoder[MediaFeatures] =
+      org.apache.spark.sql.Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      // per-partition init (codec context, model weights, ...) goes here
+      it.grouped(batchSize).flatMap { batch => batch.iterator.map(decodeStub) }
+    }
+  }
+
+  /** Build a media table from the documents corpus (payload = encoded
+    * text bytes standing in for image/audio bytes; kind round-robins).
+    */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[MediaRow] =
+      org.apache.spark.sql.Encoders.product[MediaRow]
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("kind", element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")))
+      .select(col("doc_id").as("media_id"), col("kind"), col("source"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Registered query: decode features and aggregate per (source, kind).
+    * Rows-only (the stubbed decode has no SQL equivalent); deterministic
+    * because the stub is content-derived.
+    */
+  val multimodalFeatures: QueryDef = QueryDef(
+    "multimodal_features",
+    (s, dir) => {
+      val feats = extractFeatures(mediaFromDocuments(s, dir))
+      feats.toDF()
+        .groupBy(col("source"), col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("entropy")), 4).as("avg_entropy"),
+          max(col("frames")).as("max_frames"))
+    })
+
+  val all: Seq[QueryDef] = Seq(multimodalFeatures)
+}

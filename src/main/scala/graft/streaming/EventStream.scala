@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table — greenfield extension
+  * (the reference is batch-only, SURVEY §2.8): windowed aggregation with
+  * watermarking, and stateful sessionization via flatMapGroupsWithState.
+  *
+  * The parquet schema carries ns-timestamps; streams read them as long
+  * nanos (nanosAsLong) and convert once at ingest.
+  */
+object EventStream {
+
+  /** Parquet schema of events with ts as raw nanos (nanosAsLong form). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-stream source over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** 5-minute tumbling-window counts per event type with a 10-minute
+    * watermark — the canonical streaming agg. At scale the state store
+    * holds one row per (window × type): bounded by the watermark.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  // ---- stateful sessionization ----
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class Session(user_id: Long, n_events: Int, first_ts: Long,
+                           last_ts: Long, total_value: Double)
+  private final case class SessionState(n: Int, first: Long, last: Long, total: Double)
+
+  /** Per-user sessions closed after `gapMs` of inactivity — custom state
+    * machine via flatMapGroupsWithState (timeout-driven emission).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.n, s.first, s.last, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Vector.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.first, t, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, s.n, s.first, s.last, s.total)
+                  cur = Some(SessionState(1, t, t, e.value))
+                case None =>
+                  cur = Some(SessionState(1, t, t, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val eventsDir: String = {
+    // stage the sf0.001 events file into a directory (file-stream source)
+    val dir = java.nio.file.Files.createTempDirectory("events_stream").toString
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed streaming agg equals the batch equivalent") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM win_counts")
+        .select("win_start", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+      val batch = spark.read.parquet(eventsDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("event_type"), col("n")).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions on gap (batch-mode state machine)") {
+    import spark.implicits._
+    def ev(id: Long, tMin: Long, user: Long) = EventStream.Event(
+      id, new java.sql.Timestamp(tMin * 60000), user, "click", 1.0)
+    // user 1: two sessions separated by 2h; user 2: one session
+    val events = Seq(
+      ev(1, 0, 1), ev(2, 5, 1), ev(3, 10, 1),
+      ev(4, 130, 1), ev(5, 131, 1),
+      ev(6, 3, 2)).toDS()
+    val sessions = EventStream.sessionize(events, gapMs = 30 * 60 * 1000)
+      .collect().toSet
+    // batch mode: only sessions closed by a later event in the same batch
+    // are emitted (open sessions wait for the timeout in true streaming)
+    assert(sessions.contains(EventStream.Session(1, 3, 0, 10 * 60000, 3.0)))
+  }
+}
