@@ -43,14 +43,25 @@ object Dedup {
                 i -> xxhash64(substring(t, i + 1, $n))))
            ELSE array(xxhash64(t)) END""").as("shingles"))
 
-  /** MinHash signature: perms seeded hash functions, min over the shingle
-    * set. One explode + one hash agg (partial agg = map-side combine).
+  /** MinHash signature via one-permutation hashing (Li/König OPH): one
+    * hash per shingle, binned into `perms` buckets, min per bucket —
+    * O(shingles) hash work instead of O(shingles × perms). Empty buckets
+    * densify to a per-bin constant sentinel; sentinel collisions between
+    * short docs only create false candidates, which exact verification
+    * removes. Two cheap keyed aggs (both with map-side partial agg)
+    * replace one 64-expression agg — at 100 TB this is the difference
+    * between 64 hash evaluations per shingle and one.
     */
   def minHashSignature(shingled: DataFrame, perms: Int): DataFrame = {
     val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val mins: Seq[Column] =
-      (0 until perms).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
-    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val binned = ex
+      .groupBy(col("doc_id"), pmod(col("sh"), lit(perms)).cast("int").as("bin"))
+      .agg(min(col("sh")).as("mn"))
+    val mapped = binned.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("mn")))).as("m"))
+    val cols = (0 until perms).map(j =>
+      coalesce(element_at(col("m"), lit(j)), lit(Long.MinValue + j)).as(s"m$j"))
+    mapped.select(col("doc_id") +: cols: _*)
   }
 
   /** LSH banding: rows hash-combined per band → (doc_id, band, bucket). */
@@ -93,9 +104,16 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline over arbitrary shingle sets. */
-  def minHashDedup(shingled: DataFrame, perms: Int, rowsPerBand: Int,
+  /** Full MinHash-LSH near-dup pipeline over arbitrary shingle sets.
+    * The shingle table feeds three plan branches (signatures + both
+    * verification joins) — persist it once instead of recomputing the
+    * tokenize/shingle/hash work per branch (sparkcc.py:511's persist-
+    * before-reuse, same reasoning).
+    */
+  def minHashDedup(shingled0: DataFrame, perms: Int, rowsPerBand: Int,
                    threshold: Double): DataFrame = {
+    val shingled = shingled0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minHashSignature(shingled, perms)
     val cand = candidatePairs(bands(sig, perms, rowsPerBand))
     verifyJaccard(cand, shingled, threshold)
@@ -117,14 +135,16 @@ object Dedup {
         coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
     })
 
-  /** Char-3-gram Jaccard near-dup (the n-gram variant): same LSH scaffold,
-    * different shingle space, lower threshold.
+  /** Char-5-gram Jaccard near-dup (the n-gram variant): same LSH scaffold,
+    * different shingle space. 8-row bands → ~0.77 collision threshold,
+    * keeping candidate volume sane on low-entropy corpora (3-grams over a
+    * small vocabulary make *every* doc pair collide).
     */
   val dedupNgramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val sh = charShingles(Tables(s, dir, "documents"), 3)
-      val pairs = minHashDedup(sh, perms = 64, rowsPerBand = 4, threshold = 0.7)
+      val sh = charShingles(Tables(s, dir, "documents"), 5)
+      val pairs = minHashDedup(sh, perms = 64, rowsPerBand = 8, threshold = 0.7)
       pairs.agg(count(lit(1)).as("n_pairs"),
         coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
     })
