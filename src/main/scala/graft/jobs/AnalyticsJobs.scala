@@ -63,6 +63,16 @@ object SitemapsJob {
 object ExtractHostLinksJob {
   val name = "wat_extract_links"
 
+  /** S12: optionally persist the raw extraction to an intermediate table
+    * and continue from it — job recovery (wat_extract_links.py:298-312).
+    */
+  def edgesWithCheckpoint(spark: SparkSession, records: Dataset[(String, WarcRecord)],
+                          checkpointPath: String): DataFrame = {
+    val raw = edges(spark, records)
+    raw.write.mode("overwrite").parquet(checkpointPath)
+    spark.read.parquet(checkpointPath)
+  }
+
   def edges(spark: SparkSession, records: Dataset[(String, WarcRecord)]): DataFrame = {
     import spark.implicits._
     records.flatMap { case (path, r) =>
@@ -119,6 +129,10 @@ object HostGraphBuilder {
         spark.createDataFrame(rdd).toDF("name", "id")
       }
 
+    buildFromIds(edges, ids)
+  }
+
+  private def buildFromIds(edges: DataFrame, ids: DataFrame): Graph = {
     val idsS = ids.select(col("name").as("s"), col("id").as("s_id"))
     val idsT = ids.select(col("name").as("t"), col("id").as("t_id"))
     val edgeIds = edges.join(idsS, "s").join(idsT, "t")
@@ -127,5 +141,32 @@ object HostGraphBuilder {
       .dropDuplicates()
       .sortWithinPartitions("s", "t")
     Graph(ids.select("id", "name"), edgeIds)
+  }
+
+  /** S10: tab-separated gzip text dumps of the vertex/edge tables
+    * (hostlinks_to_graph.py:115-118, 162-165) — the webgraph-tools
+    * interchange format.
+    */
+  def writeTextDumps(g: Graph, outDir: String, partitions: Int = 2): Unit = {
+    g.vertices.select(concat_ws("\t", col("id"), col("name")))
+      .coalesce(partitions)
+      .write.mode("overwrite").option("compression", "gzip")
+      .text(s"$outDir/vertices_txt")
+    g.edges.select(concat_ws("\t", col("s"), col("t")))
+      .coalesce(partitions)
+      .write.mode("overwrite").option("compression", "gzip")
+      .text(s"$outDir/edges_txt")
+  }
+}
+
+/** linkmap2parquet.py — import tab-separated edge dumps (P14/S10 inverse). */
+object LinkmapImport {
+  def fromText(spark: SparkSession, path: String): DataFrame = {
+    spark.read.text(path)
+      .select(split(col("value"), "\t").as("parts"))
+      .select(col("parts").getItem(0).as("s"), col("parts").getItem(1).as("t"))
+      .na.drop()
+      .dropDuplicates()
+      .sortWithinPartitions("s", "t")
   }
 }

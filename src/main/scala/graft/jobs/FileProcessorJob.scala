@@ -1,0 +1,71 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Whole-file processing (reference CCFileProcessorSparkJob,
+  * sparkcc.py:664-848): fetch each input file to a local temp path and
+  * run a per-file function — S8 + the external-command operator P15
+  * (md5sum.py:17-20).
+  */
+object FileProcessorJob {
+
+  /** S8: stream each file to a named temp file, apply `process`, clean up.
+    * `process` receives (original path, local temp path). Failed inputs
+    * are counted (reference fault model: count and continue) and skipped.
+    */
+  def processFiles[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, manifestPath: String, numPartitions: Int,
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)(
+      process: (String, java.nio.file.Path) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
+    import spark.implicits._
+    spark.read.textFile(manifestPath)
+      .filter(l => l.trim.nonEmpty && !l.startsWith("#"))
+      .repartition(numPartitions)
+      .flatMap { path =>
+        val tmp = java.nio.file.Files.createTempFile("graft_file", suffixOf(path))
+        try {
+          val in = new java.io.FileInputStream(path.stripPrefix("file:"))
+          try java.nio.file.Files.copy(in, tmp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          process(path, tmp).toVector.iterator // materialize before deleting
+        } catch {
+          case _: Exception =>
+            failedAcc.foreach(_.add(1))
+            Iterator.empty
+        } finally {
+          java.nio.file.Files.deleteIfExists(tmp)
+        }
+      }
+  }
+
+  /** P15: run an external command per file, emit (uri, stdout-token) —
+    * the md5sum job (md5sum.py:17-20). Falls back to JVM MessageDigest
+    * when the binary is absent.
+    */
+  def md5sum(spark: SparkSession, manifestPath: String,
+             numPartitions: Int = 4, useExternal: Boolean = true,
+             failedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    import spark.implicits._
+    processFiles[(String, String)](spark, manifestPath, numPartitions, failedAcc) { (path, tmp) =>
+      val digest =
+        if (useExternal && new java.io.File("/usr/bin/md5sum").exists()) {
+          val proc = new ProcessBuilder("/usr/bin/md5sum", tmp.toString).start()
+          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+          proc.waitFor()
+          out.split("\\s+").headOption.getOrElse("")
+        } else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val bytes = java.nio.file.Files.readAllBytes(tmp)
+          md.digest(bytes).map("%02x".format(_)).mkString
+        }
+      Iterator.single((path, digest))
+    }.toDF("uri", "md5")
+  }
+
+  private def suffixOf(path: String): String = {
+    val name = new java.io.File(path).getName
+    val i = name.indexOf('.')
+    if (i >= 0) name.substring(i) else ".bin"
+  }
+}

@@ -9,7 +9,7 @@ import graft.warc.WarcSource
   * Usage: JobRunner <job> <input> <outputDir> [numInputPartitions] [numOutputPartitions]
   *   job ∈ server_count | html_tag_count | server_ip | word_count |
   *         sitemaps | extract_host_links | host_graph | wet_extract |
-  *         stream_windows
+  *         stream_windows | md5sum
   *   input = manifest file (one WARC path per line) — for host_graph, a
   *           parquet edge table with columns (s, t); for stream_windows,
   *           a directory of events parquet.
@@ -42,6 +42,9 @@ object JobRunner {
         g.edges.coalesce(outParts).write.mode("overwrite")
           .parquet(s"$output/edges")
         spark.read.parquet(s"$output/edges")
+      case "md5sum" =>
+        FileProcessorJob.md5sum(spark, input, inParts,
+          failedAcc = Some(counters.recordsFailed))
       case "wet_extract" =>
         val coords = graft.jobs.WetExtractor.run(spark, input, s"$output/wet", inParts)
         coords.coalesce(outParts).write.mode("overwrite").parquet(s"$output/coords")
