@@ -1,6 +1,7 @@
 package graft.vector
 
 import graft.QueryDef
+import graft.functions.CosineSimilarity.cosineSim
 import graft.functions.GraftFunctions._
 import graft.util.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -27,7 +28,8 @@ object VectorOps {
     Array.fill(MaxPlanes, Dim)(rnd.nextGaussian())
   }
 
-  /** n-bit signature: bit p = sign of <v, plane_p>. Pure expressions.
+  /** n-bit signature: bit p = sign of <v, plane_p>, via the native
+    * DotProductConst expression (primitive codegen loop per plane).
     * Plane count trades bucket selectivity vs recall: more planes →
     * smaller buckets (cheaper join, lower recall). The ANN path uses 8
     * (≈corpus/256 per bucket); near-dup verification uses all 16 since
@@ -35,9 +37,8 @@ object VectorOps {
     */
   def lshSignature(v: Column, nPlanes: Int): Column = {
     val bits = planes.take(nPlanes).zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(w => lit(w)): _*)
-      when(aggregate(zip_with(v, planeLit, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(graft.functions.DotProductConst.dotConst(v, p) > 0, lit(1L << i))
+        .otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -62,7 +63,7 @@ object VectorOps {
       val scored = corpus(s, dir).crossJoin(q)
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          cosine(col("q_emb"), col("embedding")).as("cos"))
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
@@ -90,7 +91,7 @@ object VectorOps {
       val cand = c.join(broadcast(q), "bucket")
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          cosine(col("q_emb"), col("embedding")).as("cos"))
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
@@ -123,7 +124,7 @@ object VectorOps {
       val cand = c.join(broadcast(cells), col("label") === col("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          cosine(col("q_emb"), col("embedding")).as("cos"))
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
@@ -142,7 +143,7 @@ object VectorOps {
       val b = c.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
       val pairs = a.join(b, "bucket")
         .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("cos"))
+        .select(col("id1"), col("id2"), cosineSim(col("e1"), col("e2")).as("cos"))
         .filter(col("cos") >= 0.99)
       pairs.agg(count(lit(1)).as("n_pairs"),
         coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos"))
