@@ -1,0 +1,136 @@
+package graft.warc
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 WARC reader: `spark.read.format("warc").load(pathOrDir)`.
+  *
+  * One input partition per archive file (a WARC member stream is not
+  * splittable mid-file without an index; at cluster scale parallelism
+  * comes from the archive count — Common Crawl ships ~64k files per
+  * crawl). Record-type filtering happens via the `record_type` option at
+  * the reader (the fastwarc_record_filter analogue,
+  * sparkcc_fastwarc.py:14-27), skipping non-matching records before any
+  * row materialization.
+  *
+  * Schema: path, warc_type, target_uri, warc_date, content_type,
+  * headers map, payload binary.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "warc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WarcTable(properties.getOrDefault("path", ""),
+      Option(properties.get("record_type")))
+}
+
+object WarcDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("content_type", StringType),
+    StructField("headers", MapType(StringType, StringType)),
+    StructField("payload", BinaryType)))
+
+  /** Expand a path (file, directory, or comma-list) to archive files.
+    * Missing paths error at planning time (not silently-empty scans).
+    */
+  def expand(path: String): Seq[String] = {
+    path.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { p =>
+      val f = new java.io.File(p.stripPrefix("file:"))
+      if (f.isDirectory)
+        f.listFiles().filter(x => x.getName.contains(".warc")).map(_.getPath).sorted.toSeq
+      else if (f.isFile) Seq(f.getPath)
+      else throw new IllegalArgumentException(s"warc source: path not found: $p")
+    }
+  }
+}
+
+class WarcTable(path: String, recordType: Option[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"warc:$path"
+  override def schema(): StructType = WarcDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(
+      if (path.nonEmpty) path else options.get("path"),
+      recordType.orElse(Option(options.get("record_type"))))
+}
+
+class WarcScanBuilder(path: String, recordType: Option[String]) extends ScanBuilder {
+  override def build(): Scan = new WarcScan(path, recordType)
+}
+
+class WarcScan(path: String, recordType: Option[String]) extends Scan with Batch {
+  override def readSchema(): StructType = WarcDataSource.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    WarcDataSource.expand(path).map(p => WarcInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(recordType)
+}
+
+case class WarcInputPartition(file: String) extends InputPartition
+
+class WarcReaderFactory(recordType: Option[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, recordType)
+}
+
+class WarcPartitionReader(file: String, recordType: Option[String])
+    extends PartitionReader[InternalRow] {
+
+  // corrupt/unreadable archives yield an empty partition (count-and-
+  // continue fault model, same as the manifest path — sparkcc.py:390-392)
+  private val reader: Option[WarcReader] =
+    try Some(WarcReader.open(file)) catch { case _: Exception => None }
+  private val pathUtf8 = UTF8String.fromString(file)
+  private var current: WarcRecord = _
+
+  override def next(): Boolean = {
+    reader match {
+      case None => false
+      case Some(rd) =>
+        try {
+          while (rd.hasNext) {
+            val r = rd.next()
+            if (recordType.forall(_ == r.recType)) { current = r; return true }
+          }
+          false
+        } catch { case _: Exception => false }
+    }
+  }
+
+  override def get(): InternalRow = {
+    val r = current
+    val keys = r.headers.keys.toArray[Any].map(k => UTF8String.fromString(k.toString))
+    val vals = r.headers.values.toArray[Any].map(v => UTF8String.fromString(v.toString))
+    InternalRow(
+      pathUtf8,
+      UTF8String.fromString(r.recType),
+      r.targetUri.map(UTF8String.fromString).orNull,
+      r.date.map(UTF8String.fromString).orNull,
+      r.contentType.map(UTF8String.fromString).orNull,
+      ArrayBasedMapData(keys, vals),
+      r.payload)
+  }
+
+  override def close(): Unit = ()
+}
