@@ -314,9 +314,46 @@ object Relational {
       COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS ktotal
       FROM events GROUP BY kmod"""))
 
+  /** Semi join (EXISTS): segments of customers having an order in 1996. */
+  val j3SemiJoin: QueryDef = QueryDef(
+    "j3_semi_join",
+    (s, dir) => {
+      val o96 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(o96, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n FROM customer
+      WHERE c_custkey IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+      GROUP BY c_mktsegment"""))
+
+  /** Anti join (NOT EXISTS): customers with no orders at all. */
+  val j4AntiJoin: QueryDef = QueryDef(
+    "j4_anti_join",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_customers_no_orders")),
+    Some("""SELECT COUNT(*) AS n_customers_no_orders FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""))
+
+  /** ROLLUP hierarchy totals (grouping-sets family; Catalyst Expand). */
+  val a7Rollup: QueryDef = QueryDef(
+    "a7_rollup",
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
-    a3CollectList, a5Count, j1GraphIds, u1Union, u2Distinct,
+    a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
+    u1Union, u2Distinct,
     u3DropDuplicates, u4DropNa, o1TopN, o7SelfLoopFilter, p14SplitPart,
     fScalarStrings, w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract)
 }

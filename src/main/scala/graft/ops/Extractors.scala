@@ -42,6 +42,31 @@ object Extractors {
     }
   }
 
+  /** WAT path of P4 (server_count.py:23-47): Server header(s) from the
+    * WAT JSON envelope; list- or scalar-valued.
+    */
+  def serverNamesWat(r: WarcRecord): Iterator[(String, Long)] = {
+    if (!Predicates.isWatJson(r)) return Iterator.empty
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.payload)
+      catch { case _: Exception => return Iterator.empty }
+    val env = root.path("Envelope")
+    if (env.path("WARC-Header-Metadata").path("WARC-Type").asText("") != "response")
+      return Iterator.empty
+    val server = env.path("Payload-Metadata")
+      .path("HTTP-Response-Metadata").path("Headers").path("Server")
+    val values =
+      if (server.isArray) {
+        val b = Vector.newBuilder[String]
+        server.forEach(v => b += v.asText(""))
+        b.result()
+      } else if (!server.isMissingNode && !server.isNull) Vector(server.asText(""))
+      else Vector.empty
+    val distinct = values.map(_.trim).filter(_.nonEmpty).distinct
+    if (distinct.isEmpty) Iterator.single((NoServer, 1L))
+    else distinct.iterator.map(s => (s, 1L))
+  }
+
   // ---- P5: host/IP pairs (server_ip_address.py:26-64) ----
 
   def hostIpPairs(r: WarcRecord): Iterator[((String, String), Long)] = {

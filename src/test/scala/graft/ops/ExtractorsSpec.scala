@@ -34,6 +34,12 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(got("line") == ((1L, 1L)))
   }
 
+  test("WAT-path server names: scalar and list-valued headers") {
+    val got = Extractors.serverNamesWat(Fixtures.watJson).toMap
+    assert(got == Map("Apache/2.4" -> 1L))
+    assert(Extractors.serverNamesWat(Fixtures.responseHtml).isEmpty)
+  }
+
   test("redirect links resolve Location against source") {
     val got = Extractors.redirectLinks(Fixtures.responseRedirect).toVector
     assert(got == Vector(("http://old.example.org/here", "http://old.example.org/there")))

@@ -53,4 +53,26 @@ class WarcDataSourceSpec extends AnyFunSuite {
     val df = spark.read.format("warc").load(warcDir).select("warc_type")
     assert(df.count() > 0) // smoke: pruned projection executes
   }
+
+  test("warc_type equality filter pushes into the scan") {
+    val df = spark.read.format("warc").load(warcDir)
+      .filter(col("warc_type") === "response")
+    assert(df.count() == 5)
+    val planned = df.queryExecution.executedPlan.toString()
+    assert(planned.contains("pushedTypes=response"),
+      s"expected pushed filter in scan description:\n$planned")
+    // IN-list push
+    val df2 = spark.read.format("warc").load(warcDir)
+      .filter(col("warc_type").isin("response", "conversion"))
+    assert(df2.count() == 6)
+  }
+
+  test("corrupt archive in directory yields empty partition, not failure") {
+    val dir = java.nio.file.Files.createTempDirectory("dsv2corrupt").toString
+    WarcWriter.writeFile(s"$dir/good.warc.gz", Seq(Fixtures.responseHtml))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.warc.gz"),
+      Array.fill[Byte](100)(0x5A))
+    val df = spark.read.format("warc").load(dir)
+    assert(df.count() == 1)
+  }
 }

@@ -50,8 +50,8 @@ def main(sf_dir, out_dir):
             continue
         gi = [gcols.index(c) for c in sorted(gcols)]
         wi = [wcols.index(c) for c in sorted(wcols)]
-        gset = sorted(tuple(norm(r[i]) for i in gi) for r in got)
-        wset = sorted(tuple(norm(r[i]) for i in wi) for r in want)
+        gset = sorted((tuple(norm(r[i]) for i in gi) for r in got), key=repr)
+        wset = sorted((tuple(norm(r[i]) for i in wi) for r in want), key=repr)
         if gset == wset:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
