@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ASCII word tokenizer: equivalent to
+  * `regexp_extract_all(lower(s), '[a-z0-9]+', 0)` but as a single byte
+  * scan (case-folded inline) instead of a regex NFA — the tokenizer is
+  * the per-row hot path of every text query (wordcount, shingling,
+  * quality, token counts), and the regex version measured ~1ms/doc.
+  *
+  * Semantics match the regex exactly: token chars are [a-z0-9] after
+  * ASCII case fold; every other byte — including all multi-byte UTF-8
+  * sequences, which `lower()` may rewrite but never into ASCII
+  * alphanumerics — is a delimiter.
+  */
+case class AsciiWordTokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ascii_tokens expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    var i = 0
+    val n = s.length
+    var start = -1
+    var needsFold = false
+    while (i <= n) {
+      val b = if (i < n) s(i) else ' '.toByte
+      val isTok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
+      if (isTok) {
+        if (start < 0) { start = i; needsFold = false }
+        if (b >= 'A' && b <= 'Z') needsFold = true
+      } else if (start >= 0) {
+        val len = i - start
+        val tok =
+          if (!needsFold) UTF8String.fromBytes(s, start, len)
+          else {
+            val buf = new Array[Byte](len)
+            var j = 0
+            while (j < len) {
+              val c = s(start + j)
+              buf(j) = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+              j += 1
+            }
+            UTF8String.fromBytes(buf)
+          }
+        out += tok
+        start = -1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ascii_tokens"
+}
+
+object AsciiWordTokens {
+  def asciiTokens(c: Column): Column =
+    Bridge.column(AsciiWordTokens(Bridge.expression(c)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ascii_tokens", exprs => AsciiWordTokens(exprs.head), "built-in")
+}

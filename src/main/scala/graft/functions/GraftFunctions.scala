@@ -32,10 +32,11 @@ object GraftFunctions {
 
   /** ASCII word tokens of lowercased text (cc-pyspark word_count.py:25
     * uses `\w+`; we standardize on [a-z0-9]+ so the DuckDB RE2 oracle and
-    * Java regex agree on every input).
+    * Java regex agree on every input). Implemented as the native
+    * AsciiWordTokens byte scanner — same semantics as
+    * `regexp_extract_all(lower(c), '[a-z0-9]+', 0)`, ~regex-free.
     */
-  def tokens(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+  def tokens(c: Column): Column = AsciiWordTokens.asciiTokens(c)
 
   /** Whitespace/punct-normalized document fingerprint (rolling-hash
     * analogue; md5 of the canonical token stream).
