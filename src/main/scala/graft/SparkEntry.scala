@@ -15,7 +15,8 @@ object SparkEntry {
       operators.TextOps.all ++
       dedup.Dedup.all ++
       vector.VectorOps.all ++
-      media.MediaOps.all
+      media.MediaOps.all ++
+      streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -314,6 +314,22 @@ object Relational {
       COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS ktotal
       FROM events GROUP BY kmod"""))
 
+  /** O2: scalable contiguous-ID assignment via sortBy+zipWithIndex
+    * (hostlinks_to_graph.py:101-111 — the multi-partition vertex-ID mode).
+    * Oracle: row_number()-1 over the same ordering.
+    */
+  val o2ZipWithIndex: QueryDef = QueryDef(
+    "o2_zipwithindex",
+    (s, dir) => {
+      import s.implicits._
+      val names = t(s, dir, "customer").select(col("c_name")).distinct().as[String]
+      val rdd = names.rdd.sortBy(identity, ascending = true, numPartitions = 4)
+        .zipWithIndex()
+      s.createDataFrame(rdd).toDF("name", "id")
+    },
+    Some("""SELECT c_name AS name, CAST(row_number() OVER (ORDER BY c_name) - 1 AS BIGINT) AS id
+      FROM (SELECT DISTINCT c_name FROM customer)"""))
+
   /** Semi join (EXISTS): segments of customers having an order in 1996. */
   val j3SemiJoin: QueryDef = QueryDef(
     "j3_semi_join",
@@ -353,7 +369,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
-    u1Union, u2Distinct,
+    o2ZipWithIndex, u1Union, u2Distinct,
     u3DropDuplicates, u4DropNa, o1TopN, o7SelfLoopFilter, p14SplitPart,
     fScalarStrings, w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract)
 }

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Streaming as a registered (oracle-checked) query: the events table is
+  * staged into a file-stream source directory, processed through a real
+  * Structured Streaming windowed aggregation (memory sink, drained with
+  * processAllAvailable), and the result is compared against the same
+  * windows computed by DuckDB's time_bucket — streaming/batch
+  * equivalence as a first-class correctness check.
+  */
+object StreamQueries {
+
+  val streamWindows: QueryDef = QueryDef(
+    "stream_windows",
+    (s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      graft.util.Tables(s, dir, "events").write.mode("overwrite").parquet(stage)
+      val q = EventStream.windowedCounts(EventStream.readEvents(s, stage))
+        .writeStream.format("memory").queryName("graft_stream_windows")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql("SELECT * FROM graft_stream_windows")
+        .select(unix_timestamp(col("win_start")).as("win_epoch"),
+          col("event_type"), col("n"),
+          col("total").cast(org.apache.spark.sql.types.DecimalType(25, 6))
+            .cast("double").as("total"))
+    },
+    // double SUM in the streaming agg is sequential per group here
+    // (single drain), and the cast chain pins the comparison scale
+    Some("""SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_epoch,
+      event_type, COUNT(*) AS n,
+      CAST(CAST(SUM(value) AS DECIMAL(25,6)) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(streamWindows)
+}
