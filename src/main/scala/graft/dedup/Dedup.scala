@@ -22,26 +22,24 @@ object Dedup {
 
   private val MaxBucket = 64 // cap on collision-bucket width for the pair join
 
-  /** (doc_id, shingles: array<long>) — word w-shingles hashed to i64.
-    * Short docs fall back to a single whole-doc shingle.
+  /** (doc_id, shingles: array<long>) — word w-shingles hashed to i64
+    * (tokens hashed elementwise, then native windows over the hash
+    * sequence). Short docs fall back to a single whole-doc shingle.
     */
   def wordShingles(docs: DataFrame, w: Int): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), expr(
-        s"""CASE WHEN size(toks) >= $w
-           THEN array_distinct(transform(sequence(0, size(toks) - $w),
-                i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $w)))))
-           ELSE array(xxhash64(concat_ws(' ', toks))) END""").as("shingles"))
+      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes.longWindowHashes(col("th"), w).as("shingles"))
 
-  /** (doc_id, shingles) from character n-grams of the normalized text. */
+  /** (doc_id, shingles) from character n-grams of the normalized text
+    * (one native byte scan per document).
+    */
   def charShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
-      .select(col("doc_id"), expr(
-        s"""CASE WHEN length(t) >= $n
-           THEN array_distinct(transform(sequence(0, length(t) - $n),
-                i -> xxhash64(substring(t, i + 1, $n))))
-           ELSE array(xxhash64(t)) END""").as("shingles"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes.charNgramHashes(col("t"), n).as("shingles"))
 
   /** MinHash signature via one-permutation hashing (Li/König OPH): one
     * hash per shingle, binned into `perms` buckets, min per bucket —

@@ -45,6 +45,17 @@ object JobRunner {
       case "md5sum" =>
         FileProcessorJob.md5sum(spark, input, inParts,
           failedAcc = Some(counters.recordsFailed))
+      case "index_build" =>
+        val warcs = spark.read.textFile(input).collect().toSeq
+          .map(_.trim).filter(p => p.nonEmpty && !p.startsWith("#"))
+        CCIndexWarcJob.buildIndex(spark, warcs, s"$output/indexed", s"$output/ccindex")
+        spark.read.parquet(s"$output/ccindex")
+      case "index_word_count" =>
+        // input = ccindex parquet path; fetches HTML responses only
+        CCIndexWarcJob.wordCount(spark, input,
+          """SELECT url, warc_filename, warc_record_offset, warc_record_length
+            FROM ccindex WHERE warc_type = 'response'""", inParts,
+          failedAcc = Some(counters.recordsFailed))
       case "wet_extract" =>
         val coords = graft.jobs.WetExtractor.run(spark, input, s"$output/wet", inParts)
         coords.coalesce(outParts).write.mode("overwrite").parquet(s"$output/coords")
@@ -59,12 +70,13 @@ object JobRunner {
         spark.read.parquet(output)
       case other => sys.error(s"unknown job: $other")
     }
-    val selfWriting = Set("host_graph", "wet_extract", "stream_windows")
+    val selfWriting = Set("host_graph", "wet_extract", "stream_windows", "index_build")
     if (!selfWriting.contains(job))
       df.coalesce(outParts).write.mode("overwrite").parquet(output)
     val countPath = job match {
       case "host_graph"  => s"$output/edges"
       case "wet_extract" => s"$output/coords"
+      case "index_build" => s"$output/ccindex"
       case _             => output
     }
     println(s"[graft] job=$job rows=${spark.read.parquet(countPath).count()} " +
