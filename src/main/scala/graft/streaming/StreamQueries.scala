@@ -16,7 +16,10 @@ object StreamQueries {
     "stream_windows",
     (s, dir) => {
       val stage = java.nio.file.Files.createTempDirectory("graft_stream").toString
-      graft.util.Tables(s, dir, "events").write.mode("overwrite").parquet(stage)
+      graft.util.Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(stage)
       val q = EventStream.windowedCounts(EventStream.readEvents(s, stage))
         .writeStream.format("memory").queryName("graft_stream_windows")
         .outputMode("complete").start()

@@ -98,22 +98,52 @@ object VectorOps {
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
     })
 
-  /** IVF-style cell probe: coarse cells from the label partitioning (a
-    * k-means assignment in a production pipeline), centroid = mean vector
-    * per cell (computed distributed via posexplode, never collected),
-    * query probes its 2 nearest centroids, exact search within the probed
-    * cells only — i.e. the corpus join is keyed on the cell id.
+  /** Mean vector per cell, computed distributed (posexplode → per-dim
+    * avg → re-assembled array; the corpus is never collected).
+    */
+  private def cellCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+      .select(col("cell"), expr("transform(pc, p -> p.cx)").as("centroid"))
+
+  /** Distributed k-means IVF build: deterministic seeds (first k
+    * vectors), `iters` Lloyd rounds — each round is one corpus pass
+    * against broadcast centroids plus one per-dimension aggregation.
+    * Returns (assignments vec_id→cell, centroids cell→array<double>).
+    * This is the index-build shape that survives 100 TB: centroids stay
+    * broadcast-sized, the corpus is only ever scanned and hash-joined on
+    * the cell id.
+    */
+  def buildIvf(c: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val wBest = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
+    var centroids = c.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"),
+        expr("transform(embedding, x -> cast(x as double))").as("centroid"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = c.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine(col("embedding"), col("centroid")).as("sim"))
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      centroids = cellCentroids(assigned)
+    }
+    (assigned.select(col("vec_id"), col("cell")), centroids)
+  }
+
+  /** IVF cell probe: k-means cells built distributed (see buildIvf),
+    * query probes its 2 nearest centroids, exact search within the
+    * probed cells only — the corpus join is keyed on the cell id.
     */
   val annIvf: QueryDef = QueryDef(
     "ann_ivf_topk",
     (s, dir) => {
-      val c = corpus(s, dir)
-      val centroids = c
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
-        .select(col("label").as("cell"), expr("transform(pc, p -> p.cx)").as("centroid"))
+      val c0 = corpus(s, dir)
+      val (assignments, centroids) = buildIvf(c0, k = 10, iters = 2)
+      val c = c0.join(assignments, "vec_id")
       val q = queriesDf(s, dir, 10)
       val probed = q.crossJoin(broadcast(centroids))
         .select(col("q_id"), col("q_emb"), col("cell"),
@@ -121,7 +151,7 @@ object VectorOps {
       val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
       val cells = probed.withColumn("cr", row_number().over(wq)).filter(col("cr") <= 2)
         .select(col("q_id"), col("q_emb"), col("cell"))
-      val cand = c.join(broadcast(cells), col("label") === col("cell"))
+      val cand = c.join(broadcast(cells), "cell")
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           cosineSim(col("q_emb"), col("embedding")).as("cos"))

@@ -40,6 +40,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("IVF recall against brute force is reasonable") {
+    val brute = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("ann_ivf_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@10 too low: $recall") // 2-of-10 cells probed
+  }
+
   test("minhash dedup finds the corpus near-dups and brute-force agrees") {
     import graft.dedup.Dedup
     val docs = graft.util.Tables(spark, sf, "documents")
