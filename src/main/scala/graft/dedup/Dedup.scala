@@ -41,32 +41,25 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.ShingleHashes.charNgramHashes(col("t"), n).as("shingles"))
 
-  /** MinHash signature via one-permutation hashing (Li/König OPH): one
-    * hash per shingle, binned into `perms` buckets, min per bucket —
-    * O(shingles) hash work instead of O(shingles × perms). Empty buckets
-    * densify to a per-bin constant sentinel; sentinel collisions between
-    * short docs only create false candidates, which exact verification
-    * removes. Two cheap keyed aggs (both with map-side partial agg)
-    * replace one 64-expression agg — at 100 TB this is the difference
-    * between 64 hash evaluations per shingle and one.
+  /** MinHash signature via one-permutation hashing (Li/König OPH), as a
+    * single per-row expression: bin each shingle hash into `perms`
+    * buckets, min per bucket, sentinel-densified — no explode, no
+    * shuffle; signatures materialize in the scan stage. Sentinel
+    * collisions between very short docs only create false candidates,
+    * which exact verification removes.
     */
-  def minHashSignature(shingled: DataFrame, perms: Int): DataFrame = {
-    val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val binned = ex
-      .groupBy(col("doc_id"), pmod(col("sh"), lit(perms)).cast("int").as("bin"))
-      .agg(min(col("sh")).as("mn"))
-    val mapped = binned.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("bin"), col("mn")))).as("m"))
-    val cols = (0 until perms).map(j =>
-      coalesce(element_at(col("m"), lit(j)), lit(Long.MinValue + j)).as(s"m$j"))
-    mapped.select(col("doc_id") +: cols: _*)
-  }
+  def minHashSignature(shingled: DataFrame, perms: Int): DataFrame =
+    shingled.select(col("doc_id"),
+      graft.functions.MinHashSig.minhashSig(col("shingles"), perms).as("sig"))
 
-  /** LSH banding: rows hash-combined per band → (doc_id, band, bucket). */
+  /** LSH banding: signature slices hash-combined per band →
+    * (doc_id, band, bucket).
+    */
   def bands(sig: DataFrame, perms: Int, rowsPerBand: Int): DataFrame = {
     val nBands = perms / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      val rows = (0 until rowsPerBand)
+        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** One-permutation MinHash signature of a shingle-hash set, as a single
+  * per-row pass: bin = shingle mod `perms`, min per bin, empty bins
+  * densified with a per-bin sentinel.
+  *
+  * This turns signature computation into a map-side scan — the previous
+  * formulation (explode → groupBy(doc, bin) → groupBy(doc)) shuffled
+  * every (doc, shingle) pair twice; at 100 TB that's the difference
+  * between a full-corpus shuffle and none at all.
+  */
+case class MinHashSig(child: Expression, perms: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[Long](perms)
+    val seen = new Array[Boolean](perms)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      val bin = (((h % perms) + perms) % perms).toInt
+      if (!seen(bin) || h < mins(bin)) { mins(bin) = h; seen(bin) = true }
+      i += 1
+    }
+    val out = new Array[Any](perms)
+    var j = 0
+    while (j < perms) {
+      out(j) = if (seen(j)) mins(j) else Long.MinValue + j
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  def minhashSig(c: Column, perms: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c), perms))
+}

@@ -6,14 +6,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ScaleUtilsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("wh").toString)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // Suites share one JVM: getOrCreate may return a session created by an
+  // earlier suite, ignoring builder configs — set runtime confs in-test.
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    s
+  }
 
   test("salted sum equals direct sum (skewed key)") {
     import spark.implicits._
@@ -33,6 +38,19 @@ class ScaleUtilsSpec extends AnyFunSuite {
     import spark.implicits._
     val facts = (1L to 10000L).map(i => (i % 100, s"f$i")).toDF("key", "payload")
     val dims = (0L until 100L).map(i => (i, s"d$i")).toDF("key", "name")
+    // clear any stale table locations from interrupted runs
+    Seq("facts_b", "dims_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     ScaleUtils.writeBucketed(facts, "facts_b", "key", 8)
     ScaleUtils.writeBucketed(dims, "dims_b", "key", 8)
     val joined = spark.table("facts_b").join(spark.table("dims_b"), "key")
