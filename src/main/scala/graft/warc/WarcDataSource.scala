@@ -48,16 +48,23 @@ object WarcDataSource {
     StructField("headers", MapType(StringType, StringType)),
     StructField("payload", BinaryType)))
 
-  /** Expand a path (file, directory, or comma-list) to archive files.
-    * Missing paths error at planning time (not silently-empty scans).
+  /** Expand a path (file, directory, or comma-list; any Hadoop scheme) to
+    * archive files. Missing paths error at planning time (not
+    * silently-empty scans).
     */
   def expand(path: String): Seq[String] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
     path.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { p =>
-      val f = new java.io.File(p.stripPrefix("file:"))
-      if (f.isDirectory)
-        f.listFiles().filter(x => x.getName.contains(".warc")).map(_.getPath).sorted.toSeq
-      else if (f.isFile) Seq(f.getPath)
-      else throw new IllegalArgumentException(s"warc source: path not found: $p")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (!fs.exists(hp))
+        throw new IllegalArgumentException(s"warc source: path not found: $p")
+      val status = fs.getFileStatus(hp)
+      if (status.isDirectory)
+        fs.listStatus(hp).toSeq
+          .filter(s => s.isFile && s.getPath.getName.contains(".warc"))
+          .map(_.getPath.toString).sorted
+      else Seq(hp.toString)
     }
   }
 }

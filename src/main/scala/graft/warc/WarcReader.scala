@@ -105,13 +105,29 @@ final class WarcReader(in: InputStream) extends Iterator[WarcRecord] {
 
 object WarcReader {
 
-  /** Open a local/any-Hadoop-scheme WARC path, transparently gunzipping. */
+  /** Open a WARC path via the Hadoop FileSystem API — the same code path
+    * serves file:, hdfs:, and s3a: URIs (reference sparkcc.py:279-365's
+    * multi-scheme fetch, S3; in this offline environment only file: is
+    * exercised). Transparently gunzips.
+    */
   def open(path: String): WarcReader = {
-    val raw: InputStream = new java.io.FileInputStream(stripScheme(path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val raw: InputStream = fs.open(p, 1 << 16)
     val in = if (path.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
     new WarcReader(in)
   }
 
-  private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+  /** Ranged open: stream positioned at `offset` (FSDataInputStream.seek —
+    * a ranged GET on object stores).
+    */
+  def openAt(path: String, offset: Long): InputStream = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val in = fs.open(p, 1 << 16)
+    in.seek(offset)
+    in
+  }
+
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 }

@@ -69,12 +69,13 @@ object WarcSource {
                    errorAcc: Option[LongAccumulator] = None): Dataset[(String, WarcRecord)] = {
     import spark.implicits._
     coords.mapPartitions { it =>
-      var current: (String, java.io.RandomAccessFile) = null
-      def file(name: String): java.io.RandomAccessFile = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      var current: (String, org.apache.hadoop.fs.FSDataInputStream) = null
+      def file(name: String): org.apache.hadoop.fs.FSDataInputStream = {
         if (current == null || current._1 != name) {
           if (current != null) current._2.close()
-          current = (name, new java.io.RandomAccessFile(
-            name.stripPrefix("file:"), "r"))
+          val p = new org.apache.hadoop.fs.Path(name)
+          current = (name, p.getFileSystem(conf).open(p, 1 << 16))
         }
         current._2
       }
