@@ -16,7 +16,8 @@ object SparkEntry {
       dedup.Dedup.all ++
       vector.VectorOps.all ++
       media.MediaOps.all ++
-      streaming.StreamQueries.all
+      streaming.StreamQueries.all ++
+      Seq(jobs.HostRank.hostRank)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,68 @@
+package graft.jobs
+
+import graft.QueryDef
+import graft.util.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank over a host-link graph — the canonical consumer of the
+  * edge tables the reference's pipeline produces (wat_extract_links →
+  * hostlinks_to_graph feed exactly this kind of webgraph analysis;
+  * rank is also the standard crawl-prioritization / quality-weighting
+  * signal in a training-data pipeline).
+  *
+  * Pure DataFrame iteration: per round, one join of ranks to edges on
+  * the source key and one aggregation on the target key — both shuffles
+  * are keyed on node ids, so the plan scales with edge count. Dangling
+  * mass (sinks) is redistributed uniformly each round, keeping total
+  * rank ≈ 1.
+  */
+object HostRank {
+
+  /** edges: (s, t) of any node type. Returns (node, rank). */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("s"), col("t")).dropDuplicates().cache()
+    val nodes = e.select(col("s").as("node"))
+      .union(e.select(col("t").as("node"))).distinct().cache()
+    val n = nodes.count().toDouble
+    val outDeg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (i <- 1 to iters) {
+      // truncate lineage periodically: iterative DataFrame loops grow the
+      // plan per round, which at scale blows up planning time and stack
+      if (i % 4 == 0) ranks = ranks.localCheckpoint()
+      val withDeg = ranks.join(outDeg, Seq("node"), "left")
+      // dangling nodes (no out-edges) spread their rank uniformly
+      val danglingMass = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = withDeg.filter(col("deg").isNotNull)
+        .join(e, col("node") === col("s"))
+        .select(col("t").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n + damping * danglingMass / n) +
+            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
+  /** Registered query: rank the customer→supplier order graph (a stand-in
+    * host graph derived from the test tables), top 20.
+    */
+  val hostRank: QueryDef = QueryDef(
+    "graph_pagerank",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("s"),
+          concat(lit("s"), col("l_suppkey")).as("t"))
+      pageRank(edges, iters = 5)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    })
+}

@@ -330,6 +330,25 @@ object Relational {
     Some("""SELECT c_name AS name, CAST(row_number() OVER (ORDER BY c_name) - 1 AS BIGINT) AS id
       FROM (SELECT DISTINCT c_name FROM customer)"""))
 
+  /** Exact percentiles (extension beyond the reference, which has no
+    * median/quantiles — SURVEY §2.3). Spark `percentile` and DuckDB
+    * `quantile_cont` both use linear interpolation on the sorted values;
+    * rounded to 4 decimals for cross-engine float stability.
+    */
+  val a8Percentiles: QueryDef = QueryDef(
+    "a8_percentiles",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99")),
+    Some("""SELECT o_orderpriority,
+      round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      FROM orders GROUP BY o_orderpriority"""))
+
   /** Semi join (EXISTS): segments of customers having an order in 1996. */
   val j3SemiJoin: QueryDef = QueryDef(
     "j3_semi_join",
@@ -369,7 +388,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
-    o2ZipWithIndex, u1Union, u2Distinct,
+    a8Percentiles, o2ZipWithIndex, u1Union, u2Distinct,
     u3DropDuplicates, u4DropNa, o1TopN, o7SelfLoopFilter, p14SplitPart,
     fScalarStrings, w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract)
 }

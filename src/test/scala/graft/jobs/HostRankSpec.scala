@@ -1,0 +1,45 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class HostRankSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("pagerank: hub accumulates rank, total mass conserved") {
+    // star: a,b,c all link to hub; hub links to a (cycle keeps mass moving)
+    val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"))
+      .toDF("s", "t")
+    // the hub↔a cycle oscillates with period 2; run enough rounds to damp
+    val ranks = HostRank.pageRank(edges, iters = 21).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks("hub") > ranks("a"))
+    assert(ranks("a") > ranks("b")) // a receives from hub; b,c only teleport
+    assert(math.abs(ranks("b") - ranks("c")) < 1e-12) // symmetric
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)   // mass conserved
+  }
+
+  test("dangling nodes redistribute mass instead of losing it") {
+    val edges = Seq(("a", "sink"), ("b", "sink")).toDF("s", "t") // sink dangles
+    val ranks = HostRank.pageRank(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    assert(ranks("sink") > ranks("a"))
+  }
+
+  test("registered query returns ranked rows") {
+    val df = HostRank.hostRank.fn(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    // suppliers receive all link mass from customers
+    assert(rows.head.getString(0).startsWith("s"))
+    assert(rows.map(_.getDouble(1)).toSeq == rows.map(_.getDouble(1)).toSeq.sorted.reverse)
+  }
+}
