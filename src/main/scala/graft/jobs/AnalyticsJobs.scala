@@ -78,11 +78,15 @@ object ExtractHostLinksJob {
     records.flatMap { case (path, r) =>
       if (Predicates.isRobotsTxtArchive(path)) Extractors.sitemapHostEdges(r)
       else if (Predicates.isWatJson(r)) WatLinks.hostEdges(r)
-      else Extractors.redirectLinks(r).flatMap { case (f, t) =>
-        for {
-          sh <- graft.ops.SurtHost.surtHostFromUrl(f)
-          th <- graft.ops.SurtHost.surtHostFromUrl(t)
-        } yield (sh, th)
+      else {
+        // plain WARC responses: redirect Location edges + raw-HTML links
+        (Extractors.redirectLinks(r) ++ Extractors.htmlLinks(r))
+          .flatMap { case (f, t) =>
+            for {
+              sh <- graft.ops.SurtHost.surtHostFromUrl(f)
+              th <- graft.ops.SurtHost.surtHostFromUrl(t)
+            } yield (sh, th)
+          }
       }
     }.toDF("s", "t")
       .dropDuplicates()

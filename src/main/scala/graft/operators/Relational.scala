@@ -349,6 +349,17 @@ object Relational {
       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
       FROM orders GROUP BY o_orderpriority"""))
 
+  /** Salted two-phase aggregation (ScaleUtils) — oracle-checked: the
+    * salt must be algebraically invisible, so DuckDB's direct SUM is the
+    * ground truth for the salted plan.
+    */
+  val a9SaltedSum: QueryDef = QueryDef(
+    "a9_salted_sum",
+    (s, dir) => ScaleUtils.saltedSum(
+      t(s, dir, "lineitem"), Seq("l_returnflag"), "l_orderkey", salts = 16),
+    Some("""SELECT l_returnflag, SUM(l_orderkey) AS sum_l_orderkey
+      FROM lineitem GROUP BY l_returnflag"""))
+
   /** Semi join (EXISTS): segments of customers having an order in 1996. */
   val j3SemiJoin: QueryDef = QueryDef(
     "j3_semi_join",
@@ -388,7 +399,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
-    a8Percentiles, o2ZipWithIndex, u1Union, u2Distinct,
+    a8Percentiles, a9SaltedSum, o2ZipWithIndex, u1Union, u2Distinct,
     u3DropDuplicates, u4DropNa, o1TopN, o7SelfLoopFilter, p14SplitPart,
     fScalarStrings, w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract)
 }

@@ -152,6 +152,68 @@ object Extractors {
     }
   }
 
+  // ---- robots.txt rule extraction (extension beyond the reference's
+  //      sitemap-only parsing): (host, agent, directive, path) ----
+
+  private val AgentLine = """(?i)^\s*user-agent:\s*(\S+)\s*$""".r
+  private val RuleLine = """(?i)^\s*(allow|disallow):\s*(\S*)\s*$""".r
+
+  final case class RobotsRule(host: String, agent: String,
+                              directive: String, path: String)
+
+  /** Parse User-agent groups and their Allow/Disallow rules from HTTP-200
+    * robots.txt captures — the crawl-policy signal a pipeline needs
+    * alongside the reference's sitemap extraction.
+    */
+  def robotsRules(r: WarcRecord): Iterator[RobotsRule] = {
+    if (!Predicates.isResponse(r)) return Iterator.empty
+    if (!r.http.exists(_.statusCode == 200)) return Iterator.empty
+    val host = r.targetUri.flatMap(SurtHost.hostOf).getOrElse(return Iterator.empty)
+    val body = r.http.map(_.body).getOrElse(return Iterator.empty)
+    val text = HtmlText.strictUtf8(body).getOrElse(return Iterator.empty)
+    val out = Vector.newBuilder[RobotsRule]
+    var agents: List[String] = Nil
+    var inGroup = false
+    text.linesIterator.foreach {
+      case AgentLine(a) =>
+        // consecutive User-agent lines share one group
+        agents = if (inGroup) List(a) else a :: agents
+        inGroup = false
+      case RuleLine(directive, path) =>
+        inGroup = true
+        agents.foreach(a =>
+          out += RobotsRule(host, a.toLowerCase, directive.toLowerCase, path))
+      case _ => ()
+    }
+    out.result().iterator
+  }
+
+  // ---- HTML link extraction from raw responses (href/src + <base>),
+  //      so plain WARC inputs feed the host graph like WAT does ----
+
+  private val BaseRe = """(?is)<base[^>]+href\s*=\s*["']?([^"'\s>]+)""".r
+  private val LinkAttrRe = """(?is)<(?:a|link|img|script|iframe|area|form)\b[^>]*?\s(?:href|src|action)\s*=\s*["']?([^"'\s>]+)""".r
+
+  /** Outgoing links of an HTML response: (src_url, resolved_target).
+    * Guarantees the self-edge like the WAT path (wat_extract_links.py:
+    * 253-255) so linkless pages stay in the graph.
+    */
+  def htmlLinks(r: WarcRecord): Iterator[(String, String)] = {
+    if (!Predicates.isResponse(r) || !Predicates.isHtml(r)) return Iterator.empty
+    val url = r.targetUri.getOrElse(return Iterator.empty)
+    val html = HtmlText.decode(r.contentBytes,
+      r.headers.get("WARC-Identified-Content-Charset"))
+    val base = BaseRe.findFirstMatchIn(html).map(_.group(1))
+      .flatMap(b => SurtHost.urlJoin(url, b)).getOrElse(url)
+    val targets = LinkAttrRe.findAllMatchIn(html).flatMap { m =>
+      val t = m.group(1).trim
+      if (t.isEmpty || t.startsWith("#") || t.startsWith("javascript:") ||
+        t.startsWith("mailto:") || t.startsWith("data:")) None
+      else SurtHost.urlJoin(base, t)
+    }.toVector
+    ((targets :+ url).distinct).iterator.map(t => (url, t))
+  }
+
   // ---- P7 composition: HTML response → plain text ----
 
   def htmlToText(r: WarcRecord, declaredCharset: Option[String] = None): Option[String] = {

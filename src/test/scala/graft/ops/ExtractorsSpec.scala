@@ -72,6 +72,39 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(got == Vector(("com.a", "org.b.cdn")))
   }
 
+  test("robots rules: agent groups, allow/disallow, shared groups") {
+    val robots = Fixtures.robots("https://www.rules.example.com/robots.txt",
+      ("User-agent: *\nDisallow: /private\nAllow: /public\n\n" +
+        "User-agent: googlebot\nUser-agent: bingbot\nDisallow: /no-bots\n").getBytes("UTF-8"))
+    val rules = Extractors.robotsRules(robots).toVector
+    assert(rules.contains(Extractors.RobotsRule("www.rules.example.com", "*", "disallow", "/private")))
+    assert(rules.contains(Extractors.RobotsRule("www.rules.example.com", "*", "allow", "/public")))
+    // the two-agent group shares its rule
+    assert(rules.contains(Extractors.RobotsRule("www.rules.example.com", "googlebot", "disallow", "/no-bots")))
+    assert(rules.contains(Extractors.RobotsRule("www.rules.example.com", "bingbot", "disallow", "/no-bots")))
+    assert(!rules.exists(r => r.agent == "googlebot" && r.path == "/private"))
+  }
+
+  test("html links: href/src extracted, base honored, junk filtered") {
+    val page = Fixtures.response("https://www.links.example.com/dir/page.html",
+      ("""<html><head><base href="https://cdn.links.example.com/assets/">
+        |<link rel="stylesheet" href="style.css"></head>
+        |<body><a href="https://other.example.org/x">x</a>
+        |<a href="relative.html">rel</a>
+        |<img src="/img/pic.png"><a href="#frag">frag</a>
+        |<a href="mailto:a@b.c">mail</a>
+        |<script src="app.js"></script></body></html>""").stripMargin.getBytes("UTF-8"),
+      warcHeaders = Map("WARC-Identified-Payload-Type" -> "text/html"))
+    val targets = Extractors.htmlLinks(page).map(_._2).toSet
+    assert(targets.contains("https://cdn.links.example.com/assets/style.css"))
+    assert(targets.contains("https://other.example.org/x"))
+    assert(targets.contains("https://cdn.links.example.com/assets/relative.html"))
+    assert(targets.contains("https://cdn.links.example.com/img/pic.png"))
+    assert(targets.contains("https://cdn.links.example.com/assets/app.js"))
+    assert(targets.contains("https://www.links.example.com/dir/page.html")) // self-edge
+    assert(!targets.exists(t => t.contains("mailto") || t.contains("#")))
+  }
+
   test("htmlToText end-to-end: tags stripped, entities decoded") {
     val txt = Extractors.htmlToText(Fixtures.responseHtml).get
     assert(txt.contains("Hello é"))
