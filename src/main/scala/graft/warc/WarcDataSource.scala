@@ -84,13 +84,18 @@ class WarcTable(path: String, recordType: Option[String])
 /** `WHERE warc_type = '...'` / `IN (...)` predicates push into the reader
   * (SupportsPushDownFilters) — records of other types are skipped before
   * any row materialization, the DSv2 form of the reference's parse-time
-  * record filter (sparkcc_fastwarc.py:14-27).
+  * record filter (sparkcc_fastwarc.py:14-27). Column pruning
+  * (SupportsPushDownRequiredColumns) means a `count()` or a
+  * warc_type-only projection never copies payload bytes or builds the
+  * header map.
   */
 class WarcScanBuilder(path: String, recordType: Option[String])
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
 
   private var pushedTypes: Option[Set[String]] = recordType.map(Set(_))
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = WarcDataSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
@@ -111,28 +116,36 @@ class WarcScanBuilder(path: String, recordType: Option[String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(path, pushedTypes)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new WarcScan(path, pushedTypes, required)
 }
 
-class WarcScan(path: String, recordTypes: Option[Set[String]]) extends Scan with Batch {
-  override def readSchema(): StructType = WarcDataSource.schema
+class WarcScan(path: String, recordTypes: Option[Set[String]],
+               required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     WarcDataSource.expand(path).map(p => WarcInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(recordTypes)
+    new WarcReaderFactory(recordTypes, required)
   override def description(): String =
-    s"WarcScan(path=$path, pushedTypes=${recordTypes.getOrElse(Set.empty).mkString(",")})"
+    s"WarcScan(path=$path, pushedTypes=${recordTypes.getOrElse(Set.empty).mkString(",")}, " +
+      s"columns=${required.fieldNames.mkString(",")})"
 }
 
 case class WarcInputPartition(file: String) extends InputPartition
 
-class WarcReaderFactory(recordTypes: Option[Set[String]]) extends PartitionReaderFactory {
+class WarcReaderFactory(recordTypes: Option[Set[String]], required: StructType)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, recordTypes)
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file,
+      recordTypes, required)
 }
 
-class WarcPartitionReader(file: String, recordTypes: Option[Set[String]])
+class WarcPartitionReader(file: String, recordTypes: Option[Set[String]],
+                          required: StructType)
     extends PartitionReader[InternalRow] {
 
   // corrupt/unreadable archives yield an empty partition (count-and-
@@ -141,6 +154,23 @@ class WarcPartitionReader(file: String, recordTypes: Option[Set[String]])
     try Some(WarcReader.open(file)) catch { case _: Exception => None }
   private val pathUtf8 = UTF8String.fromString(file)
   private var current: WarcRecord = _
+
+  // one writer per required column, bound once at reader construction
+  private val fieldWriters: Array[WarcRecord => Any] =
+    required.fieldNames.map {
+      case "path"         => (_: WarcRecord) => pathUtf8
+      case "warc_type"    => (r: WarcRecord) => UTF8String.fromString(r.recType)
+      case "target_uri"   => (r: WarcRecord) => r.targetUri.map(UTF8String.fromString).orNull
+      case "warc_date"    => (r: WarcRecord) => r.date.map(UTF8String.fromString).orNull
+      case "content_type" => (r: WarcRecord) => r.contentType.map(UTF8String.fromString).orNull
+      case "headers" => (r: WarcRecord) => {
+        val keys = r.headers.keys.toArray[Any].map(k => UTF8String.fromString(k.toString))
+        val vals = r.headers.values.toArray[Any].map(v => UTF8String.fromString(v.toString))
+        ArrayBasedMapData(keys, vals)
+      }
+      case "payload" => (r: WarcRecord) => r.payload
+      case other => throw new IllegalArgumentException(s"unknown warc column: $other")
+    }
 
   override def next(): Boolean = {
     reader match {
@@ -158,16 +188,7 @@ class WarcPartitionReader(file: String, recordTypes: Option[Set[String]])
 
   override def get(): InternalRow = {
     val r = current
-    val keys = r.headers.keys.toArray[Any].map(k => UTF8String.fromString(k.toString))
-    val vals = r.headers.values.toArray[Any].map(v => UTF8String.fromString(v.toString))
-    InternalRow(
-      pathUtf8,
-      UTF8String.fromString(r.recType),
-      r.targetUri.map(UTF8String.fromString).orNull,
-      r.date.map(UTF8String.fromString).orNull,
-      r.contentType.map(UTF8String.fromString).orNull,
-      ArrayBasedMapData(keys, vals),
-      r.payload)
+    InternalRow.fromSeq(fieldWriters.map(_(r)).toIndexedSeq)
   }
 
   override def close(): Unit = ()

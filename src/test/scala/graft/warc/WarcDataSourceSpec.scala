@@ -49,9 +49,16 @@ class WarcDataSourceSpec extends AnyFunSuite {
     assert(row.getInt(2) > 0)
   }
 
-  test("column pruning: counting doesn't require payload decode") {
+  test("column pruning reaches the scan (no payload in pruned plan)") {
     val df = spark.read.format("warc").load(warcDir).select("warc_type")
-    assert(df.count() > 0) // smoke: pruned projection executes
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("columns=warc_type"),
+      s"expected pruned scan description:\n$plan")
+    // pruned scan returns the same values as the full scan
+    val full = spark.read.format("warc").load(warcDir)
+      .select("warc_type").collect().map(_.getString(0)).sorted.toSeq
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == full)
   }
 
   test("warc_type equality filter pushes into the scan") {
