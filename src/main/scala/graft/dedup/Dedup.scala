@@ -148,17 +148,11 @@ object Dedup {
   val dedupSimHash: QueryDef = QueryDef(
     "dedup_simhash",
     (s, dir) => {
-      val tf = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums = (0 until 64).map(i =>
-        sum(when(expr(s"(shiftrightunsigned(h, $i) & 1) = 1"), col("tf"))
-          .otherwise(-col("tf"))).as(s"b$i"))
-      val sums = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val sigExpr = (0 until 64)
-        .map(i => s"IF(b$i > 0, ${1L << i}L, 0L)").mkString(" + ")
-      val sigs = sums.select(col("doc_id"), expr(sigExpr).as("sig"))
+      // signature is one map-side expression (see SimHashSig) — the only
+      // shuffles left are the band-bucket join and the pair distinct
+      val sigs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SimHashSig.simhashSig(tokens(col("text"))).as("sig"))
       val banded = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(k =>
           struct(lit(k).as("band"),
