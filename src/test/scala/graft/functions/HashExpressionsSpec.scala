@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct equivalence tests for the hash expressions against their
+  * composable-SQL formulations (the forms they replaced).
+  */
+class HashExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("CharNgramHashes ≡ transform(sequence)+xxhash64(substring) on ASCII") {
+    val df = Seq("hello world 123", "abcd", "xy", "").toDF("t")
+    val n = 4
+    val both = df.select(
+      ShingleHashes.charNgramHashes(col("t"), n).as("native"),
+      expr(
+        s"""CASE WHEN length(t) >= $n
+           THEN array_distinct(transform(sequence(0, length(t) - $n),
+                i -> xxhash64(substring(t, i + 1, $n))))
+           ELSE array(xxhash64(t)) END""").as("sql"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch: $r")
+    }
+  }
+
+  test("MinHashSig: min per bin, sentinel for empty bins, order-insensitive") {
+    val a = Seq(Seq(10L, 74L, -3L, 138L)).toDF("sh") // bins mod 64: 10, 10, 61, 10
+    val sig = a.select(MinHashSig.minhashSig(col("sh"), 64)).head().getSeq[Long](0)
+    assert(sig.length == 64)
+    assert(sig(10) == 10L)  // min(10, 74, 138)
+    assert(sig(61) == -3L)  // pmod(-3,64)=61
+    assert(sig(0) == Long.MinValue + 0) // empty bin sentinel
+    // permutation of the shingle set gives the identical signature
+    val b = Seq(Seq(138L, -3L, 74L, 10L)).toDF("sh")
+    assert(b.select(MinHashSig.minhashSig(col("sh"), 64)).head().getSeq[Long](0) == sig)
+  }
+
+  test("SimHashSig ≡ spark xxhash64 bit-vote formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val toks = docs.select(col("doc_id"), GraftFunctions.tokens(col("text")).as("toks"))
+    val native = toks.select(col("doc_id"), SimHashSig.simhashSig(col("toks")).as("sig"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(expr(s"(shiftrightunsigned(h, $i) & 1) = 1"), col("tf"))
+        .otherwise(-col("tf"))).as(s"b$i"))
+    val sums = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sigExpr = (0 until 64).map(i => s"IF(b$i > 0, ${1L << i}L, 0L)").mkString(" + ")
+    val sql = sums.select(col("doc_id"), expr(sigExpr).as("sig2"))
+    val joined = native.join(sql, "doc_id")
+      .filter(col("sig") =!= col("sig2"))
+    assert(joined.count() == 0)
+  }
+
+  test("LongWindowHashes: short input falls back to whole-array shingle") {
+    val df = Seq(Seq(1L, 2L), Seq(1L, 2L, 3L, 4L, 5L, 6L)).toDF("h")
+    val out = df.select(ShingleHashes.longWindowHashes(col("h"), 5)).collect()
+    assert(out(0).getSeq[Long](0).length == 1) // 2 < 5 → single shingle
+    assert(out(1).getSeq[Long](0).length == 2) // windows at 0,1
+  }
+}

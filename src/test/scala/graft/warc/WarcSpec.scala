@@ -49,6 +49,17 @@ class WarcSpec extends AnyFunSuite {
     assert(rd.failures == 1)
   }
 
+  test("folded (continuation) WARC headers are joined") {
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://example.com/a\r\n" +
+      " very/long/continuation\r\n" +
+      "Content-Length: 2\r\n\r\nhi\r\n\r\n").getBytes("US-ASCII")
+    val rd = new WarcReader(new java.io.ByteArrayInputStream(raw))
+    val rec = rd.next()
+    assert(rec.targetUri.contains("https://example.com/a very/long/continuation"))
+    assert(new String(rec.payload, "US-ASCII") == "hi")
+  }
+
   test("http parsing: status, repeated headers, body split") {
     val h = Fixtures.responseHtml.http.get
     assert(h.statusCode == 200)
