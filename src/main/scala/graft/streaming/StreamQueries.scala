@@ -37,5 +37,26 @@ object StreamQueries {
       CAST(CAST(SUM(value) AS DECIMAL(25,6)) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(streamWindows)
+  /** Stateful sessionization through flatMapGroupsWithState (batch mode
+    * emits sessions closed by a later event; summary agg keeps the
+    * output deterministic).
+    */
+  val streamSessions: QueryDef = QueryDef(
+    "stream_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val typed = graft.util.Tables(s, dir, "events")
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[EventStream.Event]
+      val sessions = EventStream.sessionize(typed, gapMs = 30 * 60 * 1000)
+      sessions.toDF()
+        .agg(count(lit(1)).as("n_sessions"),
+          round(avg(col("n_events")), 4).as("avg_events_per_session"),
+          max(col("n_events")).as("max_session_events"),
+          countDistinct(col("user_id")).as("n_users_with_closed_sessions"))
+    })
+
+  val all: Seq[QueryDef] = Seq(streamWindows, streamSessions)
 }
