@@ -56,7 +56,33 @@ object StreamQueries {
           round(avg(col("n_events")), 4).as("avg_events_per_session"),
           max(col("n_events")).as("max_session_events"),
           countDistinct(col("user_id")).as("n_users_with_closed_sessions"))
-    })
+    },
+    // oracle: sessions via windowed gap detection — a closed session is
+    // one followed by a later session of the same user (batch mode only
+    // emits sessions closed by a subsequent event)
+    Some("""WITH g AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g),
+      agg AS (
+        SELECT user_id, sid, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid),
+      closed AS (
+        SELECT * FROM agg a
+        WHERE sid < (SELECT MAX(sid) FROM agg b WHERE b.user_id = a.user_id))
+      SELECT COUNT(*) AS n_sessions,
+        round(AVG(n_events), 4) AS avg_events_per_session,
+        MAX(n_events) AS max_session_events,
+        COUNT(DISTINCT user_id) AS n_users_with_closed_sessions
+      FROM closed"""))
 
   val all: Seq[QueryDef] = Seq(streamWindows, streamSessions)
 }
