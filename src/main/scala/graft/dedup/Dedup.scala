@@ -110,7 +110,56 @@ object Dedup {
     verifyJaccard(cand, shingled, threshold)
   }
 
+  /** Connected components over near-dup pairs by min-label propagation —
+    * the cluster step that turns pairwise matches into a keep-one-per-
+    * cluster dedup decision. Each round is one keyed join + min-agg;
+    * labels are eagerly checkpointed per round (lineage/recompute — see
+    * HostRank for the measured rationale). Converges in O(component
+    * diameter) rounds; near-dup clusters are shallow in practice.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      labels = labels.localCheckpoint()
+      val neighborMin = edges
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .select(col("a").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("new_label"))
+      val joined = neighborMin
+        .join(labels.withColumnRenamed("label", "old_label"), "node")
+      changed = joined.filter(col("new_label") < col("old_label")).count()
+      labels = joined.select(col("node"), col("new_label").as("label"))
+      i += 1
+    }
+    labels
+  }
+
   // ---- registered queries (rows-only: LSH pipelines aren't ANSI-SQL) ----
+
+  /** End-to-end dedup decision: MinHash pairs → connected components →
+    * cluster stats (docs to drop = docs − clusters).
+    */
+  val dedupClusters: QueryDef = QueryDef(
+    "dedup_clusters",
+    (s, dir) => {
+      val sh = wordShingles(Tables(s, dir, "documents"), 5)
+      val pairs = minHashDedup(sh, perms = 64, rowsPerBand = 4, threshold = 0.5)
+      val labels = connectedComponents(pairs.select(col("id1"), col("id2")))
+      labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs_in_clusters"),
+          (sum(col("sz")) - count(lit(1))).as("n_docs_to_drop"),
+          max(col("sz")).as("largest_cluster"))
+    })
 
   /** Near-dup doc pairs via word-5-shingle MinHash (64 perms, 16 bands →
     * ~0.5 Jaccard collision threshold), verified exactly. The summary agg
@@ -170,5 +219,6 @@ object Dedup {
         coalesce(round(avg(col("hamming")), 4), lit(-1.0)).as("avg_hamming"))
     })
 
-  val all: Seq[QueryDef] = Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash)
+  val all: Seq[QueryDef] =
+    Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash, dedupClusters)
 }
