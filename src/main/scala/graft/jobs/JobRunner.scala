@@ -45,6 +45,11 @@ object JobRunner {
       case "md5sum" =>
         FileProcessorJob.md5sum(spark, input, inParts,
           failedAcc = Some(counters.recordsFailed))
+      case "warc_to_parquet" =>
+        // archives → columnar table via the DSv2 source (input = path/dir)
+        spark.read.format("warc").load(input)
+          .write.mode("overwrite").option("compression", "zstd").parquet(output)
+        spark.read.parquet(output)
       case "index_build" =>
         val warcs = spark.read.textFile(input).collect().toSeq
           .map(_.trim).filter(p => p.nonEmpty && !p.startsWith("#"))
@@ -70,7 +75,8 @@ object JobRunner {
         spark.read.parquet(output)
       case other => sys.error(s"unknown job: $other")
     }
-    val selfWriting = Set("host_graph", "wet_extract", "stream_windows", "index_build")
+    val selfWriting = Set("host_graph", "wet_extract", "stream_windows",
+      "index_build", "warc_to_parquet")
     if (!selfWriting.contains(job))
       df.coalesce(outParts).write.mode("overwrite").parquet(output)
     val countPath = job match {
