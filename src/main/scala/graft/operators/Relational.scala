@@ -256,6 +256,42 @@ object Relational {
       regexp_extract(s_name, '([0-9]+)', 1) AS num,
       length(s_name) AS len FROM supplier"""))
 
+  /** §2.7 temporal-function battery (the reference keeps WARC dates as
+    * strings; these are the typed equivalents): year/quarter/month/day
+    * extraction + date bucketing.
+    */
+  val fDatetime: QueryDef = QueryDef(
+    "f_datetime",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(month(col("o_orderdate"))).as("n_months"),
+        min(dayofmonth(col("o_orderdate"))).as("min_dom"),
+        max(col("o_orderdate").cast("date")).as("max_date")),
+    Some("""SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+      COUNT(*) AS n,
+      COUNT(DISTINCT month(o_orderdate)) AS n_months,
+      MIN(day(o_orderdate)) AS min_dom,
+      MAX(CAST(o_orderdate AS DATE)) AS max_date
+      FROM orders GROUP BY y, q"""))
+
+  /** §2.7 array-function battery over the embeddings vectors: size,
+    * element access, bounded slice — all columnar (no UDFs).
+    */
+  val fArrayFuncs: QueryDef = QueryDef(
+    "f_array_funcs",
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first"),
+        round(element_at(col("embedding"), -1).cast("double"), 6).as("last"),
+        size(slice(col("embedding"), 1, 8)).as("slice_len")),
+    Some("""SELECT vec_id, len(embedding) AS dim,
+      round(CAST(embedding[1] AS DOUBLE), 6) AS first,
+      round(CAST(embedding[-1] AS DOUBLE), 6) AS last,
+      len(embedding[1:8]) AS slice_len
+      FROM embeddings"""))
+
   /** Window: ranking (first N per key) over the events stream table.
     * `ts` arrives as raw int64 nanos (see Tables); ordering is identical
     * to timestamp ordering.
@@ -401,5 +437,6 @@ object Relational {
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
     a8Percentiles, a9SaltedSum, o2ZipWithIndex, u1Union, u2Distinct,
     u3DropDuplicates, u4DropNa, o1TopN, o7SelfLoopFilter, p14SplitPart,
-    fScalarStrings, w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract)
+    fScalarStrings, fDatetime, fArrayFuncs,
+    w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract)
 }
