@@ -22,6 +22,14 @@ object Dedup {
 
   private val MaxBucket = 64 // cap on collision-bucket width for the pair join
 
+  /** SimHash bucket cap: a 16-bit band key is far coarser than MinHash's
+    * 64-bit band hash, so benign collision buckets run wider (measured 179
+    * max on the sf0.1 corpus). 256 keeps every benign bucket (cap is
+    * behavior-neutral on the test corpora) while bounding a degenerate
+    * bucket's pair join at ~32k pairs instead of quadratic.
+    */
+  private val SimHashMaxBucket = 256
+
   /** (doc_id, shingles: array<long>) — word w-shingles hashed to i64
     * (tokens hashed elementwise, then native windows over the hash
     * sequence). Short docs fall back to a single whole-doc shingle.
@@ -113,21 +121,25 @@ object Dedup {
   /** Connected components over near-dup pairs by min-label propagation —
     * the cluster step that turns pairwise matches into a keep-one-per-
     * cluster dedup decision. Each round is one keyed join + min-agg;
-    * labels are eagerly checkpointed per round (lineage/recompute — see
-    * HostRank for the measured rationale). Converges in O(component
-    * diameter) rounds; near-dup clusters are shallow in practice.
+    * labels are eagerly checkpointed per round to RELIABLE storage
+    * (graft.util.Checkpoints — localCheckpoint would die with a lost
+    * executor; lineage/recompute rationale measured in HostRank).
+    * Converges in O(component diameter) rounds; near-dup clusters are
+    * shallow in practice. One action per round: the eager checkpoint
+    * materializes the new labels, and the convergence count reads the
+    * checkpoint files, not the lineage.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = pairs
       .select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .cache()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    var labels = graft.util.Checkpoints.reliable(
+      edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
-      labels = labels.localCheckpoint()
       val neighborMin = edges
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .select(col("a").as("node"), col("label"))
@@ -135,8 +147,11 @@ object Dedup {
         .groupBy(col("node")).agg(min(col("label")).as("new_label"))
       val joined = neighborMin
         .join(labels.withColumnRenamed("label", "old_label"), "node")
-      changed = joined.filter(col("new_label") < col("old_label")).count()
-      labels = joined.select(col("node"), col("new_label").as("label"))
+        .select(col("node"), col("new_label").as("label"),
+          (col("new_label") < col("old_label")).as("chg"))
+      val next = graft.util.Checkpoints.reliable(joined)
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("node"), col("label"))
       i += 1
     }
     labels
@@ -194,27 +209,41 @@ object Dedup {
     * Charikar/Manku-Jain-Sarma banding: distance ≤3 ⇒ some 16-bit quarter
     * is identical, so banding loses nothing).
     */
+  /** SimHash near-dup pairs for a (doc_id, text) frame: 64-bit signature
+    * as one map-side expression (see SimHashSig); the only shuffles are
+    * the band-bucket join and the pair distinct. Bucket width is capped
+    * like candidatePairs — a degenerate 16-bit band bucket (near-empty
+    * docs all hash to sig 0) would go quadratic — and the hamming filter
+    * runs BEFORE distinct so pairs about to be discarded never shuffle.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"),
+        graft.functions.SimHashSig.simhashSig(tokens(col("text"))).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"),
+          expr(s"shiftrightunsigned(sig, ${k * 16}) & 65535").as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sized = banded
+      .withColumn("bw", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bw") <= SimHashMaxBucket)
+      .drop("bw")
+    val a = sized.select(col("band"), col("bucket"), col("doc_id").as("id1"), col("sig").as("sig1"))
+    val b = sized.select(col("band"), col("bucket"), col("doc_id").as("id2"), col("sig").as("sig2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(sig1 ^ sig2)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   val dedupSimHash: QueryDef = QueryDef(
     "dedup_simhash",
     (s, dir) => {
-      // signature is one map-side expression (see SimHashSig) — the only
-      // shuffles left are the band-bucket join and the pair distinct
-      val sigs = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.functions.SimHashSig.simhashSig(tokens(col("text"))).as("sig"))
-      val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(k =>
-          struct(lit(k).as("band"),
-            expr(s"shiftrightunsigned(sig, ${k * 16}) & 65535").as("bucket"))): _*)).as("bb"))
-        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"), col("sig").as("sig1"))
-      val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"), col("sig").as("sig2"))
-      val pairs = a.join(b, Seq("band", "bucket"))
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          expr("bit_count(sig1 ^ sig2)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
+      val pairs = simHashPairs(Tables(s, dir, "documents"))
       pairs.agg(count(lit(1)).as("n_pairs"),
         coalesce(round(avg(col("hamming")), 4), lit(-1.0)).as("avg_hamming"))
     })

@@ -15,10 +15,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * the per-row hot path of every text query (wordcount, shingling,
   * quality, token counts), and the regex version measured ~1ms/doc.
   *
-  * Semantics match the regex exactly: token chars are [a-z0-9] after
-  * ASCII case fold; every other byte — including all multi-byte UTF-8
-  * sequences, which `lower()` may rewrite but never into ASCII
-  * alphanumerics — is a delimiter.
+  * Semantics match the regex for all ASCII input, and for non-ASCII input
+  * wherever `lower()` maps multi-byte sequences to non-ASCII output (the
+  * overwhelmingly common case). The known divergence: the handful of
+  * Unicode chars that case-fold INTO ASCII (e.g. Kelvin sign U+212A → 'k',
+  * dotted capital İ U+0130 → 'i' + combining dot) are delimiters here but
+  * would survive `lower()` in the regex formulation. Oracle queries
+  * tokenize with the same `regexp_extract_all(lower(...))` on both
+  * engines, so this expression's divergence never reaches an oracle
+  * comparison — it is only used where both sides use it.
   */
 case class AsciiWordTokens(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -10,7 +10,12 @@ import org.apache.spark.sql.types._
 
 /** One-permutation MinHash signature of a shingle-hash set, as a single
   * per-row pass: bin = shingle mod `perms`, min per bin, empty bins
-  * densified with a per-bin sentinel.
+  * densified by rotation (borrow the min of the nearest non-empty bin to
+  * the right, wrapping — Shrivastava & Li, "Densifying One Permutation
+  * Hashing via Rotation", ICML 2014). Rotation keeps the collision
+  * probability of every signature position an unbiased Jaccard estimate;
+  * a fixed per-bin sentinel would make all short docs agree on their
+  * empty bins and inflate LSH candidate volume.
   *
   * This turns signature computation into a map-side scan — the previous
   * formulation (explode → groupBy(doc, bin) → groupBy(doc)) shuffled
@@ -44,7 +49,18 @@ case class MinHashSig(child: Expression, perms: Int)
     val out = new Array[Any](perms)
     var j = 0
     while (j < perms) {
-      out(j) = if (seen(j)) mins(j) else Long.MinValue + j
+      if (seen(j)) out(j) = mins(j)
+      else {
+        // rotation densification: nearest non-empty bin to the right
+        var d = 1
+        var src = -1
+        while (d < perms && src < 0) {
+          if (seen((j + d) % perms)) src = (j + d) % perms
+          d += 1
+        }
+        // src < 0 ⇔ empty shingle set: fall back to per-bin sentinel
+        out(j) = if (src < 0) Long.MinValue + j else mins(src)
+      }
       j += 1
     }
     new GenericArrayData(out)

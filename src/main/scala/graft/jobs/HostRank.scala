@@ -30,23 +30,28 @@ object HostRank {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      // eager checkpoint per round: both the dangling-mass aggregate and
-      // the contribution join read `ranks`; without materialization each
-      // branch re-evaluates the full accumulated lineage (exponential
-      // recompute fanout — measured, not hypothetical)
-      ranks = ranks.localCheckpoint()
       val withDeg = ranks.join(outDeg, Seq("node"), "left")
-      // dangling nodes (no out-edges) spread their rank uniformly
+      // dangling nodes (no out-edges) spread their rank uniformly. The
+      // dangling mass stays IN the plan as a broadcast 1-row aggregate
+      // (no driver .head() round-trip), so each iteration is a single
+      // action: the eager reliable checkpoint below.
       val danglingMass = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       val contribs = withDeg.filter(col("deg").isNotNull)
         .join(e, col("node") === col("s"))
         .select(col("t").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n + damping * danglingMass / n) +
-            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+      // eager reliable checkpoint per round: the next round's two branches
+      // (dangling + contribs) both read `ranks`; without materialization
+      // each branch re-evaluates the full accumulated lineage (exponential
+      // recompute fanout — measured, not hypothetical). Reliable (not
+      // local) so a lost executor can't kill the lineage-less job.
+      ranks = graft.util.Checkpoints.reliable(
+        nodes.join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(danglingMass))
+          .select(col("node"),
+            (lit((1.0 - damping) / n) + lit(damping / n) * col("dm") +
+              lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank")))
     }
     ranks
   }

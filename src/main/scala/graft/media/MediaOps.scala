@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed in partition-local batches —
   * the Scala analogue of a `mapInPandas` decode/feature-extract stage.
   *
-  * The actual media decode is STUBBED (no image/audio codecs in this
-  * container): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around it — schema, Dataset plumbing, batched
-  * partition processing, feature aggregation — is real and tested, so a
-  * production codec drops into `decodeStub` without touching the plan.
+  * IMAGE decode is real: `imageDims` reads width/height/format from the
+  * image header via pure-JVM javax.imageio (PNG/JPEG/GIF/BMP readers ship
+  * with the JDK) without decoding pixel data. AUDIO/VIDEO decode is
+  * STUBBED (no codecs in this container): `decodeStub` derives
+  * deterministic fake features from the bytes, as does the fallback for
+  * bytes no image reader recognizes. Everything around the decode —
+  * schema, Dataset plumbing, batched partition processing, feature
+  * aggregation — is real and tested, so a production codec drops into
+  * `decodeStub` without touching the plan.
   *
   * Scale notes: payloads stay in executor memory only for the duration of
   * one batch; features are narrow columns so downstream aggregation
@@ -31,10 +35,43 @@ object MediaOps {
                                  n_bytes: Int, entropy: Double,
                                  width: Int, height: Int, frames: Int)
 
+  /** Image dimensions + format from the header via javax.imageio —
+    * metadata only, no pixel decode, so cost is O(header) not O(pixels).
+    * None when no installed reader recognizes the bytes.
+    */
+  private[media] def imageDims(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode one row: real header decode for images, stub for the rest. */
+  private def decode(r: MediaRow): MediaFeatures =
+    if (r.kind == "image")
+      imageDims(r.payload) match {
+        case Some((w, h, _)) =>
+          val stub = decodeStub(r) // n_bytes/entropy are real either way
+          stub.copy(width = w, height = h, frames = 1)
+        case None => decodeStub(r)
+      }
+    else decodeStub(r)
+
   /** STUB decode: deterministic pseudo-features from payload bytes.
-    * A real implementation would decode image dimensions / audio duration /
-    * video frame count here (???), batch-wise, reusing one codec context
-    * per partition — which is exactly the structure below.
+    * A real implementation would decode audio duration / video frame
+    * count here, batch-wise, reusing one codec context per partition —
+    * which is exactly the structure below.
     */
   private def decodeStub(r: MediaRow): MediaFeatures = {
     val bytes = r.payload
@@ -65,7 +102,7 @@ object MediaOps {
       org.apache.spark.sql.Encoders.product[MediaFeatures]
     media.mapPartitions { it =>
       // per-partition init (codec context, model weights, ...) goes here
-      it.grouped(batchSize).flatMap { batch => batch.iterator.map(decodeStub) }
+      it.grouped(batchSize).flatMap { batch => batch.iterator.map(decode) }
     }
   }
 

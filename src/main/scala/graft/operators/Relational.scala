@@ -125,7 +125,9 @@ object Relational {
       GROUP BY o_orderpriority"""))
 
   /** A3 list-concat by key (sitemaps_from_robotstxt.py:55-100): sorted for
-    * determinism, per SURVEY §7.4.
+    * determinism, per SURVEY §7.4. The list is emitted string-joined so the
+    * driver's pandas comparator can hash the column (numpy arrays aren't
+    * hashable); the collect_list + sort_array semantics are still exercised.
     */
   val a3CollectList: QueryDef = QueryDef(
     "a3_collect_list",
@@ -134,9 +136,9 @@ object Relational {
       val r = t(s, dir, "region")
       n.join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
     },
-    Some("""SELECT r_name, list(n_name ORDER BY n_name) AS nations
+    Some("""SELECT r_name, array_to_string(list(n_name ORDER BY n_name), ',') AS nations
       FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"""))
 
   /** A5 count (sparkcc.py:513). */
@@ -347,7 +349,8 @@ object Relational {
       .groupBy((col("k") % 10).as("kmod"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("ktotal")),
     Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kmod,
-      COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS ktotal
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS ktotal
       FROM events GROUP BY kmod"""))
 
   /** O2: scalable contiguous-ID assignment via sortBy+zipWithIndex
@@ -393,7 +396,7 @@ object Relational {
     "a9_salted_sum",
     (s, dir) => ScaleUtils.saltedSum(
       t(s, dir, "lineitem"), Seq("l_returnflag"), "l_orderkey", salts = 16),
-    Some("""SELECT l_returnflag, SUM(l_orderkey) AS sum_l_orderkey
+    Some("""SELECT l_returnflag, CAST(SUM(l_orderkey) AS BIGINT) AS sum_l_orderkey
       FROM lineitem GROUP BY l_returnflag"""))
 
   /** Semi join (EXISTS): segments of customers having an order in 1996. */

@@ -64,7 +64,7 @@ object TextOps {
       .agg(sum(col("n_tok")).as("total_tokens"), count(lit(1)).as("n_docs"),
         max(col("n_tok")).as("max_tokens")),
     Some("""SELECT source,
-      SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS total_tokens,
+      CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens,
       COUNT(*) AS n_docs,
       MAX(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS max_tokens
       FROM documents GROUP BY source"""))
@@ -108,13 +108,22 @@ object TextOps {
   val langIdHeuristic: QueryDef = QueryDef(
     "langid_heuristic",
     (s, dir) => {
-      def hits(pat: String) = size(expr(s"regexp_extract_all(lower(text), '$pat', 0)"))
-      val scored = Tables(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        hits("\\\\b(the|and|of|to|is)\\\\b").as("en_hits"),
-        hits("\\\\b(le|la|les|et|est)\\\\b").as("fr_hits"),
-        hits("\\\\b(el|los|las|es|y)\\\\b").as("es_hits"),
-        hits("\\\\b(der|die|das|und|ist)\\\\b").as("de_hits"))
+      // ONE tokenize pass per document; each language profile is a
+      // membership count over the token array (codegen'd filter+size), not
+      // a separate full-text regex scan — 4× less scan work than the
+      // regex-per-language formulation at identical token semantics.
+      def hits(words: Seq[String]) = {
+        val set = words.map(w => s"'$w'").mkString(", ")
+        size(expr(s"filter(toks, t -> t IN ($set))"))
+      }
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"), col("lang"),
+          hits(Seq("the", "and", "of", "to", "is")).as("en_hits"),
+          hits(Seq("le", "la", "les", "et", "est")).as("fr_hits"),
+          hits(Seq("el", "los", "las", "es", "y")).as("es_hits"),
+          hits(Seq("der", "die", "das", "und", "ist")).as("de_hits"))
       scored.withColumn("predicted",
         when(col("en_hits") + col("fr_hits") + col("es_hits") + col("de_hits") === 0, lit("unknown"))
           .when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("es_hits")
@@ -125,12 +134,14 @@ object TextOps {
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
     },
-    Some("""WITH h AS (SELECT doc_id, lang,
-        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS en_hits,
-        len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr_hits,
-        len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS es_hits,
-        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de_hits
-      FROM documents),
+    Some("""WITH tk AS (SELECT doc_id, lang,
+        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      h AS (SELECT doc_id, lang,
+        len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS en_hits,
+        len(list_filter(toks, t -> t IN ('le','la','les','et','est'))) AS fr_hits,
+        len(list_filter(toks, t -> t IN ('el','los','las','es','y'))) AS es_hits,
+        len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS de_hits
+      FROM tk),
       p AS (SELECT lang, CASE
         WHEN en_hits + fr_hits + es_hits + de_hits = 0 THEN 'unknown'
         WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'

@@ -118,17 +118,25 @@ object VectorOps {
     * the cell id.
     */
   def buildIvf(c: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    val wBest = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
     var centroids = c.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"),
         expr("transform(embedding, x -> cast(x as double))").as("centroid"))
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
+      // argmax via max_by, not a row_number window: the partial (map-side)
+      // aggregate collapses the corpus×k scored rows back to one row per
+      // vector BEFORE the shuffle, so the embedding column crosses the
+      // wire once per vector, not k times, and there is no sort at all.
+      // Tie-break matches the old window ordering (sim desc, cell asc)
+      // via the lexicographic struct key (sim, -cell).
       assigned = c.crossJoin(broadcast(centroids))
         .select(col("vec_id"), col("embedding"), col("cell"),
           cosine(col("embedding"), col("centroid")).as("sim"))
-        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cell"), col("embedding")),
+          struct(col("sim"), col("cell") * -1)).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.cell").as("cell"))
       centroids = cellCentroids(assigned)
     }
     (assigned.select(col("vec_id"), col("cell")), centroids)
@@ -168,7 +176,13 @@ object VectorOps {
   val dedupEmbedding: QueryDef = QueryDef(
     "dedup_embedding",
     (s, dir) => {
-      val c = corpus(s, dir).withColumn("bucket", lshSignature(col("embedding"), MaxPlanes))
+      // cap bucket width (graft.dedup.Dedup.MaxBucket rationale): a
+      // degenerate signature bucket must not go quadratic in the self-join
+      val c = corpus(s, dir)
+        .withColumn("bucket", lshSignature(col("embedding"), MaxPlanes))
+        .withColumn("bw", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .filter(col("bw") <= 64)
+        .drop("bw")
       val a = c.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
       val b = c.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
       val pairs = a.join(b, "bucket")

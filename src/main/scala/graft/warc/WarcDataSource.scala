@@ -191,5 +191,8 @@ class WarcPartitionReader(file: String, recordTypes: Option[Set[String]],
     InternalRow.fromSeq(fieldWriters.map(_(r)).toIndexedSeq)
   }
 
-  override def close(): Unit = ()
+  // one open handle per in-flight partition, not per completed one: with
+  // ~64k archives per crawl a leaked descriptor per partition exhausts
+  // the executor's fd table long before GC finalizes the streams
+  override def close(): Unit = reader.foreach(_.close())
 }

@@ -46,6 +46,15 @@ final class WarcReader(in: InputStream) extends Iterator[WarcRecord] {
     r
   }
 
+  /** Close the underlying stream. Long-lived executors process thousands
+    * of archives; an unclosed handle per archive exhausts file descriptors
+    * long before GC notices.
+    */
+  def close(): Unit = {
+    done = true
+    try stream.close() catch { case _: Exception => () }
+  }
+
   /** Read one record; null at clean EOF. */
   private def readRecord(): WarcRecord = {
     var line = readLine()
@@ -105,29 +114,98 @@ final class WarcReader(in: InputStream) extends Iterator[WarcRecord] {
 
 object WarcReader {
 
-  /** Open a WARC path via the Hadoop FileSystem API — the same code path
-    * serves file:, hdfs:, and s3a: URIs (reference sparkcc.py:279-365's
-    * multi-scheme fetch, S3; in this offline environment only file: is
+  /** True for URLs the reference fetches over HTTP(S) with urllib
+    * (sparkcc.py:320-339, 733) rather than a Hadoop filesystem — Common
+    * Crawl's public endpoint is https.
+    */
+  def isHttpUrl(path: String): Boolean =
+    path.startsWith("http://") || path.startsWith("https://")
+
+  /** Open a WARC path: http(s) URLs stream via HttpClient (reference
+    * sparkcc.py:733's whole-file HTTP fetch); every other scheme goes
+    * through the Hadoop FileSystem API — the same code path serves
+    * file:, hdfs:, and s3a: URIs (sparkcc.py:279-365's multi-scheme
+    * fetch; in this offline environment only file: and loopback http are
     * exercised). Transparently gunzips.
     */
   def open(path: String): WarcReader = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    val raw: InputStream = fs.open(p, 1 << 16)
+    val raw: InputStream =
+      if (isHttpUrl(path)) httpStream(path)
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(hadoopConf).open(p, 1 << 16)
+      }
     val in = if (path.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
     new WarcReader(in)
   }
 
   /** Ranged open: stream positioned at `offset` (FSDataInputStream.seek —
-    * a ranged GET on object stores).
+    * a ranged GET on object stores; an HTTP `Range` request on http(s)
+    * URLs, sparkcc.py:320-339).
     */
   def openAt(path: String, offset: Long): InputStream = {
+    if (isHttpUrl(path)) return httpStream(path, Some(s"bytes=$offset-"))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hadoopConf)
     val in = fs.open(p, 1 << 16)
     in.seek(offset)
     in
   }
+
+  /** Bounded ranged fetch over http(s): one `Range: bytes=o-(o+len-1)` GET
+    * per record, the reference's fetch_warc shape (sparkcc.py:320-339).
+    * The record bytes are returned in memory — unlike the reference's
+    * >2 MiB temp-file spool, the parsed record's payload must materialize
+    * on-heap anyway, so spooling would add a disk round-trip for the same
+    * peak footprint.
+    */
+  def httpRange(url: String, offset: Long, length: Int): Array[Byte] = {
+    val resp = httpSend(url, Some(s"bytes=$offset-${offset + length - 1}"))
+    val in = resp.body()
+    try {
+      // a server that ignores Range answers 200 with the full body:
+      // skip to the offset so the caller still gets the right bytes
+      if (resp.statusCode() == 200 && offset > 0) {
+        var toSkip = offset
+        while (toSkip > 0) {
+          val sk = in.skip(toSkip)
+          if (sk <= 0) throw new EOFException(s"http skip underrun fetching $url")
+          toSkip -= sk
+        }
+      }
+      val buf = new Array[Byte](length)
+      var off = 0
+      var r = 0
+      while (off < length && { r = in.read(buf, off, length - off); r >= 0 })
+        off += r
+      if (off < length)
+        throw new EOFException(s"http range underrun: $off/$length from $url")
+      buf
+    } finally in.close()
+  }
+
+  private def httpStream(url: String, range: Option[String] = None): InputStream =
+    httpSend(url, range).body()
+
+  private def httpSend(url: String, range: Option[String])
+      : java.net.http.HttpResponse[InputStream] = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET()
+    range.foreach(b.header("Range", _))
+    val resp = httpClient.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+    val code = resp.statusCode()
+    // 206 for honored ranges; some servers answer 200 with the full body
+    if (code / 100 != 2) {
+      try resp.body().close() catch { case _: Exception => () }
+      throw new java.io.IOException(s"http $code fetching $url")
+    }
+    resp
+  }
+
+  private lazy val httpClient = java.net.http.HttpClient.newBuilder()
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .connectTimeout(java.time.Duration.ofSeconds(30))
+    .build()
 
   private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 }

@@ -40,10 +40,20 @@ object WarcSource {
   private def readPath(p: String, errorAcc: Option[LongAccumulator]): Iterator[WarcRecord] = {
     try {
       val reader = WarcReader.open(p)
+      // a task killed mid-file (limit, failure) never exhausts the
+      // iterator — the completion listener is the only close that always
+      // runs
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => reader.close())
       new Iterator[WarcRecord] {
+        private var finished = false // latch: count failures + close ONCE
         override def hasNext: Boolean = {
           val h = reader.hasNext
-          if (!h && reader.failures > 0) errorAcc.foreach(_.add(reader.failures))
+          if (!h && !finished) {
+            finished = true
+            if (reader.failures > 0) errorAcc.foreach(_.add(reader.failures))
+            reader.close()
+          }
           h
         }
         override def next(): WarcRecord = reader.next()
@@ -71,6 +81,12 @@ object WarcSource {
     coords.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       var current: (String, org.apache.hadoop.fs.FSDataInputStream) = null
+      // the last archive of a partition has no "file switch" to close it —
+      // the completion listener is what closes it
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        if (current != null) { try current._2.close() catch { case _: Exception => () } }
+      }
       def file(name: String): org.apache.hadoop.fs.FSDataInputStream = {
         if (current == null || current._1 != name) {
           if (current != null) current._2.close()
@@ -79,12 +95,22 @@ object WarcSource {
         }
         current._2
       }
-      it.flatMap { c =>
-        try {
+      def rangeBytes(c: RecordCoord): Array[Byte] =
+        if (WarcReader.isHttpUrl(c.warc_filename))
+          // http(s) coordinates: one Range GET per record, the reference's
+          // fetch path for the public endpoint (sparkcc.py:320-339)
+          WarcReader.httpRange(c.warc_filename, c.warc_record_offset,
+            c.warc_record_length.toInt)
+        else {
           val raf = file(c.warc_filename)
           raf.seek(c.warc_record_offset)
           val buf = new Array[Byte](c.warc_record_length.toInt)
           raf.readFully(buf)
+          buf
+        }
+      it.flatMap { c =>
+        try {
+          val buf = rangeBytes(c)
           val in: java.io.InputStream = {
             val bais = new java.io.ByteArrayInputStream(buf)
             if (c.warc_filename.endsWith(".gz"))

@@ -1,0 +1,62 @@
+package graft.dedup
+
+import graft.functions.GraftFunctions.tokens
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale guards for the LSH pipelines: a degenerate corpus (every doc
+  * identical → every doc in the same bucket of every band) must complete
+  * with a bounded pair set, not a quadratic one — the MaxBucket cap is
+  * what a 100 TB run relies on when a pathological bucket shows up.
+  */
+class DedupScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("simhash: 1000 identical docs stay sub-quadratic via the bucket cap") {
+    import spark.implicits._
+    val docs = (0 until 1000).map(i => (i.toLong, "the same exact document text repeated"))
+      .toDF("doc_id", "text")
+    val n = Dedup.simHashPairs(docs).count()
+    // uncapped this would be 1000*999/2 ≈ 500k pairs; the cap (256) drops
+    // the degenerate buckets entirely
+    assert(n <= 256L * 255 / 2 * 4, s"pair set not capped: $n")
+  }
+
+  test("minhash candidates: 1000 identical docs stay sub-quadratic") {
+    import spark.implicits._
+    val docs = (0 until 1000).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(docs, 5)
+    val cand = Dedup.candidatePairs(
+      Dedup.bands(Dedup.minHashSignature(sh, 64), 64, 4)).count()
+    assert(cand <= 64L * 63 / 2 * 16, s"candidate set not capped: $cand")
+  }
+
+  test("test-data buckets are under the cap (cap is behavior-neutral there)") {
+    val dir = Seq("/root/testdata/sf0.1", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+    assume(dir.isDefined)
+    val docs = spark.read.parquet(s"${dir.get}/documents.parquet")
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.SimHashSig.simhashSig(tokens(col("text"))).as("sig"))
+    val widths = sigs.select(explode(array((0 until 4).map(k =>
+        expr(s"shiftrightunsigned(sig, ${k * 16}) & 65535")): _*)).as("bucket"))
+      .groupBy(col("bucket")).count()
+    val maxSimhash = widths.agg(max(col("count"))).head().getLong(0)
+    assert(maxSimhash <= 256, s"sf bucket wider than cap: $maxSimhash — cap would change results")
+
+    val emb = spark.read.parquet(s"${dir.get}/embeddings.parquet")
+      .withColumn("bucket", graft.vector.VectorOps.lshSignature(col("embedding"), 16))
+      .groupBy(col("bucket")).count()
+    val maxEmb = emb.agg(max(col("count"))).head().getLong(0)
+    assert(maxEmb <= 64, s"sf embedding bucket wider than cap: $maxEmb")
+  }
+}

@@ -46,4 +46,80 @@ class WetExtractorSpec extends AnyFunSuite {
       new java.io.ByteArrayInputStream(buf)))
     assert(one.hasNext && one.next().targetUri.contains(c.getString(0)))
   }
+
+  test("metadata record feeds charset + languages into the conversion record") {
+    val uri = "http://latin1.example.org/page"
+    val date = "2017-03-22T01:02:03Z"
+    val resp = Fixtures.response(uri,
+      "<html><body>café au lait</body></html>".getBytes("ISO-8859-1"),
+      httpHeaders = Seq("Content-Type" -> "text/html"),
+      warcHeaders = Map("WARC-Record-ID" -> "<urn:uuid:11111111-2222-3333-4444-555555555555>",
+        "WARC-Date" -> date))
+    val metaBody = ("charset-detected: ISO-8859-1\r\n" +
+      """languages-cld2: {"reliable":true,"languages":[{"code":"fr","code-iso-639-3":"fra","text-covered":95},{"code":"en","code-iso-639-3":"eng","text-covered":5}]}""" +
+      "\r\n").getBytes("UTF-8")
+    val meta = graft.warc.WarcRecord(Map(
+      "WARC-Type" -> "metadata",
+      "WARC-Target-URI" -> uri,
+      "WARC-Date" -> date,
+      "Content-Type" -> "application/warc-fields",
+      "Content-Length" -> metaBody.length.toString), metaBody)
+    val info = graft.warc.WarcRecord(Map(
+      "WARC-Type" -> "warcinfo",
+      "Content-Type" -> "application/warc-fields",
+      "Content-Length" -> "0"),
+      "robots: classic\r\nisPartOf: CC-MAIN-TEST\r\nformat: WARC\r\n".getBytes("UTF-8"))
+
+    val dir = java.nio.file.Files.createTempDirectory("wet_meta").toString
+    val warcPath = s"$dir/meta.warc.gz"
+    WarcWriter.writeFile(warcPath, Seq(info, resp, meta))
+    val outDir = java.nio.file.Files.createTempDirectory("wet_meta_out").toString
+    val coords = WetExtractor.extractFile(warcPath, outDir).toVector
+    assert(coords.length == 1)
+    assert(coords.head.warc_date == date)
+
+    val recs = WarcReader.open(s"$outDir/meta.warc.wet.gz").toVector
+    val infoRec = recs.head
+    assert(infoRec.recType == "warcinfo")
+    val infoBody = new String(infoRec.payload, "UTF-8")
+    // descriptive fields carried over from the source warcinfo
+    assert(infoBody.contains("robots: classic"))
+    assert(infoBody.contains("isPartOf: CC-MAIN-TEST"))
+    assert(!infoBody.contains("format: WARC")) // not in the carry-over set
+
+    val conv = recs(1)
+    assert(conv.recType == "conversion")
+    assert(conv.headers("WARC-Identified-Content-Language") == "fra,eng")
+    assert(conv.headers("WARC-Refers-To") == "<urn:uuid:11111111-2222-3333-4444-555555555555>")
+    assert(conv.recordId.exists(_.startsWith("<urn:uuid:")))
+    assert(conv.headers("WARC-Block-Digest").startsWith("sha1:"))
+    // charset-detected drove the decode: latin-1 é survived
+    assert(new String(conv.payload, "UTF-8").contains("café"))
+  }
+
+  test("resume: existing WET output is skipped, not rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("wet_resume").toString
+    val warcPath = s"$dir/res.warc.gz"
+    WarcWriter.writeFile(warcPath, Fixtures.all)
+    val outDir = java.nio.file.Files.createTempDirectory("wet_resume_out").toString
+
+    val first = WetExtractor.extractFile(warcPath, outDir).toVector
+    assert(first.nonEmpty)
+    val wet = java.nio.file.Paths.get(s"$outDir/res.warc.wet.gz")
+    val bytesBefore = java.nio.file.Files.readAllBytes(wet)
+
+    val acc = spark.sparkContext.longAccumulator("skipped")
+    val second = WetExtractor.extractFile(warcPath, outDir, Some(acc)).toVector
+    assert(second.isEmpty, "second run must skip, not redo")
+    assert(acc.value == 1)
+    assert(java.util.Arrays.equals(bytesBefore, java.nio.file.Files.readAllBytes(wet)),
+      "skipped output must be untouched")
+    // no stray temp files left behind
+    assert(!new java.io.File(outDir).list().exists(_.endsWith(".tmp")))
+  }
+
+  test("sha1 base32 digest matches the known empty-input vector") {
+    assert(WetExtractor.sha1Base32(Array.emptyByteArray) ==
+      "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+  }
 }

@@ -44,6 +44,13 @@ class SurtHostSpec extends AnyFunSuite {
     assert(!SurtHost.reverseHostIsValid("invalidtld.example"))
     assert(!SurtHost.reverseHostIsValid("123.example"))
     assert(!SurtHost.reverseHostIsValid(""))
+    // exact IANA snapshot semantics (iana_tld.py:4-264): retired ccTLDs
+    // and unregistered punycode labels are NOT valid TLDs
+    assert(!SurtHost.reverseHostIsValid("an.example"))  // Netherlands Antilles, retired
+    assert(!SurtHost.reverseHostIsValid("tp.example"))  // East Timor, retired
+    assert(SurtHost.reverseHostIsValid("io.example"))
+    assert(SurtHost.reverseHostIsValid("xn--p1ai.example"))     // .рф
+    assert(!SurtHost.reverseHostIsValid("xn--garbage.example")) // not registered
   }
 
   test("reverseHostNormalize per-label IDNA") {
