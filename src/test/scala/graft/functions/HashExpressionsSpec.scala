@@ -32,16 +32,24 @@ class HashExpressionsSpec extends AnyFunSuite {
     }
   }
 
-  test("MinHashSig: min per bin, sentinel for empty bins, order-insensitive") {
+  test("MinHashSig: min per bin, rotation densification, order-insensitive") {
     val a = Seq(Seq(10L, 74L, -3L, 138L)).toDF("sh") // bins mod 64: 10, 10, 61, 10
     val sig = a.select(MinHashSig.minhashSig(col("sh"), 64)).head().getSeq[Long](0)
     assert(sig.length == 64)
     assert(sig(10) == 10L)  // min(10, 74, 138)
     assert(sig(61) == -3L)  // pmod(-3,64)=61
-    assert(sig(0) == Long.MinValue + 0) // empty bin sentinel
+    // rotation densification: empty bin borrows the min of the nearest
+    // non-empty bin to the right, wrapping
+    assert(sig(0) == 10L)   // 0 → first non-empty rightward is bin 10
+    assert(sig(11) == -3L)  // 11 → first non-empty rightward is bin 61
+    assert(sig(62) == 10L)  // 62 → wraps past 63 to bin 10
     // permutation of the shingle set gives the identical signature
     val b = Seq(Seq(138L, -3L, 74L, 10L)).toDF("sh")
     assert(b.select(MinHashSig.minhashSig(col("sh"), 64)).head().getSeq[Long](0) == sig)
+    // only an empty shingle set yields per-bin sentinels
+    val e = Seq(Seq.empty[Long]).toDF("sh")
+    val esig = e.select(MinHashSig.minhashSig(col("sh"), 64)).head().getSeq[Long](0)
+    assert(esig(0) == Long.MinValue + 0 && esig(63) == Long.MinValue + 63)
   }
 
   test("SimHashSig ≡ spark xxhash64 bit-vote formulation") {
