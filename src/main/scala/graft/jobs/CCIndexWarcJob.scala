@@ -50,27 +50,64 @@ object CCIndexWarcJob {
       .agg(struct(sum("tf").as("tf"), sum("df").as("df")).as("val"))
   }
 
-  /** Build a ccindex-style parquet over local archives (the tooling the
+  /** Build a ccindex-style parquet over archives (the tooling the
     * reference assumes exists upstream; makes E3 self-contained). Source
     * archives are re-written into `indexedDir` one gzip member per
     * record — the index's (offset, length) coordinates are captured from
     * that write, so they are exact by construction.
+    *
+    * Distributed: the driver only enumerates paths; each task streams its
+    * own archive (read record → re-write → emit coordinate row) through
+    * the Hadoop FS API, so driver memory and I/O are O(#archives), not
+    * O(corpus) — at 100 TB every payload byte stays on executors.
     */
   def buildIndex(spark: SparkSession, warcPaths: Seq[String],
                  indexedDir: String, outPath: String,
-                 crawl: String = "CRAWL-LOCAL", subset: String = "warc"): Unit = {
+                 crawl: String = "CRAWL-LOCAL", subset: String = "warc",
+                 numPartitions: Int = 0): Unit = {
     import spark.implicits._
-    new java.io.File(indexedDir).mkdirs()
-    val rows = warcPaths.flatMap { p =>
-      val recs = graft.warc.WarcReader.open(p).toVector
-      val dst = s"${indexedDir.stripSuffix("/")}/${new java.io.File(p).getName}"
-      val offsets = graft.warc.WarcWriter.writeFile(dst, recs)
-      recs.zip(offsets).map { case (r, (off, len)) =>
-        (r.targetUri.getOrElse(""), dst, off, len, r.recType, crawl, subset)
-      }
+    val dirNorm = indexedDir.stripSuffix("/")
+    val dirPath = new org.apache.hadoop.fs.Path(dirNorm)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    // destination names resolved on the driver so basename collisions
+    // across source directories can't silently overwrite each other
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val srcDst = warcPaths.map { p =>
+      val base = p.substring(p.lastIndexOf('/') + 1)
+      val n = seen.getOrElse(base, 0); seen(base) = n + 1
+      (p, s"$dirNorm/${if (n == 0) base else s"dup$n-$base"}")
     }
-    rows.toDF("url", "warc_filename", "warc_record_offset",
+    val parts = if (numPartitions > 0) numPartitions
+                else math.max(1, math.min(srcDst.size, 32))
+    spark.sparkContext.parallelize(srcDst, parts)
+      .flatMap { case (src, dst) =>
+        val reader = graft.warc.WarcReader.open(src)
+        val coords = Vector.newBuilder[(String, String, Long, Long, String, String, String)]
+        try {
+          graft.warc.WarcWriter.writeHadoop(dst, reader) { (r, off, len) =>
+            coords += ((r.targetUri.getOrElse(""), dst, off, len, r.recType, crawl, subset))
+          }
+        } finally reader.close()
+        coords.result()
+      }
+      .toDF("url", "warc_filename", "warc_record_offset",
         "warc_record_length", "warc_type", "crawl", "subset")
       .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** index_build from a manifest file (one archive URI per line). The
+    * manifest itself is read driver-side — it is O(#archives) lines of
+    * text, the same shape the reference's `--input` manifest read
+    * (sparkcc.py:212-214) — but no payload byte ever reaches the driver.
+    */
+  def buildIndexFromManifest(spark: SparkSession, manifestPath: String,
+                             indexedDir: String, outPath: String,
+                             numPartitions: Int = 0): Unit = {
+    val p = new org.apache.hadoop.fs.Path(manifestPath)
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+                finally in.close()
+    val warcs = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    buildIndex(spark, warcs, indexedDir, outPath, numPartitions = numPartitions)
   }
 }

@@ -51,9 +51,8 @@ object JobRunner {
           .write.mode("overwrite").option("compression", "zstd").parquet(output)
         spark.read.parquet(output)
       case "index_build" =>
-        val warcs = spark.read.textFile(input).collect().toSeq
-          .map(_.trim).filter(p => p.nonEmpty && !p.startsWith("#"))
-        CCIndexWarcJob.buildIndex(spark, warcs, s"$output/indexed", s"$output/ccindex")
+        CCIndexWarcJob.buildIndexFromManifest(spark, input,
+          s"$output/indexed", s"$output/ccindex", inParts)
         spark.read.parquet(s"$output/ccindex")
       case "index_word_count" =>
         // input = ccindex parquet path; fetches HTML responses only

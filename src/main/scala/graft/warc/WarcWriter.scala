@@ -29,6 +29,32 @@ final class WarcWriter(out: OutputStream) {
 
 object WarcWriter {
 
+  /** Streaming write through the Hadoop FileSystem API (file:, hdfs:,
+    * s3a:). Records land one gzip member at a time as the iterator
+    * produces them — peak memory is one record, so an executor task can
+    * rewrite an arbitrarily large archive. `onRecord` observes each
+    * record's (offset, length) as it is written; those coordinates are
+    * exact by construction (the columnar-index contract,
+    * wet_extractor.py:27-34).
+    */
+  def writeHadoop(path: String, records: Iterator[WarcRecord])
+                 (onRecord: (WarcRecord, Long, Long) => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
+    var pos = 0L
+    try {
+      records.foreach { r =>
+        val bos = new java.io.ByteArrayOutputStream(1 << 14)
+        new WarcWriter(bos).writeRecord(r)
+        val bytes = bos.toByteArray
+        out.write(bytes)
+        onRecord(r, pos, bytes.length.toLong)
+        pos += bytes.length
+      }
+    } finally out.close()
+  }
+
   /** Convenience: write records to a local .warc.gz file. Returns
     * per-record (offset, length) coordinates — the shape of the columnar
     * index / wet_record_location struct (wet_extractor.py:27-34).

@@ -42,6 +42,34 @@ class CCIndexWarcJobSpec extends AnyFunSuite {
     assert(words("world") == ((1L, 1L)))
   }
 
+  test("distributed build: multi-archive manifest over 2 partitions, no driver I/O") {
+    val dir = java.nio.file.Files.createTempDirectory("e3d").toString
+    // two source dirs with a colliding basename, plus a distinct one
+    new java.io.File(s"$dir/a").mkdirs(); new java.io.File(s"$dir/b").mkdirs()
+    WarcWriter.writeFile(s"$dir/a/src.warc.gz", Seq(Fixtures.responseHtml, Fixtures.robotsTxt))
+    WarcWriter.writeFile(s"$dir/b/src.warc.gz", Seq(Fixtures.responseNoServer))
+    WarcWriter.writeFile(s"$dir/b/other.warc.gz", Seq(Fixtures.responseRedirect))
+    val manifest = s"$dir/manifest.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(manifest),
+      s"# comment\n$dir/a/src.warc.gz\n$dir/b/src.warc.gz\n$dir/b/other.warc.gz\n"
+        .getBytes("UTF-8"))
+    CCIndexWarcJob.buildIndexFromManifest(spark, manifest,
+      s"$dir/indexed", s"$dir/ccindex", numPartitions = 2)
+
+    val idx = spark.read.parquet(s"$dir/ccindex")
+    assert(idx.count() == 4) // 2 + 1 + 1 records across the three archives
+    // colliding basenames were disambiguated, not overwritten
+    val files = idx.select("warc_filename").distinct().collect().map(_.getString(0)).toSet
+    assert(files.size == 3)
+    assert(files.exists(_.endsWith("dup1-src.warc.gz")))
+    // coordinates are exact: a ranged fetch round-trips every record
+    val fetched = CCIndexWarcJob.fetch(spark, s"$dir/ccindex",
+      """SELECT url, warc_filename, warc_record_offset, warc_record_length
+        FROM ccindex""", 2).collect()
+    assert(fetched.length == 4)
+    assert(fetched.map(_._2.recType).count(_ == "response") == 4)
+  }
+
   test("crawl/subset partition-style predicates prune the index scan") {
     val dir = java.nio.file.Files.createTempDirectory("e3b").toString
     val src = s"$dir/src.warc.gz"
