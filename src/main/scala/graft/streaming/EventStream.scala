@@ -49,8 +49,17 @@ object EventStream {
 
   /** Per-user sessions closed after `gapMs` of inactivity — custom state
     * machine via flatMapGroupsWithState (timeout-driven emission).
+    *
+    * The state machine needs ts order, but sorting by materializing a
+    * user's whole batch would let one hot key OOM an executor. Instead
+    * events stream through a bounded min-heap reorder buffer holding at
+    * most `maxBufferPerUser` (ts, value) pairs — per-user memory is
+    * O(maxBufferPerUser) regardless of batch size. An event displaced
+    * further than the buffer is late beyond the reorder horizon and is
+    * dropped, the same contract the watermark applies across batches.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000,
+                 maxBufferPerUser: Int = 1 << 14): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
@@ -61,21 +70,30 @@ object EventStream {
             state.remove()
             Iterator.single(Session(userId, s.n, s.first, s.last, s.total))
           } else {
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
             val closed = Vector.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.n + 1, s.first, t, s.total + e.value))
-                case Some(s) =>
-                  closed += Session(userId, s.n, s.first, s.last, s.total)
-                  cur = Some(SessionState(1, t, t, e.value))
-                case None =>
-                  cur = Some(SessionState(1, t, t, e.value))
-              }
+            var lastFed = Long.MinValue
+            def feed(t: Long, v: Double): Unit = cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(SessionState(s.n + 1, s.first, t, s.total + v))
+              case Some(s) =>
+                closed += Session(userId, s.n, s.first, s.last, s.total)
+                cur = Some(SessionState(1, t, t, v))
+              case None =>
+                cur = Some(SessionState(1, t, t, v))
             }
+            val heap = new java.util.PriorityQueue[(Long, Double)](
+              math.min(maxBufferPerUser, 1 << 10),
+              Ordering.by((p: (Long, Double)) => p._1))
+            def pop(): Unit = {
+              val (t, v) = heap.poll()
+              if (t >= lastFed) { lastFed = t; feed(t, v) } // else: late, drop
+            }
+            evs.foreach { e =>
+              heap.add((e.ts.getTime, e.value))
+              if (heap.size > maxBufferPerUser) pop()
+            }
+            while (!heap.isEmpty) pop()
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + gapMs)

@@ -59,4 +59,32 @@ class StreamingSpec extends AnyFunSuite {
     // are emitted (open sessions wait for the timeout in true streaming)
     assert(sessions.contains(EventStream.Session(1, 3, 0, 10 * 60000, 3.0)))
   }
+
+  test("sessionization hot key: 1M-event user runs in O(buffer) memory") {
+    import spark.implicits._
+    // one user, 1M events, 1s apart with a 1h gap every 100k events —
+    // locally shuffled so the reorder buffer actually reorders. The
+    // buffer holds ≤4096 (ts, value) pairs, not the 1M-event batch.
+    val gapMs = 30 * 60 * 1000L
+    val n = 1000000
+    val perSession = 100000
+    val events = spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_millis(
+        (col("id") % perSession) * 1000L +
+          expr(s"id div $perSession") * (perSession * 1000L + 2 * gapMs))
+        .as("ts"),
+      lit(7L).as("user_id"), lit("click").as("event_type"),
+      lit(1.0).as("value"))
+      // shuffle within ±1000 positions: out of order, within the horizon
+      .withColumn("sortKey", col("event_id") + (pmod(xxhash64(col("event_id")), lit(2000)) - 1000))
+      .repartition(1).sortWithinPartitions("sortKey").drop("sortKey")
+      .as[EventStream.Event]
+    val sessions = EventStream.sessionize(events, gapMs, maxBufferPerUser = 4096)
+      .collect()
+    // 10 sessions of 100k events each; the last stays open (no closer)
+    assert(sessions.length == 9)
+    assert(sessions.forall(_.n_events == perSession))
+    assert(sessions.forall(_.total_value == perSession.toDouble))
+  }
 }
