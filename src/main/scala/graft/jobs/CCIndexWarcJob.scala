@@ -19,25 +19,33 @@ import org.apache.spark.sql.functions._
   */
 object CCIndexWarcJob {
 
+  /** Ranged fetch from any coordinate table (must carry the coordinate
+    * columns; extra columns like content_charset forwarded) — the
+    * `--input_table_format` path of the reference (sparkcc.py:591-607).
+    */
+  def fetchCoords(coordsDf: DataFrame, numPartitions: Int = 8,
+                  failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.Dataset[(String, WarcRecord)] = {
+    val charsetCol = coordsDf.columns.find(_ == "content_charset")
+    val coords = CoordinateSource.toCoords(coordsDf, numPartitions, charsetCol)
+    WarcSource.fetchRecords(coordsDf.sparkSession, coords, failedAcc)
+  }
+
   /** coordinates from user SQL over the index (must select the
     * coordinate columns; extra columns like content_charset forwarded).
     */
   def fetch(spark: SparkSession, indexPath: String, sql: String,
             numPartitions: Int = 8,
             failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
-      : org.apache.spark.sql.Dataset[(String, WarcRecord)] = {
-    val coordsDf = CoordinateSource.fromIndexQuery(spark, indexPath, sql)
-    val charsetCol = coordsDf.columns.find(_ == "content_charset")
-    val coords = CoordinateSource.toCoords(coordsDf, numPartitions, charsetCol)
-    WarcSource.fetchRecords(spark, coords, failedAcc)
-  }
+      : org.apache.spark.sql.Dataset[(String, WarcRecord)] =
+    fetchCoords(CoordinateSource.fromIndexQuery(spark, indexPath, sql),
+      numPartitions, failedAcc)
 
-  /** cc_index_word_count.py: fetched HTML → text → word (tf, df). */
-  def wordCount(spark: SparkSession, indexPath: String, sql: String,
-                numPartitions: Int = 8,
-                failedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+  /** cc_index_word_count.py tail: fetched HTML → text → word (tf, df). */
+  def wordCountRecords(records: org.apache.spark.sql.Dataset[(String, WarcRecord)]): DataFrame = {
+    val spark = records.sparkSession
     import spark.implicits._
-    fetch(spark, indexPath, sql, numPartitions, failedAcc)
+    records
       .flatMap { case (_, rec) =>
         Extractors.htmlToText(rec) match {
           case Some(text) => Extractors.tokenizeCounts(text)
@@ -49,6 +57,12 @@ object CCIndexWarcJob {
       .groupBy("word")
       .agg(struct(sum("tf").as("tf"), sum("df").as("df")).as("val"))
   }
+
+  /** cc_index_word_count.py: SQL over the index → fetch → word count. */
+  def wordCount(spark: SparkSession, indexPath: String, sql: String,
+                numPartitions: Int = 8,
+                failedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    wordCountRecords(fetch(spark, indexPath, sql, numPartitions, failedAcc))
 
   /** Build a ccindex-style parquet over archives (the tooling the
     * reference assumes exists upstream; makes E3 self-contained). Source

@@ -18,7 +18,41 @@ final case class JobConfig(
     numInputPartitions: Int = 32,
     numOutputPartitions: Int = 4,
     outputFormat: String = "parquet",
-    outputCompression: String = "gzip")
+    outputCompression: String = "gzip",
+    outputOptions: Map[String, String] = Map.empty)
+
+object JobConfig {
+
+  /** gzip is the parquet default codec name; ORC calls the equivalent
+    * codec zlib — the reference silently rewrites the pair
+    * (sparkcc.py:129-135).
+    */
+  def effectiveCompression(format: String, compression: String): String =
+    if (format == "orc" && compression == "gzip") "zlib" else compression
+
+  /** A path-ish output (scheme or slash) is written with save(); a bare
+    * name becomes a managed table in spark.sql.warehouse.dir — the
+    * reference's default workflow chains jobs by table name
+    * (sparkcc.py:219-225 saveAsTable).
+    */
+  def isPathOutput(output: String): Boolean =
+    output.contains("/") || output.contains(":")
+
+  /** The writer every job output goes through: format + fixed-up
+    * compression + format-specific options, routed to save(path) or
+    * saveAsTable(name).
+    */
+  def write(df: org.apache.spark.sql.DataFrame, config: JobConfig): Unit = {
+    val w = df.coalesce(config.numOutputPartitions)
+      .write.mode(SaveMode.Overwrite)
+      .format(config.outputFormat)
+      .option("compression",
+        effectiveCompression(config.outputFormat, config.outputCompression))
+      .options(config.outputOptions)
+    if (isPathOutput(config.output)) w.save(config.output)
+    else w.saveAsTable(config.output)
+  }
+}
 
 final case class JobCounters(
     recordsProcessed: LongAccumulator,
@@ -63,9 +97,5 @@ abstract class CCJob[K: org.apache.spark.sql.Encoder] extends Serializable {
   }
 
   protected def write(df: DataFrame, config: JobConfig): Unit =
-    df.coalesce(config.numOutputPartitions)
-      .write.mode(SaveMode.Overwrite)
-      .format(config.outputFormat)
-      .option("compression", config.outputCompression)
-      .save(config.output)
+    JobConfig.write(df, config)
 }

@@ -1,33 +1,123 @@
 package graft.jobs
 
+import graft.sources.CoordinateSource
 import graft.util.Sessions
 import graft.warc.WarcSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parsed CLI surface — the argparse layer of the reference
+  * (sparkcc.py:194-258 common flags, 479-487 + 547-585 index-job flags).
+  */
+final case class JobCli(
+    job: String, input: String, output: String,
+    inParts: Int = 8, outParts: Int = 2,
+    outputFormat: String = "parquet", outputCompression: String = "gzip",
+    outputOptions: Map[String, String] = Map.empty,
+    query: Option[String] = None,
+    table: String = "ccindex",
+    tableSchema: Option[String] = None,
+    inputTableFormat: Option[String] = None,
+    inputTableOptions: Map[String, String] = Map.empty) {
+
+  def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
+    outputFormat, outputCompression, outputOptions)
+}
+
+object JobCli {
+
+  val usage: String =
+    """usage: JobRunner <job> <input> <output> [inParts] [outParts]
+      |  [--num_input_partitions N] [--num_output_partitions N]
+      |  [--output_format parquet|orc|json|csv] [--output_compression CODEC]
+      |  [--output_option k=v]... [--query SQL] [--table NAME]
+      |  [--table_schema FILE.json] [--input_table_format FORMAT]
+      |  [--input_table_option k=v]...
+      |  job ∈ server_count | html_tag_count | server_ip | word_count |
+      |        sitemaps | extract_host_links | host_graph | wet_extract |
+      |        stream_windows | md5sum | warc_to_parquet | index_build |
+      |        index_export | index_word_count""".stripMargin
+
+  private def kv(s: String): (String, String) = s.split("=", 2) match {
+    case Array(k, v) => (k, v)
+    case _ => sys.error(s"expected k=v, got: $s")
+  }
+
+  def parse(args: Array[String]): JobCli = {
+    require(args.length >= 3, usage)
+    var cli = JobCli(args(0), args(1), args(2))
+    var i = 3
+    // positional [inParts] [outParts] back-compat before any flag
+    if (i < args.length && !args(i).startsWith("--")) {
+      cli = cli.copy(inParts = args(i).toInt); i += 1
+      if (i < args.length && !args(i).startsWith("--")) {
+        cli = cli.copy(outParts = args(i).toInt); i += 1
+      }
+    }
+    while (i < args.length) {
+      val flag = args(i)
+      def value: String = {
+        require(i + 1 < args.length, s"$flag needs a value\n$usage"); i += 1; args(i)
+      }
+      flag match {
+        case "--num_input_partitions"  => cli = cli.copy(inParts = value.toInt)
+        case "--num_output_partitions" => cli = cli.copy(outParts = value.toInt)
+        case "--output_format"         => cli = cli.copy(outputFormat = value)
+        case "--output_compression"    => cli = cli.copy(outputCompression = value)
+        case "--output_option" =>
+          cli = cli.copy(outputOptions = cli.outputOptions + kv(value))
+        case "--query"                 => cli = cli.copy(query = Some(value))
+        case "--table"                 => cli = cli.copy(table = value)
+        case "--table_schema"          => cli = cli.copy(tableSchema = Some(value))
+        case "--input_table_format"    => cli = cli.copy(inputTableFormat = Some(value))
+        case "--input_table_option" =>
+          cli = cli.copy(inputTableOptions = cli.inputTableOptions + kv(value))
+        case other => sys.error(s"unknown flag: $other\n$usage")
+      }
+      i += 1
+    }
+    cli
+  }
+}
 
 /** CLI entry point for the analytics jobs — the `python server_count.py
   * <manifest> <output>` analogue of the reference (sparkcc.py:64-120).
   *
-  * Usage: JobRunner <job> <input> <outputDir> [numInputPartitions] [numOutputPartitions]
-  *   job ∈ server_count | html_tag_count | server_ip | word_count |
-  *         sitemaps | extract_host_links | host_graph | wet_extract |
-  *         stream_windows | md5sum
-  *   input = manifest file (one WARC path per line) — for host_graph, a
-  *           parquet edge table with columns (s, t); for stream_windows,
-  *           a directory of events parquet.
+  * `output` may be a path (written with save()) or a bare table name
+  * (saveAsTable into spark.sql.warehouse.dir — the reference's default,
+  * so jobs chain by table name). Format/compression/options follow
+  * sparkcc.py:219-225 incl. the orc→zlib fixup.
   */
 object JobRunner {
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: JobRunner <job> <input> <outputDir> [inParts] [outParts]")
-    val Array(job, input, output) = args.take(3)
-    val inParts = args.lift(3).map(_.toInt).getOrElse(8)
-    val outParts = args.lift(4).map(_.toInt).getOrElse(2)
-    val spark = Sessions.local(appName = s"graft-$job")
-    val config = JobConfig(input, output, inParts, outParts)
+  /** index coordinate selection: --query over the index view, or a
+    * pre-extracted coordinate table via --input_table_format
+    * (sparkcc.py:569-607).
+    */
+  private def loadCoords(spark: SparkSession, cli: JobCli): DataFrame =
+    cli.inputTableFormat match {
+      case Some(fmt) =>
+        CoordinateSource.fromTable(spark, cli.input, fmt, cli.inputTableOptions)
+      case None =>
+        val sql = cli.query.getOrElse(
+          """SELECT url, warc_filename, warc_record_offset, warc_record_length
+            FROM ccindex WHERE warc_type = 'response'""")
+        val schemaJson = cli.tableSchema.map { f =>
+          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+        }
+        CoordinateSource.fromIndexQuery(spark, cli.input, sql, cli.table, schemaJson)
+    }
+
+  def run(spark: SparkSession, cli: JobCli): Unit = {
     val counters = JobCounters(spark)
+    val config = cli.jobConfig
 
-    def records = WarcSource.fromManifest(spark, input, inParts, Some(counters.recordsFailed))
+    def records = WarcSource.fromManifest(spark, cli.input, cli.inParts,
+      Some(counters.recordsFailed))
 
-    val df = job match {
+    // jobs that write their own multi-part output under $output (paths)
+    val selfWriting = Set("host_graph", "wet_extract", "index_build")
+
+    val df = cli.job match {
       case "server_count"   => ServerCountJob.aggregate(spark, records, counters)
       case "html_tag_count" => HtmlTagCountJob.aggregate(spark, records, counters)
       case "server_ip"      => ServerIpJob.aggregate(spark, records, counters)
@@ -35,57 +125,67 @@ object JobRunner {
       case "sitemaps"       => SitemapsJob.aggregate(spark, records)
       case "extract_host_links" => ExtractHostLinksJob.edges(spark, records)
       case "host_graph" =>
-        val edges = spark.read.parquet(input)
-        val g = HostGraphBuilder.build(spark, edges, vertexPartitions = outParts)
-        g.vertices.coalesce(outParts).write.mode("overwrite")
-          .parquet(s"$output/vertices")
-        g.edges.coalesce(outParts).write.mode("overwrite")
-          .parquet(s"$output/edges")
-        spark.read.parquet(s"$output/edges")
+        val edges = spark.read.parquet(cli.input)
+        val g = HostGraphBuilder.build(spark, edges, vertexPartitions = cli.outParts)
+        g.vertices.coalesce(cli.outParts).write.mode("overwrite")
+          .parquet(s"${cli.output}/vertices")
+        g.edges.coalesce(cli.outParts).write.mode("overwrite")
+          .parquet(s"${cli.output}/edges")
+        spark.read.parquet(s"${cli.output}/edges")
       case "md5sum" =>
-        FileProcessorJob.md5sum(spark, input, inParts,
+        FileProcessorJob.md5sum(spark, cli.input, cli.inParts,
           failedAcc = Some(counters.recordsFailed))
       case "warc_to_parquet" =>
         // archives → columnar table via the DSv2 source (input = path/dir)
-        spark.read.format("warc").load(input)
-          .write.mode("overwrite").option("compression", "zstd").parquet(output)
-        spark.read.parquet(output)
+        spark.read.format("warc").load(cli.input)
       case "index_build" =>
-        CCIndexWarcJob.buildIndexFromManifest(spark, input,
-          s"$output/indexed", s"$output/ccindex", inParts)
-        spark.read.parquet(s"$output/ccindex")
+        CCIndexWarcJob.buildIndexFromManifest(spark, cli.input,
+          s"${cli.output}/indexed", s"${cli.output}/ccindex", cli.inParts)
+        spark.read.parquet(s"${cli.output}/ccindex")
+      case "index_export" =>
+        // CCIndexSparkJob (sparkcc.py:525-535): SQL over the index,
+        // result written as a table — the CTAS step whose output feeds
+        // index_word_count via --input_table_format
+        loadCoords(spark, cli).repartition(cli.outParts)
       case "index_word_count" =>
-        // input = ccindex parquet path; fetches HTML responses only
-        CCIndexWarcJob.wordCount(spark, input,
-          """SELECT url, warc_filename, warc_record_offset, warc_record_length
-            FROM ccindex WHERE warc_type = 'response'""", inParts,
-          failedAcc = Some(counters.recordsFailed))
+        CCIndexWarcJob.wordCountRecords(
+          CCIndexWarcJob.fetchCoords(loadCoords(spark, cli), cli.inParts,
+            Some(counters.recordsFailed)))
       case "wet_extract" =>
-        val coords = graft.jobs.WetExtractor.run(spark, input, s"$output/wet", inParts)
-        coords.coalesce(outParts).write.mode("overwrite").parquet(s"$output/coords")
-        spark.read.parquet(s"$output/coords")
+        val coords = WetExtractor.run(spark, cli.input, s"${cli.output}/wet", cli.inParts)
+        coords.coalesce(cli.outParts).write.mode("overwrite")
+          .parquet(s"${cli.output}/coords")
+        spark.read.parquet(s"${cli.output}/coords")
       case "stream_windows" =>
-        val stream = graft.streaming.EventStream.readEvents(spark, input)
+        val stream = graft.streaming.EventStream.readEvents(spark, cli.input)
         val q = graft.streaming.EventStream.windowedCounts(stream)
           .writeStream.format("memory").queryName("win").outputMode("complete").start()
         q.processAllAvailable(); q.stop()
-        val res = spark.sql("SELECT * FROM win")
-        res.coalesce(outParts).write.mode("overwrite").parquet(output)
-        spark.read.parquet(output)
-      case other => sys.error(s"unknown job: $other")
+        spark.sql("SELECT * FROM win")
+      case other => sys.error(s"unknown job: $other\n${JobCli.usage}")
     }
-    val selfWriting = Set("host_graph", "wet_extract", "stream_windows",
-      "index_build", "warc_to_parquet")
-    if (!selfWriting.contains(job))
-      df.coalesce(outParts).write.mode("overwrite").parquet(output)
-    val countPath = job match {
-      case "host_graph"  => s"$output/edges"
-      case "wet_extract" => s"$output/coords"
-      case "index_build" => s"$output/ccindex"
-      case _             => output
-    }
-    println(s"[graft] job=$job rows=${spark.read.parquet(countPath).count()} " +
+
+    if (!selfWriting.contains(cli.job)) JobConfig.write(df, config)
+
+    val rows =
+      if (selfWriting.contains(cli.job)) {
+        val countPath = cli.job match {
+          case "host_graph"  => s"${cli.output}/edges"
+          case "wet_extract" => s"${cli.output}/coords"
+          case "index_build" => s"${cli.output}/ccindex"
+        }
+        spark.read.parquet(countPath).count()
+      } else if (JobConfig.isPathOutput(cli.output)) {
+        spark.read.format(config.outputFormat).options(config.outputOptions)
+          .load(cli.output).count()
+      } else spark.table(cli.output).count()
+    println(s"[graft] job=${cli.job} rows=$rows " +
       s"processed=${counters.recordsProcessed.value} failed=${counters.recordsFailed.value}")
-    spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cli = JobCli.parse(args)
+    val spark = Sessions.local(appName = s"graft-${cli.job}")
+    try run(spark, cli) finally spark.stop()
   }
 }

@@ -101,6 +101,79 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(got.contains(("org.example.old", "org.example.old"))) // redirect self-host
   }
 
+  test("jobs chain by table name: index_export CTAS feeds index_word_count") {
+    val dir = java.nio.file.Files.createTempDirectory("chain").toString
+    CCIndexWarcJob.buildIndex(spark, Seq(warcPath), s"$dir/indexed", s"$dir/ccindex")
+
+    // idempotence across JVMs: a prior run's managed-table location is
+    // orphaned once the in-memory catalog dies — clear both
+    spark.sql("DROP TABLE IF EXISTS coords_e2e")
+    val orphan = new java.io.File(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir") + "/coords_e2e").getPath)
+    if (orphan.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(orphan)
+
+    // job 1: SQL over the index → managed table (saveAsTable, the
+    // reference's default output mode, sparkcc.py:219-225)
+    JobRunner.run(spark, JobCli("index_export", s"$dir/ccindex", "coords_e2e",
+      outParts = 1, query = Some(
+        """SELECT url, warc_filename, warc_record_offset, warc_record_length
+          FROM ccindex WHERE warc_type = 'response'""")))
+    assert(spark.catalog.tableExists("coords_e2e"))
+    assert(spark.table("coords_e2e").count() > 0)
+
+    // job 2: the CTAS output feeds the fetch via --input_table_format
+    // (the reference's chained workflow, sparkcc.py:569-607)
+    val location = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("coords_e2e"))
+      .location.toString
+    JobRunner.run(spark, JobCli("index_word_count", location, s"$dir/wc",
+      inParts = 2, inputTableFormat = Some("parquet")))
+    val wc = spark.read.parquet(s"$dir/wc")
+    val words = wc.collect().map(r => r.getString(0)).toSet
+    assert(words.contains("hello"))
+  }
+
+  test("index_word_count honors --query and --table_schema JSON") {
+    val dir = java.nio.file.Files.createTempDirectory("qschema").toString
+    CCIndexWarcJob.buildIndex(spark, Seq(warcPath), s"$dir/indexed", s"$dir/ccindex")
+    // user-supplied schema file (narrowed to the coordinate columns +
+    // warc_type so the filter still resolves — sparkcc.py:489-497)
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("warc_filename", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("warc_record_offset", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("warc_record_length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("warc_type", org.apache.spark.sql.types.StringType)
+    )).json
+    val schemaFile = s"$dir/schema.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(schemaFile), schemaJson)
+    JobRunner.run(spark, JobCli("index_word_count", s"$dir/ccindex", s"$dir/wc",
+      inParts = 2,
+      query = Some("""SELECT url, warc_filename, warc_record_offset, warc_record_length
+        FROM ccindex WHERE warc_type = 'response' AND url LIKE '%example.com%'"""),
+      tableSchema = Some(schemaFile)))
+    val words = spark.read.parquet(s"$dir/wc").collect().map(_.getString(0)).toSet
+    assert(words.contains("hello"))
+  }
+
+  test("CLI parsing: flags, repeated options, orc compression fixup") {
+    val cli = JobCli.parse(Array("server_count", "in.txt", "out_tbl",
+      "--num_input_partitions", "16", "--output_format", "orc",
+      "--output_option", "a=1", "--output_option", "b=x=y",
+      "--input_table_option", "header=true"))
+    assert(cli.inParts == 16 && cli.outputFormat == "orc")
+    assert(cli.outputOptions == Map("a" -> "1", "b" -> "x=y"))
+    assert(cli.inputTableOptions == Map("header" -> "true"))
+    // positional back-compat
+    val pos = JobCli.parse(Array("server_count", "in.txt", "/out", "4", "2"))
+    assert(pos.inParts == 4 && pos.outParts == 2)
+    assert(JobConfig.effectiveCompression("orc", "gzip") == "zlib")
+    assert(JobConfig.effectiveCompression("parquet", "gzip") == "gzip")
+    assert(JobConfig.isPathOutput("/out") && JobConfig.isPathOutput("s3a://b/p"))
+    assert(!JobConfig.isPathOutput("out_tbl"))
+  }
+
   test("sitemaps job: list concat across hosts for one sitemap URL") {
     import spark.implicits._
     val r1 = Fixtures.robots("https://a.example.com/robots.txt",
