@@ -9,9 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FileProcessorJob {
 
-  /** S8: stream each file to a named temp file, apply `process`, clean up.
-    * `process` receives (original path, local temp path). Failed inputs
-    * are counted (reference fault model: count and continue) and skipped.
+  /** S8: spool each file to a named temp file, apply `process`, clean up.
+    * `process` receives (original path, local temp path). Inputs come
+    * from any scheme the fetch seam speaks — http(s) via HttpClient,
+    * file:/hdfs:/s3a: via the Hadoop FS API (sparkcc.py:703-764's
+    * multi-scheme fetch_file). Failed inputs are counted (reference
+    * fault model: count and continue) and skipped.
     */
   def processFiles[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, manifestPath: String, numPartitions: Int,
@@ -24,7 +27,7 @@ object FileProcessorJob {
       .flatMap { path =>
         val tmp = java.nio.file.Files.createTempFile("graft_file", suffixOf(path))
         try {
-          val in = new java.io.FileInputStream(path.stripPrefix("file:"))
+          val in = graft.warc.WarcReader.openRaw(path)
           try java.nio.file.Files.copy(in, tmp,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           finally in.close()

@@ -129,15 +129,21 @@ object WarcReader {
     * exercised). Transparently gunzips.
     */
   def open(path: String): WarcReader = {
-    val raw: InputStream =
-      if (isHttpUrl(path)) httpStream(path)
-      else {
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(hadoopConf).open(p, 1 << 16)
-      }
+    val raw = openRaw(path)
     val in = if (path.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
     new WarcReader(in)
   }
+
+  /** Raw multi-scheme byte stream (no gunzip): http(s) via HttpClient,
+    * everything else via the Hadoop FileSystem API (file:, hdfs:, s3a:) —
+    * the whole-file fetch seam shared with S8 (sparkcc.py:703-764).
+    */
+  def openRaw(path: String): InputStream =
+    if (isHttpUrl(path)) httpStream(path)
+    else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(hadoopConf).open(p, 1 << 16)
+    }
 
   /** Ranged open: stream positioned at `offset` (FSDataInputStream.seek —
     * a ranged GET on object stores; an HTTP `Range` request on http(s)
@@ -189,17 +195,28 @@ object WarcReader {
 
   private def httpSend(url: String, range: Option[String])
       : java.net.http.HttpResponse[InputStream] = {
-    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET()
-    range.foreach(b.header("Range", _))
-    val resp = httpClient.send(b.build(),
-      java.net.http.HttpResponse.BodyHandlers.ofInputStream())
-    val code = resp.statusCode()
-    // 206 for honored ranges; some servers answer 200 with the full body
-    if (code / 100 != 2) {
+    var attempt = 0
+    while (true) {
+      // request timeout bounds the wait for response headers — a server
+      // that accepts the connection but never answers would otherwise
+      // hang the Spark task forever (the reference's urllib path runs
+      // under socket timeouts). Transient 5xx on the ranged-GET path
+      // gets a short bounded retry before failing the record.
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMinutes(5)).GET()
+      range.foreach(b.header("Range", _))
+      val resp = httpClient.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+      val code = resp.statusCode()
+      // 206 for honored ranges; some servers answer 200 with the full body
+      if (code / 100 == 2) return resp
       try resp.body().close() catch { case _: Exception => () }
-      throw new java.io.IOException(s"http $code fetching $url")
+      if (code / 100 == 5 && attempt < 2) {
+        attempt += 1
+        Thread.sleep(200L << attempt)
+      } else throw new java.io.IOException(s"http $code fetching $url")
     }
-    resp
+    throw new IllegalStateException("unreachable")
   }
 
   private lazy val httpClient = java.net.http.HttpClient.newBuilder()

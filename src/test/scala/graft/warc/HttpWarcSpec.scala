@@ -84,6 +84,20 @@ class HttpWarcSpec extends AnyFunSuite {
     }
   }
 
+  test("S8 whole-file processor over an http:// manifest entry (md5sum)") {
+    withServer(ranges = true) { url =>
+      val manifest = java.nio.file.Files.createTempFile("m_http", ".txt")
+      java.nio.file.Files.writeString(manifest, url + "\n")
+      val rows = graft.jobs.FileProcessorJob.md5sum(spark, manifest.toString, 1)
+        .collect()
+      assert(rows.length == 1)
+      assert(rows(0).getString(0) == url)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expected = md.digest(bytes).map("%02x".format(_)).mkString
+      assert(rows(0).getString(1) == expected)
+    }
+  }
+
   test("fetchRecords end-to-end over http coordinates") {
     withServer(ranges = true) { url =>
       import spark.implicits._
