@@ -75,20 +75,29 @@ object Dedup {
   }
 
   /** Candidate pairs from bucket collisions (id1 < id2), deduped across
-    * bands. Over-wide buckets are dropped (see MaxBucket).
+    * bands. Buckets up to MaxBucket wide self-join; wider buckets —
+    * exactly the heaviest real dup targets (thousands of identical or
+    * near-empty docs) — emit a spanning star to the bucket's min doc_id
+    * instead: O(bucket) pairs that keep the cluster connected for the
+    * connected-components step, where a quadratic self-join would
+    * explode and an outright drop would never dedup them at all.
     */
   def candidatePairs(banded: DataFrame): DataFrame = {
+    val wBB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
     val sized = banded
-      .withColumn("bw", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bw") <= MaxBucket)
-      .drop("bw")
-    val a = sized.select(col("band"), col("bucket"), col("doc_id").as("id1"))
-    val b = sized.select(col("band"), col("bucket"), col("doc_id").as("id2"))
-    a.join(b, Seq("band", "bucket"))
+      .withColumn("bw", count(lit(1)).over(wBB))
+      .withColumn("anchor", min(col("doc_id")).over(wBB))
+    val small = sized.filter(col("bw") <= MaxBucket)
+    val a = small.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+    val b = small.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+    val full = a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
-      .distinct()
+    val star = sized.filter(col("bw") > MaxBucket)
+      .filter(col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("id1"), col("doc_id").as("id2"))
+    full.union(star).distinct()
   }
 
   /** Exact Jaccard verification of candidate pairs against shingle sets. */
@@ -213,8 +222,10 @@ object Dedup {
     * as one map-side expression (see SimHashSig); the only shuffles are
     * the band-bucket join and the pair distinct. Bucket width is capped
     * like candidatePairs — a degenerate 16-bit band bucket (near-empty
-    * docs all hash to sig 0) would go quadratic — and the hamming filter
-    * runs BEFORE distinct so pairs about to be discarded never shuffle.
+    * docs all hash to sig 0) would go quadratic, so over-cap buckets
+    * emit a spanning star to the bucket's min doc instead of the full
+    * self-join — and the hamming filter runs BEFORE distinct so pairs
+    * about to be discarded never shuffle.
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = docs
@@ -225,19 +236,26 @@ object Dedup {
         struct(lit(k).as("band"),
           expr(s"shiftrightunsigned(sig, ${k * 16}) & 65535").as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val wBB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
     val sized = banded
-      .withColumn("bw", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bw") <= SimHashMaxBucket)
-      .drop("bw")
-    val a = sized.select(col("band"), col("bucket"), col("doc_id").as("id1"), col("sig").as("sig1"))
-    val b = sized.select(col("band"), col("bucket"), col("doc_id").as("id2"), col("sig").as("sig2"))
-    a.join(b, Seq("band", "bucket"))
+      .withColumn("bw", count(lit(1)).over(wBB))
+      // min-by-doc_id (doc, sig) anchor for the over-cap star
+      .withColumn("am", min(struct(col("doc_id"), col("sig"))).over(wBB))
+    val small = sized.filter(col("bw") <= SimHashMaxBucket)
+    val a = small.select(col("band"), col("bucket"), col("doc_id").as("id1"), col("sig").as("sig1"))
+    val b = small.select(col("band"), col("bucket"), col("doc_id").as("id2"), col("sig").as("sig2"))
+    val full = a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         expr("bit_count(sig1 ^ sig2)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    val star = sized.filter(col("bw") > SimHashMaxBucket)
+      .filter(col("doc_id") =!= col("am.doc_id"))
+      .select(col("am.doc_id").as("id1"), col("doc_id").as("id2"),
+        expr("bit_count(am.sig ^ sig)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    full.union(star).distinct()
   }
 
   val dedupSimHash: QueryDef = QueryDef(

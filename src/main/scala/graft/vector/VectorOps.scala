@@ -177,18 +177,26 @@ object VectorOps {
     "dedup_embedding",
     (s, dir) => {
       // cap bucket width (graft.dedup.Dedup.MaxBucket rationale): a
-      // degenerate signature bucket must not go quadratic in the self-join
-      val c = corpus(s, dir)
+      // degenerate signature bucket must not go quadratic in the
+      // self-join. Over-cap buckets — the heaviest real dup targets —
+      // emit a spanning star to the bucket's min vec_id (O(bucket)
+      // pairs, connectivity preserved) instead of being dropped.
+      val wB = Window.partitionBy(col("bucket"))
+      val sized = corpus(s, dir)
         .withColumn("bucket", lshSignature(col("embedding"), MaxPlanes))
-        .withColumn("bw", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-        .filter(col("bw") <= 64)
-        .drop("bw")
+        .withColumn("bw", count(lit(1)).over(wB))
+        .withColumn("am", min(struct(col("vec_id"), col("embedding"))).over(wB))
+      val c = sized.filter(col("bw") <= 64)
       val a = c.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
       val b = c.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
-      val pairs = a.join(b, "bucket")
+      val full = a.join(b, "bucket")
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"), cosineSim(col("e1"), col("e2")).as("cos"))
-        .filter(col("cos") >= 0.99)
+      val star = sized.filter(col("bw") > 64)
+        .filter(col("vec_id") =!= col("am.vec_id"))
+        .select(col("am.vec_id").as("id1"), col("vec_id").as("id2"),
+          cosineSim(col("am.embedding"), col("embedding")).as("cos"))
+      val pairs = full.union(star).filter(col("cos") >= 0.99)
       pairs.agg(count(lit(1)).as("n_pairs"),
         coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos"))
     })

@@ -19,25 +19,35 @@ class DedupScaleSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("simhash: 1000 identical docs stay sub-quadratic via the bucket cap") {
+  test("simhash: 1000 identical docs → spanning star, sub-quadratic AND connected") {
     import spark.implicits._
     val docs = (0 until 1000).map(i => (i.toLong, "the same exact document text repeated"))
       .toDF("doc_id", "text")
-    val n = Dedup.simHashPairs(docs).count()
-    // uncapped this would be 1000*999/2 ≈ 500k pairs; the cap (256) drops
-    // the degenerate buckets entirely
-    assert(n <= 256L * 255 / 2 * 4, s"pair set not capped: $n")
+    val pairs = Dedup.simHashPairs(docs)
+    val n = pairs.count()
+    // uncapped this would be 1000*999/2 ≈ 500k pairs; over-cap buckets
+    // emit a star to the min doc: exactly 999 pairs, all anchored at 0
+    assert(n == 999, s"expected spanning star of 999 pairs, got $n")
+    assert(pairs.filter(col("id1") === 0L).count() == 999)
+    // CC over the star finds ONE cluster of 1000 — the dedup decision
+    // the old cap-and-drop could never make
+    val labels = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
+    assert(labels.select(col("label")).distinct().count() == 1)
+    assert(labels.count() == 1000)
   }
 
-  test("minhash candidates: 1000 identical docs stay sub-quadratic") {
+  test("minhash candidates: 1000 identical docs → spanning star per band") {
     import spark.implicits._
     val docs = (0 until 1000).map(i =>
       (i.toLong, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
       .toDF("doc_id", "text")
     val sh = Dedup.wordShingles(docs, 5)
     val cand = Dedup.candidatePairs(
-      Dedup.bands(Dedup.minHashSignature(sh, 64), 64, 4)).count()
-    assert(cand <= 64L * 63 / 2 * 16, s"candidate set not capped: $cand")
+      Dedup.bands(Dedup.minHashSignature(sh, 64), 64, 4))
+    assert(cand.count() == 999, s"expected 999 star pairs")
+    // and the full pipeline (verify + CC) dedups the whole cluster
+    val verified = Dedup.verifyJaccard(cand, sh, 0.5)
+    assert(verified.count() == 999) // identical docs: jaccard 1.0 everywhere
   }
 
   test("test-data buckets are under the cap (cap is behavior-neutral there)") {
