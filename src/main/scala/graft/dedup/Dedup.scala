@@ -113,18 +113,25 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline over arbitrary shingle sets.
-    * The shingle table feeds three plan branches (signatures + both
-    * verification joins) — persist it once instead of recomputing the
-    * tokenize/shingle/hash work per branch (sparkcc.py:511's persist-
-    * before-reuse, same reasoning).
+    *
+    * Deliberately ONE linear plan with no persist: the shingle
+    * expression appears in three branches (signatures, both verify
+    * sides), but each is a fused map-side scan, and the candidate pair
+    * set is small after LSH so AQE broadcasts it into the verify joins —
+    * the full-width shingle branches stream through the probe side
+    * without shuffling. Round 2 persisted the shingle table instead;
+    * that materializes a column ~10× the text it came from (a
+    * non-starter at 100 TB, where it means spilling ~1 PB to executor
+    * disks) and measured 2× SLOWER locally than the recompute
+    * (tools/DedupAB: 0.8 s linear vs 1.5 s persisted vs 2 s
+    * persist-candidates-and-semi-join) — three cheap map scans beat one
+    * materialization on both axes.
     */
   def minHashDedup(shingled0: DataFrame, perms: Int, rowsPerBand: Int,
                    threshold: Double): DataFrame = {
-    val shingled = shingled0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minHashSignature(shingled, perms)
+    val sig = minHashSignature(shingled0, perms)
     val cand = candidatePairs(bands(sig, perms, rowsPerBand))
-    verifyJaccard(cand, shingled, threshold)
+    verifyJaccard(cand, shingled0, threshold)
   }
 
   /** Connected components over near-dup pairs by min-label propagation —

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
@@ -22,8 +22,7 @@ import org.apache.spark.sql.types._
   * every (doc, shingle) pair twice; at 100 TB that's the difference
   * between a full-corpus shuffle and none at all.
   */
-case class MinHashSig(child: Expression, perms: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -34,37 +33,12 @@ case class MinHashSig(child: Expression, perms: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = new Array[Long](perms)
-    val seen = new Array[Boolean](perms)
-    var i = 0
-    while (i < n) {
-      val h = arr.getLong(i)
-      val bin = (((h % perms) + perms) % perms).toInt
-      if (!seen(bin) || h < mins(bin)) { mins(bin) = h; seen(bin) = true }
-      i += 1
-    }
-    val out = new Array[Any](perms)
-    var j = 0
-    while (j < perms) {
-      if (seen(j)) out(j) = mins(j)
-      else {
-        // rotation densification: nearest non-empty bin to the right
-        var d = 1
-        var src = -1
-        while (d < perms && src < 0) {
-          if (seen((j + d) % perms)) src = (j + d) % perms
-          d += 1
-        }
-        // src < 0 ⇔ empty shingle set: fall back to per-bin sentinel
-        out(j) = if (src < 0) Long.MinValue + j else mins(src)
-      }
-      j += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhash(v.asInstanceOf[ArrayData], perms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minhash($c, $perms);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
