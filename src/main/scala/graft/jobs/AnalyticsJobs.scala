@@ -19,8 +19,10 @@ object ServerCountJob extends CCJob[String]()(org.apache.spark.sql.Encoders.STRI
 /** html_tag_count.py — histogram of HTML tag names. */
 object HtmlTagCountJob extends CCJob[String]()(org.apache.spark.sql.Encoders.STRING) {
   val name = "html_tag_count"
-  def extract(path: String, rec: WarcRecord, c: JobCounters): Iterator[(String, Long)] =
+  def extract(path: String, rec: WarcRecord, c: JobCounters): Iterator[(String, Long)] = {
+    if (!(Predicates.isResponse(rec) && Predicates.isHtml(rec))) c.recordsNonHtml.add(1)
     Extractors.htmlTagCounts(rec)
+  }
 }
 
 /** server_ip_address.py — (host, ip) pair counts. */
@@ -73,20 +75,38 @@ object ExtractHostLinksJob {
     spark.read.parquet(checkpointPath)
   }
 
-  def edges(spark: SparkSession, records: Dataset[(String, WarcRecord)]): DataFrame = {
+  def edges(spark: SparkSession, records: Dataset[(String, WarcRecord)],
+            counters: Option[JobCounters] = None): DataFrame = {
     import spark.implicits._
+    // per-source-type record counts + non-unique link pairs, the
+    // reference's ExtractLinksJob accumulator set
+    // (wat_extract_links.py:257-268)
+    def counted(it: Iterator[(String, String)]): Iterator[(String, String)] =
+      counters match {
+        case Some(c) => it.map { e => c.linkCount.add(1); e }
+        case None => it
+      }
     records.flatMap { case (path, r) =>
-      if (Predicates.isRobotsTxtArchive(path)) Extractors.sitemapHostEdges(r)
-      else if (Predicates.isWatJson(r)) WatLinks.hostEdges(r)
-      else {
+      if (Predicates.isRobotsTxtArchive(path)) {
+        counters.foreach(_.responseRobotsTxt.add(1))
+        counted(Extractors.sitemapHostEdges(r))
+      } else if (Predicates.isWatJson(r)) {
+        counters.foreach(_.responseWat.add(1))
+        counted(WatLinks.hostEdges(r))
+      } else {
+        if (Predicates.isResponse(r)) counters.foreach { c =>
+          c.recordsResponse.add(1)
+          if (Predicates.isRedirect(r)) c.responseRedirect.add(1)
+          else if (!Predicates.isHtml(r)) c.recordsNonHtml.add(1)
+        }
         // plain WARC responses: redirect Location edges + raw-HTML links
-        (Extractors.redirectLinks(r) ++ Extractors.htmlLinks(r))
+        counted((Extractors.redirectLinks(r) ++ Extractors.htmlLinks(r))
           .flatMap { case (f, t) =>
             for {
               sh <- graft.ops.SurtHost.surtHostFromUrl(f)
               th <- graft.ops.SurtHost.surtHostFromUrl(t)
             } yield (sh, th)
-          }
+          })
       }
     }.toDF("s", "t")
       .dropDuplicates()

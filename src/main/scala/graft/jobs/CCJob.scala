@@ -54,14 +54,43 @@ object JobConfig {
   }
 }
 
+/** Per-job counters — the reference's accumulator set (sparkcc.py:152-160
+  * base + wat_extract_links.py:257-268 job-specific). All are registered
+  * up front on the driver; extraction closures increment whichever apply.
+  */
 final case class JobCounters(
     recordsProcessed: LongAccumulator,
-    recordsFailed: LongAccumulator)
+    recordsFailed: LongAccumulator,
+    recordsNonHtml: LongAccumulator,
+    recordsResponse: LongAccumulator,
+    responseWat: LongAccumulator,
+    responseRedirect: LongAccumulator,
+    responseRobotsTxt: LongAccumulator,
+    linkCount: LongAccumulator) {
+
+  /** One line per counter, the log_accumulators analogue
+    * (sparkcc.py:199-206, wat_extract_links.py:271-288).
+    */
+  def summary: String = Seq(
+    "records processed" -> recordsProcessed,
+    "records failed to process" -> recordsFailed,
+    "records not HTML" -> recordsNonHtml,
+    "response records" -> recordsResponse,
+    "response records WAT" -> responseWat,
+    "response records redirects" -> responseRedirect,
+    "response records robots.txt" -> responseRobotsTxt,
+    "non-unique link pairs" -> linkCount
+  ).map { case (d, a) => s"$d = ${a.value}" }.mkString("; ")
+}
 
 object JobCounters {
-  def apply(spark: SparkSession): JobCounters = JobCounters(
-    spark.sparkContext.longAccumulator("records_processed"),
-    spark.sparkContext.longAccumulator("records_failed"))
+  def apply(spark: SparkSession): JobCounters = {
+    def acc(n: String) = spark.sparkContext.longAccumulator(n)
+    JobCounters(acc("records_processed"), acc("records_failed"),
+      acc("records_non_html"), acc("records_response"),
+      acc("records_response_wat"), acc("records_response_redirect"),
+      acc("records_response_robotstxt"), acc("link_count"))
+  }
 }
 
 abstract class CCJob[K: org.apache.spark.sql.Encoder] extends Serializable {

@@ -123,7 +123,7 @@ object JobRunner {
       case "server_ip"      => ServerIpJob.aggregate(spark, records, counters)
       case "word_count"     => WordCountJob.aggregate(spark, records)
       case "sitemaps"       => SitemapsJob.aggregate(spark, records)
-      case "extract_host_links" => ExtractHostLinksJob.edges(spark, records)
+      case "extract_host_links" => ExtractHostLinksJob.edges(spark, records, Some(counters))
       case "host_graph" =>
         val edges = spark.read.parquet(cli.input)
         val g = HostGraphBuilder.build(spark, edges, vertexPartitions = cli.outParts)
@@ -179,8 +179,7 @@ object JobRunner {
         spark.read.format(config.outputFormat).options(config.outputOptions)
           .load(cli.output).count()
       } else spark.table(cli.output).count()
-    println(s"[graft] job=${cli.job} rows=$rows " +
-      s"processed=${counters.recordsProcessed.value} failed=${counters.recordsFailed.value}")
+    println(s"[graft] job=${cli.job} rows=$rows; ${counters.summary}")
   }
 
   def main(args: Array[String]): Unit = {

@@ -94,11 +94,26 @@ class JobsE2ESpec extends AnyFunSuite {
   }
 
   test("ExtractHostLinksJob combines WAT, redirect, and robots sources") {
+    val counters = JobCounters(spark)
     val records = WarcSource.fromPaths(spark, Seq(warcPath), 2)
-    val df = ExtractHostLinksJob.edges(spark, records)
+    val df = ExtractHostLinksJob.edges(spark, records, Some(counters))
     val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got.contains(("com.example", "net.example.cdn"))) // WAT link
     assert(got.contains(("org.example.old", "org.example.old"))) // redirect self-host
+    // per-job accumulators (wat_extract_links.py:257-288 parity)
+    assert(counters.responseWat.value == 1)      // watJson fixture
+    assert(counters.responseRedirect.value == 1) // responseRedirect fixture
+    assert(counters.recordsResponse.value == 4)  // all response-typed fixtures
+    assert(counters.linkCount.value >= got.size)
+    assert(counters.summary.contains("response records WAT = 1"))
+  }
+
+  test("HtmlTagCountJob counts non-HTML records") {
+    val counters = JobCounters(spark)
+    val records = WarcSource.fromPaths(spark, Seq(warcPath), 2)
+    HtmlTagCountJob.aggregate(spark, records, counters).collect()
+    // wetText + watJson + robotsTxt are not HTML responses
+    assert(counters.recordsNonHtml.value >= 3)
   }
 
   test("jobs chain by table name: index_export CTAS feeds index_word_count") {
