@@ -30,7 +30,11 @@ import org.apache.spark.util.LongAccumulator
   * rewriting completed archives is the difference between a 1-hour and a
   * 20-hour recovery. Output is written to a temp file and atomically
   * renamed, so a task killed mid-write never leaves a truncated file
-  * that a resume would wrongly skip.
+  * that a resume would wrongly skip. Each WET file gets a coords
+  * sidecar (<name>.coords.gz); a skipped archive re-emits its rows
+  * from the sidecar, so a resumed run's coordinate table is COMPLETE,
+  * not just the newly-done archives. A file is only skipped when both
+  * the WET output and its sidecar exist.
   *
   * This is the one genuinely order-dependent operator: records are
   * processed in file order inside a sequential mapPartitions, one output
@@ -64,12 +68,16 @@ object WetExtractor {
     val inName = new java.io.File(path.stripPrefix("file:")).getName
     val wetName = inName.replaceAll("\\.warc(\\.gz)?$", "") + ".warc.wet.gz"
     val wetPath = s"${outDir.stripSuffix("/")}/$wetName"
+    val coordsPath = s"$wetPath.coords.gz"
     new java.io.File(outDir).mkdirs()
     // skip-if-output-exists: resume after partial failure must not redo
-    // completed archives (sparkcc.py:784-816 + wet_extractor.py:146-148)
-    if (new java.io.File(wetPath).exists()) {
+    // completed archives (sparkcc.py:784-816 + wet_extractor.py:146-148).
+    // The sidecar is written last, so both-present ⇒ the pair is
+    // complete; wet-without-sidecar (crash between the two renames) is
+    // redone from scratch.
+    if (new java.io.File(wetPath).exists() && new java.io.File(coordsPath).exists()) {
       skippedExisting.foreach(_.add(1))
-      return Iterator.empty
+      return readCoordsSidecar(coordsPath, wetName)
     }
     val tmpPath = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(outDir), s".$wetName.", ".tmp")
@@ -85,6 +93,8 @@ object WetExtractor {
           return Iterator.empty
       }
       try {
+        // (any exception below the reader-open — e.g. a disk-full write —
+        // must not strand the temp file; see outer catch)
         // grouping state: one (uri, date) key in flight at a time
         var curUri: String = null
         var curDate: String = null
@@ -143,10 +153,51 @@ object WetExtractor {
         }
         flush()
       } finally reader.close()
+    } catch {
+      case e: Exception =>
+        // never strand a .tmp: a retried/resumed task must find either
+        // nothing or the complete (wet, sidecar) pair
+        java.nio.file.Files.deleteIfExists(tmpPath)
+        throw e
     } finally fos.close()
+    val coords = out.result()
     java.nio.file.Files.move(tmpPath, java.nio.file.Paths.get(wetPath),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    out.result().iterator
+    writeCoordsSidecar(coordsPath, coords)
+    coords.iterator
+  }
+
+  /** Sidecar I/O: one gzip TSV line per conversion record. The sidecar
+    * is what lets a resumed run re-emit coordinates for archives it
+    * skips; it is written tmp-then-rename after the WET file itself.
+    */
+  private def writeCoordsSidecar(coordsPath: String, coords: Seq[WetCoord]): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(coordsPath).getParent, ".coords.", ".tmp")
+    val w = new java.io.OutputStreamWriter(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(tmp.toFile)), "UTF-8")
+    try coords.foreach { c =>
+      w.write(s"${c.url}\t${c.warc_date}\t${c.wet_offset}\t${c.wet_length}\n")
+    } catch {
+      case e: Exception =>
+        w.close(); java.nio.file.Files.deleteIfExists(tmp); throw e
+    } finally w.close()
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(coordsPath),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readCoordsSidecar(coordsPath: String, wetName: String): Iterator[WetCoord] = {
+    val src = scala.io.Source.fromInputStream(new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(coordsPath)), "UTF-8")
+    try {
+      src.getLines().flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(url, date, off, len) =>
+            Some(WetCoord(url, date, wetName, off.toLong, len.toLong))
+          case _ => None
+        }
+      }.toVector.iterator
+    } finally src.close()
   }
 
   /** charset-detected / languages-cld2 from a metadata record's payload
@@ -174,9 +225,13 @@ object WetExtractor {
 
   private def warcinfoRecord(wetName: String, inName: String,
                              first: WarcRecord): WarcRecord = {
+    // date derived from the source archive, NOT Instant.now(): the
+    // deterministic record ids only make re-runs byte-identical (the
+    // resume contract above) if the warcinfo dates are reproducible too
+    val srcDate = first.date.getOrElse("1970-01-01T00:00:00Z")
     val fields = scala.collection.mutable.LinkedHashMap(
       "Software-Info" -> "graft wet extractor (Spark-native)",
-      "Extracted-Date" -> java.time.Instant.now().toString)
+      "Extracted-Date" -> srcDate)
     if (first.recType == "warcinfo") {
       val carried = Set("robots", "ispartof", "operator", "description", "publisher")
       try {
@@ -190,7 +245,7 @@ object WetExtractor {
     val body = fields.map { case (k, v) => s"$k: $v\r\n" }.mkString.getBytes("UTF-8")
     WarcRecord(Map(
       "WARC-Type" -> "warcinfo",
-      "WARC-Date" -> java.time.Instant.now().toString,
+      "WARC-Date" -> srcDate,
       "WARC-Filename" -> wetName,
       "WARC-Record-ID" -> ("<urn:uuid:" + java.util.UUID.nameUUIDFromBytes(
         s"warcinfo|$wetName|$inName".getBytes("UTF-8")) + ">"),

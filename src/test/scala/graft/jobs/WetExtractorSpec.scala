@@ -110,12 +110,22 @@ class WetExtractorSpec extends AnyFunSuite {
 
     val acc = spark.sparkContext.longAccumulator("skipped")
     val second = WetExtractor.extractFile(warcPath, outDir, Some(acc)).toVector
-    assert(second.isEmpty, "second run must skip, not redo")
     assert(acc.value == 1)
     assert(java.util.Arrays.equals(bytesBefore, java.nio.file.Files.readAllBytes(wet)),
       "skipped output must be untouched")
+    // the skipped archive re-emits its coordinate rows from the sidecar,
+    // so a resumed run's coordinate table stays complete
+    assert(second == first, "skip must re-emit identical coords via sidecar")
     // no stray temp files left behind
     assert(!new java.io.File(outDir).list().exists(_.endsWith(".tmp")))
+
+    // wet present but sidecar missing (crash between renames) → redo,
+    // byte-identical thanks to source-derived dates + name-based ids
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$outDir/res.warc.wet.gz.coords.gz"))
+    val third = WetExtractor.extractFile(warcPath, outDir).toVector
+    assert(third == first)
+    assert(java.util.Arrays.equals(bytesBefore, java.nio.file.Files.readAllBytes(wet)),
+      "re-run must be byte-identical")
   }
 
   test("sha1 base32 digest matches the known empty-input vector") {
