@@ -3,20 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash (Charikar) of a token array in one per-row pass:
   * term frequencies accumulate into 64 signed bit-sums, sign → bit.
   * Replaces explode → groupBy(doc,token) → 64-aggregate (two shuffles)
   * with a map-side expression — the signature, like MinHashSig, belongs
-  * in the scan stage.
+  * in the scan stage, and doGenCode keeps it inside whole-stage codegen
+  * via a static-kernel call (HashKernels rationale).
   */
-case class SimHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHashSig(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -27,8 +26,22 @@ case class SimHashSig(child: Expression)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    SimHashSig.simhash(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashSig.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_sig"
+}
+
+object SimHashSig {
+
+  /** The per-row kernel (static for generated-code calls). */
+  def simhash(arr: ArrayData): Long = {
     val n = arr.numElements()
     // term frequencies (token-hash → tf); weighting matches the previous
     // explode+groupBy formulation (per-token tf, not binary presence)
@@ -57,12 +70,6 @@ case class SimHashSig(child: Expression)
     sig
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-  override def prettyName: String = "simhash_sig"
-}
-
-object SimHashSig {
   def simhashSig(c: Column): Column =
     Bridge.column(SimHashSig(Bridge.expression(c)))
 }
