@@ -150,7 +150,13 @@ object Dedup {
       .select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .cache()
-    var labels = graft.util.Checkpoints.reliable(
+    // per-round memory persist breaks the two-branch (join + union)
+    // label reuse; reliable checkpoint every few rounds bounds lineage
+    // and survives executor loss (Checkpoints.IterationCheckpointer)
+    val ckpt = new graft.util.Checkpoints.IterationCheckpointer(
+      interval = pairs.sparkSession.conf
+        .getOption("spark.graft.checkpointInterval").map(_.toInt).getOrElse(1))
+    var labels = ckpt.next(
       edges.select(col("a").as("node")).distinct()
         .withColumn("label", col("node")))
     var changed = 1L
@@ -165,7 +171,7 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "old_label"), "node")
         .select(col("node"), col("new_label").as("label"),
           (col("new_label") < col("old_label")).as("chg"))
-      val next = graft.util.Checkpoints.reliable(joined)
+      val next = ckpt.next(joined)
       changed = next.filter(col("chg")).count()
       labels = next.select(col("node"), col("label"))
       i += 1

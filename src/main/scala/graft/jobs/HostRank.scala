@@ -28,25 +28,26 @@ object HostRank {
     val n = nodes.count().toDouble
     val outDeg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg")).cache()
 
+    // per-round materialization breaks the two-branch (dangling +
+    // contribs) recompute fanout; the every-few-rounds reliable
+    // checkpoint bounds lineage and survives executor loss without
+    // paying a full ranks disk-write per round
+    val ckpt = new graft.util.Checkpoints.IterationCheckpointer(
+      interval = spark.conf.getOption("spark.graft.checkpointInterval").map(_.toInt).getOrElse(1))
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outDeg, Seq("node"), "left")
       // dangling nodes (no out-edges) spread their rank uniformly. The
       // dangling mass stays IN the plan as a broadcast 1-row aggregate
       // (no driver .head() round-trip), so each iteration is a single
-      // action: the eager reliable checkpoint below.
+      // materializing action.
       val danglingMass = withDeg.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       val contribs = withDeg.filter(col("deg").isNotNull)
         .join(e, col("node") === col("s"))
         .select(col("t").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
-      // eager reliable checkpoint per round: the next round's two branches
-      // (dangling + contribs) both read `ranks`; without materialization
-      // each branch re-evaluates the full accumulated lineage (exponential
-      // recompute fanout — measured, not hypothetical). Reliable (not
-      // local) so a lost executor can't kill the lineage-less job.
-      ranks = graft.util.Checkpoints.reliable(
+      ranks = ckpt.next(
         nodes.join(contribs, Seq("node"), "left")
           .crossJoin(broadcast(danglingMass))
           .select(col("node"),

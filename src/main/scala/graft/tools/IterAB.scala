@@ -1,0 +1,25 @@
+package graft.tools
+
+import graft.util.{Sessions, Tables}
+import org.apache.spark.sql.functions._
+
+/** A/B timing for the iterative queries' materialization strategy
+  * (dev tool): runs graph_pagerank and dedup_clusters twice each.
+  */
+object IterAB {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("8", "iter-ab")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[ab] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // warm
+    Tables(spark, dir, "orders").count(); Tables(spark, dir, "documents").count()
+    for (i <- 1 to 3) {
+      time(s"pagerank-$i")(graft.SparkEntry.queries("graph_pagerank")(spark, dir).count())
+      time(s"clusters-$i")(graft.SparkEntry.queries("dedup_clusters")(spark, dir).count())
+    }
+    spark.stop()
+  }
+}

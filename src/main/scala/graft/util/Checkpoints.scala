@@ -34,6 +34,42 @@ object Checkpoints {
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     }
 
+  /** Per-iteration materializer for loops like PageRank / connected
+    * components whose next round reads the previous state in MORE than
+    * one plan branch (re-evaluating unmaterialized lineage there fans
+    * out exponentially). Non-checkpoint rounds are eagerly
+    * memory-persisted; every `interval`-th round goes through a
+    * reliable checkpoint, bounding lineage depth and surviving executor
+    * loss. On failure, recovery recomputes at most `interval-1` rounds
+    * from the last checkpoint.
+    *
+    * interval=1 (checkpoint every round) measures FASTEST locally —
+    * a local-fs checkpoint write is cheaper than the columnar encode
+    * `persist` pays — and is the default. On a cluster whose
+    * checkpoint dir is remote storage (HDFS/S3), raise
+    * `spark.graft.checkpointInterval` to 2-4 to trade recovery time
+    * for a network round-trip per round (tools/IterAB to measure).
+    */
+  final class IterationCheckpointer(interval: Int = 1) {
+    require(interval >= 1)
+    private var round = 0
+    private var prevCached: DataFrame = null
+
+    def next(df: DataFrame): DataFrame = {
+      round += 1
+      val out =
+        if (round % interval == 0) { reliable(df) }
+        else {
+          val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          c.count()
+          c
+        }
+      if (prevCached != null) prevCached.unpersist(blocking = false)
+      prevCached = if (round % interval == 0) null else out
+      out
+    }
+  }
+
   def reliable(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty) {
