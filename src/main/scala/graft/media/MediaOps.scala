@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is real: `imageDims` reads width/height/format from the
   * image header via pure-JVM javax.imageio (PNG/JPEG/GIF/BMP readers ship
-  * with the JDK) without decoding pixel data. AUDIO/VIDEO decode is
-  * STUBBED (no codecs in this container): `decodeStub` derives
+  * with the JDK) without decoding pixel data. AUDIO header decode is real
+  * for the formats the JDK ships readers for (WAV/AIFF/AU via
+  * javax.sound.sampled): sample rate, channels, frame count, duration —
+  * O(header), no sample decode. Compressed audio (mp3/ogg) and VIDEO
+  * decode are STUBBED (no codecs in this container): `decodeStub` derives
   * deterministic fake features from the bytes, as does the fallback for
-  * bytes no image reader recognizes. Everything around the decode —
+  * bytes no reader recognizes. Everything around the decode —
   * schema, Dataset plumbing, batched partition processing, feature
   * aggregation — is real and tested, so a production codec drops into
   * `decodeStub` without touching the plan.
@@ -31,9 +34,13 @@ object MediaOps {
   final case class MediaRow(media_id: Long, kind: String, source: String,
                             payload: Array[Byte])
 
+  /** For audio rows: width = sample rate (Hz), height = channels,
+    * frames = sample-frame count, duration_s = frames / rate.
+    */
   final case class MediaFeatures(media_id: Long, kind: String, source: String,
                                  n_bytes: Int, entropy: Double,
-                                 width: Int, height: Int, frames: Int)
+                                 width: Int, height: Int, frames: Int,
+                                 duration_s: Double)
 
   /** Image dimensions + format from the header via javax.imageio —
     * metadata only, no pixel decode, so cost is O(header) not O(pixels).
@@ -57,16 +64,41 @@ object MediaOps {
     } catch { case _: Exception => None }
   }
 
-  /** Decode one row: real header decode for images, stub for the rest. */
-  private def decode(r: MediaRow): MediaFeatures =
-    if (r.kind == "image")
+  /** Audio header metadata via javax.sound.sampled (WAV/AIFF/AU readers
+    * ship with the JDK): (sampleRate, channels, frameLength). O(header);
+    * no sample decode. None for formats without an installed reader.
+    */
+  private[media] def audioMeta(bytes: Array[Byte]): Option[(Float, Int, Long)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      Some((fmt.getSampleRate, fmt.getChannels, aff.getFrameLength.toLong))
+    } catch { case _: Exception => None }
+
+  /** Decode one row: real header decode for images and JDK-readable
+    * audio, stub for the rest.
+    */
+  private def decode(r: MediaRow): MediaFeatures = r.kind match {
+    case "image" =>
       imageDims(r.payload) match {
         case Some((w, h, _)) =>
           val stub = decodeStub(r) // n_bytes/entropy are real either way
           stub.copy(width = w, height = h, frames = 1)
         case None => decodeStub(r)
       }
-    else decodeStub(r)
+    case "audio" =>
+      audioMeta(r.payload) match {
+        case Some((rate, channels, frameLen)) =>
+          val stub = decodeStub(r)
+          val dur = if (rate > 0) frameLen / rate.toDouble else 0.0
+          stub.copy(width = rate.toInt, height = channels,
+            frames = frameLen.min(Int.MaxValue).toInt,
+            duration_s = math.rint(dur * 1e6) / 1e6)
+        case None => decodeStub(r)
+      }
+    case _ => decodeStub(r)
+  }
 
   /** STUB decode: deterministic pseudo-features from payload bytes.
     * A real implementation would decode audio duration / video frame
@@ -87,10 +119,12 @@ object MediaOps {
     }
     // fake dims derived deterministically from content hash
     val h = java.util.Arrays.hashCode(bytes)
+    val frames = if (r.kind == "video") 1 + math.abs(h / 11) % 300 else 1
     MediaFeatures(r.media_id, r.kind, r.source, bytes.length,
       math.rint(ent * 1e6) / 1e6,
       width = 64 + (math.abs(h) % 1024), height = 64 + (math.abs(h / 7) % 1024),
-      frames = if (r.kind == "video") 1 + math.abs(h / 11) % 300 else 1)
+      frames = frames,
+      duration_s = if (r.kind == "video") math.rint(frames / 30.0 * 1e6) / 1e6 else 0.0)
   }
 
   /** Batched decode over partitions — one "codec context" per partition,
@@ -135,7 +169,8 @@ object MediaOps {
         .agg(count(lit(1)).as("n"),
           sum(col("n_bytes")).as("total_bytes"),
           round(avg(col("entropy")), 4).as("avg_entropy"),
-          max(col("frames")).as("max_frames"))
+          max(col("frames")).as("max_frames"),
+          round(sum(col("duration_s")), 4).as("total_duration_s"))
     })
 
   val all: Seq[QueryDef] = Seq(multimodalFeatures)

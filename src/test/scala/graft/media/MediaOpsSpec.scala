@@ -32,6 +32,28 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(a.forall(f => f.width >= 64 && f.height >= 64))
   }
 
+  test("real audio decode: WAV header yields rate/channels/frames/duration") {
+    // 0.5 s of 16-bit mono PCM at 8 kHz, written through the JDK encoder
+    val rate = 8000f
+    val nFrames = 4000
+    val pcm = new Array[Byte](nFrames * 2)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    assert(MediaOps.audioMeta(wav).contains((rate, 1, nFrames.toLong)))
+
+    import spark.implicits._
+    val media = Seq(MediaOps.MediaRow(1L, "audio", "test", wav)).toDS()
+    val f = MediaOps.extractFeatures(media).head()
+    assert(f.width == 8000 && f.height == 1 && f.frames == 4000)
+    assert(f.duration_s == 0.5)
+  }
+
   test("registered query aggregates per source and kind") {
     val df = MediaOps.multimodalFeatures.fn(spark, sf)
     val rows = df.collect()
