@@ -18,13 +18,15 @@ object FileProcessorJob {
     */
   def processFiles[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, manifestPath: String, numPartitions: Int,
-      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None)(
+      failedAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+      baseUrl: Option[String] = None)(
       process: (String, java.nio.file.Path) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
     import spark.implicits._
     spark.read.textFile(manifestPath)
       .filter(l => l.trim.nonEmpty && !l.startsWith("#"))
       .repartition(numPartitions)
-      .flatMap { path =>
+      .flatMap { path0 =>
+        val path = graft.warc.WarcSource.resolveUri(path0, baseUrl)
         val tmp = java.nio.file.Files.createTempFile("graft_file", suffixOf(path))
         try {
           val in = graft.warc.WarcReader.openRaw(path)
@@ -48,9 +50,11 @@ object FileProcessorJob {
     */
   def md5sum(spark: SparkSession, manifestPath: String,
              numPartitions: Int = 4, useExternal: Boolean = true,
-             failedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+             failedAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+             baseUrl: Option[String] = None): DataFrame = {
     import spark.implicits._
-    processFiles[(String, String)](spark, manifestPath, numPartitions, failedAcc) { (path, tmp) =>
+    processFiles[(String, String)](spark, manifestPath, numPartitions, failedAcc,
+        baseUrl) { (path, tmp) =>
       val digest =
         if (useExternal && new java.io.File("/usr/bin/md5sum").exists()) {
           val proc = new ProcessBuilder("/usr/bin/md5sum", tmp.toString).start()

@@ -17,7 +17,8 @@ final case class JobCli(
     table: String = "ccindex",
     tableSchema: Option[String] = None,
     inputTableFormat: Option[String] = None,
-    inputTableOptions: Map[String, String] = Map.empty) {
+    inputTableOptions: Map[String, String] = Map.empty,
+    inputBaseUrl: Option[String] = None) {
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
     outputFormat, outputCompression, outputOptions)
@@ -31,7 +32,7 @@ object JobCli {
       |  [--output_format parquet|orc|json|csv] [--output_compression CODEC]
       |  [--output_option k=v]... [--query SQL] [--table NAME]
       |  [--table_schema FILE.json] [--input_table_format FORMAT]
-      |  [--input_table_option k=v]...
+      |  [--input_table_option k=v]... [--input_base_url URL]
       |  job ∈ server_count | html_tag_count | server_ip | word_count |
       |        sitemaps | extract_host_links | host_graph | wet_extract |
       |        stream_windows | md5sum | warc_to_parquet | index_build |
@@ -71,6 +72,7 @@ object JobCli {
         case "--input_table_format"    => cli = cli.copy(inputTableFormat = Some(value))
         case "--input_table_option" =>
           cli = cli.copy(inputTableOptions = cli.inputTableOptions + kv(value))
+        case "--input_base_url"        => cli = cli.copy(inputBaseUrl = Some(value))
         case other => sys.error(s"unknown flag: $other\n$usage")
       }
       i += 1
@@ -112,7 +114,7 @@ object JobRunner {
     val config = cli.jobConfig
 
     def records = WarcSource.fromManifest(spark, cli.input, cli.inParts,
-      Some(counters.recordsFailed))
+      Some(counters.recordsFailed), cli.inputBaseUrl)
 
     // jobs that write their own multi-part output under $output (paths)
     val selfWriting = Set("host_graph", "wet_extract", "index_build")
@@ -134,7 +136,7 @@ object JobRunner {
         spark.read.parquet(s"${cli.output}/edges")
       case "md5sum" =>
         FileProcessorJob.md5sum(spark, cli.input, cli.inParts,
-          failedAcc = Some(counters.recordsFailed))
+          failedAcc = Some(counters.recordsFailed), baseUrl = cli.inputBaseUrl)
       case "warc_to_parquet" =>
         // archives → columnar table via the DSv2 source (input = path/dir)
         spark.read.format("warc").load(cli.input)

@@ -15,15 +15,30 @@ import org.apache.spark.util.LongAccumulator
   */
 object WarcSource {
 
+  private val SchemePattern = "^(s3[an]?|https?|file|hdfs):.*".r.pattern
+
+  /** Relative manifest entries get the base URL prefixed
+    * (sparkcc.py:260-277) — the switch between `s3://commoncrawl/` and
+    * `https://data.commoncrawl.org/` access to the same keys. Entries
+    * that already carry a scheme pass through untouched.
+    */
+  def resolveUri(uri: String, baseUrl: Option[String]): String =
+    baseUrl match {
+      case Some(b) if !SchemePattern.matcher(uri).matches() => b + uri
+      case _ => uri
+    }
+
   /** Records from a manifest (one archive URI per line). */
   def fromManifest(spark: SparkSession, manifestPath: String,
                    numPartitions: Int = 32,
-                   errorAcc: Option[LongAccumulator] = None): Dataset[(String, WarcRecord)] = {
+                   errorAcc: Option[LongAccumulator] = None,
+                   baseUrl: Option[String] = None): Dataset[(String, WarcRecord)] = {
     import spark.implicits._
     val paths = spark.read.textFile(manifestPath)
       .filter(l => l.trim.nonEmpty && !l.startsWith("#"))
       .repartition(numPartitions)
-    paths.flatMap { p =>
+    paths.flatMap { p0 =>
+      val p = resolveUri(p0, baseUrl)
       readPath(p, errorAcc).map(r => (p, r))
     }
   }

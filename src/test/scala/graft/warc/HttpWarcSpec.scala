@@ -98,6 +98,24 @@ class HttpWarcSpec extends AnyFunSuite {
     }
   }
 
+  test("input_base_url resolves relative manifest entries (sparkcc.py:260-277)") {
+    assert(WarcSource.resolveUri("crawl-data/x.warc.gz",
+      Some("https://h.test/")) == "https://h.test/crawl-data/x.warc.gz")
+    assert(WarcSource.resolveUri("s3a://bucket/x.warc.gz",
+      Some("https://h.test/")) == "s3a://bucket/x.warc.gz") // scheme wins
+    assert(WarcSource.resolveUri("crawl-data/x.warc.gz", None) == "crawl-data/x.warc.gz")
+    withServer(ranges = true) { url =>
+      // manifest carries only the relative key; the base URL selects http
+      val base = url.stripSuffix("f.warc.gz")
+      val manifest = java.nio.file.Files.createTempFile("m_rel", ".txt")
+      java.nio.file.Files.writeString(manifest, "f.warc.gz\n")
+      val recs = WarcSource.fromManifest(spark, manifest.toString, 1,
+        baseUrl = Some(base)).collect()
+      assert(recs.length == Fixtures.all.length)
+      assert(recs.forall(_._1 == url))
+    }
+  }
+
   test("fetchRecords end-to-end over http coordinates") {
     withServer(ranges = true) { url =>
       import spark.implicits._
