@@ -435,11 +435,103 @@ object Relational {
       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
+  /** U5 set intersection: customer keys that placed an order. INTERSECT
+    * is a shuffle on the full row as key — both sides dedupe map-side.
+    */
+  val u5Intersect: QueryDef = QueryDef(
+    "u5_intersect",
+    (s, dir) => t(s, dir, "customer").select(col("c_custkey").as("k"))
+      .intersect(t(s, dir, "orders").select(col("o_custkey").as("k")))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("ktotal")),
+    Some("""SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS ktotal FROM (
+      SELECT c_custkey AS k FROM customer
+      INTERSECT
+      SELECT o_custkey AS k FROM orders)"""))
+
+  /** U6 set difference: customer keys with no orders (EXCEPT — the set-op
+    * sibling of j4's anti join; same answer, different plan shape).
+    */
+  val u6Except: QueryDef = QueryDef(
+    "u6_except",
+    (s, dir) => t(s, dir, "customer").select(col("c_custkey").as("k"))
+      .except(t(s, dir, "orders").select(col("o_custkey").as("k")))
+      .agg(count(lit(1)).as("n")),
+    Some("""SELECT COUNT(*) AS n FROM (
+      SELECT c_custkey AS k FROM customer
+      EXCEPT
+      SELECT o_custkey AS k FROM orders)"""))
+
+  /** J5 full outer join: per-custkey order counts vs high-balance
+    * customers; the summary agg classifies matched/left-only/right-only
+    * so null semantics on both engines are exercised and compared.
+    */
+  val j5FullOuter: QueryDef = QueryDef(
+    "j5_full_outer",
+    (s, dir) => {
+      val oc = t(s, dir, "orders").groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n_orders"))
+      val hc = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k2"))
+      oc.join(hc, col("k") === col("k2"), "full_outer")
+        .agg(
+          sum(when(col("k").isNotNull && col("k2").isNotNull, 1).otherwise(0)).as("matched"),
+          sum(when(col("k2").isNull, 1).otherwise(0)).as("orders_only"),
+          sum(when(col("k").isNull, 1).otherwise(0)).as("high_bal_only"))
+    },
+    Some("""SELECT
+      CAST(SUM(CASE WHEN k IS NOT NULL AND k2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+      CAST(SUM(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orders_only,
+      CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS high_bal_only
+      FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) oc
+      FULL OUTER JOIN (SELECT c_custkey AS k2 FROM customer WHERE c_acctbal > 5000) hc
+      ON k = k2"""))
+
+  /** A10 pivot-style conditional aggregation: order-priority counts as
+    * columns per year — the `pivot` shape with a static column list
+    * (CASE/FILTER aggregates; one pass, one shuffle).
+    */
+  val a10Pivot: QueryDef = QueryDef(
+    "a10_pivot",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(
+        sum(when(col("o_orderpriority").startsWith("1"), 1).otherwise(0)).as("urgent"),
+        sum(when(col("o_orderpriority").startsWith("2"), 1).otherwise(0)).as("high"),
+        sum(when(!col("o_orderpriority").startsWith("1") &&
+          !col("o_orderpriority").startsWith("2"), 1).otherwise(0)).as("other")),
+    Some("""SELECT year(o_orderdate) AS y,
+      CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+      CAST(SUM(CASE WHEN o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+      CAST(SUM(CASE WHEN o_orderpriority NOT LIKE '1%' AND o_orderpriority NOT LIKE '2%'
+        THEN 1 ELSE 0 END) AS BIGINT) AS other
+      FROM orders GROUP BY year(o_orderdate)"""))
+
+  /** §2.7 math-function battery: abs/ceil/floor/sqrt/ln/pmod — codegen'd
+    * built-ins, rounded to pin cross-engine float formatting.
+    */
+  val fMathFuncs: QueryDef = QueryDef(
+    "f_math_funcs",
+    (s, dir) => t(s, dir, "supplier").select(
+      col("s_suppkey"),
+      abs(col("s_acctbal")).as("abal"),
+      ceil(col("s_acctbal")).as("cbal"),
+      floor(col("s_acctbal")).as("fbal"),
+      round(sqrt(abs(col("s_acctbal"))), 6).as("sq"),
+      round(log(abs(col("s_acctbal")) + 1.0), 6).as("ln1p"),
+      pmod(col("s_suppkey"), lit(7)).as("m7")),
+    Some("""SELECT s_suppkey, abs(s_acctbal) AS abal,
+      CAST(ceil(s_acctbal) AS BIGINT) AS cbal,
+      CAST(floor(s_acctbal) AS BIGINT) AS fbal,
+      round(sqrt(abs(s_acctbal)), 6) AS sq,
+      round(ln(abs(s_acctbal) + 1.0), 6) AS ln1p,
+      s_suppkey % 7 AS m7 FROM supplier"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
     a8Percentiles, a9SaltedSum, o2ZipWithIndex, u1Union, u2Distinct,
-    u3DropDuplicates, u4DropNa, o1TopN, o7SelfLoopFilter, p14SplitPart,
-    fScalarStrings, fDatetime, fArrayFuncs,
+    u3DropDuplicates, u4DropNa, u5Intersect, u6Except, o1TopN,
+    o7SelfLoopFilter, j5FullOuter, a10Pivot, p14SplitPart,
+    fScalarStrings, fDatetime, fArrayFuncs, fMathFuncs,
     w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract)
 }
