@@ -73,6 +73,12 @@ object JobCli {
         case "--input_table_option" =>
           cli = cli.copy(inputTableOptions = cli.inputTableOptions + kv(value))
         case "--input_base_url"        => cli = cli.copy(inputBaseUrl = Some(value))
+        case "--csv" =>
+          // deprecated reference alias (sparkcc.py:560-570): CSV coordinate
+          // table with header+inferSchema, read from the given path
+          cli = cli.copy(input = value, inputTableFormat = Some("csv"),
+            inputTableOptions = cli.inputTableOptions +
+              ("header" -> "true", "inferSchema" -> "true"))
         case other => sys.error(s"unknown flag: $other\n$usage")
       }
       i += 1
@@ -154,9 +160,12 @@ object JobRunner {
           CCIndexWarcJob.fetchCoords(loadCoords(spark, cli), cli.inParts,
             Some(counters.recordsFailed)))
       case "wet_extract" =>
-        val coords = WetExtractor.run(spark, cli.input, s"${cli.output}/wet", cli.inParts)
+        val skipped = spark.sparkContext.longAccumulator("skipped_existing")
+        val coords = WetExtractor.run(spark, cli.input, s"${cli.output}/wet",
+          cli.inParts, Some(skipped))
         coords.coalesce(cli.outParts).write.mode("overwrite")
           .parquet(s"${cli.output}/coords")
+        println(s"[graft] wet_extract skipped_existing=${skipped.value}")
         spark.read.parquet(s"${cli.output}/coords")
       case "stream_windows" =>
         val stream = graft.streaming.EventStream.readEvents(spark, cli.input)
