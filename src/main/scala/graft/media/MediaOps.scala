@@ -140,6 +140,43 @@ object MediaOps {
     }
   }
 
+  /** Real image resize: full decode (javax.imageio) + bilinear scale to
+    * w×h + PNG re-encode, batched per partition like extractFeatures.
+    * Rows whose payload no reader decodes are dropped — the thumbnail
+    * column of a multimodal training table. Unlike the O(header)
+    * feature probe this touches every pixel; at 100 TB it is the
+    * classic payload-heavy map stage: no shuffle, output rows are
+    * small (w×h PNG), so executors stream archives through at I/O
+    * speed.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int = 64, h: Int = 64)
+      : Dataset[(Long, Array[Byte])] = {
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Byte])] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.kind != "image") Iterator.empty
+        else try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) Iterator.empty
+          else {
+            val scaled = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            Iterator.single((r.media_id, bos.toByteArray))
+          }
+        } catch { case _: Exception => Iterator.empty }
+      }
+    }
+  }
+
   /** Build a media table from the documents corpus (payload = encoded
     * text bytes standing in for image/audio bytes; kind round-robins).
     */

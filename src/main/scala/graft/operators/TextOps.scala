@@ -69,6 +69,32 @@ object TextOps {
       MAX(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS max_tokens
       FROM documents GROUP BY source"""))
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the RE2-compatible
+    * subset (no lookahead) so Spark's Java regex and DuckDB's RE2 agree:
+    * contractions, space-prefixed letter runs, digit runs, punctuation
+    * runs. The real BPE merge table only subdivides these pieces, so the
+    * count is a faithful upper-bound token estimate.
+    */
+  private val BpePretokenPattern =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+
+  /** Token counting with the BPE-ish pre-tokenizer (the whitespace/ASCII
+    * variant is `token_counts`): per-source totals for data budgeting.
+    */
+  val tokenCountsBpe: QueryDef = QueryDef(
+    "token_counts_bpe",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(BpePretokenPattern), lit(0))).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("total_tokens"), count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_tokens")),
+    Some("""SELECT source,
+      CAST(SUM(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS total_tokens,
+      COUNT(*) AS n_docs,
+      MAX(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS max_tokens
+      FROM documents GROUP BY source"""))
+
   /** Per-document quality scoring: token count, alpha density, stopword
     * ratio — the length/punct/stopword heuristics of a pretraining-data
     * quality filter, as pure column arithmetic (deterministic doubles:
@@ -151,5 +177,6 @@ object TextOps {
       SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY lang, predicted"""))
 
   val all: Seq[QueryDef] = Seq(
-    p6WordCount, dedupExact, fpUniqueness, tokenCounts, textQuality, langIdHeuristic)
+    p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
+    textQuality, langIdHeuristic)
 }

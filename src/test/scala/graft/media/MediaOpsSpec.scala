@@ -54,6 +54,27 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(f.duration_s == 0.5)
   }
 
+  test("real image resize: decode, bilinear scale, PNG re-encode") {
+    // 8×8 red PNG through the JDK encoder
+    val src = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8) src.setRGB(x, y, 0xff0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val png = bos.toByteArray
+
+    import spark.implicits._
+    val media = Seq(
+      MediaOps.MediaRow(1L, "image", "t", png),
+      MediaOps.MediaRow(2L, "image", "t", "not an image".getBytes("UTF-8")),
+      MediaOps.MediaRow(3L, "audio", "t", png)).toDS()
+    val thumbs = MediaOps.resizeImages(media, 4, 4).collect()
+    assert(thumbs.length == 1 && thumbs(0)._1 == 1L) // undecodable + non-image dropped
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(thumbs(0)._2))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    assert((back.getRGB(2, 2) & 0xffffff) == 0xff0000) // still red
+  }
+
   test("registered query aggregates per source and kind") {
     val df = MediaOps.multimodalFeatures.fn(spark, sf)
     val rows = df.collect()
