@@ -16,10 +16,10 @@ object IterAB {
     }
     // warm
     Tables(spark, dir, "orders").count(); Tables(spark, dir, "documents").count()
-    for (i <- 1 to 3) {
-      time(s"pagerank-$i")(graft.SparkEntry.queries("graph_pagerank")(spark, dir).count())
-      time(s"clusters-$i")(graft.SparkEntry.queries("dedup_clusters")(spark, dir).count())
-    }
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else Seq("graph_pagerank", "dedup_clusters")
+    for (i <- 1 to 3; n <- names)
+      time(s"$n-$i")(graft.SparkEntry.queries(n)(spark, dir).count())
     spark.stop()
   }
 }

@@ -118,9 +118,21 @@ object VectorOps {
     * the cell id.
     */
   def buildIvf(c: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    var centroids = c.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cell"),
-        expr("transform(embedding, x -> cast(x as double))").as("centroid"))
+    val spark = c.sparkSession
+    import spark.implicits._
+    // centroids come back to the driver each Lloyd round — k×Dim doubles,
+    // bounded by construction (the same shape MLlib KMeans collects every
+    // round). A literal centroid table keeps each round's plan flat:
+    // without it the final query drags every previous round's corpus
+    // pass in its lineage (exchange reuse dedupes the work at this
+    // iteration depth — measured neutral at iters=2 — but the flat form
+    // stays O(1) plan depth at any iteration count).
+    def toLocal(df: DataFrame): Seq[(Long, Seq[Double])] =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    var centroids: Seq[(Long, Seq[Double])] = toLocal(
+      c.filter(col("vec_id") < k).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))")))
+    def centroidsDf: DataFrame = centroids.toDF("cell", "centroid")
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       // argmax via max_by, not a row_number window: the partial (map-side)
@@ -129,7 +141,7 @@ object VectorOps {
       // wire once per vector, not k times, and there is no sort at all.
       // Tie-break matches the old window ordering (sim desc, cell asc)
       // via the lexicographic struct key (sim, -cell).
-      assigned = c.crossJoin(broadcast(centroids))
+      assigned = c.crossJoin(broadcast(centroidsDf))
         .select(col("vec_id"), col("embedding"), col("cell"),
           cosine(col("embedding"), col("centroid")).as("sim"))
         .groupBy(col("vec_id"))
@@ -137,9 +149,9 @@ object VectorOps {
           struct(col("sim"), col("cell") * -1)).as("best"))
         .select(col("vec_id"), col("best.embedding").as("embedding"),
           col("best.cell").as("cell"))
-      centroids = cellCentroids(assigned)
+      centroids = toLocal(cellCentroids(assigned))
     }
-    (assigned.select(col("vec_id"), col("cell")), centroids)
+    (assigned.select(col("vec_id"), col("cell")), centroidsDf)
   }
 
   /** IVF cell probe: k-means cells built distributed (see buildIvf),
