@@ -45,7 +45,10 @@ object EventStream {
                          event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Int, first_ts: Long,
                            last_ts: Long, total_value: Double)
-  private final case class SessionState(n: Int, first: Long, last: Long, total: Double)
+  // not `private`: the streaming state-store encoder generates Java that
+  // constructs this class; a private nested case class fails Janino
+  // compilation ("no applicable constructor") on the state round-trip
+  final case class SessionState(n: Int, first: Long, last: Long, total: Double)
 
   /** Per-user sessions closed after `gapMs` of inactivity — custom state
     * machine via flatMapGroupsWithState (timeout-driven emission).
@@ -59,9 +62,14 @@ object EventStream {
     * dropped, the same contract the watermark applies across batches.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000,
-                 maxBufferPerUser: Int = 1 << 14): Dataset[Session] = {
+                 maxBufferPerUser: Int = 1 << 14,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    // EventTimeTimeout REQUIRES a watermark when the source is a
+    // stream (AnalysisException otherwise); on a batch Dataset
+    // withWatermark is a no-op, so setting it here keeps one code path
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>

@@ -60,6 +60,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains(EventStream.Session(1, 3, 0, 10 * 60000, 3.0)))
   }
 
+  test("true streaming sessionization: timeout emits the open session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // MemoryStream moved to the runtime subpackage in Spark 4.1
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(input.toDS(), gapMs = 60000,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("live_sessions")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, tMin: Long) = EventStream.Event(
+        id, new java.sql.Timestamp(tMin * 60000), 1L, "click", 1.0)
+      // batch 1: three events 1-3min for user 1 → session stays open
+      // (events start past t=0: rows at or below the initial watermark
+      // are dropped as late)
+      input.addData(ev(1, 1), ev(2, 2), ev(3, 3))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM live_sessions").count() == 0)
+      // batch 2: an event far past the gap advances the watermark beyond
+      // the session's timeout → the old session is emitted by TIMEOUT
+      // (not by a closing event in the same batch — the streaming-only
+      // code path batch mode never exercises)
+      input.addData(ev(4, 120))
+      q.processAllAvailable()
+      // a third batch lets the timeout fire if the state store processes
+      // timeouts on the following trigger
+      input.addData(ev(5, 121))
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT * FROM live_sessions")
+        .as[EventStream.Session].collect()
+      assert(sessions.contains(EventStream.Session(1L, 3, 60000, 3 * 60000, 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionization hot key: 1M-event user runs in O(buffer) memory") {
     import spark.implicits._
     // one user, 1M events, 1s apart with a 1h gap every 100k events —
