@@ -127,22 +127,41 @@ object HostGraphBuilder {
 
   final case class Graph(vertices: DataFrame, edges: DataFrame)
 
-  def build(spark: SparkSession, edges: DataFrame,
+  /** Full build surface of the reference (hostlinks_to_graph.py:19-44):
+    * extra edge tables merged before ID assignment (`--add_input`),
+    * separate normalize / validate passes, and ID-table reuse
+    * (`--vertex_ids`) so an incremental graph build keeps vertex ids
+    * STABLE across crawls — edges joined against a reused mapping drop
+    * hosts unseen in it, exactly the reference's inner-join semantics.
+    */
+  def build(spark: SparkSession, edges0: DataFrame,
             vertexPartitions: Int = 1,
-            validateHosts: Boolean = false): Graph = {
+            validateHosts: Boolean = false,
+            normalizeHosts: Boolean = false,
+            existingIds: Option[DataFrame] = None,
+            addInputs: Seq[DataFrame] = Nil): Graph = {
     import spark.implicits._
     val normalize = udf((h: String) =>
       graft.ops.SurtHost.reverseHostNormalize(h).orNull)
     val isValid = udf((h: String) => graft.ops.SurtHost.reverseHostIsValid(h))
 
-    var names = edges.select(col("s").as("name"))
-      .union(edges.select(col("t").as("name")))
-      .distinct()
-    if (validateHosts)
-      names = names.withColumn("name", normalize(col("name")))
-        .na.drop().filter(isValid(col("name"))).distinct()
+    val edges =
+      if (addInputs.isEmpty) edges0
+      else addInputs.foldLeft(edges0)(_ union _)
+        .dropDuplicates().sortWithinPartitions("s", "t")
 
-    val ids: DataFrame =
+    val ids: DataFrame = existingIds.getOrElse {
+      var names = edges.select(col("s").as("name"))
+        .union(edges.select(col("t").as("name")))
+        .distinct()
+      // the pre-existing `validateHosts` convenience implies normalize
+      // (normalization must run first or IDN hosts always fail validation)
+      if (normalizeHosts || validateHosts)
+        names = names.withColumn("name", normalize(col("name")))
+          .na.drop().distinct()
+      if (validateHosts)
+        names = names.filter(isValid(col("name")))
+
       if (vertexPartitions == 1)
         names.coalesce(1).sort("name")
           .withColumn("id", monotonically_increasing_id())
@@ -152,6 +171,7 @@ object HostGraphBuilder {
           .zipWithIndex()
         spark.createDataFrame(rdd).toDF("name", "id")
       }
+    }
 
     buildFromIds(edges, ids)
   }

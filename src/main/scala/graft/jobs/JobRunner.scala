@@ -18,7 +18,13 @@ final case class JobCli(
     tableSchema: Option[String] = None,
     inputTableFormat: Option[String] = None,
     inputTableOptions: Map[String, String] = Map.empty,
-    inputBaseUrl: Option[String] = None) {
+    inputBaseUrl: Option[String] = None,
+    saveAsText: Option[String] = None,
+    normalizeHostNames: Boolean = false,
+    validateHostNames: Boolean = false,
+    vertexPartitions: Int = 1,
+    vertexIds: Option[String] = None,
+    addInputs: Seq[String] = Nil) {
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
     outputFormat, outputCompression, outputOptions)
@@ -33,6 +39,9 @@ object JobCli {
       |  [--output_option k=v]... [--query SQL] [--table NAME]
       |  [--table_schema FILE.json] [--input_table_format FORMAT]
       |  [--input_table_option k=v]... [--input_base_url URL]
+      |  host_graph flags: [--save_as_text DIR] [--normalize_host_names]
+      |  [--validate_host_names] [--vertex_partitions N]
+      |  [--vertex_ids PATH] [--add_input PATH]...
       |  job ∈ server_count | html_tag_count | server_ip | word_count |
       |        sitemaps | extract_host_links | host_graph | wet_extract |
       |        stream_windows | md5sum | warc_to_parquet | index_build |
@@ -73,6 +82,12 @@ object JobCli {
         case "--input_table_option" =>
           cli = cli.copy(inputTableOptions = cli.inputTableOptions + kv(value))
         case "--input_base_url"        => cli = cli.copy(inputBaseUrl = Some(value))
+        case "--save_as_text"          => cli = cli.copy(saveAsText = Some(value))
+        case "--normalize_host_names"  => cli = cli.copy(normalizeHostNames = true)
+        case "--validate_host_names"   => cli = cli.copy(validateHostNames = true)
+        case "--vertex_partitions"     => cli = cli.copy(vertexPartitions = value.toInt)
+        case "--vertex_ids"            => cli = cli.copy(vertexIds = Some(value))
+        case "--add_input"             => cli = cli.copy(addInputs = cli.addInputs :+ value)
         case "--csv" =>
           // deprecated reference alias (sparkcc.py:560-570): CSV coordinate
           // table with header+inferSchema, read from the given path
@@ -134,7 +149,14 @@ object JobRunner {
       case "extract_host_links" => ExtractHostLinksJob.edges(spark, records, Some(counters))
       case "host_graph" =>
         val edges = spark.read.parquet(cli.input)
-        val g = HostGraphBuilder.build(spark, edges, vertexPartitions = cli.outParts)
+        val g = HostGraphBuilder.build(spark, edges,
+          vertexPartitions = cli.vertexPartitions,
+          validateHosts = cli.validateHostNames,
+          normalizeHosts = cli.normalizeHostNames,
+          existingIds = cli.vertexIds.map(spark.read.parquet(_)),
+          addInputs = cli.addInputs.map(spark.read.parquet(_)))
+        cli.saveAsText.foreach(dir =>
+          HostGraphBuilder.writeTextDumps(g, dir, cli.outParts))
         g.vertices.coalesce(cli.outParts).write.mode("overwrite")
           .parquet(s"${cli.output}/vertices")
         g.edges.coalesce(cli.outParts).write.mode("overwrite")

@@ -83,6 +83,27 @@ class JobsE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("host graph: vertex-id reuse keeps ids stable; add_input merges graphs") {
+    import spark.implicits._
+    val e1 = Seq(("com.a", "com.b"), ("com.b", "com.c")).toDF("s", "t")
+    val g1 = HostGraphBuilder.build(spark, e1, vertexPartitions = 2)
+    val ids1 = g1.vertices.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+
+    // a later crawl adds an edge; reusing the id table keeps old ids
+    // stable and (reference inner-join semantics) drops unseen hosts
+    val e2 = Seq(("com.a", "com.c"), ("com.a", "com.new")).toDF("s", "t")
+    val g2 = HostGraphBuilder.build(spark, e2, existingIds = Some(g1.vertices))
+    val edges2 = g2.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges2 == Set((ids1("com.a"), ids1("com.c")))) // com.new dropped
+    assert(g2.vertices.collect().map(r => r.getString(1) -> r.getLong(0)).toMap == ids1)
+
+    // --add_input merges edge tables before id assignment
+    val g3 = HostGraphBuilder.build(spark, e1, addInputs = Seq(e2))
+    val names3 = g3.vertices.collect().map(_.getString(1)).toSet
+    assert(names3 == Set("com.a", "com.b", "com.c", "com.new"))
+    assert(g3.edges.count() == 4)
+  }
+
   test("host graph validation drops invalid TLDs and normalizes IDN") {
     import spark.implicits._
     val edges = Seq(
