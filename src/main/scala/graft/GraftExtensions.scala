@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Session-extensions entry point: registers every graft native
+  * expression as a SQL function, so any session started with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) can call them from plain
+  * SQL — the canonical way a Spark library ships custom Catalyst
+  * expressions (vs the per-session temp-function `register` helpers,
+  * which remain for programmatic use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(array<float>, array<float>) - cosine similarity"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+
+    ext.injectFunction((FunctionIdentifier("ascii_tokens"),
+      info("ascii_tokens", "ascii_tokens(string) - lowercase [a-z0-9]+ tokens"),
+      (exprs: Seq[Expression]) => AsciiWordTokens(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("char_ngram_hashes"),
+      info("char_ngram_hashes", "char_ngram_hashes(string, n) - distinct xxh64 of n-byte windows"),
+      (exprs: Seq[Expression]) =>
+        CharNgramHashes(exprs(0), intArg(exprs(1), "char_ngram_hashes"))))
+
+    ext.injectFunction((FunctionIdentifier("long_window_hashes"),
+      info("long_window_hashes", "long_window_hashes(array<bigint>, w) - distinct xxh64 of w-element windows"),
+      (exprs: Seq[Expression]) =>
+        LongWindowHashes(exprs(0), intArg(exprs(1), "long_window_hashes"))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(array<bigint>, perms) - OPH MinHash signature, rotation-densified"),
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs(0), intArg(exprs(1), "minhash_sig"))))
+
+    ext.injectFunction((FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "simhash_sig(array<string>) - 64-bit Charikar SimHash"),
+      (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
+  }
+}

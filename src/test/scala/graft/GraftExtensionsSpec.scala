@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions integration path: a session configured with
+  * graft.GraftExtensions can call every native expression from SQL.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    // another suite's shared session (without the extension) would win a
+    // plain getOrCreate — clear the defaults so this builder constructs a
+    // fresh session. withExtensions (not the spark.sql.extensions conf)
+    // because the conf is STATIC: with a live SparkContext from an
+    // earlier suite it is read from the context conf and ignored here;
+    // both paths run the same GraftExtensions.apply.
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("all graft functions resolve and evaluate from plain SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+        |             array(cast(1.0 as float), cast(0.0 as float))) AS cos,
+        |  ascii_tokens('Hello, World 42!') AS toks,
+        |  size(char_ngram_hashes('abcdef', 3)) AS ngrams,
+        |  size(long_window_hashes(array(1L, 2L, 3L), 2)) AS winds,
+        |  size(minhash_sig(array(10L, 74L, -3L), 16)) AS sig_len,
+        |  simhash_sig(array('a', 'b', 'a')) AS sh
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getSeq[String](1) == Seq("hello", "world", "42"))
+    assert(row.getInt(2) == 4)  // windows at 0..3, all distinct
+    assert(row.getInt(3) == 2)
+    assert(row.getInt(4) == 16)
+    assert(row.getLong(5) != 0L)
+  }
+
+  test("literal-arg validation rejects a non-literal perms") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(1L), cast(rand() * 4 as int))").head()
+    }
+    assert(e.getMessage.contains("literal int"))
+  }
+}
