@@ -177,6 +177,42 @@ object MediaOps {
     }
   }
 
+  /** One sampled video frame: opaque frame bytes + its index/timestamp. */
+  final case class SampledFrame(media_id: Long, frame_idx: Int,
+                                ts_ms: Long, frame: Array[Byte])
+
+  /** Video frame sampling: emit `n` frames per video row at evenly
+    * spaced timestamps. The Spark-side shape is real — one input row
+    * fans out to n small frame rows inside a batched mapPartitions, the
+    * layout a contact-sheet/vision-encoder stage consumes — but the
+    * frame DECODE is the disclosed stub (no video codecs in this
+    * container): frames are deterministic slices of the payload and the
+    * duration model is decodeStub's. A production codec replaces only
+    * the body of `cutFrame`.
+    */
+  def sampleFrames(media: Dataset[MediaRow], n: Int = 4): Dataset[SampledFrame] = {
+    implicit val enc: org.apache.spark.sql.Encoder[SampledFrame] =
+      org.apache.spark.sql.Encoders.product[SampledFrame]
+    media.mapPartitions { it =>
+      // per-partition init (codec context) goes here, as in extractFeatures
+      def cutFrame(payload: Array[Byte], i: Int): Array[Byte] = {
+        // STUB decode: deterministic payload slice standing in for a
+        // decoded frame; real impl = seek + decode keyframe at ts
+        val len = math.max(1, payload.length / math.max(1, n))
+        java.util.Arrays.copyOfRange(payload,
+          math.min(i * len, math.max(0, payload.length - 1)),
+          math.min((i + 1) * len, payload.length))
+      }
+      it.filter(_.kind == "video").flatMap { r =>
+        val durMs = math.round(decodeStub(r).duration_s * 1000)
+        (0 until n).iterator.map { i =>
+          SampledFrame(r.media_id, i, if (n <= 1) 0 else i * durMs / (n - 1),
+            cutFrame(r.payload, i))
+        }
+      }
+    }
+  }
+
   /** Build a media table from the documents corpus (payload = encoded
     * text bytes standing in for image/audio bytes; kind round-robins).
     */

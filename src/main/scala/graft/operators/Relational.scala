@@ -526,12 +526,30 @@ object Relational {
       round(ln(abs(s_acctbal) + 1.0), 6) AS ln1p,
       s_suppkey % 7 AS m7 FROM supplier"""))
 
+  /** §2.7 conditional/null-handling battery: coalesce/nullif/greatest/
+    * least/CASE — null semantics compared cross-engine.
+    */
+  val fCondNull: QueryDef = QueryDef(
+    "f_cond_null",
+    (s, dir) => t(s, dir, "orders").select(
+      col("o_orderkey"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("none")).as("status_nz"),
+      greatest(col("o_totalprice"), lit(100000.0)).as("hi"),
+      least(col("o_totalprice"), lit(100000.0)).as("lo"),
+      when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("urgent")),
+    Some("""SELECT o_orderkey,
+      coalesce(nullif(o_orderstatus, 'O'), 'none') AS status_nz,
+      greatest(o_totalprice, 100000.0) AS hi,
+      least(o_totalprice, 100000.0) AS lo,
+      CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS INT) AS urgent
+      FROM orders"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
     a8Percentiles, a9SaltedSum, o2ZipWithIndex, u1Union, u2Distinct,
     u3DropDuplicates, u4DropNa, u5Intersect, u6Except, o1TopN,
     o7SelfLoopFilter, j5FullOuter, a10Pivot, p14SplitPart,
-    fScalarStrings, fDatetime, fArrayFuncs, fMathFuncs,
+    fScalarStrings, fDatetime, fArrayFuncs, fMathFuncs, fCondNull,
     w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract)
 }

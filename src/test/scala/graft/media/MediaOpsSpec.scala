@@ -75,6 +75,23 @@ class MediaOpsSpec extends AnyFunSuite {
     assert((back.getRGB(2, 2) & 0xffffff) == 0xff0000) // still red
   }
 
+  test("frame sampling fans out n frames per video with spaced timestamps") {
+    import spark.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val media = Seq(
+      MediaOps.MediaRow(1L, "video", "t", payload),
+      MediaOps.MediaRow(2L, "image", "t", payload)).toDS()
+    val frames = MediaOps.sampleFrames(media, n = 4).collect().sortBy(_.frame_idx)
+    assert(frames.length == 4)                       // images don't fan out
+    assert(frames.forall(_.media_id == 1L))
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    assert(frames.head.ts_ms == 0 && frames.last.ts_ms > 0)
+    assert(frames.forall(_.frame.nonEmpty))
+    // deterministic: same input → same frames
+    val again = MediaOps.sampleFrames(media, n = 4).collect().sortBy(_.frame_idx)
+    assert(again.map(_.frame.toSeq).toSeq == frames.map(_.frame.toSeq).toSeq)
+  }
+
   test("registered query aggregates per source and kind") {
     val df = MediaOps.multimodalFeatures.fn(spark, sf)
     val rows = df.collect()
