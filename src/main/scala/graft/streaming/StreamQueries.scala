@@ -108,5 +108,42 @@ object StreamQueries {
         COUNT(DISTINCT user_id) AS n_users_with_closed_sessions
       FROM closed"""))
 
-  val all: Seq[QueryDef] = Seq(streamWindows, streamSessions)
+  /** Native `session_window` aggregation — the declarative route to
+    * sessionization (composition of built-ins, per the design
+    * preference) beside the custom flatMapGroupsWithState state machine
+    * above. Batch form emits ALL sessions; the same expression runs
+    * under readStream with a watermark for incremental session merging
+    * in the state store. Boundary semantics: a gap of exactly the
+    * window size starts a NEW session (session windows are end-
+    * exclusive), hence `>=` in the oracle's gap test.
+    */
+  val sessionWindowAgg: QueryDef = QueryDef(
+    "session_window_agg",
+    (s, dir) => graft.util.Tables(s, dir, "events")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("value"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.GraftFunctions.dsum(col("value")).as("total"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("win_start"),
+        col("n_events"), col("total")),
+    Some("""WITH g AS (
+        SELECT user_id, ts, value, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS win_start,
+        COUNT(*) AS n_events,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS total
+      FROM sess GROUP BY user_id, sid"""))
+
+  val all: Seq[QueryDef] = Seq(streamWindows, streamSessions, sessionWindowAgg)
 }
