@@ -187,6 +187,22 @@ object HostGraphBuilder {
     Graph(ids.select("id", "name"), edgeIds)
   }
 
+  /** Adjacency-list text dump: one line per source vertex,
+    * `s \t t1 t2 t3…` with targets ascending — the format the
+    * reference left as a TODO (hostlinks_to_graph.py:165 "save as
+    * adjacency list"; it is what webgraph compression toolchains
+    * ingest). One shuffle on s; target lists sort inside the
+    * aggregation buffer, never globally.
+    */
+  def writeAdjacencyList(g: Graph, outDir: String, partitions: Int = 2): Unit = {
+    g.edges.groupBy(col("s"))
+      .agg(array_sort(collect_list(col("t"))).as("ts"))
+      .select(concat_ws("\t", col("s"), concat_ws("\t", col("ts"))))
+      .coalesce(partitions)
+      .write.mode("overwrite").option("compression", "gzip")
+      .text(s"$outDir/adjacency_txt")
+  }
+
   /** S10: tab-separated gzip text dumps of the vertex/edge tables
     * (hostlinks_to_graph.py:115-118, 162-165) — the webgraph-tools
     * interchange format.

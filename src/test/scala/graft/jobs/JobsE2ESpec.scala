@@ -104,6 +104,20 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(g3.edges.count() == 4)
   }
 
+  test("adjacency-list dump: one sorted line per source vertex") {
+    import spark.implicits._
+    val e = Seq(("com.a", "com.c"), ("com.a", "com.b"), ("com.b", "com.c"))
+      .toDF("s", "t")
+    val g = HostGraphBuilder.build(spark, e)
+    val dir = java.nio.file.Files.createTempDirectory("adj").toString
+    HostGraphBuilder.writeAdjacencyList(g, dir, 1)
+    val ids = g.vertices.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    val lines = spark.read.text(s"$dir/adjacency_txt")
+      .collect().map(_.getString(0)).toSet
+    assert(lines.contains(s"${ids("com.a")}\t${ids("com.b")}\t${ids("com.c")}"))
+    assert(lines.contains(s"${ids("com.b")}\t${ids("com.c")}"))
+  }
+
   test("host graph validation drops invalid TLDs and normalizes IDN") {
     import spark.implicits._
     val edges = Seq(
