@@ -38,6 +38,12 @@ object WarcThroughput {
       println(f"[warc-tp] $label: $sec%.2f s → ${total / sec}%.0f rec/s, ${sizeMb / sec}%.1f MB/s (n=$total, ${sizeMb}%.0f MB)")
     }
 
+    // JVM/codegen warmup: the first Spark job otherwise pays several
+    // seconds of class loading + JIT that would masquerade as pipeline
+    // cost in whichever entry runs first
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    WarcSource.fromManifest(spark, manifest, 16).limit(100).count()
+
     val counters = JobCounters(spark)
     time("server_count") {
       val recs = WarcSource.fromManifest(spark, manifest, 16, Some(counters.recordsFailed))
