@@ -89,13 +89,16 @@ object MediaOps {
       }
     case "audio" =>
       audioMeta(r.payload) match {
-        case Some((rate, channels, frameLen)) =>
+        // getFrameLength can be AudioSystem.NOT_SPECIFIED (-1); treat an
+        // unknown length as undecodable rather than emitting frames = -1
+        // and a negative duration into the aggregates.
+        case Some((rate, channels, frameLen)) if frameLen >= 0 =>
           val stub = decodeStub(r)
           val dur = if (rate > 0) frameLen / rate.toDouble else 0.0
           stub.copy(width = rate.toInt, height = channels,
             frames = frameLen.min(Int.MaxValue).toInt,
             duration_s = math.rint(dur * 1e6) / 1e6)
-        case None => decodeStub(r)
+        case _ => decodeStub(r)
       }
     case _ => decodeStub(r)
   }
@@ -229,6 +232,49 @@ object MediaOps {
       .as[MediaRow]
   }
 
+  /** Deterministic real PNG: pixels derived from the text bytes, encoded
+    * with the JDK's imageio PNG writer. Gives the resize path genuinely
+    * decodable payloads (the text-bytes stand-ins are not an image any
+    * reader accepts), so `image_resize` exercises decode → scale →
+    * re-encode end to end.
+    */
+  private[media] def syntheticPng(seed: Long, text: String,
+                                  w: Int = 32, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.max(1, bytes.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = bytes(java.lang.Math.floorMod(x + y * w + seed, n)) & 0xff
+        img.setRGB(x, y, (b << 16) | (((b * 31) & 0xff) << 8) | (seed & 0xff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table whose image rows carry real decodable PNG payloads
+    * (every third document, like `mediaFromDocuments`'s round-robin).
+    */
+  def mediaWithDecodableImages(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[MediaRow] =
+      org.apache.spark.sql.Encoders.product[MediaRow]
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.collect {
+        case (id, source, text) if id % 3 == 0 =>
+          MediaRow(id, "image", source, syntheticPng(id, text))
+      })
+  }
+
   /** Registered query: decode features and aggregate per (source, kind).
     * Rows-only (the stubbed decode has no SQL equivalent); deterministic
     * because the stub is content-derived.
@@ -246,5 +292,37 @@ object MediaOps {
           round(sum(col("duration_s")), 4).as("total_duration_s"))
     })
 
-  val all: Seq[QueryDef] = Seq(multimodalFeatures)
+  /** Registered query: real decode → bilinear 16×16 → PNG re-encode over
+    * the synthetic-PNG corpus, aggregated per source. Rows-only (binary
+    * pipeline, no SQL equivalent); deterministic — same pixels in, same
+    * PNG bytes out on a given JDK.
+    */
+  val imageResize: QueryDef = QueryDef(
+    "image_resize",
+    (s, dir) => {
+      val thumbs = resizeImages(mediaWithDecodableImages(s, dir), 16, 16)
+      thumbs.toDF("media_id", "thumb")
+        .groupBy((col("media_id") % 5).as("bucket"))
+        .agg(count(lit(1)).as("n_resized"),
+          sum(octet_length(col("thumb"))).as("total_thumb_bytes"),
+          countDistinct(md5(col("thumb"))).as("n_distinct_thumbs"))
+    })
+
+  /** Registered query: per-frame-index stats of evenly-spaced frame
+    * sampling (4 frames per video row). Rows-only; the frame cut is the
+    * disclosed stub but the fan-out shape, timestamps, and byte
+    * accounting are real and deterministic.
+    */
+  val videoFrameSample: QueryDef = QueryDef(
+    "video_frame_sample",
+    (s, dir) => {
+      val frames = sampleFrames(mediaFromDocuments(s, dir), 4)
+      frames.toDF()
+        .groupBy(col("frame_idx"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(octet_length(col("frame"))).as("total_frame_bytes"),
+          max(col("ts_ms")).as("max_ts_ms"))
+    })
+
+  val all: Seq[QueryDef] = Seq(multimodalFeatures, imageResize, videoFrameSample)
 }

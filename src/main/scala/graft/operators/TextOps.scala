@@ -126,57 +126,83 @@ object TextOps {
           + (CAST(stop_hits AS DOUBLE) / greatest(n_tok, 1)) * 0.5, 6) AS quality
       FROM d"""))
 
+  /** Stop words for the Gopher "contains ≥2 stop words" rule (Rae et al.
+    * 2021 §A1.1 lists exactly these eight).
+    */
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Symbols counted by the Gopher symbol-to-word-ratio rule: hash and
+    * ellipsis, where the paper's "ellipsis" covers both the `…` glyph and
+    * the three-dot spelling. Alternation keeps Java regex and RE2
+    * identical (non-overlapping, leftmost match).
+    */
+  private val GopherSymbolPattern = """#|\.\.\.|…"""
+
   /** Gopher-style repetition/format quality rules (Rae et al. 2021,
     * "Scaling Language Models", §A1.1 — the public rule set behind most
     * pretraining corpus filters): word-count bounds, mean word length
     * bounds, symbol-to-word ratio, bullet-line fraction, duplicate-line
-    * fraction. Pure column arithmetic over one line split and one token
-    * pass per document; the thresholds are the paper's.
+    * fraction, alpha-word fraction (≥80% of words contain a letter),
+    * stop-word presence (≥2 distinct of the paper's eight). Pure column
+    * arithmetic over one line split and one token pass per document; the
+    * thresholds are the paper's.
     */
   val qualityGopher: QueryDef = QueryDef(
     "quality_gopher",
     (s, dir) => {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"),
-          size(tokens(col("text"))).as("n_words"),
+          tokens(col("text")).as("toks"),
           length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("alpha_chars"),
-          size(expr("regexp_extract_all(text, '[#…]')")).as("n_symbols"),
+          size(regexp_extract_all(col("text"), lit(GopherSymbolPattern), lit(0))).as("n_symbols"),
           expr("split(text, '\n')").as("lines"))
-        .select(col("doc_id"), col("n_words"), col("n_symbols"),
+        .select(col("doc_id"), size(col("toks")).as("n_words"), col("n_symbols"),
           round(col("alpha_chars").cast(DoubleType) /
-            greatest(col("n_words"), lit(1)), 6).as("mean_word_len"),
+            greatest(size(col("toks")), lit(1)), 6).as("mean_word_len"),
           round(col("n_symbols").cast(DoubleType) /
-            greatest(col("n_words"), lit(1)), 6).as("symbol_ratio"),
+            greatest(size(col("toks")), lit(1)), 6).as("symbol_ratio"),
           round(size(expr("filter(lines, l -> l LIKE '-%' OR l LIKE '*%')"))
             .cast(DoubleType) / greatest(size(col("lines")), lit(1)), 6)
             .as("bullet_frac"),
           round(lit(1.0) - size(array_distinct(col("lines"))).cast(DoubleType) /
-            greatest(size(col("lines")), lit(1)), 6).as("dup_line_frac"))
+            greatest(size(col("lines")), lit(1)), 6).as("dup_line_frac"),
+          round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast(DoubleType) /
+            greatest(size(col("toks")), lit(1)), 6).as("alpha_word_frac"),
+          size(array_distinct(filter(col("toks"), t => t.isin(GopherStops: _*))))
+            .as("stop_hits"))
       d.withColumn("passes",
         col("n_words").between(50, 100000) &&
           col("mean_word_len").between(3, 10) &&
           col("symbol_ratio") <= 0.1 &&
           col("bullet_frac") <= 0.9 &&
-          col("dup_line_frac") <= 0.3)
+          col("dup_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("stop_hits") >= 2)
     },
     Some("""WITH d AS (SELECT doc_id,
-        len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars,
-        len(regexp_extract_all(text, '[#…]')) AS n_symbols,
+        len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbols,
         split(text, chr(10)) AS lines
       FROM documents),
-      m AS (SELECT doc_id, n_words, n_symbols,
-        round(CAST(alpha_chars AS DOUBLE) / greatest(n_words, 1), 6) AS mean_word_len,
-        round(CAST(n_symbols AS DOUBLE) / greatest(n_words, 1), 6) AS symbol_ratio,
+      m AS (SELECT doc_id, len(toks) AS n_words, n_symbols,
+        round(CAST(alpha_chars AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_word_len,
+        round(CAST(n_symbols AS DOUBLE) / greatest(len(toks), 1), 6) AS symbol_ratio,
         round(CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
           / greatest(len(lines), 1), 6) AS bullet_frac,
         round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
-          / greatest(len(lines), 1), 6) AS dup_line_frac
+          / greatest(len(lines), 1), 6) AS dup_line_frac,
+        round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+          / greatest(len(toks), 1), 6) AS alpha_word_frac,
+        len(list_distinct(list_filter(toks,
+          t -> t IN ('the','be','to','of','and','that','have','with')))) AS stop_hits
       FROM d)
-      SELECT *,
+      SELECT doc_id, n_words, n_symbols, mean_word_len, symbol_ratio, bullet_frac,
+        dup_line_frac, alpha_word_frac, stop_hits,
         (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
           AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-          AND dup_line_frac <= 0.3 AS passes
+          AND dup_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+          AND stop_hits >= 2 AS passes
       FROM m"""))
 
   /** Language-ID heuristic: per-language stopword hit counts, argmax with a

@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exercises the Gopher rule arithmetic on a fixture corpus that actually
+  * contains the symbol characters (`#`, `…`, `...`) — the sf testdata has
+  * none, so without this the symbol-ratio rule would only ever see zero
+  * matches (and a regex group-index bug in it once went unnoticed).
+  */
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  /** documents-shaped parquet fixture in a temp dir, loadable via Tables. */
+  lazy val fixtureDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("textops").toString
+    val good = ("The quick brown fox jumps over the lazy dog and runs off " +
+      "to the hills with great joy that nobody could have predicted. ") * 5
+    Seq(
+      (1L, good, "web", "en"),
+      // heavy symbols: '#' plus both ellipsis spellings
+      (2L, "# # # wait… no... maybe… yes... # " * 20, "web", "en"),
+      // all-numeric tokens: alpha_word_frac = 0
+      (3L, ("42 7 1999 3 " * 30) + "17", "web", "en"),
+      // no stop words at all
+      (4L, "zebra quagga okapi tapir gnu eland kudu oryx dikdik " * 10, "web", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  def gopher(): Map[Long, org.apache.spark.sql.Row] =
+    TextOps.qualityGopher.fn(spark, fixtureDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("symbol-heavy doc is counted and fails the symbol-ratio rule") {
+    val r = gopher()(2L)
+    assert(r.getAs[Int]("n_symbols") >= 80, "both '…' and '...' must count")
+    assert(r.getAs[Double]("symbol_ratio") > 0.1)
+    assert(!r.getAs[Boolean]("passes"))
+  }
+
+  test("clean doc passes all rules including the new ones") {
+    val r = gopher()(1L)
+    assert(r.getAs[Double]("alpha_word_frac") >= 0.8)
+    assert(r.getAs[Int]("stop_hits") >= 2)
+    assert(r.getAs[Boolean]("passes"))
+  }
+
+  test("numeric-token doc fails alpha-word fraction") {
+    val r = gopher()(3L)
+    assert(r.getAs[Double]("alpha_word_frac") < 0.8)
+    assert(!r.getAs[Boolean]("passes"))
+  }
+
+  test("stopword-free doc fails stop-word presence") {
+    val r = gopher()(4L)
+    assert(r.getAs[Int]("stop_hits") < 2)
+    assert(!r.getAs[Boolean]("passes"))
+  }
+}
