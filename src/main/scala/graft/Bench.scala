@@ -34,15 +34,24 @@ object Bench {
         .outputMode("complete").start()
       q.processAllAvailable(); q.stop()
     } catch { case _: Throwable => }
+    // median of N runs per query (default 3): at n=1, sub-second queries
+    // swing ±40% run-to-run locally and a regression can't be told from
+    // noise; the median is a steady-state number. Total = sum of medians.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val wall0 = System.nanoTime()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(runs) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
+    val wall = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"wall_sec":${math.rint(wall * 1000) / 1000}}""")
     spark.stop()
   }
 }

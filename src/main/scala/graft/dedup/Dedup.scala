@@ -74,6 +74,38 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Bucket-cap split WITHOUT a window: a `groupBy` computes each
+    * bucket's width and min-id anchor (map-side partial aggregation — a
+    * degenerate bucket at 100 TB never funnels through one task's window
+    * sort before the cap can act), and only the over-cap bucket list —
+    * tiny by construction (≤ N/cap rows, in practice a handful) — joins
+    * back onto the banded stream, where AQE broadcasts it. The previous
+    * window formulation cost one full shuffle+sort of the banded rows
+    * AND routed any pathological bucket through a single task; this
+    * shuffles only the ~32-byte (keys, count) aggregate.
+    *
+    * Returns (under-cap rows unchanged, over-cap rows with an `anchor`
+    * struct carrying the bucket-min id + `payload` columns).
+    */
+  private[graft] def bucketCapSplit(banded0: DataFrame, keys: Seq[String],
+      cap: Int, idCol: String, payload: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    // One explicit hash exchange on the bucket keys, NO sort: every
+    // consumer below (size aggregate, both self-join sides, star branch)
+    // reuses this single shuffle, so the expensive upstream signature
+    // expressions are computed exactly once — the property the old
+    // window formulation got from its shuffle — while a degenerate
+    // bucket only STREAMS through its task instead of sorting in it.
+    val banded = banded0.repartition(keys.map(col): _*)
+    val anchor = struct((idCol +: payload).map(col): _*)
+    val over = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bw"), min(anchor).as("anchor"))
+      .filter(col("bw") > cap)
+      .select(keys.map(col) :+ col("anchor"): _*)
+    val joined = banded.join(over, keys, "left")
+    (joined.filter(col("anchor").isNull).drop("anchor"),
+      joined.filter(col("anchor").isNotNull))
+  }
+
   /** Candidate pairs from bucket collisions (id1 < id2), deduped across
     * bands. Buckets up to MaxBucket wide self-join; wider buckets —
     * exactly the heaviest real dup targets (thousands of identical or
@@ -83,20 +115,16 @@ object Dedup {
     * explode and an outright drop would never dedup them at all.
     */
   def candidatePairs(banded: DataFrame): DataFrame = {
-    val wBB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    val sized = banded
-      .withColumn("bw", count(lit(1)).over(wBB))
-      .withColumn("anchor", min(col("doc_id")).over(wBB))
-    val small = sized.filter(col("bw") <= MaxBucket)
+    val (small, overCap) =
+      bucketCapSplit(banded, Seq("band", "bucket"), MaxBucket, "doc_id")
     val a = small.select(col("band"), col("bucket"), col("doc_id").as("id1"))
     val b = small.select(col("band"), col("bucket"), col("doc_id").as("id2"))
     val full = a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
-    val star = sized.filter(col("bw") > MaxBucket)
-      .filter(col("doc_id") =!= col("anchor"))
-      .select(col("anchor").as("id1"), col("doc_id").as("id2"))
+    val star = overCap
+      .filter(col("doc_id") =!= col("anchor.doc_id"))
+      .select(col("anchor.doc_id").as("id1"), col("doc_id").as("id2"))
     full.union(star).distinct()
   }
 
@@ -249,13 +277,8 @@ object Dedup {
         struct(lit(k).as("band"),
           expr(s"shiftrightunsigned(sig, ${k * 16}) & 65535").as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val wBB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    val sized = banded
-      .withColumn("bw", count(lit(1)).over(wBB))
-      // min-by-doc_id (doc, sig) anchor for the over-cap star
-      .withColumn("am", min(struct(col("doc_id"), col("sig"))).over(wBB))
-    val small = sized.filter(col("bw") <= SimHashMaxBucket)
+    val (small, overCap) = bucketCapSplit(
+      banded, Seq("band", "bucket"), SimHashMaxBucket, "doc_id", Seq("sig"))
     val a = small.select(col("band"), col("bucket"), col("doc_id").as("id1"), col("sig").as("sig1"))
     val b = small.select(col("band"), col("bucket"), col("doc_id").as("id2"), col("sig").as("sig2"))
     val full = a.join(b, Seq("band", "bucket"))
@@ -263,10 +286,10 @@ object Dedup {
       .select(col("id1"), col("id2"),
         expr("bit_count(sig1 ^ sig2)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    val star = sized.filter(col("bw") > SimHashMaxBucket)
-      .filter(col("doc_id") =!= col("am.doc_id"))
-      .select(col("am.doc_id").as("id1"), col("doc_id").as("id2"),
-        expr("bit_count(am.sig ^ sig)").as("hamming"))
+    val star = overCap
+      .filter(col("doc_id") =!= col("anchor.doc_id"))
+      .select(col("anchor.doc_id").as("id1"), col("doc_id").as("id2"),
+        expr("bit_count(anchor.sig ^ sig)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
     full.union(star).distinct()
   }

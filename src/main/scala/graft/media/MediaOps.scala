@@ -139,6 +139,7 @@ object MediaOps {
       org.apache.spark.sql.Encoders.product[MediaFeatures]
     media.mapPartitions { it =>
       // per-partition init (codec context, model weights, ...) goes here
+      javax.imageio.ImageIO.setUseCache(false) // header probe needs no temp file
       it.grouped(batchSize).flatMap { batch => batch.iterator.map(decode) }
     }
   }
@@ -158,6 +159,9 @@ object MediaOps {
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY)
     media.mapPartitions { it =>
+      // ImageIO defaults to a disk-backed stream cache per call — pure
+      // overhead for in-memory byte arrays (one temp file per image)
+      javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { r =>
         if (r.kind != "image") Iterator.empty
         else try {
@@ -269,10 +273,13 @@ object MediaOps {
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
-      .mapPartitions(_.collect {
-        case (id, source, text) if id % 3 == 0 =>
-          MediaRow(id, "image", source, syntheticPng(id, text))
-      })
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp file per encode
+        it.collect {
+          case (id, source, text) if id % 3 == 0 =>
+            MediaRow(id, "image", source, syntheticPng(id, text))
+        }
+      }
   }
 
   /** Registered query: decode features and aggregate per (source, kind).

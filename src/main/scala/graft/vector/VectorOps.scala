@@ -192,22 +192,22 @@ object VectorOps {
       // degenerate signature bucket must not go quadratic in the
       // self-join. Over-cap buckets — the heaviest real dup targets —
       // emit a spanning star to the bucket's min vec_id (O(bucket)
-      // pairs, connectivity preserved) instead of being dropped.
-      val wB = Window.partitionBy(col("bucket"))
-      val sized = corpus(s, dir)
+      // pairs, connectivity preserved) instead of being dropped. The
+      // split is groupBy-based (Dedup.bucketCapSplit), not a window, so
+      // a degenerate bucket never serializes through one task's sort.
+      val banded = corpus(s, dir)
         .withColumn("bucket", lshSignature(col("embedding"), MaxPlanes))
-        .withColumn("bw", count(lit(1)).over(wB))
-        .withColumn("am", min(struct(col("vec_id"), col("embedding"))).over(wB))
-      val c = sized.filter(col("bw") <= 64)
+      val (c, overCap) = graft.dedup.Dedup.bucketCapSplit(
+        banded, Seq("bucket"), 64, "vec_id", Seq("embedding"))
       val a = c.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
       val b = c.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
       val full = a.join(b, "bucket")
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"), cosineSim(col("e1"), col("e2")).as("cos"))
-      val star = sized.filter(col("bw") > 64)
-        .filter(col("vec_id") =!= col("am.vec_id"))
-        .select(col("am.vec_id").as("id1"), col("vec_id").as("id2"),
-          cosineSim(col("am.embedding"), col("embedding")).as("cos"))
+      val star = overCap
+        .filter(col("vec_id") =!= col("anchor.vec_id"))
+        .select(col("anchor.vec_id").as("id1"), col("vec_id").as("id2"),
+          cosineSim(col("anchor.embedding"), col("embedding")).as("cos"))
       val pairs = full.union(star).filter(col("cos") >= 0.99)
       pairs.agg(count(lit(1)).as("n_pairs"),
         coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos"))

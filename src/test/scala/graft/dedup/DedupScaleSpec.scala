@@ -44,6 +44,11 @@ class DedupScaleSpec extends AnyFunSuite {
     val sh = Dedup.wordShingles(docs, 5)
     val cand = Dedup.candidatePairs(
       Dedup.bands(Dedup.minHashSignature(sh, 64), 64, 4))
+    // the cap sizing is groupBy-based: the plan must contain NO window
+    // operator — a window over (band,bucket) would sort this entire
+    // degenerate bucket inside one task before the cap could act
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bucket sizing must not use a window")
     assert(cand.count() == 999, s"expected 999 star pairs")
     // and the full pipeline (verify + CC) dedups the whole cluster
     val verified = Dedup.verifyJaccard(cand, sh, 0.5)
