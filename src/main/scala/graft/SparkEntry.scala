@@ -13,6 +13,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     operators.Relational.all ++
       operators.TextOps.all ++
+      operators.Decontam.all ++
       dedup.Dedup.all ++
       vector.VectorOps.all ++
       media.MediaOps.all ++

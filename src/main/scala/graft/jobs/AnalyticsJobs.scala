@@ -20,7 +20,10 @@ object ServerCountJob extends CCJob[String]()(org.apache.spark.sql.Encoders.STRI
 object HtmlTagCountJob extends CCJob[String]()(org.apache.spark.sql.Encoders.STRING) {
   val name = "html_tag_count"
   def extract(path: String, rec: WarcRecord, c: JobCounters): Iterator[(String, Long)] = {
-    if (!(Predicates.isResponse(rec) && Predicates.isHtml(rec))) c.recordsNonHtml.add(1)
+    // the reference skips non-response records silently and counts only
+    // HTML-less *responses* (html_tag_count.py's records-non-HTML) —
+    // request/metadata records must not inflate the counter
+    if (Predicates.isResponse(rec) && !Predicates.isHtml(rec)) c.recordsNonHtml.add(1)
     Extractors.htmlTagCounts(rec)
   }
 }

@@ -93,8 +93,10 @@ object CCIndexWarcJob {
     }
     val parts = if (numPartitions > 0) numPartitions
                 else math.max(1, math.min(srcDst.size, 32))
+    val shipped = graft.util.HadoopConfs.ship(spark)
     spark.sparkContext.parallelize(srcDst, parts)
       .flatMap { case (src, dst) =>
+        shipped.installHere() // session hadoop conf for executor read+write
         val reader = graft.warc.WarcReader.open(src)
         val coords = Vector.newBuilder[(String, String, Long, Long, String, String, String)]
         try {

@@ -22,24 +22,49 @@ object FileProcessorJob {
       baseUrl: Option[String] = None)(
       process: (String, java.nio.file.Path) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
     import spark.implicits._
+    val shipped = graft.util.HadoopConfs.ship(spark)
     spark.read.textFile(manifestPath)
       .filter(l => l.trim.nonEmpty && !l.startsWith("#"))
       .repartition(numPartitions)
       .flatMap { path0 =>
+        shipped.installHere() // session hadoop conf for the fetch
         val path = graft.warc.WarcSource.resolveUri(path0, baseUrl)
         val tmp = java.nio.file.Files.createTempFile("graft_file", suffixOf(path))
+        // a task killed mid-iteration never exhausts the iterator below —
+        // the completion listener is the cleanup that always runs
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          java.nio.file.Files.deleteIfExists(tmp); ()
+        }
         try {
           val in = graft.warc.WarcReader.openRaw(path)
           try java.nio.file.Files.copy(in, tmp,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           finally in.close()
-          process(path, tmp).toVector.iterator // materialize before deleting
+          // stream the hook's rows through (no per-file materialization —
+          // a hook emitting millions of rows per file must not buffer
+          // them); the temp file is deleted on exhaustion, so at most one
+          // spooled file exists per running task at a time
+          val inner = process(path, tmp)
+          new Iterator[T] {
+            private var failed = false
+            override def hasNext: Boolean = {
+              if (failed) return false
+              val h =
+                try inner.hasNext
+                catch { case _: Exception =>
+                  failedAcc.foreach(_.add(1)); failed = true; false
+                }
+              if (!h) java.nio.file.Files.deleteIfExists(tmp)
+              h
+            }
+            override def next(): T = inner.next()
+          }
         } catch {
           case _: Exception =>
             failedAcc.foreach(_.add(1))
+            java.nio.file.Files.deleteIfExists(tmp)
             Iterator.empty
-        } finally {
-          java.nio.file.Files.deleteIfExists(tmp)
         }
       }
   }

@@ -137,8 +137,11 @@ object JobRunner {
     def records = WarcSource.fromManifest(spark, cli.input, cli.inParts,
       Some(counters.recordsFailed), cli.inputBaseUrl)
 
-    // jobs that write their own multi-part output under $output (paths)
-    val selfWriting = Set("host_graph", "wet_extract", "index_build")
+    // jobs that write their own multi-part output under $output (paths);
+    // stream_windows self-writes only in its durable path-output mode
+    val selfWriting = Set("host_graph", "wet_extract", "index_build") ++
+      (if (cli.job == "stream_windows" && JobConfig.isPathOutput(cli.output))
+        Set("stream_windows") else Set.empty)
 
     val df = cli.job match {
       case "server_count"   => ServerCountJob.aggregate(spark, records, counters)
@@ -191,10 +194,35 @@ object JobRunner {
         spark.read.parquet(s"${cli.output}/coords")
       case "stream_windows" =>
         val stream = graft.streaming.EventStream.readEvents(spark, cli.input)
-        val q = graft.streaming.EventStream.windowedCounts(stream)
-          .writeStream.format("memory").queryName("win").outputMode("complete").start()
-        q.processAllAvailable(); q.stop()
-        spark.sql("SELECT * FROM win")
+        val agg = graft.streaming.EventStream.windowedCounts(stream)
+        if (JobConfig.isPathOutput(cli.output)) {
+          // durable mode: source offsets + aggregation state live in a
+          // checkpoint under the output dir, so a restarted job RESUMES —
+          // already-seen input files are never reprocessed and counts
+          // accumulate in the recovered state store. foreachBatch in
+          // complete mode rewrites only the (small: one row per
+          // window×type) result table per batch; results stay off the
+          // driver, unlike the memory sink. For an infinite 24/7 stream
+          // you'd trade this for append mode + watermark state eviction;
+          // this job's contract is drain-available-then-stop, where
+          // append would hold back every non-finalized window.
+          val dataDir = s"${cli.output}/data"
+          val q = agg.writeStream
+            .outputMode("complete")
+            .option("checkpointLocation", s"${cli.output}/_checkpoint")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.coalesce(cli.outParts).write.mode("overwrite").parquet(dataDir)
+            }
+            .start()
+          q.processAllAvailable(); q.stop()
+          spark.read.parquet(dataDir)
+        } else {
+          // table-name output: memory sink + saveAsTable (oracle path)
+          val q = agg.writeStream.format("memory").queryName("win")
+            .outputMode("complete").start()
+          q.processAllAvailable(); q.stop()
+          spark.sql("SELECT * FROM win")
+        }
       case other => sys.error(s"unknown job: $other\n${JobCli.usage}")
     }
 
@@ -203,9 +231,10 @@ object JobRunner {
     val rows =
       if (selfWriting.contains(cli.job)) {
         val countPath = cli.job match {
-          case "host_graph"  => s"${cli.output}/edges"
-          case "wet_extract" => s"${cli.output}/coords"
-          case "index_build" => s"${cli.output}/ccindex"
+          case "host_graph"     => s"${cli.output}/edges"
+          case "wet_extract"    => s"${cli.output}/coords"
+          case "index_build"    => s"${cli.output}/ccindex"
+          case "stream_windows" => s"${cli.output}/data"
         }
         spark.read.parquet(countPath).count()
       } else if (JobConfig.isPathOutput(cli.output)) {

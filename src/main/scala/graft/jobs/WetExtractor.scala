@@ -53,7 +53,9 @@ object WetExtractor {
     val paths = spark.read.textFile(manifestPath)
       .filter(l => l.trim.nonEmpty && !l.startsWith("#"))
       .repartition(numPartitions)
+    val shipped = graft.util.HadoopConfs.ship(spark)
     val coords: Dataset[WetCoord] = paths.mapPartitions { pathIter =>
+      shipped.installHere() // session hadoop conf for the archive reads
       pathIter.flatMap { path => extractFile(path, outDir, skippedExisting) }
     }
     coords.toDF()

@@ -59,11 +59,16 @@ object EventStream {
     * most `maxBufferPerUser` (ts, value) pairs — per-user memory is
     * O(maxBufferPerUser) regardless of batch size. An event displaced
     * further than the buffer is late beyond the reorder horizon and is
-    * dropped, the same contract the watermark applies across batches.
+    * dropped, the same contract the watermark applies across batches —
+    * and counted in `lateDrops` (pass a `sparkContext.longAccumulator`)
+    * so an operator can SEE reorder-horizon loss instead of silently
+    * shipping a run that undercounted sessions.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000,
                  maxBufferPerUser: Int = 1 << 14,
-                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+                 watermarkDelay: String = "10 minutes",
+                 lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[Session] = {
     import events.sparkSession.implicits._
     // EventTimeTimeout REQUIRES a watermark when the source is a
     // stream (AnalysisException otherwise); on a batch Dataset
@@ -95,7 +100,8 @@ object EventStream {
               Ordering.by((p: (Long, Double)) => p._1))
             def pop(): Unit = {
               val (t, v) = heap.poll()
-              if (t >= lastFed) { lastFed = t; feed(t, v) } // else: late, drop
+              if (t >= lastFed) { lastFed = t; feed(t, v) }
+              else lateDrops.foreach(_.add(1)) // displaced past the reorder horizon
             }
             evs.foreach { e =>
               heap.add((e.ts.getTime, e.value))

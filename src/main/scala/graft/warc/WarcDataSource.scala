@@ -53,7 +53,11 @@ object WarcDataSource {
     * silently-empty scans).
     */
   def expand(path: String): Seq[String] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // planning runs on the driver: use the session's Hadoop conf so
+    // object-store listings see spark.hadoop.* credentials
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(graft.util.HadoopConfs.get)
     path.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
@@ -129,7 +133,9 @@ class WarcScan(path: String, recordTypes: Option[Set[String]],
   override def planInputPartitions(): Array[InputPartition] =
     WarcDataSource.expand(path).map(p => WarcInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(recordTypes, required)
+    new WarcReaderFactory(recordTypes, required,
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(graft.util.HadoopConfs.ship))
   override def description(): String =
     s"WarcScan(path=$path, pushedTypes=${recordTypes.getOrElse(Set.empty).mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
@@ -137,11 +143,14 @@ class WarcScan(path: String, recordTypes: Option[Set[String]],
 
 case class WarcInputPartition(file: String) extends InputPartition
 
-class WarcReaderFactory(recordTypes: Option[Set[String]], required: StructType)
+class WarcReaderFactory(recordTypes: Option[Set[String]], required: StructType,
+                        shipped: Option[graft.util.HadoopConfs.Shipped] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    shipped.foreach(_.installHere()) // session hadoop conf for executor opens
     new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file,
       recordTypes, required)
+  }
 }
 
 class WarcPartitionReader(file: String, recordTypes: Option[Set[String]],

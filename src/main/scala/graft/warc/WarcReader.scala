@@ -224,5 +224,7 @@ object WarcReader {
     .connectTimeout(java.time.Duration.ofSeconds(30))
     .build()
 
-  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+  // session conf when the task shipped one (graft.util.HadoopConfs) —
+  // a fresh Configuration here would drop spark.hadoop.* (s3a auth etc.)
+  private def hadoopConf = graft.util.HadoopConfs.get
 }

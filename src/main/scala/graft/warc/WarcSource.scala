@@ -34,10 +34,12 @@ object WarcSource {
                    errorAcc: Option[LongAccumulator] = None,
                    baseUrl: Option[String] = None): Dataset[(String, WarcRecord)] = {
     import spark.implicits._
+    val shipped = graft.util.HadoopConfs.ship(spark)
     val paths = spark.read.textFile(manifestPath)
       .filter(l => l.trim.nonEmpty && !l.startsWith("#"))
       .repartition(numPartitions)
     paths.flatMap { p0 =>
+      shipped.installHere() // session hadoop conf for WarcReader.open
       val p = resolveUri(p0, baseUrl)
       readPath(p, errorAcc).map(r => (p, r))
     }
@@ -48,8 +50,12 @@ object WarcSource {
                 numPartitions: Int = 4,
                 errorAcc: Option[LongAccumulator] = None): Dataset[(String, WarcRecord)] = {
     import spark.implicits._
+    val shipped = graft.util.HadoopConfs.ship(spark)
     spark.createDataset(paths).repartition(numPartitions)
-      .flatMap(p => readPath(p, errorAcc).map(r => (p, r)))
+      .flatMap { p =>
+        shipped.installHere()
+        readPath(p, errorAcc).map(r => (p, r))
+      }
   }
 
   private def readPath(p: String, errorAcc: Option[LongAccumulator]): Iterator[WarcRecord] = {
@@ -93,8 +99,10 @@ object WarcSource {
   def fetchRecords(spark: SparkSession, coords: Dataset[RecordCoord],
                    errorAcc: Option[LongAccumulator] = None): Dataset[(String, WarcRecord)] = {
     import spark.implicits._
+    val shipped = graft.util.HadoopConfs.ship(spark)
     coords.mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      shipped.installHere()
+      val conf = shipped.value
       var current: (String, org.apache.hadoop.fs.FSDataInputStream) = null
       // the last archive of a partition has no "file switch" to close it —
       // the completion listener is what closes it

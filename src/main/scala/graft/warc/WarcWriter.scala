@@ -40,7 +40,9 @@ object WarcWriter {
   def writeHadoop(path: String, records: Iterator[WarcRecord])
                  (onRecord: (WarcRecord, Long, Long) => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // HadoopConfs.get: the session's spark.hadoop.* settings when the
+    // task shipped them — executor-side s3a writes need the credentials
+    val fs = p.getFileSystem(graft.util.HadoopConfs.get)
     val out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
     var pos = 0L
     try {

@@ -2,6 +2,7 @@ package graft.jobs
 
 import graft.warc.{Fixtures, WarcSource, WarcWriter}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pattern B of the reference test suite: full pipelines through a local
@@ -143,12 +144,14 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(counters.summary.contains("response records WAT = 1"))
   }
 
-  test("HtmlTagCountJob counts non-HTML records") {
+  test("HtmlTagCountJob counts non-HTML among response records only") {
     val counters = JobCounters(spark)
     val records = WarcSource.fromPaths(spark, Seq(warcPath), 2)
     HtmlTagCountJob.aggregate(spark, records, counters).collect()
-    // wetText + watJson + robotsTxt are not HTML responses
-    assert(counters.recordsNonHtml.value >= 3)
+    // reference semantics (html_tag_count.py): non-response records
+    // (wetText conversion, watJson metadata) are skipped silently;
+    // robotsTxt is the one response record that is not HTML
+    assert(counters.recordsNonHtml.value == 1)
   }
 
   test("jobs chain by table name: index_export CTAS feeds index_word_count") {
@@ -222,6 +225,38 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(JobConfig.effectiveCompression("parquet", "gzip") == "gzip")
     assert(JobConfig.isPathOutput("/out") && JobConfig.isPathOutput("s3a://b/p"))
     assert(!JobConfig.isPathOutput("out_tbl"))
+  }
+
+  test("stream_windows durable sink: restart resumes from checkpoint, no reprocess") {
+    val dir = java.nio.file.Files.createTempDirectory("streamjob").toString
+    val input = s"$dir/events"
+    def addEvents(offset: Int): Unit =
+      spark.range(100).selectExpr(s"id + $offset AS event_id",
+        s"(id + $offset) * 1000000000 AS ts", "id % 5 AS user_id",
+        "'click' AS event_type", "1.0 AS value", "'{}' AS props")
+        .coalesce(1).write.mode("append").parquet(input)
+    def offsetBatches: Int = {
+      val l = new java.io.File(s"$dir/out/_checkpoint/offsets").list()
+      if (l == null) 0 else l.count(!_.startsWith("."))
+    }
+
+    addEvents(0)
+    JobRunner.run(spark, JobCli("stream_windows", input, s"$dir/out", outParts = 1))
+    assert(spark.read.parquet(s"$dir/out/data").count() > 0)
+    val b1 = offsetBatches
+
+    // restart with no new input: offsets untouched — nothing reprocessed
+    JobRunner.run(spark, JobCli("stream_windows", input, s"$dir/out", outParts = 1))
+    assert(offsetBatches == b1, "restart without new data must not add a batch")
+
+    // new input file: exactly ONE incremental batch; counts accumulate
+    // through the recovered state store (100 + 100 events total)
+    addEvents(100)
+    JobRunner.run(spark, JobCli("stream_windows", input, s"$dir/out", outParts = 1))
+    assert(offsetBatches == b1 + 1, "resumed run should process only the new file")
+    val total = spark.read.parquet(s"$dir/out/data")
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total == 200, s"state must accumulate across restarts, got $total")
   }
 
   test("sitemaps job: list concat across hosts for one sitemap URL") {

@@ -67,6 +67,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(external.head.getString(1).matches("[0-9a-f]{32}"))
   }
 
+  test("S8 many-rows-per-file hook streams through and cleans its temp file") {
+    import spark.implicits._
+    val manifest = java.nio.file.Files.createTempFile("m_many", ".txt")
+    java.nio.file.Files.writeString(manifest, warcPath + "\n")
+    val tmpDir = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def spooled: Set[String] =
+      tmpDir.list().filter(_.startsWith("graft_file")).toSet
+    val before = spooled
+    // hook that emits one row PER BYTE of the file — a materializing
+    // implementation would buffer the whole expansion per file
+    val rows = FileProcessorJob.processFiles[(String, Int)](
+      spark, manifest.toString, 1) { (path, tmp) =>
+      val n = java.nio.file.Files.size(tmp).toInt
+      Iterator.range(0, n).map(i => (path, i))
+    }.collect()
+    assert(rows.length == new java.io.File(warcPath).length().toInt)
+    assert(rows.map(_._2).toSet == (0 until rows.length).toSet)
+    assert(spooled == before, "spooled temp file must be deleted on exhaustion")
+  }
+
   test("S10 text dump → S12-style re-import round trip") {
     import spark.implicits._
     val edges = Seq(("com.a", "com.b"), ("com.b", "com.c")).toDF("s", "t")

@@ -94,6 +94,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late events beyond the reorder horizon are counted, not silent") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("session_late_drops")
+    def ev(id: Long, tMin: Long) = EventStream.Event(
+      id, new java.sql.Timestamp(tMin * 60000), 1L, "click", 1.0)
+    // arrival order = event_id; buffer of 2 means event 5 (t=50) arrives
+    // after t=200 has already been fed → displaced past the horizon
+    val events = Seq(ev(1, 100), ev(2, 200), ev(3, 300), ev(4, 400), ev(5, 50))
+      .toDS().repartition(1).sortWithinPartitions("event_id")
+    EventStream.sessionize(events, gapMs = 30 * 60000, maxBufferPerUser = 2,
+      lateDrops = Some(acc)).collect()
+    assert(acc.value == 1, s"expected exactly one counted drop, got ${acc.value}")
+  }
+
   test("sessionization hot key: 1M-event user runs in O(buffer) memory") {
     import spark.implicits._
     // one user, 1M events, 1s apart with a 1h gap every 100k events —
