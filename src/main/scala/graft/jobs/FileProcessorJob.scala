@@ -19,7 +19,8 @@ object FileProcessorJob {
   def processFiles[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, manifestPath: String, numPartitions: Int,
       failedAcc: Option[org.apache.spark.util.LongAccumulator] = None,
-      baseUrl: Option[String] = None)(
+      baseUrl: Option[String] = None,
+      tempDir: Option[String] = None)(
       process: (String, java.nio.file.Path) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
     import spark.implicits._
     val shipped = graft.util.HadoopConfs.ship(spark)
@@ -29,7 +30,16 @@ object FileProcessorJob {
       .flatMap { path0 =>
         shipped.installHere() // session hadoop conf for the fetch
         val path = graft.warc.WarcSource.resolveUri(path0, baseUrl)
-        val tmp = java.nio.file.Files.createTempFile("graft_file", suffixOf(path))
+        // --local_temp_dir (sparkcc.py:74-77): spool to a caller-chosen
+        // scratch dir (fast local disk on real executors) when given
+        val tmp = tempDir match {
+          case Some(d) =>
+            val dir = java.nio.file.Paths.get(d)
+            java.nio.file.Files.createDirectories(dir)
+            java.nio.file.Files.createTempFile(dir, "graft_file", suffixOf(path))
+          case None =>
+            java.nio.file.Files.createTempFile("graft_file", suffixOf(path))
+        }
         // a task killed mid-iteration never exhausts the iterator below —
         // the completion listener is the cleanup that always runs
         val tc = org.apache.spark.TaskContext.get()
@@ -76,10 +86,11 @@ object FileProcessorJob {
   def md5sum(spark: SparkSession, manifestPath: String,
              numPartitions: Int = 4, useExternal: Boolean = true,
              failedAcc: Option[org.apache.spark.util.LongAccumulator] = None,
-             baseUrl: Option[String] = None): DataFrame = {
+             baseUrl: Option[String] = None,
+             tempDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     processFiles[(String, String)](spark, manifestPath, numPartitions, failedAcc,
-        baseUrl) { (path, tmp) =>
+        baseUrl, tempDir) { (path, tmp) =>
       val digest =
         if (useExternal && new java.io.File("/usr/bin/md5sum").exists()) {
           val proc = new ProcessBuilder("/usr/bin/md5sum", tmp.toString).start()

@@ -24,7 +24,10 @@ final case class JobCli(
     validateHostNames: Boolean = false,
     vertexPartitions: Int = 1,
     vertexIds: Option[String] = None,
-    addInputs: Seq[String] = Nil) {
+    addInputs: Seq[String] = Nil,
+    localTempDir: Option[String] = None,
+    logLevel: Option[String] = None,
+    sparkProfiler: Boolean = false) {
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
     outputFormat, outputCompression, outputOptions)
@@ -39,6 +42,7 @@ object JobCli {
       |  [--output_option k=v]... [--query SQL] [--table NAME]
       |  [--table_schema FILE.json] [--input_table_format FORMAT]
       |  [--input_table_option k=v]... [--input_base_url URL]
+      |  [--local_temp_dir DIR] [--log_level LEVEL] [--spark_profiler]
       |  host_graph flags: [--save_as_text DIR] [--normalize_host_names]
       |  [--validate_host_names] [--vertex_partitions N]
       |  [--vertex_ids PATH] [--add_input PATH]...
@@ -88,6 +92,10 @@ object JobCli {
         case "--vertex_partitions"     => cli = cli.copy(vertexPartitions = value.toInt)
         case "--vertex_ids"            => cli = cli.copy(vertexIds = Some(value))
         case "--add_input"             => cli = cli.copy(addInputs = cli.addInputs :+ value)
+        // sparkcc.py:74-112 conveniences
+        case "--local_temp_dir"        => cli = cli.copy(localTempDir = Some(value))
+        case "--log_level"             => cli = cli.copy(logLevel = Some(value))
+        case "--spark_profiler"        => cli = cli.copy(sparkProfiler = true)
         case "--csv" =>
           // deprecated reference alias (sparkcc.py:560-570): CSV coordinate
           // table with header+inferSchema, read from the given path
@@ -110,6 +118,25 @@ object JobCli {
   * so jobs chain by table name). Format/compression/options follow
   * sparkcc.py:219-225 incl. the orc→zlib fixup.
   */
+/** Per-stage metrics collector behind `--spark_profiler`: run time, GC,
+  * shuffle bytes, spill — the signals a skew/shuffle diagnosis needs.
+  */
+final class StageProfiler extends org.apache.spark.scheduler.SparkListener {
+  private val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val i = sc.stageInfo
+    val m = i.taskMetrics
+    lines.add(f"[profile] stage=${i.stageId}%-4d tasks=${i.numTasks}%-4d " +
+      f"run=${m.executorRunTime}ms gc=${m.jvmGCTime}ms " +
+      f"shufRead=${m.shuffleReadMetrics.totalBytesRead}B " +
+      f"shufWrite=${m.shuffleWriteMetrics.bytesWritten}B " +
+      f"spill=${m.memoryBytesSpilled}/${m.diskBytesSpilled}B " +
+      i.name.takeWhile(_ != '\n').take(80))
+  }
+  def report(): Unit = lines.forEach(l => println(l))
+}
+
 object JobRunner {
 
   /** index coordinate selection: --query over the index view, or a
@@ -131,6 +158,12 @@ object JobRunner {
     }
 
   def run(spark: SparkSession, cli: JobCli): Unit = {
+    cli.logLevel.foreach(spark.sparkContext.setLogLevel) // sparkcc.py:104-112
+    // stage-metrics profile (the JVM analogue of --spark_profiler's
+    // per-stage dump, sparkcc.py:74-81): collected while the job runs,
+    // printed at the end
+    val profiler = if (cli.sparkProfiler) Some(new StageProfiler) else None
+    profiler.foreach(spark.sparkContext.addSparkListener)
     val counters = JobCounters(spark)
     val config = cli.jobConfig
 
@@ -167,7 +200,8 @@ object JobRunner {
         spark.read.parquet(s"${cli.output}/edges")
       case "md5sum" =>
         FileProcessorJob.md5sum(spark, cli.input, cli.inParts,
-          failedAcc = Some(counters.recordsFailed), baseUrl = cli.inputBaseUrl)
+          failedAcc = Some(counters.recordsFailed), baseUrl = cli.inputBaseUrl,
+          tempDir = cli.localTempDir)
       case "warc_to_parquet" =>
         // archives → columnar table via the DSv2 source (input = path/dir)
         spark.read.format("warc").load(cli.input)
@@ -242,6 +276,10 @@ object JobRunner {
           .load(cli.output).count()
       } else spark.table(cli.output).count()
     println(s"[graft] job=${cli.job} rows=$rows; ${counters.summary}")
+    profiler.foreach { p =>
+      spark.sparkContext.removeSparkListener(p)
+      p.report()
+    }
   }
 
   def main(args: Array[String]): Unit = {

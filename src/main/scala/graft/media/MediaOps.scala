@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is real: `imageDims` reads width/height/format from the
   * image header via pure-JVM javax.imageio (PNG/JPEG/GIF/BMP readers ship
-  * with the JDK) without decoding pixel data. AUDIO header decode is real
-  * for the formats the JDK ships readers for (WAV/AIFF/AU via
-  * javax.sound.sampled): sample rate, channels, frame count, duration —
-  * O(header), no sample decode. Compressed audio (mp3/ogg) and VIDEO
-  * decode are STUBBED (no codecs in this container): `decodeStub` derives
-  * deterministic fake features from the bytes, as does the fallback for
-  * bytes no reader recognizes. Everything around the decode —
+  * with the JDK) without decoding pixel data. AUDIO metadata is real for
+  * WAV/AIFF/AU (javax.sound.sampled) AND for MP3/Ogg via the pure-JVM
+  * container probes in MediaMeta (frame-header walk / granule math):
+  * sample rate, channels, frames, duration — O(container structure), no
+  * sample decode. VIDEO metadata is real for MP4/ISO-BMFF (box walk:
+  * dimensions + duration). What remains STUBBED is actual PCM/pixel
+  * decode of compressed codecs — that requires codec libraries this
+  * container doesn't ship: `decodeStub` derives deterministic fake
+  * features from the bytes for unrecognized payloads, and frame
+  * EXTRACTION cuts payload slices. Everything around the decode —
   * schema, Dataset plumbing, batched partition processing, feature
   * aggregation — is real and tested, so a production codec drops into
   * `decodeStub` without touching the plan.
@@ -76,8 +79,21 @@ object MediaOps {
       Some((fmt.getSampleRate, fmt.getChannels, aff.getFrameLength.toLong))
     } catch { case _: Exception => None }
 
-  /** Decode one row: real header decode for images and JDK-readable
-    * audio, stub for the rest.
+  /** Compressed-audio metadata via the pure-JVM container probes
+    * (MediaMeta): MP3 frame-header walk, then Ogg Vorbis/Opus granule
+    * math. Guarded — a probe over arbitrary bytes must never throw.
+    */
+  private def compressedAudioMeta(bytes: Array[Byte]): Option[MediaMeta.AudioMeta] =
+    try MediaMeta.mp3Meta(bytes).orElse(MediaMeta.oggMeta(bytes))
+    catch { case _: Exception => None }
+
+  private def mp4Meta(bytes: Array[Byte]): Option[MediaMeta.VideoMeta] =
+    try MediaMeta.mp4Meta(bytes) catch { case _: Exception => None }
+
+  /** Decode one row: real header decode for images, JDK-readable audio
+    * (WAV/AIFF/AU), MP3/Ogg audio and MP4 video container metadata;
+    * stub only for bytes no probe recognizes — and for actual PCM/pixel
+    * decode, which requires a codec this container doesn't ship.
     */
   private def decode(r: MediaRow): MediaFeatures = r.kind match {
     case "image" =>
@@ -98,7 +114,22 @@ object MediaOps {
           stub.copy(width = rate.toInt, height = channels,
             frames = frameLen.min(Int.MaxValue).toInt,
             duration_s = math.rint(dur * 1e6) / 1e6)
-        case _ => decodeStub(r)
+        case _ =>
+          compressedAudioMeta(r.payload) match {
+            case Some(m) =>
+              decodeStub(r).copy(width = m.sampleRate, height = m.channels,
+                frames = m.frames.min(Int.MaxValue).toInt, duration_s = m.durationS)
+            case None => decodeStub(r)
+          }
+      }
+    case "video" =>
+      mp4Meta(r.payload) match {
+        // real container metadata: dimensions + duration from the box
+        // walk; frame count would need an stts parse + codec, left 0
+        case Some(m) =>
+          decodeStub(r).copy(width = m.width, height = m.height,
+            frames = 0, duration_s = m.durationS)
+        case None => decodeStub(r)
       }
     case _ => decodeStub(r)
   }
@@ -211,7 +242,9 @@ object MediaOps {
           math.min((i + 1) * len, payload.length))
       }
       it.filter(_.kind == "video").flatMap { r =>
-        val durMs = math.round(decodeStub(r).duration_s * 1000)
+        // real duration when the payload parses as MP4; stub model else
+        val durMs = math.round(mp4Meta(r.payload).map(_.durationS)
+          .getOrElse(decodeStub(r).duration_s) * 1000)
         (0 until n).iterator.map { i =>
           SampledFrame(r.media_id, i, if (n <= 1) 0 else i * durMs / (n - 1),
             cutFrame(r.payload, i))

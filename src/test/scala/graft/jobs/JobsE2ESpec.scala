@@ -218,6 +218,10 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(cli.inParts == 16 && cli.outputFormat == "orc")
     assert(cli.outputOptions == Map("a" -> "1", "b" -> "x=y"))
     assert(cli.inputTableOptions == Map("header" -> "true"))
+    val conv = JobCli.parse(Array("md5sum", "in.txt", "/out",
+      "--local_temp_dir", "/scratch", "--log_level", "WARN", "--spark_profiler"))
+    assert(conv.localTempDir.contains("/scratch"))
+    assert(conv.logLevel.contains("WARN") && conv.sparkProfiler)
     // positional back-compat
     val pos = JobCli.parse(Array("server_count", "in.txt", "/out", "4", "2"))
     assert(pos.inParts == 4 && pos.outParts == 2)

@@ -65,6 +65,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(external.length == 1 && jvm.length == 1)
     assert(external.head.getString(1) == jvm.head.getString(1)) // same digest
     assert(external.head.getString(1).matches("[0-9a-f]{32}"))
+    // --local_temp_dir: spool goes to (and is cleaned from) the given dir
+    val scratch = java.nio.file.Files.createTempDirectory("scratch").toString
+    val viaDir = FileProcessorJob.md5sum(spark, manifest.toString, 1,
+      tempDir = Some(scratch)).collect()
+    assert(viaDir.head.getString(1) == jvm.head.getString(1))
+    assert(new java.io.File(scratch).list().isEmpty, "scratch dir must be cleaned")
   }
 
   test("S8 many-rows-per-file hook streams through and cleans its temp file") {
