@@ -142,8 +142,10 @@ object TextOps {
     * "Scaling Language Models", §A1.1 — the public rule set behind most
     * pretraining corpus filters): word-count bounds, mean word length
     * bounds, symbol-to-word ratio, bullet-line fraction, duplicate-line
-    * fraction, alpha-word fraction (≥80% of words contain a letter),
-    * stop-word presence (≥2 distinct of the paper's eight). Pure column
+    * fraction (by count AND by character share — one repeated giant line
+    * passes the count rule but not the char rule), alpha-word fraction
+    * (≥80% of words contain a letter), stop-word presence (≥2 distinct
+    * of the paper's eight). Pure column
     * arithmetic over one line split and one token pass per document; the
     * thresholds are the paper's.
     */
@@ -166,6 +168,11 @@ object TextOps {
             .as("bullet_frac"),
           round(lit(1.0) - size(array_distinct(col("lines"))).cast(DoubleType) /
             greatest(size(col("lines")), lit(1)), 6).as("dup_line_frac"),
+          round(lit(1.0) -
+            expr("aggregate(array_distinct(lines), 0L, (a, l) -> a + length(l))")
+              .cast(DoubleType) /
+            greatest(expr("aggregate(lines, 0L, (a, l) -> a + length(l))"), lit(1L)), 6)
+            .as("dup_line_char_frac"),
           round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast(DoubleType) /
             greatest(size(col("toks")), lit(1)), 6).as("alpha_word_frac"),
           size(array_distinct(filter(col("toks"), t => t.isin(GopherStops: _*))))
@@ -176,6 +183,7 @@ object TextOps {
           col("symbol_ratio") <= 0.1 &&
           col("bullet_frac") <= 0.9 &&
           col("dup_line_frac") <= 0.3 &&
+          col("dup_line_char_frac") <= 0.2 &&
           col("alpha_word_frac") >= 0.8 &&
           col("stop_hits") >= 2)
     },
@@ -192,17 +200,21 @@ object TextOps {
           / greatest(len(lines), 1), 6) AS bullet_frac,
         round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
           / greatest(len(lines), 1), 6) AS dup_line_frac,
+        round(1.0 - CAST(coalesce(list_sum(list_transform(list_distinct(lines),
+            l -> length(l))), 0) AS DOUBLE)
+          / greatest(CAST(coalesce(list_sum(list_transform(lines,
+            l -> length(l))), 0) AS BIGINT), 1), 6) AS dup_line_char_frac,
         round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
           / greatest(len(toks), 1), 6) AS alpha_word_frac,
         len(list_distinct(list_filter(toks,
           t -> t IN ('the','be','to','of','and','that','have','with')))) AS stop_hits
       FROM d)
       SELECT doc_id, n_words, n_symbols, mean_word_len, symbol_ratio, bullet_frac,
-        dup_line_frac, alpha_word_frac, stop_hits,
+        dup_line_frac, dup_line_char_frac, alpha_word_frac, stop_hits,
         (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
           AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-          AND dup_line_frac <= 0.3 AND alpha_word_frac >= 0.8
-          AND stop_hits >= 2 AS passes
+          AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
+          AND alpha_word_frac >= 0.8 AND stop_hits >= 2 AS passes
       FROM m"""))
 
   /** Language-ID heuristic: per-language stopword hit counts, argmax with a

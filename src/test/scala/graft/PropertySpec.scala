@@ -117,4 +117,42 @@ class PropertySpec extends AnyFunSuite {
       assert(sessionsOf(drained) == sessionsOf(ts.sorted))
     }
   }
+
+  // ---- MediaMeta container probes ----
+
+  /** Build one MPEG1 Layer-III frame for (bitrateIdx, rateIdx). */
+  private def mp3Frame(bitrateIdx: Int, rateIdx: Int): Array[Byte] = {
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)(bitrateIdx)
+    val rate = Array(44100, 48000, 32000)(rateIdx)
+    val len = 1152 / 8 * kbps * 1000 / rate
+    val f = new Array[Byte](len)
+    f(0) = 0xff.toByte; f(1) = 0xfb.toByte
+    f(2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte
+    f
+  }
+
+  test("mp3 probe recovers frame count and rate for any valid header combo") {
+    val gen = for {
+      bi <- Gen.choose(1, 14)
+      ri <- Gen.choose(0, 2)
+      n <- Gen.choose(2, 40)
+    } yield (bi, ri, n)
+    forAll(gen) { case (bi, ri, n) =>
+      val bytes = Array.fill(n)(mp3Frame(bi, ri)).flatten.toArray
+      val m = graft.media.MediaMeta.mp3Meta(bytes).get
+      assert(m.frames == n)
+      assert(m.sampleRate == Array(44100, 48000, 32000)(ri))
+      assert(math.abs(m.durationS - n * 1152.0 / m.sampleRate) < 1e-3)
+    }
+  }
+
+  test("probes never throw and reject arbitrary byte noise as container data") {
+    forAll(Gen.listOf(Arbitrary.arbitrary[Byte]).map(_.toArray)) { bytes =>
+      // must not throw on any input; random noise virtually never parses
+      // as >=2 consecutive valid MP3 frames / an Ogg+ident page / BMFF
+      graft.media.MediaMeta.mp3Meta(bytes)
+      graft.media.MediaMeta.oggMeta(bytes)
+      graft.media.MediaMeta.mp4Meta(bytes)
+    }
+  }
 }

@@ -32,7 +32,14 @@ class TextOpsSpec extends AnyFunSuite {
       // all-numeric tokens: alpha_word_frac = 0
       (3L, ("42 7 1999 3 " * 30) + "17", "web", "en"),
       // no stop words at all
-      (4L, "zebra quagga okapi tapir gnu eland kudu oryx dikdik " * 10, "web", "en"))
+      (4L, "zebra quagga okapi tapir gnu eland kudu oryx dikdik " * 10, "web", "en"),
+      // duplicate-line CHARACTER mass: 30 distinct short lines + one
+      // giant line twice → dup_line_frac small, dup_line_char_frac large
+      (5L, {
+        val distinct = (1 to 30).map(i => s"line of the day $i").mkString("\n")
+        val giant = "the quick brown fox of and to with that have be " * 40
+        s"$distinct\n$giant\n$giant"
+      }, "web", "en"))
       .toDF("doc_id", "text", "source", "lang")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
@@ -59,6 +66,13 @@ class TextOpsSpec extends AnyFunSuite {
   test("numeric-token doc fails alpha-word fraction") {
     val r = gopher()(3L)
     assert(r.getAs[Double]("alpha_word_frac") < 0.8)
+    assert(!r.getAs[Boolean]("passes"))
+  }
+
+  test("repeated giant line fails the char-mass rule but not the count rule") {
+    val r = gopher()(5L)
+    assert(r.getAs[Double]("dup_line_frac") <= 0.3, "count rule should pass")
+    assert(r.getAs[Double]("dup_line_char_frac") > 0.2, "char rule should fail")
     assert(!r.getAs[Boolean]("passes"))
   }
 
