@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.GraftFunctions._
+import graft.functions.ShingleHashes
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation over the documents table — the
+  * composition a real pretraining pipeline runs, as ONE Catalyst plan:
+  *
+  *   1. quality gate (mild thresholds: ≥20 tokens, ≥1 stop-word hit);
+  *   2. exact dedup (keep the min doc_id per content digest);
+  *   3. eval-set decontamination (13-gram hash overlap vs the held-out
+  *      doc_id%10 split, dropping any doc sharing a gram);
+  *   4. per-source accounting: surviving docs, token budget, and how
+  *      many docs each stage dropped.
+  *
+  * Every stage is a narrow column expression or a keyed join — the plan
+  * scans documents twice (once for the eval grams, once for the
+  * pipeline), shuffles 8-byte digests/gram-hashes, and aggregates to
+  * one row per source. Oracle-checked end to end (the only cross-engine
+  * seam is the gram join: Spark joins 64-bit window hashes where DuckDB
+  * joins gram strings — identical drop decisions short of an xxhash64
+  * collision).
+  */
+object Pipeline {
+
+  val pipelineCuration: QueryDef = QueryDef(
+    "pipeline_curation",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = docs
+        .filter(col("doc_id") % 10 =!= 0) // held-out eval split stays out
+        .select(col("doc_id"), col("source"),
+          tokens(col("text")).as("toks"),
+          md5(col("text").cast("binary")).as("sig"))
+        .select(col("doc_id"), col("source"), col("sig"),
+          size(col("toks")).as("n_tok"),
+          size(array_distinct(filter(col("toks"),
+            t => t.isin(Seq("the", "be", "to", "of", "and", "that", "have", "with"): _*))))
+            .as("stop_hits"),
+          col("toks"))
+      val qualified = base
+        .filter(col("n_tok") >= 20 && col("stop_hits") >= 1)
+      // exact dedup: survivor = min doc_id per digest
+      val keepers = qualified
+        .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val deduped = qualified.join(keepers, Seq("doc_id"), "left_semi")
+      // decontamination: any shared 13-gram with the eval split drops
+      val evalGrams = docs.filter(col("doc_id") % 10 === 0)
+        .select(tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 13)
+        .select(col("toks"))
+        .select(explode(ShingleHashes.longWindowHashes(
+          expr("transform(toks, t -> xxhash64(t))"), 13)).as("g"))
+        .distinct()
+      val contaminatedIds = deduped
+        .filter(size(col("toks")) >= 13)
+        .select(col("doc_id"), explode(ShingleHashes.longWindowHashes(
+          expr("transform(toks, t -> xxhash64(t))"), 13)).as("g"))
+        .join(evalGrams, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val clean = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
+      // per-source accounting across stages
+      val qualifiedBySrc = qualified.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_qualified"))
+      val dedupedBySrc = deduped.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_deduped"))
+      val cleanBySrc = clean.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+      base.groupBy(col("source")).agg(count(lit(1)).as("n_input"))
+        .join(qualifiedBySrc, Seq("source"), "left")
+        .join(dedupedBySrc, Seq("source"), "left")
+        .join(cleanBySrc, Seq("source"), "left")
+        .select(col("source"), col("n_input"),
+          coalesce(col("n_qualified"), lit(0L)).as("n_qualified"),
+          coalesce(col("n_deduped"), lit(0L)).as("n_deduped"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, source,
+          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+          md5(text) AS sig
+        FROM documents WHERE doc_id % 10 != 0),
+      m AS (
+        SELECT doc_id, source, sig, toks, len(toks) AS n_tok,
+          len(list_distinct(list_filter(toks,
+            t -> t IN ('the','be','to','of','and','that','have','with')))) AS stop_hits
+        FROM base),
+      qualified AS (SELECT * FROM m WHERE n_tok >= 20 AND stop_hits >= 1),
+      keepers AS (SELECT MIN(doc_id) AS doc_id FROM qualified GROUP BY sig),
+      deduped AS (SELECT q.* FROM qualified q JOIN keepers k USING (doc_id)),
+      eval_grams AS (
+        SELECT DISTINCT array_to_string(toks[i : i + 12], ' ') AS gram
+        FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents WHERE doc_id % 10 = 0) e,
+          UNNEST(generate_series(1, greatest(len(toks) - 12, 0))) AS t(i)
+        WHERE len(toks) >= 13),
+      contaminated AS (
+        SELECT DISTINCT d.doc_id
+        FROM (SELECT doc_id, array_to_string(toks[i : i + 12], ' ') AS gram
+              FROM deduped, UNNEST(generate_series(1, greatest(len(toks) - 12, 0))) AS t(i)
+              WHERE len(toks) >= 13) d
+        JOIN eval_grams USING (gram)),
+      clean AS (SELECT * FROM deduped
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+      SELECT b.source,
+        COUNT(*) AS n_input,
+        CAST(coalesce(SUM(CASE WHEN q.doc_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_qualified,
+        CAST(coalesce(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_deduped,
+        CAST(coalesce(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_kept,
+        CAST(coalesce(SUM(c.n_tok), 0) AS BIGINT) AS kept_tokens
+      FROM m b
+      LEFT JOIN (SELECT doc_id FROM qualified) q USING (doc_id)
+      LEFT JOIN (SELECT doc_id FROM deduped) d USING (doc_id)
+      LEFT JOIN (SELECT doc_id, n_tok FROM clean) c USING (doc_id)
+      GROUP BY b.source"""))
+
+  val all: Seq[QueryDef] = Seq(pipelineCuration)
+}

@@ -154,6 +154,55 @@ object VectorOps {
     (assigned.select(col("vec_id"), col("cell")), centroidsDf)
   }
 
+  /** IVF probe against prebuilt cells: query probes its `nprobe`
+    * nearest centroids, exact search within the probed cells only — the
+    * corpus join is keyed on the cell id. Shared by the build-and-query
+    * path (`annIvf`) and the persisted-index path (`annIvfIndexed`).
+    */
+  def ivfProbe(c0: DataFrame, q: DataFrame, assignments: DataFrame,
+               centroids: DataFrame, nprobe: Int = 2, topk: Int = 10): DataFrame = {
+    val c = c0.join(assignments, "vec_id")
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        cosine(col("q_emb"), col("centroid")).as("ccos"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val cells = probed.withColumn("cr", row_number().over(wq)).filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val cand = c.join(broadcast(cells), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Persisted IVF index: centroids + assignments as parquet under
+    * `indexDir` — the build-once / query-many split a production ANN
+    * deployment needs (rebuilding k-means per query batch wastes the
+    * dominant cost; the reference pattern is FAISS's train/add vs
+    * search). Assignments are written bucketed-by-nothing but small
+    * (vec_id, cell) pairs; at 100 TB you would bucket them by cell so
+    * the probe join is co-located — noted, not needed at test SF.
+    */
+  def saveIvfIndex(c: DataFrame, indexDir: String, k: Int, iters: Int): Unit = {
+    val (assignments, centroids) = buildIvf(c, k, iters)
+    assignments.write.mode("overwrite").parquet(s"$indexDir/assignments")
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  final case class IvfIndex(assignments: DataFrame, centroids: DataFrame)
+
+  def loadIvfIndex(spark: SparkSession, indexDir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$indexDir/assignments"),
+      spark.read.parquet(s"$indexDir/centroids"))
+
+  /** ANN against a persisted index — no k-means at query time. */
+  def annIvfIndexed(c0: DataFrame, q: DataFrame, idx: IvfIndex,
+                    nprobe: Int = 2, topk: Int = 10): DataFrame =
+    ivfProbe(c0, q, idx.assignments, idx.centroids, nprobe, topk)
+
   /** IVF cell probe: k-means cells built distributed (see buildIvf),
     * query probes its 2 nearest centroids, exact search within the
     * probed cells only — the corpus join is keyed on the cell id.
@@ -163,22 +212,7 @@ object VectorOps {
     (s, dir) => {
       val c0 = corpus(s, dir)
       val (assignments, centroids) = buildIvf(c0, k = 10, iters = 2)
-      val c = c0.join(assignments, "vec_id")
-      val q = queriesDf(s, dir, 10)
-      val probed = q.crossJoin(broadcast(centroids))
-        .select(col("q_id"), col("q_emb"), col("cell"),
-          cosine(col("q_emb"), col("centroid")).as("ccos"))
-      val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
-      val cells = probed.withColumn("cr", row_number().over(wq)).filter(col("cr") <= 2)
-        .select(col("q_id"), col("q_emb"), col("cell"))
-      val cand = c.join(broadcast(cells), "cell")
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosineSim(col("q_emb"), col("embedding")).as("cos"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      cand.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+      ivfProbe(c0, queriesDf(s, dir, 10), assignments, centroids)
     })
 
   /** Embedding-cosine near-dup pairs via LSH buckets (exact-bucket
