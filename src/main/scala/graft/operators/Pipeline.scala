@@ -41,18 +41,17 @@ object Pipeline {
             t => t.isin(Seq("the", "be", "to", "of", "and", "that", "have", "with"): _*))))
             .as("stop_hits"),
           col("toks"))
-      val qualified = base
-        .filter(col("n_tok") >= 20 && col("stop_hits") >= 1)
+      val qualifiedCond = col("n_tok") >= 20 && col("stop_hits") >= 1
+      val qualified = base.filter(qualifiedCond)
       // exact dedup: survivor = min doc_id per digest
       val keepers = qualified
         .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val deduped = qualified.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), lit(true).as("is_keeper"))
+      val deduped = qualified.join(keepers.drop("is_keeper"), Seq("doc_id"), "left_semi")
       // decontamination: any shared 13-gram with the eval split drops
       val evalGrams = docs.filter(col("doc_id") % 10 === 0)
         .select(tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 13)
-        .select(col("toks"))
         .select(explode(ShingleHashes.longWindowHashes(
           expr("transform(toks, t -> xxhash64(t))"), 13)).as("g"))
         .distinct()
@@ -62,23 +61,23 @@ object Pipeline {
           expr("transform(toks, t -> xxhash64(t))"), 13)).as("g"))
         .join(evalGrams, Seq("g"), "left_semi")
         .select(col("doc_id")).distinct()
-      val clean = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
-      // per-source accounting across stages
-      val qualifiedBySrc = qualified.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_qualified"))
-      val dedupedBySrc = deduped.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_deduped"))
-      val cleanBySrc = clean.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
-      base.groupBy(col("source")).agg(count(lit(1)).as("n_input"))
-        .join(qualifiedBySrc, Seq("source"), "left")
-        .join(dedupedBySrc, Seq("source"), "left")
-        .join(cleanBySrc, Seq("source"), "left")
-        .select(col("source"), col("n_input"),
-          coalesce(col("n_qualified"), lit(0L)).as("n_qualified"),
-          coalesce(col("n_deduped"), lit(0L)).as("n_deduped"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .withColumn("is_contam", lit(true))
+      // per-source accounting in ONE pass: stage outcomes become boolean
+      // flag columns (two keyed joins of small id lists back onto the
+      // base stream) + one conditional aggregation — the base documents
+      // are scanned once for the accounting, not once per stage
+      val flags = base
+        .join(keepers, Seq("doc_id"), "left")
+        .join(contaminatedIds, Seq("doc_id"), "left")
+        .withColumn("q", qualifiedCond)
+        .withColumn("d", qualifiedCond && coalesce(col("is_keeper"), lit(false)))
+        .withColumn("kept", col("d") && !coalesce(col("is_contam"), lit(false)))
+      flags.groupBy(col("source")).agg(
+        count(lit(1)).as("n_input"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_qualified"),
+        sum(when(col("d"), 1L).otherwise(0L)).as("n_deduped"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok").cast("long")).otherwise(0L)).as("kept_tokens"))
     },
     Some("""WITH base AS (
         SELECT doc_id, source,
