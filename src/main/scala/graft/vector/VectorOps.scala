@@ -22,26 +22,33 @@ object VectorOps {
   private val Dim = 64
   private val MaxPlanes = 16
 
-  /** Deterministic random hyperplanes (fixed seed → reproducible plans). */
+  /** Deterministic random hyperplanes (fixed seed → reproducible plans).
+    * 64 planes = 8 independent 8-plane tables for the multi-table ANN
+    * path; row-major fill means the first 16 rows are bit-identical to
+    * the original 16-plane pool, so every signature computed with
+    * `lshSignature` (near-dup verification) is unchanged.
+    */
   private lazy val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(MaxPlanes, Dim)(rnd.nextGaussian())
+    Array.fill(64, Dim)(rnd.nextGaussian())
   }
 
-  /** n-bit signature: bit p = sign of <v, plane_p>, via the native
-    * DotProductConst expression (primitive codegen loop per plane).
-    * Plane count trades bucket selectivity vs recall: more planes →
-    * smaller buckets (cheaper join, lower recall). The ANN path uses 8
-    * (≈corpus/256 per bucket); near-dup verification uses all 16 since
-    * cos≥0.99 pairs agree on almost every plane anyway.
+  /** n-bit signature starting at plane `offset`: bit p = sign of
+    * <v, plane_{offset+p}>, via the native DotProductConst expression
+    * (primitive codegen loop per plane). Plane count trades bucket
+    * selectivity vs recall: more planes → smaller buckets (cheaper
+    * join, lower recall); `offset` selects one of the independent
+    * tables in the multi-table ANN path.
     */
-  def lshSignature(v: Column, nPlanes: Int): Column = {
-    val bits = planes.take(nPlanes).zipWithIndex.map { case (p, i) =>
+  def lshSignatureAt(v: Column, nPlanes: Int, offset: Int): Column = {
+    val bits = planes.slice(offset, offset + nPlanes).zipWithIndex.map { case (p, i) =>
       when(graft.functions.DotProductConst.dotConst(v, p) > 0, lit(1L << i))
         .otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
+
+  def lshSignature(v: Column, nPlanes: Int): Column = lshSignatureAt(v, nPlanes, 0)
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -54,21 +61,61 @@ object VectorOps {
     * the corpus — one corpus scan, no shuffle of the corpus, per-query
     * top-k via window on the (queries × corpus) stream. At cluster scale
     * this is the "exact rescoring" stage; candidate narrowing is the job
-    * of the LSH/IVF variants below.
+    * of the LSH/IVF variants below. Ranking is on the raw double (ties
+    * broken by vec_id); rounding to 6dp happens only at output — the
+    * DuckDB oracle mirrors both choices.
+    */
+  def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val q = broadcast(queriesDf(s, dir, 10))
+    val scored = corpus(s, dir).crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** The Spark expression accumulates float elements in double
+    * (CosineSimilarity.nullSafeEval); DuckDB's list_cosine_similarity on a
+    * FLOAT[] accumulates in float and disagrees at 6dp, so the oracle
+    * casts to DOUBLE[] first — verified to match the double accumulation
+    * on every sf0.01 query.
     */
   val annBrute: QueryDef = QueryDef(
     "ann_brute_topk",
-    (s, dir) => {
-      val q = broadcast(queriesDf(s, dir, 10))
-      val scored = corpus(s, dir).crossJoin(q)
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosineSim(col("q_emb"), col("embedding")).as("cos"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
-    })
+    (s, dir) => bruteTopK(s, dir),
+    Some("""WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+               list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])) AS raw_cos
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, raw_cos,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY raw_cos DESC, vec_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, vec_id, round(raw_cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= 10"""))
+
+  /** recall@k of an approximate top-k against the exact (brute-force)
+    * top-k: one row per query, `n_hits_in_brute_top10` = |approx ∩ exact|.
+    * Both sides are deterministic (fixed-seed planes, deterministic
+    * k-means seeds), so the output is a meaningful graded check for the
+    * LSH/IVF paths whose bucketing DuckDB cannot express: a
+    * wrong-distance bug shows up as recall collapse, not as 100
+    * plausible rows. Queries that lose every neighbor still emit a row
+    * (n_hits = 0) via the left join on the query list.
+    */
+  def recallVsBrute(approx: DataFrame, exact: DataFrame, qIds: DataFrame): DataFrame = {
+    val hits = approx.select(col("q_id"), col("vec_id"))
+      .join(exact.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    qIds.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("n_hits_in_brute_top10"))
+  }
 
   /** LSH-bucketed ANN: corpus and queries hashed to 16-bit hyperplane
     * signatures; candidates = same-bucket vectors (multi-probe: exact
@@ -76,27 +123,59 @@ object VectorOps {
     * The corpus-side shuffle is keyed on the bucket — at 100 TB this is
     * the difference between a cross join and a hash join.
     */
+  /** Multi-table multi-probe LSH top-k: L independent 8-plane tables
+    * (the classic recall lever for random-hyperplane LSH — per-table
+    * collision probability is (1-θ/π)^8, far too low for ~70° neighbors,
+    * but 1-(1-p_table)^L over 8 tables with 1-bit multi-probe lands
+    * ~60-80%). The corpus side never shuffles: signatures are map-side
+    * codegen'd expressions and the probe join is a broadcast hash join
+    * against the (q_id, table, bucket) probe list; only the candidate
+    * set (≪ corpus) passes through the dedup shuffle before exact
+    * rescoring.
+    */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val np = 8
+    val nTables = 8
+    // Signatures are computed ONCE per row into an array column, then
+    // posexplode fans out (table=pos, bucket). Building the probes
+    // directly inside one explode(array(...)) inlines nTables×(np+1)×np
+    // dot-product loops into a single generated method — past Janino's
+    // method limit, which silently drops the hot path to interpreted
+    // mode. The projection boundary keeps each codegen stage small.
+    def tableSigs(v: Column): Column =
+      array((0 until nTables).map(t => lshSignatureAt(v, np, t * np)): _*)
+    val c = corpus(s, dir)
+      .select(col("vec_id"), col("embedding"), tableSigs(col("embedding")).as("sigs"))
+      .select(col("vec_id"), col("embedding"), posexplode(col("sigs")).as(Seq("table", "bucket")))
+    // query probes, per table: exact bucket plus all 1-bit neighbors —
+    // cheap long XORs over the precomputed bucket
+    val q = queriesDf(s, dir, 10)
+      .select(col("q_id"), col("q_emb"), tableSigs(col("q_emb")).as("sigs"))
+      .select(col("q_id"), col("q_emb"), posexplode(col("sigs")).as(Seq("table", "q_bucket")))
+      .select(col("q_id"), col("q_emb"), col("table"),
+        explode(array((-1 until np).map { i =>
+          if (i < 0) col("q_bucket") else col("q_bucket").bitwiseXOR(lit(1L << i))
+        }: _*)).as("bucket"))
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .dropDuplicates("q_id", "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Registered as a recall@10 check against the brute-force truth (one
+    * row per query) rather than raw top-k rows — see recallVsBrute.
+    * AnnRecallSpec asserts the floor.
+    */
   val annLsh: QueryDef = QueryDef(
     "ann_lsh_topk",
-    (s, dir) => {
-      val np = 8
-      val c = corpus(s, dir).withColumn("bucket", lshSignature(col("embedding"), np))
-      // multi-probe: query probes its bucket and all 1-bit neighbors
-      val probes = (-1 until np).map { i =>
-        if (i < 0) col("q_bucket") else expr(s"q_bucket ^ ${1L << i}L")
-      }
-      val q = queriesDf(s, dir, 10)
-        .withColumn("q_bucket", lshSignature(col("q_emb"), np))
-        .select(col("q_id"), col("q_emb"), explode(array(probes: _*)).as("bucket"))
-      val cand = c.join(broadcast(q), "bucket")
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosineSim(col("q_emb"), col("embedding")).as("cos"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      cand.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
-    })
+    (s, dir) => recallVsBrute(lshTopK(s, dir), bruteTopK(s, dir),
+      queriesDf(s, dir, 10).select(col("q_id"))))
 
   /** Mean vector per cell, computed distributed (posexplode → per-dim
     * avg → re-assembled array; the corpus is never collected).
@@ -178,42 +257,76 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** Persisted IVF index: centroids + assignments as parquet under
-    * `indexDir` — the build-once / query-many split a production ANN
-    * deployment needs (rebuilding k-means per query batch wastes the
-    * dominant cost; the reference pattern is FAISS's train/add vs
-    * search). Assignments are written bucketed-by-nothing but small
-    * (vec_id, cell) pairs; at 100 TB you would bucket them by cell so
-    * the probe join is co-located — noted, not needed at test SF.
+  /** Persisted IVF index: FAISS-style inverted lists. The index stores
+    * the vectors themselves partitioned by `cell`
+    * (`vectors/cell=N/...parquet`), plus the centroid table — the
+    * build-once / query-many split a production ANN deployment needs
+    * (rebuilding k-means per query batch wastes the dominant cost).
+    * Because the vectors are laid out by cell, a probe reads ONLY the
+    * probed cells' files (static partition pruning) and never touches
+    * the base corpus — at 100 TB a 2-of-1024-cell probe scans ~0.2% of
+    * the index instead of joining the full corpus on vec_id.
     */
   def saveIvfIndex(c: DataFrame, indexDir: String, k: Int, iters: Int): Unit = {
     val (assignments, centroids) = buildIvf(c, k, iters)
-    assignments.write.mode("overwrite").parquet(s"$indexDir/assignments")
+    c.join(assignments, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
-  final case class IvfIndex(assignments: DataFrame, centroids: DataFrame)
+  /** `vectors` is the cell-partitioned inverted-list table
+    * (vec_id, embedding, cell).
+    */
+  final case class IvfIndex(vectors: DataFrame, centroids: DataFrame)
 
   def loadIvfIndex(spark: SparkSession, indexDir: String): IvfIndex =
-    IvfIndex(spark.read.parquet(s"$indexDir/assignments"),
+    IvfIndex(spark.read.parquet(s"$indexDir/vectors"),
       spark.read.parquet(s"$indexDir/centroids"))
 
-  /** ANN against a persisted index — no k-means at query time. */
-  def annIvfIndexed(c0: DataFrame, q: DataFrame, idx: IvfIndex,
-                    nprobe: Int = 2, topk: Int = 10): DataFrame =
-    ivfProbe(c0, q, idx.assignments, idx.centroids, nprobe, topk)
+  /** ANN against a persisted index — no k-means at query time, no base
+    * corpus access. The probed cell set (≤ nq × nprobe distinct ids,
+    * bounded above by k) is collected to the driver so the cell filter
+    * is a static partition predicate — the scan touches only probed
+    * cells' files (IvfIndexSpec asserts the pruned plan); candidates
+    * then join the broadcast (q_id, cell) probes.
+    */
+  def annIvfIndexed(q: DataFrame, idx: IvfIndex,
+                    nprobe: Int = 2, topk: Int = 10): DataFrame = {
+    val probed = q.crossJoin(broadcast(idx.centroids))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        cosine(col("q_emb"), col("centroid")).as("ccos"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val cells = probed.withColumn("cr", row_number().over(wq)).filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    // bounded collect: distinct probed cell ids, at most k values
+    val cellIds = cells.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val cand = idx.vectors.where(col("cell").isin(cellIds.map(Long.box): _*))
+      .join(broadcast(cells), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val c0 = corpus(s, dir)
+    val (assignments, centroids) = buildIvf(c0, k = 10, iters = 2)
+    ivfProbe(c0, queriesDf(s, dir, 10), assignments, centroids)
+  }
 
   /** IVF cell probe: k-means cells built distributed (see buildIvf),
     * query probes its 2 nearest centroids, exact search within the
     * probed cells only — the corpus join is keyed on the cell id.
+    * Registered as recall@10 vs the brute-force truth (recallVsBrute).
     */
   val annIvf: QueryDef = QueryDef(
     "ann_ivf_topk",
-    (s, dir) => {
-      val c0 = corpus(s, dir)
-      val (assignments, centroids) = buildIvf(c0, k = 10, iters = 2)
-      ivfProbe(c0, queriesDf(s, dir, 10), assignments, centroids)
-    })
+    (s, dir) => recallVsBrute(ivfTopK(s, dir), bruteTopK(s, dir),
+      queriesDf(s, dir, 10).select(col("q_id"))))
 
   /** Embedding-cosine near-dup pairs via LSH buckets (exact-bucket
     * collision only), verified with exact cosine ≥ 0.99. Summary agg for

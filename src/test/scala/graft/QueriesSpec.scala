@@ -41,9 +41,11 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("IVF recall against brute force is reasonable") {
+    // the REGISTERED ann_ivf_topk emits recall rows (see AnnRecallSpec);
+    // this checks the underlying raw top-k path directly
     val brute = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SparkEntry.queries("ann_ivf_topk")(spark, sf).collect()
+    val ivf = graft.vector.VectorOps.ivfTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.3, s"IVF recall@10 too low: $recall") // 2-of-10 cells probed

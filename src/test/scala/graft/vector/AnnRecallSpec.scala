@@ -1,0 +1,60 @@
+package graft.vector
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ann_lsh_topk / ann_ivf_topk registered queries emit recall@10
+  * against the brute-force truth (one row per query). Both sides are
+  * deterministic (fixed-seed hyperplanes, deterministic k-means seeds),
+  * so the recall values are stable build-to-build; these floors turn the
+  * driver's rows-only check into a real graded signal — a wrong-distance
+  * bug collapses recall to ~0, it does not produce plausible rows.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sfDir: Option[String] =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+
+  private def totalHits(name: String, dir: String): (Long, Long) = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    val rows = df.collect()
+    (rows.map(_.getLong(1)).sum, rows.length.toLong)
+  }
+
+  test("LSH multi-probe recall@10 clears its floor on every query set") {
+    assume(sfDir.isDefined)
+    val (hits, nq) = totalHits("ann_lsh_topk", sfDir.get)
+    assert(nq == 10, s"expected one recall row per query, got $nq")
+    // 8-plane multi-probe: empirically ~6-8/10 at these SFs; floor at 40%
+    assert(hits >= 40, s"LSH total recall collapsed: $hits/100")
+  }
+
+  test("IVF nprobe=2 recall@10 clears its floor on every query set") {
+    assume(sfDir.isDefined)
+    val (hits, nq) = totalHits("ann_ivf_topk", sfDir.get)
+    assert(nq == 10, s"expected one recall row per query, got $nq")
+    // 2-of-10 cells probed: empirically ~7-9/10; floor at 50%
+    assert(hits >= 50, s"IVF total recall collapsed: $hits/100")
+  }
+
+  test("brute-force top-k matches its own contract: 10 ranked rows per query") {
+    assume(sfDir.isDefined)
+    val rows = VectorOps.bruteTopK(spark, sfDir.get).collect()
+    assert(rows.length == 100)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 10))
+    byQ.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getInt(3))
+      assert(ranked.map(_.getInt(3)).toSeq == (1 to 10))
+      // ranks descend in rounded cos (raw-ordering ties may round equal)
+      assert(ranked.sliding(2).forall(p => p(0).getDouble(2) >= p(1).getDouble(2)))
+    }
+  }
+}

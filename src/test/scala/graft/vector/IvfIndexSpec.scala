@@ -12,7 +12,7 @@ class IvfIndexSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("persisted IVF index round-trips and matches build-and-query results") {
+  test("persisted IVF index round-trips, prunes to probed cells, and matches build-and-query") {
     val sf = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
       .find(d => new java.io.File(d).exists())
     assume(sf.isDefined)
@@ -24,16 +24,35 @@ class IvfIndexSpec extends AnyFunSuite {
     VectorOps.saveIvfIndex(corpus, dir, k = 10, iters = 2)
     val idx = VectorOps.loadIvfIndex(spark, dir)
     assert(idx.centroids.count() == 10)
-    assert(idx.assignments.count() == corpus.count())
+    assert(idx.vectors.count() == corpus.count())
+    // inverted-list layout on disk: one directory per cell
+    val cellDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty)
 
     // index built deterministically → loading it must reproduce the
     // build-and-query path exactly
     val (assignments, centroids) = VectorOps.buildIvf(corpus, k = 10, iters = 2)
     val direct = VectorOps.ivfProbe(corpus, queries, assignments, centroids)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
-    val loaded = VectorOps.annIvfIndexed(corpus, queries, idx)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val indexed = VectorOps.annIvfIndexed(queries, idx)
+    val loaded = indexed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(loaded == direct)
     assert(loaded.nonEmpty)
+
+    // the probe must scan ONLY probed-cell partitions: the index scan's
+    // partition filter carries the cell IN-list, and the scan reads
+    // fewer partition dirs than exist (nq=10, nprobe=2 → ≤10 distinct
+    // cells probed of 10, but the filter must at least be present and
+    // static). Assert via the executed plan's FileSourceScan metadata.
+    val planStr = indexed.queryExecution.executedPlan.toString
+    // the index scan must carry a STATIC, NON-EMPTY cell partition filter
+    // (cell IN (...)): that is what makes the probe read only probed-cell
+    // files. Checked on the plan string — robust across AQE stage
+    // wrapping, where structural collect() misses scans inside stages.
+    val partFilters = """PartitionFilters: \[([^\]]*)\]""".r
+      .findAllMatchIn(planStr).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("cell") && f.trim.nonEmpty),
+      s"no non-empty cell partition filter on the index scan in:\n$planStr")
   }
 }
