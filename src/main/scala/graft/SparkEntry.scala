@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational.all ++
       operators.TextOps.all ++
       operators.Decontam.all ++
+      operators.Curation.all ++
       operators.Pipeline.all ++
       dedup.Dedup.all ++
       vector.VectorOps.all ++

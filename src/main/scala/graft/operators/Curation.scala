@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.GraftFunctions._
+import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** URL/domain-level curation operators — the standard pretraining-filter
+  * family (C4 / RefinedWeb recipe): domain blocklist filtering, per-domain
+  * quota sampling, and paragraph-level exact-chunk dedup (Lee et al. 2021,
+  * "Deduplicating Training Data Makes Language Models Better" — the
+  * exact-substring complement to MinHash).
+  *
+  * The synthetic `documents` table has no URL column, so a deterministic
+  * host is derived from `source` (srcN → srcN.example.com) and reversed to
+  * SURT form with built-in column functions — the same normalization the
+  * host-graph jobs apply via [[graft.ops.SurtHost]] (host reversal,
+  * hostlinks_to_graph.py:65-76), kept as pure Catalyst expressions here so
+  * the whole filter stays inside whole-stage codegen and is mirrorable in
+  * the DuckDB oracle.
+  */
+object Curation {
+
+  /** Blocked SURT domains — stands in for a UT1/C4-style blocklist table.
+    * In production this is a table of millions of rows; the join below is
+    * written as a broadcast anti-join because even a multi-million-entry
+    * blocklist is a few hundred MB — always the small side against a
+    * 100 TB corpus.
+    */
+  private val BlockedSurts = Seq(
+    "com.example.src3", "com.example.src7", "com.example.src12", "com.example.src18")
+
+  /** source → SURT host (com.example.srcN) as codegen'd built-ins. */
+  private def withSurtHost(df: DataFrame): DataFrame =
+    df.withColumn("surt_host",
+      concat_ws(".", reverse(split(concat(col("source"), lit(".example.com")), "\\."))))
+
+  private def surtCte: String =
+    """SELECT *, array_to_string(list_reverse(string_split(source || '.example.com', '.')), '.') AS surt_host
+       FROM documents"""
+
+  /** Domain blocklist filter: anti-join docs' SURT hosts against the
+    * blocklist, then per-domain accounting of what survives. The
+    * blocklist side broadcasts (never a shuffle of the corpus); the
+    * per-domain agg is one hash aggregate with map-side partials.
+    */
+  val domainBlocklist: QueryDef = QueryDef(
+    "curation_domain_blocklist",
+    (s, dir) => {
+      import s.implicits._
+      val docs = withSurtHost(Tables(s, dir, "documents"))
+      val block = BlockedSurts.toDF("surt_host")
+      docs.join(broadcast(block), Seq("surt_host"), "left_anti")
+        .groupBy(col("surt_host"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    },
+    Some(s"""WITH d AS ($surtCte)
+      SELECT surt_host, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM d
+      WHERE surt_host NOT IN ('com.example.src3','com.example.src7','com.example.src12','com.example.src18')
+      GROUP BY surt_host"""))
+
+  /** Per-domain quota sampling: keep a deterministic top-N per domain
+    * (largest docs first, doc_id tiebreak) — the RefinedWeb-style cap on
+    * any one domain's contribution. row_number-over-partition with a
+    * rank filter is the scale-correct shape: Spark's WindowGroupLimit
+    * rule pushes the `rk <= N` limit below the sort, so each task keeps
+    * a bounded N-row heap per domain instead of fully sorting the
+    * biggest domain's partition — the skew case (one domain = half the
+    * corpus) stays O(N) memory per task.
+    */
+  val domainQuota: QueryDef = QueryDef(
+    "curation_domain_quota",
+    (s, dir) => {
+      val docs = withSurtHost(Tables(s, dir, "documents"))
+      val w = Window.partitionBy(col("surt_host"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("surt_host"), col("doc_id"), col("n_chars"), col("rk"))
+    },
+    Some(s"""WITH d AS ($surtCte),
+      r AS (SELECT surt_host, doc_id, n_chars,
+        CAST(row_number() OVER (PARTITION BY surt_host ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+        FROM d)
+      SELECT surt_host, doc_id, n_chars, rk FROM r WHERE rk <= 5"""))
+
+  /** Paragraph-level exact-chunk dedup (Lee et al. 2021 §3.1's
+    * exact-substring idea, in the fixed-stride form public pipelines use):
+    * tokenize, cut non-overlapping 20-token chunks, hash each chunk, and
+    * call a chunk duplicated when its hash appears in ≥2 distinct docs.
+    * Output = per-source duplicated-chunk mass.
+    *
+    * Scale shape: one narrow scan → explode (≈ n_tokens/20 rows per doc,
+    * SMALLER than the token explode p6 already does) → hash agg on the
+    * 128-bit chunk digest (key cardinality ≈ distinct chunks, uniform by
+    * construction — md5 keys cannot skew) → the ≥2-doc hash set joins
+    * back on the same digest key, so AQE plans a co-partitioned hash
+    * join reusing the aggregate's exchange; nothing touches the driver.
+    */
+  val dedupParagraph: QueryDef = QueryDef(
+    "dedup_paragraph",
+    (s, dir) => {
+      val chunks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"), col("toks"),
+          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(20))).as("s"))
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", slice(col("toks"), col("s") + 1, lit(20))).as("chunk"))
+        .select(col("doc_id"), col("source"),
+          md5(col("chunk").cast("binary")).as("h"), length(col("chunk")).as("chunk_chars"))
+      val dup = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("h"), lit(1).as("is_dup"))
+      chunks.join(dup, Seq("h"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_dup") === 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("is_dup") === 1, col("chunk_chars").cast("long")).otherwise(0L)).as("dup_chars"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      c AS (SELECT doc_id, source,
+              md5(array_to_string(toks[s+1:s+20], ' ')) AS h,
+              length(array_to_string(toks[s+1:s+20], ' ')) AS chunk_chars
+            FROM d, unnest(generate_series(0, greatest(len(toks)-1, 0), 20)) AS t(s)),
+      dup AS (SELECT h FROM c GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT source, COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN c.h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        CAST(SUM(CASE WHEN c.h IN (SELECT h FROM dup) THEN chunk_chars ELSE 0 END) AS BIGINT) AS dup_chars
+      FROM c GROUP BY source"""))
+
+  val all: Seq[QueryDef] = Seq(domainBlocklist, domainQuota, dedupParagraph)
+}

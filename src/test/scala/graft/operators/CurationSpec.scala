@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sf: Option[String] =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+
+  test("blocklist filter drops exactly the blocked domains via a broadcast anti-join") {
+    assume(sf.isDefined)
+    val df = graft.SparkEntry.queries("curation_domain_blocklist")(spark, sf.get)
+    val hosts = df.collect().map(_.getString(0)).toSet
+    assert(!hosts.exists(Set("com.example.src3", "com.example.src7",
+      "com.example.src12", "com.example.src18")))
+    assert(hosts.forall(_.startsWith("com.example.")))
+    // the blocklist side must broadcast — a 100 TB corpus must not shuffle
+    // for a blocklist membership test
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n$plan")
+  }
+
+  test("domain quota keeps a deterministic bounded top-N per domain, with group-limit pushdown") {
+    assume(sf.isDefined)
+    val df = graft.SparkEntry.queries("curation_domain_quota")(spark, sf.get)
+    val rows = df.collect()
+    val byHost = rows.groupBy(_.getString(0))
+    assert(byHost.values.forall(_.length <= 5))
+    byHost.values.foreach { rs =>
+      // within a domain: ranks contiguous from 1, n_chars non-increasing
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rs.length))
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0).getLong(2) >= p(1).getLong(2)))
+    }
+    // rank-limit pushdown: each task keeps an O(N) heap per domain instead
+    // of fully sorting the largest domain's partition (the skew case)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit below the window sort in:\n$plan")
+  }
+
+  test("paragraph-chunk dedup accounting is internally consistent") {
+    assume(sf.isDefined)
+    val rows = graft.SparkEntry.queries("dedup_paragraph")(spark, sf.get).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nChunks, nDup, dupChars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDup >= 0 && nDup <= nChunks)
+      assert((nDup == 0) == (dupChars == 0))
+    }
+  }
+
+  test("a doc sharing a 20-token window with another doc is flagged as duplicated mass") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "sA", base.length),
+      (2L, base + " tail tail tail", "en", "sB", base.length + 15),
+      (3L, "completely different words only here once nothing shared at all beyond", "en", "sC", 70))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("para").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("dedup_paragraph")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1 and 2 share both 20-token windows of `base`; doc 3 shares none
+    assert(out("sA")._2 == 2, s"sA: $out")
+    assert(out("sB")._2 == 2, s"sB: $out")
+    assert(out("sC")._2 == 0, s"sC: $out")
+  }
+}
