@@ -27,7 +27,8 @@ final case class JobCli(
     addInputs: Seq[String] = Nil,
     localTempDir: Option[String] = None,
     logLevel: Option[String] = None,
-    sparkProfiler: Boolean = false) {
+    sparkProfiler: Boolean = false,
+    streamMode: String = "complete") {
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
     outputFormat, outputCompression, outputOptions)
@@ -43,6 +44,7 @@ object JobCli {
       |  [--table_schema FILE.json] [--input_table_format FORMAT]
       |  [--input_table_option k=v]... [--input_base_url URL]
       |  [--local_temp_dir DIR] [--log_level LEVEL] [--spark_profiler]
+      |  [--stream_mode complete|append] (stream_windows)
       |  host_graph flags: [--save_as_text DIR] [--normalize_host_names]
       |  [--validate_host_names] [--vertex_partitions N]
       |  [--vertex_ids PATH] [--add_input PATH]...
@@ -94,6 +96,11 @@ object JobCli {
         case "--add_input"             => cli = cli.copy(addInputs = cli.addInputs :+ value)
         // sparkcc.py:74-112 conveniences
         case "--local_temp_dir"        => cli = cli.copy(localTempDir = Some(value))
+        case "--stream_mode" =>
+          val m = value
+          require(m == "complete" || m == "append",
+            s"--stream_mode must be complete|append, got: $m")
+          cli = cli.copy(streamMode = m)
         case "--log_level"             => cli = cli.copy(logLevel = Some(value))
         case "--spark_profiler"        => cli = cli.copy(sparkProfiler = true)
         case "--csv" =>
@@ -232,24 +239,48 @@ object JobRunner {
         if (JobConfig.isPathOutput(cli.output)) {
           // durable mode: source offsets + aggregation state live in a
           // checkpoint under the output dir, so a restarted job RESUMES —
-          // already-seen input files are never reprocessed and counts
-          // accumulate in the recovered state store. foreachBatch in
-          // complete mode rewrites only the (small: one row per
-          // window×type) result table per batch; results stay off the
-          // driver, unlike the memory sink. For an infinite 24/7 stream
-          // you'd trade this for append mode + watermark state eviction;
-          // this job's contract is drain-available-then-stop, where
-          // append would hold back every non-finalized window.
+          // already-seen input files are never reprocessed. Two contracts:
+          //
+          // complete (default, drain-available-then-stop): foreachBatch
+          // rewrites only the (small: one row per window×type) result
+          // table per batch; every window is always visible, including
+          // open ones, but the state store retains all windows forever —
+          // right for a bounded drain, wrong for 24/7.
+          //
+          // append (--stream_mode append, the 24/7 contract): the native
+          // parquet file sink appends each FINALIZED window exactly once
+          // (the sink's _spark_metadata commit log makes re-runs
+          // idempotent), and the watermark EVICTS finalized windows from
+          // the state store — state is bounded by open windows only, so
+          // the job can run forever. The tradeoff: windows newer than the
+          // watermark are withheld until more data advances event time.
           val dataDir = s"${cli.output}/data"
-          val q = agg.writeStream
-            .outputMode("complete")
-            .option("checkpointLocation", s"${cli.output}/_checkpoint")
-            .foreachBatch { (batch: DataFrame, _: Long) =>
-              batch.coalesce(cli.outParts).write.mode("overwrite").parquet(dataDir)
-            }
-            .start()
-          q.processAllAvailable(); q.stop()
-          spark.read.parquet(dataDir)
+          if (cli.streamMode == "append") {
+            val q = agg.writeStream
+              .outputMode("append")
+              .format("parquet")
+              .option("path", dataDir)
+              .option("checkpointLocation", s"${cli.output}/_checkpoint")
+              .start()
+            q.processAllAvailable(); q.stop()
+          } else {
+            val q = agg.writeStream
+              .outputMode("complete")
+              .option("checkpointLocation", s"${cli.output}/_checkpoint")
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                batch.coalesce(cli.outParts).write.mode("overwrite").parquet(dataDir)
+              }
+              .start()
+            q.processAllAvailable(); q.stop()
+          }
+          // append mode may legitimately have finalized nothing yet (all
+          // event time still inside the watermark) — report that as an
+          // empty result, not a read failure
+          try spark.read.parquet(dataDir)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], agg.schema)
+          }
         } else {
           // table-name output: memory sink + saveAsTable (oracle path)
           val q = agg.writeStream.format("memory").queryName("win")
