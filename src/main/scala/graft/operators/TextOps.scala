@@ -72,11 +72,11 @@ object TextOps {
   /** GPT-2-style pre-tokenizer pattern, restricted to the RE2-compatible
     * subset (no lookahead) so Spark's Java regex and DuckDB's RE2 agree:
     * contractions, space-prefixed letter runs, digit runs, punctuation
-    * runs. The real BPE merge table only subdivides these pieces, so the
-    * count is a faithful upper-bound token estimate.
+    * runs. A BPE merge table only subdivides these pieces, so the piece
+    * count is a fast lower-bound estimate; `token_counts_bpe_exact`
+    * applies a real merge table for true counts.
     */
-  private val BpePretokenPattern =
-    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+  private val BpePretokenPattern = graft.text.Bpe.PretokenPattern
 
   /** Token counting with the BPE-ish pre-tokenizer (the whitespace/ASCII
     * variant is `token_counts`): per-source totals for data budgeting.
@@ -94,6 +94,29 @@ object TextOps {
       COUNT(*) AS n_docs,
       MAX(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS max_tokens
       FROM documents GROUP BY source"""))
+
+  /** True BPE token counts under a merge table learned from the corpus
+    * itself (graft.text.Bpe: distributed vocab pass, driver-side Sennrich
+    * training on the bounded aggregate, broadcast ranks applied by a
+    * codegen'd native expression). Rows-only: the merge loop is not
+    * ANSI-SQL-expressible; BpeSpec pins the algorithm to hand-computed
+    * goldens (the Sennrich low/lower/newest/widest example) and asserts
+    * exact ≥ the piece-count lower bound per source.
+    */
+  val tokenCountsBpeExact: QueryDef = QueryDef(
+    "token_counts_bpe_exact",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ranks = graft.text.Bpe.ranksOf(
+        graft.text.Bpe.trainFromCorpus(docs, nMerges = 200))
+      docs.select(col("source"),
+          graft.text.Bpe.bpeCountTokens(
+            regexp_extract_all(col("text"), lit(BpePretokenPattern), lit(0)),
+            ranks).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("total_tokens"), count(lit(1)).as("n_docs"),
+          max(col("n_tok")).as("max_tokens"))
+    })
 
   /** Per-document quality scoring: token count, alpha density, stopword
     * ratio — the length/punct/stopword heuristics of a pretraining-data
@@ -269,5 +292,5 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
-    textQuality, qualityGopher, langIdHeuristic)
+    tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic)
 }
