@@ -132,5 +132,35 @@ object Curation {
         CAST(SUM(CASE WHEN c.h IN (SELECT h FROM dup) THEN chunk_chars ELSE 0 END) AS BIGINT) AS dup_chars
       FROM c GROUP BY source"""))
 
-  val all: Seq[QueryDef] = Seq(domainBlocklist, domainQuota, dedupParagraph)
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * via an arithmetic hash of doc_id (Knuth multiplicative, reduced mod
+    * a prime with overflow-safe modular arithmetic so Spark and DuckDB
+    * compute bit-identical keys — Spark's murmur `hash()` and DuckDB's
+    * `hash()` differ, so neither is oracle-mirrorable). This is the
+    * C4-style language/source rebalancing step: embarrassingly parallel,
+    * no shuffle before the accounting agg, reproducible across runs and
+    * engines — a re-run of the pipeline keeps exactly the same documents.
+    */
+  val stratifiedSample: QueryDef = QueryDef(
+    "curation_stratified_sample",
+    (s, dir) => {
+      val key = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L % 1000003L),
+        lit(1000003L)) % 1000
+      val rate = when(col("lang") === "en", 800)
+        .when(col("lang") === "zh", 300)
+        .otherwise(500)
+      Tables(s, dir, "documents")
+        .filter(key < rate)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    },
+    Some("""SELECT source, lang, COUNT(*) AS n_kept,
+        CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      FROM documents
+      WHERE ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003 % 1000
+            < CASE WHEN lang = 'en' THEN 800 WHEN lang = 'zh' THEN 300 ELSE 500 END
+      GROUP BY source, lang"""))
+
+  val all: Seq[QueryDef] =
+    Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample)
 }

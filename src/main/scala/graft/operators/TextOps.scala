@@ -95,6 +95,54 @@ object TextOps {
       MAX(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS max_tokens
       FROM documents GROUP BY source"""))
 
+  /** Email/phone/IPv4 patterns for PII redaction, restricted to the
+    * RE2-compatible subset (no lookarounds) so Spark's Java regex and the
+    * DuckDB oracle match byte for byte. Order matters: emails first so a
+    * phone-like digit run inside an address is not double-redacted.
+    */
+  private val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PiiPhone = """(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"""
+  private val PiiIpv4 = """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+
+  /** PII redaction — the standard pretraining scrub (emails, phone
+    * numbers, IPv4 addresses → typed placeholders) as chained
+    * regexp_replace, plus per-source counts of what was redacted. Pure
+    * map-side column work: no shuffle until the small accounting agg, so
+    * at 100 TB this runs at scan speed alongside the quality filters.
+    * The synthetic corpus contains no PII (counts are zero here — the
+    * oracle still checks the transformation end to end); PiiScrubSpec
+    * drives planted emails/phones/IPs through the same expressions.
+    */
+  val piiScrub: QueryDef = QueryDef(
+    "text_pii_scrub",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("text"), lit(PiiPhone), lit(0))).as("n_phone"),
+          size(regexp_extract_all(col("text"), lit(PiiIpv4), lit(0))).as("n_ipv4"),
+          length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+            PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>"), PiiIpv4, "<IP>"))
+            .as("clean_len"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("emails"), sum(col("n_phone")).as("phones"),
+          sum(col("n_ipv4")).as("ipv4s"), sum(col("clean_len")).as("clean_chars"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        len(regexp_extract_all(text, '(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone,
+        len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+        length(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS clean_len
+      FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_email) AS BIGINT) AS emails, CAST(SUM(n_phone) AS BIGINT) AS phones,
+        CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s, CAST(SUM(clean_len) AS BIGINT) AS clean_chars
+      FROM d GROUP BY source"""))
+
   /** True BPE token counts under a merge table learned from the corpus
     * itself (graft.text.Bpe: distributed vocab pass, driver-side Sennrich
     * training on the bounded aggregate, broadcast ranks applied by a
@@ -292,5 +340,5 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
-    tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic)
+    tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub)
 }
