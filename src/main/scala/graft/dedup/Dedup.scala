@@ -302,6 +302,108 @@ object Dedup {
         coalesce(round(avg(col("hamming")), 4), lit(-1.0)).as("avg_hamming"))
     })
 
+  /** Exact word-shingle Jaccard pairs over STRING shingles — the
+    * oracle-mirrorable exact path (the LSH queries above grade via
+    * summary + ScalaTest because banding collisions aren't ANSI SQL).
+    * Distinct 5-token shingles per doc; a stop-shingle document-frequency
+    * cap (> maxDf docs → dropped) is both the skew guard — the join key's
+    * fan-out is bounded by construction, so the shared-shingle join
+    * cannot go quadratic on a boilerplate shingle — and the standard
+    * stop-gram recipe. At 100 TB this exact stage runs on LSH candidates;
+    * registered standalone so the Jaccard math itself is hash-checked
+    * against DuckDB.
+    */
+  def jaccardExactPairs(docs: DataFrame, n: Int = 5, tau: Double = 0.5,
+                        maxDf: Int = 100): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> " +
+          s"concat_ws(' ', slice(toks, i, $n)))"))).as("s"))
+    val capped = sh.join(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("s")),
+      Seq("s"), "left_semi")
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = capped.select(col("s"), col("doc_id").as("id1"))
+      .join(capped.select(col("s"), col("doc_id").as("id2")), "s")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .filter(col("jac") >= tau)
+  }
+
+  private val JaccardShingleCte: String =
+    """d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s
+             FROM d, UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+             WHERE len(toks) >= 5),
+      shc AS (SELECT doc_id, s FROM sh WHERE s IN
+              (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+                FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+      pairs AS (SELECT id1, id2,
+                  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jac
+                FROM inter JOIN sizes sa ON sa.doc_id = id1
+                JOIN sizes sb ON sb.doc_id = id2
+                WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5)"""
+
+  val dedupJaccardExact: QueryDef = QueryDef(
+    "dedup_jaccard_exact",
+    (s, dir) => jaccardExactPairs(Tables(s, dir, "documents"))
+      .select(col("id1"), col("id2"), round(col("jac"), 6).as("jaccard")),
+    Some(s"""WITH $JaccardShingleCte
+      SELECT id1, id2, round(jac, 6) AS jaccard FROM pairs"""))
+
+  /** Connected components over the exact pairs, cross-engine graded: the
+    * min-label fixpoint is engine-independent (unlike float iteration),
+    * so DuckDB reproduces it with a recursive CTE running 10 rounds —
+    * the same bound `connectedComponents` uses — and the cluster summary
+    * hash-matches. This puts the ITERATIVE CC operator itself (reliable
+    * checkpoints, one action per round) under the oracle gate; the LSH
+    * variant (`dedup_clusters`) stays summary-graded.
+    */
+  val dedupClustersExact: QueryDef = QueryDef(
+    "dedup_clusters_exact",
+    (s, dir) => {
+      val pairs = jaccardExactPairs(Tables(s, dir, "documents"))
+      val labels = connectedComponents(pairs.select(col("id1"), col("id2")))
+      labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs_in_clusters"),
+          (sum(col("sz")) - count(lit(1))).as("n_docs_to_drop"),
+          max(col("sz")).as("largest_cluster"))
+    },
+    Some(s"""WITH RECURSIVE $JaccardShingleCte,
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION ALL SELECT id2, id1 FROM pairs),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      cc(iter, node, label) AS (
+        SELECT 0, node, node FROM nodes
+        UNION ALL
+        SELECT c.iter + 1, c.node,
+          least(c.label, coalesce((SELECT MIN(c2.label) FROM cc c2
+                                   JOIN edges e ON e.a = c2.node
+                                   WHERE e.b = c.node), c.label))
+        FROM cc c WHERE c.iter < 10
+      ),
+      labels AS (SELECT node, label FROM cc WHERE iter = 10),
+      clusters AS (SELECT label, COUNT(*) AS sz FROM labels GROUP BY label)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(sz) AS BIGINT) AS n_docs_in_clusters,
+             CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_docs_to_drop,
+             CAST(MAX(sz) AS BIGINT) AS largest_cluster
+      FROM clusters"""))
+
   val all: Seq[QueryDef] =
-    Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash, dedupClusters)
+    Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash, dedupClusters,
+      dedupJaccardExact, dedupClustersExact)
 }

@@ -76,5 +76,38 @@ object HostRank {
           when(col("node") < 1000000L, concat(lit("c"), col("node")))
             .otherwise(concat(lit("s"), col("node") - 1000000L)).as("node"),
           round(col("rank"), 6).as("rank"))
-    })
+    },
+    // DuckDB mirrors the iteration as a recursive CTE: the recursive term
+    // sees exactly the previous iteration's working table, which IS the
+    // per-round DataFrame semantics above (uniform init, dangling mass
+    // redistributed, 3 updates). Hash-matching at 6dp across engines
+    // despite different summation orders — rank magnitudes (~1e-2) leave
+    // ulp-level differences far below the rounding quantum.
+    Some("""WITH RECURSIVE
+      edges AS (SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS t
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT s AS node FROM edges UNION ALL SELECT t AS node FROM edges)),
+      deg AS (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY s),
+      params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      pr(iter, node, rank) AS (
+        SELECT 0, node, 1.0 / (SELECT n FROM params) FROM nodes
+        UNION ALL
+        SELECT p.iter + 1, p.node,
+          0.15 / (SELECT n FROM params)
+          + 0.85 / (SELECT n FROM params) *
+            (SELECT coalesce(SUM(c.rank), 0) FROM pr c
+             WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.node = c.node))
+          + 0.85 * coalesce((SELECT SUM(c2.rank / d2.deg)
+              FROM pr c2 JOIN deg d2 ON c2.node = d2.node
+              JOIN edges e ON e.s = c2.node
+              WHERE e.t = p.node), 0)
+        FROM pr p WHERE p.iter < 3
+      ),
+      final AS (SELECT node, rank FROM pr WHERE iter = 3
+                ORDER BY rank DESC, node LIMIT 20)
+      SELECT CASE WHEN node < 1000000 THEN 'c' || CAST(node AS VARCHAR)
+                  ELSE 's' || CAST(node - 1000000 AS VARCHAR) END AS node,
+             round(rank, 6) AS rank
+      FROM final"""))
 }
