@@ -315,12 +315,24 @@ object Dedup {
     */
   def jaccardExactPairs(docs: DataFrame, n: Int = 5, tau: Double = 0.5,
                         maxDf: Int = 100): DataFrame = {
+    // Shingles join/aggregate on their 64-bit hash (the Decontam seam:
+    // Spark works in hashes, the oracle in strings — identical results
+    // short of an xxhash64 collision): 8-byte shuffle keys instead of
+    // ~25-byte strings. The shingle subplan has four consumers (df agg,
+    // semi join, two pair-join sides); at test SF AQE broadcasts the
+    // small sides and recomputing the cheap scan is faster than forcing
+    // one exchange, but at 100 TB a production run materializes the
+    // capped table once (persist-to-disk or a checkpoint table — the S12
+    // pattern) so tokenize+shingle is paid once, not per consumer. The
+    // registered query deliberately carries no cached state: a persist
+    // inside the query would make bench medians measure the cache.
     val sh = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(array_distinct(
         expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> " +
-          s"concat_ws(' ', slice(toks, i, $n)))"))).as("s"))
+          s"xxhash64(concat_ws(' ', slice(toks, i, $n))))"))).as("s"))
+      .repartition(col("s"))
     val capped = sh.join(
       sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select(col("s")),
