@@ -97,8 +97,11 @@ object Curation {
     * SMALLER than the token explode p6 already does) → hash agg on the
     * 128-bit chunk digest (key cardinality ≈ distinct chunks, uniform by
     * construction — md5 keys cannot skew) → the ≥2-doc hash set joins
-    * back on the same digest key, so AQE plans a co-partitioned hash
-    * join reusing the aggregate's exchange; nothing touches the driver.
+    * back onto the chunk stream. Verified plan at sf0.1: the dup set
+    * broadcasts (duplicated-chunk hashes ≪ chunks), so the accounting
+    * side never shuffles before its final source agg; if the dup set
+    * outgrows the broadcast threshold at 100 TB, AQE falls back to a
+    * hash join keyed on the same digest. Nothing touches the driver.
     */
   val dedupParagraph: QueryDef = QueryDef(
     "dedup_paragraph",

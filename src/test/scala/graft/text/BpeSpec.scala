@@ -52,6 +52,23 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encode("pun", ranks).length <= 2)
   }
 
+  test("property: encoding is a lossless segmentation under any merge table") {
+    import org.scalacheck.Gen
+    val pieceGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    val vocabGen = Gen.listOfN(8,
+      for { p <- pieceGen if p.nonEmpty; f <- Gen.choose(1L, 20L) } yield (p, f))
+    val cases = for { v <- vocabGen; p <- pieceGen } yield (v, p)
+    Iterator.continually(cases.sample).flatten.take(80).foreach { case (vocab, piece) =>
+      val ranks = Bpe.ranksOf(Bpe.train(vocab, nMerges = 6))
+      val toks = Bpe.encode(piece, ranks)
+      // concatenating the tokens must reproduce the piece exactly — a
+      // merge can regroup characters but never drop, reorder or invent
+      assert(toks.mkString == piece, s"vocab=$vocab piece=$piece toks=${toks.toSeq}")
+      assert(Bpe.countPiece(piece, ranks) == toks.length)
+      assert(toks.forall(_.nonEmpty))
+    }
+  }
+
   test("token_counts_bpe_exact: exact counts ≥ piece-count lower bound, deterministic") {
     val sf = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
       .find(d => new java.io.File(d).exists())
