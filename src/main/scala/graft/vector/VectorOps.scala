@@ -332,33 +332,38 @@ object VectorOps {
     * collision only), verified with exact cosine ≥ 0.99. Summary agg for
     * deterministic output.
     */
+  /** Near-dup candidate pairs with exact cosine ≥ `minCos`, via
+    * exact-bucket LSH collision. Cap rationale
+    * (graft.dedup.Dedup.MaxBucket): a degenerate signature bucket must
+    * not go quadratic in the self-join. Over-cap buckets — the heaviest
+    * real dup targets — emit a spanning star to the bucket's min vec_id
+    * (O(bucket) pairs, connectivity preserved) instead of being
+    * dropped. The split is groupBy-based (Dedup.bucketCapSplit), not a
+    * window, so a degenerate bucket never serializes through one task's
+    * sort. EmbeddingDedupSpec grades this path against the brute-force
+    * exact pair set (precision 1 by construction; recall floor).
+    */
+  def embeddingNearDupPairs(c0: DataFrame, minCos: Double = 0.99): DataFrame = {
+    val banded = c0.withColumn("bucket", lshSignature(col("embedding"), MaxPlanes))
+    val (c, overCap) = graft.dedup.Dedup.bucketCapSplit(
+      banded, Seq("bucket"), 64, "vec_id", Seq("embedding"))
+    val a = c.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = c.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    val full = a.join(b, "bucket")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosineSim(col("e1"), col("e2")).as("cos"))
+    val star = overCap
+      .filter(col("vec_id") =!= col("anchor.vec_id"))
+      .select(col("anchor.vec_id").as("id1"), col("vec_id").as("id2"),
+        cosineSim(col("anchor.embedding"), col("embedding")).as("cos"))
+    full.union(star).filter(col("cos") >= minCos)
+  }
+
   val dedupEmbedding: QueryDef = QueryDef(
     "dedup_embedding",
-    (s, dir) => {
-      // cap bucket width (graft.dedup.Dedup.MaxBucket rationale): a
-      // degenerate signature bucket must not go quadratic in the
-      // self-join. Over-cap buckets — the heaviest real dup targets —
-      // emit a spanning star to the bucket's min vec_id (O(bucket)
-      // pairs, connectivity preserved) instead of being dropped. The
-      // split is groupBy-based (Dedup.bucketCapSplit), not a window, so
-      // a degenerate bucket never serializes through one task's sort.
-      val banded = corpus(s, dir)
-        .withColumn("bucket", lshSignature(col("embedding"), MaxPlanes))
-      val (c, overCap) = graft.dedup.Dedup.bucketCapSplit(
-        banded, Seq("bucket"), 64, "vec_id", Seq("embedding"))
-      val a = c.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
-      val b = c.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
-      val full = a.join(b, "bucket")
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), cosineSim(col("e1"), col("e2")).as("cos"))
-      val star = overCap
-        .filter(col("vec_id") =!= col("anchor.vec_id"))
-        .select(col("anchor.vec_id").as("id1"), col("vec_id").as("id2"),
-          cosineSim(col("anchor.embedding"), col("embedding")).as("cos"))
-      val pairs = full.union(star).filter(col("cos") >= 0.99)
-      pairs.agg(count(lit(1)).as("n_pairs"),
-        coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos"))
-    })
+    (s, dir) => embeddingNearDupPairs(corpus(s, dir))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos")))
 
   val all: Seq[QueryDef] = Seq(annBrute, annLsh, annIvf, dedupEmbedding)
 }
