@@ -26,14 +26,21 @@ object SeqPack {
   final case class PackedDoc(seq_id: Long, doc_id: Long, n_tok: Long, offset: Long)
 
   /** (seq_id, doc_id, n_tok, offset): which sequence each document landed
-    * in and where. `parts` bounds per-task state, not correctness.
+    * in and where. `parts` sets packing parallelism (each partition packs
+    * independently; more partitions only add ≤ parts partially-filled
+    * final sequences) — it defaults to the session's shuffle parallelism
+    * so a 1000-executor cluster packs on every core, and is only worth
+    * pinning in tests that assert exact sequence layout.
     */
-  def packDocs(docs: DataFrame, maxLen: Int, parts: Int = 8): Dataset[PackedDoc] = {
+  def packDocs(docs: DataFrame, maxLen: Int, parts: Int = 0): Dataset[PackedDoc] = {
     import docs.sparkSession.implicits._
+    val nParts =
+      if (parts > 0) parts
+      else docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     docs
       .select(col("doc_id"), least(size(tokens(col("text"))), lit(maxLen)).cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
-      .repartitionByRange(parts, col("doc_id"))
+      .repartitionByRange(nParts, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
