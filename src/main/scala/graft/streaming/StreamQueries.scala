@@ -145,5 +145,35 @@ object StreamQueries {
         CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS total
       FROM sess GROUP BY user_id, sid"""))
 
-  val all: Seq[QueryDef] = Seq(streamWindows, streamSessions, sessionWindowAgg)
+  /** Streaming dedup via dropDuplicatesWithinWatermark — the
+    * at-least-once-delivery debounce every event pipeline needs (here:
+    * at most one (user, type, day) signal). State holds one entry per
+    * key and the watermark evicts expired keys, so a 24/7 stream runs
+    * with bounded state; the contract is dedup-WITHIN-the-watermark.
+    * The oracle compares against exact batch DISTINCT, which matches
+    * because the staged drain processes all files in one microbatch
+    * (state sees every key before any eviction) — on an unbounded
+    * deployment a duplicate arriving later than the delay would
+    * survive, the price of bounded state.
+    */
+  val streamDedup: QueryDef = QueryDef(
+    "stream_dedup",
+    (s, dir) => {
+      val q = EventStream.readEvents(s, stagedEvents(s, dir))
+        .select(col("ts"), col("user_id"), col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+        .writeStream.format("memory").queryName("graft_stream_dedup")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql("""SELECT event_type, count(*) AS n_unique
+               FROM graft_stream_dedup GROUP BY event_type""")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_unique FROM
+      (SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day FROM events)
+      GROUP BY event_type"""))
+
+  val all: Seq[QueryDef] =
+    Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup)
 }
