@@ -51,7 +51,7 @@ object JobCli {
       |  job ∈ server_count | html_tag_count | server_ip | word_count |
       |        sitemaps | extract_host_links | host_graph | wet_extract |
       |        stream_windows | md5sum | warc_to_parquet | index_build |
-      |        index_export | index_word_count""".stripMargin
+      |        index_export | index_word_count | curate""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
     case Array(k, v) => (k, v)
@@ -179,7 +179,7 @@ object JobRunner {
 
     // jobs that write their own multi-part output under $output (paths);
     // stream_windows self-writes only in its durable path-output mode
-    val selfWriting = Set("host_graph", "wet_extract", "index_build") ++
+    val selfWriting = Set("host_graph", "wet_extract", "index_build", "curate") ++
       (if (cli.job == "stream_windows" && JobConfig.isPathOutput(cli.output))
         Set("stream_windows") else Set.empty)
 
@@ -209,6 +209,22 @@ object JobRunner {
         FileProcessorJob.md5sum(spark, cli.input, cli.inParts,
           failedAcc = Some(counters.recordsFailed), baseUrl = cli.inputBaseUrl,
           tempDir = cli.localTempDir)
+      case "curate" =>
+        // batch entry for the curation pipeline (quality → exact dedup →
+        // decontamination): writes the CURATED CORPUS — kept docs joined
+        // back to their full rows — plus the per-source accounting table.
+        // Input = a documents parquet dir; the flags frame is one plan,
+        // so the join back is the only extra pass over the base table.
+        val docs = spark.read.parquet(cli.input)
+        val kept = graft.operators.Pipeline.outcomeFlags(docs)
+          .filter(org.apache.spark.sql.functions.col("kept"))
+          .select("doc_id")
+        docs.join(kept, Seq("doc_id"), "left_semi")
+          .repartition(cli.outParts)
+          .write.mode("overwrite").parquet(s"${cli.output}/kept")
+        graft.operators.Pipeline.accounting(docs)
+          .coalesce(1).write.mode("overwrite").parquet(s"${cli.output}/accounting")
+        spark.read.parquet(s"${cli.output}/kept")
       case "warc_to_parquet" =>
         // archives → columnar table via the DSv2 source (input = path/dir)
         spark.read.format("warc").load(cli.input)
@@ -300,6 +316,7 @@ object JobRunner {
           case "wet_extract"    => s"${cli.output}/coords"
           case "index_build"    => s"${cli.output}/ccindex"
           case "stream_windows" => s"${cli.output}/data"
+          case "curate"         => s"${cli.output}/kept"
         }
         spark.read.parquet(countPath).count()
       } else if (JobConfig.isPathOutput(cli.output)) {

@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.functions.GraftFunctions._
 import graft.functions.ShingleHashes
 import graft.util.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation over the documents table — the
@@ -26,10 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  val pipelineCuration: QueryDef = QueryDef(
-    "pipeline_curation",
-    (s, dir) => {
-      val docs = Tables(s, dir, "documents")
+  /** The pipeline's per-document outcome flags: (doc_id, source, n_tok,
+    * q = passed quality, d = survived dedup, kept = survived
+    * decontamination too). One row per non-eval doc; the `curate` job
+    * joins `kept` back to the full rows to write the curated corpus,
+    * the registered query aggregates it per source.
+    */
+  def outcomeFlags(docs: DataFrame): DataFrame = {
       val base = docs
         .filter(col("doc_id") % 10 =!= 0) // held-out eval split stays out
         .select(col("doc_id"), col("source"),
@@ -66,19 +70,30 @@ object Pipeline {
       // flag columns (two keyed joins of small id lists back onto the
       // base stream) + one conditional aggregation — the base documents
       // are scanned once for the accounting, not once per stage
-      val flags = base
+      base
         .join(keepers, Seq("doc_id"), "left")
         .join(contaminatedIds, Seq("doc_id"), "left")
         .withColumn("q", qualifiedCond)
         .withColumn("d", qualifiedCond && coalesce(col("is_keeper"), lit(false)))
         .withColumn("kept", col("d") && !coalesce(col("is_contam"), lit(false)))
-      flags.groupBy(col("source")).agg(
-        count(lit(1)).as("n_input"),
-        sum(when(col("q"), 1L).otherwise(0L)).as("n_qualified"),
-        sum(when(col("d"), 1L).otherwise(0L)).as("n_deduped"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("kept"), col("n_tok").cast("long")).otherwise(0L)).as("kept_tokens"))
-    },
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("q"), col("d"), col("kept"))
+  }
+
+  /** Per-source accounting over the outcome flags — one conditional
+    * aggregation, the base documents scanned once, not once per stage.
+    */
+  def accounting(docs: DataFrame): DataFrame =
+    outcomeFlags(docs).groupBy(col("source")).agg(
+      count(lit(1)).as("n_input"),
+      sum(when(col("q"), 1L).otherwise(0L)).as("n_qualified"),
+      sum(when(col("d"), 1L).otherwise(0L)).as("n_deduped"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("kept"), col("n_tok").cast("long")).otherwise(0L)).as("kept_tokens"))
+
+  val pipelineCuration: QueryDef = QueryDef(
+    "pipeline_curation",
+    (s, dir) => accounting(Tables(s, dir, "documents")),
     Some("""WITH base AS (
         SELECT doc_id, source,
           regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,

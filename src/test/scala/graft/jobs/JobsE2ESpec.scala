@@ -263,6 +263,26 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(total == 200, s"state must accumulate across restarts, got $total")
   }
 
+  test("curate job writes the kept corpus plus accounting that reconciles") {
+    val sf = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+    assume(sf.isDefined)
+    val out = java.nio.file.Files.createTempDirectory("curate").toString
+    JobRunner.run(spark, JobCli("curate", s"${sf.get}/documents.parquet", out, outParts = 2))
+    val kept = spark.read.parquet(s"$out/kept")
+    val acc = spark.read.parquet(s"$out/accounting")
+    // the written corpus is full document rows, one per kept doc
+    assert(kept.columns.toSet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    val keptTotal = acc.agg(sum(col("n_kept"))).head().getLong(0)
+    assert(kept.count() == keptTotal, "kept corpus must reconcile with accounting")
+    assert(keptTotal > 0)
+    // the accounting table matches the registered oracle query exactly
+    val fromQuery = graft.SparkEntry.queries("pipeline_curation")(spark, sf.get)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val fromJob = acc.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(fromJob == fromQuery)
+  }
+
   test("sitemaps job: list concat across hosts for one sitemap URL") {
     import spark.implicits._
     val r1 = Fixtures.robots("https://a.example.com/robots.txt",
