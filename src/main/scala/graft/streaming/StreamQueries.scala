@@ -174,6 +174,39 @@ object StreamQueries {
       (SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day FROM events)
       GROUP BY event_type"""))
 
+  /** Stream-stream interval join — click→purchase conversion within
+    * 30 minutes, the canonical funnel join. Both sides carry watermarks
+    * and the time-range condition bounds join state (a click's state
+    * evicts once the purchase-side watermark passes its 30-minute
+    * horizon), so a 24/7 run holds a sliding window of state, not the
+    * full history. Inner-join results are emitted as soon as matched
+    * (watermarks govern only state cleanup), so the drained stream
+    * equals the batch join — which is exactly what the oracle checks.
+    */
+  val streamJoin: QueryDef = QueryDef(
+    "stream_join",
+    (s, dir) => {
+      val staged = stagedEvents(s, dir)
+      def side(tpe: String, prefix: String) =
+        EventStream.readEvents(s, staged)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "10 minutes")
+      val q = side("click", "c")
+        .join(side("purchase", "p"),
+          expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+        .writeStream.format("memory").queryName("graft_stream_join")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql("""SELECT c_user AS user_id, count(*) AS n_conversions
+               FROM graft_stream_join GROUP BY c_user""")
+    },
+    Some("""SELECT c.user_id, COUNT(*) AS n_conversions
+      FROM events c JOIN events p ON c.user_id = p.user_id
+      AND c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      GROUP BY c.user_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup)
+    Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin)
 }
