@@ -19,7 +19,8 @@ final case class JobConfig(
     numOutputPartitions: Int = 4,
     outputFormat: String = "parquet",
     outputCompression: String = "gzip",
-    outputOptions: Map[String, String] = Map.empty)
+    outputOptions: Map[String, String] = Map.empty,
+    bucketBy: Option[(Int, String)] = None)
 
 object JobConfig {
 
@@ -43,14 +44,37 @@ object JobConfig {
     * saveAsTable(name).
     */
   def write(df: org.apache.spark.sql.DataFrame, config: JobConfig): Unit = {
-    val w = df.coalesce(config.numOutputPartitions)
+    // bucketed writes repartition on the bucket key (same Murmur3 hash the
+    // bucket assignment uses) so each bucket lands as exactly ONE sorted
+    // file — with multiple files per bucket Spark cannot trust the sort
+    // order and re-sorts on read
+    val shaped = config.bucketBy match {
+      case Some((n, c)) => df.repartition(n, org.apache.spark.sql.functions.col(c))
+      case None         => df.coalesce(config.numOutputPartitions)
+    }
+    val w = shaped
       .write.mode(SaveMode.Overwrite)
       .format(config.outputFormat)
       .option("compression",
         effectiveCompression(config.outputFormat, config.outputCompression))
       .options(config.outputOptions)
-    if (isPathOutput(config.output)) w.save(config.output)
-    else w.saveAsTable(config.output)
+    if (isPathOutput(config.output)) {
+      require(config.bucketBy.isEmpty,
+        "--output_bucket_by requires a table-name output (bucket metadata " +
+          "lives in the catalog; a bare path write cannot carry it)")
+      w.save(config.output)
+    } else config.bucketBy match {
+      // Hive-style bucketing: rows hash-partitioned and sorted by the key
+      // within each bucket file, recorded in the catalog — two tables
+      // bucketed the same way join/aggregate on that key with NO shuffle
+      // (BucketedJoinSpec asserts the exchange-free plan; the local
+      // per-task SMJ sort remains — Spark 3+ doesn't propagate bucket
+      // sort order without the legacy outputOrdering flag). This is the
+      // cheapest co-location lever at 100 TB: pay one shuffle at write
+      // time, skip it on every downstream join.
+      case Some((n, col)) => w.bucketBy(n, col).sortBy(col).saveAsTable(config.output)
+      case None           => w.saveAsTable(config.output)
+    }
   }
 }
 

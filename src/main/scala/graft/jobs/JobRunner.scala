@@ -28,10 +28,11 @@ final case class JobCli(
     localTempDir: Option[String] = None,
     logLevel: Option[String] = None,
     sparkProfiler: Boolean = false,
-    streamMode: String = "complete") {
+    streamMode: String = "complete",
+    outputBucketBy: Option[(Int, String)] = None) {
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
-    outputFormat, outputCompression, outputOptions)
+    outputFormat, outputCompression, outputOptions, outputBucketBy)
 }
 
 object JobCli {
@@ -45,6 +46,7 @@ object JobCli {
       |  [--input_table_option k=v]... [--input_base_url URL]
       |  [--local_temp_dir DIR] [--log_level LEVEL] [--spark_profiler]
       |  [--stream_mode complete|append] (stream_windows)
+      |  [--output_bucket_by col=N] (table outputs: bucketed+sorted write)
       |  host_graph flags: [--save_as_text DIR] [--normalize_host_names]
       |  [--validate_host_names] [--vertex_partitions N]
       |  [--vertex_ids PATH] [--add_input PATH]...
@@ -96,6 +98,10 @@ object JobCli {
         case "--add_input"             => cli = cli.copy(addInputs = cli.addInputs :+ value)
         // sparkcc.py:74-112 conveniences
         case "--local_temp_dir"        => cli = cli.copy(localTempDir = Some(value))
+        case "--output_bucket_by" =>
+          // col=N: bucket (and sort) the table output by col into N buckets
+          val (c, n) = kv(value)
+          cli = cli.copy(outputBucketBy = Some((n.toInt, c)))
         case "--stream_mode" =>
           val m = value
           require(m == "complete" || m == "append",
