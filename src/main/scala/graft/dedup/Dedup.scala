@@ -415,6 +415,49 @@ object Dedup {
              CAST(MAX(sz) AS BIGINT) AS largest_cluster
       FROM clusters"""))
 
+  /** Persisted MinHash index for INCREMENTAL dedup — the realistic
+    * 100 TB operating mode: crawl N+1 probes the signatures of crawls
+    * 1..N without re-reading their text. The index stores one row per
+    * (doc, band) with the full signature, partitioned by band so the
+    * probe join reads co-located band files; at 64 perms that is
+    * ~0.5 KB per document regardless of document size — the whole point
+    * of indexing. Candidate verification estimates Jaccard from
+    * signature agreement (the standard unbiased MinHash estimator);
+    * the original shingle sets are deliberately NOT retained.
+    */
+  def saveMinHashIndex(docs: DataFrame, indexDir: String, shingleW: Int = 5,
+                       perms: Int = 64, rowsPerBand: Int = 4): Unit = {
+    val sig = minHashSignature(wordShingles(docs, shingleW), perms)
+    bands(sig, perms, rowsPerBand).join(sig, "doc_id")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$indexDir/bands")
+  }
+
+  /** New-batch dedup probe against a saved index: candidates = band-bucket
+    * collisions (keyed join, never a scan of index × batch), verified by
+    * the signature-agreement estimator. Returns
+    * (new_id, idx_id, est_jaccard) for pairs estimated ≥ `threshold`.
+    */
+  def dedupAgainstMinHashIndex(newDocs: DataFrame, indexDir: String,
+                               shingleW: Int = 5, perms: Int = 64,
+                               rowsPerBand: Int = 4,
+                               threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idx = spark.read.parquet(s"$indexDir/bands")
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("idx_id"), col("sig").as("idx_sig"))
+    val sigN = minHashSignature(wordShingles(newDocs, shingleW), perms)
+    val bandedN = bands(sigN, perms, rowsPerBand).join(sigN, "doc_id")
+      .select(col("doc_id").as("new_id"), col("band"), col("bucket"),
+        col("sig").as("new_sig"))
+    bandedN.join(idx, Seq("band", "bucket"))
+      .dropDuplicates("new_id", "idx_id")
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(new_sig, idx_sig, (x, y) -> x = y), v -> v))" +
+          s" / CAST($perms AS DOUBLE)"))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("idx_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash, dedupClusters,
       dedupJaccardExact, dedupClustersExact)

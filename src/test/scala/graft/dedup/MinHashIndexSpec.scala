@@ -1,0 +1,64 @@
+package graft.dedup
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental dedup against a persisted MinHash index: the new batch
+  * must find its near-dups among previously indexed documents without
+  * the index side re-reading any text.
+  */
+class MinHashIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sf: Option[String] =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+
+  test("new batch finds exact copies and misses disjoint docs; layout is band-partitioned") {
+    assume(sf.isDefined)
+    import spark.implicits._
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Dedup.saveMinHashIndex(corpus, dir)
+    // inverted-list layout on disk: one directory per band
+    val bandDirs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.getName.startsWith("band=")).map(_.getName)
+    assert(bandDirs.length == 16) // 64 perms / 4 rows per band
+
+    // new batch: 3 exact copies of indexed docs (shifted ids) + 1 disjoint
+    val copies = corpus.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val fresh = Seq((2000000L,
+      (1 to 60).map(i => s"qq$i unseen").mkString(" "), "en", "zz", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = copies.unionByName(fresh)
+
+    val hits = Dedup.dedupAgainstMinHashIndex(batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every copy matches its original at estimated jaccard 1.0
+    (0L until 3L).foreach { id =>
+      assert(hits.exists(h => h._1 == id + 1000000L && h._2 == id && h._3 == 1.0),
+        s"copy of doc $id not found in ${hits.toSeq}")
+    }
+    // the disjoint doc matches nothing
+    assert(!hits.exists(_._1 == 2000000L), s"false hit: ${hits.toSeq}")
+  }
+
+  test("probe plan joins on (band, bucket) — no cross of index × batch") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx2").toString
+    Dedup.saveMinHashIndex(corpus, dir)
+    val probe = Dedup.dedupAgainstMinHashIndex(
+      corpus.filter(col("doc_id") < 5), dir)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"probe must be a keyed join:\n$plan")
+  }
+}
