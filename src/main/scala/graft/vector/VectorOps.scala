@@ -365,5 +365,32 @@ object VectorOps {
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos")))
 
-  val all: Seq[QueryDef] = Seq(annBrute, annLsh, annIvf, dedupEmbedding)
+  /** Build-once cache for the registered indexed-probe query: one
+    * persisted index per (application, sf dir), so repeated invocations
+    * measure the PROBE cost — the query-many operating mode the
+    * persisted index exists for (ann_ivf_topk, by contrast, re-runs
+    * k-means every call: the build-every-time baseline).
+    */
+  private val builtIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sessionIvfIndex(s: SparkSession, dir: String): IvfIndex = {
+    val idxDir = builtIdx.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      saveIvfIndex(corpus(s, dir), d, k = 10, iters = 2)
+      d
+    })
+    loadIvfIndex(s, idxDir)
+  }
+
+  /** Top-k against the PERSISTED index: no k-means at query time, scan
+    * limited to probed cells' files via static partition pruning
+    * (IvfIndexSpec asserts the pruned plan). Deterministic build →
+    * identical rows to the build-and-query path.
+    */
+  val annIvfIndexedQuery: QueryDef = QueryDef(
+    "ann_ivf_indexed_topk",
+    (s, dir) => annIvfIndexed(queriesDf(s, dir, 10), sessionIvfIndex(s, dir)))
+
+  val all: Seq[QueryDef] =
+    Seq(annBrute, annLsh, annIvf, annIvfIndexedQuery, dedupEmbedding)
 }
