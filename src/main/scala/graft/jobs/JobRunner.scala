@@ -53,7 +53,7 @@ object JobCli {
       |  job ∈ server_count | html_tag_count | server_ip | word_count |
       |        sitemaps | extract_host_links | host_graph | wet_extract |
       |        stream_windows | md5sum | warc_to_parquet | index_build |
-      |        index_export | index_word_count | curate""".stripMargin
+      |        index_export | index_word_count | warc_to_documents | curate""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
     case Array(k, v) => (k, v)
@@ -215,6 +215,32 @@ object JobRunner {
         FileProcessorJob.md5sum(spark, cli.input, cli.inParts,
           failedAcc = Some(counters.recordsFailed), baseUrl = cli.inputBaseUrl,
           tempDir = cli.localTempDir)
+      case "warc_to_documents" =>
+        // WARC archives → the documents-table shape the curation suite
+        // reads (doc_id, text, lang, source, n_chars): the bridge from
+        // the reference's raw inputs to the LLM-pipeline operators, so
+        // `warc_to_documents` output chains directly into `curate`.
+        // doc_id = xxhash64(url) — deterministic and stable across
+        // re-runs, so downstream dedup decisions are reproducible; lang
+        // left to the lang-id operator downstream.
+        {
+          import org.apache.spark.sql.functions.{col, length, xxhash64}
+          import spark.implicits._
+          val processed = counters.recordsProcessed
+          records.flatMap { case (path, rec) =>
+            for {
+              url <- rec.targetUri
+              text <- graft.ops.Extractors.htmlToText(rec)
+              t = text.trim if t.nonEmpty
+            } yield {
+              processed.add(1)
+              (url, t, path.substring(path.lastIndexOf('/') + 1))
+            }
+          }.toDF("url", "text", "source")
+            .select(xxhash64(col("url")).as("doc_id"), col("text"),
+              org.apache.spark.sql.functions.lit("").as("lang"),
+              col("source"), length(col("text")).cast("long").as("n_chars"))
+        }
       case "curate" =>
         // batch entry for the curation pipeline (quality → exact dedup →
         // decontamination): writes the CURATED CORPUS — kept docs joined

@@ -283,6 +283,31 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(fromJob == fromQuery)
   }
 
+  test("warc_to_documents bridges archives into the curation suite") {
+    val dir = java.nio.file.Files.createTempDirectory("w2d").toString
+    JobRunner.run(spark, JobCli("warc_to_documents", manifest, s"$dir/docs", outParts = 1))
+    val docs = spark.read.parquet(s"$dir/docs")
+    // exact documents-table shape (TESTDATA.md) so downstream operators apply as-is
+    assert(docs.columns.toSet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = docs.collect()
+    // fixture set has exactly the HTML response records as extractable docs
+    assert(rows.length == Fixtures.all.count(r =>
+      graft.ops.Extractors.htmlToText(r).exists(_.trim.nonEmpty)))
+    rows.foreach { r =>
+      assert(r.getAs[String]("text").nonEmpty)
+      assert(r.getAs[Long]("n_chars") == r.getAs[String]("text").length.toLong)
+    }
+    // doc_id is deterministic across re-runs (stable dedup decisions)
+    JobRunner.run(spark, JobCli("warc_to_documents", manifest, s"$dir/docs2", outParts = 1))
+    val ids1 = rows.map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val ids2 = spark.read.parquet(s"$dir/docs2")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids1 == ids2)
+    // and the output chains directly into the curate job
+    JobRunner.run(spark, JobCli("curate", s"$dir/docs", s"$dir/curated", outParts = 1))
+    assert(spark.read.parquet(s"$dir/curated/accounting").count() > 0)
+  }
+
   test("sitemaps job: list concat across hosts for one sitemap URL") {
     import spark.implicits._
     val r1 = Fixtures.robots("https://a.example.com/robots.txt",
