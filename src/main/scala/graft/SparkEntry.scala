@@ -18,6 +18,7 @@ object SparkEntry {
       operators.SeqPack.all ++
       operators.Pipeline.all ++
       dedup.Dedup.all ++
+      dedup.BloomDedup.all ++
       vector.VectorOps.all ++
       media.MediaOps.all ++
       streaming.StreamQueries.all ++

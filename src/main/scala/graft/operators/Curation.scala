@@ -103,15 +103,22 @@ object Curation {
     * outgrows the broadcast threshold at 100 TB, AQE falls back to a
     * hash join keyed on the same digest. Nothing touches the driver.
     */
+  /** Tokenize + non-overlapping `stride`-token windows:
+    * (doc_id, source, chunk). Shared by dedup_paragraph and the Bloom
+    * incremental dedup ([[graft.dedup.BloomDedup]]) so both operate on
+    * the identical chunk definition.
+    */
+  private[graft] def tokenChunks(df: DataFrame, stride: Int = 20): DataFrame =
+    df.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(stride))).as("s"))
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(col("toks"), col("s") + 1, lit(stride))).as("chunk"))
+
   val dedupParagraph: QueryDef = QueryDef(
     "dedup_paragraph",
     (s, dir) => {
-      val chunks = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("source"), col("toks"),
-          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(20))).as("s"))
-        .select(col("doc_id"), col("source"),
-          concat_ws(" ", slice(col("toks"), col("s") + 1, lit(20))).as("chunk"))
+      val chunks = tokenChunks(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("source"),
           md5(col("chunk").cast("binary")).as("h"), length(col("chunk")).as("chunk_chars"))
       val dup = chunks.groupBy(col("h"))

@@ -21,6 +21,17 @@ class BucketedJoinSpec extends AnyFunSuite {
 
   test("co-bucketed tables join without exchange or sort") {
     import spark.implicits._
+    // Overwrite only drops *registered* tables; a warehouse dir left by a
+    // previous JVM (whose in-memory catalog died with it) fails the CREATE
+    // with LOCATION_ALREADY_EXISTS — remove stale locations explicitly.
+    // In the full suite getOrCreate returns the first suite's shared
+    // session, so resolve the warehouse from the live conf, not ours.
+    Seq("bucketed_a", "bucketed_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
     val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")
     JobConfig.write(a, JobConfig("in", "bucketed_a", bucketBy = Some((4, "k"))))
