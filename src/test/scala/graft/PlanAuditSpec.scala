@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide scale-safety audit: every registered batch query's
+  * physical plan is checked for the operators that kill a 100 TB run —
+  * cartesian products, nested-loop joins whose broadcast side is not
+  * bounded by construction, and single-partition windows. The point is
+  * systematic: a future query added to SparkEntry is audited
+  * automatically, instead of relying on each author to remember
+  * `.explain`. AQE is disabled for the audit so the static plan (what
+  * the optimizer committed to before runtime stats) is what's graded.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Streaming queries execute to completion on construction and their
+    * micro-batch plans live behind the stream execution — audited by
+    * their own specs (StreamAppendSpec etc.), not constructible here.
+    */
+  private def streamingNames = streaming.StreamQueries.all.map(_.name).toSet
+
+  /** Nested-loop joins whose broadcast side is bounded by construction:
+    * the ANN family crossJoins a ≤100-row query set or a k-row centroid
+    * table against the corpus — the corpus side never moves.
+    */
+  private val boundedBroadcastNlj = Set(
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_indexed_topk",
+    "dedup_embedding")
+
+  /** Global (empty-partition) windows that are single-partition BY
+    * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID
+    * semantics (SURVEY §2.6 O2/O3), which is a documented 1-partition
+    * operation in the reference too.
+    */
+  private val globalWindowAllowed = Set(
+    "o2_zipwithindex",
+    // j1 mirrors hostlinks_to_graph.py's explicit 1-partition vertex-ID
+    // mode; the scale path is sortBy+zipWithIndex (HostGraphBuilder)
+    "j1_graph_ids")
+
+  private def offenders(p: SparkPlan): Seq[(String, String)] = {
+    val cart = p.collect { case c: CartesianProductExec => c }
+      .map(c => ("cartesian", c.nodeName))
+    val nlj = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+      .map(j => ("bnlj", j.nodeName))
+    val gw = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .map(w => ("global-window", w.nodeName))
+    cart ++ nlj ++ gw
+  }
+
+  test("no batch query plans a cartesian, unbounded NLJ, or global window") {
+    assume(new java.io.File(sf).exists())
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val violations = SparkEntry.allDefs
+        .filterNot(d => streamingNames.contains(d.name))
+        .flatMap { d =>
+          val plan = d.fn(spark, sf).queryExecution.executedPlan
+          offenders(plan).collect {
+            case ("cartesian", n) => s"${d.name}: $n"
+            case ("bnlj", n) if !boundedBroadcastNlj.contains(d.name) =>
+              s"${d.name}: $n (broadcast side not known-bounded — allow-list with a justification if it is)"
+            case ("global-window", n) if !globalWindowAllowed.contains(d.name) =>
+              s"${d.name}: $n (empty partitionSpec = all rows through one task)"
+          }
+        }
+      assert(violations.isEmpty,
+        s"scale-unsafe plans:\n${violations.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+}
