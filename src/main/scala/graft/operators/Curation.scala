@@ -171,6 +171,63 @@ object Curation {
             < CASE WHEN lang = 'en' THEN 800 WHEN lang = 'zh' THEN 300 ELSE 500 END
       GROUP BY source, lang"""))
 
+  /** Deterministic global shuffle into training shards — the data-order
+    * randomization step before writing a corpus for training. Each doc
+    * gets an arithmetic hash key (same overflow-safe construction as
+    * [[stratifiedSample]], bit-identical across Spark, DuckDB, and
+    * re-runs), shard = key mod N, within-shard order = (key, doc_id).
+    * One shuffle keyed on shard, no global sort: a random *permutation*
+    * needs total order, but training shards only need each shard to be
+    * an unbiased sample read in a well-mixed order — the standard
+    * at-scale relaxation. The query grades both halves: per-shard
+    * accounting checks assignment, min_by/max_by over the composite
+    * order key check the ordering's endpoints.
+    */
+  private def shuffleKey: org.apache.spark.sql.Column =
+    pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L % 1000003L),
+      lit(1000003L))
+
+  val shardShuffle: QueryDef = QueryDef(
+    "curation_shard_shuffle",
+    (s, dir) => {
+      // composite order key: hash-mixed, doc_id-tiebroken so min_by/max_by
+      // are unique even on key collisions (doc_id < 1e6 at these SFs; the
+      // general form is a struct/order-by, see writeShuffledShards)
+      val ord = shuffleKey * lit(1000000L) + col("doc_id")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (shuffleKey % 8).as("shard"), ord.as("ord"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          min_by(col("doc_id"), col("ord")).as("first_doc"),
+          max_by(col("doc_id"), col("ord")).as("last_doc"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars,
+        ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003 AS k
+      FROM documents)
+      SELECT k % 8 AS shard, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        MIN_BY(doc_id, k * 1000000 + doc_id) AS first_doc,
+        MAX_BY(doc_id, k * 1000000 + doc_id) AS last_doc
+      FROM d GROUP BY k % 8"""))
+
+  /** Write the shuffled corpus: `outDir/shard=N/` files, rows within each
+    * shard sorted by the mix key. One exchange (keyed on shard), one
+    * sorted file per shard task; re-runs are byte-stable because key,
+    * assignment, and order are all deterministic functions of doc_id.
+    */
+  def writeShuffledShards(docs: DataFrame, outDir: String, nShards: Int): Unit =
+    docs.withColumn("shard", (shuffleKey % nShards).cast("int"))
+      .withColumn("ord", shuffleKey)
+      // sort prefix MUST be the partition column: FileFormatWriter demands
+      // rows grouped by partition value and would otherwise inject its own
+      // (unstable) sort by shard, destroying the mix order
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"), col("doc_id"))
+      .drop("ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   val all: Seq[QueryDef] =
-    Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample)
+    Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample,
+      shardShuffle)
 }
