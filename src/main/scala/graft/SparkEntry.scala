@@ -15,6 +15,7 @@ object SparkEntry {
       operators.TextOps.all ++
       operators.Decontam.all ++
       operators.Curation.all ++
+      operators.TextClassifier.all ++
       operators.SeqPack.all ++
       operators.Pipeline.all ++
       dedup.Dedup.all ++
