@@ -227,7 +227,68 @@ object Curation {
       .drop("ord")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** Source mixing to a token budget — the Pile/LLaMA recipe: each
+    * source gets an equal share of a global char budget (here 50% of the
+    * corpus), expressed as a per-source rate = share/available. Rates
+    * below 1 downsample deterministically; rates above 1 UPSAMPLE by
+    * repeating the source for floor(rate) full epochs plus a
+    * deterministically-sampled partial epoch — the epoch repeat is an
+    * `explode(sequence)` so upsampling is a row-generator in the plan,
+    * not a self-union per epoch. All sampling decisions are integer
+    * comparisons on the arithmetic doc hash (permille precision), so
+    * Spark, DuckDB, and re-runs agree bit-for-bit.
+    *
+    * Scale shape: one narrow agg builds the 1-row global and per-source
+    * rate tables; both broadcast back onto the corpus (equi-joins on a
+    * constant and on source — never a corpus shuffle); the explode and
+    * final accounting agg are map-side. Skew-safe: rates are per-source
+    * scalars, the biggest source streams through its tasks.
+    */
+  val mixSources: QueryDef = QueryDef(
+    "curation_mix",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val avail = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("avail_chars"))
+      val glob = avail.agg(sum(col("avail_chars")).as("total_chars"),
+        count(lit(1)).as("n_sources")).withColumn("one", lit(1))
+      val rates = avail.withColumn("one", lit(1))
+        .join(broadcast(glob), "one")
+        .withColumn("permille",
+          floor(lit(1000.0) * (lit(0.5) * col("total_chars") / col("n_sources")) /
+            col("avail_chars")).cast("long"))
+        .select(col("source"), col("permille"))
+      val mixKey = pmod(pmod(col("doc_id"), lit(1000033L)) * lit(2654435761L % 1000033L),
+        lit(1000033L)) % 1000
+      docs.join(broadcast(rates), "source")
+        .withColumn("copies",
+          (col("permille") / 1000).cast("long") +
+            when(mixKey < col("permille") % 1000, 1L).otherwise(0L))
+        .filter(col("copies") >= 1)
+        .select(col("source"), col("n_chars"),
+          explode(sequence(lit(1L), col("copies"))).as("epoch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_copies"), sum(col("n_chars")).as("chars_out"),
+          max(col("epoch")).as("max_epoch"))
+    },
+    Some("""WITH avail AS (SELECT source, SUM(n_chars) AS avail_chars FROM documents GROUP BY source),
+      overall AS (SELECT SUM(avail_chars) AS total_chars, COUNT(*) AS n_sources FROM avail),
+      rates AS (SELECT source,
+          CAST(floor(1000.0 * (0.5 * total_chars / n_sources) / avail_chars) AS BIGINT) AS permille
+        FROM avail, overall),
+      mixed AS (SELECT d.source, d.n_chars, e.epoch
+        FROM (SELECT doc_id, source, n_chars,
+                permille // 1000 +
+                  (CASE WHEN ((doc_id % 1000033) * (2654435761 % 1000033)) % 1000033 % 1000
+                        < permille % 1000 THEN 1 ELSE 0 END) AS copies
+              FROM documents JOIN rates USING (source)) d,
+             unnest(generate_series(1, d.copies)) AS e(epoch)
+        WHERE d.copies >= 1)
+      SELECT source, COUNT(*) AS n_copies, CAST(SUM(n_chars) AS BIGINT) AS chars_out,
+        CAST(MAX(epoch) AS BIGINT) AS max_epoch
+      FROM mixed GROUP BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample,
-      shardShuffle)
+      shardShuffle, mixSources)
 }

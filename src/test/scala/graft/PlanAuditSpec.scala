@@ -37,7 +37,11 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val boundedBroadcastNlj = Set(
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_indexed_topk",
-    "dedup_embedding")
+    "dedup_embedding",
+    // the 1-row global-budget aggregate joined onto the 20-row per-source
+    // table (constant-key join folds to NLJ); the corpus side joins rates
+    // by source, a bounded broadcast equi-join
+    "curation_mix")
 
   /** Global (empty-partition) windows that are single-partition BY
     * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID
