@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Decontam.all ++
       operators.Curation.all ++
       operators.TextClassifier.all ++
+      operators.NgramLm.all ++
       operators.SeqPack.all ++
       operators.Pipeline.all ++
       dedup.Dedup.all ++

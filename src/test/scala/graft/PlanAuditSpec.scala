@@ -41,7 +41,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 1-row global-budget aggregate joined onto the 20-row per-source
     // table (constant-key join folds to NLJ); the corpus side joins rates
     // by source, a bounded broadcast equi-join
-    "curation_mix")
+    "curation_mix",
+    // the 1-row vocabulary-size aggregate broadcast onto the bigram
+    // stream (constant-key join folds to NLJ); count joins are keyed
+    "quality_lm_score")
 
   /** Global (empty-partition) windows that are single-partition BY
     * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID
