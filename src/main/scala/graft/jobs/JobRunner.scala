@@ -53,7 +53,8 @@ object JobCli {
       |  job ∈ server_count | html_tag_count | server_ip | word_count |
       |        sitemaps | extract_host_links | host_graph | wet_extract |
       |        stream_windows | md5sum | warc_to_parquet | index_build |
-      |        index_export | index_word_count | warc_to_documents | curate""".stripMargin
+      |        index_export | index_word_count | warc_to_documents | curate |
+      |        dedup_index_build | dedup_index_probe (--add_input INDEX_DIR)""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
     case Array(k, v) => (k, v)
@@ -185,7 +186,8 @@ object JobRunner {
 
     // jobs that write their own multi-part output under $output (paths);
     // stream_windows self-writes only in its durable path-output mode
-    val selfWriting = Set("host_graph", "wet_extract", "index_build", "curate") ++
+    val selfWriting = Set("host_graph", "wet_extract", "index_build", "curate",
+      "dedup_index_build", "dedup_index_probe") ++
       (if (cli.job == "stream_windows" && JobConfig.isPathOutput(cli.output))
         Set("stream_windows") else Set.empty)
 
@@ -240,6 +242,38 @@ object JobRunner {
             .select(xxhash64(col("url")).as("doc_id"), col("text"),
               org.apache.spark.sql.functions.lit("").as("lang"),
               col("source"), length(col("text")).cast("long").as("n_chars"))
+        }
+      case "dedup_index_build" =>
+        // persisted dedup indexes for cross-crawl incremental dedup:
+        // both the MinHash index (approximate near-dup, band-partitioned
+        // signatures) and the exact digest index (chunk digests + Bloom
+        // prefilter sidecar) are built in one pass over a documents
+        // parquet dir, so the next crawl probes THIS one without ever
+        // re-reading its text
+        {
+          val docs = spark.read.parquet(cli.input)
+          graft.dedup.Dedup.saveMinHashIndex(docs, s"${cli.output}/minhash")
+          graft.dedup.BloomDedup.saveDigestIndex(docs, s"${cli.output}/exact")
+          spark.read.parquet(s"${cli.output}/exact/digests")
+        }
+      case "dedup_index_probe" =>
+        // input = the NEW batch (documents parquet); --add_input = the
+        // index dir from dedup_index_build. Writes exact/ (chunk-level
+        // exact dups via the Bloom-prefiltered digest probe) and near/
+        // (MinHash signature-agreement near-dups); returns the exact set
+        {
+          require(cli.addInputs.nonEmpty,
+            "dedup_index_probe needs --add_input <index_dir>")
+          val idx = cli.addInputs.head
+          val newDocs = spark.read.parquet(cli.input)
+          val exact = graft.dedup.BloomDedup
+            .dedupAgainstDigestIndex(newDocs, s"$idx/exact")
+          exact.repartition(cli.outParts)
+            .write.mode("overwrite").parquet(s"${cli.output}/exact")
+          graft.dedup.Dedup.dedupAgainstMinHashIndex(newDocs, s"$idx/minhash")
+            .repartition(cli.outParts)
+            .write.mode("overwrite").parquet(s"${cli.output}/near")
+          spark.read.parquet(s"${cli.output}/exact")
         }
       case "curate" =>
         // batch entry for the curation pipeline (quality → exact dedup →
@@ -349,6 +383,8 @@ object JobRunner {
           case "index_build"    => s"${cli.output}/ccindex"
           case "stream_windows" => s"${cli.output}/data"
           case "curate"         => s"${cli.output}/kept"
+          case "dedup_index_build" => s"${cli.output}/exact/digests"
+          case "dedup_index_probe" => s"${cli.output}/exact"
         }
         spark.read.parquet(countPath).count()
       } else if (JobConfig.isPathOutput(cli.output)) {

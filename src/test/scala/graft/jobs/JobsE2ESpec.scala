@@ -308,6 +308,29 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/curated/accounting").count() > 0)
   }
 
+  test("dedup_index_build → dedup_index_probe: cross-crawl incremental dedup") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+    assume(sfDir.isDefined)
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    val docs = spark.read.parquet(s"${sfDir.get}/documents.parquet")
+    docs.filter(col("doc_id") % 10 < 7).write.parquet(s"$dir/crawl1")
+    docs.filter(col("doc_id") % 10 >= 7).write.parquet(s"$dir/crawl2")
+    JobRunner.run(spark, JobCli("dedup_index_build", s"$dir/crawl1", s"$dir/idx"))
+    JobRunner.run(spark, JobCli("dedup_index_probe", s"$dir/crawl2", s"$dir/report",
+      addInputs = Seq(s"$dir/idx")))
+    // the fixture corpus has cross-split duplicated chunks (BloomDedupSpec
+    // establishes this); the CLI chain must surface them
+    val exact = spark.read.parquet(s"$dir/report/exact")
+    assert(exact.columns.toSet == Set("doc_id", "source", "h"))
+    assert(exact.count() > 0)
+    // near-dup probe output has the signature-agreement schema; row count
+    // depends on whether ≥0.5-Jaccard pairs straddle the split
+    val near = spark.read.parquet(s"$dir/report/near")
+    assert(near.columns.toSet == Set("new_id", "idx_id", "est_jaccard"))
+  }
+
   test("sitemaps job: list concat across hosts for one sitemap URL") {
     import spark.implicits._
     val r1 = Fixtures.robots("https://a.example.com/robots.txt",
