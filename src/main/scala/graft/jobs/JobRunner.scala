@@ -29,7 +29,8 @@ final case class JobCli(
     logLevel: Option[String] = None,
     sparkProfiler: Boolean = false,
     streamMode: String = "complete",
-    outputBucketBy: Option[(Int, String)] = None) {
+    outputBucketBy: Option[(Int, String)] = None,
+    outputShards: Option[Int] = None) {
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
     outputFormat, outputCompression, outputOptions, outputBucketBy)
@@ -47,6 +48,7 @@ object JobCli {
       |  [--local_temp_dir DIR] [--log_level LEVEL] [--spark_profiler]
       |  [--stream_mode complete|append] (stream_windows)
       |  [--output_bucket_by col=N] (table outputs: bucketed+sorted write)
+      |  [--output_shards N] (curate: write kept corpus as N mixed shards)
       |  host_graph flags: [--save_as_text DIR] [--normalize_host_names]
       |  [--validate_host_names] [--vertex_partitions N]
       |  [--vertex_ids PATH] [--add_input PATH]...
@@ -103,6 +105,7 @@ object JobCli {
           // col=N: bucket (and sort) the table output by col into N buckets
           val (c, n) = kv(value)
           cli = cli.copy(outputBucketBy = Some((n.toInt, c)))
+        case "--output_shards" => cli = cli.copy(outputShards = Some(value.toInt))
         case "--stream_mode" =>
           val m = value
           require(m == "complete" || m == "append",
@@ -290,6 +293,12 @@ object JobRunner {
           .write.mode("overwrite").parquet(s"${cli.output}/kept")
         graft.operators.Pipeline.accounting(docs)
           .coalesce(1).write.mode("overwrite").parquet(s"${cli.output}/accounting")
+        // --output_shards N: lay the kept corpus down as N deterministic
+        // training shards in mix order (the curate→shuffle composition)
+        cli.outputShards.foreach { n =>
+          graft.operators.Curation.writeShuffledShards(
+            spark.read.parquet(s"${cli.output}/kept"), s"${cli.output}/shards", n)
+        }
         spark.read.parquet(s"${cli.output}/kept")
       case "warc_to_parquet" =>
         // archives → columnar table via the DSv2 source (input = path/dir)

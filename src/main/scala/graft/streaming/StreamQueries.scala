@@ -23,9 +23,13 @@ object StreamQueries {
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def stagedEvents(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    staged.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+    stagedTable(s, dir, "events")
+
+  private def stagedTable(s: org.apache.spark.sql.SparkSession, dir: String,
+                          table: String): String =
+    staged.computeIfAbsent(s.sparkContext.applicationId + s":$table:" + dir, _ => {
       val stage = java.nio.file.Files.createTempDirectory("graft_stream")
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
       val parts: Seq[java.nio.file.Path] =
         if (java.nio.file.Files.isDirectory(src)) {
           val st = java.nio.file.Files.list(src)
@@ -207,6 +211,42 @@ object StreamQueries {
       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       GROUP BY c.user_id"""))
 
+  /** Curation as a 24/7 service: the documents table streamed through a
+    * stateless quality gate plus content dedup within the watermark —
+    * the shape an always-on ingest pipeline runs (new crawl files land,
+    * quality-filtered and deduped docs append downstream). Event time is
+    * synthesized from doc_id (the table has no timestamp), and the dedup
+    * key is (content digest, source) so which copy survives never
+    * changes per-source accounting — n_chars is a function of the digest
+    * — making the drained stream equal the batch distinct regardless of
+    * file arrival order, which is exactly what the oracle checks. Same
+    * single-drain state note as stream_dedup: on an unbounded deployment
+    * a duplicate arriving later than the watermark delay would survive,
+    * the price of bounded state.
+    */
+  val streamCurate: QueryDef = QueryDef(
+    "stream_curate",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val q = s.readStream.schema(schema).parquet(stagedTable(s, dir, "documents"))
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+        .filter(size(tokens(col("text"))).between(50, 100000))
+        .withColumn("sig", md5(col("text").cast("binary")))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("sig", "source")
+        .writeStream.format("memory").queryName("graft_stream_curate")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.sql("""SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
+               FROM graft_stream_curate GROUP BY source""")
+    },
+    Some("""SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      FROM (SELECT DISTINCT source, md5(text) AS sig, n_chars FROM documents
+            WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) BETWEEN 50 AND 100000)
+      GROUP BY source"""))
+
   val all: Seq[QueryDef] =
-    Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin)
+    Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin,
+      streamCurate)
 }

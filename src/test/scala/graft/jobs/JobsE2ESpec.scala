@@ -303,9 +303,21 @@ class JobsE2ESpec extends AnyFunSuite {
     val ids2 = spark.read.parquet(s"$dir/docs2")
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(ids1 == ids2)
-    // and the output chains directly into the curate job
-    JobRunner.run(spark, JobCli("curate", s"$dir/docs", s"$dir/curated", outParts = 1))
+    // and the output chains directly into the curate job, with
+    // --output_shards laying the kept corpus down as mixed shards
+    JobRunner.run(spark, JobCli("curate", s"$dir/docs", s"$dir/curated", outParts = 1,
+      outputShards = Some(4)))
     assert(spark.read.parquet(s"$dir/curated/accounting").count() > 0)
+    val kept = spark.read.parquet(s"$dir/curated/kept").count()
+    // the tiny WARC fixtures may keep nothing (quality gate); the shard
+    // write must still have run (dir committed). ShardShuffleSpec covers
+    // the populated-shards contract on the sf corpus.
+    assert(new java.io.File(s"$dir/curated/shards").exists())
+    if (kept > 0) {
+      val shards = spark.read.parquet(s"$dir/curated/shards")
+      assert(shards.count() == kept, "sharding must be a permutation of kept")
+      assert(shards.select("shard").distinct().count() <= 4)
+    }
   }
 
   test("dedup_index_build → dedup_index_probe: cross-crawl incremental dedup") {
