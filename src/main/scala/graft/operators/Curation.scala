@@ -288,7 +288,40 @@ object Curation {
         CAST(MAX(epoch) AS BIGINT) AS max_epoch
       FROM mixed GROUP BY source"""))
 
+  /** Word-blocklist filter — the C4 "bad words" recipe (Raffel et al.
+    * 2020 drop any page containing a blocklisted word): membership test
+    * over the token array, per-source accounting of dropped docs and
+    * surviving char mass. `arrays_overlap` against a literal array is a
+    * codegen'd scan-stage predicate — no join, no shuffle until the small
+    * agg — so at 100 TB the filter rides the same scan as tokenization.
+    * (A multi-million-word list would instead broadcast-join a terms
+    * table, the [[domainBlocklist]] shape; inlining is right for the
+    * C4-sized list of hundreds.) The synthetic vocabulary is near-uniform,
+    * so 'dup' (~5% of docs) is the live trigger and the other entries
+    * exercise the no-match path; BadwordsSpec plants richer cases.
+    */
+  val badwords: QueryDef = QueryDef(
+    "curation_badwords",
+    (s, dir) => {
+      val blocked = Seq("dup", "spam", "casino")
+      val docs = Tables(s, dir, "documents")
+        .withColumn("flagged",
+          arrays_overlap(tokens(col("text")), lit(blocked.toArray)))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("flagged"), 1).otherwise(0)).as("n_dropped"),
+          sum(when(!col("flagged"), col("n_chars")).otherwise(0)).as("kept_chars"))
+    },
+    Some("""WITH d AS (SELECT source, n_chars,
+        list_has_any(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     ['dup','spam','casino']) AS flagged
+      FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        CAST(SUM(CASE WHEN NOT flagged THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM d GROUP BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample,
-      shardShuffle, mixSources)
+      shardShuffle, mixSources, badwords)
 }

@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.QueryDef
 import graft.functions.GraftFunctions._
+import graft.functions.NfcNormalize.nfc
 import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -338,7 +340,99 @@ object TextOps {
         ELSE 'de' END AS predicted FROM h)
       SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY lang, predicted"""))
 
+  /** Unicode NFC normalization pass ([[graft.functions.NfcNormalize]],
+    * native codegen'd expression — no UDF): per-source accounting of how
+    * many documents change under canonical composition and the size
+    * delta. Pure map-side column work before one small agg, so at 100 TB
+    * this runs at scan speed like the other text passes. The synthetic
+    * corpus is ASCII (the fast path), so a planted row with a combining
+    * accent (e+U+0301), the U+212B ANGSTROM canonical singleton and a
+    * precomposed survivor is unioned in on BOTH engines — the oracle
+    * exercises real composition, not just the identity path.
+    */
+  val textNormalize: QueryDef = QueryDef(
+    "text_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq((-1L, "planted", "cafe\u0301 \u212B nai\u0308ve caf\u00e9 plain"))
+        .toDF("doc_id", "source", "text")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .unionByName(planted)
+        .select(col("source"), col("text"), nfc(col("text")).as("norm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("norm") =!= col("text"), 1).otherwise(0)).as("n_changed"),
+          sum(length(col("text"))).as("raw_chars"),
+          sum(length(col("norm"))).as("norm_chars"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT -1, 'planted',
+          'cafe' || chr(769) || ' ' || chr(8491) || ' nai' || chr(776) || 've caf' || chr(233) || ' plain'),
+      n AS (SELECT source, text, nfc_normalize(text) AS norm FROM d)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        CAST(SUM(length(text)) AS BIGINT) AS raw_chars,
+        CAST(SUM(length(norm)) AS BIGINT) AS norm_chars
+      FROM n GROUP BY source"""))
+
+  /** BM25 relevance ranking (Robertson/Spärck Jones, the classic quality
+    * baseline for retrieval-style corpus queries): top-10 documents per
+    * query term, k1=1.2 b=0.75. Fully relational — tf from one token
+    * explode filtered to the query terms BEFORE the shuffle (the filter
+    * rides the scan stage, so the shuffled stream is |terms|·|matching
+    * docs|, not the corpus token stream), df and the 1-row corpus stats
+    * broadcast back onto it, WindowGroupLimit bounds the per-term top-10
+    * to an O(10) heap per task. avgdl divides an exact integer token sum,
+    * so the score is order-independent and reproducible at any
+    * parallelism; ranking uses the 6dp-rounded score (doc_id tiebreak) so
+    * Spark and the DuckDB oracle agree on every boundary.
+    */
+  val bm25: QueryDef = QueryDef(
+    "text_bm25",
+    (s, dir) => {
+      val terms = Seq("join", "vector", "filter", "dup")
+      val k1 = 1.2
+      val b = 0.75
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+      val stats = d.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"),
+          round(
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              (col("tf") * (k1 + 1)) /
+              (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6).as("score"))
+      val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      s AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+      tf AS (SELECT term, doc_id, dl, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        WHERE term IN ('join','vector','filter','dup') GROUP BY term, doc_id, dl),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      sc AS (SELECT tf.term, tf.doc_id,
+        round(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tf.tf * 2.2)
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)), 6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN s),
+      r AS (SELECT term, doc_id, score,
+        CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS INT) AS rk
+        FROM sc)
+      SELECT term, doc_id, score, rk FROM r WHERE rk <= 10"""))
+
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
-    tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub)
+    tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub,
+    textNormalize, bm25)
 }

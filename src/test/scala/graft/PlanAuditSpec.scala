@@ -44,7 +44,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "curation_mix",
     // the 1-row vocabulary-size aggregate broadcast onto the bigram
     // stream (constant-key join folds to NLJ); count joins are keyed
-    "quality_lm_score")
+    "quality_lm_score",
+    // the 1-row (n_docs, avgdl) corpus-stats aggregate crossJoined onto
+    // the term-filtered tf stream; df joins by term (bounded broadcast)
+    "text_bm25")
 
   /** Global (empty-partition) windows that are single-partition BY
     * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID
