@@ -52,5 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(array<string>) - 64-bit Charikar SimHash"),
       (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(string) - Unicode NFC canonical composition"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }

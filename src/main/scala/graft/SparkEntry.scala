@@ -19,6 +19,7 @@ object SparkEntry {
       operators.NgramLm.all ++
       operators.SeqPack.all ++
       operators.Pipeline.all ++
+      text.InvertedIndex.all ++
       dedup.Dedup.all ++
       dedup.BloomDedup.all ++
       vector.VectorOps.all ++

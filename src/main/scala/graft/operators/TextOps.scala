@@ -431,8 +431,50 @@ object TextOps {
         FROM sc)
       SELECT term, doc_id, score, rk FROM r WHERE rk <= 10"""))
 
+  /** Flesch reading-ease scoring (the classic readability quality
+    * signal; Kincaid et al. 1975): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with sentences counted as [.!?] runs and
+    * syllables approximated as vowel groups — the standard regexp
+    * approximation, identical RE2-safe patterns on both engines. Per-doc
+    * scores round to 6dp BEFORE aggregation, and the per-source mean
+    * accumulates in exact decimal (GraftFunctions determinism note), so
+    * the result is bit-reproducible at any parallelism. Map-side column
+    * work → one small agg: scan speed at 100 TB.
+    */
+  val readability: QueryDef = QueryDef(
+    "text_readability",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("source"),
+          greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+            .cast(DoubleType).as("n_sent"),
+          greatest(size(tokens(col("text"))), lit(1)).cast(DoubleType).as("n_words"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .cast(DoubleType).as("n_syll"))
+        .select(col("source"),
+          round(lit(206.835) - lit(1.015) * col("n_words") / col("n_sent")
+            - lit(84.6) * col("n_syll") / col("n_words"), 6).as("fk"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(davg(col("fk")), 6).as("avg_fk"),
+          sum(when(col("fk") >= 70.0, 1).otherwise(0)).as("n_easy"),
+          sum(when(col("fk") < 50.0, 1).otherwise(0)).as("n_hard"))
+    },
+    Some("""WITH d AS (SELECT source,
+        round(206.835
+          - 1.015 * (CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS DOUBLE)
+                     / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+          - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                    / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)), 6) AS fk
+      FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        round(CAST(SUM(CAST(fk AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS avg_fk,
+        CAST(SUM(CASE WHEN fk >= 70.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+        CAST(SUM(CASE WHEN fk < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+      FROM d GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
     tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub,
-    textNormalize, bm25)
+    textNormalize, bm25, readability)
 }

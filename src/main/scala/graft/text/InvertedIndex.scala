@@ -1,0 +1,129 @@
+package graft.text
+
+import graft.QueryDef
+import graft.functions.GraftFunctions._
+import graft.util.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Persisted inverted text index for BM25 retrieval — the build-once /
+  * probe-many operating mode for `text_bm25`, completing the persisted
+  * index family (MinHash bands, IVF cells, Bloom digests).
+  *
+  * Layout (all parquet):
+  *  - `postings/bucket=B/`: (term, doc_id, dl, tf), one row per distinct
+  *    (term, doc) pair, hash-bucketed by term into a FIXED number of
+  *    directories and sorted by term within each file. Partitioning by
+  *    raw term would create a directory per vocabulary word (millions at
+  *    web scale — unlistable); 64 hash buckets keep the directory tree
+  *    O(1) while still letting a probe statically prune to the probed
+  *    terms' buckets, and the within-file term sort gives parquet
+  *    row-group pruning inside each bucket.
+  *  - `terms/bucket=B/`: (term, df) in the same bucketed layout.
+  *  - `stats/`: one row (n_docs, total_dl) — exact integer sums, so the
+  *    probe recomputes avgdl by one double division and scores match the
+  *    direct query bit for bit.
+  *
+  * A probe reads ONLY the probed buckets' files (≤ |terms| of 64
+  * directories, asserted on the plan by Bm25IndexSpec), never the corpus:
+  * query cost scales with the postings of the probed terms, not the
+  * collection — the inverted-file analogue of the IVF cell layout.
+  */
+object InvertedIndex {
+
+  val NumBuckets = 64
+
+  private def bucketOf(termCol: org.apache.spark.sql.Column) =
+    pmod(xxhash64(termCol), lit(NumBuckets.toLong))
+
+  /** One tokenize pass → postings + per-term df + corpus stats. */
+  def save(docs: DataFrame, dir: String): Unit = {
+    val d = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val postings = d
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term")))
+    postings
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    // df = rows per term in postings ((term, doc) pairs are distinct)
+    postings.groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
+      .repartition(col("bucket")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+    d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k per probe term against the persisted index. The probe
+    * terms' bucket ids are computed by one bounded job over the literal
+    * term list (same xxhash64 the writer used — single-sourced), then
+    * pushed as a static partition filter.
+    */
+  def probe(s: SparkSession, dir: String, terms: Seq[String], k: Int = 10,
+            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import s.implicits._
+    val bucketIds = terms.toDF("term").select(bucketOf(col("term")).as("bucket"))
+      .distinct().as[Long].collect().toSeq
+    val post = s.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
+    val df = s.read.parquet(s"$dir/terms")
+      .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
+      .select(col("term"), col("df"))
+    val stats = s.read.parquet(s"$dir/stats")
+      .select(col("n_docs"),
+        (col("total_dl").cast(DoubleType) / col("n_docs")).as("avgdl"))
+    val scored = post.join(broadcast(df), Seq("term")).crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Build-once cache per (application, sf dir) — repeated invocations
+    * measure probe cost, the mode the index exists for (mirrors
+    * VectorOps.sessionIvfIndex).
+    */
+  private val builtIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sessionIndex(s: SparkSession, dir: String): String =
+    builtIdx.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      save(Tables(s, dir, "documents"), d)
+      d
+    })
+
+  /** Registered probe query. Oracle = the direct text_bm25 SQL: the
+    * persisted-index path must reproduce the from-scratch computation
+    * exactly (same DuckDB query grades both).
+    */
+  val bm25IndexTopk: QueryDef = QueryDef(
+    "bm25_index_topk",
+    (s, dir) => probe(s, sessionIndex(s, dir), Seq("join", "vector", "filter", "dup")),
+    Some("""WITH d AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      s AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+      tf AS (SELECT term, doc_id, dl, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        WHERE term IN ('join','vector','filter','dup') GROUP BY term, doc_id, dl),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      sc AS (SELECT tf.term, tf.doc_id,
+        round(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tf.tf * 2.2)
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)), 6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN s),
+      r AS (SELECT term, doc_id, score,
+        CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS INT) AS rk
+        FROM sc)
+      SELECT term, doc_id, score, rk FROM r WHERE rk <= 10"""))
+
+  val all: Seq[QueryDef] = Seq(bm25IndexTopk)
+}

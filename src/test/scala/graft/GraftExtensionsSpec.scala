@@ -35,7 +35,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  size(char_ngram_hashes('abcdef', 3)) AS ngrams,
         |  size(long_window_hashes(array(1L, 2L, 3L), 2)) AS winds,
         |  size(minhash_sig(array(10L, 74L, -3L), 16)) AS sig_len,
-        |  simhash_sig(array('a', 'b', 'a')) AS sh
+        |  simhash_sig(array('a', 'b', 'a')) AS sh,
+        |  nfc_normalize('cafe\u0301') AS nfc
         |""".stripMargin).head()
     assert(row.getDouble(0) == 1.0)
     assert(row.getSeq[String](1) == Seq("hello", "world", "42"))
@@ -43,6 +44,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(3) == 2)
     assert(row.getInt(4) == 16)
     assert(row.getLong(5) != 0L)
+    assert(row.getString(6) == "caf\u00e9")
   }
 
   test("literal-arg validation rejects a non-literal perms") {

@@ -47,7 +47,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "quality_lm_score",
     // the 1-row (n_docs, avgdl) corpus-stats aggregate crossJoined onto
     // the term-filtered tf stream; df joins by term (bounded broadcast)
-    "text_bm25")
+    "text_bm25",
+    // same 1-row stats crossJoin, reading the persisted inverted index
+    "bm25_index_topk")
 
   /** Global (empty-partition) windows that are single-partition BY
     * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID

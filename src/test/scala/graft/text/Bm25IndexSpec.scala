@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted inverted index must reproduce the direct text_bm25
+  * computation exactly, and a probe must scan only the probed terms'
+  * bucket directories (static partition pruning) — the property that
+  * makes the index the 100 TB path: query cost follows the probed
+  * postings, not the corpus.
+  */
+class Bm25IndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("index probe reproduces the direct text_bm25 result exactly") {
+    val direct = graft.SparkEntry.queries("text_bm25")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val viaIdx = graft.SparkEntry.queries("bm25_index_topk")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(viaIdx == direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("probe plan prunes to the probed terms' buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    InvertedIndex.save(graft.util.Tables(spark, sf, "documents"), dir)
+    val probe = InvertedIndex.probe(spark, dir, Seq("join", "dup"))
+    val planStr = probe.queryExecution.executedPlan.toString
+    val partFilters = """PartitionFilters: \[([^\]]*)\]""".r
+      .findAllMatchIn(planStr).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("bucket") && f.trim.nonEmpty),
+      s"no non-empty bucket partition filter on the index scan in:\n$planStr")
+    // the term equi-filter must also reach the parquet scan
+    assert(planStr.contains("PushedFilters") && planStr.contains("term"),
+      s"term filter not pushed to the postings scan:\n$planStr")
+    // 2 probe terms can touch at most 2 of the 64 bucket directories
+    val postRoot = java.nio.file.Paths.get(dir, "postings")
+    val st = java.nio.file.Files.list(postRoot)
+    val nBuckets = try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.count(_.getFileName.toString.startsWith("bucket="))
+    } finally st.close()
+    assert(nBuckets > 2, s"fixture vocabulary too small to prove pruning ($nBuckets buckets)")
+  }
+
+  test("stats hold exact integer sums so avgdl is reproducible") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx2").toString
+    InvertedIndex.save(graft.util.Tables(spark, sf, "documents"), dir)
+    val stats = spark.read.parquet(s"$dir/stats").collect()
+    assert(stats.length == 1)
+    assert(stats(0).getLong(0) > 0 && stats(0).getLong(1) > 0)
+  }
+}
