@@ -473,8 +473,53 @@ object TextOps {
         CAST(SUM(CASE WHEN fk < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
       FROM d GROUP BY source"""))
 
+  /** Token-distribution Shannon entropy per document — the standard
+    * gibberish / repetition filter (low entropy = boilerplate or a
+    * repeated token; used alongside the Gopher rules in public cleaning
+    * recipes). Computed as H = log2(n) − (Σ c·log2 c)/n so every
+    * floating-point term is a function of INTEGER counts: each c·log2 c
+    * rounds to 6dp (identical half-up semantics on both engines for
+    * positive values) and then sums in exact decimal — per-doc entropy is
+    * bit-reproducible at any parallelism, as is the decimal-accumulated
+    * per-source mean. Same two-shuffle shape as p6_word_count: (doc,word)
+    * hash agg then doc hash agg, key cardinality ≈ corpus vocabulary ×
+    * docs — no skewable key at 100 TB.
+    */
+  val textEntropy: QueryDef = QueryDef(
+    "text_entropy",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+      val wc = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val ent = wc.groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("n"),
+          sum(round(col("c") * log2(col("c")), 6).cast(dec)).as("s"))
+        .select(col("source"),
+          round(log2(col("n")) - col("s").cast(DoubleType) / col("n"), 6).as("entropy"))
+      ent.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(davg(col("entropy")), 6).as("avg_entropy"),
+          sum(when(col("entropy") < 4.0, 1).otherwise(0)).as("n_low_entropy"))
+    },
+    Some("""WITH wc AS (SELECT doc_id, source, word, COUNT(*) AS c
+        FROM (SELECT doc_id, source,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+              FROM documents)
+        GROUP BY doc_id, source, word),
+      e AS (SELECT doc_id, source,
+          round(log2(SUM(c))
+            - CAST(SUM(CAST(round(c * log2(c), 6) AS DECIMAL(25,6))) AS DOUBLE)
+              / SUM(c), 6) AS entropy
+        FROM wc GROUP BY doc_id, source)
+      SELECT source, COUNT(*) AS n_docs,
+        round(CAST(SUM(CAST(entropy AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS avg_entropy,
+        CAST(SUM(CASE WHEN entropy < 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
+      FROM e GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
     tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub,
-    textNormalize, bm25, readability)
+    textNormalize, bm25, readability, textEntropy)
 }

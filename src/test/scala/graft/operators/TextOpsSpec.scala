@@ -81,4 +81,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("stop_hits") < 2)
     assert(!r.getAs[Boolean]("passes"))
   }
+
+  test("text_entropy: uniform repetition scores 0, diverse text scores high") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("entropy").toString
+    Seq(
+      (1L, "spam spam spam spam spam spam spam spam", "en", "rep", 39L),
+      (2L, "one two three four five six seven eight nine ten alpha beta gamma delta epsilon zeta", "en", "div", 86L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("text_entropy")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out("rep") == ((1L, 0.0, 1L)))       // 8x one token: H = 0, flagged low
+    assert(out("div")._2 == 4.0)                // 16 distinct tokens: H = log2(16)
+    assert(out("div")._3 == 0L)
+  }
 }
