@@ -288,6 +288,69 @@ object Curation {
         CAST(MAX(epoch) AS BIGINT) AS max_epoch
       FROM mixed GROUP BY source"""))
 
+  /** Content-defined chunking dedup — the variable-boundary complement
+    * to [[dedupParagraph]]'s fixed stride (the LBFS/FastCDC idea at token
+    * granularity): a chunk boundary falls after any token whose content
+    * hash starts with hex '0' (p = 1/16 → ~16-token average chunks), so
+    * an insertion re-chunks only the chunk containing it, where a fixed
+    * stride shifts every later window and misses all downstream dups.
+    * Boundaries derive from md5 — identical in Spark and DuckDB — which
+    * makes this fully oracle-checkable end to end, unlike rolling-hash
+    * variants keyed on engine-specific hashes.
+    *
+    * Scale shape: posexplode (the p6 token stream plus a position), a
+    * per-doc running-sum window (partitioned by doc_id — task memory
+    * bounded by the longest document, never global), chunk reassembly as
+    * one hash agg, then the dedupParagraph accounting on the 128-bit
+    * chunk digest (uniform keys, cannot skew).
+    */
+  val cdcChunks: QueryDef = QueryDef(
+    "dedup_cdc_chunks",
+    (s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), posexplode(tokens(col("text"))))
+        .toDF("doc_id", "source", "pos", "w")
+        .withColumn("b",
+          when(substring(md5(col("w").cast("binary")), 1, 1) === "0", 1).otherwise(0))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // boundary token CLOSES its chunk: cid = boundaries strictly before
+      val withCid = tok.withColumn("cid", sum(col("b")).over(win) - col("b"))
+      val chunks = withCid.groupBy(col("doc_id"), col("source"), col("cid"))
+        .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w"))).as("chunk"))
+        .select(col("doc_id"), col("source"),
+          md5(col("chunk").cast("binary")).as("h"),
+          length(col("chunk")).as("chunk_chars"))
+      val dup = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"), lit(1).as("is_dup"))
+      chunks.join(dup, Seq("h"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_dup") === 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("is_dup") === 1, col("chunk_chars").cast("long")).otherwise(0L))
+            .as("dup_chars"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      t AS (SELECT doc_id, source, toks[i] AS w, i AS pos,
+              CASE WHEN substring(md5(toks[i]), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+            FROM d, unnest(generate_series(1, len(toks))) AS g(i)),
+      c AS (SELECT doc_id, source, pos, w,
+              SUM(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) - b AS cid
+            FROM t),
+      ch AS (SELECT doc_id, source, cid,
+              md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+              length(string_agg(w, ' ' ORDER BY pos)) AS chunk_chars
+            FROM c GROUP BY doc_id, source, cid),
+      dup AS (SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT source, COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN ch.h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        CAST(SUM(CASE WHEN ch.h IN (SELECT h FROM dup) THEN chunk_chars ELSE 0 END) AS BIGINT) AS dup_chars
+      FROM ch GROUP BY source"""))
+
   /** Word-blocklist filter — the C4 "bad words" recipe (Raffel et al.
     * 2020 drop any page containing a blocklisted word): membership test
     * over the token array, per-source accounting of dropped docs and
@@ -323,5 +386,5 @@ object Curation {
 
   val all: Seq[QueryDef] =
     Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample,
-      shardShuffle, mixSources, badwords)
+      shardShuffle, mixSources, badwords, cdcChunks)
 }
