@@ -155,4 +155,24 @@ class PropertySpec extends AnyFunSuite {
       graft.media.MediaMeta.mp4Meta(bytes)
     }
   }
+
+  test("nfc_normalize is idempotent and length-stable-or-shrinking on arbitrary unicode") {
+    val uni = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.choose(0x00c0.toChar, 0x024f.toChar),   // Latin-1/Extended precomposed
+      Gen.oneOf('\u0301', '\u0308', '\u030a'),   // combining marks
+      Gen.oneOf('\u212b', '\u2126'),              // canonical singletons
+      Gen.choose(0x3040.toChar, 0x30ff.toChar)    // kana (has canonical composites)
+    )).map(_.mkString)
+    forAll(uni) { raw =>
+      val once = graft.functions.NfcNormalize
+        .normalize(org.apache.spark.unsafe.types.UTF8String.fromString(raw)).toString
+      val twice = graft.functions.NfcNormalize
+        .normalize(org.apache.spark.unsafe.types.UTF8String.fromString(once)).toString
+      assert(twice == once, s"not idempotent on ${raw.map(_.toInt.toHexString)}")
+      assert(java.text.Normalizer.isNormalized(once, java.text.Normalizer.Form.NFC))
+      assert(once.codePointCount(0, once.length) <= raw.codePointCount(0, raw.length),
+        "NFC canonical composition never adds code points")
+    }
+  }
 }
