@@ -30,7 +30,9 @@ final case class JobCli(
     sparkProfiler: Boolean = false,
     streamMode: String = "complete",
     outputBucketBy: Option[(Int, String)] = None,
-    outputShards: Option[Int] = None) {
+    outputShards: Option[Int] = None,
+    badwords: Seq[String] = Nil,
+    minEntropy: Option[Double] = None) {
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
     outputFormat, outputCompression, outputOptions, outputBucketBy)
@@ -49,6 +51,7 @@ object JobCli {
       |  [--stream_mode complete|append] (stream_windows)
       |  [--output_bucket_by col=N] (table outputs: bucketed+sorted write)
       |  [--output_shards N] (curate: write kept corpus as N mixed shards)
+      |  [--badwords w1,w2,...] [--min_entropy X] (curate: extra filters)
       |  host_graph flags: [--save_as_text DIR] [--normalize_host_names]
       |  [--validate_host_names] [--vertex_partitions N]
       |  [--vertex_ids PATH] [--add_input PATH]...
@@ -106,6 +109,8 @@ object JobCli {
           val (c, n) = kv(value)
           cli = cli.copy(outputBucketBy = Some((n.toInt, c)))
         case "--output_shards" => cli = cli.copy(outputShards = Some(value.toInt))
+        case "--badwords"      => cli = cli.copy(badwords = value.split(",").toSeq.filter(_.nonEmpty))
+        case "--min_entropy"   => cli = cli.copy(minEntropy = Some(value.toDouble))
         case "--stream_mode" =>
           val m = value
           require(m == "complete" || m == "append",
@@ -288,7 +293,29 @@ object JobRunner {
         val kept = graft.operators.Pipeline.outcomeFlags(docs)
           .filter(org.apache.spark.sql.functions.col("kept"))
           .select("doc_id")
-        docs.join(kept, Seq("doc_id"), "left_semi")
+        // optional post-pipeline filters, reusing the registered
+        // operators' expressions: --badwords w1,w2 (C4 word blocklist,
+        // scan-stage predicate) and --min_entropy X (token-entropy
+        // gibberish gate, one keyed agg over the kept docs only)
+        val keptDocs = docs.join(kept, Seq("doc_id"), "left_semi")
+        val afterBad =
+          if (cli.badwords.isEmpty) keptDocs
+          else {
+            import org.apache.spark.sql.functions.{arrays_overlap, col, lit, not}
+            keptDocs.filter(not(arrays_overlap(
+              graft.functions.GraftFunctions.tokens(col("text")),
+              lit(cli.badwords.toArray))))
+          }
+        val curated = cli.minEntropy match {
+          case None => afterBad
+          case Some(minH) =>
+            import org.apache.spark.sql.functions.col
+            afterBad.join(
+              graft.operators.TextOps.docEntropy(afterBad)
+                .filter(col("entropy") >= minH).select("doc_id"),
+              Seq("doc_id"), "left_semi")
+        }
+        curated
           .repartition(cli.outParts)
           .write.mode("overwrite").parquet(s"${cli.output}/kept")
         graft.operators.Pipeline.accounting(docs)

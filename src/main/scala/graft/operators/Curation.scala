@@ -384,7 +384,49 @@ object Curation {
         CAST(SUM(CASE WHEN NOT flagged THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
       FROM d GROUP BY source"""))
 
+  /** Crawl snapshot diff — the operational query a recurring-crawl
+    * pipeline runs between snapshots: per-source counts of added /
+    * removed / changed / unchanged documents, keyed by doc id with a
+    * content-hash compare for change detection. One full-outer join
+    * shuffle-keyed on doc_id (uniform, unskewable) plus a small agg —
+    * at 100 TB this is two scans and one join, no corpus re-read per
+    * status. The two snapshots are simulated from the documents table
+    * (A drops doc_id%7=0 → "added" in B; B drops doc_id%11=0 →
+    * "removed"; B revises text for doc_id%5=0 → "changed").
+    */
+  val crawlDiff: QueryDef = QueryDef(
+    "crawl_diff",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("ha"))
+      val b = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("source"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).cast("binary")).as("hb"))
+      a.join(b, Seq("doc_id", "source"), "full_outer")
+        .withColumn("status",
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH a AS (SELECT doc_id, source, md5(text) AS ha
+        FROM documents WHERE doc_id % 7 != 0),
+      b AS (SELECT doc_id, source,
+          md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS hb
+        FROM documents WHERE doc_id % 11 != 0)
+      SELECT COALESCE(a.source, b.source) AS source,
+        CASE WHEN ha IS NULL THEN 'added'
+             WHEN hb IS NULL THEN 'removed'
+             WHEN ha != hb THEN 'changed' ELSE 'unchanged' END AS status,
+        COUNT(*) AS n
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id AND a.source = b.source
+      GROUP BY 1, 2"""))
+
   val all: Seq[QueryDef] =
     Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample,
-      shardShuffle, mixSources, badwords, cdcChunks)
+      shardShuffle, mixSources, badwords, cdcChunks, crawlDiff)
 }

@@ -485,20 +485,27 @@ object TextOps {
     * hash agg then doc hash agg, key cardinality ≈ corpus vocabulary ×
     * docs — no skewable key at 100 TB.
     */
+  /** Per-document token entropy (doc_id, source, entropy) — shared by the
+    * registered query and the `curate --min_entropy` filter.
+    */
+  def docEntropy(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+    docs
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n"),
+        sum(round(col("c") * log2(col("c")), 6).cast(dec)).as("s"))
+      .select(col("doc_id"), col("source"),
+        round(log2(col("n")) - col("s").cast(DoubleType) / col("n"), 6).as("entropy"))
+  }
+
   val textEntropy: QueryDef = QueryDef(
     "text_entropy",
     (s, dir) => {
-      val dec = org.apache.spark.sql.types.DecimalType(25, 6)
-      val wc = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
-        .groupBy(col("doc_id"), col("source"), col("w"))
-        .agg(count(lit(1)).as("c"))
-      val ent = wc.groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("c")).as("n"),
-          sum(round(col("c") * log2(col("c")), 6).cast(dec)).as("s"))
-        .select(col("source"),
-          round(log2(col("n")) - col("s").cast(DoubleType) / col("n"), 6).as("entropy"))
-      ent.groupBy(col("source"))
+      docEntropy(Tables(s, dir, "documents"))
+        .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           round(davg(col("entropy")), 6).as("avg_entropy"),
           sum(when(col("entropy") < 4.0, 1).otherwise(0)).as("n_low_entropy"))

@@ -283,6 +283,35 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(fromJob == fromQuery)
   }
 
+  test("curate --badwords and --min_entropy filter the kept corpus") {
+    val sf = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+    assume(sf.isDefined)
+    val base = java.nio.file.Files.createTempDirectory("curateF").toString
+    JobRunner.run(spark, JobCli("curate", s"${sf.get}/documents.parquet",
+      s"$base/plain", outParts = 1))
+    val plain = spark.read.parquet(s"$base/plain/kept")
+    val nPlain = plain.count()
+    // pick a word present in some kept doc so the filter has bite
+    val word = plain
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.GraftFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).count().orderBy(col("count")).head().getString(0)
+    JobRunner.run(spark, JobCli("curate", s"${sf.get}/documents.parquet",
+      s"$base/filtered", outParts = 1,
+      badwords = Seq(word, "nonexistentzzz"), minEntropy = Some(1.0)))
+    val filtered = spark.read.parquet(s"$base/filtered/kept")
+    val nFiltered = filtered.count()
+    assert(nFiltered < nPlain, s"badwords '$word' should drop at least one doc")
+    // no surviving doc contains the blocked word or scores below the gate
+    assert(filtered.filter(
+      org.apache.spark.sql.functions.arrays_overlap(
+        graft.functions.GraftFunctions.tokens(col("text")),
+        org.apache.spark.sql.functions.lit(Array(word)))).count() == 0)
+    assert(graft.operators.TextOps.docEntropy(filtered)
+      .filter(col("entropy") < 1.0).count() == 0)
+  }
+
   test("warc_to_documents bridges archives into the curation suite") {
     val dir = java.nio.file.Files.createTempDirectory("w2d").toString
     JobRunner.run(spark, JobCli("warc_to_documents", manifest, s"$dir/docs", outParts = 1))
