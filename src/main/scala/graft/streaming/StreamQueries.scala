@@ -215,7 +215,10 @@ object StreamQueries {
     * stateless quality gate plus content dedup within the watermark —
     * the shape an always-on ingest pipeline runs (new crawl files land,
     * quality-filtered and deduped docs append downstream). Event time is
-    * synthesized from doc_id (the table has no timestamp), and the dedup
+    * synthesized from doc_id+1 (the table has no timestamp; the +1 keeps
+    * doc 0 off the epoch — event time 0 equals a fresh stream's initial
+    * watermark and Spark drops it as late, a boundary sf0.1 exposed
+    * because its doc 0 passes the token gate), and the dedup
     * key is (content digest, source) so which copy survives never
     * changes per-source accounting — n_chars is a function of the digest
     * — making the drained stream equal the batch distinct regardless of
@@ -230,7 +233,7 @@ object StreamQueries {
       import graft.functions.GraftFunctions.tokens
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val q = s.readStream.schema(schema).parquet(stagedTable(s, dir, "documents"))
-        .withColumn("ts", timestamp_seconds(col("doc_id")))
+        .withColumn("ts", timestamp_seconds(col("doc_id") + 1))
         .filter(size(tokens(col("text"))).between(50, 100000))
         .withColumn("sig", md5(col("text").cast("binary")))
         .withWatermark("ts", "10 minutes")

@@ -135,4 +135,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.forall(_.n_events == perSession))
     assert(sessions.forall(_.total_value == perSession.toDouble))
   }
+
+  test("stream_curate keeps a doc at the epoch boundary (doc_id 0)") {
+    // regression: event time synthesized as timestamp_seconds(doc_id)
+    // put doc 0 AT the epoch = a fresh stream's initial watermark, and
+    // Spark dropped it as late; the +1 offset keeps it in
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sc0").toString
+    val fifty = (0 until 60).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (0L, fifty + " zero", "en", "src0", 100L),
+      (1L, fifty + " one", "en", "src0", 101L),
+      (2L, "short", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("stream_curate")(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 2L, s"doc 0 must survive: ${out.toSeq}")
+  }
 }
