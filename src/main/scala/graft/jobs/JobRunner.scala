@@ -59,7 +59,9 @@ object JobCli {
       |        sitemaps | extract_host_links | host_graph | wet_extract |
       |        stream_windows | md5sum | warc_to_parquet | index_build |
       |        index_export | index_word_count | warc_to_documents | curate |
-      |        dedup_index_build | dedup_index_probe (--add_input INDEX_DIR)""".stripMargin
+      |        dedup_index_build | dedup_index_probe (--add_input INDEX_DIR) |
+      |        bm25_index_build | bm25_index_probe (--query t1,t2) |
+      |        crawl_diff (--add_input SNAPSHOT_B)""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
     case Array(k, v) => (k, v)
@@ -195,7 +197,8 @@ object JobRunner {
     // jobs that write their own multi-part output under $output (paths);
     // stream_windows self-writes only in its durable path-output mode
     val selfWriting = Set("host_graph", "wet_extract", "index_build", "curate",
-      "dedup_index_build", "dedup_index_probe") ++
+      "dedup_index_build", "dedup_index_probe",
+      "bm25_index_build", "bm25_index_probe", "crawl_diff") ++
       (if (cli.job == "stream_windows" && JobConfig.isPathOutput(cli.output))
         Set("stream_windows") else Set.empty)
 
@@ -282,6 +285,43 @@ object JobRunner {
             .repartition(cli.outParts)
             .write.mode("overwrite").parquet(s"${cli.output}/near")
           spark.read.parquet(s"${cli.output}/exact")
+        }
+      case "bm25_index_build" =>
+        // persisted inverted text index (postings/terms/stats, term-hash
+        // bucketed — text/InvertedIndex.scala): build once over a
+        // documents parquet dir, probe many times without the corpus
+        {
+          graft.text.InvertedIndex.save(spark.read.parquet(cli.input), cli.output)
+          spark.read.parquet(s"${cli.output}/stats")
+        }
+      case "bm25_index_probe" =>
+        // input = index dir from bm25_index_build; --query term1,term2
+        // (comma-separated, lowercased); writes BM25 top-10 per term
+        {
+          val terms = cli.query.getOrElse(
+            sys.error("bm25_index_probe needs --query term1,term2"))
+            .split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
+          require(terms.nonEmpty, "bm25_index_probe needs at least one term")
+          graft.text.InvertedIndex.probe(spark, cli.input, terms)
+            .coalesce(cli.outParts)
+            .write.mode("overwrite").parquet(s"${cli.output}/topk")
+          spark.read.parquet(s"${cli.output}/topk")
+        }
+      case "crawl_diff" =>
+        // input = snapshot A, --add_input = snapshot B (documents parquet
+        // dirs): writes per-doc status/ plus the per-source summary/
+        {
+          require(cli.addInputs.nonEmpty, "crawl_diff needs --add_input <snapshot_b>")
+          val d = graft.operators.Curation.snapshotDiff(
+            spark.read.parquet(cli.input),
+            spark.read.parquet(cli.addInputs.head))
+          d.repartition(cli.outParts)
+            .write.mode("overwrite").parquet(s"${cli.output}/status")
+          import org.apache.spark.sql.functions.{col, count, lit}
+          d.groupBy(col("source"), col("status"))
+            .agg(count(lit(1)).as("n"))
+            .coalesce(1).write.mode("overwrite").parquet(s"${cli.output}/summary")
+          spark.read.parquet(s"${cli.output}/summary")
         }
       case "curate" =>
         // batch entry for the curation pipeline (quality → exact dedup →
@@ -421,6 +461,9 @@ object JobRunner {
           case "curate"         => s"${cli.output}/kept"
           case "dedup_index_build" => s"${cli.output}/exact/digests"
           case "dedup_index_probe" => s"${cli.output}/exact"
+          case "bm25_index_build"  => s"${cli.output}/stats"
+          case "bm25_index_probe"  => s"${cli.output}/topk"
+          case "crawl_diff"        => s"${cli.output}/summary"
         }
         spark.read.parquet(countPath).count()
       } else if (JobConfig.isPathOutput(cli.output)) {

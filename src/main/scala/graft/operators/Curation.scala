@@ -394,22 +394,35 @@ object Curation {
     * (A drops doc_id%7=0 → "added" in B; B drops doc_id%11=0 →
     * "removed"; B revises text for doc_id%5=0 → "changed").
     */
+  /** Per-doc diff status between two snapshots keyed by (doc_id, source):
+    * added / removed / changed / unchanged, change detected by content
+    * hash. Shared by the registered query (simulated snapshots) and the
+    * `crawl_diff` CLI job (two real documents dirs).
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val aa = a.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("ha"))
+    val bb = b.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("hb"))
+    aa.join(bb, Seq("doc_id", "source"), "full_outer")
+      .withColumn("status",
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("unchanged"))
+      .select(col("doc_id"), col("source"), col("status"))
+  }
+
   val crawlDiff: QueryDef = QueryDef(
     "crawl_diff",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       val a = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("ha"))
       val b = docs.filter(col("doc_id") % 11 =!= 0)
-        .select(col("doc_id"), col("source"),
-          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
-            .otherwise(col("text")).cast("binary")).as("hb"))
-      a.join(b, Seq("doc_id", "source"), "full_outer")
-        .withColumn("status",
-          when(col("ha").isNull, "added")
-            .when(col("hb").isNull, "removed")
-            .when(col("ha") =!= col("hb"), "changed")
-            .otherwise("unchanged"))
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      snapshotDiff(a, b)
         .groupBy(col("source"), col("status"))
         .agg(count(lit(1)).as("n"))
     },

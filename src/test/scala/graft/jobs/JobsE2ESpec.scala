@@ -283,6 +283,46 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(fromJob == fromQuery)
   }
 
+  test("bm25 index build + probe CLI reproduces the registered query") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).exists())
+    val base = java.nio.file.Files.createTempDirectory("bm25cli").toString
+    JobRunner.run(spark, JobCli("bm25_index_build", s"$sf/documents.parquet", s"$base/idx"))
+    JobRunner.run(spark, JobCli("bm25_index_probe", s"$base/idx", s"$base/out",
+      outParts = 1, query = Some("join,vector,filter,dup")))
+    val viaCli = spark.read.parquet(s"$base/out/topk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = graft.SparkEntry.queries("text_bm25")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaCli == direct)
+    assert(viaCli.nonEmpty)
+  }
+
+  test("crawl_diff CLI diffs two real snapshot dirs") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cdiff").toString
+    Seq(
+      (1L, "alpha text", "en", "sA", 10L),
+      (2L, "beta text", "en", "sA", 9L),
+      (3L, "gone text", "en", "sB", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/a")
+    Seq(
+      (1L, "alpha text", "en", "sA", 10L),   // unchanged
+      (2L, "beta text v2", "en", "sA", 12L), // changed
+      (4L, "new text", "en", "sB", 8L))      // added; doc 3 removed
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/b")
+    JobRunner.run(spark, JobCli("crawl_diff", s"$base/a", s"$base/out",
+      outParts = 1, addInputs = Seq(s"$base/b")))
+    val status = spark.read.parquet(s"$base/out/status")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(status == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val summary = spark.read.parquet(s"$base/out/summary")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(summary(("sA", "changed")) == 1L && summary(("sB", "added")) == 1L)
+  }
+
   test("curate --badwords and --min_entropy filter the kept corpus") {
     val sf = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
       .find(d => new java.io.File(d).exists())
