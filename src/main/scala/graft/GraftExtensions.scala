@@ -56,5 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(string) - Unicode NFC canonical composition"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+
+    // optimizer leg: the canonical regex tokenizer pattern silently
+    // becomes the native byte-scan kernel (graft.plans.TokenizeRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.TokenizeRewrite)
   }
 }

@@ -47,6 +47,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getString(6) == "caf\u00e9")
   }
 
+  test("optimizer rewrites the canonical regex tokenizer to ascii_tokens") {
+    val df = spark.sql(
+      """SELECT size(regexp_extract_all(lower(concat('Hello World ', id)), '[a-z0-9]+', 0)) AS n
+        |FROM range(1)""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("ascii_tokens"),
+      s"rewrite missing in:\n${df.queryExecution.optimizedPlan}")
+    assert(df.head().getInt(0) == 3) // "hello", "world", "0"
+    // a different pattern must NOT be rewritten
+    val other = spark.sql(
+      """SELECT regexp_extract_all(lower(concat('a-b', id)), '[a-z]+-[a-z]+', 0) AS m
+        |FROM range(1)""".stripMargin)
+    assert(!other.queryExecution.optimizedPlan.toString.contains("ascii_tokens"))
+  }
+
   test("literal-arg validation rejects a non-literal perms") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig(array(1L), cast(rand() * 4 as int))").head()
