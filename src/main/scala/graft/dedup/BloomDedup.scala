@@ -52,7 +52,13 @@ object BloomDedup {
     */
   def buildBloom(keys: DataFrame, keyCol: String,
                  expectedItems: Long, fpp: Double): Array[Byte] = {
-    val bf = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+    // zero keys (an empty indexed crawl / shard): stat.bloomFilter's
+    // aggregation yields a null-buffer filter that NPEs on serialize —
+    // an explicit empty filter rejects everything, which is correct
+    val bf =
+      if (keys.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(math.max(expectedItems, 1L), fpp)
+      else keys.stat.bloomFilter(keyCol, expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

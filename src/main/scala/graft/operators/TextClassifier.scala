@@ -65,10 +65,15 @@ object TextClassifier {
     * an L2-regularized convex problem converges to the unique optimum.
     */
   def train(data: DataFrame): (Array[Double], Double) = {
+    val trainSet = data.filter(splitKey < 800)
+      .select(col("label"), featurize(col("toks")).as("features"))
+    // empty training split (empty corpus/shard): MLlib's summarizer
+    // requires ≥1 row; the zero model (all scores 0.5) is the only
+    // defensible output and downstream joins are empty anyway
+    if (trainSet.isEmpty) return (Array.fill(Dim)(0.0), 0.0)
     val lr = new LogisticRegression()
       .setMaxIter(200).setRegParam(1e-5).setStandardization(false)
-    val model = lr.fit(data.filter(splitKey < 800)
-      .select(col("label"), featurize(col("toks")).as("features")))
+    val model = lr.fit(trainSet)
     (model.coefficients.toArray, model.intercept)
   }
 

@@ -64,17 +64,33 @@ object InvertedIndex {
     * term list (same xxhash64 the writer used — single-sourced), then
     * pushed as a static partition filter.
     */
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+  /** Explicit read schemas: an empty corpus writes no parquet parts
+    * under the partitioned dirs, and schema inference would fail where
+    * an empty postings list is the right answer.
+    */
+  private val PostingsSchema = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("dl", IntegerType), StructField("tf", LongType),
+    StructField("bucket", LongType)))
+  private val TermsSchema = StructType(Seq(
+    StructField("term", StringType), StructField("df", LongType),
+    StructField("bucket", LongType)))
+  private val StatsSchema = StructType(Seq(
+    StructField("n_docs", LongType), StructField("total_dl", LongType)))
+
   def probe(s: SparkSession, dir: String, terms: Seq[String], k: Int = 10,
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
     val bucketIds = terms.toDF("term").select(bucketOf(col("term")).as("bucket"))
       .distinct().as[Long].collect().toSeq
-    val post = s.read.parquet(s"$dir/postings")
+    val post = s.read.schema(PostingsSchema).parquet(s"$dir/postings")
       .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
-    val df = s.read.parquet(s"$dir/terms")
+    val df = s.read.schema(TermsSchema).parquet(s"$dir/terms")
       .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
       .select(col("term"), col("df"))
-    val stats = s.read.parquet(s"$dir/stats")
+    val stats = s.read.schema(StatsSchema).parquet(s"$dir/stats")
       .select(col("n_docs"),
         (col("total_dl").cast(DoubleType) / col("n_docs")).as("avgdl"))
     val scored = post.join(broadcast(df), Seq("term")).crossJoin(broadcast(stats))

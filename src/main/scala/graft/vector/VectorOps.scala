@@ -294,9 +294,23 @@ object VectorOps {
     */
   final case class IvfIndex(vectors: DataFrame, centroids: DataFrame)
 
+  /** Explicit schemas so a sparse or EMPTY index loads: a zero-vector
+    * corpus writes no parquet parts (only _SUCCESS), and schema
+    * inference would fail where an empty frame is the right answer.
+    */
+  private val VectorsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType)))
+  private val CentroidsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("centroid",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+
   def loadIvfIndex(spark: SparkSession, indexDir: String): IvfIndex =
-    IvfIndex(spark.read.parquet(s"$indexDir/vectors"),
-      spark.read.parquet(s"$indexDir/centroids"))
+    IvfIndex(spark.read.schema(VectorsSchema).parquet(s"$indexDir/vectors"),
+      spark.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids"))
 
   /** ANN against a persisted index — no k-means at query time, no base
     * corpus access. The probed cell set (≤ nq × nprobe distinct ids,
