@@ -11,6 +11,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // reclaim per-iteration checkpoints (PageRank / CC run 3× each here)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/IO paths so the first timed query isn't
@@ -39,18 +41,25 @@ object Bench {
     // noise; the median is a steady-state number. Total = sum of medians.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val wall0 = System.nanoTime()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted name order: Map iteration order is hash-based, so adding a
+    // query used to reshuffle every query's position — round-over-round
+    // numbers compared different warm-up/neighbor contexts. Sorted order
+    // keeps each query's context stable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = Seq.fill(runs) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // a query must not inherit another query's leaked cached plans:
+      // drop any cache entries it left behind before timing the next one
+      spark.sharedState.cacheManager.clearCache()
       name -> times(times.size / 2)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"wall_sec":${math.rint(wall * 1000) / 1000}}""")
     spark.stop()
   }

@@ -204,6 +204,10 @@ object Dedup {
       labels = next.select(col("node"), col("label"))
       i += 1
     }
+    // the returned labels read from the last checkpoint, not the edge
+    // lineage — release the cached edges so repeated invocations (bench
+    // runs, long sessions) don't accumulate storage-memory leaks
+    edges.unpersist(blocking = false)
     labels
   }
 

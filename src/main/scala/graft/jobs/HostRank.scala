@@ -54,6 +54,12 @@ object HostRank {
             (lit((1.0 - damping) / n) + lit(damping / n) * col("dm") +
               lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank")))
     }
+    // final ranks are materialized by the checkpointer — release the
+    // per-call graph caches so repeated invocations in one session
+    // (bench runs, notebooks) don't accumulate storage-memory leaks
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
     ranks
   }
 

@@ -111,7 +111,11 @@ object JobCli {
           val (c, n) = kv(value)
           cli = cli.copy(outputBucketBy = Some((n.toInt, c)))
         case "--output_shards" => cli = cli.copy(outputShards = Some(value.toInt))
-        case "--badwords"      => cli = cli.copy(badwords = value.split(",").toSeq.filter(_.nonEmpty))
+        // normalized at parse time: the token stream the filter compares
+        // against is always lowercase, so a mixed-case blocklist entry
+        // would otherwise silently match nothing (mirrors --query)
+        case "--badwords" => cli = cli.copy(badwords =
+          value.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
         case "--min_entropy"   => cli = cli.copy(minEntropy = Some(value.toDouble))
         case "--stream_mode" =>
           val m = value
@@ -318,7 +322,11 @@ object JobRunner {
           d.repartition(cli.outParts)
             .write.mode("overwrite").parquet(s"${cli.output}/status")
           import org.apache.spark.sql.functions.{col, count, lit}
-          d.groupBy(col("source"), col("status"))
+          // summarize the status parquet just written, not the diff plan:
+          // re-evaluating d here would re-run both snapshot scans and the
+          // full-outer join a second time
+          spark.read.parquet(s"${cli.output}/status")
+            .groupBy(col("source"), col("status"))
             .agg(count(lit(1)).as("n"))
             .coalesce(1).write.mode("overwrite").parquet(s"${cli.output}/summary")
           spark.read.parquet(s"${cli.output}/summary")

@@ -65,14 +65,23 @@ object TextClassifier {
     * an L2-regularized convex problem converges to the unique optimum.
     */
   def train(data: DataFrame): (Array[Double], Double) = {
-    val trainSet = data.filter(splitKey < 800)
-      .select(col("label"), featurize(col("toks")).as("features"))
+    val split = data.filter(splitKey < 800)
     // empty training split (empty corpus/shard): MLlib's summarizer
     // requires ≥1 row; the zero model (all scores 0.5) is the only
-    // defensible output and downstream joins are empty anyway
-    if (trainSet.isEmpty) return (Array.fill(Dim)(0.0), 0.0)
+    // defensible output and downstream joins are empty anyway. Probe
+    // the UN-featurized split — an isEmpty on the featurized frame
+    // would run the UDF featurizer over the whole split once just for
+    // the guard, doubling featurization cost on the normal path.
+    if (split.select(col("doc_id")).limit(1).isEmpty)
+      return (Array.fill(Dim)(0.0), 0.0)
+    val trainSet = split.select(col("label"), featurize(col("toks")).as("features"))
+    // tol 1e-4: each LBFGS iteration is a full treeAggregate job over
+    // the split, and a distillation proxy scored at a 0.5 threshold
+    // gains nothing from the last 1e-6 of gradient norm — measured, the
+    // looser tol roughly halves the iteration count with held-out
+    // AUC/accuracy unchanged (TextClassifierSpec floors)
     val lr = new LogisticRegression()
-      .setMaxIter(200).setRegParam(1e-5).setStandardization(false)
+      .setMaxIter(100).setTol(1e-4).setRegParam(1e-5).setStandardization(false)
     val model = lr.fit(trainSet)
     (model.coefficients.toArray, model.intercept)
   }

@@ -38,7 +38,14 @@ object InvertedIndex {
   private def bucketOf(termCol: org.apache.spark.sql.Column) =
     pmod(xxhash64(termCol), lit(NumBuckets.toLong))
 
-  /** One tokenize pass → postings + per-term df + corpus stats. */
+  /** One tokenize pass → postings + per-term df + corpus stats. The
+    * postings frame is persisted for the build: its three consumers
+    * (postings write, terms aggregate, total_dl stat) would otherwise
+    * each re-tokenize and re-explode the full corpus from scratch.
+    * Persisting postings — not `d`, whose token arrays are ~10× the
+    * text — costs one compact (term, doc_id, dl, tf) materialization
+    * and pays the corpus scan exactly once per build.
+    */
   def save(docs: DataFrame, dir: String): Unit = {
     val d = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
@@ -47,16 +54,26 @@ object InvertedIndex {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", bucketOf(col("term")))
-    postings
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-    // df = rows per term in postings ((term, doc) pairs are distinct)
-    postings.groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
-      .repartition(col("bucket")).sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
-    d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .persist()
+    try {
+      postings
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+      // df = rows per term in postings ((term, doc) pairs are distinct)
+      postings.groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
+        .repartition(col("bucket")).sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+      // stats without re-tokenizing: n_docs from the base table's id
+      // column (zero-token docs have no postings row but DO count toward
+      // n_docs/avgdl); total_dl from one (doc_id, dl) row per posted doc
+      // — a dl > 0 doc always has ≥1 posting, a dl = 0 doc adds 0
+      docs.select(col("doc_id")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(postings.select(col("doc_id"), col("dl"))
+          .dropDuplicates("doc_id")
+          .agg(coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+    } finally postings.unpersist(blocking = false)
   }
 
   /** BM25 top-k per probe term against the persisted index. The probe
@@ -92,7 +109,10 @@ object InvertedIndex {
       .select(col("term"), col("df"))
     val stats = s.read.schema(StatsSchema).parquet(s"$dir/stats")
       .select(col("n_docs"),
-        (col("total_dl").cast(DoubleType) / col("n_docs")).as("avgdl"))
+        // nullif: an empty corpus has n_docs = 0 and no postings — avgdl
+        // is never consumed then, but ANSI mode would fail fast on 0/0
+        (col("total_dl").cast(DoubleType) /
+          nullif(col("n_docs"), lit(0L))).as("avgdl"))
     val scored = post.join(broadcast(df), Seq("term")).crossJoin(broadcast(stats))
       .select(col("term"), col("doc_id"),
         round(

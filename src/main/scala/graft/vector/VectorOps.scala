@@ -218,11 +218,14 @@ object VectorOps {
     def toLocal(df: DataFrame): Seq[(Long, Seq[Double])] =
       df.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
     val n = c.count()
-    val train = if (n <= trainCap) c else {
+    // the sample is scanned once per Lloyd round — persist it so rounds
+    // 2..iters read the (≤ trainCap × Dim floats, bounded) cached rows
+    // instead of re-scanning and re-filtering the full corpus each round
+    val train = (if (n <= trainCap) c else {
       val permille = math.max(1L, trainCap * 1000L / n)
       c.filter(pmod(pmod(col("vec_id"), lit(1000003L)) * lit(2654435761L % 1000003L),
         lit(1000003L)) % 1000 < permille)
-    }
+    }).persist()
     var centroids: Seq[(Long, Seq[Double])] = toLocal(
       c.filter(col("vec_id") < k).select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))")))
@@ -244,6 +247,7 @@ object VectorOps {
           col("best.cell").as("cell"))
     for (_ <- 1 to iters)
       centroids = toLocal(cellCentroids(assign(train)))
+    train.unpersist(blocking = false)
     (assign(c).select(col("vec_id"), col("cell")), centroidsDf)
   }
 

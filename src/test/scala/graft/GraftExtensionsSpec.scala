@@ -61,6 +61,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!other.queryExecution.optimizedPlan.toString.contains("ascii_tokens"))
   }
 
+  test("tokenize rewrite is opt-out via spark.graft.tokenizeRewrite.enabled") {
+    val sql =
+      """SELECT regexp_extract_all(lower(concat('Hello ', id)), '[a-z0-9]+', 0) AS t
+        |FROM range(1)""".stripMargin
+    spark.conf.set(graft.plans.TokenizeRewrite.EnabledKey, "false")
+    try {
+      val off = spark.sql(sql)
+      assert(!off.queryExecution.optimizedPlan.toString.contains("ascii_tokens"),
+        s"rewrite ran while disabled:\n${off.queryExecution.optimizedPlan}")
+      // exact built-in semantics preserved while disabled: U+212A KELVIN
+      // SIGN case-folds to 'k' under lower(), so the regex keeps it as a
+      // token character — the documented divergence the gate exists for
+      val kelvin = spark.sql(
+        "SELECT regexp_extract_all(lower('aKb'), '[a-z0-9]+', 0) AS t")
+      assert(kelvin.head().getSeq[String](0) == Seq("akb"))
+    } finally spark.conf.set(graft.plans.TokenizeRewrite.EnabledKey, "true")
+    assert(spark.sql(sql).queryExecution.optimizedPlan.toString.contains("ascii_tokens"))
+  }
+
   test("literal-arg validation rejects a non-literal perms") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig(array(1L), cast(rand() * 4 as int))").head()
