@@ -13,6 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // reclaim per-iteration checkpoints (PageRank / CC run 3× each here)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // the streaming queries run back-to-back 3× each; a stopped query's
+      // state store providers (full join/dedup state in memory) unload
+      // only on the maintenance tick — at the 60s default, 9 consecutive
+      // stateful lifecycles stack their state and the tail queries pay
+      // the memory pressure
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "5s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/IO paths so the first timed query isn't

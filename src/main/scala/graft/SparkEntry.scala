@@ -17,12 +17,14 @@ object SparkEntry {
       operators.Curation.all ++
       operators.TextClassifier.all ++
       operators.NgramLm.all ++
+      operators.Dsir.all ++
       operators.SeqPack.all ++
       operators.Pipeline.all ++
       text.InvertedIndex.all ++
       dedup.Dedup.all ++
       dedup.BloomDedup.all ++
       vector.VectorOps.all ++
+      vector.SemDedup.all ++
       media.MediaOps.all ++
       streaming.StreamQueries.all ++
       Seq(jobs.HostRank.hostRank)
