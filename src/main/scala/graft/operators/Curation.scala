@@ -439,7 +439,51 @@ object Curation {
       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id AND a.source = b.source
       GROUP BY 1, 2"""))
 
+  /** Temperature-scaled language sampling (the mT5 / XLM-R multilingual
+    * recipe, Xue et al. 2021): sampling weight q_l ∝ p_l^α with α = 0.3
+    * upweights low-resource languages relative to their natural share
+    * p_l. Reports, per language, the natural share, the temperature-
+    * scaled share, and the doc allocation at a 10k-doc budget.
+    *
+    * Scale shape: two 1-row/`|langs|`-row aggregates broadcast back —
+    * the corpus is touched exactly once by the first count; everything
+    * downstream is arithmetic over a handful of rows. Engine-stable
+    * math: p and the pow() weight are rounded to 6dp before use, the
+    * weight total is an order-independent decimal sum, and the budget
+    * allocation rounds a 4dp share times a round number (never a
+    * floor() of a float boundary).
+    */
+  val temperatureMix: QueryDef = QueryDef(
+    "curation_temperature_mix",
+    (s, dir) => {
+      val byLang = Tables(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum(col("n_docs")).as("total")).withColumn("one", lit(1))
+      val w = byLang.withColumn("one", lit(1)).join(broadcast(tot), "one")
+        .withColumn("p6", round(col("n_docs").cast("double") / col("total"), 6))
+        .withColumn("w6", round(
+          pow(col("n_docs").cast("double") / col("total"), 0.3), 6))
+      val sw = w.agg(sum(col("w6").cast(
+          org.apache.spark.sql.types.DecimalType(38, 12))).cast("double").as("sw"))
+        .withColumn("one", lit(1))
+      w.join(broadcast(sw), "one")
+        .withColumn("q4", round(col("w6") / col("sw"), 4))
+        .select(col("lang"), col("n_docs"), col("p6"), col("q4"),
+          round(col("q4") * 10000, 0).cast("long").as("docs_at_10k"))
+    },
+    Some("""WITH bl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      t AS (SELECT SUM(n_docs) AS total FROM bl),
+      w AS (SELECT lang, n_docs,
+          round(CAST(n_docs AS DOUBLE) / total, 6) AS p6,
+          round(pow(CAST(n_docs AS DOUBLE) / total, 0.3), 6) AS w6
+        FROM bl, t),
+      sw AS (SELECT CAST(SUM(CAST(w6 AS DECIMAL(38,12))) AS DOUBLE) AS sw FROM w)
+      SELECT lang, n_docs, p6, round(w6 / sw, 4) AS q4,
+        CAST(round(round(w6 / sw, 4) * 10000, 0) AS BIGINT) AS docs_at_10k
+      FROM w, sw"""))
+
   val all: Seq[QueryDef] =
     Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample,
-      shardShuffle, mixSources, badwords, cdcChunks, crawlDiff)
+      shardShuffle, mixSources, badwords, cdcChunks, crawlDiff,
+      temperatureMix)
 }

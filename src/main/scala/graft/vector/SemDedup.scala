@@ -63,13 +63,15 @@ object SemDedup {
     "dedup_semantic",
     (s, dir) => {
       val c = Tables(s, dir, "embeddings")
-      val pairs = semanticDupPairs(c)
-      val n = c.agg(count(lit(1)).as("n_vecs"))
-      val stats = pairs.agg(
+      // ONE aggregation pass over the pair stream: n_dropped is
+      // count_distinct(id2) inside the same agg, so the within-cell
+      // join (the expensive part) is evaluated once, not once per
+      // summary branch
+      val stats = semanticDupPairs(c).agg(
         count(lit(1)).as("n_pairs"),
+        countDistinct(col("id2")).as("n_dropped"),
         coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos"))
-      val dropped = droppedIds(pairs).agg(count(lit(1)).as("n_dropped"))
-      n.crossJoin(stats).crossJoin(dropped)
+      c.agg(count(lit(1)).as("n_vecs")).crossJoin(stats)
         .select(col("n_vecs"), col("n_pairs"), col("n_dropped"),
           (col("n_vecs") - col("n_dropped")).as("n_kept"), col("avg_cos"))
     })

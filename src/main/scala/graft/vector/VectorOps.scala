@@ -177,16 +177,18 @@ object VectorOps {
     (s, dir) => recallVsBrute(lshTopK(s, dir), bruteTopK(s, dir),
       queriesDf(s, dir, 10).select(col("q_id"))))
 
-  /** Mean vector per cell, computed distributed (posexplode → per-dim
-    * avg → re-assembled array; the corpus is never collected).
+  /** Mean vector per cell, computed distributed in ONE keyed
+    * aggregation: `dim` per-element avg aggregates assembled into the
+    * centroid array (map-side partial aggregation collapses each
+    * partition to ≤ k rows of `dim` (sum, count) pairs before the single
+    * shuffle). The previous posexplode → groupBy(cell, pos) →
+    * groupBy(cell) form paid a 64× row explosion and two shuffles for
+    * the same math.
     */
-  private def cellCentroids(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
-      .select(col("cell"), expr("transform(pc, p -> p.cx)").as("centroid"))
+  private def cellCentroids(assigned: DataFrame, dim: Int): DataFrame =
+    assigned.groupBy(col("cell"))
+      .agg(array((1 to dim).map(i =>
+        avg(element_at(col("embedding"), i))): _*).as("centroid"))
 
   /** Distributed k-means IVF build: deterministic seeds (first k
     * vectors), `iters` Lloyd rounds over a bounded TRAINING SAMPLE, then
@@ -230,23 +232,40 @@ object VectorOps {
       c.filter(col("vec_id") < k).select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))")))
     def centroidsDf: DataFrame = centroids.toDF("cell", "centroid")
-    // argmax via max_by, not a row_number window: the partial (map-side)
-    // aggregate collapses the scored rows back to one row per vector
-    // BEFORE the shuffle, so the embedding column crosses the wire once
-    // per vector, not k times, and there is no sort at all. Tie-break
-    // matches the old window ordering (sim desc, cell asc) via the
-    // lexicographic struct key (sim, -cell).
-    def assign(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(centroidsDf))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          cosine(col("embedding"), col("centroid")).as("sim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cell"), col("embedding")),
-          struct(col("sim"), col("cell") * -1)).as("best"))
-        .select(col("vec_id"), col("best.embedding").as("embedding"),
-          col("best.cell").as("cell"))
+    if (centroids.isEmpty) {
+      // empty corpus: no seeds, no cells — empty assignment, empty table
+      train.unpersist(blocking = false)
+      return (c.select(col("vec_id"), lit(0L).as("cell")).limit(0), centroidsDf)
+    }
+    val dim = centroids.head._2.size
+    // Assignment is a PURE MAP STAGE: the centroids are driver-side
+    // literals, so the argmax over k cells is a single projection —
+    // `greatest` over k (sim, -cell, cell) structs picks the
+    // lexicographic max, i.e. best sim with ties to the lowest cell id,
+    // exactly the old max_by ordering. No crossJoin, no shuffle: at
+    // 100 TB the corpus never leaves its scan stage to get a cell id
+    // (the previous max_by form shuffled every embedding once per
+    // assignment pass). Cosine argmax = dot-product argmax against
+    // NORM-SCALED centroids (the row's own norm is constant across k),
+    // via the same codegen'd DotProductConst the LSH path batches 64-at-
+    // a-time, so k ≤ ~64 loops stay inside one whole-stage-codegen
+    // projection.
+    def assign(df: DataFrame): DataFrame = {
+      val scaled = centroids.map { case (cell, ct) =>
+        val nrm = math.sqrt(ct.map(x => x * x).sum)
+        (cell, if (nrm == 0.0) ct.toArray else ct.map(_ / nrm).toArray)
+      }
+      val cands = scaled.map { case (cell, ct) =>
+        struct(
+          graft.functions.DotProductConst.dotConst(col("embedding"), ct).as("sim"),
+          lit(-cell).as("negc"), lit(cell).as("cell"))
+      }
+      val best = if (cands.size == 1) cands.head else greatest(cands: _*)
+      df.select(col("vec_id"), col("embedding"),
+        best.getField("cell").as("cell"))
+    }
     for (_ <- 1 to iters)
-      centroids = toLocal(cellCentroids(assign(train)))
+      centroids = toLocal(cellCentroids(assign(train), dim))
     train.unpersist(blocking = false)
     (assign(c).select(col("vec_id"), col("cell")), centroidsDf)
   }

@@ -49,7 +49,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // the term-filtered tf stream; df joins by term (bounded broadcast)
     "text_bm25",
     // same 1-row stats crossJoin, reading the persisted inverted index
-    "bm25_index_topk")
+    "bm25_index_topk",
+    // 1-row vocabulary aggregate onto the bigram stream (as in
+    // quality_lm_score) plus the ≤|langs|-row tercile-cutoff table
+    "quality_ppl_buckets",
+    // 1-row (nt, nr, v) LM-totals aggregate onto the token stream
+    "curation_dsir",
+    // 1-row corpus count × 1-row pair-summary aggregate
+    "dedup_semantic",
+    // 1-row corpus total and 1-row weight-sum aggregates onto the
+    // |langs|-row share table
+    "curation_temperature_mix")
 
   /** Global (empty-partition) windows that are single-partition BY
     * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID
