@@ -22,6 +22,23 @@ object StreamQueries {
     */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Run a drain-style streaming query with state-store partitioning
+    * sized to the STREAM, not the batch default: a stateful operator
+    * creates (partitions × state-store) provider instances per
+    * microbatch, each with its own commit — at local[32]'s 32 batch
+    * partitions the stream-stream join pays 128 store commits per batch
+    * for a few thousand state rows. 8 partitions is the right size for
+    * these drains (the standard sizing move for any streaming job; the
+    * 24/7 JobRunner paths keep the session setting, which a cluster
+    * deployment sizes to its own volume). Results are partition-count
+    * independent — the oracle comparison would catch anything else.
+    */
+  private def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def stagedEvents(s: org.apache.spark.sql.SparkSession, dir: String): String =
     stagedTable(s, dir, "events")
 
@@ -48,10 +65,12 @@ object StreamQueries {
   val streamWindows: QueryDef = QueryDef(
     "stream_windows",
     (s, dir) => {
-      val q = EventStream.windowedCounts(EventStream.readEvents(s, stagedEvents(s, dir)))
-        .writeStream.format("memory").queryName("graft_stream_windows")
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withStreamPartitions(s) {
+        val q = EventStream.windowedCounts(EventStream.readEvents(s, stagedEvents(s, dir)))
+          .writeStream.format("memory").queryName("graft_stream_windows")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.sql("SELECT * FROM graft_stream_windows")
         .select(unix_timestamp(col("win_start")).as("win_epoch"),
           col("event_type"), col("n"),
@@ -163,14 +182,16 @@ object StreamQueries {
   val streamDedup: QueryDef = QueryDef(
     "stream_dedup",
     (s, dir) => {
-      val q = EventStream.readEvents(s, stagedEvents(s, dir))
-        .select(col("ts"), col("user_id"), col("event_type"),
-          date_trunc("day", col("ts")).as("day"))
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
-        .writeStream.format("memory").queryName("graft_stream_dedup")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStreamPartitions(s) {
+        val q = EventStream.readEvents(s, stagedEvents(s, dir))
+          .select(col("ts"), col("user_id"), col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+          .writeStream.format("memory").queryName("graft_stream_dedup")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.sql("""SELECT event_type, count(*) AS n_unique
                FROM graft_stream_dedup GROUP BY event_type""")
     },
@@ -196,12 +217,14 @@ object StreamQueries {
           .filter(col("event_type") === tpe)
           .select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
           .withWatermark(s"${prefix}_ts", "10 minutes")
-      val q = side("click", "c")
-        .join(side("purchase", "p"),
-          expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
-        .writeStream.format("memory").queryName("graft_stream_join")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStreamPartitions(s) {
+        val q = side("click", "c")
+          .join(side("purchase", "p"),
+            expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+          .writeStream.format("memory").queryName("graft_stream_join")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.sql("""SELECT c_user AS user_id, count(*) AS n_conversions
                FROM graft_stream_join GROUP BY c_user""")
     },
@@ -232,15 +255,17 @@ object StreamQueries {
     (s, dir) => {
       import graft.functions.GraftFunctions.tokens
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val q = s.readStream.schema(schema).parquet(stagedTable(s, dir, "documents"))
-        .withColumn("ts", timestamp_seconds(col("doc_id") + 1))
-        .filter(size(tokens(col("text"))).between(50, 100000))
-        .withColumn("sig", md5(col("text").cast("binary")))
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark("sig", "source")
-        .writeStream.format("memory").queryName("graft_stream_curate")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStreamPartitions(s) {
+        val q = s.readStream.schema(schema).parquet(stagedTable(s, dir, "documents"))
+          .withColumn("ts", timestamp_seconds(col("doc_id") + 1))
+          .filter(size(tokens(col("text"))).between(50, 100000))
+          .withColumn("sig", md5(col("text").cast("binary")))
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("sig", "source")
+          .writeStream.format("memory").queryName("graft_stream_curate")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.sql("""SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
                FROM graft_stream_curate GROUP BY source""")
     },

@@ -55,4 +55,22 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(partFilters.exists(f => f.contains("cell") && f.trim.nonEmpty),
       s"no non-empty cell partition filter on the index scan in:\n$planStr")
   }
+
+  test("k-means assignment is a pure map stage: zero shuffles in its plan") {
+    val sf = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+    assume(sf.isDefined)
+    val corpus = spark.read.parquet(s"${sf.get}/embeddings.parquet")
+    val (assignments, _) = VectorOps.buildIvf(corpus, k = 10, iters = 2)
+    // the centroids are driver-side literals, so assigning a cell id to
+    // every vector must stay inside the scan stage — no exchange of the
+    // corpus anywhere in the assignment plan (the 100 TB contract the
+    // map-stage argmax rewrite exists for)
+    val exchanges = assignments.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"assignment plan shuffles:\n${assignments.queryExecution.executedPlan}")
+    assert(assignments.count() == corpus.count())
+  }
 }
