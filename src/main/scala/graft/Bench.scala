@@ -67,6 +67,27 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"wall_sec":${math.rint(wall * 1000) / 1000}}""")
+    // The harness that collects this output keeps only the TAIL of it
+    // (r5: the full-precision line above grew past the window as the
+    // registry passed ~70 queries, and the leading {"metric":"total",...}
+    // was cut off — the total became invisible). Emit a LAST line that is
+    // guaranteed to fit: totals at 3dp, then queries slowest-first at 2dp
+    // until a fixed char budget, the remainder folded into "others_sum".
+    // Slowest-first means what's dropped is exactly what matters least.
+    def f2(v: Double): String = "%.2f".format(v)
+    val budget = 1500
+    val fixed = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","runs":$runs,"wall_sec":${"%.1f".format(wall)},"queries":{"""
+    val bySlow = results.sortBy(-_._2)
+    val kept = new scala.collection.mutable.ArrayBuffer[String]()
+    var used = fixed.length + 40 // reserve room for others_sum + closers
+    var othersSum = 0.0
+    bySlow.foreach { case (k, v) =>
+      val ent = "\"" + k + "\":" + f2(v)
+      if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
+      else othersSum += v
+    }
+    kept += "\"others_sum\":" + f2(othersSum)
+    println(fixed + kept.mkString(",") + "}}")
     spark.stop()
   }
 }

@@ -65,6 +65,51 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Distinct winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * scheme): hash every k-byte window with a base-131 polynomial mod
+    * 1e9+7, then keep each w-hash sliding window's MINIMUM via a
+    * monotonic deque — one O(len) pass, no per-window rescans. The gram
+    * hash is plain modular arithmetic (not xxHash) so an external SQL
+    * engine can reproduce it term-by-term for the oracle: h(i) =
+    * (Σ_j byte(i+j)·131^(k-1-j)) mod 1e9+7, with the Horner form here
+    * congruent by modular arithmetic. Texts with no full window (len <
+    * k+w-1) fingerprint to the empty array.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length - k + 1
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var j = 0
+      // per-step mod keeps acc < (p-1)*131+255 for ANY k; congruent to
+      // the single final mod the SQL mirror applies (k terms fit a long)
+      while (j < k) { acc = (acc * 131L + (bytes(i + j) & 0xffL)) % 1000000007L; j += 1 }
+      h(i) = acc
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long](1 << 10)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](1 << 10)
+    // dq holds indices with increasing hash value; front = window min.
+    // Ties pop eagerly (>=) — only the min VALUE is collected, so which
+    // tied position survives is irrelevant.
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < n) {
+      while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) { val m = h(dq(head)); if (seen.add(m)) out += m }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** One-permutation MinHash with rotation densification (see MinHashSig
     * scaladoc for the algorithm contract).
     */

@@ -67,9 +67,39 @@ case class LongWindowHashes(child: Expression, w: Int) extends UnaryExpression {
   override def prettyName: String = "long_window_hashes"
 }
 
+/** Distinct winnowing fingerprints of a string: window-min over
+  * polynomial k-gram hashes (HashKernels.winnow — one O(len) deque pass;
+  * the composable HOF form paid O(len·w) array slicing plus an md5
+  * string per gram and benched ~10× slower at sf0.1).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.winnow(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.winnow($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 object ShingleHashes {
   def charNgramHashes(c: Column, n: Int): Column =
     Bridge.column(CharNgramHashes(Bridge.expression(c), n))
   def longWindowHashes(c: Column, w: Int): Column =
     Bridge.column(LongWindowHashes(Bridge.expression(c), w))
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(c), k, w))
 }

@@ -525,8 +525,72 @@ object TextOps {
         CAST(SUM(CASE WHEN entropy < 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
       FROM e GROUP BY source"""))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    * hash every char k-gram of the normalized text, slide a w-hash
+    * window, keep each window's MINIMUM hash — guarantees any shared
+    * substring of length ≥ w+k-1 contributes at least one shared
+    * fingerprint, at ~2/(w+1) the density of full k-gram sets. Reports,
+    * per source, docs fingerprinted, distinct fingerprints, and
+    * fingerprints shared across ≥2 docs (the plagiarism/boilerplate
+    * signal).
+    *
+    * Engine parity: the gram hash is a base-131 polynomial mod 1e9+7 —
+    * plain modular arithmetic DuckDB spells out term-by-term
+    * (ord(substr)·131^j sums), while the Spark side runs the native
+    * one-pass deque kernel (HashKernels.winnow; the md5-string HOF form
+    * this replaces benched ~8 s at sf0.1, the kernel ~1 s). The text is
+    * ASCII after normalization, so DuckDB's char positions and the
+    * kernel's byte offsets coincide. Per-doc work is one codegen'd scan
+    * projection; the only shuffles are the fingerprint-df aggregation
+    * and the per-source rollup, both keyed on 8-byte values.
+    */
+  val fpWinnowing: QueryDef = QueryDef(
+    "fp_winnowing",
+    (s, dir) => {
+      val k = 5; val w = 8
+      val fps = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+        .filter(length(col("t")) >= k + w - 1)
+        .select(col("doc_id"), col("source"),
+          // kernel output is already per-doc distinct — no post-explode
+          // distinct(), so the fingerprint stream shuffles exactly once
+          // (the df aggregation)
+          explode(graft.functions.ShingleHashes.winnowFingerprints(col("t"), k, w)).as("fp"))
+      val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      fps.join(df, "fp")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_fp"),
+          countDistinct(col("fp")).as("n_fps"),
+          countDistinct(when(col("nd") > 1, col("fp"))).as("n_shared_fps"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents),
+      g AS (SELECT doc_id, source, i,
+          (CAST(ord(substr(t, i, 1)) AS BIGINT) * 294499921
+           + ord(substr(t, i+1, 1)) * 2248091
+           + ord(substr(t, i+2, 1)) * 17161 + ord(substr(t, i+3, 1)) * 131
+           + ord(substr(t, i+4, 1))) % 1000000007 AS h
+        FROM d, unnest(generate_series(1, len(t) - 4)) AS s(i)
+        WHERE len(t) >= 12),
+      wmin AS (SELECT doc_id, source, i,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+          COUNT(*) OVER (PARTITION BY doc_id) AS m
+        FROM g),
+      fps AS (SELECT DISTINCT doc_id, source, fp
+        FROM wmin WHERE i <= m - 7),
+      df AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY fp)
+      SELECT source,
+        COUNT(DISTINCT doc_id) AS n_docs_fp,
+        COUNT(DISTINCT fp) AS n_fps,
+        COUNT(DISTINCT CASE WHEN nd > 1 THEN fp END) AS n_shared_fps
+      FROM fps JOIN df USING (fp)
+      GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
     tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub,
-    textNormalize, bm25, readability, textEntropy)
+    textNormalize, bm25, readability, textEntropy, fpWinnowing)
 }

@@ -70,6 +70,36 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("WinnowFingerprints ≡ slice/array_min HOF formulation; short text empty") {
+    val k = 5; val w = 8
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaa",      // degenerate: every gram hash equal → 1 fp
+      "abcdefghijkl",              // exactly k+w-1 chars → 1 window
+      "abcdefghijk",               // one short of a full window → empty
+      "").toDF("t")
+    val poly = s"""transform(sequence(1, length(t) - ${k - 1}), i ->
+        (CAST(ascii(substring(t, i, 1)) AS BIGINT) * 294499921
+         + ascii(substring(t, i+1, 1)) * 2248091
+         + ascii(substring(t, i+2, 1)) * 17161
+         + ascii(substring(t, i+3, 1)) * 131
+         + ascii(substring(t, i+4, 1))) % 1000000007)"""
+    val both = df.select(col("t"),
+      ShingleHashes.winnowFingerprints(col("t"), k, w).as("native"),
+      expr(
+        s"""CASE WHEN length(t) >= ${k + w - 1}
+           THEN array_distinct(transform(sequence(1, length(t) - ${k + w - 2}),
+                j -> array_min(slice($poly, j, $w))))
+           ELSE array() END""").as("sql"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](1).sorted == r.getSeq[Long](2).sorted,
+        s"mismatch for '${r.getString(0)}': $r")
+    }
+    // the degenerate all-equal-hash doc really collapses to one fp
+    assert(both.filter(col("t") === "aaaaaaaaaaaaaaaaaaaa")
+      .head().getSeq[Long](1).length == 1)
+  }
+
   test("LongWindowHashes: short input falls back to whole-array shingle") {
     val df = Seq(Seq(1L, 2L), Seq(1L, 2L, 3L, 4L, 5L, 6L)).toDF("h")
     val out = df.select(ShingleHashes.longWindowHashes(col("h"), 5)).collect()
