@@ -482,8 +482,73 @@ object Curation {
         CAST(round(round(w6 / sw, 4) * 10000, 0) AS BIGINT) AS docs_at_10k
       FROM w, sw"""))
 
+  /** Keep-earliest merge of two crawl snapshots (the companion write
+    * path to `crawl_diff`'s read path): union both crawls, group by
+    * content hash, keep exactly one copy per distinct content — the
+    * earliest crawl, ties broken by doc_id — and account per source how
+    * many survived from each crawl and how many duplicates were dropped.
+    * This is the recurring-crawl ingestion step: crawl N+1 lands next to
+    * crawls 1..N and only novel content enters the corpus.
+    *
+    * Scale shape: ONE hash aggregation on the content digest picks each
+    * group's winner (no window — a boilerplate text duplicated across
+    * millions of pages streams through its aggregation task instead of
+    * serializing through one task's sort), then a keyed join back tags
+    * every row kept/dropped. The winner key packs (crawl, doc_id) into
+    * one BIGINT so both engines take a plain MIN — no struct-ordering
+    * semantics in play.
+    */
+  def crawlMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val m = a.withColumn("crawl", lit(1L))
+      .unionByName(b.withColumn("crawl", lit(2L)))
+      .select(col("doc_id"), col("source"), col("crawl"),
+        md5(col("text").cast("binary")).as("h"),
+        (col("crawl") * lit(1000000000000L) + col("doc_id")).as("key"))
+    val winners = m.groupBy(col("h")).agg(min(col("key")).as("win_key"))
+    m.join(winners, "h")
+      .withColumn("kept", col("key") === col("win_key"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("kept") && col("crawl") === 1, 1L).otherwise(0L)).as("n_kept_a"),
+        sum(when(col("kept") && col("crawl") === 2, 1L).otherwise(0L)).as("n_kept_b"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dups_dropped"))
+  }
+
+  /** Registered instance over the same synthesized crawl pair as
+    * `crawl_diff` (A drops every 7th doc, B drops every 11th and
+    * revises every 5th), so the two queries describe one scenario from
+    * the read and write sides.
+    */
+  val crawlMergeQuery: QueryDef = QueryDef(
+    "crawl_merge",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 7 =!= 0)
+      val b = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      crawlMerge(a, b)
+    },
+    Some("""WITH m AS (
+        SELECT doc_id, source, 1 AS crawl, md5(text) AS h,
+               1 * 1000000000000 + doc_id AS key
+        FROM documents WHERE doc_id % 7 != 0
+        UNION ALL
+        SELECT doc_id, source, 2 AS crawl,
+               md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h,
+               2 * 1000000000000 + doc_id AS key
+        FROM documents WHERE doc_id % 11 != 0),
+      w AS (SELECT h, MIN(key) AS win_key FROM m GROUP BY h)
+      SELECT source,
+        CAST(SUM(CASE WHEN key = win_key AND crawl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_a,
+        CAST(SUM(CASE WHEN key = win_key AND crawl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_b,
+        CAST(SUM(CASE WHEN key != win_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_dropped
+      FROM m JOIN w USING (h)
+      GROUP BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample,
       shardShuffle, mixSources, badwords, cdcChunks, crawlDiff,
-      temperatureMix)
+      temperatureMix, crawlMergeQuery)
 }

@@ -84,5 +84,97 @@ object Decontam {
         COALESCE(m.n_matched, 0) > 0 AS contaminated
       FROM totals t LEFT JOIN matched m USING (doc_id)"""))
 
-  val all: Seq[QueryDef] = Seq(decontamination)
+  /** NEAR-duplicate decontamination: the fuzzy complement to the exact
+    * 13-gram filter above — a benchmark item lightly paraphrased or
+    * truncated in the training set shares most of its word shingles
+    * without sharing any single long n-gram, so eval-similarity is
+    * measured as exact Jaccard over word 5-gram shingle sets between
+    * every training doc and the eval set (the Llama/FLAN-era recipe).
+    *
+    * Scale shape: bipartite, never quadratic — both sides reduce to
+    * distinct 8-byte shingle hashes; shingles occurring in more than
+    * `maxDf` docs (train+eval combined) are dropped as stop-shingles
+    * BEFORE the join, bounding per-key fan-out by construction (the
+    * same cap `dedup_jaccard_exact` uses, mirrored in the oracle); the
+    * candidate join is keyed on the hash and only (train, eval) pairs
+    * that share a surviving shingle ever materialize. Per-doc output:
+    * max Jaccard vs any eval doc and how many eval docs clear `tau`.
+    */
+  def decontaminateNear(docs: DataFrame, evalDocs: DataFrame, w: Int = 5,
+                        maxDf: Int = 100, tau: Double = 0.5): DataFrame = {
+    def shingles(d: DataFrame, idCol: String): DataFrame =
+      d.select(col("doc_id").as(idCol), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= w)
+        .select(col(idCol), explode(
+          ShingleHashes.longWindowHashes(
+            expr("transform(toks, t -> xxhash64(t))"), w)).as("s"))
+    val t = shingles(docs, "doc_id")
+    val e = shingles(evalDocs, "eval_id")
+    // stop-shingle cap over BOTH sides: a boilerplate shingle present in
+    // every doc would otherwise fan the keyed join out to |train|·|eval|
+    val df = t.select(col("s")).unionByName(e.select(col("s")))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    val tc = t.join(df, Seq("s"), "left_semi")
+    val ec = e.join(df, Seq("s"), "left_semi")
+    val tSizes = tc.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val eSizes = ec.groupBy(col("eval_id")).agg(count(lit(1)).as("ne"))
+    val inter = tc.join(ec, "s")
+      .groupBy(col("doc_id"), col("eval_id")).agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(tSizes, "doc_id").join(eSizes, "eval_id")
+      .select(col("doc_id"), col("eval_id"),
+        round(col("inter").cast("double") /
+          (col("nt") + col("ne") - col("inter")), 6).as("jac"))
+    tSizes.select(col("doc_id"))
+      .join(jac.groupBy(col("doc_id"))
+          .agg(max(col("jac")).as("max_jac"),
+            sum(when(col("jac") >= tau, 1L).otherwise(0L)).as("n_eval_hits")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_jac"), lit(0.0)).as("max_jac"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"))
+      .withColumn("contaminated", col("n_eval_hits") > 0)
+  }
+
+  /** Registered query: same deterministic eval split as `decontamination`
+    * (every 10th doc_id); Spark joins 64-bit shingle hashes where the
+    * oracle joins gram strings — identical short of an xxhash64
+    * collision. Reports only contaminated docs plus a count row would
+    * vary with tau noise; instead every train doc emits its max_jac, so
+    * the oracle hash covers the full similarity surface.
+    */
+  val decontamNear: QueryDef = QueryDef(
+    "decontam_near",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      decontaminateNear(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    },
+    Some("""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s
+        FROM tk, UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+        WHERE len(toks) >= 5),
+      df AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+      tc AS (SELECT doc_id, s FROM sh JOIN df USING (s) WHERE doc_id % 10 != 0),
+      ec AS (SELECT doc_id AS eval_id, s FROM sh JOIN df USING (s) WHERE doc_id % 10 = 0),
+      ts AS (SELECT doc_id, COUNT(*) AS nt FROM tc GROUP BY doc_id),
+      es AS (SELECT eval_id, COUNT(*) AS ne FROM ec GROUP BY eval_id),
+      inter AS (SELECT doc_id, eval_id, COUNT(*) AS inter
+        FROM tc JOIN ec USING (s) GROUP BY doc_id, eval_id),
+      jac AS (SELECT doc_id, eval_id,
+          round(CAST(inter AS DOUBLE) / (nt + ne - inter), 6) AS jac
+        FROM inter JOIN ts USING (doc_id) JOIN es USING (eval_id)),
+      agg AS (SELECT doc_id, MAX(jac) AS max_jac,
+          SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS n_eval_hits
+        FROM jac GROUP BY doc_id)
+      SELECT ts.doc_id,
+        COALESCE(agg.max_jac, 0.0) AS max_jac,
+        CAST(COALESCE(agg.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+        COALESCE(agg.n_eval_hits, 0) > 0 AS contaminated
+      FROM ts LEFT JOIN agg USING (doc_id)"""))
+
+  val all: Seq[QueryDef] = Seq(decontamination, decontamNear)
 }

@@ -77,4 +77,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out("sB")._2 == 2, s"sB: $out")
     assert(out("sC")._2 == 0, s"sC: $out")
   }
+
+  test("crawl merge keeps earliest copy per content, accounts drops per source") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "same text", "s1"),       // unchanged in b → b copy dropped
+      (2L, "a only", "s1"))          // absent from b → kept from a
+      .toDF("doc_id", "text", "source")
+    val b = Seq(
+      (1L, "same text", "s1"),       // dup of a's doc 1
+      (3L, "b only", "s2"),          // novel → kept from b
+      (4L, "same text", "s2"))       // cross-doc dup of doc 1 → dropped
+      .toDF("doc_id", "text", "source")
+    val got = Curation.crawlMerge(a, b).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("s1") == ((2L, 0L, 1L)))  // doc1(a), doc2(a); b's doc1 dropped
+    assert(got("s2") == ((0L, 1L, 1L)))  // doc3(b) kept; doc4 dup dropped
+  }
 }

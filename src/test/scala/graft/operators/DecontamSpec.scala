@@ -32,4 +32,31 @@ class DecontamSpec extends AnyFunSuite {
     assert(got(2L) == ((8L, 0L, false)))
     assert(got(4L) == ((14L, 1L, true)))
   }
+
+  test("near-dup decontam: verbatim jac=1, partial overlap scored, disjoint 0") {
+    import spark.implicits._
+    val evalText = (1 to 12).map(i => s"w$i").mkString(" ") // 12 tokens → 8 5-gram shingles
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, evalText),                                   // verbatim: jac 1.0
+      (2L, (1 to 12).map(i => s"x$i").mkString(" ")),   // disjoint: jac 0
+      (3L, "w1 w2 w3"),                                 // < 5 tokens: no shingles, absent
+      // shares the first 8 tokens → 4 shared shingles of its 8;
+      // jac = 4 / (8 + 8 - 4) = 1/3 → below tau, not contaminated
+      (4L, ((1 to 8).map(i => s"w$i") ++ (1 to 4).map(i => s"z$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Decontam.decontaminateNear(train, evalDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("max_jac"), r.getAs[Long]("n_eval_hits"),
+          r.getAs[Boolean]("contaminated"))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L) == ((1.0, 1L, true)))
+    assert(got(2L) == ((0.0, 0L, false)))
+    assert(got(4L) == ((0.333333, 0L, false)))
+    // tau is a real threshold: the same 1/3-similar pair flips to
+    // contaminated when the caller loosens it below the measured jac
+    val loose = Decontam.decontaminateNear(train, evalDocs, tau = 0.3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(loose(4L))
+  }
 }
