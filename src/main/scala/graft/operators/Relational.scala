@@ -544,6 +544,115 @@ object Relational {
       CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS INT) AS urgent
       FROM orders"""))
 
+  /** AS-OF join (point-in-time lookup): every click event picks up the
+    * value of the same user's most recent purchase at-or-before it —
+    * the operator behind feature backfills ("state of X when Y
+    * happened") that Spark has no native join type for.
+    *
+    * Spark-first shape: NO join at all. Both event streams union, one
+    * shuffle partitions by user, and a backward-fill window
+    * (`last(value, ignoreNulls)` over ts order) carries each purchase
+    * forward to the clicks after it — O(n log n) in the partition sort,
+    * versus the O(clicks × purchases) per-user blowup of the naive
+    * inequality join. Skew = events per user, bounded by construction.
+    * Ordering is total (ts, kind, event_id with purchases first at
+    * equal ts), so ties resolve identically on both engines; the oracle
+    * mirrors the window formulation (DuckDB's native ASOF JOIN leaves
+    * equal-timestamp winners unspecified).
+    */
+  val j6AsofJoin: QueryDef = QueryDef(
+    "j6_asof_join",
+    (s, dir) => {
+      // µs, not ns: DuckDB's TIMESTAMP truncates the parquet NANOS
+      // column to microseconds, so ordering and output must use µs on
+      // both engines or sub-µs digits diverge
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
+          when(col("event_type") === "purchase", col("value")).as("pv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Long.MinValue, 0)
+      ev.withColumn("av", last(col("pv"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(coalesce(col("av"), lit(-1.0)), 6).as("asof_value"))
+    },
+    Some("""WITH u AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+          CASE WHEN event_type = 'purchase' THEN value END AS pv
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      f AS (SELECT event_id, user_id, ts_us, kind,
+          last_value(pv IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_us, kind, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av
+        FROM u)
+      SELECT event_id, user_id, ts_us,
+        round(COALESCE(av, -1.0), 6) AS asof_value
+      FROM f WHERE kind = 1"""))
+
+  /** Range join (interval × point) without a nested-loop join: events
+    * against 50 synthesized time intervals (deterministic arithmetic
+    * over the corpus min/max, overlapping by construction). Spark plans
+    * a raw `BETWEEN` join as BroadcastNestedLoopJoin — fine for 50
+    * intervals, quadratic death at 100 TB with a real interval table —
+    * so both sides bucketize: intervals explode into the fixed-width
+    * buckets they overlap, events compute their single bucket
+    * arithmetically, and the join is a plain hash equi-join on the
+    * bucket with the exact BETWEEN as a post-filter. An event lands in
+    * exactly one bucket, so no dedup pass is needed. Value mass sums
+    * 6dp-rounded decimals — order-independent, bit-equal on both
+    * engines.
+    */
+  val j7RangeJoin: QueryDef = QueryDef(
+    "j7_range_join",
+    (s, dir) => {
+      // µs like j6 (DuckDB truncates NANOS to its µs TIMESTAMP); all
+      // bucket arithmetic is INTEGER division (`div`): `/` on longs
+      // widens to double, whose 53-bit mantissa misplaces µs-scale
+      // boundaries — and both engines' integer semantics must coincide
+      val e = t(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      // the 1-row stats aggregate rides a broadcast NLJ onto each side
+      // (bounded by construction — PlanAuditSpec allow-lists it like the
+      // other 1-row-stats queries); the interval×event join below is the
+      // keyed equi-join doing the real work
+      val stats = e.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .select(col("mn"), greatest(expr("(mx - mn) div 50"), lit(1L)).as("step"))
+      val iv = s.range(50).toDF("iv_id").crossJoin(broadcast(stats))
+        .select(col("iv_id"), col("mn"), col("step"),
+          (col("mn") + col("iv_id") * col("step")).as("lo"),
+          (col("mn") + col("iv_id") * col("step")
+            + expr("(iv_id % 3 + 1) * step div 2")).as("hi"))
+      val ivb = iv.select(col("iv_id"), col("lo"), col("hi"),
+        explode(sequence(expr("(lo - mn) div step"),
+          expr("(hi - mn) div step"))).as("bucket"))
+      val eb = e.crossJoin(broadcast(stats))
+        .select(col("event_id"), col("ts_us"), col("value"),
+          expr("(ts_us - mn) div step").as("bucket"))
+      eb.join(ivb, "bucket")
+        .filter(col("ts_us").between(col("lo"), col("hi")))
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value"), 6).cast(
+            org.apache.spark.sql.types.DecimalType(38, 12))).cast("double").as("value_mass"))
+    },
+    Some("""WITH st AS (SELECT min(epoch_us(ts)) AS mn,
+          greatest((max(epoch_us(ts)) - min(epoch_us(ts))) // 50, 1) AS step
+        FROM events),
+      iv AS (SELECT i AS iv_id, mn + i * step AS lo,
+          mn + i * step + (i % 3 + 1) * step // 2 AS hi
+        FROM st, unnest(generate_series(0, 49)) AS g(i))
+      SELECT iv_id,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,12))) AS DOUBLE) AS value_mass
+      FROM events e JOIN iv
+        ON epoch_us(e.ts) BETWEEN iv.lo AND iv.hi
+      GROUP BY iv_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -551,5 +660,6 @@ object Relational {
     u3DropDuplicates, u4DropNa, u5Intersect, u6Except, o1TopN,
     o7SelfLoopFilter, j5FullOuter, a10Pivot, p14SplitPart,
     fScalarStrings, fDatetime, fArrayFuncs, fMathFuncs, fCondNull,
-    w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract)
+    w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract,
+    j6AsofJoin, j7RangeJoin)
 }

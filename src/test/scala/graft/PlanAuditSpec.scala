@@ -59,7 +59,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_semantic",
     // 1-row corpus total and 1-row weight-sum aggregates onto the
     // |langs|-row share table
-    "curation_temperature_mix")
+    "curation_temperature_mix",
+    // two 1-row min/max-ts stats aggregates (constant-key join folds to
+    // NLJ) onto the 50-row interval table and the event stream; the
+    // actual interval×event join is the keyed bucket equi-join
+    "j7_range_join")
 
   /** Global (empty-partition) windows that are single-partition BY
     * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID
