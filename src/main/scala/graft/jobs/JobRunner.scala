@@ -61,7 +61,8 @@ object JobCli {
       |        index_export | index_word_count | warc_to_documents | curate |
       |        dedup_index_build | dedup_index_probe (--add_input INDEX_DIR) |
       |        bm25_index_build | bm25_index_probe (--query t1,t2) |
-      |        crawl_diff (--add_input SNAPSHOT_B)""".stripMargin
+      |        crawl_diff (--add_input SNAPSHOT_B)
+      |        decontam (--add_input EVAL_DOCS)""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
     case Array(k, v) => (k, v)
@@ -202,7 +203,7 @@ object JobRunner {
     // stream_windows self-writes only in its durable path-output mode
     val selfWriting = Set("host_graph", "wet_extract", "index_build", "curate",
       "dedup_index_build", "dedup_index_probe",
-      "bm25_index_build", "bm25_index_probe", "crawl_diff") ++
+      "bm25_index_build", "bm25_index_probe", "crawl_diff", "decontam") ++
       (if (cli.job == "stream_windows" && JobConfig.isPathOutput(cli.output))
         Set("stream_windows") else Set.empty)
 
@@ -375,6 +376,40 @@ object JobRunner {
             spark.read.parquet(s"${cli.output}/kept"), s"${cli.output}/shards", n)
         }
         spark.read.parquet(s"${cli.output}/kept")
+      case "decontam" =>
+        // input = training documents parquet; --add_input = the eval /
+        // benchmark documents parquet. Runs BOTH published filters off
+        // one shared tokenize pass (the persisted token-hash frame is
+        // ~8 bytes/token — far smaller than the text it replaces):
+        //   exact/ — per-doc 13-gram overlap (GPT-3 appendix-C recipe)
+        //   near/  — per-doc max 5-gram-shingle Jaccard vs the eval set
+        //   kept/  — training docs clean under both filters
+        // kept/ derives from the exact/near parquet just written, not
+        // from re-running the joins (the crawl_diff read-back pattern).
+        {
+          require(cli.addInputs.nonEmpty, "decontam needs --add_input <eval_docs>")
+          import org.apache.spark.sql.functions.col
+          val docs = spark.read.parquet(cli.input)
+          val trainTh = graft.operators.Decontam.tokenHashes(docs).persist()
+          val evalTh = graft.operators.Decontam
+            .tokenHashes(spark.read.parquet(cli.addInputs.head)).persist()
+          graft.operators.Decontam.decontaminateTh(trainTh, evalTh)
+            .repartition(cli.outParts)
+            .write.mode("overwrite").parquet(s"${cli.output}/exact")
+          graft.operators.Decontam.decontaminateNearTh(trainTh, evalTh)
+            .repartition(cli.outParts)
+            .write.mode("overwrite").parquet(s"${cli.output}/near")
+          trainTh.unpersist(); evalTh.unpersist()
+          val flagged = spark.read.parquet(s"${cli.output}/exact")
+            .filter(col("contaminated")).select("doc_id")
+            .unionByName(spark.read.parquet(s"${cli.output}/near")
+              .filter(col("contaminated")).select("doc_id"))
+            .distinct()
+          docs.join(flagged, Seq("doc_id"), "left_anti")
+            .repartition(cli.outParts)
+            .write.mode("overwrite").parquet(s"${cli.output}/kept")
+          spark.read.parquet(s"${cli.output}/kept")
+        }
       case "warc_to_parquet" =>
         // archives → columnar table via the DSv2 source (input = path/dir)
         spark.read.format("warc").load(cli.input)
@@ -472,6 +507,7 @@ object JobRunner {
           case "bm25_index_build"  => s"${cli.output}/stats"
           case "bm25_index_probe"  => s"${cli.output}/topk"
           case "crawl_diff"        => s"${cli.output}/summary"
+          case "decontam"          => s"${cli.output}/kept"
         }
         spark.read.parquet(countPath).count()
       } else if (JobConfig.isPathOutput(cli.output)) {

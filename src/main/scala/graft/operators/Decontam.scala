@@ -22,23 +22,42 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
+  /** (doc_id, th) per-doc xxhash64 token streams — the one tokenize pass
+    * both gram widths (exact 13-gram, near 5-gram) derive from. The CLI
+    * `decontam` job persists this frame so running BOTH filters costs a
+    * single scan of the text column: the hash arrays are ~8 bytes/token
+    * vs the raw text's tens of chars, so the cached intermediate is far
+    * smaller than the corpus it replaces.
+    */
+  def tokenHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
+
   /** Distinct word-w-gram hashes per doc (docs shorter than w words have
     * no w-grams and are dropped, matching the SQL semantics).
     */
-  private def gramHashes(docs: DataFrame, w: Int): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= w)
-      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
+  private def gramsOfTh(th: DataFrame, w: Int): DataFrame =
+    th.filter(size(col("th")) >= w)
       .select(col("doc_id"), ShingleHashes.longWindowHashes(col("th"), w).as("grams"))
+
+  private def gramHashes(docs: DataFrame, w: Int): DataFrame =
+    gramsOfTh(tokenHashes(docs), w)
 
   /** Per-training-doc overlap against the eval set: (doc_id, n_grams,
     * n_matched, overlap_frac, contaminated). `docs`/`evalDocs` both need
     * (doc_id, text). Counts are over DISTINCT grams, so a gram repeated
     * inside one document counts once — the standard defn.
     */
-  def decontaminate(docs: DataFrame, evalDocs: DataFrame, w: Int = 13): DataFrame = {
-    val trainGrams = gramHashes(docs, w)
-    val evalGrams = gramHashes(evalDocs, w)
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, w: Int = 13): DataFrame =
+    decontaminateTh(tokenHashes(docs), tokenHashes(evalDocs), w)
+
+  /** `decontaminate` starting from pre-hashed token streams (see
+    * [[tokenHashes]]) — the entry the CLI job uses to share one tokenize
+    * pass with [[decontaminateNearTh]].
+    */
+  def decontaminateTh(trainTh: DataFrame, evalTh: DataFrame, w: Int = 13): DataFrame = {
+    val trainGrams = gramsOfTh(trainTh, w)
+    val evalGrams = gramsOfTh(evalTh, w)
       .select(explode(col("grams")).as("g")).distinct()
     val totals = trainGrams.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
     val matched = trainGrams.select(col("doc_id"), explode(col("grams")).as("g"))
@@ -101,15 +120,20 @@ object Decontam {
     * max Jaccard vs any eval doc and how many eval docs clear `tau`.
     */
   def decontaminateNear(docs: DataFrame, evalDocs: DataFrame, w: Int = 5,
-                        maxDf: Int = 100, tau: Double = 0.5): DataFrame = {
-    def shingles(d: DataFrame, idCol: String): DataFrame =
-      d.select(col("doc_id").as(idCol), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= w)
-        .select(col(idCol), explode(
-          ShingleHashes.longWindowHashes(
-            expr("transform(toks, t -> xxhash64(t))"), w)).as("s"))
-    val t = shingles(docs, "doc_id")
-    val e = shingles(evalDocs, "eval_id")
+                        maxDf: Int = 100, tau: Double = 0.5): DataFrame =
+    decontaminateNearTh(tokenHashes(docs), tokenHashes(evalDocs), w, maxDf, tau)
+
+  /** `decontaminateNear` starting from pre-hashed token streams (see
+    * [[tokenHashes]]).
+    */
+  def decontaminateNearTh(trainTh: DataFrame, evalTh: DataFrame, w: Int = 5,
+                          maxDf: Int = 100, tau: Double = 0.5): DataFrame = {
+    def shingles(th: DataFrame, idCol: String): DataFrame =
+      th.filter(size(col("th")) >= w)
+        .select(col("doc_id").as(idCol), explode(
+          ShingleHashes.longWindowHashes(col("th"), w)).as("s"))
+    val t = shingles(trainTh, "doc_id")
+    val e = shingles(evalTh, "eval_id")
     // stop-shingle cap over BOTH sides: a boilerplate shingle present in
     // every doc would otherwise fan the keyed join out to |train|·|eval|
     val df = t.select(col("s")).unionByName(e.select(col("s")))

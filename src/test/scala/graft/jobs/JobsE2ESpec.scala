@@ -412,6 +412,35 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(near.columns.toSet == Set("new_id", "idx_id", "est_jaccard"))
   }
 
+  test("decontam CLI: exact + near reports off one tokenize pass, clean kept/") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("decontam").toString
+    val benchText = "the quick brown fox jumps over the lazy dog " +
+      "while seven wizards brew hot tea at dawn near the old stone bridge"
+    Seq(
+      (1L, benchText, "en", "sA", 100L),                    // verbatim eval copy
+      (2L, benchText + " plus an extra trailing clause appended here", // superset: near hit
+        "en", "sA", 120L),
+      (3L, "completely unrelated words about spacecraft navigation systems " +
+        "and orbital mechanics calculations for deep space missions yes", "en", "sB", 110L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/train")
+    Seq((100L, benchText, "en", "eval", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/eval")
+    JobRunner.run(spark, JobCli("decontam", s"$dir/train", s"$dir/out",
+      outParts = 1, addInputs = Seq(s"$dir/eval")))
+    val exact = spark.read.parquet(s"$dir/out/exact")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(exact == Map(1L -> true, 2L -> true, 3L -> false))
+    val near = spark.read.parquet(s"$dir/out/near")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(near(1L) && near(2L) && !near(3L))
+    val kept = spark.read.parquet(s"$dir/out/kept").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
   test("sitemaps job: list concat across hosts for one sitemap URL") {
     import spark.implicits._
     val r1 = Fixtures.robots("https://a.example.com/robots.txt",
