@@ -24,6 +24,7 @@ object SparkEntry {
       dedup.Dedup.all ++
       dedup.BloomDedup.all ++
       vector.VectorOps.all ++
+      vector.PqOps.all ++
       vector.SemDedup.all ++
       media.MediaOps.all ++
       streaming.StreamQueries.all ++

@@ -1,0 +1,207 @@
+package graft.vector
+
+import graft.QueryDef
+import graft.functions.CosineSimilarity.cosineSim
+import graft.functions.GraftFunctions.l2Norm
+import graft.util.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (Jégou et al. 2011, the FAISS `PQ{M}x4`
+  * scheme): vectors are L2-normalized, split into `M` subspaces, and each
+  * subspace is vector-quantized against its own `Ks`-centroid codebook,
+  * so a 64-dim float vector (256 bytes) compresses to M=8 4-bit codes
+  * (4 bytes) — the memory move that makes a 100 TB corpus scannable from
+  * RAM. Queries score candidates in the COMPRESSED domain via ADC
+  * (asymmetric distance computation): per query, one `M × Ks` table of
+  * sub-dot-products against the codebooks, then each candidate's
+  * approximate cosine is M table lookups — no decode, no float math per
+  * dimension. The top `rerank` ADC candidates are re-scored exactly
+  * against their raw vectors (the standard refine step), so output
+  * quality degrades gracefully, not silently.
+  *
+  * Scale shape: codebook training is driver-side Lloyd over a BOUNDED
+  * deterministic sample (M tiny k-means problems of Ks centroids in
+  * Dim/M dims — the same bounded-collect shape buildIvf already uses for
+  * its centroid round-trip); encoding is a PURE MAP STAGE (codebooks are
+  * literals, argmax per subspace is `greatest` over Ks codegen'd
+  * DotProductConst structs — the corpus never shuffles to get its
+  * codes); the ADC scan broadcasts the query LUTs over the code table;
+  * only the ≤ nq × rerank candidate ids fetch raw vectors for the exact
+  * re-rank. Registered as recall@10 vs the brute-force truth
+  * (VectorOps.recallVsBrute), floor-asserted in AnnRecallSpec.
+  */
+object PqOps {
+
+  private val Dim = 64
+  private val M = 8 // subspaces
+  private val SubDim = Dim / M
+  private val Ks = 16 // centroids per subspace (4-bit codes)
+  private val LloydIters = 8
+  private val TrainCap = 2000
+
+  /** Deterministic bounded training sample: same arithmetic vec_id-hash
+    * filter as VectorOps.buildIvf, collected and L2-normalized. Bounded
+    * by construction (≤ TrainCap × Dim doubles).
+    */
+  private def trainSample(c: DataFrame): Array[Array[Double]] = {
+    val n = c.count()
+    val sampled =
+      if (n <= TrainCap) c
+      else {
+        val permille = math.max(1L, TrainCap * 1000L / n)
+        c.filter(pmod(pmod(col("vec_id"), lit(1000003L)) * lit(2654435761L % 1000003L),
+          lit(1000003L)) % 1000 < permille)
+      }
+    sampled.orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        if (nrm == 0.0) v else v.map(_ / nrm)
+      }
+  }
+
+  /** codebooks(m)(j) = centroid j of subspace m (SubDim doubles).
+    * Driver-side Lloyd, deterministic: seeds are the first Ks sample
+    * subvectors (cyclic if the sample is smaller), empty cells keep
+    * their previous centroid. An empty corpus yields zero codebooks —
+    * the plans stay valid and encode/score simply see no rows.
+    */
+  def trainCodebooks(c: DataFrame): Array[Array[Array[Double]]] = {
+    val sample = trainSample(c)
+    Array.tabulate(M) { m =>
+      val subs = sample.map(_.slice(m * SubDim, (m + 1) * SubDim))
+      if (subs.isEmpty) Array.fill(Ks)(Array.fill(SubDim)(0.0))
+      else {
+        var cents = Array.tabulate(Ks)(j => subs(j % subs.length).clone())
+        for (_ <- 1 to LloydIters) {
+          val sums = Array.fill(Ks)(Array.fill(SubDim)(0.0))
+          val counts = Array.fill(Ks)(0L)
+          subs.foreach { x =>
+            var best = 0; var bestD = Double.MaxValue
+            var j = 0
+            while (j < Ks) {
+              var d = 0.0; var i = 0
+              while (i < SubDim) { val t = x(i) - cents(j)(i); d += t * t; i += 1 }
+              if (d < bestD) { bestD = d; best = j }
+              j += 1
+            }
+            var i = 0
+            while (i < SubDim) { sums(best)(i) += x(i); i += 1 }
+            counts(best) += 1
+          }
+          cents = Array.tabulate(Ks)(j =>
+            if (counts(j) == 0) cents(j) else sums(j).map(_ / counts(j)))
+        }
+        cents
+      }
+    }
+  }
+
+  /** L2-normalized copy of a float-array column (zero vectors pass
+    * through unscaled). Stays array<float> — the native DotProductConst
+    * kernel's input type, and PQ quantizes to 4-bit codes anyway, so
+    * float rounding in the normalize is far below the quantization
+    * noise floor.
+    */
+  private def normalized(v: Column): Column = {
+    val nrm = l2Norm(v)
+    when(nrm > 0, transform(v, x => (x.cast("double") / nrm).cast("float")))
+      .otherwise(v)
+  }
+
+  /** Nearest-codebook-centroid code for subspace m of normalized column
+    * `xn`: argmin_j ||x_m - c_mj||² = argmax_j (<x_m, c_mj> - ||c_mj||²/2)
+    * since ||x_m|| is constant across j — so each candidate is one
+    * codegen'd DotProductConst loop minus a literal, and `greatest` over
+    * (score, -code, code) structs picks best-score-lowest-code, the same
+    * tie rule buildIvf uses.
+    */
+  private def subCode(xn: Column, m: Int, codebooks: Array[Array[Array[Double]]]): Column = {
+    val sub = slice(xn, m * SubDim + 1, SubDim)
+    val cands = codebooks(m).zipWithIndex.map { case (ct, j) =>
+      val half = ct.map(x => x * x).sum / 2.0
+      struct(
+        (graft.functions.DotProductConst.dotConst(sub, ct) - lit(half)).as("score"),
+        lit(-j).as("negc"), lit(j).as("code"))
+    }
+    greatest(cands: _*).getField("code")
+  }
+
+  /** (vec_id, codes array<int>) — the compressed corpus. One select per
+    * subspace keeps each whole-stage-codegen projection at Ks small dot
+    * loops (the lshTopK Janino lesson: inlining all M × Ks loops into
+    * one generated method silently drops to interpreted mode).
+    */
+  def encode(c: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val normed = c.select(col("vec_id"), normalized(col("embedding")).as("xn"))
+    val staged = (0 until M).foldLeft(normed) { (df, m) =>
+      df.withColumn(s"c$m", subCode(col("xn"), m, codebooks))
+    }
+    staged.select(col("vec_id"),
+      array((0 until M).map(m => col(s"c$m")): _*).as("codes"))
+  }
+
+  /** Per-query ADC lookup table: lut(m)(j) = <q_m, c_mj> over the
+    * normalized query — approximate cosine of a candidate with codes
+    * (j_0..j_{M-1}) is Σ_m lut(m)(j_m). Staged one subspace per select
+    * for the same codegen-size reason as `encode`.
+    */
+  private def queryLuts(q: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val normed = q.select(col("q_id"), col("q_emb"), normalized(col("q_emb")).as("qn"))
+    val staged = (0 until M).foldLeft(normed) { (df, m) =>
+      val sub = slice(col("qn"), m * SubDim + 1, SubDim)
+      df.withColumn(s"l$m", array(codebooks(m).map(ct =>
+        graft.functions.DotProductConst.dotConst(sub, ct)): _*))
+    }
+    staged.select(col("q_id"), col("q_emb"),
+      array((0 until M).map(m => col(s"l$m")): _*).as("lut"))
+  }
+
+  /** Full-scan ADC top-k with exact re-rank: score every code row per
+    * query with M table lookups, keep the top `rerank` per query, fetch
+    * ONLY those candidates' raw vectors, exact-cosine re-rank to
+    * `topk`. Output schema matches the other ANN paths.
+    */
+  def pqTopK(s: SparkSession, dir: String,
+             rerank: Int = 50, topk: Int = 10): DataFrame = {
+    val c = Tables(s, dir, "embeddings")
+    val codebooks = trainCodebooks(c)
+    val codes = encode(c, codebooks)
+    val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val luts = queryLuts(q, codebooks)
+    val scored = codes.crossJoin(broadcast(luts.select(col("q_id"), col("lut"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("aggregate(zip_with(lut, codes, (l, c) -> l[c]), 0D, (acc, x) -> acc + x)")
+          .as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = scored.withColumn("r", row_number().over(w)).filter(col("r") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+    // refine: raw vectors for the ≤ nq × rerank candidates only — the
+    // candidate list broadcasts, the corpus is probed by a hash join
+    val exact = c.join(broadcast(cand), "vec_id")
+      .join(broadcast(luts.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("cos"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topk)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Registered as recall@10 vs the brute-force truth, like the LSH/IVF
+    * paths: deterministic sample, seeds, and iteration count make the
+    * recall stable build-to-build; AnnRecallSpec asserts the floor.
+    */
+  val annPq: QueryDef = QueryDef(
+    "ann_pq_topk",
+    (s, dir) => VectorOps.recallVsBrute(
+      pqTopK(s, dir), VectorOps.bruteTopK(s, dir),
+      Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"))))
+
+  val all: Seq[QueryDef] = Seq(annPq)
+}

@@ -44,6 +44,32 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(hits >= 50, s"IVF total recall collapsed: $hits/100")
   }
 
+  test("PQ ADC + exact re-rank recall@10 clears its floor on every query set") {
+    assume(sfDir.isDefined)
+    val (hits, nq) = totalHits("ann_pq_topk", sfDir.get)
+    assert(nq == 10, s"expected one recall row per query, got $nq")
+    // 8×4-bit codes, rerank=50: empirically 75/74/52 at sf0.001/0.01/0.1
+    // (the fixed rerank budget is a shrinking corpus fraction); floor 40%
+    assert(hits >= 40, s"PQ total recall collapsed: $hits/100")
+  }
+
+  test("PQ codes are 4-bit and deterministic across encode calls") {
+    assume(sfDir.isDefined)
+    val c = graft.util.Tables(spark, sfDir.get, "embeddings")
+    val cb = PqOps.trainCodebooks(c)
+    val a = PqOps.encode(c, cb).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = PqOps.encode(c, PqOps.trainCodebooks(c)).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b, "same corpus must encode to identical codes")
+    assert(a.nonEmpty && a.values.forall(cs => cs.length == 8 && cs.forall(j => j >= 0 && j < 16)))
+    // codes must actually spread across centroids (a collapsed codebook
+    // would still be deterministic): every subspace uses >1 code
+    (0 until 8).foreach { m =>
+      assert(a.values.map(_(m)).toSet.size > 1, s"subspace $m collapsed to one code")
+    }
+  }
+
   test("brute-force top-k matches its own contract: 10 ranked rows per query") {
     assume(sfDir.isDefined)
     val rows = VectorOps.bruteTopK(spark, sfDir.get).collect()
