@@ -62,7 +62,8 @@ object JobCli {
       |        dedup_index_build | dedup_index_probe (--add_input INDEX_DIR) |
       |        bm25_index_build | bm25_index_probe (--query t1,t2) |
       |        crawl_diff (--add_input SNAPSHOT_B)
-      |        decontam (--add_input EVAL_DOCS)""".stripMargin
+      |        decontam (--add_input EVAL_DOCS)
+      |        ann_index_build / ann_index_probe (--add_input INDEX_DIR)""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
     case Array(k, v) => (k, v)
@@ -203,7 +204,8 @@ object JobRunner {
     // stream_windows self-writes only in its durable path-output mode
     val selfWriting = Set("host_graph", "wet_extract", "index_build", "curate",
       "dedup_index_build", "dedup_index_probe",
-      "bm25_index_build", "bm25_index_probe", "crawl_diff", "decontam") ++
+      "bm25_index_build", "bm25_index_probe", "crawl_diff", "decontam",
+      "ann_index_build", "ann_index_probe") ++
       (if (cli.job == "stream_windows" && JobConfig.isPathOutput(cli.output))
         Set("stream_windows") else Set.empty)
 
@@ -376,6 +378,34 @@ object JobRunner {
             spark.read.parquet(s"${cli.output}/kept"), s"${cli.output}/shards", n)
         }
         spark.read.parquet(s"${cli.output}/kept")
+      case "ann_index_build" =>
+        // persisted FAISS-style IVF index over an embeddings parquet dir
+        // (vec_id, embedding): k-means cells at the sqrt-N rule of
+        // thumb, inverted lists laid out cell-partitioned so probes
+        // prune to the probed cells' files (vector/VectorOps.scala)
+        {
+          val c = spark.read.parquet(cli.input)
+          val k = math.min(256L, math.max(4L, math.round(math.sqrt(c.count().toDouble)))).toInt
+          graft.vector.VectorOps.saveIvfIndex(c, cli.output, k = k, iters = 2)
+          spark.read.parquet(s"${cli.output}/centroids")
+        }
+      case "ann_index_probe" =>
+        // input = query vectors parquet (vec_id, embedding); --add_input
+        // = index dir from ann_index_build. Writes topk/ — top-10 cosine
+        // neighbors per query from the probed cells only; no k-means at
+        // query time, no base-corpus access.
+        {
+          require(cli.addInputs.nonEmpty,
+            "ann_index_probe needs --add_input <index_dir>")
+          import org.apache.spark.sql.functions.col
+          val q = spark.read.parquet(cli.input)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          val idx = graft.vector.VectorOps.loadIvfIndex(spark, cli.addInputs.head)
+          graft.vector.VectorOps.annIvfIndexed(q, idx)
+            .coalesce(cli.outParts)
+            .write.mode("overwrite").parquet(s"${cli.output}/topk")
+          spark.read.parquet(s"${cli.output}/topk")
+        }
       case "decontam" =>
         // input = training documents parquet; --add_input = the eval /
         // benchmark documents parquet. Runs BOTH published filters off
@@ -508,6 +538,8 @@ object JobRunner {
           case "bm25_index_probe"  => s"${cli.output}/topk"
           case "crawl_diff"        => s"${cli.output}/summary"
           case "decontam"          => s"${cli.output}/kept"
+          case "ann_index_build"   => s"${cli.output}/centroids"
+          case "ann_index_probe"   => s"${cli.output}/topk"
         }
         spark.read.parquet(countPath).count()
       } else if (JobConfig.isPathOutput(cli.output)) {

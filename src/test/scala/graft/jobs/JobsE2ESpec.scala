@@ -441,6 +441,34 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("ann_index_build → ann_index_probe: persisted IVF index chain") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+    assume(sfDir.isDefined)
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val emb = s"${sfDir.get}/embeddings.parquet"
+    JobRunner.run(spark, JobCli("ann_index_build", emb, s"$dir/idx"))
+    // sqrt-N cells: 500 vectors → 22 centroids, cell-partitioned lists
+    val k = spark.read.parquet(s"$dir/idx/centroids").count()
+    assert(k == math.round(math.sqrt(
+      spark.read.parquet(emb).count().toDouble)))
+    assert(new java.io.File(s"$dir/idx/vectors").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+    spark.read.parquet(emb).filter(col("vec_id") < 3)
+      .write.parquet(s"$dir/queries")
+    JobRunner.run(spark, JobCli("ann_index_probe", s"$dir/queries", s"$dir/out",
+      addInputs = Seq(s"$dir/idx")))
+    val topk = spark.read.parquet(s"$dir/out/topk").collect()
+    assert(topk.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    // each query gets a full ranked top-10 that excludes itself
+    topk.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.length == 10)
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to 10))
+      assert(rs.forall(r => r.getLong(1) != r.getLong(0)))
+    }
+  }
+
   test("sitemaps job: list concat across hosts for one sitemap URL") {
     import spark.implicits._
     val r1 = Fixtures.robots("https://a.example.com/robots.txt",
