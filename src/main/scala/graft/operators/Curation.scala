@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.functions.GraftFunctions._
+import graft.functions.ShingleHashes
 import graft.util.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -547,8 +548,64 @@ object Curation {
       FROM m JOIN w USING (h)
       GROUP BY source"""))
 
+  /** Cross-source duplication matrix: for every source pair, the number
+    * of DISTINCT word-w-gram shingles they share plus the shingle-set
+    * Jaccard — the standard diagnostic for "how much of source B is
+    * already in source A" before fixing mixture weights (exact-dup
+    * overlap is a special case; shingle overlap also surfaces templated
+    * boilerplate and partial copies).
+    *
+    * Scale shape: each side reduces to DISTINCT (source, shingle-hash)
+    * rows — one hash aggregation, no doc×doc pairs ever form. The
+    * shingle self-join fans out per shingle to at most |sources| rows
+    * (a boilerplate shingle present in every source costs |sources|²
+    * pair rows for that one key, bounded by construction since
+    * |sources| is small and fixed); the pair aggregation is keyed on
+    * (s1, s2) with map-side partial aggregation. Output is one row per
+    * overlapping pair — O(|sources|²) regardless of corpus size.
+    */
+  def sourceOverlap(docs: DataFrame, w: Int = 5): DataFrame = {
+    val sh = docs.select(col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("source"), explode(ShingleHashes.longWindowHashes(
+        expr("transform(toks, t -> xxhash64(t))"), w)).as("g"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = sh.select(col("source").as("s1"), col("g"))
+      .join(sh.select(col("source").as("s2"), col("g")), "g")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("s1"), col("n").as("n1")), "s1")
+      .join(sizes.select(col("source").as("s2"), col("n").as("n2")), "s2")
+      .select(col("s1"), col("s2"), col("n_shared"), col("n1"), col("n2"),
+        round(col("n_shared").cast("double") /
+          (col("n1") + col("n2") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  /** Spark joins 64-bit shingle hashes where the oracle joins gram
+    * strings — identical counts short of an xxhash64 collision (the
+    * decontam_near convention).
+    */
+  val sourceOverlapQuery: QueryDef = QueryDef(
+    "source_overlap",
+    (s, dir) => sourceOverlap(Tables(s, dir, "documents")),
+    Some("""WITH tk AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents),
+      sh AS (SELECT DISTINCT source, array_to_string(toks[i : i + 4], ' ') AS g
+        FROM tk, UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+        WHERE len(toks) >= 5),
+      sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+      shared AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b USING (g) WHERE a.source < b.source GROUP BY 1, 2)
+      SELECT s1, s2, n_shared, za.n AS n1, zb.n AS n2,
+        round(CAST(n_shared AS DOUBLE) / (za.n + zb.n - n_shared), 6) AS jaccard
+      FROM shared
+      JOIN sizes za ON za.source = s1
+      JOIN sizes zb ON zb.source = s2"""))
+
   val all: Seq[QueryDef] =
     Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample,
       shardShuffle, mixSources, badwords, cdcChunks, crawlDiff,
-      temperatureMix, crawlMergeQuery)
+      temperatureMix, crawlMergeQuery, sourceOverlapQuery)
 }
