@@ -203,5 +203,64 @@ object PqOps {
       Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"))))
 
-  val all: Seq[QueryDef] = Seq(annPq)
+  /** IVF-PQ: the two scale levers composed the way FAISS's IVFADC does —
+    * IVF cells prune WHICH vectors are scored (nprobe of k cells ≈
+    * nprobe/k of the corpus), PQ codes shrink WHAT a score costs (M
+    * table lookups on 4 bytes instead of Dim float mults on 256). At
+    * 100 TB this is the difference between "the index fits on the
+    * cluster" and "it doesn't": inverted lists of 4-byte codes, raw
+    * vectors touched only for the ≤ nq × rerank refine candidates.
+    *
+    * Codes quantize the vector itself rather than its residual from the
+    * cell centroid (FAISS's IVF,PQ vs IVFADC distinction): residual
+    * encoding buys accuracy at the cost of cell-dependent codebooks —
+    * with one global codebook the code table is cell-agnostic, so the
+    * same encoded corpus serves any nprobe and the build stays two
+    * independent map stages (assign, encode) over one scan.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, nprobe: Int = 4,
+                rerank: Int = 50, topk: Int = 10): DataFrame = {
+    val c = Tables(s, dir, "embeddings")
+    val (assignments, centroids) = VectorOps.buildIvf(c, k = 10, iters = 2)
+    val codebooks = trainCodebooks(c)
+    val codes = encode(c, codebooks).join(assignments, "vec_id")
+    val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val luts = queryLuts(q, codebooks)
+    // probe the nprobe nearest cells per query (same shape as ivfProbe)
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("cell"),
+        graft.functions.GraftFunctions.cosine(col("q_emb"), col("centroid")).as("ccos"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val cells = probed.withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= nprobe).select(col("q_id"), col("cell"))
+    // ADC only inside probed cells: the (q_id, cell) probe list joins the
+    // code table on the cell key — a hash equi-join, not a full scan per
+    // query — then each surviving candidate costs M lookups
+    val scored = codes.join(broadcast(cells.join(luts.select(col("q_id"), col("lut")), "q_id")), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("aggregate(zip_with(lut, codes, (l, c) -> l[c]), 0D, (acc, x) -> acc + x)")
+          .as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = scored.withColumn("r", row_number().over(w)).filter(col("r") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+    val exact = c.join(broadcast(cand), "vec_id")
+      .join(broadcast(luts.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("cos"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topk)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  val annIvfPq: QueryDef = QueryDef(
+    "ann_ivfpq_topk",
+    (s, dir) => VectorOps.recallVsBrute(
+      ivfPqTopK(s, dir), VectorOps.bruteTopK(s, dir),
+      Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"))))
+
+  val all: Seq[QueryDef] = Seq(annPq, annIvfPq)
 }

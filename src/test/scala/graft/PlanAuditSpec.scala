@@ -40,6 +40,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 10-row ADC lookup-table set broadcast over the code scan, plus
     // recallVsBrute's brute-force side (same shape as ann_brute_topk)
     "ann_pq_topk",
+    // ≤k-row centroid table and 10-row query/LUT sets broadcast; the
+    // cell-pruned ADC join is the keyed equi-join
+    "ann_ivfpq_topk",
     "dedup_embedding",
     // the 1-row global-budget aggregate joined onto the 20-row per-source
     // table (constant-key join folds to NLJ); the corpus side joins rates

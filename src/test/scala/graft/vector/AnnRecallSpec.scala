@@ -53,6 +53,15 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(hits >= 40, s"PQ total recall collapsed: $hits/100")
   }
 
+  test("IVF-PQ recall@10 clears its floor on every query set") {
+    assume(sfDir.isDefined)
+    val (hits, nq) = totalHits("ann_ivfpq_topk", sfDir.get)
+    assert(nq == 10, s"expected one recall row per query, got $nq")
+    // nprobe=4 of 10 cells + ADC + rerank=50: empirically 80/82/55 at
+    // sf0.001/0.01/0.1; floor 40%
+    assert(hits >= 40, s"IVF-PQ total recall collapsed: $hits/100")
+  }
+
   test("PQ codes are 4-bit and deterministic across encode calls") {
     assume(sfDir.isDefined)
     val c = graft.util.Tables(spark, sfDir.get, "embeddings")
