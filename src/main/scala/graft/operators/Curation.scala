@@ -604,8 +604,34 @@ object Curation {
       JOIN sizes za ON za.source = s1
       JOIN sizes zb ON zb.source = s2"""))
 
+  /** Deterministic train/val/test split: bucket = first 32 bits of
+    * md5(doc_id) mod 1000, train < `trainPm`, val < `valPm`, test
+    * otherwise. A PURE MAP STAGE — no shuffle, no state: any executor
+    * can place any doc, re-runs and late-arriving shards land in the
+    * same split forever (position-based splits reshuffle every doc the
+    * moment one upstream row appears), and the proportions hold per
+    * source because md5 is uniform on the id space.
+    */
+  def splitAssign(docs: DataFrame, trainPm: Int = 900, valPm: Int = 950): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 1000).as("bucket"))
+      .select(col("doc_id"), col("source"),
+        when(col("bucket") < trainPm, "train")
+          .when(col("bucket") < valPm, "val")
+          .otherwise("test").as("split"))
+
+  val splitQuery: QueryDef = QueryDef(
+    "curation_split",
+    (s, dir) => splitAssign(Tables(s, dir, "documents")),
+    Some("""SELECT doc_id, source,
+        CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, source,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS b
+        FROM documents)"""))
+
   val all: Seq[QueryDef] =
     Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample,
       shardShuffle, mixSources, badwords, cdcChunks, crawlDiff,
-      temperatureMix, crawlMergeQuery, sourceOverlapQuery)
+      temperatureMix, crawlMergeQuery, sourceOverlapQuery, splitQuery)
 }

@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.functions.GraftFunctions._
 import graft.functions.NfcNormalize.nfc
 import graft.util.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -589,8 +590,42 @@ object TextOps {
       FROM fps JOIN df USING (fp)
       GROUP BY source"""))
 
+  /** Per-source vocabulary statistics: token mass, distinct types,
+    * hapax legomena, type-token ratio — the standard corpus profile
+    * read before tokenizer training and mixture weighting (a source
+    * whose TTR collapses is templated boilerplate; a hapax-heavy one
+    * is OCR noise).
+    *
+    * Scale shape: one tokenize scan → two hash aggregations, both with
+    * map-side partial aggregation; the intermediate key space is
+    * (source, type) — bounded by vocabulary, not corpus — and nothing
+    * is quadratic or collected.
+    */
+  def vocabStats(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      round(count(lit(1)).cast("double") / sum(col("c")), 6).as("type_token_ratio"))
+  }
+
+  val vocabStatsQuery: QueryDef = QueryDef(
+    "text_vocab_stats",
+    (s, dir) => vocabStats(Tables(s, dir, "documents")),
+    Some("""WITH tf AS (
+        SELECT source, t, COUNT(*) AS c
+        FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+              FROM documents)
+        GROUP BY source, t)
+      SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+        SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+        round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio
+      FROM tf GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
     tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub,
-    textNormalize, bm25, readability, textEntropy, fpWinnowing)
+    textNormalize, bm25, readability, textEntropy, fpWinnowing, vocabStatsQuery)
 }
