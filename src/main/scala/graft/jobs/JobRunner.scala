@@ -379,30 +379,44 @@ object JobRunner {
         }
         spark.read.parquet(s"${cli.output}/kept")
       case "ann_index_build" =>
-        // persisted FAISS-style IVF index over an embeddings parquet dir
-        // (vec_id, embedding): k-means cells at the sqrt-N rule of
-        // thumb, inverted lists laid out cell-partitioned so probes
-        // prune to the probed cells' files (vector/VectorOps.scala)
+        // persisted FAISS-style IVF-PQ index over an embeddings parquet
+        // dir (vec_id, embedding): k-means cells at the sqrt-N rule of
+        // thumb; cell-partitioned inverted lists of raw vectors (refine
+        // store) AND of 4-bit PQ codes (what a 100 TB probe scans),
+        // plus centroids and the M×Ks codebooks (vector/PqOps.scala)
         {
           val c = spark.read.parquet(cli.input)
           val k = math.min(256L, math.max(4L, math.round(math.sqrt(c.count().toDouble)))).toInt
-          graft.vector.VectorOps.saveIvfIndex(c, cli.output, k = k, iters = 2)
+          graft.vector.PqOps.savePqIndex(c, cli.output, k = k, iters = 2)
           spark.read.parquet(s"${cli.output}/centroids")
         }
       case "ann_index_probe" =>
         // input = query vectors parquet (vec_id, embedding); --add_input
         // = index dir from ann_index_build. Writes topk/ — top-10 cosine
         // neighbors per query from the probed cells only; no k-means at
-        // query time, no base-corpus access.
+        // query time, no base-corpus access. If the index carries PQ
+        // codes (ann_index_build writes them; a bare saveIvfIndex layout
+        // does not) the candidate scan runs in the compressed domain
+        // (ADC + exact refine), else flat exact search in probed cells.
         {
           require(cli.addInputs.nonEmpty,
             "ann_index_probe needs --add_input <index_dir>")
           import org.apache.spark.sql.functions.col
+          val idxDir = cli.addInputs.head
           val q = spark.read.parquet(cli.input)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-          val idx = graft.vector.VectorOps.loadIvfIndex(spark, cli.addInputs.head)
-          graft.vector.VectorOps.annIvfIndexed(q, idx)
-            .coalesce(cli.outParts)
+          val hasPq = new java.io.File(s"$idxDir/codes").exists() ||
+            idxDir.startsWith("hdfs:") && {
+              val p = new org.apache.hadoop.fs.Path(s"$idxDir/codes")
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+            }
+          println(s"[graft] ann_index_probe mode=${if (hasPq) "pq" else "flat"}")
+          val topk =
+            if (hasPq) graft.vector.PqOps.annPqIndexed(
+              q, graft.vector.PqOps.loadPqIndex(spark, idxDir))
+            else graft.vector.VectorOps.annIvfIndexed(
+              q, graft.vector.VectorOps.loadIvfIndex(spark, idxDir))
+          topk.coalesce(cli.outParts)
             .write.mode("overwrite").parquet(s"${cli.output}/topk")
           spark.read.parquet(s"${cli.output}/topk")
         }

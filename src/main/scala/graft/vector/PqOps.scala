@@ -262,5 +262,88 @@ object PqOps {
       Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"))))
 
+  /** Persisted IVF-PQ index — the full FAISS on-disk artifact:
+    * `vectors/` (cell-partitioned raw vectors, the refine store),
+    * `codes/` (cell-partitioned 4-bit code lists — the part a 100 TB
+    * probe actually scans), `centroids/`, and `codebooks/` (M×Ks
+    * sub-centroids, bounded). A superset of VectorOps.saveIvfIndex's
+    * layout, so flat probes work against it too.
+    */
+  def savePqIndex(c: DataFrame, indexDir: String, k: Int, iters: Int): Unit = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val (assignments, centroids) = VectorOps.buildIvf(c, k, iters)
+    val codebooks = trainCodebooks(c)
+    c.join(assignments, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+    encode(c, codebooks).join(assignments, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    (for ((cb, m) <- codebooks.zipWithIndex.toSeq; (ct, j) <- cb.zipWithIndex)
+      yield (m, j, ct.toSeq))
+      .toDF("m", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  final case class PqIndex(vectors: DataFrame, codes: DataFrame,
+                           centroids: DataFrame,
+                           codebooks: Array[Array[Array[Double]]])
+
+  private val CodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType)))
+
+  /** Codebooks collect to the driver — M × Ks × SubDim doubles, bounded
+    * by construction (the same shape training produced them in).
+    */
+  def loadPqIndex(spark: SparkSession, indexDir: String): PqIndex = {
+    val ivf = VectorOps.loadIvfIndex(spark, indexDir)
+    val cb = Array.fill(M, Ks)(Array.fill(SubDim)(0.0))
+    spark.read.parquet(s"$indexDir/codebooks").collect().foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    PqIndex(ivf.vectors, spark.read.schema(CodesSchema).parquet(s"$indexDir/codes"),
+      ivf.centroids, cb)
+  }
+
+  /** Probe the persisted IVF-PQ index: no k-means, no codebook training,
+    * no base-corpus access at query time. The probed cell ids (≤ nq ×
+    * nprobe distinct, bounded by k) collect to the driver so BOTH scans
+    * — the code lists for ADC and the raw vectors for the refine — are
+    * statically pruned to probed-cell files.
+    */
+  def annPqIndexed(q: DataFrame, idx: PqIndex, nprobe: Int = 4,
+                   rerank: Int = 50, topk: Int = 10): DataFrame = {
+    val luts = queryLuts(q, idx.codebooks)
+    val probed = q.crossJoin(broadcast(idx.centroids))
+      .select(col("q_id"), col("cell"),
+        graft.functions.GraftFunctions.cosine(col("q_emb"), col("centroid")).as("ccos"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val cells = probed.withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= nprobe).select(col("q_id"), col("cell"))
+    val cellIds = cells.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val scored = idx.codes.where(col("cell").isin(cellIds.map(Long.box): _*))
+      .join(broadcast(cells.join(luts.select(col("q_id"), col("lut")), "q_id")), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("aggregate(zip_with(lut, codes, (l, c) -> l[c]), 0D, (acc, x) -> acc + x)")
+          .as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = scored.withColumn("r", row_number().over(w)).filter(col("r") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+    val exact = idx.vectors.where(col("cell").isin(cellIds.map(Long.box): _*))
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(luts.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("cos"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topk)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(annPq, annIvfPq)
 }
