@@ -462,7 +462,85 @@ object Dedup {
       .select(col("new_id"), col("idx_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** Exact-substring duplication mass (Lee et al. 2021's suffix-array
+    * recipe, re-expressed for a shared-nothing engine): a duplicated
+    * token span of length ≥ w contains a duplicated w-gram at every
+    * start position, so per-doc coverage of CROSS-DOC-SHARED w-gram
+    * windows equals the mass of tokens inside duplicated substrings of
+    * length ≥ w (up to w-1 tokens of edge slack at span boundaries —
+    * the same granularity a suffix-array threshold gives). Reported per
+    * doc: total tokens, duplicated-span tokens, fraction.
+    *
+    * Scale shape vs the sequential suffix array (which needs the whole
+    * corpus in one address space): windows hash in position order
+    * inside the scan (native LongWindowHashesAll kernel — index IS the
+    * start offset); "shared" reduces to DISTINCT (hash, doc) → count>1
+    * — one keyed aggregation, no doc×doc pairs; coverage is an
+    * interval-union computed per doc with a lead() window over that
+    * doc's ≤ n_tokens marked starts. Nothing is quadratic, nothing
+    * leaves its doc partition except 8-byte keys.
+    */
+  def substringDupMass(docs: DataFrame, w: Int = 50): DataFrame = {
+    import graft.functions.ShingleHashes
+    val th = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        expr("transform(toks, t -> xxhash64(t))").as("th"))
+    val wins = th.select(col("doc_id"), col("n_tokens"),
+      posexplode(ShingleHashes.longWindowHashesAll(col("th"), w)).as(Seq("pos", "h")))
+    // windows whose hash appears in MORE THAN ONE doc: distinct
+    // (h, doc) first so a within-doc repeat does not count as shared
+    val shared = wins.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select(col("h"))
+    val marked = wins.join(shared, Seq("h"), "left_semi")
+    // interval union of [pos, pos+w) over each doc's marked starts:
+    // consecutive starts overlap when the gap is < w, so each start
+    // contributes min(w, next_start - start); the last contributes w
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = marked
+      .withColumn("nxt", lead(col("pos"), 1).over(wd))
+      .groupBy(col("doc_id"))
+      .agg(sum(least(lit(w), coalesce(col("nxt") - col("pos"), lit(w))))
+        .cast("long").as("dup_tokens"))
+    th.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Spark hashes token windows where the oracle joins gram STRINGS —
+    * identical counts short of an xxhash64 collision (the decontam
+    * convention). Both sides enumerate every start position, so the
+    * interval arithmetic lines up exactly.
+    */
+  val dedupSubstring: QueryDef = QueryDef(
+    "dedup_substring",
+    (s, dir) => substringDupMass(Tables(s, dir, "documents")),
+    Some("""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents),
+      base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tk WHERE len(toks) >= 50),
+      wins AS (SELECT doc_id, i AS pos, array_to_string(toks[i : i + 49], ' ') AS g
+        FROM base, UNNEST(generate_series(1, len(toks) - 49)) AS t(i)),
+      shared AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd
+        FROM wins GROUP BY g) WHERE nd > 1),
+      marked AS (SELECT doc_id, pos FROM wins JOIN shared USING (g)),
+      cov AS (SELECT doc_id,
+          SUM(LEAST(50, COALESCE(nxt - pos, 50))) AS dup_tokens
+        FROM (SELECT doc_id, pos,
+            lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM marked)
+        GROUP BY doc_id)
+      SELECT b.doc_id, b.n_tokens,
+        CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_frac
+      FROM base b LEFT JOIN cov c USING (doc_id)"""))
+
   val all: Seq[QueryDef] =
     Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash, dedupClusters,
-      dedupJaccardExact, dedupClustersExact)
+      dedupJaccardExact, dedupClustersExact, dedupSubstring)
 }

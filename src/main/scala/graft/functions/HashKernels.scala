@@ -65,6 +65,33 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** ALL w-element window hashes of an array<long>, in position order —
+    * index in the output IS the window's 0-based start, so
+    * `posexplode` recovers (start, hash) pairs for span-coverage math
+    * (exact-substring dedup). No dedup, no whole-array fallback:
+    * inputs shorter than one window have no windows and return empty.
+    */
+  def longWindowsAll(arr: ArrayData, w: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < w) return new GenericArrayData(Array.empty[Any])
+    val buf = new Array[Byte](8 * w)
+    def pack(from: Int): Long = {
+      var j = 0
+      while (j < w) {
+        val h = arr.getLong(from + j)
+        var b = 0
+        while (b < 8) { buf(j * 8 + b) = (h >>> (8 * b)).toByte; b += 1 }
+        j += 1
+      }
+      XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        8 * w, 42L)
+    }
+    val out = new Array[Any](len - w + 1)
+    var i = 0
+    while (i <= len - w) { out(i) = pack(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct winnowing fingerprints (Schleimer et al. 2003, the MOSS
     * scheme): hash every k-byte window with a base-131 polynomial mod
     * 1e9+7, then keep each w-hash sliding window's MINIMUM via a

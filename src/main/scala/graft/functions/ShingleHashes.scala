@@ -67,6 +67,34 @@ case class LongWindowHashes(child: Expression, w: Int) extends UnaryExpression {
   override def prettyName: String = "long_window_hashes"
 }
 
+/** ALL w-element window hashes of an array<long> in position order
+  * (no dedup; empty when shorter than one window) — the
+  * position-preserving sibling of LongWindowHashes, for
+  * span-coverage math where the window's start index matters.
+  */
+case class LongWindowHashesAll(child: Expression, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"long_window_hashes_all expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.longWindowsAll(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.longWindowsAll($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "long_window_hashes_all"
+}
+
 /** Distinct winnowing fingerprints of a string: window-min over
   * polynomial k-gram hashes (HashKernels.winnow — one O(len) deque pass;
   * the composable HOF form paid O(len·w) array slicing plus an md5
@@ -100,6 +128,8 @@ object ShingleHashes {
     Bridge.column(CharNgramHashes(Bridge.expression(c), n))
   def longWindowHashes(c: Column, w: Int): Column =
     Bridge.column(LongWindowHashes(Bridge.expression(c), w))
+  def longWindowHashesAll(c: Column, w: Int): Column =
+    Bridge.column(LongWindowHashesAll(Bridge.expression(c), w))
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(c), k, w))
 }

@@ -106,4 +106,23 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(out(0).getSeq[Long](0).length == 1) // 2 < 5 → single shingle
     assert(out(1).getSeq[Long](0).length == 2) // windows at 0,1
   }
+
+  test("LongWindowHashesAll: position order, repeats kept, empty when short") {
+    val df = Seq(
+      (1L, Seq(7L, 8L, 7L, 8L, 7L, 8L)), // window (7,8,7) repeats at 0 and 2
+      (2L, Seq(1L, 2L)))                  // shorter than w → NO windows
+      .toDF("id", "h")
+    val out = df.orderBy("id")
+      .select(ShingleHashes.longWindowHashesAll(col("h"), 3)).collect()
+    val a = out(0).getSeq[Long](0)
+    assert(a.length == 4)          // starts 0..3, no dedup
+    assert(a(0) == a(2) && a(1) == a(3)) // alternating repeated windows
+    assert(a(0) != a(1))
+    assert(out(1).getSeq[Long](0).isEmpty)
+    // agrees with the distinct kernel on the same input
+    val distinctHashes = df.filter(col("id") === 1)
+      .select(ShingleHashes.longWindowHashes(col("h"), 3))
+      .head().getSeq[Long](0).toSet
+    assert(a.toSet == distinctHashes)
+  }
 }
