@@ -131,6 +131,34 @@ class PropertySpec extends AnyFunSuite {
     f
   }
 
+  test("longWindowsAll ≡ per-window pack reference on arbitrary arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arrays: Gen[(List[Long], Int)] = for {
+      xs <- Gen.listOf(Arbitrary.arbitrary[Long])
+      w <- Gen.choose(1, 6)
+    } yield (xs, w)
+    forAll(arrays) { case (xs, w) =>
+      val out = graft.functions.HashKernels
+        .longWindowsAll(new GenericArrayData(xs.toArray), w)
+      if (xs.length < w) assert(out.numElements() == 0)
+      else {
+        assert(out.numElements() == xs.length - w + 1)
+        // reference: hash each window independently via the distinct
+        // kernel on the exact w-slice (single window → its own hash)
+        xs.sliding(w).zipWithIndex.foreach { case (win, i) =>
+          val ref = graft.functions.HashKernels
+            .longWindows(new GenericArrayData(win.toArray), w).getLong(0)
+          assert(out.getLong(i) == ref, s"window $i of $xs w=$w")
+        }
+        // equal windows hash equal, and position order is preserved
+        val vals = (0 until out.numElements()).map(out.getLong)
+        xs.sliding(w).toSeq.zip(vals).groupBy(_._1).values.foreach { g =>
+          assert(g.map(_._2).distinct.size == 1)
+        }
+      }
+    }
+  }
+
   test("mp3 probe recovers frame count and rate for any valid header combo") {
     val gen = for {
       bi <- Gen.choose(1, 14)
