@@ -32,7 +32,8 @@ final case class JobCli(
     outputBucketBy: Option[(Int, String)] = None,
     outputShards: Option[Int] = None,
     badwords: Seq[String] = Nil,
-    minEntropy: Option[Double] = None) {
+    minEntropy: Option[Double] = None,
+    maxDupFrac: Option[Double] = None) {
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
     outputFormat, outputCompression, outputOptions, outputBucketBy)
@@ -51,7 +52,8 @@ object JobCli {
       |  [--stream_mode complete|append] (stream_windows)
       |  [--output_bucket_by col=N] (table outputs: bucketed+sorted write)
       |  [--output_shards N] (curate: write kept corpus as N mixed shards)
-      |  [--badwords w1,w2,...] [--min_entropy X] (curate: extra filters)
+      |  [--badwords w1,w2,...] [--min_entropy X] [--max_dup_frac X]
+      |    (curate: extra filters)
       |  host_graph flags: [--save_as_text DIR] [--normalize_host_names]
       |  [--validate_host_names] [--vertex_partitions N]
       |  [--vertex_ids PATH] [--add_input PATH]...
@@ -119,6 +121,7 @@ object JobCli {
         case "--badwords" => cli = cli.copy(badwords =
           value.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
         case "--min_entropy"   => cli = cli.copy(minEntropy = Some(value.toDouble))
+        case "--max_dup_frac"  => cli = cli.copy(maxDupFrac = Some(value.toDouble))
         case "--stream_mode" =>
           val m = value
           require(m == "complete" || m == "append",
@@ -357,7 +360,7 @@ object JobRunner {
               graft.functions.GraftFunctions.tokens(col("text")),
               lit(cli.badwords.toArray))))
           }
-        val curated = cli.minEntropy match {
+        val afterEntropy = cli.minEntropy match {
           case None => afterBad
           case Some(minH) =>
             import org.apache.spark.sql.functions.col
@@ -365,6 +368,19 @@ object JobRunner {
               graft.operators.TextOps.docEntropy(afterBad)
                 .filter(col("entropy") >= minH).select("doc_id"),
               Seq("doc_id"), "left_semi")
+        }
+        // --max_dup_frac X: drop docs whose duplicated-substring mass
+        // (Lee et al. shared-50-gram span coverage, dedup/Dedup.scala)
+        // exceeds X — an ANTI join against the over-threshold set, so
+        // docs too short to have 50-gram windows are kept, not judged
+        val curated = cli.maxDupFrac match {
+          case None => afterEntropy
+          case Some(maxF) =>
+            import org.apache.spark.sql.functions.col
+            afterEntropy.join(
+              graft.dedup.Dedup.substringDupMass(afterEntropy)
+                .filter(col("dup_frac") > maxF).select("doc_id"),
+              Seq("doc_id"), "left_anti")
         }
         curated
           .repartition(cli.outParts)

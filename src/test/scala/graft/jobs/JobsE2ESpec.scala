@@ -389,6 +389,36 @@ class JobsE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("curate --max_dup_frac drops span-duplicated docs, keeps short ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("curateD").toString
+    // fixtures must clear the curate quality gate (≥20 tokens, ≥1 stop
+    // word): docs 1 and 2 share a 60-token span → ~100% covered by
+    // shared 50-gram windows; doc 3 is unique long text; doc 4 clears
+    // quality but is too short for any 50-gram window (must be KEPT,
+    // not judged)
+    val shared = (1 to 20).flatMap(i => Seq("the", s"tok$i", "and")).mkString(" ")
+    val unique = (1 to 30).flatMap(i => Seq("of", s"only$i", s"uniq$i")).mkString(" ")
+    val tiny = "the tiny doc has just a few and simple words to keep " +
+      "the quality gate happy with enough tokens overall here"
+    Seq(
+      (1L, shared, "en", "sA", 400L),
+      (2L, shared + " tail2", "en", "sA", 410L),
+      (3L, unique, "en", "sB", 800L),
+      (4L, tiny, "en", "sB", 110L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/docs")
+    JobRunner.run(spark, JobCli("curate", s"$base/docs", s"$base/out",
+      outParts = 1, maxDupFrac = Some(0.5)))
+    val kept = spark.read.parquet(s"$base/out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L) && !kept.contains(2L),
+      s"span-duplicated docs must drop, kept=$kept")
+    assert(kept.contains(3L), "unique long doc must survive")
+    assert(kept.contains(4L), "sub-window doc must be kept, not judged")
+  }
+
   test("dedup_index_build → dedup_index_probe: cross-crawl incremental dedup") {
     import org.apache.spark.sql.functions.col
     val sfDir = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
