@@ -402,8 +402,13 @@ object JobRunner {
         // plus centroids and the M×Ks codebooks (vector/PqOps.scala)
         {
           val c = spark.read.parquet(cli.input)
-          val k = math.min(256L, math.max(4L, math.round(math.sqrt(c.count().toDouble)))).toInt
-          graft.vector.PqOps.savePqIndex(c, cli.output, k = k, iters = 2)
+          // one count serves the k rule of thumb AND both training
+          // samples (threaded through nKnown — three full input scans
+          // otherwise)
+          val n = c.count()
+          val k = math.min(256L, math.max(4L, math.round(math.sqrt(n.toDouble)))).toInt
+          graft.vector.PqOps.savePqIndex(c, cli.output, k = k, iters = 2,
+            nKnown = Some(n))
           spark.read.parquet(s"${cli.output}/centroids")
         }
       case "ann_index_probe" =>
@@ -421,11 +426,14 @@ object JobRunner {
           val idxDir = cli.addInputs.head
           val q = spark.read.parquet(cli.input)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-          val hasPq = new java.io.File(s"$idxDir/codes").exists() ||
-            idxDir.startsWith("hdfs:") && {
-              val p = new org.apache.hadoop.fs.Path(s"$idxDir/codes")
-              p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-            }
+          // scheme-agnostic (local, hdfs://, s3a://, file:, ...): resolve
+          // through the path's own FileSystem, the BloomDedup pattern —
+          // a java.io.File probe would silently fall back to flat
+          // probing for any remote index
+          val hasPq = {
+            val p = new org.apache.hadoop.fs.Path(s"$idxDir/codes")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+          }
           println(s"[graft] ann_index_probe mode=${if (hasPq) "pq" else "flat"}")
           val topk =
             if (hasPq) graft.vector.PqOps.annPqIndexed(

@@ -41,20 +41,20 @@ object PqOps {
   private val LloydIters = 8
   private val TrainCap = 2000
 
-  /** Deterministic bounded training sample: same arithmetic vec_id-hash
-    * filter as VectorOps.buildIvf, collected and L2-normalized. Bounded
-    * by construction (≤ TrainCap × Dim doubles).
+  /** Deterministic bounded training sample: VectorOps.sampleFilter
+    * (the same arithmetic vec_id-hash filter IVF training uses — shared
+    * so "same sample" holds by construction), then TakeOrdered to a
+    * HARD TrainCap before collecting: the filter's permille floors at 1,
+    * so beyond TrainCap×1000 corpus rows it alone would keep ~n/1000
+    * rows — an unbounded driver collect without the limit. Collected
+    * vectors are L2-normalized.
     */
-  private def trainSample(c: DataFrame): Array[Array[Double]] = {
-    val n = c.count()
-    val sampled =
-      if (n <= TrainCap) c
-      else {
-        val permille = math.max(1L, TrainCap * 1000L / n)
-        c.filter(pmod(pmod(col("vec_id"), lit(1000003L)) * lit(2654435761L % 1000003L),
-          lit(1000003L)) % 1000 < permille)
-      }
-    sampled.orderBy(col("vec_id")).select(col("embedding")).collect()
+  private def trainSample(c: DataFrame, nKnown: Option[Long]): Array[Array[Double]] = {
+    val n = nKnown.getOrElse(c.count())
+    VectorOps.sampleFilter(c, TrainCap, n)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(TrainCap)
+      .select(col("embedding")).collect()
       .map { r =>
         val v = r.getSeq[Float](0).map(_.toDouble).toArray
         val nrm = math.sqrt(v.map(x => x * x).sum)
@@ -68,8 +68,9 @@ object PqOps {
     * their previous centroid. An empty corpus yields zero codebooks —
     * the plans stay valid and encode/score simply see no rows.
     */
-  def trainCodebooks(c: DataFrame): Array[Array[Array[Double]]] = {
-    val sample = trainSample(c)
+  def trainCodebooks(c: DataFrame,
+                     nKnown: Option[Long] = None): Array[Array[Array[Double]]] = {
+    val sample = trainSample(c, nKnown)
     Array.tabulate(M) { m =>
       val subs = sample.map(_.slice(m * SubDim, (m + 1) * SubDim))
       if (subs.isEmpty) Array.fill(Ks)(Array.fill(SubDim)(0.0))
@@ -269,11 +270,12 @@ object PqOps {
     * sub-centroids, bounded). A superset of VectorOps.saveIvfIndex's
     * layout, so flat probes work against it too.
     */
-  def savePqIndex(c: DataFrame, indexDir: String, k: Int, iters: Int): Unit = {
+  def savePqIndex(c: DataFrame, indexDir: String, k: Int, iters: Int,
+                  nKnown: Option[Long] = None): Unit = {
     val spark = c.sparkSession
     import spark.implicits._
-    val (assignments, centroids) = VectorOps.buildIvf(c, k, iters)
-    val codebooks = trainCodebooks(c)
+    val (assignments, centroids) = VectorOps.buildIvf(c, k, iters, nKnown = nKnown)
+    val codebooks = trainCodebooks(c, nKnown)
     c.join(assignments, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")

@@ -206,8 +206,26 @@ object VectorOps {
     * so the benefit is the scan-complexity change, not a local number —
     * recall floors unchanged (AnnRecallSpec: IVF ≥ 50/100).
     */
+  /** Deterministic bounded training sample: an arithmetic vec_id-hash
+    * filter (stable across runs, engines, and partitionings) keeps
+    * ~`cap` rows. The permille floors at 1, so for corpora beyond
+    * cap×1000 rows the FILTER alone over-selects — callers that
+    * collect (PQ codebook training) must add the TakeOrdered `.limit`;
+    * distributed consumers (Lloyd rounds here) tolerate the slack.
+    * Shared by IVF and PQ training so "same sample" stays true by
+    * construction.
+    */
+  private[vector] def sampleFilter(c: DataFrame, cap: Long, n: Long): DataFrame =
+    if (n <= cap) c
+    else {
+      val permille = math.max(1L, cap * 1000L / n)
+      c.filter(pmod(pmod(col("vec_id"), lit(1000003L)) * lit(2654435761L % 1000003L),
+        lit(1000003L)) % 1000 < permille)
+    }
+
   def buildIvf(c: DataFrame, k: Int, iters: Int,
-               trainCap: Long = 2000L): (DataFrame, DataFrame) = {
+               trainCap: Long = 2000L,
+               nKnown: Option[Long] = None): (DataFrame, DataFrame) = {
     val spark = c.sparkSession
     import spark.implicits._
     // centroids come back to the driver each Lloyd round — k×Dim doubles,
@@ -219,18 +237,20 @@ object VectorOps {
     // stays O(1) plan depth at any iteration count).
     def toLocal(df: DataFrame): Seq[(Long, Seq[Double])] =
       df.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val n = c.count()
+    val n = nKnown.getOrElse(c.count())
     // the sample is scanned once per Lloyd round — persist it so rounds
-    // 2..iters read the (≤ trainCap × Dim floats, bounded) cached rows
-    // instead of re-scanning and re-filtering the full corpus each round
-    val train = (if (n <= trainCap) c else {
-      val permille = math.max(1L, trainCap * 1000L / n)
-      c.filter(pmod(pmod(col("vec_id"), lit(1000003L)) * lit(2654435761L % 1000003L),
-        lit(1000003L)) % 1000 < permille)
-    }).persist()
+    // 2..iters read the (~trainCap × Dim floats) cached rows instead of
+    // re-scanning and re-filtering the full corpus each round
+    val train = sampleFilter(c, trainCap, n).persist()
+    // seeds: the k lowest vec_ids — TakeOrdered (bounded, no full sort),
+    // deterministic, and valid for ANY id space (hashed/snowflake ids
+    // included, where a `vec_id < k` filter would match nothing and
+    // silently build an empty index). On contiguous 0..n-1 ids this is
+    // exactly the first k vectors, so existing results are unchanged.
     var centroids: Seq[(Long, Seq[Double])] = toLocal(
-      c.filter(col("vec_id") < k).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))")))
+      c.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("centroid"))
+        .orderBy(col("vec_id")).limit(k))
     def centroidsDf: DataFrame = centroids.toDF("cell", "centroid")
     if (centroids.isEmpty) {
       // empty corpus: no seeds, no cells — empty assignment, empty table
