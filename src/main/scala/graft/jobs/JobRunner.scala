@@ -65,7 +65,8 @@ object JobCli {
       |        bm25_index_build | bm25_index_probe (--query t1,t2) |
       |        crawl_diff (--add_input SNAPSHOT_B)
       |        decontam (--add_input EVAL_DOCS)
-      |        ann_index_build / ann_index_probe (--add_input INDEX_DIR)""".stripMargin
+      |        ann_index_build / ann_index_probe / ann_index_update
+      |          (--add_input INDEX_DIR)""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
     case Array(k, v) => (k, v)
@@ -410,6 +411,18 @@ object JobRunner {
           graft.vector.PqOps.savePqIndex(c, cli.output, k = k, iters = 2,
             nKnown = Some(n))
           spark.read.parquet(s"${cli.output}/centroids")
+        }
+      case "ann_index_update" =>
+        // input = NEW embeddings batch; --add_input = index dir from
+        // ann_index_build. Places the batch into the existing cells and
+        // codebooks (two map stages, no retraining) and APPENDS to the
+        // cell-partitioned stores — the per-crawl ingest path.
+        {
+          require(cli.addInputs.nonEmpty,
+            "ann_index_update needs --add_input <index_dir>")
+          graft.vector.PqOps.addToPqIndex(
+            spark.read.parquet(cli.input), cli.addInputs.head)
+          spark.read.parquet(s"${cli.addInputs.head}/centroids")
         }
       case "ann_index_probe" =>
         // input = query vectors parquet (vec_id, embedding); --add_input

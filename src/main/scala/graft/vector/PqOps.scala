@@ -311,6 +311,33 @@ object PqOps {
       ivf.centroids, cb)
   }
 
+  /** Add a NEW vector batch to an existing persisted index without
+    * retraining — FAISS's train-once/add-many contract, the shape a
+    * per-crawl ingest needs (retraining k-means and codebooks per batch
+    * wastes the dominant cost and would silently re-shuffle every old
+    * vector's cell). The existing centroids place the batch (map-stage
+    * assignCells), the existing codebooks encode it (map-stage encode),
+    * and both cell-partitioned stores APPEND — dynamic partition
+    * overwrite is off, so old files are untouched and a probe sees old
+    * and new vectors in the same cell layout. Caller owns vec_id
+    * uniqueness across batches (as with any append store).
+    */
+  def addToPqIndex(newBatch: DataFrame, indexDir: String): Unit = {
+    val spark = newBatch.sparkSession
+    val idx = loadPqIndex(spark, indexDir)
+    val centroids = idx.centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    require(centroids.nonEmpty,
+      s"$indexDir has no centroids — build the index before updating it")
+    val assigned = VectorOps.assignCells(newBatch, centroids)
+      .select(col("vec_id"), col("cell"))
+    newBatch.join(assigned, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+    encode(newBatch, idx.codebooks).join(assigned, "vec_id")
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
   /** Probe the persisted IVF-PQ index: no k-means, no codebook training,
     * no base-corpus access at query time. The probed cell ids (≤ nq ×
     * nprobe distinct, bounded by k) collect to the driver so BOTH scans

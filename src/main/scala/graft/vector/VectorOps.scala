@@ -258,36 +258,40 @@ object VectorOps {
       return (c.select(col("vec_id"), lit(0L).as("cell")).limit(0), centroidsDf)
     }
     val dim = centroids.head._2.size
-    // Assignment is a PURE MAP STAGE: the centroids are driver-side
-    // literals, so the argmax over k cells is a single projection —
-    // `greatest` over k (sim, -cell, cell) structs picks the
-    // lexicographic max, i.e. best sim with ties to the lowest cell id,
-    // exactly the old max_by ordering. No crossJoin, no shuffle: at
-    // 100 TB the corpus never leaves its scan stage to get a cell id
-    // (the previous max_by form shuffled every embedding once per
-    // assignment pass). Cosine argmax = dot-product argmax against
-    // NORM-SCALED centroids (the row's own norm is constant across k),
-    // via the same codegen'd DotProductConst the LSH path batches 64-at-
-    // a-time, so k ≤ ~64 loops stay inside one whole-stage-codegen
-    // projection.
-    def assign(df: DataFrame): DataFrame = {
-      val scaled = centroids.map { case (cell, ct) =>
-        val nrm = math.sqrt(ct.map(x => x * x).sum)
-        (cell, if (nrm == 0.0) ct.toArray else ct.map(_ / nrm).toArray)
-      }
-      val cands = scaled.map { case (cell, ct) =>
-        struct(
-          graft.functions.DotProductConst.dotConst(col("embedding"), ct).as("sim"),
-          lit(-cell).as("negc"), lit(cell).as("cell"))
-      }
-      val best = if (cands.size == 1) cands.head else greatest(cands: _*)
-      df.select(col("vec_id"), col("embedding"),
-        best.getField("cell").as("cell"))
-    }
+    def assign(df: DataFrame): DataFrame = assignCells(df, centroids)
     for (_ <- 1 to iters)
       centroids = toLocal(cellCentroids(assign(train), dim))
     train.unpersist(blocking = false)
     (assign(c).select(col("vec_id"), col("cell")), centroidsDf)
+  }
+
+  /** Nearest-centroid cell assignment as a PURE MAP STAGE: the
+    * centroids are driver-side literals, so the argmax over k cells is
+    * a single projection — `greatest` over k (sim, -cell, cell) structs
+    * picks the lexicographic max, i.e. best sim with ties to the lowest
+    * cell id, exactly the old max_by ordering. No crossJoin, no
+    * shuffle: at 100 TB the corpus never leaves its scan stage to get a
+    * cell id (the previous max_by form shuffled every embedding once
+    * per assignment pass). Cosine argmax = dot-product argmax against
+    * NORM-SCALED centroids (the row's own norm is constant across k),
+    * via the same codegen'd DotProductConst the LSH path batches
+    * 64-at-a-time, so k ≤ ~64 loops stay inside one whole-stage-codegen
+    * projection. Public so `ann_index_update` can place NEW batches
+    * into an existing index's cells without retraining.
+    */
+  def assignCells(df: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val scaled = centroids.map { case (cell, ct) =>
+      val nrm = math.sqrt(ct.map(x => x * x).sum)
+      (cell, if (nrm == 0.0) ct.toArray else ct.map(_ / nrm).toArray)
+    }
+    val cands = scaled.map { case (cell, ct) =>
+      struct(
+        graft.functions.DotProductConst.dotConst(col("embedding"), ct).as("sim"),
+        lit(-cell).as("negc"), lit(cell).as("cell"))
+    }
+    val best = if (cands.size == 1) cands.head else greatest(cands: _*)
+    df.select(col("vec_id"), col("embedding"),
+      best.getField("cell").as("cell"))
   }
 
   /** IVF probe against prebuilt cells: query probes its `nprobe`

@@ -499,6 +499,36 @@ class JobsE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("ann_index_update appends a new batch into existing cells without retrain") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+    assume(sfDir.isDefined)
+    val dir = java.nio.file.Files.createTempDirectory("annupd").toString
+    val emb = spark.read.parquet(s"${sfDir.get}/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/batch1")
+    emb.filter(col("vec_id") % 2 =!= 0).write.parquet(s"$dir/batch2")
+    JobRunner.run(spark, JobCli("ann_index_build", s"$dir/batch1", s"$dir/idx"))
+    val centroidsBefore = spark.read.parquet(s"$dir/idx/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    JobRunner.run(spark, JobCli("ann_index_update", s"$dir/batch2", s"$dir/upd",
+      addInputs = Seq(s"$dir/idx")))
+    // centroids and codebooks untouched; stores now hold both batches
+    val centroidsAfter = spark.read.parquet(s"$dir/idx/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(centroidsAfter == centroidsBefore)
+    assert(spark.read.parquet(s"$dir/idx/vectors").count() == emb.count())
+    assert(spark.read.parquet(s"$dir/idx/codes").count() == emb.count())
+    // a probe now surfaces odd (new-batch) neighbors too
+    emb.filter(col("vec_id") < 3).write.parquet(s"$dir/queries")
+    JobRunner.run(spark, JobCli("ann_index_probe", s"$dir/queries", s"$dir/out",
+      addInputs = Seq(s"$dir/idx")))
+    val topk = spark.read.parquet(s"$dir/out/topk").collect()
+    assert(topk.groupBy(_.getLong(0)).values.forall(_.length == 10))
+    assert(topk.exists(_.getLong(1) % 2 != 0),
+      "no new-batch vector ever surfaced in any top-10")
+  }
+
   test("sitemaps job: list concat across hosts for one sitemap URL") {
     import spark.implicits._
     val r1 = Fixtures.robots("https://a.example.com/robots.txt",
