@@ -176,8 +176,7 @@ object PqOps {
     val scored = codes.crossJoin(broadcast(luts.select(col("q_id"), col("lut"))))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        expr("aggregate(zip_with(lut, codes, (l, c) -> l[c]), 0D, (acc, x) -> acc + x)")
-          .as("adc"))
+        graft.functions.AdcScore.adcScore(col("lut"), col("codes")).as("adc"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
     val cand = scored.withColumn("r", row_number().over(w)).filter(col("r") <= rerank)
       .select(col("q_id"), col("vec_id"))
@@ -241,8 +240,7 @@ object PqOps {
     val scored = codes.join(broadcast(cells.join(luts.select(col("q_id"), col("lut")), "q_id")), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        expr("aggregate(zip_with(lut, codes, (l, c) -> l[c]), 0D, (acc, x) -> acc + x)")
-          .as("adc"))
+        graft.functions.AdcScore.adcScore(col("lut"), col("codes")).as("adc"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
     val cand = scored.withColumn("r", row_number().over(w)).filter(col("r") <= rerank)
       .select(col("q_id"), col("vec_id"))
@@ -358,8 +356,7 @@ object PqOps {
       .join(broadcast(cells.join(luts.select(col("q_id"), col("lut")), "q_id")), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        expr("aggregate(zip_with(lut, codes, (l, c) -> l[c]), 0D, (acc, x) -> acc + x)")
-          .as("adc"))
+        graft.functions.AdcScore.adcScore(col("lut"), col("codes")).as("adc"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
     val cand = scored.withColumn("r", row_number().over(w)).filter(col("r") <= rerank)
       .select(col("q_id"), col("vec_id"))

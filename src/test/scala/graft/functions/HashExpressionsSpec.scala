@@ -107,6 +107,28 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(out(1).getSeq[Long](0).length == 2) // windows at 0,1
   }
 
+  test("AdcScore ≡ aggregate(zip_with(lut, codes, (l,c) -> l[c])) incl. edges") {
+    val df = Seq(
+      (1L, Seq(Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 30.0)), Seq(0, 2)),   // 1+30
+      (2L, Seq(Seq(1.5, -2.5), Seq(0.5, 4.5)), Seq(1, 1)),               // -2.5+4.5
+      (3L, Seq(Seq(1.0), Seq(2.0), Seq(3.0)), Seq(0, 0)),                // lut longer
+      (4L, Seq(Seq(1.0, 2.0)), Seq(0, 1)),                               // codes longer
+      (5L, Seq.empty[Seq[Double]], Seq.empty[Int]))                      // both empty
+      .toDF("id", "lut", "codes")
+    val out = df.select(col("id"),
+      graft.functions.AdcScore.adcScore(col("lut"), col("codes")).as("native"),
+      expr("aggregate(zip_with(lut, codes, (l, c) -> l[c]), 0D, (acc, x) -> acc + x)")
+        .as("hof")).orderBy("id").collect()
+    // rows 1-2: plain agreement on well-formed inputs
+    assert(out(0).getDouble(1) == 31.0 && out(1).getDouble(1) == 2.0)
+    out.take(2).foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+    // length mismatch: zip_with pads with null → HOF yields null; the
+    // native form scores the common prefix (documented contract)
+    assert(out(2).getDouble(1) == 3.0)  // 1.0 + 2.0
+    assert(out(3).getDouble(1) == 1.0)  // only subspace 0
+    assert(out(4).getDouble(1) == 0.0)
+  }
+
   test("LongWindowHashesAll: position order, repeats kept, empty when short") {
     val df = Seq(
       (1L, Seq(7L, 8L, 7L, 8L, 7L, 8L)), // window (7,8,7) repeats at 0 and 2
