@@ -322,30 +322,38 @@ object Dedup {
     // Shingles join/aggregate on their 64-bit hash (the Decontam seam:
     // Spark works in hashes, the oracle in strings — identical results
     // short of an xxhash64 collision): 8-byte shuffle keys instead of
-    // ~25-byte strings. The shingle subplan has four consumers (df agg,
-    // semi join, two pair-join sides); at test SF AQE broadcasts the
-    // small sides and recomputing the cheap scan is faster than forcing
-    // one exchange, but at 100 TB a production run materializes the
-    // capped table once (persist-to-disk or a checkpoint table — the S12
-    // pattern) so tokenize+shingle is paid once, not per consumer. The
-    // registered query deliberately carries no cached state: a persist
-    // inside the query would make bench medians measure the cache.
+    // ~25-byte strings. ONE corpus scan, ONE corpus-wide shuffle: the
+    // per-shingle doc list is gathered by `bounded_long_collect` — whose
+    // aggregation state is capped at maxDf longs even on a boilerplate
+    // shingle shared by millions of docs (the executor-OOM case plain
+    // collect_list+HAVING hits) — and over-cap shingles become NULL,
+    // exactly the rows the old df-filter semi join dropped. Both the
+    // per-doc size aggregate and the i<j pair expansion then derive from
+    // that small grouped table (Exchange reuse: the tokenize+shingle map
+    // stage is paid once), where the previous formulation re-ran the
+    // corpus scan for the df agg, the semi join, and BOTH pair-join
+    // sides. Pair fan-out is bounded at maxDf²/2 per shingle by
+    // construction; the collected array comes back sorted, so expansion
+    // yields id1 < id2 with no filter.
     val sh = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(array_distinct(
-        expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> " +
-          s"xxhash64(concat_ws(' ', slice(toks, i, $n))))"))).as("s"))
-      .repartition(col("s"))
-    val capped = sh.join(
-      sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("s")),
-      Seq("s"), "left_semi")
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = capped.select(col("s"), col("doc_id").as("id1"))
-      .join(capped.select(col("s"), col("doc_id").as("id2")), "s")
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes.longWindowHashes(col("th"), n)).as("s"))
+    val grouped = sh.groupBy(col("s"))
+      .agg(graft.functions.BoundedLongCollect.boundedCollect(col("doc_id"), maxDf)
+        .as("ids"))
+      .filter(col("ids").isNotNull)
+    val sizes = grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = grouped
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "y -> named_struct('id1', x, 'id2', y))))")).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
       .join(sizes.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")

@@ -107,6 +107,33 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(out(1).getSeq[Long](0).length == 2) // windows at 0,1
   }
 
+  test("BoundedLongCollect: sorted collect, cap → NULL, null-skip, cross-partition merge") {
+    // 10 partitions force partial-buffer merges through serialize/deserialize
+    val rows: Seq[(Long, java.lang.Long)] =
+      (1L to 150L).map(i => (i % 7, java.lang.Long.valueOf(i))) :+
+        (0L, null.asInstanceOf[java.lang.Long])
+    val df = rows.toDF("k", "v").repartition(10)
+    val out = df.groupBy(col("k"))
+      .agg(BoundedLongCollect.boundedCollect(col("v"), 25).as("ids"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    // groups 1..6 have 21-22 members ≤ 25 → sorted arrays; group 0 has 21 non-null
+    (0L to 6L).foreach { k =>
+      val expect = (1L to 150L).filter(_ % 7 == k).sorted
+      assert(out(k).get == expect, s"group $k")
+    }
+    // same data, cap below the group size → every group NULL
+    val capped = df.groupBy(col("k"))
+      .agg(BoundedLongCollect.boundedCollect(col("v"), 20).as("ids"))
+      .collect().map(r => Option(r.get(1)))
+    assert(capped.forall(_.isEmpty))
+    // cap exactly at group size keeps the group (> limit drops, == keeps)
+    val exact = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("k", "v").repartition(3)
+      .groupBy(col("k"))
+      .agg(BoundedLongCollect.boundedCollect(col("v"), 3).as("ids"))
+      .collect()
+    assert(exact.head.getSeq[Long](1) == Seq(1L, 2L, 3L))
+  }
+
   test("AdcScore ≡ aggregate(zip_with(lut, codes, (l,c) -> l[c])) incl. edges") {
     val df = Seq(
       (1L, Seq(Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 30.0)), Seq(0, 2)),   // 1+30
