@@ -187,21 +187,29 @@ object Dedup {
     var labels = ckpt.next(
       edges.select(col("a").as("node")).distinct()
         .withColumn("label", col("node")))
-    var changed = 1L
+    // Convergence check WITHOUT a new-vs-old join: the union below keeps
+    // each node's current label in the min, so labels only ever
+    // decrease; the fixpoint is reached exactly when the label-sum stops
+    // moving. Exact decimal sum (no long overflow at web-scale ids, no
+    // float order-dependence), read from the just-written checkpoint —
+    // this replaces the old per-round (neighborMin ⋈ labels) shuffle
+    // whose only purpose was computing a changed-row count.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIters) {
-      val neighborMin = edges
+    while (!converged && i < maxIters) {
+      labels = ckpt.next(edges
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .select(col("a").as("node"), col("label"))
         .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("new_label"))
-      val joined = neighborMin
-        .join(labels.withColumnRenamed("label", "old_label"), "node")
-        .select(col("node"), col("new_label").as("label"),
-          (col("new_label") < col("old_label")).as("chg"))
-      val next = ckpt.next(joined)
-      changed = next.filter(col("chg")).count()
-      labels = next.select(col("node"), col("label"))
+        .groupBy(col("node")).agg(min(col("label")).as("label")))
+      val s = labelSum(labels)
+      converged = (s == null && prevSum == null) ||
+        (s != null && prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
       i += 1
     }
     // the returned labels read from the last checkpoint, not the edge
