@@ -57,6 +57,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("nfc_normalize", "nfc_normalize(string) - Unicode NFC canonical composition"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
 
+    ext.injectFunction((FunctionIdentifier("long_window_hashes_all"),
+      info("long_window_hashes_all",
+        "long_window_hashes_all(array<bigint>, w) - xxh64 of every w-window in position order"),
+      (exprs: Seq[Expression]) =>
+        LongWindowHashesAll(exprs(0), intArg(exprs(1), "long_window_hashes_all"))))
+
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(string, k, w) - winnowing fingerprints (per-window min k-gram hash)"),
+      (exprs: Seq[Expression]) =>
+        WinnowFingerprints(exprs(0), intArg(exprs(1), "winnow_fingerprints"),
+          intArg(exprs(2), "winnow_fingerprints"))))
+
+    ext.injectFunction((FunctionIdentifier("adc_score"),
+      info("adc_score",
+        "adc_score(array<array<double>>, array<int>) - PQ asymmetric-distance score Σ lut[m][code[m]]"),
+      (exprs: Seq[Expression]) => AdcScore(exprs(0), exprs(1))))
+
+    ext.injectFunction((FunctionIdentifier("bounded_long_collect"),
+      info("bounded_long_collect",
+        "bounded_long_collect(bigint, limit) - sorted collect of ≤limit values, NULL past the cap"),
+      (exprs: Seq[Expression]) =>
+        BoundedLongCollect(exprs(0), intArg(exprs(1), "bounded_long_collect"))))
+
     // optimizer leg: the canonical regex tokenizer pattern silently
     // becomes the native byte-scan kernel (graft.plans.TokenizeRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TokenizeRewrite)

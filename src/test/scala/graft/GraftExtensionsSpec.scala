@@ -47,6 +47,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getString(6) == "caf\u00e9")
   }
 
+  test("round-6 kernels resolve from SQL: windows-all, winnow, adc, bounded collect") {
+    val row = spark.sql(
+      """SELECT
+        |  long_window_hashes_all(array(1L, 2L, 1L, 2L), 2) AS wall,
+        |  size(winnow_fingerprints('abcdefghij', 3, 4)) AS fps,
+        |  adc_score(array(array(1.0D, 2.0D), array(10.0D, 20.0D)), array(1, 0)) AS adc
+        |""".stripMargin).head()
+    // windows (1,2),(2,1),(1,2) in position order — repeats kept
+    val wall = row.getSeq[Long](0)
+    assert(wall.length == 3 && wall(0) == wall(2) && wall(0) != wall(1))
+    assert(row.getInt(1) >= 1)
+    assert(row.getDouble(2) == 12.0)
+    val agg = spark.sql(
+      """SELECT k, bounded_long_collect(v, 2) AS ids
+        |FROM VALUES (1, 10L), (1, 5L), (2, 1L), (2, 2L), (2, 3L) AS t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(agg(0).getSeq[Long](1) == Seq(5L, 10L))   // sorted
+    assert(agg(1).isNullAt(1))                        // 3 > cap 2 → NULL
+  }
+
   test("optimizer rewrites the canonical regex tokenizer to ascii_tokens") {
     val df = spark.sql(
       """SELECT size(regexp_extract_all(lower(concat('Hello World ', id)), '[a-z0-9]+', 0)) AS n
