@@ -28,7 +28,7 @@ object SparkEntry {
       vector.SemDedup.all ++
       media.MediaOps.all ++
       streaming.StreamQueries.all ++
-      Seq(jobs.HostRank.hostRank)
+      Seq(jobs.HostRank.hostRank, jobs.HostRank.graphHits)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

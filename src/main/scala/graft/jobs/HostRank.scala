@@ -63,6 +63,43 @@ object HostRank {
     ranks
   }
 
+  /** HITS hubs/authorities (Kleinberg 1999) — the other classic webgraph
+    * rank the host-link tables feed. Power iteration WITHOUT per-round
+    * normalization: a_k = Aᵀh_{k-1}, h_k = A·a_k keeps every score an
+    * exact INTEGER (sums of 1s), so three rounds are bit-identical in
+    * any engine and the single final normalization is one deterministic
+    * decimal→double cast. Scores accumulate in DECIMAL(38,0): at the
+    * bench graph h_3 tops out ~1e23, and the 38-digit headroom covers
+    * ~1000× that; a longer-horizon production run would switch to
+    * per-round L1 normalization (the pagerank float shape) instead.
+    * Same per-round plan as pageRank: one join keyed on the edge source,
+    * one aggregation keyed on the target — shuffles scale with edges.
+    */
+  def hits(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = edges0.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges0.select(col("s"), col("t")).dropDuplicates().cache()
+    val ckpt = new graft.util.Checkpoints.IterationCheckpointer(
+      interval = spark.conf.getOption("spark.graft.checkpointInterval")
+        .map(_.toInt).getOrElse(1))
+    var h = ckpt.next(
+      e.select(col("s").as("node")).union(e.select(col("t").as("node")))
+        .distinct().withColumn("h", lit(1).cast(dec)))
+    var auth = h.select(col("node"), col("h").as("a")).limit(0)
+    for (_ <- 1 to iters) {
+      auth = ckpt.next(
+        e.join(h.select(col("node").as("s"), col("h")), "s")
+          .groupBy(col("t").as("node"))
+          .agg(sum(col("h")).cast(dec).as("a")))
+      h = ckpt.next(
+        e.join(auth.select(col("node").as("t"), col("a")), "t")
+          .groupBy(col("s").as("node"))
+          .agg(sum(col("a")).cast(dec).as("h")))
+    }
+    e.unpersist(blocking = false)
+    auth
+  }
+
   /** Registered query: rank the customer→supplier order graph (a stand-in
     * host graph derived from the test tables), top 20.
     */
@@ -115,5 +152,56 @@ object HostRank {
       SELECT CASE WHEN node < 1000000 THEN 'c' || CAST(node AS VARCHAR)
                   ELSE 's' || CAST(node - 1000000 AS VARCHAR) END AS node,
              round(rank, 6) AS rank
+      FROM final"""))
+
+  /** Registered query: top-20 authorities of the same order graph. The
+    * DuckDB mirror carries h through the recursive CTE (iteration k's
+    * working table is exactly h_k) and computes a_3 = Aᵀh_2 outside it;
+    * all sums are exact decimal so the hash compare is over identical
+    * integers, normalized by one final decimal→double division on both
+    * engines.
+    */
+  val graphHits: QueryDef = QueryDef(
+    "graph_hits",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("s"), (col("l_suppkey") + 1000000L).as("t"))
+      val auth = hits(edges, iters = 3)
+      val tot = auth.agg(sum(col("a")).as("tot"))
+      auth.orderBy(col("a").desc, col("node")).limit(20)
+        .crossJoin(broadcast(tot))
+        .select(
+          when(col("node") < 1000000L, concat(lit("c"), col("node")))
+            .otherwise(concat(lit("s"), col("node") - 1000000L)).as("node"),
+          round(col("a").cast("double") / col("tot").cast("double"), 6)
+            .as("authority"))
+    },
+    Some("""WITH RECURSIVE
+      edges AS (SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS t
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT s AS node FROM edges UNION ALL SELECT t AS node FROM edges)),
+      hh(iter, node, h) AS (
+        SELECT 0, node, CAST(1 AS DECIMAL(38,0)) FROM nodes
+        UNION ALL
+        SELECT p.iter + 1, p.node,
+          CAST(coalesce((SELECT SUM(x.a) FROM
+            (SELECT e.t AS tt, SUM(c.h) AS a FROM hh c
+             JOIN edges e ON e.s = c.node GROUP BY e.t) x
+            JOIN edges e2 ON e2.t = x.tt
+            WHERE e2.s = p.node), 0) AS DECIMAL(38,0))
+        FROM hh p WHERE p.iter < 2
+      ),
+      auth AS (SELECT e.t AS node, CAST(SUM(c.h) AS DECIMAL(38,0)) AS a
+               FROM hh c JOIN edges e ON e.s = c.node
+               WHERE c.iter = 2 GROUP BY e.t),
+      tot AS (SELECT SUM(a) AS tot FROM auth),
+      final AS (SELECT node, a FROM auth ORDER BY a DESC, node LIMIT 20)
+      SELECT CASE WHEN node < 1000000 THEN 'c' || CAST(node AS VARCHAR)
+                  ELSE 's' || CAST(node - 1000000 AS VARCHAR) END AS node,
+             round(CAST(a AS DOUBLE) / (SELECT CAST(tot AS DOUBLE) FROM tot), 6)
+               AS authority
       FROM final"""))
 }

@@ -69,7 +69,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // two 1-row min/max-ts stats aggregates (constant-key join folds to
     // NLJ) onto the 50-row interval table and the event stream; the
     // actual interval×event join is the keyed bucket equi-join
-    "j7_range_join")
+    "j7_range_join",
+    // the 1-row authority-total aggregate crossJoined onto the 20-row
+    // top-k for the final normalization (the pagerank dangling-mass
+    // shape); every per-round HITS join is keyed on node ids
+    "graph_hits")
 
   /** Global (empty-partition) windows that are single-partition BY
     * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID
