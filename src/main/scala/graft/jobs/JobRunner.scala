@@ -33,7 +33,8 @@ final case class JobCli(
     outputShards: Option[Int] = None,
     badwords: Seq[String] = Nil,
     minEntropy: Option[Double] = None,
-    maxDupFrac: Option[Double] = None) {
+    maxDupFrac: Option[Double] = None,
+    mainContent: Boolean = false) {
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
     outputFormat, outputCompression, outputOptions, outputBucketBy)
@@ -60,7 +61,8 @@ object JobCli {
       |  job ∈ server_count | html_tag_count | server_ip | word_count |
       |        sitemaps | extract_host_links | host_graph | wet_extract |
       |        stream_windows | md5sum | warc_to_parquet | index_build |
-      |        index_export | index_word_count | warc_to_documents | curate |
+      |        index_export | index_word_count |
+      |        warc_to_documents (--main_content: boilerplate removal) | curate |
       |        dedup_index_build | dedup_index_probe (--add_input INDEX_DIR) |
       |        bm25_index_build | bm25_index_probe (--query t1,t2) |
       |        crawl_diff (--add_input SNAPSHOT_B)
@@ -123,6 +125,7 @@ object JobCli {
           value.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
         case "--min_entropy"   => cli = cli.copy(minEntropy = Some(value.toDouble))
         case "--max_dup_frac"  => cli = cli.copy(maxDupFrac = Some(value.toDouble))
+        case "--main_content"  => cli = cli.copy(mainContent = true)
         case "--stream_mode" =>
           val m = value
           require(m == "complete" || m == "append",
@@ -254,7 +257,8 @@ object JobRunner {
           records.flatMap { case (path, rec) =>
             for {
               url <- rec.targetUri
-              text <- graft.ops.Extractors.htmlToText(rec)
+              text <- graft.ops.Extractors.htmlToText(rec,
+                mainOnly = cli.mainContent)
               t = text.trim if t.nonEmpty
             } yield {
               processed.add(1)

@@ -216,12 +216,14 @@ object Extractors {
 
   // ---- P7 composition: HTML response → plain text ----
 
-  def htmlToText(r: WarcRecord, declaredCharset: Option[String] = None): Option[String] = {
+  def htmlToText(r: WarcRecord, declaredCharset: Option[String] = None,
+                 mainOnly: Boolean = false): Option[String] = {
     if (!Predicates.isResponse(r) || !Predicates.isHtml(r)) return None
     val cs = declaredCharset
       .orElse(r.headers.get("WARC-Identified-Content-Charset"))
       .orElse(r.http.flatMap(_.header("Content-Type"))
         .flatMap(ct => """charset=([\w\-]+)""".r.findFirstMatchIn(ct).map(_.group(1))))
-    Some(HtmlText.extractText(HtmlText.decode(r.contentBytes, cs)))
+    val html = HtmlText.decode(r.contentBytes, cs)
+    Some(if (mainOnly) HtmlText.mainContent(html) else HtmlText.extractText(html))
   }
 }

@@ -107,6 +107,109 @@ object HtmlText {
 
   private def normalizeWs(s: String): String =
     s.replaceAll("[\\s\\u00a0]+", " ").trim
+
+  private val BlockTags = Set(
+    "p", "div", "td", "th", "li", "dd", "dt", "h1", "h2", "h3", "h4", "h5",
+    "h6", "br", "tr", "table", "ul", "ol", "blockquote", "article", "section",
+    "main", "body", "form", "pre", "figcaption", "summary", "details")
+
+  /** Containers that are boilerplate by role; Readability's
+    * "unlikely candidates".
+    */
+  private val DropContainers = Set("nav", "footer", "header", "aside")
+
+  /** Main-content extraction (boilerplate removal) — the jusText /
+    * Boilerpipe recipe (Pomikálek 2011; Kohlschütter et al. 2010)
+    * distilled to its two load-bearing signals, dependency-free and
+    * deterministic:
+    *
+    *   1. segment at block-level tags (the scanner flushes a block at
+    *      every BlockTags boundary);
+    *   2. keep a block iff it has ≥ `minWords` words AND its link
+    *      density (chars inside <a> ÷ block chars) ≤ `maxLinkDensity`;
+    *      blocks anywhere inside nav/footer/header/aside are dropped
+    *      outright.
+    *
+    * Navigation bars and link farms fail the density rule, copyright
+    * lines and button labels fail the word floor, and role-tagged
+    * chrome never reaches scoring. Same single-pass scanner as
+    * extractText (script/style bodies skipped via literal closing-tag
+    * search); an unclosed drop-container swallows the remainder of the
+    * document — the precision-over-recall trade the published
+    * heuristics make. Kept blocks join with '\n' so downstream
+    * line-oriented quality rules (Gopher dup-line, bullet ratios) see
+    * real block structure.
+    */
+  def mainContent(html: String, minWords: Int = 10,
+                  maxLinkDensity: Double = 0.33): String = {
+    val lower = html.toLowerCase
+    val out = new scala.collection.mutable.ArrayBuffer[String]
+    val sb = new java.lang.StringBuilder(256)
+    var anchorChars = 0
+    var anchorDepth = 0
+    var dropDepth = 0
+    def flush(): Unit = {
+      if (sb.length > 0) {
+        val raw = sb.toString
+        val text = normalizeWs(Entities.decode(raw))
+        if (text.nonEmpty && dropDepth == 0) {
+          val words = text.split(' ').length
+          val ld = anchorChars.toDouble / math.max(raw.trim.length, 1)
+          if (words >= minWords && ld <= maxLinkDensity) out += text
+        }
+        sb.setLength(0)
+      }
+      anchorChars = 0
+    }
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          sb.append(' ')
+          i = if (end < 0) n else end + 3
+        } else {
+          val end = html.indexOf('>', i + 1)
+          if (end < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, end).trim
+            val isClose = inner.startsWith("/")
+            val name = inner.dropWhile(_ == '/')
+              .takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+            if (!isClose && SkipTags.contains(name) && !inner.endsWith("/")) {
+              val close = lower.indexOf("</" + name, end + 1)
+              if (close < 0) i = n
+              else {
+                val closeEnd = html.indexOf('>', close)
+                i = if (closeEnd < 0) n else closeEnd + 1
+              }
+            } else {
+              if (DropContainers.contains(name)) {
+                flush()
+                if (isClose) dropDepth = math.max(0, dropDepth - 1)
+                else if (!inner.endsWith("/")) dropDepth += 1
+              } else if (name == "a") {
+                if (isClose) anchorDepth = math.max(0, anchorDepth - 1)
+                else if (!inner.endsWith("/")) anchorDepth += 1
+              } else if (BlockTags.contains(name)) {
+                flush()
+              }
+              i = end + 1
+            }
+            sb.append(' ')
+          }
+        }
+      } else {
+        sb.append(c)
+        if (anchorDepth > 0 && !Character.isWhitespace(c)) anchorChars += 1
+        i += 1
+      }
+    }
+    flush()
+    out.mkString("\n")
+  }
 }
 
 /** HTML entity decoding: named core set + numeric references. */

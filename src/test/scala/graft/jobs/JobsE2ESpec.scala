@@ -366,6 +366,14 @@ class JobsE2ESpec extends AnyFunSuite {
       assert(r.getAs[String]("text").nonEmpty)
       assert(r.getAs[Long]("n_chars") == r.getAs[String]("text").length.toLong)
     }
+    // --main_content applies the boilerplate-removal extractor: still the
+    // documents-table shape, never MORE text than the full extraction
+    // (HtmlTextSpec covers the block-classification semantics)
+    JobRunner.run(spark, JobCli("warc_to_documents", manifest, s"$dir/docs_main",
+      outParts = 1, mainContent = true))
+    val mainDocs = spark.read.parquet(s"$dir/docs_main")
+    assert(mainDocs.columns.toSet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    assert(mainDocs.count() <= rows.length)
     // doc_id is deterministic across re-runs (stable dedup decisions)
     JobRunner.run(spark, JobCli("warc_to_documents", manifest, s"$dir/docs2", outParts = 1))
     val ids1 = rows.map(_.getAs[Long]("doc_id")).sorted.toSeq
