@@ -74,4 +74,29 @@ class DedupScaleSpec extends AnyFunSuite {
     val maxEmb = emb.agg(max(col("count"))).head().getLong(0)
     assert(maxEmb <= 64, s"sf embedding bucket wider than cap: $maxEmb")
   }
+
+  test("exact jaccard plans ONE corpus scan and no window") {
+    val dir = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.001")
+      .find(d => new java.io.File(d).exists())
+    assume(dir.isDefined)
+    val docs = spark.read.parquet(s"${dir.get}/documents.parquet")
+    // AQE wraps the tree in AdaptiveSparkPlanExec; audit the static plan
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Dedup.jaccardExactPairs(docs).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+    // the bounded-collect rewrite's whole point: tokenize+shingle runs in
+    // exactly one scan stage (the old df-agg/semi-join/two-join-sides
+    // shape re-scanned the corpus four times), and the skew cap acts in
+    // the aggregation, never via a window sort
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected 1 corpus scan, got ${scans.size}:\n$plan")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"window in the capping path:\n$plan")
+  }
 }
