@@ -1,6 +1,6 @@
 package graft.jobs
 
-import graft.ops.{Extractors, WatLinks}
+import graft.ops.{Extractors, SurtHost, WatLinks}
 import graft.warc.{Predicates, WarcRecord, WarcSource}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -48,6 +48,27 @@ object WordCountJob {
       .toDF("word", "tf", "df")
       .groupBy("word")
       .agg(struct(sum("tf").as("tf"), sum("df").as("df")).as("val"))
+  }
+}
+
+/** Anchor-text corpus: link text aggregated per TARGET — the free
+  * query/description training signal web graphs carry (anchor text
+  * describes the page it points to; the ORCAS-style recipe). One
+  * flatMap over the archive, one keyed aggregation; the per-target
+  * SURT host rides along so host-level rollups need no re-parse.
+  */
+object AnchorTextJob {
+  val name = "anchor_text_corpus"
+
+  def aggregate(spark: SparkSession, records: Dataset[(String, WarcRecord)]): DataFrame = {
+    import spark.implicits._
+    records.flatMap { case (_, r) =>
+      Extractors.anchorTexts(r).flatMap { case (target, text) =>
+        SurtHost.surtHostFromUrl(target).map(h => (target, h, text))
+      }
+    }.toDF("target_url", "target_host", "anchor")
+      .groupBy("target_url", "target_host", "anchor")
+      .agg(count(lit(1)).as("n"))
   }
 }
 

@@ -59,7 +59,8 @@ object JobCli {
       |  [--validate_host_names] [--vertex_partitions N]
       |  [--vertex_ids PATH] [--add_input PATH]...
       |  job ∈ server_count | html_tag_count | server_ip | word_count |
-      |        sitemaps | extract_host_links | host_graph | wet_extract |
+      |        sitemaps | anchor_text_corpus | extract_host_links | host_graph |
+      |        wet_extract |
       |        stream_windows | md5sum | warc_to_parquet | index_build |
       |        index_export | index_word_count |
       |        warc_to_documents (--main_content: boilerplate removal) | curate |
@@ -222,6 +223,7 @@ object JobRunner {
       case "server_ip"      => ServerIpJob.aggregate(spark, records, counters)
       case "word_count"     => WordCountJob.aggregate(spark, records)
       case "sitemaps"       => SitemapsJob.aggregate(spark, records)
+      case "anchor_text_corpus" => AnchorTextJob.aggregate(spark, records)
       case "extract_host_links" => ExtractHostLinksJob.edges(spark, records, Some(counters))
       case "host_graph" =>
         val edges = spark.read.parquet(cli.input)

@@ -214,6 +214,38 @@ object Extractors {
     ((targets :+ url).distinct).iterator.map(t => (url, t))
   }
 
+  private val AnchorRe =
+    """(?is)<a\b[^>]*?\shref\s*=\s*["']?([^"'\s>]+)[^>]*>(.*?)</a>""".r
+  private val InnerTagRe = """(?s)<[^>]*>""".r
+
+  /** Anchor-text pairs of an HTML response: (resolved_target, text) for
+    * every `<a href>` with non-empty visible text — the anchor-text
+    * corpus recipe (link text describes the TARGET page, so aggregated
+    * per target it is a free query/description training signal; the
+    * ORCAS-style complement to htmlLinks' pure edges). Inner markup is
+    * stripped and entities decoded like the main text path; texts are
+    * whitespace-normalized and capped at 200 chars (longer runs are
+    * wrapped content, not anchor labels). Fragment/javascript/mailto/
+    * data targets are dropped as in htmlLinks.
+    */
+  def anchorTexts(r: WarcRecord): Iterator[(String, String)] = {
+    if (!Predicates.isResponse(r) || !Predicates.isHtml(r)) return Iterator.empty
+    val url = r.targetUri.getOrElse(return Iterator.empty)
+    val html = HtmlText.decode(r.contentBytes,
+      r.headers.get("WARC-Identified-Content-Charset"))
+    val base = BaseRe.findFirstMatchIn(html).map(_.group(1))
+      .flatMap(b => SurtHost.urlJoin(url, b)).getOrElse(url)
+    AnchorRe.findAllMatchIn(html).flatMap { m =>
+      val href = m.group(1).trim
+      val text = Entities.decode(InnerTagRe.replaceAllIn(m.group(2), " "))
+        .replaceAll("[\\s\\u00a0]+", " ").trim
+      if (href.isEmpty || href.startsWith("#") || href.startsWith("javascript:") ||
+        href.startsWith("mailto:") || href.startsWith("data:") ||
+        text.isEmpty || text.length > 200) None
+      else SurtHost.urlJoin(base, href).map(t => (t, text))
+    }
+  }
+
   // ---- P7 composition: HTML response → plain text ----
 
   def htmlToText(r: WarcRecord, declaredCharset: Option[String] = None,

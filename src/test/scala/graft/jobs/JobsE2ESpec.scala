@@ -42,6 +42,18 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(counters.recordsFailed.value == 0)
   }
 
+  test("anchor_text_corpus aggregates link text per target") {
+    val dir = java.nio.file.Files.createTempDirectory("anchor").toString
+    JobRunner.run(spark, JobCli("anchor_text_corpus", manifest, s"$dir/out", outParts = 1))
+    val rows = spark.read.parquet(s"$dir/out").collect()
+    // Fixtures.responseHtml carries <a href="/page2">link</a>
+    val hit = rows.find(_.getAs[String]("target_url") == "https://www.example.com/page2")
+    assert(hit.isDefined, s"missing anchor row in ${rows.mkString(";")}")
+    assert(hit.get.getAs[String]("anchor") == "link")
+    assert(hit.get.getAs[String]("target_host") == "com.example")
+    assert(hit.get.getAs[Long]("n") == 1L)
+  }
+
   test("WordCount aggregation: tf summed, df counts docs") {
     val records = WarcSource.fromPaths(spark, Seq(warcPath), 2)
     val df = WordCountJob.aggregate(spark, records)

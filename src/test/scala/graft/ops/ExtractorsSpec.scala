@@ -105,6 +105,30 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(!targets.exists(t => t.contains("mailto") || t.contains("#")))
   }
 
+  test("anchor texts: inner markup stripped, base resolved, junk and empties dropped") {
+    val page = Fixtures.response("https://www.links.example.com/dir/page.html",
+      ("""<html><head><base href="https://cdn.links.example.com/assets/"></head>
+        |<body><a href="https://other.example.org/x">Visit <b>Other</b> Site</a>
+        |<a href="relative.html">Rel &amp; Page</a>
+        |<a href="/abs">  spaced   words  </a>
+        |<a href="#frag">fragment text</a>
+        |<a href="mailto:a@b.c">mail me</a>
+        |<a href="empty.html"><img src="i.png"></a>
+        |<a href="long.html">""" + ("w " * 150) + """</a></body></html>""")
+        .stripMargin.getBytes("UTF-8"),
+      warcHeaders = Map("WARC-Identified-Payload-Type" -> "text/html"))
+    val pairs = Extractors.anchorTexts(page).toSeq
+    assert(pairs.contains(("https://other.example.org/x", "Visit Other Site")))
+    assert(pairs.contains(("https://cdn.links.example.com/assets/relative.html", "Rel & Page")))
+    assert(pairs.contains(("https://cdn.links.example.com/abs", "spaced words")))
+    assert(!pairs.exists(_._2 == "fragment text"))        // #fragment target
+    assert(!pairs.exists(_._2 == "mail me"))              // mailto target
+    assert(!pairs.exists(_._1.endsWith("empty.html")))    // image-only anchor
+    assert(!pairs.exists(_._1.endsWith("long.html")))     // 300-char label cap
+    // non-HTML records yield nothing
+    assert(Extractors.anchorTexts(Fixtures.responseRedirect).isEmpty)
+  }
+
   test("htmlToText end-to-end: tags stripped, entities decoded") {
     val txt = Extractors.htmlToText(Fixtures.responseHtml).get
     assert(txt.contains("Hello é"))
