@@ -188,6 +188,35 @@ object Extractors {
     out.result().iterator
   }
 
+  /** RFC 9309 rule evaluation over parsed robots rules — the decision
+    * side of the crawl-policy signal (robotsRules is the parse side):
+    * the crawler's group is the agent's own rules if any exist, else the
+    * `*` group; within the group the LONGEST matching path pattern wins,
+    * allow beating disallow on ties; no match (or an empty-path
+    * Disallow) means allowed. Patterns support the REP `*` wildcard and
+    * `$` end anchor; an unanchored pattern matches any path it prefixes.
+    */
+  def robotsAllowed(rules: Seq[RobotsRule], agent: String, path: String): Boolean = {
+    val al = agent.toLowerCase
+    val ad = rules.filter(r => r.directive == "allow" || r.directive == "disallow")
+    val mine = ad.filter(_.agent == al)
+    val eff = if (mine.nonEmpty) mine else ad.filter(_.agent == "*")
+    val matching = eff.filter(r => r.path.nonEmpty && robotsPathMatches(r.path, path))
+    if (matching.isEmpty) true
+    else {
+      val best = matching.maxBy(r => (r.path.length, r.directive == "allow"))
+      best.directive == "allow"
+    }
+  }
+
+  private def robotsPathMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val rx = pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*") +
+      (if (anchored) "" else ".*")
+    path.matches(rx)
+  }
+
   // ---- HTML link extraction from raw responses (href/src + <base>),
   //      so plain WARC inputs feed the host graph like WAT does ----
 

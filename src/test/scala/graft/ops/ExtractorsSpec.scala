@@ -85,6 +85,34 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(!rules.exists(r => r.agent == "googlebot" && r.path == "/private"))
   }
 
+  test("robotsAllowed: RFC 9309 longest-match, wildcards, anchors, agent groups") {
+    import Extractors.{RobotsRule => R, robotsAllowed => allowed}
+    val h = "h"
+    val rules = Seq(
+      R(h, "*", "disallow", "/foo"),
+      R(h, "*", "allow", "/foo/bar"),
+      R(h, "*", "disallow", "/*.php$"),
+      R(h, "*", "disallow", "/tmp/*"),
+      R(h, "specialbot", "disallow", "/"))
+    // prefix match and longest-match-wins
+    assert(!allowed(rules, "anybot", "/foo/baz"))
+    assert(allowed(rules, "anybot", "/foo/bar/deep"))   // allow /foo/bar longer than /foo
+    // wildcard and $ anchor
+    assert(!allowed(rules, "anybot", "/index.php"))
+    assert(allowed(rules, "anybot", "/index.php?x=1"))  // $ anchored, query breaks it
+    assert(!allowed(rules, "anybot", "/tmp/scratch/a"))
+    // no matching rule → allowed
+    assert(allowed(rules, "anybot", "/open"))
+    // agent-specific group REPLACES the * group entirely
+    assert(!allowed(rules, "SpecialBot", "/open"))
+    // tie between allow and disallow of equal length → allow wins
+    val tie = Seq(R(h, "*", "allow", "/p"), R(h, "*", "disallow", "/p"))
+    assert(allowed(tie, "x", "/p/q"))
+    // empty rule set and empty-path disallow → allowed
+    assert(allowed(Nil, "x", "/anything"))
+    assert(allowed(Seq(R(h, "*", "disallow", "")), "x", "/anything"))
+  }
+
   test("html links: href/src extracted, base honored, junk filtered") {
     val page = Fixtures.response("https://www.links.example.com/dir/page.html",
       ("""<html><head><base href="https://cdn.links.example.com/assets/">
