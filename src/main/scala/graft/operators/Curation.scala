@@ -555,26 +555,34 @@ object Curation {
     * overlap is a special case; shingle overlap also surfaces templated
     * boilerplate and partial copies).
     *
-    * Scale shape: each side reduces to DISTINCT (source, shingle-hash)
-    * rows — one hash aggregation, no doc×doc pairs ever form. The
-    * shingle self-join fans out per shingle to at most |sources| rows
-    * (a boilerplate shingle present in every source costs |sources|²
-    * pair rows for that one key, bounded by construction since
-    * |sources| is small and fixed); the pair aggregation is keyed on
-    * (s1, s2) with map-side partial aggregation. Output is one row per
-    * overlapping pair — O(|sources|²) regardless of corpus size.
+    * Scale shape: ONE corpus scan and ONE corpus-wide shuffle — each
+    * shingle's source set is gathered by collect_set, whose per-group
+    * state is naturally bounded at |sources| (small and fixed), and
+    * both the per-source sizes and the sorted s1<s2 pair expansion
+    * derive from that small grouped table. No doc×doc pairs ever form;
+    * a boilerplate shingle present in every source costs one
+    * |sources|-element set and ≤|sources|²/2 expanded pair rows. The
+    * previous distinct-then-self-join shape reshuffled the full
+    * distinct-shingle table twice more (once per join side). Output is
+    * one row per overlapping pair — O(|sources|²) regardless of corpus
+    * size.
     */
   def sourceOverlap(docs: DataFrame, w: Int = 5): DataFrame = {
-    val sh = docs.select(col("source"), tokens(col("text")).as("toks"))
+    val grouped = docs.select(col("source"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= w)
       .select(col("source"), explode(ShingleHashes.longWindowHashes(
         expr("transform(toks, t -> xxhash64(t))"), w)).as("g"))
-      .distinct()
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val shared = sh.select(col("source").as("s1"), col("g"))
-      .join(sh.select(col("source").as("s2"), col("g")), "g")
-      .filter(col("s1") < col("s2"))
-      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+    val sizes = grouped.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = grouped
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> transform(slice(srcs, i + 2, size(srcs)), " +
+          "y -> named_struct('s1', x, 's2', y))))")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.select(col("source").as("s1"), col("n").as("n1")), "s1")
       .join(sizes.select(col("source").as("s2"), col("n").as("n2")), "s2")
