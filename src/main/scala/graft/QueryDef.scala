@@ -11,3 +11,33 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None)
+
+object QueryDef {
+
+  /** Output columns Spark cannot sort on (maps); a query whose output
+    * contains one keeps its own ordering contract.
+    */
+  private def sortable(df: DataFrame): Boolean =
+    !df.schema.fields.exists(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+
+  /** Pins a data-determined output order on both sides of the oracle
+    * comparison: the Spark plan gets a terminal global sort over every
+    * output column (left-to-right), the oracle SQL is wrapped in
+    * `SELECT * FROM (...) ORDER BY ALL` — DuckDB's equivalent
+    * all-columns-left-to-right sort. Without this, an aggregate tail
+    * leaves rows in partition order, which varies with cpu count and
+    * AQE, and any row-order-sensitive comparison flips
+    * nondeterministically. The sort cost is bounded by the query's
+    * OUTPUT size (summaries, top-ks), never the input, so it does not
+    * change any query's scale shape.
+    */
+  def ordered(q: QueryDef): QueryDef = q.copy(
+    fn = (s, dir) => {
+      val df = q.fn(s, dir)
+      if (sortable(df))
+        df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    },
+    oracle = q.oracle.map(sql => s"SELECT * FROM (\n$sql\n) ORDER BY ALL"))
+}

@@ -607,8 +607,14 @@ object TextOps {
     tf.groupBy(col("source")).agg(
       sum(col("c")).as("n_tokens"),
       count(lit(1)).as("n_types"),
-      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
-      round(count(lit(1)).cast("double") / sum(col("c")), 6).as("type_token_ratio"))
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      // ratio fixed to 6dp via integer arithmetic: floor(1e6*types/tokens)/1e6
+      // is bit-exact across engines, where round(double, 6) is not — Spark
+      // rounds through BigDecimal HALF_UP while DuckDB rounds in binary
+      // floating point, and the two can differ by an ulp near a tie.
+      .withColumn("type_token_ratio",
+        expr("CAST(n_types * 1000000 DIV n_tokens AS DOUBLE) / 1000000.0"))
+      .orderBy(col("source"))
   }
 
   val vocabStatsQuery: QueryDef = QueryDef(
@@ -621,8 +627,8 @@ object TextOps {
         GROUP BY source, t)
       SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_types,
         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
-        round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio
-      FROM tf GROUP BY source"""))
+        CAST((COUNT(*) * 1000000) // SUM(c) AS DOUBLE) / 1000000.0 AS type_token_ratio
+      FROM tf GROUP BY source ORDER BY source"""))
 
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
