@@ -64,38 +64,48 @@ object HostRank {
   }
 
   /** HITS hubs/authorities (Kleinberg 1999) — the other classic webgraph
-    * rank the host-link tables feed. Power iteration WITHOUT per-round
-    * normalization: a_k = Aᵀh_{k-1}, h_k = A·a_k keeps every score an
-    * exact INTEGER (sums of 1s), so three rounds are bit-identical in
-    * any engine and the single final normalization is one deterministic
-    * decimal→double cast. Scores accumulate in DECIMAL(38,0): at the
-    * bench graph h_3 tops out ~1e23, and the 38-digit headroom covers
-    * ~1000× that; a longer-horizon production run would switch to
-    * per-round L1 normalization (the pagerank float shape) instead.
-    * Same per-round plan as pageRank: one join keyed on the edge source,
-    * one aggregation keyed on the target — shuffles scale with edges.
+    * rank the host-link tables feed. Power iteration with per-round L1
+    * normalization in DOUBLE (the pageRank float shape): scores stay in
+    * [0,1] forever, so there is no accumulation cliff at any iteration
+    * depth or graph density (the previous integer-in-DECIMAL(38,0) form
+    * overflowed ~3 orders of magnitude above the bench graph's h_3).
+    *
+    * Only ONE normalization is needed per round: scalars commute through
+    * the linear maps, so the authority normalization cancels inside
+    * h_k = A·a_k / ‖A·a_k‖ and the composed round is
+    * h_k(s) = Σ_{(s,t)} ar(t) / Σ_{(s',t)∈E} ar(t) with ar = Aᵀh_{k-1}.
+    * One checkpoint per round (h only — not both half-steps): the 1-row
+    * L1 total stays in-plan as a broadcast aggregate, and its second use
+    * of the hub subtree is collapsed at runtime by exchange reuse, so a
+    * round executes exactly two keyed join+aggs — shuffles scale with
+    * edge count, nothing round-trips the driver.
+    *
+    * Returns the UNNORMALIZED authority scores a_iters = Aᵀh_{iters-1};
+    * callers normalize once at the end (same direction as normalizing
+    * every half-step, again because scalars commute).
     */
   def hits(edges0: DataFrame, iters: Int = 3): DataFrame = {
     val spark = edges0.sparkSession
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val e = edges0.select(col("s"), col("t")).dropDuplicates().cache()
     val ckpt = new graft.util.Checkpoints.IterationCheckpointer(
       interval = spark.conf.getOption("spark.graft.checkpointInterval")
         .map(_.toInt).getOrElse(1))
-    var h = ckpt.next(
-      e.select(col("s").as("node")).union(e.select(col("t").as("node")))
-        .distinct().withColumn("h", lit(1).cast(dec)))
-    var auth = h.select(col("node"), col("h").as("a")).limit(0)
-    for (_ <- 1 to iters) {
-      auth = ckpt.next(
-        e.join(h.select(col("node").as("s"), col("h")), "s")
-          .groupBy(col("t").as("node"))
-          .agg(sum(col("h")).cast(dec).as("a")))
+    val nodes = e.select(col("s").as("node"))
+      .union(e.select(col("t").as("node"))).distinct()
+    val n = nodes.count().toDouble
+    var h = nodes.withColumn("h", lit(1.0 / n))
+    for (_ <- 1 to iters - 1) {
+      val ar = e.join(h.select(col("node").as("s"), col("h")), "s")
+        .groupBy(col("t").as("node")).agg(sum(col("h")).as("ar"))
+      val hr = e.join(ar.select(col("node").as("t"), col("ar")), "t")
+        .groupBy(col("s").as("node")).agg(sum(col("ar")).as("hr"))
+      val ht = hr.agg(sum(col("hr")).as("ht"))
       h = ckpt.next(
-        e.join(auth.select(col("node").as("t"), col("a")), "t")
-          .groupBy(col("s").as("node"))
-          .agg(sum(col("a")).cast(dec).as("h")))
+        hr.crossJoin(broadcast(ht))
+          .select(col("node"), (col("hr") / col("ht")).as("h")))
     }
+    val auth = e.join(h.select(col("node").as("s"), col("h")), "s")
+      .groupBy(col("t").as("node")).agg(sum(col("h")).as("a"))
     e.unpersist(blocking = false)
     auth
   }
@@ -155,11 +165,13 @@ object HostRank {
       FROM final"""))
 
   /** Registered query: top-20 authorities of the same order graph. The
-    * DuckDB mirror carries h through the recursive CTE (iteration k's
-    * working table is exactly h_k) and computes a_3 = Aᵀh_2 outside it;
-    * all sums are exact decimal so the hash compare is over identical
-    * integers, normalized by one final decimal→double division on both
-    * engines.
+    * DuckDB mirror carries the L1-normalized h through the recursive CTE
+    * (iteration k's working table is exactly h_k — the single per-round
+    * division mirrors hits()'s composed-round normalization) and computes
+    * a_3 = Aᵀh_2 outside it. The top-20 is ranked by the 6dp-ROUNDED
+    * normalized authority: quantizing before ranking means ulp-level
+    * summation-order differences between engines cannot reorder the
+    * boundary, and exact 6dp ties break on the node id deterministically.
     */
   val graphHits: QueryDef = QueryDef(
     "graph_hits",
@@ -170,13 +182,13 @@ object HostRank {
         .select(col("o_custkey").as("s"), (col("l_suppkey") + 1000000L).as("t"))
       val auth = hits(edges, iters = 3)
       val tot = auth.agg(sum(col("a")).as("tot"))
-      auth.orderBy(col("a").desc, col("node")).limit(20)
-        .crossJoin(broadcast(tot))
+      auth.crossJoin(broadcast(tot))
+        .select(col("node"), round(col("a") / col("tot"), 6).as("authority"))
+        .orderBy(col("authority").desc, col("node")).limit(20)
         .select(
           when(col("node") < 1000000L, concat(lit("c"), col("node")))
             .otherwise(concat(lit("s"), col("node") - 1000000L)).as("node"),
-          round(col("a").cast("double") / col("tot").cast("double"), 6)
-            .as("authority"))
+          col("authority"))
     },
     Some("""WITH RECURSIVE
       edges AS (SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS t
@@ -184,24 +196,29 @@ object HostRank {
       nodes AS (SELECT DISTINCT node FROM
         (SELECT s AS node FROM edges UNION ALL SELECT t AS node FROM edges)),
       hh(iter, node, h) AS (
-        SELECT 0, node, CAST(1 AS DECIMAL(38,0)) FROM nodes
+        SELECT 0, node, 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes)
+        FROM nodes
         UNION ALL
         SELECT p.iter + 1, p.node,
-          CAST(coalesce((SELECT SUM(x.a) FROM
-            (SELECT e.t AS tt, SUM(c.h) AS a FROM hh c
+          coalesce((SELECT SUM(x.ar) FROM
+            (SELECT e.t AS tt, SUM(c.h) AS ar FROM hh c
              JOIN edges e ON e.s = c.node GROUP BY e.t) x
             JOIN edges e2 ON e2.t = x.tt
-            WHERE e2.s = p.node), 0) AS DECIMAL(38,0))
+            WHERE e2.s = p.node), 0)
+          / (SELECT SUM(y.ar) FROM
+            (SELECT e3.t AS tt, SUM(c2.h) AS ar FROM hh c2
+             JOIN edges e3 ON e3.s = c2.node GROUP BY e3.t) y
+            JOIN edges e4 ON e4.t = y.tt)
         FROM hh p WHERE p.iter < 2
       ),
-      auth AS (SELECT e.t AS node, CAST(SUM(c.h) AS DECIMAL(38,0)) AS a
+      auth AS (SELECT e.t AS node, SUM(c.h) AS a
                FROM hh c JOIN edges e ON e.s = c.node
                WHERE c.iter = 2 GROUP BY e.t),
       tot AS (SELECT SUM(a) AS tot FROM auth),
-      final AS (SELECT node, a FROM auth ORDER BY a DESC, node LIMIT 20)
+      final AS (SELECT node, round(a / (SELECT tot FROM tot), 6) AS authority
+                FROM auth ORDER BY authority DESC, node LIMIT 20)
       SELECT CASE WHEN node < 1000000 THEN 'c' || CAST(node AS VARCHAR)
                   ELSE 's' || CAST(node - 1000000 AS VARCHAR) END AS node,
-             round(CAST(a AS DOUBLE) / (SELECT CAST(tot AS DOUBLE) FROM tot), 6)
-               AS authority
+             authority
       FROM final"""))
 }

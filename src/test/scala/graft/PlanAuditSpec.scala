@@ -70,8 +70,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // NLJ) onto the 50-row interval table and the event stream; the
     // actual interval×event join is the keyed bucket equi-join
     "j7_range_join",
-    // the 1-row authority-total aggregate crossJoined onto the 20-row
-    // top-k for the final normalization (the pagerank dangling-mass
+    // the 1-row per-round L1-total and final authority-total aggregates
+    // crossJoined onto the score tables (the pagerank dangling-mass
     // shape); every per-round HITS join is keyed on node ids
     "graph_hits")
 
