@@ -495,16 +495,18 @@ object Curation {
     * group's winner (no window — a boilerplate text duplicated across
     * millions of pages streams through its aggregation task instead of
     * serializing through one task's sort), then a keyed join back tags
-    * every row kept/dropped. The winner key packs (crawl, doc_id) into
-    * one BIGINT so both engines take a plain MIN — no struct-ordering
-    * semantics in play.
+    * every row kept/dropped. The winner is the lexicographic MIN of the
+    * (crawl, doc_id) STRUCT — total over the full signed 64-bit doc_id
+    * domain, where the earlier arithmetic packing crawl*1e12 + doc_id
+    * silently inverted earliest-wins for negative or >=1e12 ids (e.g.
+    * the xxhash64(url) ids warc_to_documents assigns).
     */
   def crawlMerge(a: DataFrame, b: DataFrame): DataFrame = {
     val m = a.withColumn("crawl", lit(1L))
       .unionByName(b.withColumn("crawl", lit(2L)))
       .select(col("doc_id"), col("source"), col("crawl"),
         md5(col("text").cast("binary")).as("h"),
-        (col("crawl") * lit(1000000000000L) + col("doc_id")).as("key"))
+        struct(col("crawl"), col("doc_id")).as("key"))
     val winners = m.groupBy(col("h")).agg(min(col("key")).as("win_key"))
     m.join(winners, "h")
       .withColumn("kept", col("key") === col("win_key"))
@@ -533,12 +535,12 @@ object Curation {
     },
     Some("""WITH m AS (
         SELECT doc_id, source, 1 AS crawl, md5(text) AS h,
-               1 * 1000000000000 + doc_id AS key
+               {'crawl': 1, 'doc_id': doc_id} AS key
         FROM documents WHERE doc_id % 7 != 0
         UNION ALL
         SELECT doc_id, source, 2 AS crawl,
                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h,
-               2 * 1000000000000 + doc_id AS key
+               {'crawl': 2, 'doc_id': doc_id} AS key
         FROM documents WHERE doc_id % 11 != 0),
       w AS (SELECT h, MIN(key) AS win_key FROM m GROUP BY h)
       SELECT source,

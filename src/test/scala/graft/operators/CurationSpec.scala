@@ -95,4 +95,18 @@ class CurationSpec extends AnyFunSuite {
     assert(got("s1") == ((2L, 0L, 1L)))  // doc1(a), doc2(a); b's doc1 dropped
     assert(got("s2") == ((0L, 1L, 1L)))  // doc3(b) kept; doc4 dup dropped
   }
+
+  test("crawl merge earliest-wins holds over the full signed doc_id domain") {
+    import spark.implicits._
+    // xxhash64(url)-style ids: negative and Long.MaxValue-scale values.
+    // The old crawl*1e12 + doc_id packing inverted earliest-wins here
+    // (crawl-2's negative id beat every crawl-1 id) and overflowed.
+    val a = Seq((Long.MaxValue, "dup text", "sa")).toDF("doc_id", "text", "source")
+    val b = Seq((Long.MinValue, "dup text", "sb")).toDF("doc_id", "text", "source")
+    val got = Curation.crawlMerge(a, b).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("sa") == ((1L, 0L, 0L)), s"crawl-1 copy must win: $got")
+    assert(got("sb") == ((0L, 0L, 1L)), s"crawl-2 copy must drop: $got")
+  }
 }
