@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Whole-vector PQ kernels as single native expressions. The previous
+  * form staged one `greatest(struct(dot_const ...))` argmax per subspace
+  * and relied on withColumn staging to bound generated-method size — but
+  * CollapseProject merges the stages back into one Project, and the
+  * merged M×Ks unrolled expression tree generated a 34 375-bytecode
+  * method (PqCodegenSpec), 4× over HotSpot's 8000-bytecode huge-method
+  * limit, so the encode hot loop ran un-JIT-compiled. Here codegen emits
+  * ONE call into a static JIT-compiled loop nest over a flattened
+  * constant codebook (shipped once per task via the references array),
+  * identical for eval and codegen paths, with generated methods of a few
+  * dozen bytecodes.
+  */
+object PqKernels {
+
+  /** codes(m) = argmax_j (<x_m, c_mj> - ||c_mj||²/2), ties to lowest j —
+    * exactly the old greatest-over-(score, -code, code) ordering.
+    */
+  def encode(a: ArrayData, cb: Array[Double], halfs: Array[Double],
+             m: Int, subDim: Int, ks: Int): ArrayData = {
+    val n = a.numElements()
+    val codes = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < ks) {
+        val base = (mm * ks + j) * subDim
+        var dot = 0.0
+        var i = 0
+        while (i < subDim) {
+          val idx = mm * subDim + i
+          if (idx < n) dot += a.getFloat(idx).toDouble * cb(base + i)
+          i += 1
+        }
+        val score = dot - halfs(mm * ks + j)
+        if (score > bestScore) { bestScore = score; best = j }
+        j += 1
+      }
+      codes(mm) = best
+      mm += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** lut(m)(j) = <x_m, c_mj> — the per-query ADC table. */
+  def luts(a: ArrayData, cb: Array[Double],
+           m: Int, subDim: Int, ks: Int): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](m)
+    var mm = 0
+    while (mm < m) {
+      val row = new Array[Double](ks)
+      var j = 0
+      while (j < ks) {
+        val base = (mm * ks + j) * subDim
+        var dot = 0.0
+        var i = 0
+        while (i < subDim) {
+          val idx = mm * subDim + i
+          if (idx < n) dot += a.getFloat(idx).toDouble * cb(base + i)
+          i += 1
+        }
+        row(j) = dot
+        j += 1
+      }
+      out(mm) = new GenericArrayData(row)
+      mm += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Flattens codebooks(m)(j)(i) row-major and precomputes the
+    * half-squared-norm table the encode argmax subtracts.
+    */
+  def flatten(codebooks: Array[Array[Array[Double]]],
+              subDim: Int): (Array[Double], Array[Double]) = {
+    val m = codebooks.length
+    val ks = if (m == 0) 0 else codebooks(0).length
+    val cb = new Array[Double](m * ks * subDim)
+    val halfs = new Array[Double](m * ks)
+    for (mm <- 0 until m; j <- 0 until ks) {
+      val ct = codebooks(mm)(j)
+      var s = 0.0
+      for (i <- 0 until subDim) {
+        cb((mm * ks + j) * subDim + i) = ct(i)
+        s += ct(i) * ct(i)
+      }
+      halfs(mm * ks + j) = s / 2.0
+    }
+    (cb, halfs)
+  }
+
+  def pqCodes(v: Column, codebooks: Array[Array[Array[Double]]], subDim: Int): Column = {
+    val (cb, halfs) = flatten(codebooks, subDim)
+    Bridge.column(PqEncodeCodes(Bridge.expression(v), cb, halfs,
+      codebooks.length, subDim, if (codebooks.isEmpty) 0 else codebooks(0).length))
+  }
+
+  def pqLuts(v: Column, codebooks: Array[Array[Array[Double]]], subDim: Int): Column = {
+    val (cb, _) = flatten(codebooks, subDim)
+    Bridge.column(PqLutTable(Bridge.expression(v), cb,
+      codebooks.length, subDim, if (codebooks.isEmpty) 0 else codebooks(0).length))
+  }
+}
+
+/** array<float> → array<int> of M PQ codes against a constant codebook. */
+case class PqEncodeCodes(child: Expression, cbFlat: Array[Double],
+                         halfs: Array[Double], m: Int, subDim: Int, ks: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.encode(v.asInstanceOf[ArrayData], cbFlat, halfs, m, subDim, ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cbFlat", cbFlat, "double[]")
+    val hf = ctx.addReferenceObj("halfs", halfs, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PqKernels.encode($a, $cb, $hf, $m, $subDim, $ks);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_codes"
+}
+
+/** array<float> → array<array<double>> ADC lookup table. */
+case class PqLutTable(child: Expression, cbFlat: Array[Double],
+                      m: Int, subDim: Int, ks: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_luts expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.luts(v.asInstanceOf[ArrayData], cbFlat, m, subDim, ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cbFlat", cbFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PqKernels.luts($a, $cb, $m, $subDim, $ks);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_luts"
+}

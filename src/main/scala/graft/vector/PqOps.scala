@@ -112,53 +112,30 @@ object PqOps {
       .otherwise(v)
   }
 
-  /** Nearest-codebook-centroid code for subspace m of normalized column
-    * `xn`: argmin_j ||x_m - c_mj||² = argmax_j (<x_m, c_mj> - ||c_mj||²/2)
-    * since ||x_m|| is constant across j — so each candidate is one
-    * codegen'd DotProductConst loop minus a literal, and `greatest` over
-    * (score, -code, code) structs picks best-score-lowest-code, the same
-    * tie rule buildIvf uses.
+  /** (vec_id, codes array<int>) — the compressed corpus. The whole
+    * argmin_j ||x_m - c_mj||² = argmax_j (<x_m, c_mj> - ||c_mj||²/2)
+    * argmax over every subspace is ONE native PqEncodeCodes expression
+    * (functions/PqKernels.scala): codegen emits a single call into a
+    * JIT-compiled m×j×i loop nest over the flattened constant codebook.
+    * The previous per-subspace greatest-over-structs form collapsed into
+    * one 34 kB-bytecode generated method — over HotSpot's huge-method
+    * limit, so the hot loop ran un-JIT-compiled (PqCodegenSpec now
+    * pins the method size).
     */
-  private def subCode(xn: Column, m: Int, codebooks: Array[Array[Array[Double]]]): Column = {
-    val sub = slice(xn, m * SubDim + 1, SubDim)
-    val cands = codebooks(m).zipWithIndex.map { case (ct, j) =>
-      val half = ct.map(x => x * x).sum / 2.0
-      struct(
-        (graft.functions.DotProductConst.dotConst(sub, ct) - lit(half)).as("score"),
-        lit(-j).as("negc"), lit(j).as("code"))
-    }
-    greatest(cands: _*).getField("code")
-  }
-
-  /** (vec_id, codes array<int>) — the compressed corpus. One select per
-    * subspace keeps each whole-stage-codegen projection at Ks small dot
-    * loops (the lshTopK Janino lesson: inlining all M × Ks loops into
-    * one generated method silently drops to interpreted mode).
-    */
-  def encode(c: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val normed = c.select(col("vec_id"), normalized(col("embedding")).as("xn"))
-    val staged = (0 until M).foldLeft(normed) { (df, m) =>
-      df.withColumn(s"c$m", subCode(col("xn"), m, codebooks))
-    }
-    staged.select(col("vec_id"),
-      array((0 until M).map(m => col(s"c$m")): _*).as("codes"))
-  }
+  def encode(c: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    c.select(col("vec_id"),
+      graft.functions.PqKernels.pqCodes(
+        normalized(col("embedding")), codebooks, SubDim).as("codes"))
 
   /** Per-query ADC lookup table: lut(m)(j) = <q_m, c_mj> over the
     * normalized query — approximate cosine of a candidate with codes
-    * (j_0..j_{M-1}) is Σ_m lut(m)(j_m). Staged one subspace per select
-    * for the same codegen-size reason as `encode`.
+    * (j_0..j_{M-1}) is Σ_m lut(m)(j_m). Same single-native-expression
+    * shape as `encode`.
     */
-  private def queryLuts(q: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val normed = q.select(col("q_id"), col("q_emb"), normalized(col("q_emb")).as("qn"))
-    val staged = (0 until M).foldLeft(normed) { (df, m) =>
-      val sub = slice(col("qn"), m * SubDim + 1, SubDim)
-      df.withColumn(s"l$m", array(codebooks(m).map(ct =>
-        graft.functions.DotProductConst.dotConst(sub, ct)): _*))
-    }
-    staged.select(col("q_id"), col("q_emb"),
-      array((0 until M).map(m => col(s"l$m")): _*).as("lut"))
-  }
+  private def queryLuts(q: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    q.select(col("q_id"), col("q_emb"),
+      graft.functions.PqKernels.pqLuts(
+        normalized(col("q_emb")), codebooks, SubDim).as("lut"))
 
   /** Full-scan ADC top-k with exact re-rank: score every code row per
     * query with M table lookups, keep the top `rerank` per query, fetch

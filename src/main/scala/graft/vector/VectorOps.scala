@@ -240,8 +240,13 @@ object VectorOps {
     val n = nKnown.getOrElse(c.count())
     // the sample is scanned once per Lloyd round — persist it so rounds
     // 2..iters read the (~trainCap × Dim floats) cached rows instead of
-    // re-scanning and re-filtering the full corpus each round
-    val train = sampleFilter(c, trainCap, n).persist()
+    // re-scanning and re-filtering the full corpus each round. When
+    // n <= trainCap, sampleFilter returns the caller's DataFrame itself:
+    // persisting/unpersisting THAT would evict a cache the caller may
+    // own as a side effect, so only manage the cache when a real sample
+    // was taken.
+    val sampled = n > trainCap
+    val train = if (sampled) sampleFilter(c, trainCap, n).persist() else c
     // seeds: the k lowest vec_ids — TakeOrdered (bounded, no full sort),
     // deterministic, and valid for ANY id space (hashed/snowflake ids
     // included, where a `vec_id < k` filter would match nothing and
@@ -254,14 +259,14 @@ object VectorOps {
     def centroidsDf: DataFrame = centroids.toDF("cell", "centroid")
     if (centroids.isEmpty) {
       // empty corpus: no seeds, no cells — empty assignment, empty table
-      train.unpersist(blocking = false)
+      if (sampled) train.unpersist(blocking = false)
       return (c.select(col("vec_id"), lit(0L).as("cell")).limit(0), centroidsDf)
     }
     val dim = centroids.head._2.size
     def assign(df: DataFrame): DataFrame = assignCells(df, centroids)
     for (_ <- 1 to iters)
       centroids = toLocal(cellCentroids(assign(train), dim))
-    train.unpersist(blocking = false)
+    if (sampled) train.unpersist(blocking = false)
     (assign(c).select(col("vec_id"), col("cell")), centroidsDf)
   }
 
