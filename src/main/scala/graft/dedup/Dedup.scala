@@ -252,18 +252,50 @@ object Dedup {
         coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
     })
 
+  /** Exact char-n-gram Jaccard pairs — the truth `dedup_ngram_jaccard`
+    * grades itself against, on the same single-scan bounded-collect plan
+    * as the word-shingle truth.
+    */
+  def charJaccardExactPairs(docs: DataFrame, n: Int = 5, tau: Double = 0.7,
+                            maxDf: Int = 100): DataFrame =
+    exactPairsFromExploded(
+      charShingles(docs, n).select(col("doc_id"), explode(col("shingles")).as("s")),
+      tau, maxDf)
+
   /** Char-5-gram Jaccard near-dup (the n-gram variant): same LSH scaffold,
     * different shingle space. 8-row bands → ~0.77 collision threshold,
     * keeping candidate volume sane on low-entropy corpora (3-grams over a
     * small vocabulary make *every* doc pair collide).
+    *
+    * SELF-GRADING output: the query also runs the exact char-shingle
+    * truth (charJaccardExactPairs — a keyed-shuffle plan, not all-pairs)
+    * and emits measured precision/recall of the LSH path against it, so
+    * a wrong-banding bug shows up as a number in the graded row instead
+    * of passing a rows-only check. Floors are asserted in
+    * ExactJaccardSpec.
     */
   val dedupNgramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val sh = charShingles(Tables(s, dir, "documents"), 5)
-      val pairs = minHashDedup(sh, perms = 64, rowsPerBand = 8, threshold = 0.7)
-      pairs.agg(count(lit(1)).as("n_pairs"),
-        coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
+      val docs = Tables(s, dir, "documents")
+      val sh = charShingles(docs, 5)
+      val lsh = minHashDedup(sh, perms = 64, rowsPerBand = 8, threshold = 0.7)
+        .select(col("id1"), col("id2"), col("jaccard"))
+      val exact = charJaccardExactPairs(docs)
+        .select(col("id1"), col("id2"))
+      val tp = lsh.join(exact, Seq("id1", "id2"), "left_semi")
+      lsh.agg(count(lit(1)).as("n_pairs_lsh"),
+          coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_pairs_exact"))))
+        .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+        .select(col("n_pairs_lsh"), col("n_pairs_exact"), col("n_tp"),
+          when(col("n_pairs_lsh") > 0,
+            round(col("n_tp").cast("double") / col("n_pairs_lsh"), 4))
+            .otherwise(1.0).as("precision"),
+          when(col("n_pairs_exact") > 0,
+            round(col("n_tp").cast("double") / col("n_pairs_exact"), 4))
+            .otherwise(1.0).as("recall"),
+          col("avg_jaccard"))
     })
 
   /** 64-bit SimHash over the token multiset; near-dups = pairs sharing one
@@ -280,7 +312,8 @@ object Dedup {
     * self-join — and the hamming filter runs BEFORE distinct so pairs
     * about to be discarded never shuffle.
     */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  private def simHashParts(docs: DataFrame,
+                           maxHamming: Int): (DataFrame, DataFrame) = {
     val sigs = docs
       .select(col("doc_id"),
         graft.functions.SimHashSig.simhashSig(tokens(col("text"))).as("sig"))
@@ -303,15 +336,30 @@ object Dedup {
       .select(col("anchor.doc_id").as("id1"), col("doc_id").as("id2"),
         expr("bit_count(anchor.sig ^ sig)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    full.union(star).distinct()
+    (full.union(star).distinct(), overCap)
   }
 
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simHashParts(docs, maxHamming)._1
+
+  /** Banding with 4 bands of 16 bits is LOSSLESS for Hamming ≤ 3 by
+    * pigeonhole (some untouched quarter must match exactly), so vs the
+    * all-pairs truth the ONLY possible divergence is the bucket cap's
+    * star substitution. SimHashTruthSpec asserts exact equality to the
+    * brute-force pair set on the test corpus; the graded row discloses
+    * the cap's reach (n_overcap_buckets / n_overcap_docs — where recall
+    * could drop on a degenerate corpus) so the approximation's risk
+    * surface is part of the recorded output, not a silent cap.
+    */
   val dedupSimHash: QueryDef = QueryDef(
     "dedup_simhash",
     (s, dir) => {
-      val pairs = simHashPairs(Tables(s, dir, "documents"))
+      val (pairs, overCap) = simHashParts(Tables(s, dir, "documents"), maxHamming = 3)
       pairs.agg(count(lit(1)).as("n_pairs"),
-        coalesce(round(avg(col("hamming")), 4), lit(-1.0)).as("avg_hamming"))
+          coalesce(round(avg(col("hamming")), 4), lit(-1.0)).as("avg_hamming"))
+        .crossJoin(broadcast(overCap.agg(
+          countDistinct(struct(col("band"), col("bucket"))).as("n_overcap_buckets"),
+          countDistinct(col("doc_id")).as("n_overcap_docs"))))
     })
 
   /** Exact word-shingle Jaccard pairs over STRING shingles — the
@@ -349,6 +397,16 @@ object Dedup {
       .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
       .select(col("doc_id"),
         explode(graft.functions.ShingleHashes.longWindowHashes(col("th"), n)).as("s"))
+    exactPairsFromExploded(sh, tau, maxDf)
+  }
+
+  /** Exact-Jaccard pairs from any exploded (doc_id, s) shingle stream —
+    * the single-scan bounded-collect plan shared by the word-shingle
+    * truth above and the char-shingle truth `dedup_ngram_jaccard`
+    * grades against.
+    */
+  private def exactPairsFromExploded(sh: DataFrame, tau: Double,
+                                     maxDf: Int): DataFrame = {
     val grouped = sh.groupBy(col("s"))
       .agg(graft.functions.BoundedLongCollect.boundedCollect(col("doc_id"), maxDf)
         .as("ids"))

@@ -63,6 +63,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "curation_dsir",
     // 1-row corpus count × 1-row pair-summary aggregate
     "dedup_semantic",
+    // 1-row LSH-summary × 1-row exact-truth-count × 1-row TP-count
+    // aggregates (the self-grading precision/recall row)
+    "dedup_ngram_jaccard",
+    // 1-row pair-summary × 1-row over-cap-accounting aggregates
+    "dedup_simhash",
     // 1-row corpus total and 1-row weight-sum aggregates onto the
     // |langs|-row share table
     "curation_temperature_mix",
