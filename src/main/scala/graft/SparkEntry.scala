@@ -38,6 +38,7 @@ object SparkEntry {
       vector.PqOps.all ++
       vector.SemDedup.all ++
       media.MediaOps.all ++
+      ops.WarcFixtureQueries.all ++
       streaming.StreamQueries.all ++
       Seq(jobs.HostRank.hostRank, jobs.HostRank.graphHits)
 

@@ -171,6 +171,13 @@ object Extractors {
     val host = r.targetUri.flatMap(SurtHost.hostOf).getOrElse(return Iterator.empty)
     val body = r.http.map(_.body).getOrElse(return Iterator.empty)
     val text = HtmlText.strictUtf8(body).getOrElse(return Iterator.empty)
+    robotsRulesText(host, text)
+  }
+
+  /** Text-level parse (the WARC-record wrapper above handles transport);
+    * exposed so fixture-graded queries can drive the same parser.
+    */
+  def robotsRulesText(host: String, text: String): Iterator[RobotsRule] = {
     val out = Vector.newBuilder[RobotsRule]
     var agents: List[String] = Nil
     var inGroup = false
@@ -262,6 +269,14 @@ object Extractors {
     val url = r.targetUri.getOrElse(return Iterator.empty)
     val html = HtmlText.decode(r.contentBytes,
       r.headers.get("WARC-Identified-Content-Charset"))
+    anchorTextsHtml(url, html)
+  }
+
+  /** HTML-level extraction (the WARC-record wrapper above handles
+    * transport); exposed so fixture-graded queries can drive the same
+    * extractor.
+    */
+  def anchorTextsHtml(url: String, html: String): Iterator[(String, String)] = {
     val base = BaseRe.findFirstMatchIn(html).map(_.group(1))
       .flatMap(b => SurtHost.urlJoin(url, b)).getOrElse(url)
     AnchorRe.findAllMatchIn(html).flatMap { m =>
