@@ -46,20 +46,55 @@ object Bench {
     // swing ±40% run-to-run locally and a regression can't be told from
     // noise; the median is a steady-state number. Total = sum of medians.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // per-query session-state barrier (r6→r7): r6's 4-10× neighbor
+    // pollution traced to the old HITS implementation's per-round
+    // DECIMAL(38,0) materializations — with that fixed, an A/B at
+    // local[32]/sf0.1 shows every recorded median within 1.5× of its
+    // IterAB standalone cost. The barrier that remains is the CHEAP
+    // reset set: leaked cache entries, persistent RDDs, and the
+    // memory-sink temp views completed stream queries leave behind
+    // (each holds its full result for the session otherwise). A forced
+    // System.gc() per query was tried and REJECTED: it made the
+    // persisted-index probe path 8× slower (soft-reference/code-cache
+    // churn) — worse than the residue it was meant to clear.
+    // SPARK_GRAFT_BENCH_BARRIER=0 disables (for A/B-ing the barrier).
+    val useBarrier = !sys.env.get("SPARK_GRAFT_BENCH_BARRIER").contains("0")
+    val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def barrier(): Unit = {
+      // a query must not inherit another query's leaked state:
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.listTables().collect().filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    }
     val wall0 = System.nanoTime()
     // sorted name order: Map iteration order is hash-based, so adding a
     // query used to reshuffle every query's position — round-over-round
     // numbers compared different warm-up/neighbor contexts. Sorted order
     // keeps each query's context stable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMs
       val times = Seq.fill(runs) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      // a query must not inherit another query's leaked cached plans:
-      // drop any cache entries it left behind before timing the next one
-      spark.sharedState.cacheManager.clearCache()
+      if (useBarrier) barrier()
+      else spark.sharedState.cacheManager.clearCache()
+      if (debug) {
+        val rt = Runtime.getRuntime
+        val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+        val storeMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1 << 20)
+        val ccMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+          .asScala.filter(_.getName.startsWith("CodeHeap"))
+          .map(_.getUsage.getUsed).sum / (1 << 20)
+        System.err.println(
+          f"[benchdbg] $name%-28s med=${times(times.size / 2)}%7.2fs gc=+${gcMs - gc0}%5dms heap=${heapMb}%5dMB store=${storeMb}%4dMB codecache=${ccMb}%4dMB rdds=${spark.sparkContext.getPersistentRDDs.size}%3d")
+      }
       name -> times(times.size / 2)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
