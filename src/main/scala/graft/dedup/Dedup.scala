@@ -239,17 +239,33 @@ object Dedup {
     })
 
   /** Near-dup doc pairs via word-5-shingle MinHash (64 perms, 16 bands →
-    * ~0.5 Jaccard collision threshold), verified exactly. The summary agg
-    * keeps output deterministic regardless of which pairs collide.
+    * ~0.5 Jaccard collision threshold), verified exactly. SELF-GRADING
+    * like dedup_ngram_jaccard: the row carries measured precision/recall
+    * against the exact word-shingle truth (jaccardExactPairs — keyed
+    * shuffles, never all-pairs), floors asserted in ExactJaccardSpec.
     */
   val dedupMinHash: QueryDef = QueryDef(
     "dedup_minhash",
     (s, dir) => {
-      val sh = wordShingles(Tables(s, dir, "documents"), 5)
-      val pairs = minHashDedup(sh, perms = 64, rowsPerBand = 4, threshold = 0.5)
-      pairs.agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("id1")).as("n_docs_with_dup"),
-        coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
+      val docs = Tables(s, dir, "documents")
+      val sh = wordShingles(docs, 5)
+      val lsh = minHashDedup(sh, perms = 64, rowsPerBand = 4, threshold = 0.5)
+      val exact = jaccardExactPairs(docs).select(col("id1"), col("id2"))
+      val tp = lsh.join(exact, Seq("id1", "id2"), "left_semi")
+      lsh.agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id1")).as("n_docs_with_dup"),
+          coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_pairs_exact"))))
+        .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+        .select(col("n_pairs"), col("n_docs_with_dup"), col("n_pairs_exact"),
+          col("n_tp"),
+          when(col("n_pairs") > 0,
+            round(col("n_tp").cast("double") / col("n_pairs"), 4))
+            .otherwise(1.0).as("precision"),
+          when(col("n_pairs_exact") > 0,
+            round(col("n_tp").cast("double") / col("n_pairs_exact"), 4))
+            .otherwise(1.0).as("recall"),
+          col("avg_jaccard"))
     })
 
   /** Exact char-n-gram Jaccard pairs — the truth `dedup_ngram_jaccard`

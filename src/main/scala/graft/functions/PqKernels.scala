@@ -101,6 +101,29 @@ object PqKernels {
     (cb, halfs)
   }
 
+  /** Nearest-cell argmax: best dot against k flattened centroids, ties
+    * to the LOWEST cell id (the lexicographic (sim, -cell, cell) max the
+    * old greatest-over-structs form computed).
+    */
+  def nearestCell(a: ArrayData, cb: Array[Double], cells: Array[Long],
+                  dim: Int): Long = {
+    val n = math.min(a.numElements(), dim)
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var j = 0
+    while (j < cells.length) {
+      val base = j * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += a.getFloat(i).toDouble * cb(base + i); i += 1 }
+      if (dot > bestDot || (dot == bestDot && cells(j) < cells(best))) {
+        bestDot = dot; best = j
+      }
+      j += 1
+    }
+    cells(best)
+  }
+
   def pqCodes(v: Column, codebooks: Array[Array[Array[Double]]], subDim: Int): Column = {
     val (cb, halfs) = flatten(codebooks, subDim)
     Bridge.column(PqEncodeCodes(Bridge.expression(v), cb, halfs,
@@ -111,6 +134,55 @@ object PqKernels {
     val (cb, _) = flatten(codebooks, subDim)
     Bridge.column(PqLutTable(Bridge.expression(v), cb,
       codebooks.length, subDim, if (codebooks.isEmpty) 0 else codebooks(0).length))
+  }
+}
+
+/** array<float> → nearest cell id (BIGINT) against constant norm-scaled
+  * centroids. Replaces a `greatest` over k (sim, -cell, cell) structs:
+  * at k=256 that unrolled form generated a method far over the JIT
+  * huge-method limit and ran interpreted — ~100× slower on a
+  * million-row assignment pass (caught by tools/ScalePipeline).
+  */
+case class NearestCellConst(child: Expression, cbFlat: Array[Double],
+                            cells: Array[Long], dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.nearestCell(v.asInstanceOf[ArrayData], cbFlat, cells, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cbFlat", cbFlat, "double[]")
+    val cs = ctx.addReferenceObj("cells", cells, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PqKernels.nearestCell($a, $cb, $cs, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cell"
+}
+
+object NearestCellConst {
+  /** centroids: (cell, already-norm-scaled vector). */
+  def nearestCell(v: Column, centroids: Seq[(Long, Array[Double])]): Column = {
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+    val cb = new Array[Double](centroids.length * dim)
+    val cells = new Array[Long](centroids.length)
+    centroids.zipWithIndex.foreach { case ((cell, ct), j) =>
+      cells(j) = cell
+      System.arraycopy(ct, 0, cb, j * dim, math.min(ct.length, dim))
+    }
+    Bridge.column(NearestCellConst(Bridge.expression(v), cb, cells, dim))
   }
 }
 

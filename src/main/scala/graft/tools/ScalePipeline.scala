@@ -1,0 +1,182 @@
+package graft.tools
+
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+
+import graft.jobs.{JobCli, JobRunner}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end scale demonstration: generate a multi-file WARC corpus
+  * that no single task could hold, then drive the REAL pipeline CLI —
+  * warc_to_documents → curate → minhash dedup → ann_index_build —
+  * recording per-stage wall time, bytes moved, and PEAK PER-TASK
+  * EXECUTION MEMORY (the number that proves no stage funnels the corpus
+  * through one task or the driver). Results feed SCALE.md.
+  *
+  * Usage: ScalePipeline [nFiles] [docsPerFile] [outRoot]
+  *   default 48 files × 3000 docs ≈ 150k pages, ~1 GB of gzipped WARC /
+  *   several GB raw HTML. Every 37th page is a near-duplicate of a
+  *   shared template so the dedup stage has real work.
+  */
+object ScalePipeline {
+
+  final class StageMetrics extends SparkListener {
+    val peakTaskMem = new AtomicLong(0L)
+    val shuffleWrite = new LongAdder
+    val inputBytes = new LongAdder
+    val tasks = new LongAdder
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val tm = e.taskMetrics
+      if (tm != null) {
+        peakTaskMem.updateAndGet(p => math.max(p, tm.peakExecutionMemory))
+        shuffleWrite.add(tm.shuffleWriteMetrics.bytesWritten)
+        inputBytes.add(tm.inputMetrics.bytesRead)
+        tasks.add(1)
+      }
+    }
+    def reset(): Unit = {
+      peakTaskMem.set(0); shuffleWrite.reset(); inputBytes.reset(); tasks.reset()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nFiles = args.headOption.map(_.toInt).getOrElse(48)
+    val docsPerFile = args.lift(1).map(_.toInt).getOrElse(3000)
+    val root = args.lift(2).getOrElse("/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val m = new StageMetrics
+    spark.sparkContext.addSparkListener(m)
+
+    def stage[T](name: String)(f: => T): T = {
+      m.reset()
+      val t0 = System.nanoTime()
+      val out = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; give the bus a beat
+      Thread.sleep(300)
+      println(f"""[scale] {"stage":"$name","wall_s":$wall%.1f,"tasks":${m.tasks.sum},"input_mb":${m.inputBytes.sum / 1e6}%.1f,"shuffle_write_mb":${m.shuffleWrite.sum / 1e6}%.1f,"peak_task_mem_mb":${m.peakTaskMem.get / 1e6}%.1f}""")
+      out
+    }
+
+    new java.io.File(root).mkdirs()
+
+    // ---- stage 1: generate the WARC corpus (parallel, one file/task) ----
+    val warcDir = s"$root/warc"
+    new java.io.File(warcDir).mkdirs()
+    stage("generate_warc") {
+      spark.range(0, nFiles, 1, nFiles).foreachPartition {
+        (it: Iterator[java.lang.Long]) =>
+        it.foreach { fi =>
+          val rng = new scala.util.Random(fi * 7919L)
+          // doc_id = xxhash64(url) downstream; the curation pipeline holds
+          // out doc_id % 10 == 0 as its eval split and DECONTAMINATES
+          // against it — a template doc landing in the split would drag
+          // every near-dup twin out of the kept corpus (by design). Keep
+          // the planted near-dups out of the split by salting their URLs.
+          def docIdOf(url: String): Long = {
+            val u = org.apache.spark.unsafe.types.UTF8String.fromString(url)
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+          }
+          val recs = (0 until docsPerFile).iterator.map { d =>
+            // every 37th page instantiates a shared template with a tiny
+            // per-instance suffix (NEAR-dups — exact dedup must not eat
+            // them before minhash); others draw from a 4k-word vocab.
+            // A stopword every ~7 tokens keeps the docs on the right
+            // side of the curation quality gate (stop_hits >= 1).
+            def tok(i: Int, w: String): String =
+              if (i % 7 == 3) "the" else if (i % 11 == 5) "of" else w
+            val words =
+              if (d % 37 == 0)
+                (0 until 280).map(w => tok(w, "tpl" + ((w * 31 + (d % 3)) % 300))) :+
+                  s"uniq$fi-$d"
+              else (0 until 150 + rng.nextInt(300))
+                .map(i => tok(i, "tok" + rng.nextInt(4000)))
+            val text = words.mkString(" ")
+            val html =
+              s"""<html><head><title>p$d</title></head><body>
+                 |<nav><a href="/">home</a> <a href="/s">section menu</a></nav>
+                 |<article><p>$text</p></article>
+                 |<p><a href="/rel$d">related page $d</a></p>
+                 |<footer>copyright footer boilerplate</footer>
+                 |</body></html>""".stripMargin
+            val url =
+              if (d % 37 == 0)
+                (0 until 100).iterator
+                  .map(s => s"https://host$fi.example.test/page$d-t$s")
+                  .find(u => docIdOf(u) % 10 != 0)
+                  .getOrElse(s"https://host$fi.example.test/page$d-t0")
+              else s"https://host$fi.example.test/page$d"
+            graft.warc.SampleWarc.response(
+              url,
+              html.getBytes("UTF-8"),
+              httpHeaders = Seq("Content-Type" -> "text/html; charset=utf-8",
+                "Server" -> (if (fi % 2 == 0) "nginx" else "Apache")),
+              warcHeaders = Map("WARC-Identified-Payload-Type" -> "text/html"))
+          }
+          graft.warc.WarcWriter.writeFile(
+            f"$warcDir/part-$fi%05d.warc.gz", recs.toSeq)
+          ()
+        }
+      }
+      val sz = new java.io.File(warcDir).listFiles().map(_.length()).sum
+      println(f"[scale] generated $nFiles files, ${sz / 1e6}%.0f MB gzipped")
+    }
+
+    // ---- stage 2: warc_to_documents (the real CLI job) ----
+    val manifest = s"$root/manifest.txt"
+    val files = new java.io.File(warcDir).listFiles().map(_.getAbsolutePath).sorted
+    java.nio.file.Files.write(java.nio.file.Paths.get(manifest),
+      files.mkString("\n").getBytes("UTF-8"))
+    val docsDir = s"$root/documents"
+    stage("warc_to_documents") {
+      JobRunner.run(spark, JobCli("warc_to_documents", manifest, docsDir,
+        inParts = nFiles, outParts = cpus.toInt, mainContent = true))
+    }
+
+    // ---- stage 3: curate (quality → exact dedup → decontam pipeline) ----
+    val curatedDir = s"$root/curated"
+    stage("curate") {
+      JobRunner.run(spark, JobCli("curate", docsDir, curatedDir,
+        outParts = cpus.toInt))
+    }
+
+    // ---- stage 4: minhash near-dup pairs over the curated corpus ----
+    val pairsDir = s"$root/minhash_pairs"
+    stage("dedup_minhash") {
+      val docs = spark.read.parquet(s"$curatedDir/kept")
+      graft.dedup.Dedup.minHashDedup(
+          graft.dedup.Dedup.wordShingles(docs, 5),
+          perms = 64, rowsPerBand = 4, threshold = 0.5)
+        .write.mode("overwrite").parquet(pairsDir)
+      println(s"[scale] near-dup pairs: ${spark.read.parquet(pairsDir).count()}")
+    }
+
+    // ---- stage 5: synthesize embeddings + build the IVF-PQ index ----
+    val embDir = s"$root/embeddings"
+    stage("embed") {
+      spark.read.parquet(s"$curatedDir/kept")
+        .select(col("doc_id").as("vec_id"),
+          expr("transform(sequence(0, 63), k -> " +
+            "cast(pmod(xxhash64(doc_id, k), 1000) / 1000.0 as float))")
+            .as("embedding"))
+        .write.mode("overwrite").parquet(embDir)
+    }
+    val idxDir = s"$root/ann_index"
+    stage("ann_index_build") {
+      JobRunner.run(spark, JobCli("ann_index_build", embDir, idxDir,
+        outParts = cpus.toInt))
+    }
+
+    spark.stop()
+  }
+}

@@ -279,24 +279,25 @@ object VectorOps {
     * cell id (the previous max_by form shuffled every embedding once
     * per assignment pass). Cosine argmax = dot-product argmax against
     * NORM-SCALED centroids (the row's own norm is constant across k),
-    * via the same codegen'd DotProductConst the LSH path batches
-    * 64-at-a-time, so k ≤ ~64 loops stay inside one whole-stage-codegen
-    * projection. Public so `ann_index_update` can place NEW batches
-    * into an existing index's cells without retraining.
+    * via ONE native NearestCellConst kernel (functions/PqKernels.scala):
+    * codegen emits a single call into a JIT-compiled k×dim loop over
+    * the flattened constant centroid table. The previous form unrolled
+    * k codegen'd dot loops under a `greatest` over (sim, -cell, cell)
+    * structs; at k=256 the merged generated method blew the JIT
+    * huge-method limit and a million-row assignment pass ran
+    * interpreted, ~100× slower (caught live by tools/ScalePipeline —
+    * the same disease PqCodegenSpec pinned for the PQ encode). Public
+    * so `ann_index_update` can place NEW batches into an existing
+    * index's cells without retraining.
     */
   def assignCells(df: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
     val scaled = centroids.map { case (cell, ct) =>
       val nrm = math.sqrt(ct.map(x => x * x).sum)
       (cell, if (nrm == 0.0) ct.toArray else ct.map(_ / nrm).toArray)
     }
-    val cands = scaled.map { case (cell, ct) =>
-      struct(
-        graft.functions.DotProductConst.dotConst(col("embedding"), ct).as("sim"),
-        lit(-cell).as("negc"), lit(cell).as("cell"))
-    }
-    val best = if (cands.size == 1) cands.head else greatest(cands: _*)
     df.select(col("vec_id"), col("embedding"),
-      best.getField("cell").as("cell"))
+      graft.functions.NearestCellConst.nearestCell(col("embedding"), scaled)
+        .as("cell"))
   }
 
   /** IVF probe against prebuilt cells: query probes its `nprobe`

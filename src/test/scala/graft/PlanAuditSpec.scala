@@ -66,6 +66,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row LSH-summary × 1-row exact-truth-count × 1-row TP-count
     // aggregates (the self-grading precision/recall row)
     "dedup_ngram_jaccard",
+    "dedup_minhash",
     // 1-row pair-summary × 1-row over-cap-accounting aggregates
     "dedup_simhash",
     // 1-row corpus total and 1-row weight-sum aggregates onto the

@@ -47,6 +47,24 @@ class PqCodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("cell assignment at k=256 compiles with every method JIT-able") {
+    // the size at which the old greatest-over-structs form blew the JIT
+    // limit and a 1M-row ScalePipeline assignment pass ran interpreted
+    assume(new java.io.File(sf).exists())
+    val centroids = (0L until 256L).map(c =>
+      (c, Seq.tabulate(64)(i => ((c * 31 + i) % 97).toDouble / 97.0)))
+    val df = VectorOps.assignCells(Tables(spark, sf, "embeddings"), centroids)
+    val stats = codegenStringSeq(df.queryExecution.executedPlan)
+    assert(stats.nonEmpty, "assignment fell out of whole-stage codegen")
+    stats.foreach { case (subtree, _, st) =>
+      assert(st.maxMethodCodeSize > 0,
+        s"codegen failed to compile (silent interpreted fallback):\n$subtree")
+      assert(st.maxMethodCodeSize < JitHugeMethodLimit,
+        s"generated method ${st.maxMethodCodeSize} bytecodes exceeds the " +
+          s"JIT huge-method limit in subtree:\n$subtree")
+    }
+  }
+
   test("ADC scan (LUT build + score) compiles with every method JIT-able") {
     assume(new java.io.File(sf).exists())
     val df = PqOps.pqTopK(spark, sf)
