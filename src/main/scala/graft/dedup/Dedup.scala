@@ -35,8 +35,8 @@ object Dedup {
     * sequence). Short docs fall back to a single whole-doc shingle.
     */
   def wordShingles(docs: DataFrame, w: Int): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
+    docs.select(col("doc_id"),
+        graft.functions.AsciiWordTokens.tokenHashesCol(col("text")).as("th"))
       .select(col("doc_id"),
         graft.functions.ShingleHashes.longWindowHashes(col("th"), w).as("shingles"))
 
@@ -45,9 +45,7 @@ object Dedup {
     */
   def charShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
-        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
-      .select(col("doc_id"),
-        graft.functions.ShingleHashes.charNgramHashes(col("t"), n).as("shingles"))
+      graft.functions.ShingleHashes.normCharNgramHashes(col("text"), n).as("shingles"))
 
   /** MinHash signature via one-permutation hashing (Li/König OPH), as a
     * single per-row expression: bin each shingle hash into `perms`
@@ -63,16 +61,10 @@ object Dedup {
   /** LSH banding: signature slices hash-combined per band →
     * (doc_id, band, bucket).
     */
-  def bands(sig: DataFrame, perms: Int, rowsPerBand: Int): DataFrame = {
-    val nBands = perms / rowsPerBand
-    val bandCols = (0 until nBands).map { b =>
-      val rows = (0 until rowsPerBand)
-        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
-    }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+  def bands(sig: DataFrame, perms: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"),
+        posexplode(graft.functions.MinHashSig.bandBucketsCol(
+          col("sig"), perms, rowsPerBand)).as(Seq("band", "bucket")))
 
   /** Bucket-cap split WITHOUT a window: a `groupBy` computes each
     * bucket's width and min-id anchor (map-side partial aggregation — a
@@ -408,9 +400,9 @@ object Dedup {
     // construction; the collected array comes back sorted, so expansion
     // yields id1 < id2 with no filter.
     val sh = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
+      .select(col("doc_id"),
+        graft.functions.AsciiWordTokens.tokenHashesCol(col("text")).as("th"))
+      .filter(size(col("th")) >= n)
       .select(col("doc_id"),
         explode(graft.functions.ShingleHashes.longWindowHashes(col("th"), n)).as("s"))
     exactPairsFromExploded(sh, tau, maxDf)

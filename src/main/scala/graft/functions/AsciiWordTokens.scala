@@ -54,7 +54,86 @@ case class AsciiWordTokens(child: Expression) extends UnaryExpression {
   override def prettyName: String = "ascii_tokens"
 }
 
+/** Fused tokenize+hash: equivalent to
+  * `transform(ascii_tokens(s), t -> xxhash64(t))` — the shingling
+  * pipelines' first stage — but as ONE static-kernel call: no
+  * per-token UTF8String allocation (unfolded tokens hash their byte
+  * range in place), and no HOF loop in the generated code (the
+  * composable form's inlined transform+xxhash64 pushed the
+  * minhash-signature projection past the JIT huge-method limit —
+  * CodegenAuditSpec).
+  */
+case class AsciiTokenHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ascii_token_hashes expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    AsciiWordTokens.tokenHashes(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AsciiWordTokens.tokenHashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ascii_token_hashes"
+}
+
 object AsciiWordTokens {
+
+  /** xxhash64-of-each-token, fused with the tokenize scan. MUST stay
+    * bit-identical to `transform(ascii_tokens(s), t -> xxhash64(t))`:
+    * Spark's xxhash64 on a string is XXH64 over its bytes with seed 42.
+    */
+  def tokenHashes(str: UTF8String): ArrayData = {
+    val s = str.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Long](16)
+    var i = 0
+    val n = s.length
+    var start = -1
+    var needsFold = false
+    while (i <= n) {
+      val b = if (i < n) s(i) else ' '.toByte
+      val isTok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
+      if (isTok) {
+        if (start < 0) { start = i; needsFold = false }
+        if (b >= 'A' && b <= 'Z') needsFold = true
+      } else if (start >= 0) {
+        val len = i - start
+        val h =
+          if (!needsFold)
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              s, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, len, 42L)
+          else {
+            val buf = new Array[Byte](len)
+            var j = 0
+            while (j < len) {
+              val c = s(start + j)
+              buf(j) = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+              j += 1
+            }
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+          }
+        out += h
+        start = -1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def tokenHashesCol(c: Column): Column =
+    Bridge.column(AsciiTokenHashes(Bridge.expression(c)))
 
   /** The scan kernel; static so generated code calls it directly and the
     * stage stays inside whole-stage codegen (HashKernels rationale).

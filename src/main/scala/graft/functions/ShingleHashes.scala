@@ -123,9 +123,66 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Fused normalize + n-gram hash: equivalent to
+  * `char_ngram_hashes(trim(regexp_replace(lower(s), '[^a-z0-9]+', ' ')), n)`
+  * as one byte scan — lower-fold, collapse non-alnum runs to a single
+  * space, trim, then the n-byte window hashes. The composable chain's
+  * inlined lower/regexp/trim codegen pushed the char-shingle signature
+  * projection past the JIT huge-method limit (CodegenAuditSpec). Same
+  * fold-into-ASCII caveat as ascii_tokens (~3 code points).
+  */
+case class NormCharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"norm_char_ngram_hashes expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashes.normCharNgram(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.normCharNgram($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "norm_char_ngram_hashes"
+}
+
 object ShingleHashes {
+
+  /** Byte-level normalize (lower-fold, non-alnum runs → one space, trim)
+    * then delegate to the charNgram kernel over the normalized bytes.
+    */
+  def normCharNgram(str: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = str.getBytes
+    val buf = new Array[Byte](s.length)
+    var out = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val b0 = s(i)
+      val b = if (b0 >= 'A' && b0 <= 'Z') (b0 + 32).toByte else b0
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pendingSpace && out > 0) { buf(out) = ' '; out += 1 }
+        pendingSpace = false
+        buf(out) = b
+        out += 1
+      } else pendingSpace = true
+      i += 1
+    }
+    HashKernels.charNgram(UTF8String.fromBytes(buf, 0, out), n)
+  }
+
   def charNgramHashes(c: Column, n: Int): Column =
     Bridge.column(CharNgramHashes(Bridge.expression(c), n))
+  def normCharNgramHashes(c: Column, n: Int): Column =
+    Bridge.column(NormCharNgramHashes(Bridge.expression(c), n))
   def longWindowHashes(c: Column, w: Int): Column =
     Bridge.column(LongWindowHashes(Bridge.expression(c), w))
   def longWindowHashesAll(c: Column, w: Int): Column =

@@ -34,21 +34,22 @@ object VectorOps {
   }
 
   /** n-bit signature starting at plane `offset`: bit p = sign of
-    * <v, plane_{offset+p}>, via the native DotProductConst expression
-    * (primitive codegen loop per plane). Plane count trades bucket
-    * selectivity vs recall: more planes → smaller buckets (cheaper
-    * join, lower recall); `offset` selects one of the independent
-    * tables in the multi-table ANN path.
+    * <v, plane_{offset+p}>, via the native LshSigsConst kernel (one
+    * JIT-compiled loop nest over the constant plane table — the
+    * unrolled per-plane CASE form generated a 29.5 kB-bytecode method,
+    * see CodegenAuditSpec). Plane count trades bucket selectivity vs
+    * recall: more planes → smaller buckets (cheaper join, lower
+    * recall); `offset` selects one of the independent tables in the
+    * multi-table ANN path.
     */
-  def lshSignatureAt(v: Column, nPlanes: Int, offset: Int): Column = {
-    val bits = planes.slice(offset, offset + nPlanes).zipWithIndex.map { case (p, i) =>
-      when(graft.functions.DotProductConst.dotConst(v, p) > 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshSignatureAt(v: Column, nPlanes: Int, offset: Int): Column =
+    element_at(graft.functions.LshSigs.lshSigs(v, planes, nPlanes, offset, 1), 1)
 
   def lshSignature(v: Column, nPlanes: Int): Column = lshSignatureAt(v, nPlanes, 0)
+
+  /** All `nTables` table signatures in one kernel call. */
+  private[vector] def lshTableSigs(v: Column, nPlanes: Int, nTables: Int): Column =
+    graft.functions.LshSigs.lshSigs(v, planes, nPlanes, 0, nTables)
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -136,14 +137,10 @@ object VectorOps {
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val np = 8
     val nTables = 8
-    // Signatures are computed ONCE per row into an array column, then
-    // posexplode fans out (table=pos, bucket). Building the probes
-    // directly inside one explode(array(...)) inlines nTables×(np+1)×np
-    // dot-product loops into a single generated method — past Janino's
-    // method limit, which silently drops the hot path to interpreted
-    // mode. The projection boundary keeps each codegen stage small.
-    def tableSigs(v: Column): Column =
-      array((0 until nTables).map(t => lshSignatureAt(v, np, t * np)): _*)
+    // Signatures are computed ONCE per row into an array column by the
+    // single native kernel call, then posexplode fans out
+    // (table=pos, bucket); the probe fan-out below stays cheap long XORs.
+    def tableSigs(v: Column): Column = lshTableSigs(v, np, nTables)
     val c = corpus(s, dir)
       .select(col("vec_id"), col("embedding"), tableSigs(col("embedding")).as("sigs"))
       .select(col("vec_id"), col("embedding"), posexplode(col("sigs")).as(Seq("table", "bucket")))
