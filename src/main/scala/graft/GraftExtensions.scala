@@ -81,6 +81,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         BoundedLongCollect(exprs(0), intArg(exprs(1), "bounded_long_collect"))))
 
+    ext.injectFunction((FunctionIdentifier("ascii_token_hashes"),
+      info("ascii_token_hashes",
+        "ascii_token_hashes(string) - xxh64 of each lowercase [a-z0-9]+ token (fused tokenize+hash)"),
+      (exprs: Seq[Expression]) => AsciiTokenHashes(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("norm_char_ngram_hashes"),
+      info("norm_char_ngram_hashes",
+        "norm_char_ngram_hashes(string, n) - distinct xxh64 n-grams of the lowercased/collapsed/trimmed text"),
+      (exprs: Seq[Expression]) =>
+        NormCharNgramHashes(exprs(0), intArg(exprs(1), "norm_char_ngram_hashes"))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_band_buckets"),
+      info("minhash_band_buckets",
+        "minhash_band_buckets(array<bigint>, perms, rowsPerBand) - LSH band bucket hashes of a MinHash signature"),
+      (exprs: Seq[Expression]) =>
+        MinHashBandBuckets(exprs(0), intArg(exprs(1), "minhash_band_buckets"),
+          intArg(exprs(2), "minhash_band_buckets"))))
+
     // optimizer leg: the canonical regex tokenizer pattern silently
     // becomes the native byte-scan kernel (graft.plans.TokenizeRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TokenizeRewrite)
