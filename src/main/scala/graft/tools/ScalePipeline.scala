@@ -69,10 +69,16 @@ object ScalePipeline {
 
     new java.io.File(root).mkdirs()
 
-    // ---- stage 1: generate the WARC corpus (parallel, one file/task) ----
+    // ---- stage 1: generate the WARC corpus (parallel, one file/task).
+    //      Resumable: an already-complete corpus is reused, so kernel/
+    //      plan iterations re-measure the pipeline without paying
+    //      generation again ----
     val warcDir = s"$root/warc"
     new java.io.File(warcDir).mkdirs()
-    stage("generate_warc") {
+    val existing = new java.io.File(warcDir).listFiles()
+    if (existing != null && existing.count(_.getName.endsWith(".warc.gz")) == nFiles) {
+      println(s"[scale] reusing existing $nFiles-file corpus in $warcDir")
+    } else stage("generate_warc") {
       spark.range(0, nFiles, 1, nFiles).foreachPartition {
         (it: Iterator[java.lang.Long]) =>
         it.foreach { fi =>
