@@ -295,8 +295,9 @@ object Relational {
       FROM embeddings"""))
 
   /** Window: ranking (first N per key) over the events stream table.
-    * `ts` arrives as raw int64 nanos (see Tables); ordering is identical
-    * to timestamp ordering.
+    * `ts` orders identically whatever its physical encoding (int64 nanos
+    * or µs timestamp — see Tables.tsMicros), so no normalization needed
+    * where only ORDER semantics are consumed.
     */
   val w1RowNumber: QueryDef = QueryDef(
     "w1_row_number",
@@ -330,11 +331,13 @@ object Relational {
     */
   val w3DailyRollup: QueryDef = QueryDef(
     "w3_daily_rollup",
-    (s, dir) => t(s, dir, "events")
-      .select(to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(to_date(graft.util.Tables.tsTimestamp(ev)).as("day"),
         col("event_type"), col("value"))
-      .groupBy(col("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total")),
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    },
     Some("""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
       FROM events GROUP BY CAST(ts AS DATE), event_type"""))
@@ -563,13 +566,15 @@ object Relational {
   val j6AsofJoin: QueryDef = QueryDef(
     "j6_asof_join",
     (s, dir) => {
-      // µs, not ns: DuckDB's TIMESTAMP truncates the parquet NANOS
-      // column to microseconds, so ordering and output must use µs on
-      // both engines or sub-µs digits diverge
-      val ev = t(s, dir, "events")
+      // µs normal form whatever the physical encoding (nanos-as-long or
+      // micros timestamp — Tables.tsMicros branches): DuckDB's TIMESTAMP
+      // is µs, so ordering and output must use µs on both engines or
+      // sub-µs digits diverge
+      val raw = t(s, dir, "events")
+      val ev = raw
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"),
+          graft.util.Tables.tsMicros(raw).as("ts_us"),
           when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
           when(col("event_type") === "purchase", col("value")).as("pv"))
       val w = org.apache.spark.sql.expressions.Window
@@ -610,12 +615,13 @@ object Relational {
   val j7RangeJoin: QueryDef = QueryDef(
     "j7_range_join",
     (s, dir) => {
-      // µs like j6 (DuckDB truncates NANOS to its µs TIMESTAMP); all
-      // bucket arithmetic is INTEGER division (`div`): `/` on longs
-      // widens to double, whose 53-bit mantissa misplaces µs-scale
-      // boundaries — and both engines' integer semantics must coincide
-      val e = t(s, dir, "events")
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      // µs like j6 (adaptive via Tables.tsMicros); all bucket arithmetic
+      // is INTEGER division (`div`): `/` on longs widens to double,
+      // whose 53-bit mantissa misplaces µs-scale boundaries — and both
+      // engines' integer semantics must coincide
+      val raw = t(s, dir, "events")
+      val e = raw
+        .select(col("event_id"), graft.util.Tables.tsMicros(raw).as("ts_us"), col("value"))
       // the 1-row stats aggregate rides a broadcast NLJ onto each side
       // (bounded by construction — PlanAuditSpec allow-lists it like the
       // other 1-row-stats queries); the interval×event join below is the

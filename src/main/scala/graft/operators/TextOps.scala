@@ -617,6 +617,10 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // oracle sums are CAST to BIGINT: DuckDB's bare SUM over integers
+  // returns HUGEINT (arrow decimal128), and the driver's hash is
+  // value-TYPE-sensitive — Spark emits int64, so an uncast oracle
+  // hash-mismatches on bit-identical values
   val vocabStatsQuery: QueryDef = QueryDef(
     "text_vocab_stats",
     (s, dir) => vocabStats(Tables(s, dir, "documents")),
@@ -625,8 +629,8 @@ object TextOps {
         FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
               FROM documents)
         GROUP BY source, t)
-      SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_types,
-        SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
         CAST((COUNT(*) * 1000000) // SUM(c) AS DOUBLE) / 1000000.0 AS type_token_ratio
       FROM tf GROUP BY source ORDER BY source"""))
 

@@ -9,22 +9,24 @@ import org.apache.spark.sql.types._
   * (the reference is batch-only, SURVEY §2.8): windowed aggregation with
   * watermarking, and stateful sessionization via flatMapGroupsWithState.
   *
-  * The parquet schema carries ns-timestamps; streams read them as long
-  * nanos (nanosAsLong) and convert once at ingest.
+  * The events parquet has shipped as both TIMESTAMP(NANOS)-as-long and
+  * TIMESTAMP(MICROS); ingest infers the staged directory's real schema
+  * with a batch read and normalizes ts once through Tables.tsMicros —
+  * never a hard-coded schema (a hard-coded LongType over a micros file
+  * silently reads raw micros and compresses the timeline 1000×).
   */
 object EventStream {
 
-  /** Parquet schema of events with ts as raw nanos (nanosAsLong form). */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-stream source over a directory of events parquet. */
+  /** File-stream source over a directory of events parquet, ts
+    * normalized to TimestampType (µs, UTC session) whatever the
+    * physical encoding. The schema-inference batch read touches only
+    * footers, not data.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema: StructType = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(graft.util.Tables.tsMicros(schema, "ts")))
   }
 
   /** 5-minute tumbling-window counts per event type with a 10-minute

@@ -17,8 +17,9 @@ object StreamQueries {
     * source file(s) into a temp dir replaces the Spark rewrite job the
     * old harness ran per invocation (~5 s of staging that was charged to
     * the streaming query), and repeated invocations in one session reuse
-    * the first stage. The nanos→long handling happens at read time
-    * (readEvents), so the un-rewritten file streams identically.
+    * the first stage. Timestamp-encoding handling (nanos-as-long vs
+    * micros) happens adaptively at read time (readEvents), so the
+    * un-rewritten file streams identically.
     */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -92,9 +93,10 @@ object StreamQueries {
     "stream_sessions",
     (s, dir) => {
       import s.implicits._
-      val typed = graft.util.Tables(s, dir, "events")
+      val raw = graft.util.Tables(s, dir, "events")
+      val typed = raw
         .select(col("event_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts"),
+          graft.util.Tables.tsTimestamp(raw).as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .as[EventStream.Event]
       val sessions = EventStream.sessionize(typed, gapMs = 30 * 60 * 1000)
@@ -142,15 +144,17 @@ object StreamQueries {
     */
   val sessionWindowAgg: QueryDef = QueryDef(
     "session_window_agg",
-    (s, dir) => graft.util.Tables(s, dir, "events")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+    (s, dir) => {
+      val raw = graft.util.Tables(s, dir, "events")
+      raw.select(graft.util.Tables.tsTimestamp(raw).as("ts"),
         col("user_id"), col("value"))
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         graft.functions.GraftFunctions.dsum(col("value")).as("total"))
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("win_start"),
-        col("n_events"), col("total")),
+        col("n_events"), col("total"))
+    },
     Some("""WITH g AS (
         SELECT user_id, ts, value, event_id,
           CASE WHEN lag(ts) OVER w IS NULL

@@ -33,8 +33,9 @@ class StreamingSpec extends AnyFunSuite {
         .select("win_start", "event_type", "n").collect()
         .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
-      val batch = spark.read.parquet(eventsDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val batchRaw = spark.read.parquet(eventsDir)
+      val batch = batchRaw
+        .withColumn("ts", graft.util.Tables.tsTimestamp(batchRaw))
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start"), col("event_type"), col("n")).collect()
