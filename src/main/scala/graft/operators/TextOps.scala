@@ -634,8 +634,126 @@ object TextOps {
         CAST((COUNT(*) * 1000000) // SUM(c) AS DOUBLE) / 1000000.0 AS type_token_ratio
       FROM tf GROUP BY source ORDER BY source"""))
 
+  /** Gopher n-gram repetition rules (Rae et al. 2021 §A1.1, Table A1 —
+    * the half quality_gopher's line-level rules don't cover): fraction
+    * of characters inside the single most-covering n-gram for n=2..4
+    * (thresholds 0.20/0.18/0.16) and inside DUPLICATED n-grams for
+    * n=5..10 (0.15/0.14/0.13/0.12/0.11/0.10). The RedPajama/Dolma-class
+    * cleaning stacks run exactly this filter set over whole corpora.
+    *
+    * Scale shape: ONE generator pass emits (doc, n, gram) for all nine
+    * n in a single explode (no nine-pass re-scan), then three hash
+    * aggregations with map-side partial agg — the wordcount topology,
+    * nothing quadratic, key space bounded by grams-per-doc. "Top" is
+    * MAX(count × gram chars) — the n-gram covering the most characters
+    * — which is tie-free across engines where "most frequent, break
+    * ties arbitrarily" is not. Char counts exclude the joining spaces
+    * (gram_len − (n−1)); ratios are fixed to 6dp by integer arithmetic
+    * (bit-exact on both engines, see vocabStats). Docs with < 2 tokens
+    * have nothing to measure and emit no row on either engine.
+    */
+  val textRepetition: QueryDef = QueryDef(
+    "text_repetition",
+    (s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"),
+          expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("total_chars"))
+      // greatest(…, 1) keeps sequence() ascending when n_toks < n (Spark
+      // sequence(1, 0) counts DOWN, yielding [1, 0], not empty); the
+      // stub gram such rows produce is dropped by the n_toks >= n filter
+      val grams = base.select(col("doc_id"), col("n_toks"), col("total_chars"),
+          explode(expr(
+            """flatten(transform(sequence(2, 10), n ->
+                 transform(sequence(1, greatest(size(toks) - n + 1, 1)), i ->
+                   named_struct('n', n, 'gram', concat_ws(' ', slice(toks, i, n))))))"""))
+            .as("g"))
+        .filter(col("n_toks") >= col("g.n"))
+        .select(col("doc_id"), col("total_chars"), col("g.n").as("n"),
+          col("g.gram").as("gram"))
+      val perN = grams
+        .groupBy(col("doc_id"), col("total_chars"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("total_chars"), col("n"), col("c"),
+          (col("c") * (length(col("gram")) - (col("n") - 1))).as("chars"))
+        .groupBy(col("doc_id"), col("total_chars"), col("n"))
+        .agg(max(col("chars")).as("top_chars"),
+          sum(when(col("c") >= 2, col("chars"))).as("dup_chars"))
+      val wide = perN.groupBy(col("doc_id"), col("total_chars")).agg(
+        max(when(col("n") === 2, col("top_chars"))).as("t2"),
+        max(when(col("n") === 3, col("top_chars"))).as("t3"),
+        max(when(col("n") === 4, col("top_chars"))).as("t4"),
+        max(when(col("n") === 5, col("dup_chars"))).as("d5"),
+        max(when(col("n") === 6, col("dup_chars"))).as("d6"),
+        max(when(col("n") === 7, col("dup_chars"))).as("d7"),
+        max(when(col("n") === 8, col("dup_chars"))).as("d8"),
+        max(when(col("n") === 9, col("dup_chars"))).as("d9"),
+        max(when(col("n") === 10, col("dup_chars"))).as("d10"))
+      def f(src: String, out: String) = expr(
+        s"CAST(coalesce($src, 0) * 1000000 DIV greatest(total_chars, 1) AS DOUBLE) / 1000000.0")
+        .as(out)
+      wide.select(col("doc_id"),
+          f("t2", "top_2gram_frac"), f("t3", "top_3gram_frac"),
+          f("t4", "top_4gram_frac"), f("d5", "dup_5gram_frac"),
+          f("d6", "dup_6gram_frac"), f("d7", "dup_7gram_frac"),
+          f("d8", "dup_8gram_frac"), f("d9", "dup_9gram_frac"),
+          f("d10", "dup_10gram_frac"))
+        .withColumn("passes",
+          col("top_2gram_frac") <= 0.20 && col("top_3gram_frac") <= 0.18 &&
+            col("top_4gram_frac") <= 0.16 && col("dup_5gram_frac") <= 0.15 &&
+            col("dup_6gram_frac") <= 0.14 && col("dup_7gram_frac") <= 0.13 &&
+            col("dup_8gram_frac") <= 0.12 && col("dup_9gram_frac") <= 0.11 &&
+            col("dup_10gram_frac") <= 0.10)
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents),
+      b AS (SELECT doc_id, toks, len(toks) AS n_toks,
+          CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
+            AS total_chars
+        FROM t),
+      g AS (SELECT doc_id, total_chars, ns.n AS n,
+          unnest(list_transform(generate_series(1, greatest(n_toks - ns.n + 1, 1)),
+            i -> array_to_string(toks[i:i+ns.n-1], ' '))) AS gram
+        FROM b, (SELECT unnest(generate_series(2, 10)) AS n) ns
+        WHERE n_toks >= ns.n),
+      c AS (SELECT doc_id, total_chars, n, gram,
+          length(gram) - (n - 1) AS gram_len, COUNT(*) AS c
+        FROM g GROUP BY doc_id, total_chars, n, gram),
+      p AS (SELECT doc_id, total_chars, n,
+          MAX(c * gram_len) AS top_chars,
+          SUM(CASE WHEN c >= 2 THEN c * gram_len END) AS dup_chars
+        FROM c GROUP BY doc_id, total_chars, n),
+      w AS (SELECT doc_id, total_chars,
+          MAX(CASE WHEN n = 2 THEN top_chars END) AS t2,
+          MAX(CASE WHEN n = 3 THEN top_chars END) AS t3,
+          MAX(CASE WHEN n = 4 THEN top_chars END) AS t4,
+          MAX(CASE WHEN n = 5 THEN dup_chars END) AS d5,
+          MAX(CASE WHEN n = 6 THEN dup_chars END) AS d6,
+          MAX(CASE WHEN n = 7 THEN dup_chars END) AS d7,
+          MAX(CASE WHEN n = 8 THEN dup_chars END) AS d8,
+          MAX(CASE WHEN n = 9 THEN dup_chars END) AS d9,
+          MAX(CASE WHEN n = 10 THEN dup_chars END) AS d10
+        FROM p GROUP BY doc_id, total_chars)
+      SELECT doc_id,
+        CAST(coalesce(t2, 0) * 1000000 // greatest(total_chars, 1) AS DOUBLE) / 1000000.0 AS top_2gram_frac,
+        CAST(coalesce(t3, 0) * 1000000 // greatest(total_chars, 1) AS DOUBLE) / 1000000.0 AS top_3gram_frac,
+        CAST(coalesce(t4, 0) * 1000000 // greatest(total_chars, 1) AS DOUBLE) / 1000000.0 AS top_4gram_frac,
+        CAST(coalesce(d5, 0) * 1000000 // greatest(total_chars, 1) AS DOUBLE) / 1000000.0 AS dup_5gram_frac,
+        CAST(coalesce(d6, 0) * 1000000 // greatest(total_chars, 1) AS DOUBLE) / 1000000.0 AS dup_6gram_frac,
+        CAST(coalesce(d7, 0) * 1000000 // greatest(total_chars, 1) AS DOUBLE) / 1000000.0 AS dup_7gram_frac,
+        CAST(coalesce(d8, 0) * 1000000 // greatest(total_chars, 1) AS DOUBLE) / 1000000.0 AS dup_8gram_frac,
+        CAST(coalesce(d9, 0) * 1000000 // greatest(total_chars, 1) AS DOUBLE) / 1000000.0 AS dup_9gram_frac,
+        CAST(coalesce(d10, 0) * 1000000 // greatest(total_chars, 1) AS DOUBLE) / 1000000.0 AS dup_10gram_frac,
+        top_2gram_frac <= 0.20 AND top_3gram_frac <= 0.18 AND top_4gram_frac <= 0.16
+          AND dup_5gram_frac <= 0.15 AND dup_6gram_frac <= 0.14
+          AND dup_7gram_frac <= 0.13 AND dup_8gram_frac <= 0.12
+          AND dup_9gram_frac <= 0.11 AND dup_10gram_frac <= 0.10 AS passes
+      FROM w"""))
+
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
     tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub,
-    textNormalize, bm25, readability, textEntropy, fpWinnowing, vocabStatsQuery)
+    textNormalize, bm25, readability, textEntropy, fpWinnowing, vocabStatsQuery,
+    textRepetition)
 }
