@@ -751,9 +751,112 @@ object TextOps {
           AND dup_9gram_frac <= 0.11 AND dup_10gram_frac <= 0.10 AS passes
       FROM w"""))
 
+  /** Unicode script detection — the pre-langid gate every multilingual
+    * corpus pipeline runs (stopword lang-id like [[langIdHeuristic]]
+    * only works AFTER the script is known to be Latin; the majority of
+    * web text is not). Counts code points in eight major script blocks
+    * via one regexp_replace-removal per block (pure map-side scan work,
+    * no explode), picks the dominant script with a fixed preference
+    * order on ties, and emits the dominant fraction at 6dp integer
+    * arithmetic. Block ranges are BMP code-point classes written as
+    * `\x{….}` so Java regex and DuckDB RE2 parse them identically.
+    * The synthetic corpus is ASCII, so planted Cyrillic/CJK/Arabic/
+    * Greek/mixed/no-letter rows are unioned in on BOTH engines — the
+    * oracle exercises real non-Latin classification, not just the
+    * Latin fast path.
+    */
+  val scriptDetect: QueryDef = {
+    val blocks: Seq[(String, String)] = Seq(
+      "latin" -> """[A-Za-z]""",
+      "cyrillic" -> """[\x{0400}-\x{04FF}]""",
+      "greek" -> """[\x{0370}-\x{03FF}]""",
+      "arabic" -> """[\x{0600}-\x{06FF}]""",
+      "hebrew" -> """[\x{0590}-\x{05FF}]""",
+      "cjk" -> """[\x{4E00}-\x{9FFF}]""",
+      "hangul" -> """[\x{AC00}-\x{D7AF}]""",
+      "devanagari" -> """[\x{0900}-\x{097F}]""")
+    val names = blocks.map(_._1)
+    // planted fixtures (id, text) — ids far above any synthetic doc_id
+    val planted: Seq[(Long, String)] = Seq(
+      9000001L -> "привет мир как дела сегодня",
+      9000002L -> "你好世界这是一段测试文本",
+      9000003L -> "مرحبا بالعالم هذا نص تجريبي",
+      9000004L -> "γεια σου κοσμε δοκιμη",
+      9000005L -> "abcde фывап",         // exact 5–5 tie → preference order
+      9000006L -> "12345 !!! ??? 67890") // no letters → unknown
+    QueryDef(
+      "text_script_detect",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(planted.toDF("doc_id", "text"))
+        val counted = docs.select(col("doc_id") +: blocks.map { case (nm, re) =>
+          (length(col("text")) -
+            length(regexp_replace(col("text"), re, ""))).as(s"${nm}_n")
+        }: _*)
+        val total = names.map(n => col(s"${n}_n")).reduce(_ + _)
+        // fixed preference order on ties: earlier block wins
+        val dominant = names.zipWithIndex.foldRight(lit("unknown")) {
+          case ((nm, i), rest) =>
+            val geRest = names.drop(i + 1)
+              .map(o => col(s"${nm}_n") >= col(s"${o}_n"))
+              .foldLeft(lit(true))(_ && _)
+            when(geRest, lit(nm)).otherwise(rest)
+        }
+        val domN = names.map(n => col(s"${n}_n")).reduce(greatest(_, _))
+        counted
+          .withColumn("total_letters", total)
+          .withColumn("script", when(col("total_letters") === 0, lit("unknown"))
+            .otherwise(dominant))
+          .withColumn("n_script_chars",
+            when(col("total_letters") === 0, lit(0)).otherwise(domN))
+          .withColumn("script_frac", expr(
+            // widen before ×1e6: a 100k-char doc would overflow int32
+            // (ANSI mode makes that a runtime error, not a wrap)
+            "CAST(CAST(n_script_chars AS BIGINT) * 1000000 DIV greatest(total_letters, 1) AS DOUBLE) / 1000000.0"))
+          .select(col("doc_id"), col("script"), col("n_script_chars"),
+            col("total_letters"), col("script_frac"))
+      },
+      Some {
+        val cnts = blocks.map { case (nm, re) =>
+          s"length(text) - length(regexp_replace(text, '$re', '', 'g')) AS ${nm}_n"
+        }.mkString(",\n          ")
+        val total = names.map(n => s"${n}_n").mkString(" + ")
+        val caseChain = names.zipWithIndex.map { case (nm, i) =>
+          val ge = names.drop(i + 1).map(o => s"${nm}_n >= ${o}_n")
+          if (ge.isEmpty) s"ELSE '$nm'"
+          else s"WHEN ${ge.mkString(" AND ")} THEN '$nm'"
+        }.mkString("\n          ")
+        val domN = s"greatest(${names.map(n => s"${n}_n").mkString(", ")})"
+        val plantedSql = planted
+          .map { case (id, t) => s"($id, '$t')" }.mkString(",\n          ")
+        s"""WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+          $plantedSql) v(doc_id, text)),
+        c AS (SELECT doc_id,
+          $cnts
+        FROM docs),
+        t AS (SELECT *, CAST($total AS BIGINT) AS total_letters,
+          CAST($domN AS BIGINT) AS dom_n,
+          CASE
+          $caseChain
+          END AS dom
+        FROM c)
+        SELECT doc_id,
+          CASE WHEN total_letters = 0 THEN 'unknown' ELSE dom END AS script,
+          CAST(CASE WHEN total_letters = 0 THEN 0 ELSE dom_n END AS INT) AS n_script_chars,
+          CAST(total_letters AS INT) AS total_letters,
+          CAST((CASE WHEN total_letters = 0 THEN 0 ELSE dom_n END) * 1000000
+            // greatest(total_letters, 1) AS DOUBLE) / 1000000.0 AS script_frac
+        FROM t"""
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
     tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub,
     textNormalize, bm25, readability, textEntropy, fpWinnowing, vocabStatsQuery,
-    textRepetition)
+    textRepetition, scriptDetect)
 }
