@@ -37,6 +37,7 @@ object SparkEntry {
       vector.VectorOps.all ++
       vector.PqOps.all ++
       vector.SemDedup.all ++
+      vector.KMeansOps.all ++
       media.MediaOps.all ++
       ops.WarcFixtureQueries.all ++
       streaming.StreamQueries.all ++

@@ -245,3 +245,136 @@ case class PqLutTable(child: Expression, cbFlat: Array[Double],
 
   override def prettyName: String = "pq_luts"
 }
+
+/** Exact nearest-centroid by squared L2 over a constant centroid table,
+  * ties to the lowest centroid index — the assignment step of Lloyd's
+  * k-means as one native kernel call (same JIT-compiled-loop rationale
+  * as NearestCellConst, which is the max-DOT form used by IVF and
+  * cannot express the per-centroid ||c||² bias min-L2 needs). Over
+  * integer-valued inputs below 2^24 every product and partial sum is an
+  * exactly-represented integer in double arithmetic, so the result is
+  * bit-deterministic and engine-independent — the property the
+  * quantized k-means oracle relies on.
+  */
+object CentroidL2 {
+  /** argmin_j ||a - c_j||², ties to lowest j; -1 on an empty table. */
+  def nearestL2(a: ArrayData, cb: Array[Double], k: Int, dim: Int): Long = {
+    val n = math.min(a.numElements(), dim)
+    var best = -1L
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < k) {
+      val base = j * dim
+      var d2 = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = a.getFloat(i).toDouble - cb(base + i)
+        d2 += diff * diff
+        i += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** min_j ||a - c_j||² as a long (exact for integer-valued inputs);
+    * -1 on an empty table.
+    */
+  def minDistL2(a: ArrayData, cb: Array[Double], k: Int, dim: Int): Long = {
+    val n = math.min(a.numElements(), dim)
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < k) {
+      val base = j * dim
+      var d2 = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = a.getFloat(i).toDouble - cb(base + i)
+        d2 += diff * diff
+        i += 1
+      }
+      if (d2 < bestD) bestD = d2
+      j += 1
+    }
+    if (j == 0) -1L else bestD.toLong
+  }
+
+  def nearest(v: Column, centroids: Seq[Array[Double]]): Column =
+    Bridge.column(NearestCentroidL2(Bridge.expression(v),
+      flat(centroids), centroids.length, dimOf(centroids)))
+
+  def minDist(v: Column, centroids: Seq[Array[Double]]): Column =
+    Bridge.column(MinCentroidDistL2(Bridge.expression(v),
+      flat(centroids), centroids.length, dimOf(centroids)))
+
+  private def dimOf(cs: Seq[Array[Double]]): Int =
+    cs.headOption.map(_.length).getOrElse(0)
+
+  private def flat(cs: Seq[Array[Double]]): Array[Double] = {
+    val dim = dimOf(cs)
+    val cb = new Array[Double](cs.length * dim)
+    cs.zipWithIndex.foreach { case (c, j) =>
+      System.arraycopy(c, 0, cb, j * dim, math.min(c.length, dim))
+    }
+    cb
+  }
+}
+
+/** array<float> → centroid index with the minimum squared L2 distance. */
+case class NearestCentroidL2(child: Expression, cbFlat: Array[Double],
+                             k: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_l2 expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidL2.nearestL2(v.asInstanceOf[ArrayData], cbFlat, k, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cbFlat", cbFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CentroidL2.nearestL2($a, $cb, $k, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroid_l2"
+}
+
+/** array<float> → minimum squared L2 distance to the constant table. */
+case class MinCentroidDistL2(child: Expression, cbFlat: Array[Double],
+                             k: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"min_centroid_dist_l2 expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidL2.minDistL2(v.asInstanceOf[ArrayData], cbFlat, k, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cbFlat", cbFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CentroidL2.minDistL2($a, $cb, $k, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "min_centroid_dist_l2"
+}
