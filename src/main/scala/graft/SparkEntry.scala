@@ -34,6 +34,7 @@ object SparkEntry {
       text.InvertedIndex.all ++
       dedup.Dedup.all ++
       dedup.BloomDedup.all ++
+      dedup.EditDedup.all ++
       vector.VectorOps.all ++
       vector.PqOps.all ++
       vector.SemDedup.all ++
