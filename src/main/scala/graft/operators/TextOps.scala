@@ -641,58 +641,38 @@ object TextOps {
     * n=5..10 (0.15/0.14/0.13/0.12/0.11/0.10). The RedPajama/Dolma-class
     * cleaning stacks run exactly this filter set over whole corpora.
     *
-    * Scale shape: ONE generator pass emits (doc, n, gram) for all nine
-    * n in a single explode (no nine-pass re-scan), then three hash
-    * aggregations with map-side partial agg — the wordcount topology,
-    * nothing quadratic, key space bounded by grams-per-doc. "Top" is
-    * MAX(count × gram chars) — the n-gram covering the most characters
-    * — which is tie-free across engines where "most frequent, break
-    * ties arbitrarily" is not. Char counts exclude the joining spaces
-    * (gram_len − (n−1)); ratios are fixed to 6dp by integer arithmetic
-    * (bit-exact on both engines, see vocabStats). Docs with < 2 tokens
-    * have nothing to measure and emit no row on either engine.
+    * Scale shape: the statistics are a pure per-document function, so
+    * they run as ONE map stage — a native kernel
+    * ([[graft.functions.TextKernels]]) does the nine n-gram passes per
+    * document in a JIT-compiled loop and returns 10 longs; nothing is
+    * exploded or shuffled (the first cut exploded (doc, n, gram) and
+    * paid three hash-agg exchanges of string keys — 10.3 s at sf0.1 vs
+    * ~0.3 s fused; the DuckDB oracle still replays the exploded form
+    * and hash-matches, which is the cross-check that the kernel IS the
+    * declarative semantics). "Top" is MAX(count × gram chars) — the
+    * n-gram covering the most characters — which is tie-free across
+    * engines where "most frequent, break ties arbitrarily" is not.
+    * Char counts exclude the joining spaces; ratios are fixed to 6dp by
+    * integer arithmetic (bit-exact on both engines, see vocabStats).
+    * Docs with < 2 tokens have nothing to measure and emit no row on
+    * either engine.
     */
   val textRepetition: QueryDef = QueryDef(
     "text_repetition",
     (s, dir) => {
-      val base = Tables(s, dir, "documents")
+      val stats = Tables(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"),
-          expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("total_chars"))
-      // greatest(…, 1) keeps sequence() ascending when n_toks < n (Spark
-      // sequence(1, 0) counts DOWN, yielding [1, 0], not empty); the
-      // stub gram such rows produce is dropped by the n_toks >= n filter
-      val grams = base.select(col("doc_id"), col("n_toks"), col("total_chars"),
-          explode(expr(
-            """flatten(transform(sequence(2, 10), n ->
-                 transform(sequence(1, greatest(size(toks) - n + 1, 1)), i ->
-                   named_struct('n', n, 'gram', concat_ws(' ', slice(toks, i, n))))))"""))
-            .as("g"))
-        .filter(col("n_toks") >= col("g.n"))
-        .select(col("doc_id"), col("total_chars"), col("g.n").as("n"),
-          col("g.gram").as("gram"))
-      val perN = grams
-        .groupBy(col("doc_id"), col("total_chars"), col("n"), col("gram"))
-        .agg(count(lit(1)).as("c"))
-        .select(col("doc_id"), col("total_chars"), col("n"), col("c"),
-          (col("c") * (length(col("gram")) - (col("n") - 1))).as("chars"))
-        .groupBy(col("doc_id"), col("total_chars"), col("n"))
-        .agg(max(col("chars")).as("top_chars"),
-          sum(when(col("c") >= 2, col("chars"))).as("dup_chars"))
-      val wide = perN.groupBy(col("doc_id"), col("total_chars")).agg(
-        max(when(col("n") === 2, col("top_chars"))).as("t2"),
-        max(when(col("n") === 3, col("top_chars"))).as("t3"),
-        max(when(col("n") === 4, col("top_chars"))).as("t4"),
-        max(when(col("n") === 5, col("dup_chars"))).as("d5"),
-        max(when(col("n") === 6, col("dup_chars"))).as("d6"),
-        max(when(col("n") === 7, col("dup_chars"))).as("d7"),
-        max(when(col("n") === 8, col("dup_chars"))).as("d8"),
-        max(when(col("n") === 9, col("dup_chars"))).as("d9"),
-        max(when(col("n") === 10, col("dup_chars"))).as("d10"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          graft.functions.TextKernels.repetitionStats(col("toks")).as("r"))
+        .select(col("doc_id"), col("r")(0).as("total_chars"),
+          col("r")(1).as("t2"), col("r")(2).as("t3"), col("r")(3).as("t4"),
+          col("r")(4).as("d5"), col("r")(5).as("d6"), col("r")(6).as("d7"),
+          col("r")(7).as("d8"), col("r")(8).as("d9"), col("r")(9).as("d10"))
       def f(src: String, out: String) = expr(
         s"CAST(coalesce($src, 0) * 1000000 DIV greatest(total_chars, 1) AS DOUBLE) / 1000000.0")
         .as(out)
-      wide.select(col("doc_id"),
+      stats.select(col("doc_id"),
           f("t2", "top_2gram_frac"), f("t3", "top_3gram_frac"),
           f("t4", "top_4gram_frac"), f("d5", "dup_5gram_frac"),
           f("d6", "dup_6gram_frac"), f("d7", "dup_7gram_frac"),
