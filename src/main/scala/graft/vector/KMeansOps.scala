@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.functions.CentroidL2
 import graft.util.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** K-means centroid training over the embeddings table — the clustering
@@ -33,6 +34,7 @@ object KMeansOps {
   private val K = 8
   private val Iters = 2
   private val Dim = 64
+  private val PrunePerCluster = 25
 
   /** floor(x·1e6) per element, kept as float for the native kernel
     * (integer-valued and < 2^24, so the float representation is exact).
@@ -63,39 +65,34 @@ object KMeansOps {
     centroids
   }
 
-  val embeddingKmeans: QueryDef = QueryDef(
-    "embedding_kmeans",
-    (s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), quantize.as("qv"))
-      // init: the K lowest vec_ids' vectors, cid = position in that order
-      val init: Seq[Array[Double]] = emb.orderBy(col("vec_id")).limit(K)
-        .select(col("qv")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
-      if (init.isEmpty)
-        // empty table: emit the empty frame with the right shape
-        emb.select(lit(0L).as("cid"), lit(0L).as("n_members"),
-          lit(0L).as("inertia"), lit(0L).as("c0")).limit(0)
-      else {
-        val centroids = lloyd(emb, init)
-        emb.select(CentroidL2.nearest(col("qv"), centroids).as("cid"),
-            CentroidL2.minDist(col("qv"), centroids).as("d2"))
-          .groupBy(col("cid"))
-          .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
-          .withColumn("c0",
-            // fingerprint of the trained centroid itself, not just sizes
-            element_at(
-              map(centroids.zipWithIndex.flatMap { case (c, i) =>
-                Seq(lit(i.toLong), lit(c(0).toLong))
-              }: _*),
-              col("cid")))
-      }
-    },
-    // DuckDB 1.0 lambdas cannot capture correlated outer columns, so the
-    // per-(vector, centroid) distance is a plain dims-join aggregate,
-    // and argmin-with-tie-to-lowest-cid is MIN over the packed key
-    // d2*16 + cid (exact: d2 < 2^45 at these magnitudes, cid < 16)
-    Some(s"""WITH RECURSIVE
+  /** Quantized corpus with its trained assignment (vec_id, cid, d2) and
+    * the trained centroid table; None on an empty embeddings table.
+    */
+  private def trainedAssignments(s: SparkSession, dir: String)
+      : Option[(DataFrame, Seq[Array[Double]])] = {
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), quantize.as("qv"))
+    // init: the K lowest vec_ids' vectors, cid = position in that order
+    val init: Seq[Array[Double]] = emb.orderBy(col("vec_id")).limit(K)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    if (init.isEmpty) None
+    else {
+      val centroids = lloyd(emb, init)
+      Some((emb.select(col("vec_id"),
+        CentroidL2.nearest(col("qv"), centroids).as("cid"),
+        CentroidL2.minDist(col("qv"), centroids).as("d2")), centroids))
+    }
+  }
+
+  /** Shared oracle prefix: quantization, Lloyd recursion, and the final
+    * assignment — both registered queries select from `assign`/`fin`.
+    * DuckDB 1.0 lambdas cannot capture correlated outer columns, so the
+    * per-(vector, centroid) distance is a plain dims-join aggregate,
+    * and argmin-with-tie-to-lowest-cid is MIN over the packed key
+    * d2*16 + cid (exact: d2 < 2^45 at these magnitudes, cid < 16).
+    */
+  private val kmeansCtes: String = s"""WITH RECURSIVE
       q AS (SELECT vec_id,
           list_transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
@@ -132,11 +129,62 @@ object KMeansOps {
       assign AS (SELECT vec_id,
           CAST(MIN(d2 * 16 + cid) % 16 AS BIGINT) AS cid,
           MIN(d2 * 16 + cid) // 16 AS d2
-        FROM fdist GROUP BY vec_id)
+        FROM fdist GROUP BY vec_id)"""
+
+  val embeddingKmeans: QueryDef = QueryDef(
+    "embedding_kmeans",
+    (s, dir) => trainedAssignments(s, dir) match {
+      case None =>
+        // empty table: emit the empty frame with the right shape
+        Tables(s, dir, "embeddings")
+          .select(lit(0L).as("cid"), lit(0L).as("n_members"),
+            lit(0L).as("inertia"), lit(0L).as("c0")).limit(0)
+      case Some((asn, centroids)) =>
+        asn.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+          .withColumn("c0",
+            // fingerprint of the trained centroid itself, not just sizes
+            element_at(
+              map(centroids.zipWithIndex.flatMap { case (c, i) =>
+                Seq(lit(i.toLong), lit(c(0).toLong))
+              }: _*),
+              col("cid")))
+    },
+    Some(s"""$kmeansCtes
       SELECT a.cid, COUNT(*) AS n_members,
         CAST(SUM(a.d2) AS BIGINT) AS inertia,
         (SELECT CAST(f.cvec[1] AS BIGINT) FROM fin f WHERE f.cid = a.cid) AS c0
       FROM assign a GROUP BY a.cid"""))
 
-  val all: Seq[QueryDef] = Seq(embeddingKmeans)
+  /** Cluster-based diversity pruning (the D4/prototype-selection shape):
+    * keep the P vectors closest to their trained centroid per cluster —
+    * the per-cluster representatives a pruned training mix retains.
+    * Spark: the trained assignment (a map stage) flows into ONE top-P
+    * per key window, partitioned on the cluster id; at scale the
+    * standard top-K-per-key mitigation applies (pre-filter by a
+    * per-partition P-th distance bound before the final window) — with
+    * k clusters the window's key space is k, which is why P, not the
+    * corpus, bounds the output.
+    */
+  val clusterPrune: QueryDef = QueryDef(
+    "curation_cluster_prune",
+    (s, dir) => trainedAssignments(s, dir) match {
+      case None =>
+        Tables(s, dir, "embeddings")
+          .select(lit(0L).as("vec_id"), lit(0L).as("cid"),
+            lit(0L).as("d2"), lit(0L).as("rnk")).limit(0)
+      case Some((asn, _)) =>
+        val w = Window.partitionBy(col("cid")).orderBy(col("d2"), col("vec_id"))
+        asn.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= PrunePerCluster)
+          .select(col("vec_id"), col("cid"), col("d2"), col("rnk"))
+    },
+    Some(s"""$kmeansCtes
+      SELECT vec_id, cid, d2, rnk FROM (
+        SELECT vec_id, cid, d2,
+          CAST(row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS BIGINT) AS rnk
+        FROM assign)
+      WHERE rnk <= $PrunePerCluster"""))
+
+  val all: Seq[QueryDef] = Seq(embeddingKmeans, clusterPrune)
 }
