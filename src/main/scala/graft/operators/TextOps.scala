@@ -834,9 +834,141 @@ object TextOps {
       })
   }
 
+  /** Corpus "data card" — the per-(lang, source) statistics sheet a
+    * training-data release ships with: doc/char/token totals, exact
+    * duplicate ratio, and length percentiles. One doc-metadata pass:
+    * the heavy columns (token count, content hash) are computed in the
+    * scan stage; everything after shuffles only (lang, source, n_chars,
+    * n_tok, sig) — metadata-sized at any corpus scale.
+    *
+    * Percentiles are DISCRETE (value at row ceil(q·n) of the sorted
+    * group) computed via row_number + integer index arithmetic —
+    * engine-stable where interpolating percentile functions are not:
+    * Spark's `percentile` and DuckDB's `quantile_cont` both interpolate
+    * in binary floating point and can disagree by an ulp. The ranking
+    * window shuffles only the 4-column metadata projection. Ratios are
+    * fixed to 6dp by integer arithmetic (see vocabStats).
+    */
+  def corpusDatacard(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("lang"), col("source"), col("n_chars"),
+      size(tokens(col("text"))).as("n_tok"),
+      md5(col("text").cast("binary")).as("sig"))
+    val agg = perDoc.groupBy(col("lang"), col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(col("n_tok")).as("total_tokens"),
+      countDistinct(col("sig")).as("n_unique"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+    val w = Window.partitionBy(col("lang"), col("source"))
+    val ranked = perDoc
+      .withColumn("rn", row_number().over(w.orderBy(col("n_chars"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+    val quants = ranked.groupBy(col("lang"), col("source")).agg(
+      max(when(col("rn") === expr("(cnt + 1) div 2"), col("n_chars"))).as("p50_chars"),
+      max(when(col("rn") === expr("(9 * cnt + 9) div 10"), col("n_chars"))).as("p90_chars"))
+    agg.join(quants, Seq("lang", "source"))
+      .withColumn("dup_ratio",
+        expr("CAST((n_docs - n_unique) * 1000000 DIV n_docs AS DOUBLE) / 1000000.0"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val datacard: QueryDef = QueryDef(
+    "corpus_datacard",
+    (s, dir) => corpusDatacard(Tables(s, dir, "documents")),
+    Some("""WITH per_doc AS (
+        SELECT lang, source, n_chars,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+               md5(text) AS sig
+        FROM documents),
+      agg AS (
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               COUNT(DISTINCT sig) AS n_unique,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM per_doc GROUP BY lang, source),
+      ranked AS (
+        SELECT lang, source, n_chars,
+               row_number() OVER (PARTITION BY lang, source ORDER BY n_chars) AS rn,
+               COUNT(*) OVER (PARTITION BY lang, source) AS cnt
+        FROM per_doc),
+      q AS (
+        SELECT lang, source,
+               MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS p50_chars,
+               MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_chars END) AS p90_chars
+        FROM ranked GROUP BY lang, source)
+      SELECT agg.lang, agg.source, n_docs, total_chars, total_tokens, n_unique,
+             min_chars, max_chars, p50_chars, p90_chars,
+             CAST((n_docs - n_unique) * 1000000 // n_docs AS DOUBLE) / 1000000.0 AS dup_ratio
+      FROM agg JOIN q ON agg.lang = q.lang AND agg.source = q.source
+      ORDER BY agg.lang, agg.source"""))
+
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2 — the other canonical
+    * web-corpus filter set next to Gopher): per LINE, keep only lines
+    * ending in a terminal punctuation mark, with ≥ 3 words, not
+    * mentioning "javascript"; per PAGE, drop any page containing
+    * "lorem ipsum" or a curly brace, or with fewer than 5 sentences
+    * after line filtering (sentence count approximated as terminal
+    * punctuation marks in the retained text, documented deviation from
+    * the paper's sentence splitter).
+    *
+    * Pure map-side column work — split / higher-order filter /
+    * array_join are all native expressions, so at corpus scale this
+    * runs in the scan stage like piiScrub. The synthetic corpus has no
+    * newlines or punctuation (every doc fails the line filter — the
+    * oracle still checks the whole transformation end to end);
+    * C4FilterSpec drives realistic multi-line fixtures through every
+    * rule. Output carries md5 of the cleaned text, not the text itself,
+    * to keep the result table metadata-sized.
+    */
+  val c4Filter: QueryDef = QueryDef(
+    "text_c4_filter",
+    (s, dir) => {
+      val lines = split(col("text"), "\n")
+      val keptLines = filter(lines, l =>
+        trim(l).rlike("[.!?\"']$") &&
+          size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= 3 &&
+          !contains(lower(l), lit("javascript")))
+      Tables(s, dir, "documents")
+        .withColumn("clean_text", array_join(keptLines, "\n"))
+        .withColumn("n_sentences",
+          size(regexp_extract_all(col("clean_text"), lit("[.!?]"), lit(0))))
+        .select(col("doc_id"),
+          size(lines).as("n_lines"),
+          size(keptLines).as("n_kept"),
+          col("n_sentences"),
+          (!contains(lower(col("text")), lit("lorem ipsum")) &&
+            !contains(col("text"), lit("{")) &&
+            col("n_sentences") >= 5).as("keep"),
+          md5(col("clean_text").cast("binary")).as("clean_sig"))
+    },
+    Some("""WITH c AS (
+        SELECT doc_id, text,
+          string_split(text, chr(10)) AS lines,
+          list_filter(string_split(text, chr(10)), l ->
+            regexp_matches(trim(l), '[.!?"'']$')
+            AND len(regexp_extract_all(l, '\S+')) >= 3
+            AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM documents),
+      t AS (
+        SELECT doc_id, text, lines, kept,
+          -- DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+          coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        FROM c)
+      SELECT doc_id,
+        CAST(len(lines) AS INT) AS n_lines,
+        CAST(len(kept) AS INT) AS n_kept,
+        CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INT) AS n_sentences,
+        (NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{')
+          AND len(regexp_extract_all(clean_text, '[.!?]')) >= 5) AS keep,
+        md5(clean_text) AS clean_sig
+      FROM t"""))
+
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
     tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub,
     textNormalize, bm25, readability, textEntropy, fpWinnowing, vocabStatsQuery,
-    textRepetition, scriptDetect)
+    textRepetition, scriptDetect, datacard, c4Filter)
 }

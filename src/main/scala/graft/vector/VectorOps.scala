@@ -469,6 +469,60 @@ object VectorOps {
     "ann_ivf_indexed_topk",
     (s, dir) => annIvfIndexed(queriesDf(s, dir, 10), sessionIvfIndex(s, dir)))
 
+  /** Contrastive-pair mining for embedding/metric training: per anchor,
+    * the HARD positive (least-similar same-label vector — the pair a
+    * contrastive loss learns most from) and the HARD negative
+    * (most-similar cross-label vector). One corpus scan: anchors are a
+    * bounded broadcast set, and a single window over the partition key
+    * (a_id, is_same) ranks both roles at once — the sort key flips sign
+    * for negatives so rank 1 is "hardest" in both partitions. Exact
+    * brute-force is the correctness baseline (mirrors ann_brute_topk's
+    * contract); at corpus scale the candidate set would come from the
+    * IVF/LSH buckets above, with this same rescoring tail.
+    */
+  def contrastivePairs(s: SparkSession, dir: String, nAnchors: Int = 20): DataFrame = {
+    val a = broadcast(corpus(s, dir).filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("a_emb")))
+    val scored = corpus(s, dir).crossJoin(a)
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id"),
+        (col("label") === col("a_label")).as("is_same"),
+        cosineSim(col("a_emb"), col("embedding")).as("raw_cos"))
+    val hardKey = when(col("is_same"), col("raw_cos")).otherwise(-col("raw_cos"))
+    val w = Window.partitionBy(col("a_id"), col("is_same"))
+      .orderBy(hardKey.asc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a_id"),
+        when(col("is_same"), lit("hard_positive")).otherwise(lit("hard_negative"))
+          .as("role"),
+        col("vec_id"), round(col("raw_cos"), 6).as("cos"))
+  }
+
+  /** Oracle mirrors the double-accumulation cast and the signed-key
+    * single-window ranking exactly (see annBrute's cast rationale).
+    */
+  val contrastive: QueryDef = QueryDef(
+    "contrastive_pairs",
+    (s, dir) => contrastivePairs(s, dir),
+    Some("""WITH a AS (
+        SELECT vec_id AS a_id, label AS a_label, CAST(embedding AS DOUBLE[]) AS a_emb
+        FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT a.a_id, e.vec_id, (e.label = a.a_label) AS is_same,
+               list_cosine_similarity(a.a_emb, CAST(e.embedding AS DOUBLE[])) AS raw_cos
+        FROM embeddings e, a WHERE e.vec_id <> a.a_id),
+      ranked AS (
+        SELECT a_id, vec_id, is_same, raw_cos,
+               row_number() OVER (PARTITION BY a_id, is_same
+                 ORDER BY CASE WHEN is_same THEN raw_cos ELSE -raw_cos END, vec_id) AS rn
+        FROM scored)
+      SELECT a_id,
+             CASE WHEN is_same THEN 'hard_positive' ELSE 'hard_negative' END AS role,
+             vec_id, round(raw_cos, 6) AS cos
+      FROM ranked WHERE rn = 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(annBrute, annLsh, annIvf, annIvfIndexedQuery, dedupEmbedding)
+    Seq(annBrute, annLsh, annIvf, annIvfIndexedQuery, dedupEmbedding, contrastive)
 }
