@@ -90,10 +90,13 @@ object HostRank {
     val ckpt = new graft.util.Checkpoints.IterationCheckpointer(
       interval = spark.conf.getOption("spark.graft.checkpointInterval")
         .map(_.toInt).getOrElse(1))
-    val nodes = e.select(col("s").as("node"))
-      .union(e.select(col("t").as("node"))).distinct()
-    val n = nodes.count().toDouble
-    var h = nodes.withColumn("h", lit(1.0 / n))
+    // h_0 = 1.0 over source nodes: the uniform 1/n init's constant
+    // cancels through the first L1 normalization (scalars commute), and
+    // sink nodes contribute 0 to every ar whatever their h — so the
+    // all-nodes union/distinct + count() driver job the 1/n form needed
+    // buy nothing. Bonus: round-1 sums of 1.0 are exact integers in
+    // double, removing fp noise right where both engines start.
+    var h = e.select(col("s").as("node")).distinct().withColumn("h", lit(1.0))
     for (_ <- 1 to iters - 1) {
       val ar = e.join(h.select(col("node").as("s"), col("h")), "s")
         .groupBy(col("t").as("node")).agg(sum(col("h")).as("ar"))
@@ -193,11 +196,9 @@ object HostRank {
     Some("""WITH RECURSIVE
       edges AS (SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS t
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      nodes AS (SELECT DISTINCT node FROM
-        (SELECT s AS node FROM edges UNION ALL SELECT t AS node FROM edges)),
       hh(iter, node, h) AS (
-        SELECT 0, node, 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes)
-        FROM nodes
+        SELECT 0, s AS node, CAST(1.0 AS DOUBLE) AS h
+        FROM (SELECT DISTINCT s FROM edges)
         UNION ALL
         SELECT p.iter + 1, p.node,
           coalesce((SELECT SUM(x.ar) FROM

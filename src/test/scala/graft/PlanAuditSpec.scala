@@ -37,6 +37,9 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val boundedBroadcastNlj = Set(
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_indexed_topk",
+    // the ≤20-row anchor set broadcast over the corpus scan (same
+    // bounded-query-set shape as ann_brute_topk)
+    "contrastive_pairs",
     // the 10-row ADC lookup-table set broadcast over the code scan, plus
     // recallVsBrute's brute-force side (same shape as ann_brute_topk)
     "ann_pq_topk",
