@@ -659,6 +659,69 @@ object Relational {
         ON epoch_us(e.ts) BETWEEN iv.lo AND iv.hi
       GROUP BY iv_id"""))
 
+  /** Ordered funnel over the event stream (view → click → purchase,
+    * each step strictly after the user's first qualifying previous
+    * step) — the classic product-analytics sequence query. Three keyed
+    * join+aggs, all shuffles on user_id; step tables only ever shrink,
+    * so the plan's working set is bounded by the step-1 user count at
+    * any event volume.
+    */
+  val eventsFunnel: QueryDef = QueryDef(
+    "events_funnel",
+    (s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.select(col("user_id"), col("event_type"),
+        graft.util.Tables.tsTimestamp(ev0).as("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+      v.agg(count(lit(1)).as("n_users")).withColumn("step", lit("1_view"))
+        .unionByName(c.agg(count(lit(1)).as("n_users")).withColumn("step", lit("2_click")))
+        .unionByName(p.agg(count(lit(1)).as("n_users")).withColumn("step", lit("3_purchase")))
+        .select(col("step"), col("n_users"))
+    },
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      p AS (SELECT e.user_id FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+      UNION ALL SELECT '2_click', COUNT(*) FROM c
+      UNION ALL SELECT '3_purchase', COUNT(*) FROM p"""))
+
+  /** Cohort retention: users grouped by first-seen day, activity counted
+    * per day offset — the other canonical event-analytics matrix. Two
+    * shuffles keyed on user_id (first-touch agg + join back), final agg
+    * keyed on (cohort_day, offset) whose cardinality is days², not
+    * events. countDistinct is Spark's exact two-level expand aggregate.
+    */
+  val eventsCohort: QueryDef = QueryDef(
+    "events_cohort_retention",
+    (s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val d = ev0.select(col("user_id"),
+        to_date(graft.util.Tables.tsTimestamp(ev0)).as("day"))
+      val first = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      d.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+      SELECT cohort_day, CAST(d.day - f.cohort_day AS INT) AS day_offset,
+        COUNT(DISTINCT d.user_id) AS n_users
+      FROM d JOIN f ON d.user_id = f.user_id
+      GROUP BY cohort_day, day_offset"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -667,5 +730,5 @@ object Relational {
     o7SelfLoopFilter, j5FullOuter, a10Pivot, p14SplitPart,
     fScalarStrings, fDatetime, fArrayFuncs, fMathFuncs, fCondNull,
     w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract,
-    j6AsofJoin, j7RangeJoin)
+    j6AsofJoin, j7RangeJoin, eventsFunnel, eventsCohort)
 }

@@ -966,9 +966,50 @@ object TextOps {
         md5(clean_text) AS clean_sig
       FROM t"""))
 
+  /** Passage chunking — the retrieval/embedding-training prep step:
+    * each document becomes overlapping token windows (50 tokens,
+    * stride 40). Pure map-side explode: sequence() generates the
+    * window starts, slice() cuts each window from the ONE tokenize
+    * pass — no shuffle at all, so at corpus scale this runs at scan
+    * speed and the output is written partition-local. Output carries
+    * the chunk signature, not the text, keeping the result
+    * metadata-sized (the real pipeline would write chunk text to the
+    * training sink; Verify hashes the signature).
+    */
+  val chunkPassages: QueryDef = QueryDef(
+    "chunk_passages",
+    (s, dir) => {
+      val chunk = 50
+      val stride = 40
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("int").as("chunk_idx"),
+          slice(col("toks"), col("start") + 1, lit(chunk)).as("c"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("c")).as("n_tokens"),
+          md5(array_join(col("c"), " ").cast("binary")).as("chunk_sig"))
+    },
+    Some("""WITH tk AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents),
+      st AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
+        FROM tk WHERE len(toks) >= 1),
+      ch AS (
+        SELECT doc_id, CAST(start // 40 AS INT) AS chunk_idx,
+               list_slice(toks, start + 1, start + 50) AS c
+        FROM st)
+      SELECT doc_id, chunk_idx, CAST(len(c) AS INT) AS n_tokens,
+             md5(array_to_string(c, ' ')) AS chunk_sig
+      FROM ch"""))
+
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
     tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub,
     textNormalize, bm25, readability, textEntropy, fpWinnowing, vocabStatsQuery,
-    textRepetition, scriptDetect, datacard, c4Filter)
+    textRepetition, scriptDetect, datacard, c4Filter, chunkPassages)
 }
