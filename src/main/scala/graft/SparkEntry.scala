@@ -24,6 +24,7 @@ object SparkEntry {
   private def rawDefs: Seq[QueryDef] =
     operators.Relational.all ++
       operators.TextOps.all ++
+      operators.HeavyHitters.all ++
       operators.Decontam.all ++
       operators.Curation.all ++
       operators.TextClassifier.all ++
