@@ -66,6 +66,67 @@ object EventStream {
     * so an operator can SEE reorder-horizon loss instead of silently
     * shipping a run that undercounted sessions.
     */
+  final case class FunnelHit(user_id: Long, completed_us: Long)
+  // same Janino visibility note as SessionState
+  final case class FunnelState(stage: Int, lastUs: Long)
+
+  /** Timestamp → µs since epoch without precision loss (getTime alone
+    * truncates to ms; the sub-ms digits live in getNanos).
+    */
+  private[streaming] def tsToMicros(t: java.sql.Timestamp): Long = {
+    val fracMs = t.getNanos / 1000000L
+    (t.getTime - fracMs) * 1000L + t.getNanos / 1000L
+  }
+
+  /** Per-user ordered funnel detection as a stateful stream — emits one
+    * FunnelHit when a user's events complete `steps` with each step's
+    * FIRST occurrence strictly after the previous step's timestamp
+    * (exactly the batch events_funnel semantics, so the drained stream
+    * is oracle-comparable). State is three numbers per user — bounded
+    * by user cardinality, not event volume; a 24/7 deployment would add
+    * EventTimeTimeout eviction at its funnel-completion horizon (a
+    * drain run never times out, so the simple NoTimeout form keeps the
+    * batch/stream paths identical).
+    *
+    * Events are fed in timestamp order through the same bounded
+    * reorder heap as [[sessionize]] — all comparisons are in µs, so
+    * strict-inequality step boundaries agree with the oracle's
+    * timestamp comparisons digit for digit.
+    */
+  def funnel(events: Dataset[Event],
+             steps: Seq[String] = Seq("view", "click", "purchase"),
+             maxBufferPerUser: Int = 1 << 14,
+             watermarkDelay: String = "10 minutes"): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val stepOf: Map[String, Int] = steps.zipWithIndex.toMap
+    val nSteps = steps.length
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val hits = Vector.newBuilder[FunnelHit]
+          def feed(us: Long, tpe: String): Unit =
+            if (st.stage < nSteps && stepOf.get(tpe).contains(st.stage) &&
+                (st.stage == 0 || us > st.lastUs)) {
+              st = FunnelState(st.stage + 1, us)
+              if (st.stage == nSteps) hits += FunnelHit(userId, us)
+            }
+          val heap = new java.util.PriorityQueue[(Long, String)](
+            math.min(maxBufferPerUser, 1 << 10),
+            Ordering.by((p: (Long, String)) => p._1))
+          def pop(): Unit = { val (us, tpe) = heap.poll(); feed(us, tpe) }
+          evs.foreach { e =>
+            heap.add((tsToMicros(e.ts), e.event_type))
+            if (heap.size > maxBufferPerUser) pop()
+          }
+          while (!heap.isEmpty) pop()
+          state.update(st)
+          hits.result().iterator
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000,
                  maxBufferPerUser: Int = 1 << 14,
                  watermarkDelay: String = "10 minutes",

@@ -278,7 +278,42 @@ object StreamQueries {
             WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) BETWEEN 50 AND 100000)
       GROUP BY source"""))
 
+  /** Stateful multi-step sequence detection on the live stream — the
+    * funnel (view → click → purchase, strict first-occurrence order)
+    * as a flatMapGroupsWithState machine instead of the batch
+    * three-join plan (events_funnel). Emits a row the moment a user
+    * completes the sequence; state is three numbers per user. The
+    * oracle is the batch funnel's per-user completion time, so this is
+    * streaming/batch equivalence for custom sequential state — the one
+    * streaming shape the windowed/join/dedup queries don't cover.
+    */
+  val streamFunnel: QueryDef = QueryDef(
+    "stream_funnel",
+    (s, dir) => {
+      import s.implicits._
+      withStreamPartitions(s) {
+        val typed = EventStream.readEvents(s, stagedEvents(s, dir))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStream.Event]
+        val q = EventStream.funnel(typed).toDF()
+          .writeStream.format("memory").queryName("graft_stream_funnel")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.sql("SELECT user_id, completed_us FROM graft_stream_funnel")
+    },
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      SELECT user_id, CAST(epoch_us(t3) AS BIGINT) AS completed_us FROM p"""))
+
   val all: Seq[QueryDef] =
     Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin,
-      streamCurate)
+      streamCurate, streamFunnel)
 }
