@@ -165,14 +165,70 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** The first 64 planes (8 tables × 8 planes, offset 0) as SQL VALUES
+    * rows — Double.toString round-trips the exact double, so DuckDB
+    * parses bit-identical plane constants.
+    */
+  private def planeValuesSql: String =
+    planes.take(64).zipWithIndex.map { case (row, pid) =>
+      s"($pid, [${row.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n          ")
+
   /** Registered as a recall@10 check against the brute-force truth (one
-    * row per query) rather than raw top-k rows — see recallVsBrute.
-    * AnnRecallSpec asserts the floor.
+    * row per query) — see recallVsBrute; AnnRecallSpec asserts the
+    * floor. The oracle REPLAYS the whole LSH pipeline in SQL: the plane
+    * table is embedded as literals (deterministic seed → fixed
+    * constants), signatures are the same strict `dot > 0` bits
+    * (list_dot_product accumulates doubles in index order exactly like
+    * the LshSigs kernel, so the signs are bit-identical), the 1-bit
+    * multi-probe is hamming(bucket, q_bucket) ≤ 1, and the rescoring +
+    * top-10 + intersection mirror the Spark plan — so the approximate
+    * path is hash-checked end to end, not just recall-floored.
     */
   val annLsh: QueryDef = QueryDef(
     "ann_lsh_topk",
     (s, dir) => recallVsBrute(lshTopK(s, dir), bruteTopK(s, dir),
-      queriesDf(s, dir, 10).select(col("q_id"))))
+      queriesDf(s, dir, 10).select(col("q_id"))),
+    Some(s"""WITH pl(pid, plane) AS (VALUES
+          $planeValuesSql),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      sig AS (
+        SELECT e.vec_id, pid // 8 AS tbl,
+               CAST(SUM(CASE WHEN list_dot_product(e.emb, pl.plane) > 0
+                        THEN 1 << (pid % 8) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e, pl GROUP BY e.vec_id, (pid // 8)),
+      qs AS (SELECT vec_id AS q_id, tbl, bucket FROM sig WHERE vec_id < 10),
+      cand AS (
+        SELECT DISTINCT qs.q_id, c.vec_id
+        FROM sig c JOIN qs ON c.tbl = qs.tbl
+          AND bit_count(xor(c.bucket, qs.bucket)) <= 1
+        WHERE c.vec_id <> qs.q_id),
+      scored AS (
+        SELECT cand.q_id, cand.vec_id,
+               list_cosine_similarity(eq.emb, ec.emb) AS raw_cos
+        FROM cand JOIN e eq ON eq.vec_id = cand.q_id
+                  JOIN e ec ON ec.vec_id = cand.vec_id),
+      approx AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY raw_cos DESC, vec_id) AS rn
+          FROM scored) WHERE rn <= 10),
+      bscored AS (
+        SELECT q.vec_id AS q_id, e2.vec_id,
+               list_cosine_similarity(q.emb, e2.emb) AS raw_cos
+        FROM e q, e e2 WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id),
+      brute AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY raw_cos DESC, vec_id) AS rn
+          FROM bscored) WHERE rn <= 10),
+      hits AS (
+        SELECT a.q_id, COUNT(*) AS h
+        FROM approx a JOIN brute b ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+        GROUP BY a.q_id),
+      ql AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10)
+      SELECT ql.q_id, CAST(COALESCE(hits.h, 0) AS BIGINT) AS n_hits_in_brute_top10
+      FROM ql LEFT JOIN hits ON ql.q_id = hits.q_id"""))
 
   /** Mean vector per cell, computed distributed in ONE keyed
     * aggregation: `dim` per-element avg aggregates assembled into the
