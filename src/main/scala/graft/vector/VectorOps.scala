@@ -169,8 +169,8 @@ object VectorOps {
     * rows — Double.toString round-trips the exact double, so DuckDB
     * parses bit-identical plane constants.
     */
-  private def planeValuesSql: String =
-    planes.take(64).zipWithIndex.map { case (row, pid) =>
+  private def planeValuesSql(n: Int): String =
+    planes.take(n).zipWithIndex.map { case (row, pid) =>
       s"($pid, [${row.map(_.toString).mkString(", ")}])"
     }.mkString(",\n          ")
 
@@ -190,7 +190,7 @@ object VectorOps {
     (s, dir) => recallVsBrute(lshTopK(s, dir), bruteTopK(s, dir),
       queriesDf(s, dir, 10).select(col("q_id"))),
     Some(s"""WITH pl(pid, plane) AS (VALUES
-          $planeValuesSql),
+          ${planeValuesSql(64)}),
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       sig AS (
         SELECT e.vec_id, pid // 8 AS tbl,
@@ -493,11 +493,51 @@ object VectorOps {
     full.union(star).filter(col("cos") >= minCos)
   }
 
+  /** The oracle replays the same pipeline: 16-bit exact-bucket
+    * signatures from the embedded plane literals (strict dot > 0, same
+    * bit-identity argument as ann_lsh_topk), the >64 cap split with the
+    * min-vec_id star, cosine rescoring, and the 0.99 gate. avg_cos is
+    * a 4dp-rounded mean of values all ≥ 0.99 — summation-order ulp
+    * differences are far below the rounding quantum.
+    */
   val dedupEmbedding: QueryDef = QueryDef(
     "dedup_embedding",
     (s, dir) => embeddingNearDupPairs(corpus(s, dir))
       .agg(count(lit(1)).as("n_pairs"),
-        coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos")))
+        coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos")),
+    Some(s"""WITH pl(pid, plane) AS (VALUES
+          ${planeValuesSql(16)}),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      sig AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(e.emb, pl.plane) > 0
+                        THEN 1 << pid ELSE 0 END) AS BIGINT) AS bucket
+        FROM e, pl GROUP BY e.vec_id),
+      bc AS (SELECT bucket, COUNT(*) AS bw, MIN(vec_id) AS anchor
+             FROM sig GROUP BY bucket),
+      small AS (SELECT s.vec_id, s.bucket FROM sig s
+                JOIN bc ON s.bucket = bc.bucket WHERE bc.bw <= 64),
+      big AS (SELECT s.vec_id, s.bucket, bc.anchor FROM sig s
+              JOIN bc ON s.bucket = bc.bucket WHERE bc.bw > 64),
+      fullp AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               list_cosine_similarity(ea.emb, eb.emb) AS cos
+        FROM small a JOIN small b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id),
+      starp AS (
+        SELECT g.anchor AS id1, g.vec_id AS id2,
+               list_cosine_similarity(ea.emb, eb.emb) AS cos
+        FROM big g
+        JOIN e ea ON ea.vec_id = g.anchor
+        JOIN e eb ON eb.vec_id = g.vec_id
+        WHERE g.vec_id <> g.anchor),
+      pairs AS (
+        SELECT * FROM (SELECT * FROM fullp UNION ALL SELECT * FROM starp)
+        WHERE cos >= 0.99)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             COALESCE(round(AVG(cos), 4), 0.0) AS avg_cos
+      FROM pairs"""))
 
   /** Build-once cache for the registered indexed-probe query: one
     * persisted index per (application, sf dir), so repeated invocations
