@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.GraftFunctions._
 import graft.util.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -722,6 +722,122 @@ object Relational {
       FROM d JOIN f ON d.user_id = f.user_id
       GROUP BY cohort_day, day_offset"""))
 
+  /** RFM segmentation — recency / frequency / monetary per user with
+    * quartile scores, the classic user-value matrix. One keyed agg on
+    * user_id produces the per-user table; quartile CUTOFFS (not
+    * per-user ranks) come from [[ScaleUtils.cumCountDesc]]'s two-level
+    * distributed ranking — the only global window runs over the
+    * bounded bucket-subtotal table (days / bit-lengths / log₂ bands),
+    * never user-cardinality data. Ties share a score by construction
+    * (cutoff thresholds compare VALUES): ntile is avoided because its
+    * remainder-distribution semantics differ across engines. Cutoff
+    * index ceil(n·s/4) is the integer (n·s+3) div 4 on both engines.
+    */
+  val eventsRfm: QueryDef = QueryDef(
+    "events_rfm",
+    (s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val perUser = ev0
+        .select(col("user_id"), graft.util.Tables.tsMicros(ev0).as("us"),
+          col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(col("us")).as("last_us"), count(lit(1)).as("freq"),
+          dsum(col("value")).as("monetary"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nUsers = broadcast(perUser.agg(count(lit(1)).as("n")))
+      def cuts(valueCol: String, pfx: String, bucketOf: Column => Column) =
+        broadcast(
+          ScaleUtils.cumCountDesc(perUser, valueCol, bucketOf)
+            .crossJoin(nUsers)
+            .agg(
+              max(when(col("cum") >= expr("(n * 1 + 3) div 4"), col("v"))).as(s"${pfx}1"),
+              max(when(col("cum") >= expr("(n * 2 + 3) div 4"), col("v"))).as(s"${pfx}2"),
+              max(when(col("cum") >= expr("(n * 3 + 3) div 4"), col("v"))).as(s"${pfx}3")))
+      def scoreOf(v: Column, pfx: String) =
+        when(v >= col(s"${pfx}1"), 1).when(v >= col(s"${pfx}2"), 2)
+          .when(v >= col(s"${pfx}3"), 3).otherwise(4)
+      val out = perUser
+        .crossJoin(cuts("last_us", "rc", v => v.divide(lit(86400000000L)).cast("long")))
+        .crossJoin(cuts("freq", "fc", v => length(bin(v))))
+        .crossJoin(cuts("monetary", "mc",
+          v => floor(log(2.0, greatest(v, lit(0.0)) + lit(1.0)))))
+        .select(col("monetary"),
+          scoreOf(col("last_us"), "rc").as("r_score"),
+          scoreOf(col("freq"), "fc").as("f_score"),
+          scoreOf(col("monetary"), "mc").as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          dsum(col("monetary")).as("segment_value"))
+      perUser.unpersist(blocking = false)
+      out
+    },
+    // the oracle needs no buckets — its cumulative window is the plain
+    // one-partition form cumCountDesc decomposes
+    Some("""WITH per_user AS (
+        SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS freq,
+               CAST(SUM(CAST(round(value, 6) AS DECIMAL(25,6))) AS DOUBLE) AS monetary
+        FROM events GROUP BY user_id),
+      tot AS (SELECT COUNT(*) AS n FROM per_user),
+      rcum AS (SELECT v, SUM(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT last_us AS v, COUNT(*) AS c FROM per_user GROUP BY 1)),
+      fcum AS (SELECT v, SUM(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT freq AS v, COUNT(*) AS c FROM per_user GROUP BY 1)),
+      mcum AS (SELECT v, SUM(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT monetary AS v, COUNT(*) AS c FROM per_user GROUP BY 1)),
+      rcut AS (SELECT MAX(CASE WHEN cum >= (n * 1 + 3) // 4 THEN v END) AS rc1,
+                      MAX(CASE WHEN cum >= (n * 2 + 3) // 4 THEN v END) AS rc2,
+                      MAX(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END) AS rc3
+               FROM rcum, tot),
+      fcut AS (SELECT MAX(CASE WHEN cum >= (n * 1 + 3) // 4 THEN v END) AS fc1,
+                      MAX(CASE WHEN cum >= (n * 2 + 3) // 4 THEN v END) AS fc2,
+                      MAX(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END) AS fc3
+               FROM fcum, tot),
+      mcut AS (SELECT MAX(CASE WHEN cum >= (n * 1 + 3) // 4 THEN v END) AS mc1,
+                      MAX(CASE WHEN cum >= (n * 2 + 3) // 4 THEN v END) AS mc2,
+                      MAX(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END) AS mc3
+               FROM mcum, tot),
+      scored AS (
+        SELECT monetary,
+          CASE WHEN last_us >= rc1 THEN 1 WHEN last_us >= rc2 THEN 2
+               WHEN last_us >= rc3 THEN 3 ELSE 4 END AS r_score,
+          CASE WHEN freq >= fc1 THEN 1 WHEN freq >= fc2 THEN 2
+               WHEN freq >= fc3 THEN 3 ELSE 4 END AS f_score,
+          CASE WHEN monetary >= mc1 THEN 1 WHEN monetary >= mc2 THEN 2
+               WHEN monetary >= mc3 THEN 3 ELSE 4 END AS m_score
+        FROM per_user, rcut, fcut, mcut)
+      SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+             CAST(SUM(CAST(round(monetary, 6) AS DECIMAL(25,6))) AS DOUBLE) AS segment_value
+      FROM scored GROUP BY r_score, f_score, m_score"""))
+
+  /** Hopping (sliding) window aggregation — window('10 minutes',
+    * slide '5 minutes'): each event expands into ceil(size/slide)=2
+    * window instances via Spark's Expand, then one keyed agg. The
+    * other time-window shape beside w3's tumbling daily rollup and the
+    * streaming 5-minute windows; the oracle replays the expansion with
+    * two aligned time_buckets.
+    */
+  val w4HoppingWindow: QueryDef = QueryDef(
+    "w4_hopping_window",
+    (s, dir) => {
+      val ev0 = t(s, dir, "events")
+      ev0.select(graft.util.Tables.tsTimestamp(ev0).as("ts"), col("event_type"))
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("win_epoch"),
+          col("event_type"), col("n"))
+    },
+    Some("""SELECT CAST(epoch(win_start) AS BIGINT) AS win_epoch, event_type,
+        COUNT(*) AS n
+      FROM (
+        SELECT event_type,
+          unnest([time_bucket(INTERVAL '5 minutes', ts),
+                  time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+            AS win_start,
+          ts
+        FROM events)
+      WHERE ts >= win_start AND ts < win_start + INTERVAL '10 minutes'
+      GROUP BY win_epoch, event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -730,5 +846,6 @@ object Relational {
     o7SelfLoopFilter, j5FullOuter, a10Pivot, p14SplitPart,
     fScalarStrings, fDatetime, fArrayFuncs, fMathFuncs, fCondNull,
     w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract,
-    j6AsofJoin, j7RangeJoin, eventsFunnel, eventsCohort)
+    j6AsofJoin, j7RangeJoin, eventsFunnel, eventsCohort, eventsRfm,
+    w4HoppingWindow)
 }

@@ -39,6 +39,34 @@ object ScaleUtils {
       partial = Seq(sum(col(valueCol)).as("__psum")),
       merge = Seq(sum(col("__psum")).as(s"sum_$valueCol")))
 
+  /** Descending cumulative count over DISTINCT values of `valueCol`
+    * WITHOUT a global window — the two-level distributed ranking
+    * pattern: per-value counts group into coarse ordering-preserving
+    * buckets (`bucketOf`, e.g. day / bit-length / log2 — correctness
+    * never depends on the bucket boundaries, only monotonicity), bucket
+    * subtotals form a BOUNDED table whose prefix sum is the only
+    * global-window step, and the within-bucket cumulative window is
+    * partitioned by bucket. Returns (v, cum) where cum = #rows with
+    * value ≥ v. A plain `Window.orderBy(v)` computes the same thing
+    * through ONE partition — fine for a demo, a funnel-point at a
+    * billion distinct values.
+    */
+  def cumCountDesc(df: DataFrame, valueCol: String,
+                   bucketOf: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+      .withColumn("b", bucketOf(col("v")))
+    val bt = vc.groupBy(col("b")).agg(sum(col("c")).as("bc"))
+    val wPrefix = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = bt.withColumn("off", coalesce(sum(col("bc")).over(wPrefix), lit(0L)))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vc.join(broadcast(pre.select(col("b"), col("off"))), Seq("b"))
+      .withColumn("cum", col("off") + sum(col("c")).over(wIn))
+      .select(col("v"), col("cum"))
+  }
+
   /** Write a table bucketed by a join key: subsequent equi-joins between
     * tables bucketed the same way need no Exchange (the co-located join
     * the reference approximates with repartition, sparkcc.py:600-603 —

@@ -976,23 +976,22 @@ object TextOps {
     * metadata-sized (the real pipeline would write chunk text to the
     * training sink; Verify hashes the signature).
     */
+  def chunkDocs(docs: DataFrame, chunk: Int = 50, stride: Int = 40): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(chunk)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).as("n_tokens"),
+        md5(array_join(col("c"), " ").cast("binary")).as("chunk_sig"))
+
   val chunkPassages: QueryDef = QueryDef(
     "chunk_passages",
-    (s, dir) => {
-      val chunk = 50
-      val stride = 40
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 1)
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
-        .select(col("doc_id"),
-          (col("start") / stride).cast("int").as("chunk_idx"),
-          slice(col("toks"), col("start") + 1, lit(chunk)).as("c"))
-        .select(col("doc_id"), col("chunk_idx"),
-          size(col("c")).as("n_tokens"),
-          md5(array_join(col("c"), " ").cast("binary")).as("chunk_sig"))
-    },
+    (s, dir) => chunkDocs(Tables(s, dir, "documents")),
     Some("""WITH tk AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         FROM documents),

@@ -183,6 +183,27 @@ object ScalePipeline {
         outParts = cpus.toInt))
     }
 
+    // ---- stage 6: exact heavy hitters via the MG sketch-then-verify
+    //      plan — at this volume the sketch pass shuffles width×tasks
+    //      summary rows where the p6-style plan would shuffle every
+    //      token occurrence ----
+    stage("heavy_hitters") {
+      val top = graft.operators.HeavyHitters
+        .topK(spark.read.parquet(s"$curatedDir/kept"), k = 20)
+        .collect()
+      println(s"[scale] top tokens: ${top.take(5).map(r =>
+        s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")} …")
+    }
+
+    // ---- stage 7: passage chunking (zero-shuffle map stage) ----
+    val chunksDir = s"$root/chunks"
+    stage("chunk_passages") {
+      graft.operators.TextOps
+        .chunkDocs(spark.read.parquet(s"$curatedDir/kept"))
+        .write.mode("overwrite").parquet(chunksDir)
+      println(s"[scale] chunks: ${spark.read.parquet(chunksDir).count()}")
+    }
+
     spark.stop()
   }
 }

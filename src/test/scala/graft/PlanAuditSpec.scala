@@ -82,7 +82,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 1-row per-round L1-total and final authority-total aggregates
     // crossJoined onto the score tables (the pagerank dangling-mass
     // shape); every per-round HITS join is keyed on node ids
-    "graph_hits")
+    "graph_hits",
+    // three 1-row quartile-cutoff tables + the 1-row user count
+    // crossJoined onto the per-user aggregate; the ranking itself is
+    // the keyed two-level cumCountDesc
+    "events_rfm")
 
   /** Global (empty-partition) windows that are single-partition BY
     * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID
@@ -93,7 +97,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "o2_zipwithindex",
     // j1 mirrors hostlinks_to_graph.py's explicit 1-partition vertex-ID
     // mode; the scale path is sortBy+zipWithIndex (HostGraphBuilder)
-    "j1_graph_ids")
+    "j1_graph_ids",
+    // cumCountDesc's bucket-subtotal prefix sum: the global window runs
+    // over the BOUNDED bucket table (days / bit-lengths / log2 bands),
+    // not user- or event-cardinality data — that is the point of the
+    // two-level decomposition
+    "events_rfm")
 
   private def offenders(p: SparkPlan): Seq[(String, String)] = {
     val cart = p.collect { case c: CartesianProductExec => c }
