@@ -34,7 +34,8 @@ final case class JobCli(
     badwords: Seq[String] = Nil,
     minEntropy: Option[Double] = None,
     maxDupFrac: Option[Double] = None,
-    mainContent: Boolean = false) {
+    mainContent: Boolean = false,
+    topK: Int = 20) {
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
     outputFormat, outputCompression, outputOptions, outputBucketBy)
@@ -55,6 +56,7 @@ object JobCli {
       |  [--output_shards N] (curate: write kept corpus as N mixed shards)
       |  [--badwords w1,w2,...] [--min_entropy X] [--max_dup_frac X]
       |    (curate: extra filters)
+      |  [--top_k K] (heavy_hitters)
       |  host_graph flags: [--save_as_text DIR] [--normalize_host_names]
       |  [--validate_host_names] [--vertex_partitions N]
       |  [--vertex_ids PATH] [--add_input PATH]...
@@ -127,6 +129,7 @@ object JobCli {
         case "--min_entropy"   => cli = cli.copy(minEntropy = Some(value.toDouble))
         case "--max_dup_frac"  => cli = cli.copy(maxDupFrac = Some(value.toDouble))
         case "--main_content"  => cli = cli.copy(mainContent = true)
+        case "--top_k"         => cli = cli.copy(topK = value.toInt)
         case "--stream_mode" =>
           val m = value
           require(m == "complete" || m == "append",
@@ -575,6 +578,33 @@ object JobRunner {
             .outputMode("complete").start()
           q.processAllAvailable(); q.stop()
           spark.sql("SELECT * FROM win")
+        }
+      case "datacard" =>
+        // input = documents parquet dir → the per-(lang, source) release
+        // statistics sheet (corpus_datacard's expressions)
+        graft.operators.TextOps.corpusDatacard(spark.read.parquet(cli.input))
+      case "heavy_hitters" =>
+        // input = documents parquet dir → exact top-k tokens via the
+        // MG sketch-then-verify plan; --top_k K (default 20)
+        graft.operators.HeavyHitters.topK(
+          spark.read.parquet(cli.input), k = cli.topK)
+      case "chunk" =>
+        // input = documents parquet dir → overlapping retrieval chunks
+        // (chunk_passages' expressions; zero-shuffle map stage)
+        graft.operators.TextOps.chunkDocs(spark.read.parquet(cli.input))
+      case "funnel" =>
+        // input = events parquet dir → per-user funnel completions
+        // (stream_funnel's batch semantics: strict first-occurrence
+        // view → click → purchase)
+        {
+          import spark.implicits._
+          import org.apache.spark.sql.functions.col
+          val ev = spark.read.parquet(cli.input)
+          val typed = ev.select(col("event_id"),
+            graft.util.Tables.tsTimestamp(ev).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+            .as[graft.streaming.EventStream.Event]
+          graft.streaming.EventStream.funnel(typed).toDF()
         }
       case other => sys.error(s"unknown job: $other\n${JobCli.usage}")
     }
