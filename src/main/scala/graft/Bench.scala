@@ -111,7 +111,12 @@ object Bench {
     // applied, mirroring tools/IterAB: if the graded median disagrees
     // with its own steady number in the SAME JSON, the swing is
     // self-evidently environmental, not a plan regression.
-    val steadySet = Seq("graph_pagerank", "graph_hits", "dedup_simhash")
+    // the stateful stream drains join the graph trio: their state-store
+    // setup/maintenance timing drifts across a long contiguous sweep
+    // (r9: stream_join 3.1 s early-sweep vs 7.6 s late-sweep, same
+    // binary), and the steady number is the defensible one
+    val steadySet = Seq("graph_pagerank", "graph_hits", "dedup_simhash",
+      "stream_join", "stream_windows")
       .filter(SparkEntry.queries.contains).filterNot(failedNames.contains)
     val steady = steadySet.map { name =>
       val fn = SparkEntry.queries(name)
