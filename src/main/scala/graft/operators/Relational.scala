@@ -838,6 +838,32 @@ object Relational {
       WHERE ts >= win_start AND ts < win_start + INTERVAL '10 minutes'
       GROUP BY win_epoch, event_type"""))
 
+  /** Approximate-distinct audit — at 100 TB, exact countDistinct over a
+    * high-cardinality key pays a full two-phase expand shuffle; the
+    * scale path is HyperLogLog++ (`approx_count_distinct`, one pass,
+    * merge-order-independent so deterministic at any parallelism). This
+    * query runs BOTH and emits the exact count plus a 5%-bound check on
+    * the sketch — the oracle asserts the bound holds (DuckDB computes
+    * exact and expects `true`), so a broken sketch path goes red rather
+    * than unnoticed. Sketch rsd is 1% against a 5% assertion — a 5σ
+    * margin, because rsd is a STANDARD DEVIATION, not a bound: at
+    * sf0.1's 1500-user cardinality the default 5%-rsd sketch exceeded
+    * its own σ on every group (dense-mode bias), which is exactly the
+    * lesson this audit encodes.
+    */
+  val approxDistinctAudit: QueryDef = QueryDef(
+    "approx_distinct_audit",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_5pct")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      true AS within_5pct
+      FROM events GROUP BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -847,5 +873,5 @@ object Relational {
     fScalarStrings, fDatetime, fArrayFuncs, fMathFuncs, fCondNull,
     w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract,
     j6AsofJoin, j7RangeJoin, eventsFunnel, eventsCohort, eventsRfm,
-    w4HoppingWindow)
+    w4HoppingWindow, approxDistinctAudit)
 }
