@@ -192,4 +192,95 @@ object MediaMeta {
     walk(0, bytes.length.toLong, 0)
     if (duration >= 0) Some(VideoMeta(width, height, duration)) else None
   }
+
+  // ---- JPEG EXIF (TIFF IFD walk) ------------------------------------
+
+  /** EXIF primary-image metadata (TIFF 6.0 / EXIF 2.3 public structure):
+    * orientation, camera make/model, capture datetime, and the Exif
+    * sub-IFD's pixel dimensions. Byte-level IFD walk, both endiannesses,
+    * bounds-checked everywhere — a probe over arbitrary bytes must never
+    * throw.
+    */
+  final case class ExifMeta(orientation: Int, make: String, model: String,
+                            dateTime: String, pixelX: Int, pixelY: Int)
+
+  def exifMeta(bytes: Array[Byte]): Option[ExifMeta] = {
+    // JPEG segment walk to APP1 "Exif\u0000\u0000"
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    var pos = 2
+    var tiff = -1
+    while (tiff < 0 && pos + 4 <= bytes.length && (bytes(pos) & 0xff) == 0xff) {
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) pos += 2
+      else {
+        val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        if (len < 2 || pos + 2 + len > bytes.length) return None
+        if (marker == 0xe1 && len >= 8 &&
+            bytes(pos + 4) == 'E' && bytes(pos + 5) == 'x' &&
+            bytes(pos + 6) == 'i' && bytes(pos + 7) == 'f' &&
+            bytes(pos + 8) == 0 && bytes(pos + 9) == 0)
+          tiff = pos + 10
+        else if (marker == 0xda) return None // entropy-coded data begins
+        pos += 2 + len
+      }
+    }
+    if (tiff < 0 || tiff + 8 > bytes.length) return None
+    val le = bytes(tiff) == 'I' && bytes(tiff + 1) == 'I'
+    val be = bytes(tiff) == 'M' && bytes(tiff + 1) == 'M'
+    if (!le && !be) return None
+    def u16(o: Int): Int =
+      if (o + 2 > bytes.length) -1
+      else if (le) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o + 4 > bytes.length) -1L
+      else if (le) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    if (u16(tiff + 2) != 42) return None
+
+    var orientation = 0; var make = ""; var model = ""; var dateTime = ""
+    var pixelX = 0; var pixelY = 0; var exifIfd = -1L
+    def ascii(off: Int, n: Int): String =
+      if (n <= 0 || off < 0 || off + n > bytes.length) ""
+      else new String(bytes, off, n, "US-ASCII").takeWhile(_ != 0).trim
+    def walkIfd(ifdOff: Long, depth: Int): Unit = {
+      if (depth > 2 || ifdOff < 0) return
+      val base = tiff + ifdOff.toInt
+      val n = u16(base)
+      if (n < 0 || n > 256) return
+      var i = 0
+      while (i < n) {
+        val e = base + 2 + i * 12
+        val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+        // value fits in 4 bytes inline, else the 4 bytes are an offset
+        def valOff: Int = {
+          val sz = typ match {
+            case 1 | 2 | 7 => 1; case 3 => 2; case 4 | 9 => 4; case _ => 8
+          }
+          if (sz * cnt <= 4) e + 8 else tiff + u32(e + 8).toInt
+        }
+        def shortOrLong: Int =
+          (if (typ == 3) u16(valOff) else u32(valOff).toInt)
+        tag match {
+          case 0x0112 => orientation = u16(e + 8)
+          case 0x010f => make = ascii(valOff, cnt.toInt)
+          case 0x0110 => model = ascii(valOff, cnt.toInt)
+          case 0x0132 => dateTime = ascii(valOff, cnt.toInt)
+          case 0x8769 => exifIfd = u32(e + 8)
+          case 0xa002 => pixelX = shortOrLong
+          case 0xa003 => pixelY = shortOrLong
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    walkIfd(u32(tiff + 4), 0)
+    if (exifIfd >= 0) walkIfd(exifIfd, 1)
+    if (orientation == 0 && make.isEmpty && model.isEmpty && dateTime.isEmpty
+        && pixelX == 0 && pixelY == 0) None
+    else Some(ExifMeta(orientation, make, model, dateTime, pixelX, pixelY))
+  }
 }

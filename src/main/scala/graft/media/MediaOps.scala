@@ -364,5 +364,118 @@ object MediaOps {
           max(col("ts_ms")).as("max_ts_ms"))
     })
 
-  val all: Seq[QueryDef] = Seq(multimodalFeatures, imageResize, videoFrameSample)
+  /** Build an EXIF APP1 segment (TIFF 6.0 structure, chosen endianness):
+    * IFD0 carries make/model/orientation/datetime + the Exif-IFD
+    * pointer; the sub-IFD carries pixel dimensions (LONG). Strings are
+    * always > 4 bytes here so the offset (not inline) path is
+    * exercised; entries are tag-sorted per spec.
+    */
+  private[media] def exifApp1(orientation: Int, make: String, model: String,
+                              dateTime: String, px: Int, py: Int,
+                              bigEndian: Boolean = false): Array[Byte] = {
+    val order = if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN
+    val makeB = (make + "\u0000").getBytes("US-ASCII")
+    val modelB = (model + "\u0000").getBytes("US-ASCII")
+    val dtB = (dateTime + "\u0000").getBytes("US-ASCII")
+    require(makeB.length > 4 && modelB.length > 4 && dtB.length > 4)
+    val ifd0Start = 8
+    val ifd0Size = 2 + 5 * 12 + 4
+    val exifStart = ifd0Start + ifd0Size
+    val exifSize = 2 + 2 * 12 + 4
+    val dataStart = exifStart + exifSize
+    val tiffLen = dataStart + makeB.length + modelB.length + dtB.length
+    val bb = java.nio.ByteBuffer.allocate(tiffLen).order(order)
+    bb.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+    bb.putShort(42).putInt(ifd0Start)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3) { bb.putShort(v.toShort); bb.putShort(0) } // SHORT inline
+      else bb.putInt(v)
+    }
+    val makeOff = dataStart
+    val modelOff = makeOff + makeB.length
+    val dtOff = modelOff + modelB.length
+    bb.putShort(5)
+    entry(0x010f, 2, makeB.length, makeOff)
+    entry(0x0110, 2, modelB.length, modelOff)
+    entry(0x0112, 3, 1, orientation)
+    entry(0x0132, 2, dtB.length, dtOff)
+    entry(0x8769, 4, 1, exifStart)
+    bb.putInt(0) // no IFD1
+    bb.putShort(2)
+    entry(0xa002, 4, 1, px)
+    entry(0xa003, 4, 1, py)
+    bb.putInt(0)
+    bb.put(makeB).put(modelB).put(dtB)
+    val tiff = bb.array()
+    // APP1 marker + 2-byte length (includes itself) + "Exif\0\0" + TIFF
+    val app1Len = 2 + 6 + tiff.length
+    val seg = java.nio.ByteBuffer.allocate(2 + app1Len)
+    seg.put(0xff.toByte).put(0xe1.toByte)
+    seg.putShort(app1Len.toShort)
+    seg.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    seg.put(tiff)
+    seg.array()
+  }
+
+  /** Splice an EXIF APP1 right after a JPEG's SOI. */
+  private[media] def withExif(jpeg: Array[Byte], app1: Array[Byte]): Array[Byte] = {
+    require(jpeg.length > 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val out = new Array[Byte](jpeg.length + app1.length)
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    System.arraycopy(app1, 0, out, 2, app1.length)
+    System.arraycopy(jpeg, 2, out, 2 + app1.length, jpeg.length - 2)
+    out
+  }
+
+  /** Registered query: synthesize real JPEGs (JDK encoder) with spliced
+    * EXIF whose field values are pure doc_id arithmetic, parse them
+    * BACK with MediaMeta.exifMeta, and aggregate. The oracle replays
+    * the value synthesis directly from doc_id — a hash match proves the
+    * APP1 write → JPEG splice → segment/IFD parse round-trip is
+    * lossless, the same replay trick as the LSH oracle. One map stage +
+    * one small agg; payload bytes never shuffle.
+    */
+  val imageExif: QueryDef = QueryDef(
+    "image_exif",
+    (s, dir) => {
+      import s.implicits._
+      val parsed = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          val baseJpeg = bos.toByteArray
+          it.collect { case id if id % 3 == 0 =>
+            val app1 = exifApp1(
+              orientation = (id % 8 + 1).toInt,
+              make = "graft",
+              model = s"cam${id % 5}",
+              dateTime = f"2024:01:${id % 28 + 1}%02d 12:00:00",
+              px = (32 + id % 16).toInt, py = 24,
+              bigEndian = id % 2 == 0)
+            val m = MediaMeta.exifMeta(withExif(baseJpeg, app1))
+              .getOrElse(sys.error(s"exif round-trip failed for doc $id"))
+            (m.orientation, m.model, m.dateTime, m.pixelX.toLong)
+          }
+        }.toDF("orientation", "model", "date_time", "px")
+      parsed.groupBy(col("orientation"), col("model"))
+        .agg(count(lit(1)).as("n"), min(col("date_time")).as("min_dt"),
+          sum(col("px")).as("sum_px"))
+    },
+    Some("""SELECT CAST(doc_id % 8 + 1 AS INT) AS orientation,
+        'cam' || CAST(doc_id % 5 AS VARCHAR) AS model,
+        COUNT(*) AS n,
+        MIN('2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+            || ' 12:00:00') AS min_dt,
+        CAST(SUM(32 + doc_id % 16) AS BIGINT) AS sum_px
+      FROM documents WHERE doc_id % 3 = 0
+      GROUP BY doc_id % 8 + 1, doc_id % 5"""))
+
+  val all: Seq[QueryDef] =
+    Seq(multimodalFeatures, imageResize, videoFrameSample, imageExif)
 }
