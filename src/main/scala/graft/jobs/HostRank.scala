@@ -23,10 +23,16 @@ object HostRank {
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("s"), col("t")).dropDuplicates().cache()
+    // deg is a per-NODE constant — join it to the node set ONCE and
+    // carry (node, deg) through every round inside the checkpointed
+    // frame, instead of re-joining ranks⋈outDeg each iteration (one
+    // keyed join per round saved; at cluster scale, one fewer shuffle
+    // of the rank table per round)
+    val outDeg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("s").as("node"))
-      .union(e.select(col("t").as("node"))).distinct().cache()
+      .union(e.select(col("t").as("node"))).distinct()
+      .join(outDeg, Seq("node"), "left").cache()
     val n = nodes.count().toDouble
-    val outDeg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg")).cache()
 
     // per-round materialization breaks the two-branch (dangling +
     // contribs) recompute fanout; the every-few-rounds reliable
@@ -34,23 +40,22 @@ object HostRank {
     // paying a full ranks disk-write per round
     val ckpt = new graft.util.Checkpoints.IterationCheckpointer(
       interval = spark.conf.getOption("spark.graft.checkpointInterval").map(_.toInt).getOrElse(1))
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)) // (node, deg, rank)
     for (_ <- 1 to iters) {
-      val withDeg = ranks.join(outDeg, Seq("node"), "left")
       // dangling nodes (no out-edges) spread their rank uniformly. The
       // dangling mass stays IN the plan as a broadcast 1-row aggregate
       // (no driver .head() round-trip), so each iteration is a single
       // materializing action.
-      val danglingMass = withDeg.filter(col("deg").isNull)
+      val danglingMass = ranks.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      val contribs = withDeg.filter(col("deg").isNotNull)
+      val contribs = ranks.filter(col("deg").isNotNull)
         .join(e, col("node") === col("s"))
         .select(col("t").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
       ranks = ckpt.next(
         nodes.join(contribs, Seq("node"), "left")
           .crossJoin(broadcast(danglingMass))
-          .select(col("node"),
+          .select(col("node"), col("deg"),
             (lit((1.0 - damping) / n) + lit(damping / n) * col("dm") +
               lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank")))
     }
@@ -59,8 +64,7 @@ object HostRank {
     // (bench runs, notebooks) don't accumulate storage-memory leaks
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    outDeg.unpersist(blocking = false)
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** HITS hubs/authorities (Kleinberg 1999) — the other classic webgraph
