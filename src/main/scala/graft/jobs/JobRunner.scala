@@ -57,6 +57,7 @@ object JobCli {
       |  [--badwords w1,w2,...] [--min_entropy X] [--max_dup_frac X]
       |    (curate: extra filters)
       |  [--top_k K] (heavy_hitters)
+      |  [--output_option target_mb=N] (compact: target file size)
       |  host_graph flags: [--save_as_text DIR] [--normalize_host_names]
       |  [--validate_host_names] [--vertex_partitions N]
       |  [--vertex_ids PATH] [--add_input PATH]...
@@ -71,7 +72,9 @@ object JobCli {
       |        crawl_diff (--add_input SNAPSHOT_B)
       |        decontam (--add_input EVAL_DOCS)
       |        ann_index_build / ann_index_probe / ann_index_update
-      |          (--add_input INDEX_DIR)""".stripMargin
+      |          (--add_input INDEX_DIR) |
+      |        datacard | heavy_hitters (--top_k K) | chunk | funnel |
+      |        compact (--output_option target_mb=N)""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
     case Array(k, v) => (k, v)
@@ -216,7 +219,7 @@ object JobRunner {
     val selfWriting = Set("host_graph", "wet_extract", "index_build", "curate",
       "dedup_index_build", "dedup_index_probe",
       "bm25_index_build", "bm25_index_probe", "crawl_diff", "decontam",
-      "ann_index_build", "ann_index_probe") ++
+      "ann_index_build", "ann_index_probe", "compact") ++
       (if (cli.job == "stream_windows" && JobConfig.isPathOutput(cli.output))
         Set("stream_windows") else Set.empty)
 
@@ -606,6 +609,27 @@ object JobRunner {
             .as[graft.streaming.EventStream.Event]
           graft.streaming.EventStream.funnel(typed).toDF()
         }
+      case "compact" =>
+        // Small-files compaction — the ops chore every long-running
+        // pipeline needs (streaming sinks and many-task writers
+        // fragment output; a 100 TB table of 4 KB files kills every
+        // downstream scan's task-scheduling and footer-read overhead).
+        // File count = ceil(total bytes / target file size); contents
+        // byte-identical, just re-laid-out. --output_option
+        // target_mb=N overrides the 128 MB default.
+        {
+          val df = spark.read.parquet(cli.input)
+          val targetMb = cli.outputOptions.getOrElse("target_mb", "128").toLong
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val totalBytes = fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(cli.input)).getLength
+          val nFiles = math.max(1L,
+            (totalBytes + targetMb * 1048576 - 1) / (targetMb * 1048576)).toInt
+          df.repartition(nFiles)
+            .write.mode("overwrite").parquet(cli.output)
+          spark.read.parquet(cli.output)
+        }
       case other => sys.error(s"unknown job: $other\n${JobCli.usage}")
     }
 
@@ -627,6 +651,7 @@ object JobRunner {
           case "decontam"          => s"${cli.output}/kept"
           case "ann_index_build"   => s"${cli.output}/centroids"
           case "ann_index_probe"   => s"${cli.output}/topk"
+          case "compact"           => cli.output
         }
         spark.read.parquet(countPath).count()
       } else if (JobConfig.isPathOutput(cli.output)) {
