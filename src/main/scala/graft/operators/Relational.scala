@@ -864,6 +864,48 @@ object Relational {
       true AS within_5pct
       FROM events GROUP BY event_type"""))
 
+  /** Join-key skew diagnostics — the report you run BEFORE deciding to
+    * salt (a9_salted_sum) or lean on AQE's skew-join split: per-key
+    * frequency histogram over decimal-digit buckets (integer-exact on
+    * both engines where floor(log) is not), plus each bucket's heaviest
+    * key. Two keyed aggs; the histogram cardinality is digits(max
+    * count) ≈ 10 rows at any scale. Tie on max_key broken by the packed
+    * (cnt, -key)-max so both engines pick the same key.
+    */
+  val skewReport: QueryDef = QueryDef(
+    "skew_report",
+    (s, dir) => {
+      val keyCounts = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      keyCounts
+        .groupBy(length(col("c").cast("string")).as("bucket_digits"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_in_bucket"),
+          // argmax by (count, lowest key): pack into one orderable
+          // struct so the tie-break is explicit on both engines
+          max(struct(col("c"), (-col("l_orderkey")).as("nk")))("nk").as("neg_max_key"))
+        .select(col("bucket_digits"), col("n_keys"), col("n_rows"),
+          col("max_in_bucket"), (-col("neg_max_key")).as("heaviest_key"))
+    },
+    // oracle replays the argmax with an explicit window (same
+    // (c DESC, key ASC) pick the packed struct-max makes in Spark)
+    Some("""WITH kc AS (
+        SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey),
+      b AS (SELECT l_orderkey, c,
+              CAST(length(CAST(c AS VARCHAR)) AS INT) AS bucket_digits
+            FROM kc),
+      agg AS (SELECT bucket_digits, COUNT(*) AS n_keys,
+                CAST(SUM(c) AS BIGINT) AS n_rows, MAX(c) AS max_in_bucket
+              FROM b GROUP BY bucket_digits),
+      h AS (SELECT bucket_digits, l_orderkey AS heaviest_key FROM (
+              SELECT bucket_digits, l_orderkey,
+                row_number() OVER (PARTITION BY bucket_digits
+                  ORDER BY c DESC, l_orderkey) AS rn
+              FROM b) WHERE rn = 1)
+      SELECT agg.bucket_digits, n_keys, n_rows, max_in_bucket, heaviest_key
+      FROM agg JOIN h ON agg.bucket_digits = h.bucket_digits"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -873,5 +915,5 @@ object Relational {
     fScalarStrings, fDatetime, fArrayFuncs, fMathFuncs, fCondNull,
     w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract,
     j6AsofJoin, j7RangeJoin, eventsFunnel, eventsCohort, eventsRfm,
-    w4HoppingWindow, approxDistinctAudit)
+    w4HoppingWindow, approxDistinctAudit, skewReport)
 }
