@@ -745,25 +745,43 @@ object Relational {
           dsum(col("value")).as("monetary"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nUsers = broadcast(perUser.agg(count(lit(1)).as("n")))
-      def cuts(valueCol: String, pfx: String, bucketOf: Column => Column) =
-        broadcast(
-          ScaleUtils.cumCountDesc(perUser, valueCol, bucketOf)
-            .crossJoin(nUsers)
-            .agg(
-              max(when(col("cum") >= expr("(n * 1 + 3) div 4"), col("v"))).as(s"${pfx}1"),
-              max(when(col("cum") >= expr("(n * 2 + 3) div 4"), col("v"))).as(s"${pfx}2"),
-              max(when(col("cum") >= expr("(n * 3 + 3) div 4"), col("v"))).as(s"${pfx}3")))
+      // ONE ranking pass for all three metrics: melt to (metric, value)
+      // — values are exact in double (µs < 2^53, counts, 6dp-decimal
+      // sums) — and let cumCountDesc partition by the metric, which
+      // also makes its bucket-prefix window a keyed (non-global) one.
+      val melted = perUser.select(explode(array(
+        struct(lit("r").as("m"), col("last_us").cast("double").as("v")),
+        struct(lit("f").as("m"), col("freq").cast("double").as("v")),
+        struct(lit("m").as("m"), col("monetary").as("v")))).as("x"))
+        .select(col("x.m").as("m"), col("x.v").as("v"))
+      val bucketOf: Column => Column = v => when(col("m") === "r",
+          floor(v / lit(86400000000.0)))
+        .when(col("m") === "f", length(bin(v.cast("long"))).cast("long"))
+        .otherwise(floor(log(2.0, greatest(v, lit(0.0)) + lit(1.0))))
+      val cum = ScaleUtils.cumCountDesc(melted, "v", bucketOf, Seq("m"))
+      def cutAt(s: Int) =
+        max(when(col("cum") >= expr(s"(n * $s + 3) div 4"), col("v")))
+      val cuts = broadcast(cum.crossJoin(nUsers).groupBy(col("m"))
+        .agg(cutAt(1).as("c1"), cutAt(2).as("c2"), cutAt(3).as("c3"))
+        .groupBy()
+        .agg(
+          max(when(col("m") === "r", col("c1"))).as("rc1"),
+          max(when(col("m") === "r", col("c2"))).as("rc2"),
+          max(when(col("m") === "r", col("c3"))).as("rc3"),
+          max(when(col("m") === "f", col("c1"))).as("fc1"),
+          max(when(col("m") === "f", col("c2"))).as("fc2"),
+          max(when(col("m") === "f", col("c3"))).as("fc3"),
+          max(when(col("m") === "m", col("c1"))).as("mc1"),
+          max(when(col("m") === "m", col("c2"))).as("mc2"),
+          max(when(col("m") === "m", col("c3"))).as("mc3")))
       def scoreOf(v: Column, pfx: String) =
         when(v >= col(s"${pfx}1"), 1).when(v >= col(s"${pfx}2"), 2)
           .when(v >= col(s"${pfx}3"), 3).otherwise(4)
       val out = perUser
-        .crossJoin(cuts("last_us", "rc", v => v.divide(lit(86400000000L)).cast("long")))
-        .crossJoin(cuts("freq", "fc", v => length(bin(v))))
-        .crossJoin(cuts("monetary", "mc",
-          v => floor(log(2.0, greatest(v, lit(0.0)) + lit(1.0)))))
+        .crossJoin(cuts)
         .select(col("monetary"),
-          scoreOf(col("last_us"), "rc").as("r_score"),
-          scoreOf(col("freq"), "fc").as("f_score"),
+          scoreOf(col("last_us").cast("double"), "rc").as("r_score"),
+          scoreOf(col("freq").cast("double"), "fc").as("f_score"),
           scoreOf(col("monetary"), "mc").as("m_score"))
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_users"),

@@ -52,19 +52,22 @@ object ScaleUtils {
     * billion distinct values.
     */
   def cumCountDesc(df: DataFrame, valueCol: String,
-                   bucketOf: Column => Column): DataFrame = {
+                   bucketOf: Column => Column,
+                   partitionCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vc = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val p = partitionCols.map(col)
+    val vc = df.groupBy(p :+ col(valueCol).as("v"): _*).agg(count(lit(1)).as("c"))
       .withColumn("b", bucketOf(col("v")))
-    val bt = vc.groupBy(col("b")).agg(sum(col("c")).as("bc"))
-    val wPrefix = Window.orderBy(col("b").desc)
+    val bt = vc.groupBy(p :+ col("b"): _*).agg(sum(col("c")).as("bc"))
+    val wPrefix = Window.partitionBy(p: _*).orderBy(col("b").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val pre = bt.withColumn("off", coalesce(sum(col("bc")).over(wPrefix), lit(0L)))
-    val wIn = Window.partitionBy(col("b")).orderBy(col("v").desc)
+    val wIn = Window.partitionBy(p :+ col("b"): _*).orderBy(col("v").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    vc.join(broadcast(pre.select(col("b"), col("off"))), Seq("b"))
+    vc.join(broadcast(pre.select(p :+ col("b") :+ col("off"): _*)),
+        partitionCols :+ "b")
       .withColumn("cum", col("off") + sum(col("c")).over(wIn))
-      .select(col("v"), col("cum"))
+      .select(p :+ col("v") :+ col("cum"): _*)
   }
 
   /** Write a table bucketed by a join key: subsequent equi-joins between

@@ -97,12 +97,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "o2_zipwithindex",
     // j1 mirrors hostlinks_to_graph.py's explicit 1-partition vertex-ID
     // mode; the scale path is sortBy+zipWithIndex (HostGraphBuilder)
-    "j1_graph_ids",
-    // cumCountDesc's bucket-subtotal prefix sum: the global window runs
-    // over the BOUNDED bucket table (days / bit-lengths / log2 bands),
-    // not user- or event-cardinality data — that is the point of the
-    // two-level decomposition
-    "events_rfm")
+    "j1_graph_ids")
 
   private def offenders(p: SparkPlan): Seq[(String, String)] = {
     val cart = p.collect { case c: CartesianProductExec => c }
