@@ -924,6 +924,57 @@ object Relational {
       SELECT agg.bucket_digits, n_keys, n_rows, max_in_bucket, heaviest_key
       FROM agg JOIN h ON agg.bucket_digits = h.bucket_digits"""))
 
+  /** Quantile-sketch audit — the percentile companion to
+    * approx_distinct_audit: percentile_approx (GK sketch, rank error
+    * ≤ n/accuracy, the scale path for percentiles over event volume)
+    * checked against EXACT rank bounds from the same two-level
+    * cumCountDesc ranking events_rfm uses. The oracle computes the
+    * exact bound values and asserts containment, so both the bound
+    * VALUES and the sketch's contract are hash-checked.
+    */
+  val approxQuantileAudit: QueryDef = QueryDef(
+    "approx_quantile_audit",
+    (s, dir) => {
+      val acc = 1000
+      val ev = t(s, dir, "events").select(col("event_type"), col("value").as("v"))
+      val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val cum = ScaleUtils.cumCountDesc(ev, "v",
+        v => floor(v / lit(8.0)), Seq("event_type"))
+      // from-top median rank k = (n+1) div 2; tolerance t = 2·n/acc + 2:
+      // the GK guarantee is ±n/acc of SOME median-rank convention, and
+      // Spark's target rank differs from ours by up to one — double the
+      // guarantee plus the off-by-ones keeps the audit meaningful (a
+      // ~6-of-2000 rank window) without false alarms
+      val bounds = cum.join(n, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("cum") >= expr(s"(n + 1) div 2 + (2 * (n div $acc) + 2)"),
+            col("v"))).as("p50_lo"),
+          max(when(col("cum") >= expr(s"greatest((n + 1) div 2 - (2 * (n div $acc) + 2), 1)"),
+            col("v"))).as("p50_hi"))
+      val approx = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("v"), lit(0.5), lit(acc)).as("p50_approx"))
+      n.join(bounds, Seq("event_type")).join(approx, Seq("event_type"))
+        .select(col("event_type"), col("n").as("n_events"),
+          col("p50_lo"), col("p50_hi"),
+          col("p50_approx").between(col("p50_lo"), col("p50_hi"))
+            .as("approx_within_bounds"))
+    },
+    Some("""WITH v6 AS (SELECT event_type, value AS v FROM events),
+      n AS (SELECT event_type, COUNT(*) AS n FROM v6 GROUP BY event_type),
+      cum AS (SELECT event_type, v,
+          SUM(c) OVER (PARTITION BY event_type ORDER BY v DESC
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT event_type, v, COUNT(*) AS c FROM v6 GROUP BY 1, 2)),
+      b AS (SELECT cum.event_type,
+          MAX(CASE WHEN cum >= (n + 1) // 2 + (2 * (n // 1000) + 2) THEN v END) AS p50_lo,
+          MAX(CASE WHEN cum >= greatest((n + 1) // 2 - (2 * (n // 1000) + 2), 1) THEN v END) AS p50_hi
+        FROM cum JOIN n ON cum.event_type = n.event_type
+        GROUP BY cum.event_type)
+      SELECT n.event_type, n.n AS n_events, p50_lo, p50_hi,
+        true AS approx_within_bounds
+      FROM n JOIN b ON n.event_type = b.event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -933,5 +984,5 @@ object Relational {
     fScalarStrings, fDatetime, fArrayFuncs, fMathFuncs, fCondNull,
     w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract,
     j6AsofJoin, j7RangeJoin, eventsFunnel, eventsCohort, eventsRfm,
-    w4HoppingWindow, approxDistinctAudit, skewReport)
+    w4HoppingWindow, approxDistinctAudit, skewReport, approxQuantileAudit)
 }
