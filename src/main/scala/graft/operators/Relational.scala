@@ -975,6 +975,112 @@ object Relational {
         true AS approx_within_bounds
       FROM n JOIN b ON n.event_type = b.event_type"""))
 
+  /** TPC-H Q7 shape — bidirectional nation-pair trade volume: the
+    * classic multi-dimension fact join with a disjunctive pair
+    * predicate. Both nation joins broadcast; the one big shuffle is
+    * orders⋈lineitem on the order key; yearly volumes partial-agg
+    * before the final (n1, n2, year) group.
+    */
+  val q7NationVolume: QueryDef = QueryDef(
+    "q7_nation_volume",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("supp_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("cust_nk"),
+        col("n_name").as("cust_nation"))
+      t(s, dir, "supplier").join(t(s, dir, "lineitem"),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS INT) AS l_year,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      GROUP BY n1.n_name, n2.n_name, year(l_shipdate)"""))
+
+  /** TPC-H Q10 shape — returned-item revenue top-20: fact-fact join
+    * with a selective flag filter pushed to the lineitem scan, customer
+    * dimension broadcast, TakeOrderedAndProject top-N (no global sort).
+    */
+  val q10ReturnedItems: QueryDef = QueryDef(
+    "q10_returned_items",
+    (s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** CUBE grouping sets — the one grouping-set operator a7's ROLLUP
+    * doesn't cover: all 2^k aggregation granularities in ONE Expand +
+    * hash agg (k× row expansion before the partial agg, never a
+    * second scan). grouping_id disambiguates NULL-as-total from
+    * NULL-as-value on both engines.
+    */
+  val a11Cube: QueryDef = QueryDef(
+    "a11_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+        grouping_id().as("gid")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty,
+        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
+  /** Correlated scalar subquery — orders above their customer's own
+    * average order value. Catalyst DECORRELATES this into a keyed
+    * aggregate + join (RewriteCorrelatedScalarSubquery), so the
+    * executed plan is two shuffles on o_custkey, not a per-row
+    * subquery — the optimizer transformation this query exists to
+    * exercise (and PlanAudit to guard).
+    */
+  val j8CorrelatedSubquery: QueryDef = QueryDef(
+    "j8_correlated_subquery",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n_above,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_above
+        FROM orders_v o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_above,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_above
+      FROM orders o
+      WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      GROUP BY o_orderpriority"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -984,5 +1090,6 @@ object Relational {
     fScalarStrings, fDatetime, fArrayFuncs, fMathFuncs, fCondNull,
     w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract,
     j6AsofJoin, j7RangeJoin, eventsFunnel, eventsCohort, eventsRfm,
-    w4HoppingWindow, approxDistinctAudit, skewReport, approxQuantileAudit)
+    w4HoppingWindow, approxDistinctAudit, skewReport, approxQuantileAudit,
+    q7NationVolume, q10ReturnedItems, a11Cube, j8CorrelatedSubquery)
 }
