@@ -6,6 +6,7 @@ import graft.util.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Relational operator coverage (SURVEY.md §2.1 S4/S9, §2.3 A1–A5, §2.4 J1,
   * §2.5 U1–U4, §2.6 O1–O8, §2.7 scalar functions) expressed over the driver
@@ -994,8 +995,11 @@ object Relational {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        // NATION_12/13 trade in both directions at every generated SF
+        // (down to sf0.001) — a pair with one-way-only trade would zero
+        // out a branch of the disjunction on the small fixtures.
+        .filter((col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_13") ||
+          (col("supp_nation") === "NATION_13" && col("cust_nation") === "NATION_12"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
@@ -1008,8 +1012,8 @@ object Relational {
       JOIN customer ON o_custkey = c_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      WHERE (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_13')
+         OR (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_12')
       GROUP BY n1.n_name, n2.n_name, year(l_shipdate)"""))
 
   /** TPC-H Q10 shape — returned-item revenue top-20: fact-fact join
@@ -1081,6 +1085,107 @@ object Relational {
                             WHERE o2.o_custkey = o.o_custkey)
       GROUP BY o_orderpriority"""))
 
+  /** Offset window functions over the events table — lead/lag/ntile/
+    * percent_rank, the window surface w1/w2 (row_number, running sum)
+    * don't cover. One shuffle on user_id, then every window computes in
+    * the same sort pass (shared Window frame, same partition + order).
+    * event_id is the tiebreak: (tsm, event_id) is a total order, so
+    * offset results are deterministic under any partitioning. The
+    * user_id filter pushes below the window to the scan (partition-wise
+    * windows are independent), so the plan only sorts the five users.
+    */
+  val w5LeadLag: QueryDef = QueryDef(
+    "w5_lead_lag",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.select(col("user_id"), col("event_id"), col("event_type"),
+          graft.util.Tables.tsMicros(ev).as("tsm"))
+        .filter(col("user_id") < 5)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsm"), col("event_id"))
+      base.select(
+        col("user_id"), col("event_id"), col("event_type"),
+        round(((col("tsm") - lag(col("tsm"), 1).over(w)).cast(DoubleType)) / lit(1e6), 6)
+          .as("gap_s"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"))
+    },
+    Some("""SELECT user_id, event_id, event_type,
+        ROUND(CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS DOUBLE) / 1e6, 6) AS gap_s,
+        LEAD(event_type) OVER w AS next_type,
+        NTILE(4) OVER w AS quartile,
+        ROUND(PERCENT_RANK() OVER w, 6) AS prank
+      FROM events WHERE user_id < 5
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"""))
+
+  /** TPC-H Q18 shape — large-order customers: an IN subquery over an
+    * aggregate HAVING filter. Catalyst rewrites the IN into a left-semi
+    * join on l_orderkey (RewritePredicateSubquery), so the executed plan
+    * is the HAVING aggregate (partial+final on the lineitem scan) semi-
+    * joined into the fact chain — no per-row subquery, and the semi join
+    * key is the same o_orderkey the orders⋈lineitem shuffle already
+    * uses. Threshold 250 keeps the match set non-empty at every SF
+    * (25 orders at sf0.001, 2 285 at sf0.1).
+    */
+  val q18LargeOrders: QueryDef = QueryDef(
+    "q18_large_orders",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q18_customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("q18_orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("q18_lineitem_v")
+      s.sql("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+        FROM q18_customer_v JOIN q18_orders_v ON c_custkey = o_custkey
+        JOIN q18_lineitem_v ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM q18_lineitem_v
+                             GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""))
+
+  /** TPC-H Q14 shape — promo revenue share per month: conditional
+    * aggregation over a fact⋈dimension join. part projects to two
+    * columns and broadcasts (dimension-sized — never a shuffle);
+    * lineitem aggregates partial-then-final on the month key. The
+    * promo/total split is one pass (two conditional accumulators),
+    * not two scans; both sums accumulate exact decimal so the ratio
+    * is reproducible under any partitioning.
+    */
+  val q14PromoRevenue: QueryDef = QueryDef(
+    "q14_promo_revenue",
+    (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("int").as("ym"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0))).as("promo_rev"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_rev"))
+        .select(col("ym"),
+          round(lit(100.0) * col("promo_rev") / col("total_rev"), 6).as("promo_pct"),
+          col("promo_rev"), col("total_rev"))
+    },
+    Some("""SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ym,
+        ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE), 6) AS promo_pct,
+        CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) AS promo_rev,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY year(l_shipdate) * 100 + month(l_shipdate)"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -1091,5 +1196,6 @@ object Relational {
     w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract,
     j6AsofJoin, j7RangeJoin, eventsFunnel, eventsCohort, eventsRfm,
     w4HoppingWindow, approxDistinctAudit, skewReport, approxQuantileAudit,
-    q7NationVolume, q10ReturnedItems, a11Cube, j8CorrelatedSubquery)
+    q7NationVolume, q10ReturnedItems, a11Cube, j8CorrelatedSubquery,
+    w5LeadLag, q18LargeOrders, q14PromoRevenue)
 }

@@ -1006,9 +1006,51 @@ object TextOps {
              md5(array_to_string(c, ' ')) AS chunk_sig
       FROM ch"""))
 
+  /** Per-document keyword extraction by TF·IDF — the standard doc-tagging
+    * pass of a curation pipeline (and the scoring half of text_bm25,
+    * exposed per-document instead of per-query). The plan splits the
+    * work by cardinality: document frequency aggregates over the WHOLE
+    * corpus (vocab-sized output, partial+final hash agg on the token
+    * shuffle), while term frequency is computed only for the tagged doc
+    * slice — the doc_id filter pushes to the scan, so at 100 TB the
+    * per-doc side costs O(tagged docs), never O(corpus). N arrives as a
+    * broadcast 1-row cross join, not a driver-side collect.
+    */
+  val keywordsTfidf: QueryDef = QueryDef(
+    "text_keywords_tfidf",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val allToks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      val df = allToks.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+      val tf = allToks.filter(col("doc_id") < 20)
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "word").crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("word"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents),
+      df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks WHERE doc_id < 20
+             GROUP BY doc_id, word),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS score
+        FROM tf JOIN df USING (word) CROSS JOIN n)
+      SELECT doc_id, rank, word, ROUND(score, 6) AS score FROM (
+        SELECT doc_id, word, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+        FROM scored) WHERE rank <= 3"""))
+
   val all: Seq[QueryDef] = Seq(
     p6WordCount, dedupExact, fpUniqueness, tokenCounts, tokenCountsBpe,
     tokenCountsBpeExact, textQuality, qualityGopher, langIdHeuristic, piiScrub,
     textNormalize, bm25, readability, textEntropy, fpWinnowing, vocabStatsQuery,
-    textRepetition, scriptDetect, datacard, c4Filter, chunkPassages)
+    textRepetition, scriptDetect, datacard, c4Filter, chunkPassages,
+    keywordsTfidf)
 }

@@ -86,7 +86,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // three 1-row quartile-cutoff tables + the 1-row user count
     // crossJoined onto the per-user aggregate; the ranking itself is
     // the keyed two-level cumCountDesc
-    "events_rfm")
+    "events_rfm",
+    // 1-row corpus-count aggregate crossJoined onto the per-doc TF
+    // rows; the tf⋈df join is a keyed equi-join on the token
+    "text_keywords_tfidf")
 
   /** Global (empty-partition) windows that are single-partition BY
     * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID
