@@ -151,12 +151,19 @@ object MediaOps {
       if (hist(j) > 0) { val p = hist(j) / n; ent -= p * math.log(p) / math.log(2) }
       j += 1
     }
-    // fake dims derived deterministically from content hash
-    val h = java.util.Arrays.hashCode(bytes)
-    val frames = if (r.kind == "video") 1 + math.abs(h / 11) % 300 else 1
+    // fake dims derived deterministically from a content hash. The hash
+    // is the first 15 hex chars of the payload MD5 (60 bits, always
+    // non-negative) — chosen over Arrays.hashCode because BOTH engines
+    // can compute it (DuckDB: CAST('0x' || substr(md5(text),1,15) AS
+    // BIGINT)), which is what lets video_frame_sample carry a
+    // full-replay oracle instead of a rows-only check.
+    val h = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    val frames = if (r.kind == "video") (1 + (h / 11) % 300).toInt else 1
     MediaFeatures(r.media_id, r.kind, r.source, bytes.length,
       math.rint(ent * 1e6) / 1e6,
-      width = 64 + (math.abs(h) % 1024), height = 64 + (math.abs(h / 7) % 1024),
+      width = (64 + h % 1024).toInt, height = (64 + (h / 7) % 1024).toInt,
       frames = frames,
       duration_s = if (r.kind == "video") math.rint(frames / 30.0 * 1e6) / 1e6 else 0.0)
   }
@@ -316,8 +323,15 @@ object MediaOps {
   }
 
   /** Registered query: decode features and aggregate per (source, kind).
-    * Rows-only (the stubbed decode has no SQL equivalent); deterministic
-    * because the stub is content-derived.
+    * The decode is the disclosed stub, but every stub output is pure
+    * arithmetic over the payload bytes, so the ORACLE replays it in
+    * SQL byte-for-byte: the byte histogram comes from exploding the
+    * hex() encoding of the BLOB two chars at a time (byte-exact for
+    * any content, not just ASCII), entropy from the same -Σ p·log2 p,
+    * frames/duration from the md5-derived hash. Per-doc entropy is
+    * rounded to 6dp on both sides before the group avg, so last-ulp
+    * log/summation-order differences cannot surface at the rounded
+    * 4dp output.
     */
   val multimodalFeatures: QueryDef = QueryDef(
     "multimodal_features",
@@ -330,7 +344,34 @@ object MediaOps {
           round(avg(col("entropy")), 4).as("avg_entropy"),
           max(col("frames")).as("max_frames"),
           round(sum(col("duration_s")), 4).as("total_duration_s"))
-    })
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, source,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS kind,
+               octet_length(CAST(text AS BLOB)) AS plen,
+               hex(CAST(text AS BLOB)) AS hx,
+               CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        FROM documents),
+      b AS (SELECT doc_id, plen, hx, unnest(range(0, plen)) AS i FROM d),
+      cnt AS (SELECT doc_id, plen, substr(hx, CAST(2 * i + 1 AS INT), 2) AS byte,
+                     COUNT(*) AS c
+              FROM b GROUP BY doc_id, plen, byte),
+      ent AS (SELECT doc_id,
+                ROUND(-SUM((c / CAST(plen AS DOUBLE))
+                    * ln(c / CAST(plen AS DOUBLE)) / ln(2)) * 1e6, 0) / 1e6 AS entropy
+              FROM cnt GROUP BY doc_id),
+      feat AS (
+        SELECT d.doc_id, d.source, d.kind, d.plen,
+               COALESCE(ent.entropy, 0) AS entropy,
+               CASE WHEN kind = 'video' THEN 1 + (h // 11) % 300 ELSE 1 END AS frames
+        FROM d LEFT JOIN ent ON d.doc_id = ent.doc_id)
+      SELECT source, kind, COUNT(*) AS n, CAST(SUM(plen) AS BIGINT) AS total_bytes,
+             ROUND(AVG(entropy), 4) AS avg_entropy,
+             CAST(MAX(frames) AS INT) AS max_frames,
+             ROUND(SUM(CASE WHEN kind = 'video'
+                 THEN ROUND(frames / 30.0, 6) ELSE 0.0 END), 4) AS total_duration_s
+      FROM feat GROUP BY source, kind"""))
 
   /** Registered query: real decode → bilinear 16×16 → PNG re-encode over
     * the synthetic-PNG corpus, aggregated per source. Rows-only (binary
@@ -349,9 +390,14 @@ object MediaOps {
     })
 
   /** Registered query: per-frame-index stats of evenly-spaced frame
-    * sampling (4 frames per video row). Rows-only; the frame cut is the
-    * disclosed stub but the fan-out shape, timestamps, and byte
-    * accounting are real and deterministic.
+    * sampling (4 frames per video row). The frame cut is the disclosed
+    * stub, but because the stub is pure arithmetic over the payload
+    * (slice bounds from the byte length, duration from the md5-derived
+    * content hash), the ORACLE replays the whole fan-out in SQL —
+    * frame byte accounting, timestamp spacing, and the duration model
+    * are all hash-checked, not just row-counted. A production codec
+    * changes only the frame BYTES (not the fan-out shape), at which
+    * point this oracle narrows back to the shape columns.
     */
   val videoFrameSample: QueryDef = QueryDef(
     "video_frame_sample",
@@ -362,7 +408,28 @@ object MediaOps {
         .agg(count(lit(1)).as("n_frames"),
           sum(octet_length(col("frame"))).as("total_frame_bytes"),
           max(col("ts_ms")).as("max_ts_ms"))
-    })
+    },
+    Some("""WITH vids AS (
+        SELECT doc_id, octet_length(CAST(text AS BLOB)) AS plen,
+               CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        FROM documents WHERE doc_id % 3 = 2),
+      v2 AS (SELECT doc_id, plen, 1 + (h // 11) % 300 AS frames FROM vids),
+      v3 AS (
+        SELECT doc_id, plen,
+               CAST(ROUND(ROUND(frames / 30.0, 6) * 1000, 0) AS BIGINT) AS dur_ms,
+               GREATEST(1, plen // 4) AS len
+        FROM v2),
+      f AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS frame_idx, plen, dur_ms, len
+            FROM v3),
+      g AS (
+        SELECT frame_idx, (frame_idx * dur_ms) // 3 AS ts_ms,
+               LEAST((frame_idx + 1) * len, plen)
+                 - LEAST(frame_idx * len, GREATEST(0, plen - 1)) AS fbytes
+        FROM f)
+      SELECT CAST(frame_idx AS INT) AS frame_idx, COUNT(*) AS n_frames,
+             CAST(SUM(fbytes) AS BIGINT) AS total_frame_bytes,
+             MAX(ts_ms) AS max_ts_ms
+      FROM g GROUP BY frame_idx"""))
 
   /** Build an EXIF APP1 segment (TIFF 6.0 structure, chosen endianness):
     * IFD0 carries make/model/orientation/datetime + the Exif-IFD
