@@ -1186,6 +1186,72 @@ object Relational {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY year(l_shipdate) * 100 + month(l_shipdate)"""))
 
+  /** TPC-H Q4 shape — correlated EXISTS with a non-equi tail predicate
+    * (late-shipping orders). Catalyst decorrelates to a left-semi join
+    * on l_orderkey with the date comparison as the join's extra
+    * condition; the selective o_orderdate range is pushed to the
+    * orders scan, so the semi join's build side is one quarter, not
+    * the table. Completes the subquery surface next to q18 (IN) and
+    * j8 (correlated scalar).
+    */
+  val q4OrderPriority: QueryDef = QueryDef(
+    "q4_order_priority",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q4_orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("q4_lineitem_v")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM q4_orders_v o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM q4_lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority"""))
+
+  /** U7 multiset difference (EXCEPT ALL) — each customer key keeps
+    * max(0, n_orders − 1) occurrences, so the result is only correct
+    * under bag semantics (u6's set EXCEPT would return the empty
+    * difference side). One shuffle on the key with per-key counts —
+    * Spark plans a count-propagating aggregate, never a row-by-row
+    * anti pass.
+    */
+  val u7ExceptAll: QueryDef = QueryDef(
+    "u7_except_all",
+    (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("k"))
+      .exceptAll(t(s, dir, "customer").select(col("c_custkey").as("k")))
+      .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_keys")),
+    Some("""SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS n_keys FROM (
+      SELECT o_custkey AS k FROM orders
+      EXCEPT ALL
+      SELECT c_custkey AS k FROM customer)"""))
+
+  /** U8 multiset intersection (INTERSECT ALL) — per supplier,
+    * min(1996 shipments, 1997 shipments) occurrences survive; the
+    * total is a bag-semantics answer set INTERSECT cannot produce.
+    */
+  val u8IntersectAll: QueryDef = QueryDef(
+    "u8_intersect_all",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(year(col("l_shipdate")) === 1996).select(col("l_suppkey").as("k"))
+        .intersectAll(
+          li.filter(year(col("l_shipdate")) === 1997).select(col("l_suppkey").as("k")))
+        .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_keys"))
+    },
+    Some("""SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS n_keys FROM (
+      SELECT l_suppkey AS k FROM lineitem WHERE year(l_shipdate) = 1996
+      INTERSECT ALL
+      SELECT l_suppkey AS k FROM lineitem WHERE year(l_shipdate) = 1997)"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -1197,5 +1263,6 @@ object Relational {
     j6AsofJoin, j7RangeJoin, eventsFunnel, eventsCohort, eventsRfm,
     w4HoppingWindow, approxDistinctAudit, skewReport, approxQuantileAudit,
     q7NationVolume, q10ReturnedItems, a11Cube, j8CorrelatedSubquery,
-    w5LeadLag, q18LargeOrders, q14PromoRevenue)
+    w5LeadLag, q18LargeOrders, q14PromoRevenue,
+    q4OrderPriority, u7ExceptAll, u8IntersectAll)
 }
