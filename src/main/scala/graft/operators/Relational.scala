@@ -1252,6 +1252,53 @@ object Relational {
       INTERSECT ALL
       SELECT l_suppkey AS k FROM lineitem WHERE year(l_shipdate) = 1997)"""))
 
+  /** Value-based (RANGE) window frame — trailing 24h sum per user.
+    * w2/w5 cover only ROWS frames; a RANGE frame's content is defined
+    * by the ORDER BY value, so the result is tie-order independent by
+    * construction. Same single user_id shuffle + one sort pass; both
+    * engines accumulate over the identical ascending-ts frame, and the
+    * 6dp round absorbs segment-tree vs running-sum ulp differences.
+    */
+  val w6RangeFrame: QueryDef = QueryDef(
+    "w6_range_frame",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.select(col("user_id"), col("event_id"), col("value"),
+          graft.util.Tables.tsMicros(ev).as("tsm"))
+        .filter(col("user_id") < 5)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsm"))
+        .rangeBetween(-86400000000L, Window.currentRow)
+      base.select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 6).as("trail_24h"))
+    },
+    Some("""SELECT user_id, event_id,
+        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW), 6) AS trail_24h
+      FROM events WHERE user_id < 5"""))
+
+  /** UNPIVOT/melt — the inverse of a10's PIVOT: the wide per-flag
+    * aggregate lands as (flag, metric, val) long-form rows. Spark
+    * plans an Expand (3× row fan-out of the TINY aggregate output,
+    * never the input), the same operator CUBE uses.
+    */
+  val a12Unpivot: QueryDef = QueryDef(
+    "a12_unpivot",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        davg(col("l_discount")).as("avg_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "metric", "val"),
+    Some("""WITH agg AS (SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, val FROM agg
+      UNPIVOT (val FOR metric IN (sum_qty, sum_price, avg_disc))"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -1264,5 +1311,6 @@ object Relational {
     w4HoppingWindow, approxDistinctAudit, skewReport, approxQuantileAudit,
     q7NationVolume, q10ReturnedItems, a11Cube, j8CorrelatedSubquery,
     w5LeadLag, q18LargeOrders, q14PromoRevenue,
-    q4OrderPriority, u7ExceptAll, u8IntersectAll)
+    q4OrderPriority, u7ExceptAll, u8IntersectAll,
+    w6RangeFrame, a12Unpivot)
 }
