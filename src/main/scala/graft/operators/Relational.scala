@@ -1299,6 +1299,203 @@ object Relational {
       SELECT l_returnflag, metric, val FROM agg
       UNPIVOT (val FOR metric IN (sum_qty, sum_price, avg_disc))"""))
 
+  /** TPC-H Q8 shape — national market share: the 6-table star join
+    * (lineitem at the center; orders⋈customer on one arm, supplier on
+    * the other, nation/region closing both). Share = conditional sum /
+    * total sum in ONE aggregation pass; all dimension joins broadcast,
+    * the two fact shuffles are on l_orderkey and nothing else.
+    */
+  val q8MarketShare: QueryDef = QueryDef(
+    "q8_market_share",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_regionkey"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val vol = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .filter(col("r_name") === "EUROPE")
+        .select(year(col("o_orderdate")).cast("int").as("o_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+          col("supp_nation"))
+      vol.groupBy(col("o_year"))
+        .agg(
+          dsum(when(col("supp_nation") === "NATION_3", col("volume"))
+            .otherwise(lit(0.0))).as("nation_vol"),
+          dsum(col("volume")).as("total_vol"))
+        .select(col("o_year"),
+          round(col("nation_vol") / col("total_vol"), 6).as("mkt_share"),
+          col("nation_vol"), col("total_vol"))
+    },
+    Some("""WITH vol AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1.0 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE')
+      SELECT o_year,
+        ROUND(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3'
+              THEN volume ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+          / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE), 6) AS mkt_share,
+        CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3'
+              THEN volume ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) AS nation_vol,
+        CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS total_vol
+      FROM vol GROUP BY o_year"""))
+
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    * join so zero-order customers keep a 0 count (an inner join would
+    * silently drop them), then a second aggregation over the FIRST
+    * aggregate's output — the histogram-of-histogram pattern. Both
+    * aggs are partial+final; the second one's input is customer-sized.
+    */
+  val q13Custdist: QueryDef = QueryDef(
+    "q13_custdist",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist")),
+    Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      GROUP BY c_count"""))
+
+  /** TPC-H Q15 shape — top supplier by quarterly revenue: an
+    * uncorrelated scalar MAX subquery over a common aggregate (the
+    * reference's CREATE VIEW). Spark executes the subquery once as a
+    * broadcast scalar, so the filter is a literal compare, not a join.
+    * Revenue equality across engines is safe because both sides sum
+    * exact decimal before the double cast.
+    */
+  val q15TopSupplier: QueryDef = QueryDef(
+    "q15_top_supplier",
+    (s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("q15_supplier_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("q15_lineitem_v")
+      s.sql("""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+              AS total_revenue
+          FROM q15_lineitem_v
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM q15_supplier_v JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""")
+    },
+    Some("""WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+            AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)"""))
+
+  /** TPC-H Q17 shape — small-quantity revenue: a correlated scalar AVG
+    * over a DIFFERENT table keyed by the join column (j8's correlated
+    * scalar stays within one table). Decorrelates to a per-partkey
+    * aggregate joined back to the brand-filtered fact rows. The
+    * threshold compare is deterministic across engines: quantities are
+    * small integers, so their sum (hence avg) is exact in doubles
+    * regardless of accumulation order.
+    */
+  val q17SmallQty: QueryDef = QueryDef(
+    "q17_small_qty_revenue",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("q17_part_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("q17_lineitem_v")
+      s.sql("""SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0, 6)
+            AS avg_yearly
+        FROM q17_lineitem_v JOIN q17_part_v ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM q17_lineitem_v l2
+                            WHERE l2.l_partkey = p_partkey)""")
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0, 6)
+          AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+        AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = p_partkey)"""))
+
+  /** TPC-H Q19 shape — disjunctive multi-attribute predicate (the
+    * OR-of-ANDs that exercises predicate normalization): Catalyst
+    * extracts the per-side common disjuncts, so the part scan prunes
+    * on (brand OR brand) and the lineitem scan on the union quantity
+    * range BEFORE the broadcast join evaluates the full condition.
+    */
+  val q19Disjunctive: QueryDef = QueryDef(
+    "q19_disjunctive_preds",
+    (s, dir) => t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(1, 30)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 40) &&
+          col("l_quantity").between(10, 45)))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")),
+    Some("""SELECT COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+          AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 1 AND 30)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 40
+             AND l_quantity BETWEEN 10 AND 45)"""))
+
+  /** TPC-H Q22 shape — dormant high-balance customers: an uncorrelated
+    * scalar AVG threshold plus a NOT EXISTS anti join (with its own
+    * date predicate) in one query. The threshold averages exact
+    * decimal before the double cast, so the > compare cannot flip on
+    * summation order. (The reference query's phone-prefix filter has
+    * no column here; the date-bounded NOT EXISTS keeps the anti side
+    * non-empty at every SF.)
+    */
+  val q22DormantCustomers: QueryDef = QueryDef(
+    "q22_dormant_customers",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q22_customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("q22_orders_v")
+      s.sql("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+        FROM q22_customer_v c
+        WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                           FROM q22_customer_v WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM q22_orders_v o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+      FROM customer c
+      WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                         FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_mktsegment"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -1312,5 +1509,7 @@ object Relational {
     q7NationVolume, q10ReturnedItems, a11Cube, j8CorrelatedSubquery,
     w5LeadLag, q18LargeOrders, q14PromoRevenue,
     q4OrderPriority, u7ExceptAll, u8IntersectAll,
-    w6RangeFrame, a12Unpivot)
+    w6RangeFrame, a12Unpivot,
+    q8MarketShare, q13Custdist, q15TopSupplier, q17SmallQty,
+    q19Disjunctive, q22DormantCustomers)
 }
