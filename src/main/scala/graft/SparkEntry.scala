@@ -40,6 +40,7 @@ object SparkEntry {
       vector.PqOps.all ++
       vector.SemDedup.all ++
       vector.KMeansOps.all ++
+      vector.PcaOps.all ++
       media.MediaOps.all ++
       ops.WarcFixtureQueries.all ++
       streaming.StreamQueries.all ++
