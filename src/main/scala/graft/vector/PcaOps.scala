@@ -186,5 +186,77 @@ object PcaOps {
       }
     })
 
-  val all: Seq[QueryDef] = Seq(embeddingCovariance, embeddingPca)
+  /** Driver-side eigensystem from the exact integer moments: top-`r`
+    * eigenvector rows plus the mean vector in ORIGINAL embedding units
+    * (eigenvectors are scale-invariant, so the 1e6 quantization factor
+    * cancels; the mean just divides back). Bounded work end to end:
+    * 2 080-row collect + 64-row collect + O(d³) Jacobi.
+    */
+  private def topComponents(s: SparkSession, dir: String, r: Int)
+      : Option[(Array[Array[Double]], Array[Double])] = {
+    val rows = momentsDf(s, dir).collect()
+    if (rows.isEmpty || rows.head.getLong(3) < 2) None
+    else {
+      val n = rows.head.getLong(3)
+      val sMat = Array.ofDim[Double](Dim, Dim)
+      rows.foreach { row =>
+        val (i, j, sij) = (row.getInt(0), row.getInt(1), row.getLong(2))
+        sMat(i)(j) = sij.toDouble; sMat(j)(i) = sij.toDouble
+      }
+      val sums = quantized(s, dir)
+        .select(posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(sum(col("x")).as("sx"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      val cov = Array.tabulate(Dim, Dim) { (i, j) =>
+        (sMat(i)(j) - sums(i).toDouble * sums(j).toDouble / n) / (n - 1.0)
+      }
+      val (_, vecs) = jacobiEigen(cov)
+      Some((vecs.take(r), Array.tabulate(Dim)(i => sums(i).toDouble / n / 1e6)))
+    }
+  }
+
+  /** ANN in PCA-reduced space: center + project every embedding onto
+    * the top 32 components (one `dot_const` kernel call per component
+    * — a pure map stage, the eigenvector table is a driver constant
+    * like the LSH planes), brute-force cosine top-10 in the 32-dim
+    * space, and grade recall against the full-dimension exact top-10.
+    * This is the PQ/OPQ preprocessing step exposed as its own
+    * operator: at 100 TB the projection halves every downstream
+    * distance computation's bandwidth while the recall row quantifies
+    * exactly what the reduction costs. Rows-only (driver-side
+    * eigensystem), self-graded like the LSH/IVF family; PcaSpec
+    * asserts the recall floor.
+    */
+  val annPcaTopK: QueryDef = QueryDef(
+    "ann_pca_topk",
+    (s, dir) => {
+      import s.implicits._
+      topComponents(s, dir, 32) match {
+        case None =>
+          Seq.empty[(Long, Long)].toDF("q_id", "n_hits_in_brute_top10")
+        case Some((vecs, mu)) =>
+          import graft.functions.DotProductConst.dotConst
+          import graft.functions.CosineSimilarity.cosineSim
+          val offsets = vecs.map(v => v.zip(mu).map { case (a, b) => a * b }.sum)
+          val zExpr = array(vecs.indices.map(c =>
+            (dotConst(col("embedding"), vecs(c)) - lit(offsets(c))).cast("float")): _*)
+          val proj = Tables(s, dir, "embeddings")
+            .select(col("vec_id"), zExpr.as("pemb"))
+          val q = broadcast(proj.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("pemb").as("q_emb")))
+          val scored = proj.crossJoin(q)
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              cosineSim(col("q_emb"), col("pemb")).as("cos"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+          val approx = scored.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 10)
+            .select(col("q_id"), col("vec_id"))
+          VectorOps.recallVsBrute(approx, VectorOps.bruteTopK(s, dir),
+            proj.filter(col("vec_id") < 10).select(col("vec_id").as("q_id")))
+      }
+    })
+
+  val all: Seq[QueryDef] = Seq(embeddingCovariance, embeddingPca, annPcaTopK)
 }

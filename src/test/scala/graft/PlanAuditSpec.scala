@@ -89,7 +89,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_rfm",
     // 1-row corpus-count aggregate crossJoined onto the per-doc TF
     // rows; the tf⋈df join is a keyed equi-join on the token
-    "text_keywords_tfidf")
+    "text_keywords_tfidf",
+    // the ≤10-row projected query set broadcast over the projected
+    // corpus — identical bounded shape to ann_brute_topk's exact
+    // rescoring stage
+    "ann_pca_topk")
 
   /** Global (empty-partition) windows that are single-partition BY
     * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID

@@ -54,6 +54,16 @@ class PcaSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(1) >= 0.0), "negative eigenvalue")
   }
 
+  test("pca-reduced ANN keeps a meaningful recall floor") {
+    assume(new java.io.File(sf).exists())
+    val rows = PcaOps.annPcaTopK.fn(spark, sf).collect()
+    assert(rows.length == 10) // every query emits a row, even at 0 hits
+    val total = rows.map(_.getLong(1)).sum
+    // 32/64 dims on near-isotropic embeddings measured ~0.45-0.5 mean
+    // recall@10; 0.2 is the collapse detector, not the expectation
+    assert(total >= 20, s"recall collapsed: $total/100 hits")
+  }
+
   test("covariance moments are symmetric-complete and exact-count") {
     assume(new java.io.File(sf).exists())
     val rows = PcaOps.embeddingCovariance.fn(spark, sf).collect()
