@@ -74,7 +74,8 @@ object JobCli {
       |        ann_index_build / ann_index_probe / ann_index_update
       |          (--add_input INDEX_DIR) |
       |        datacard | heavy_hitters (--top_k K) | chunk | funnel |
-      |        compact (--output_option target_mb=N)""".stripMargin
+      |        compact (--output_option target_mb=N) |
+      |        pca (--top_k K: components kept)""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
     case Array(k, v) => (k, v)
@@ -219,7 +220,7 @@ object JobRunner {
     val selfWriting = Set("host_graph", "wet_extract", "index_build", "curate",
       "dedup_index_build", "dedup_index_probe",
       "bm25_index_build", "bm25_index_probe", "crawl_diff", "decontam",
-      "ann_index_build", "ann_index_probe", "compact") ++
+      "ann_index_build", "ann_index_probe", "compact", "pca") ++
       (if (cli.job == "stream_windows" && JobConfig.isPathOutput(cli.output))
         Set("stream_windows") else Set.empty)
 
@@ -609,6 +610,31 @@ object JobRunner {
             .as[graft.streaming.EventStream.Event]
           graft.streaming.EventStream.funnel(typed).toDF()
         }
+      case "pca" =>
+        // input = embeddings parquet dir (vec_id, embedding float[64]) →
+        // components/ (one row per component: eigvec + eigval in
+        // original units) and projected/ (vec_id + the centered top-K
+        // projection, --top_k K default 20 capped at 64). The corpus
+        // pays one exact-integer moment aggregation + one projection
+        // map stage; the eigensystem is a bounded driver step.
+        {
+          import spark.implicits._
+          val emb = spark.read.parquet(cli.input)
+          val r = math.min(math.max(cli.topK, 1), 64)
+          graft.vector.PcaOps.eigensystem(emb) match {
+            case None => sys.error("pca needs at least 2 embedding rows")
+            case Some(es) =>
+              es.vecs.take(r).zipWithIndex.map { case (v, c) =>
+                (c, es.eig(c) / 1e12, v)
+              }.toSeq.toDF("component", "eigval", "eigvec")
+                .coalesce(1)
+                .write.mode("overwrite").parquet(s"${cli.output}/components")
+              graft.vector.PcaOps.project(emb, es.vecs.take(r), es.mu)
+                .repartition(cli.outParts)
+                .write.mode("overwrite").parquet(s"${cli.output}/projected")
+              spark.read.parquet(s"${cli.output}/projected")
+          }
+        }
       case "compact" =>
         // Small-files compaction — the ops chore every long-running
         // pipeline needs (streaming sinks and many-task writers
@@ -652,6 +678,7 @@ object JobRunner {
           case "ann_index_build"   => s"${cli.output}/centroids"
           case "ann_index_probe"   => s"${cli.output}/topk"
           case "compact"           => cli.output
+          case "pca"               => s"${cli.output}/projected"
         }
         spark.read.parquet(countPath).count()
       } else if (JobConfig.isPathOutput(cli.output)) {

@@ -37,22 +37,79 @@ object PcaOps {
   private val Dim = 64
   private val K = 8
 
-  private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings").select(col("vec_id"),
+  private def quantizedOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("qv"))
 
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    quantizedOf(Tables(s, dir, "embeddings"))
+
   /** Upper-triangle second moments: (i, j, Σ qv[i]·qv[j]) — one
     * explode-explode chain whose hash aggregate partial-combines to
-    * 2 080 keys per partition before the single shuffle.
+    * 2 080 keys per partition before the single shuffle. Works over any
+    * (vec_id, embedding) DataFrame — the `pca` CLI arm feeds arbitrary
+    * embeddings parquet through the same plan.
     */
-  private def momentsDf(s: SparkSession, dir: String): DataFrame =
-    quantized(s, dir)
+  def momentsOf(emb: DataFrame): DataFrame =
+    quantizedOf(emb)
       .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("xi") * col("xj")).as("s_ij"), count(lit(1)).as("n"))
+
+  private def momentsDf(s: SparkSession, dir: String): DataFrame =
+    momentsOf(Tables(s, dir, "embeddings"))
+
+  /** Driver-side eigensystem of the covariance: eigenvalues desc (in
+    * QUANTIZED units), eigenvector rows, mean in ORIGINAL units, row
+    * count, and the covariance trace (for the Σλ = tr(C) preservation
+    * check — computed from the ORIGINAL matrix, not from the
+    * decomposition it grades).
+    */
+  final case class EigenResult(eig: Array[Double], vecs: Array[Array[Double]],
+                               mu: Array[Double], n: Long, trace: Double)
+
+  /** None below 2 rows. Bounded end to end: 2 080-row collect +
+    * 64-row collect + O(d³) Jacobi.
+    */
+  def eigensystem(emb: DataFrame): Option[EigenResult] = {
+    val rows = momentsOf(emb).collect()
+    if (rows.isEmpty || rows.head.getLong(3) < 2) None
+    else {
+      val n = rows.head.getLong(3)
+      val sMat = Array.ofDim[Double](Dim, Dim)
+      rows.foreach { row =>
+        val (i, j, sij) = (row.getInt(0), row.getInt(1), row.getLong(2))
+        sMat(i)(j) = sij.toDouble; sMat(j)(i) = sij.toDouble
+      }
+      val sums = quantizedOf(emb)
+        .select(posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(sum(col("x")).as("sx"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      val cov = Array.tabulate(Dim, Dim) { (i, j) =>
+        (sMat(i)(j) - sums(i).toDouble * sums(j).toDouble / n) / (n - 1.0)
+      }
+      val (eig, vecs) = jacobiEigen(cov)
+      Some(EigenResult(eig, vecs,
+        Array.tabulate(Dim)(i => sums(i).toDouble / n / 1e6), n,
+        (0 until Dim).map(i => cov(i)(i)).sum))
+    }
+  }
+
+  /** Centered projection onto `vecs` rows: z_c = V_c·x − V_c·μ, one
+    * `dot_const` kernel call per component — a pure map stage whose
+    * constants (eigenvectors, offsets) ship like the LSH plane table.
+    */
+  def project(emb: DataFrame, vecs: Array[Array[Double]],
+              mu: Array[Double]): DataFrame = {
+    import graft.functions.DotProductConst.dotConst
+    val offsets = vecs.map(v => v.zip(mu).map { case (a, b) => a * b }.sum)
+    val zExpr = array(vecs.indices.map(c =>
+      (dotConst(col("embedding"), vecs(c)) - lit(offsets(c))).cast("float")): _*)
+    emb.select(col("vec_id"), zExpr.as("pemb"))
+  }
 
   /** Registered query: the exact integer moment matrix — the one part
     * of PCA that touches the corpus, hash-checked against a DuckDB
@@ -138,82 +195,36 @@ object PcaOps {
   val embeddingPca: QueryDef = QueryDef(
     "embedding_pca",
     (s, dir) => {
-      val rows = momentsDf(s, dir).collect()
-      val n = if (rows.isEmpty) 0L else rows.head.getLong(3)
       import s.implicits._
-      if (n < 2) {
-        // empty-input contract: schema stable, zero rows
-        Seq.empty[(Int, Double, Double, Boolean, Boolean, Boolean)]
-          .toDF("component", "eigval", "var_explained_pct",
-            "orthonormal_ok", "nonincreasing_ok", "trace_ok")
-      } else {
-        val sMat = Array.ofDim[Double](Dim, Dim)
-        rows.foreach { r =>
-          val (i, j, sij) = (r.getInt(0), r.getInt(1), r.getLong(2))
-          sMat(i)(j) = sij.toDouble; sMat(j)(i) = sij.toDouble
-        }
-        // element sums from the diagonal pass are not emitted by
-        // momentsDf; recompute exactly with one tiny aggregate
-        val sums = quantized(s, dir)
-          .select(posexplode(col("qv")).as(Seq("i", "x")))
-          .groupBy(col("i")).agg(sum(col("x")).as("sx"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val cov = Array.tabulate(Dim, Dim) { (i, j) =>
-          (sMat(i)(j) - sums(i).toDouble * sums(j).toDouble / n) / (n - 1.0)
-        }
-        val (eig, vecs) = jacobiEigen(cov)
-        val trace = (0 until Dim).map(i => cov(i)(i)).sum
-        val traceOk = math.abs(eig.sum - trace) <= 1e-6 * math.abs(trace)
-        // orthonormality: max |V·Vᵀ − I| over the top-K rows
-        val orthoErr = (0 until K).flatMap { a =>
-          (0 until K).map { b =>
-            val dot = (0 until Dim).map(k => vecs(a)(k) * vecs(b)(k)).sum
-            math.abs(dot - (if (a == b) 1.0 else 0.0))
+      eigensystem(Tables(s, dir, "embeddings")) match {
+        case None =>
+          // empty-input contract: schema stable, zero rows
+          Seq.empty[(Int, Double, Double, Boolean, Boolean, Boolean)]
+            .toDF("component", "eigval", "var_explained_pct",
+              "orthonormal_ok", "nonincreasing_ok", "trace_ok")
+        case Some(EigenResult(eig, vecs, _, _, trace)) =>
+          val traceOk = math.abs(eig.sum - trace) <= 1e-6 * math.abs(trace)
+          // orthonormality: max |V·Vᵀ − I| over the top-K rows
+          val orthoErr = (0 until K).flatMap { a =>
+            (0 until K).map { b =>
+              val dot = (0 until Dim).map(k => vecs(a)(k) * vecs(b)(k)).sum
+              math.abs(dot - (if (a == b) 1.0 else 0.0))
+            }
+          }.max
+          val totalVar = eig.sum
+          // report eigenvalues in ORIGINAL embedding units: quantization
+          // scaled every x by 1e6, so variances carry a 1e12 factor
+          val out = (0 until K).map { c =>
+            (c, math.rint(eig(c) / 1e12 * 1e6) / 1e6,
+              math.rint(eig(c) / totalVar * 1e6) / 1e4,
+              orthoErr < 1e-9,
+              c == 0 || eig(c) <= eig(c - 1) + 1e-9,
+              traceOk)
           }
-        }.max
-        val totalVar = eig.sum
-        // report eigenvalues in ORIGINAL embedding units: quantization
-        // scaled every x by 1e6, so variances carry a 1e12 factor
-        val out = (0 until K).map { c =>
-          (c, math.rint(eig(c) / 1e12 * 1e6) / 1e6,
-            math.rint(eig(c) / totalVar * 1e6) / 1e4,
-            orthoErr < 1e-9,
-            c == 0 || eig(c) <= eig(c - 1) + 1e-9,
-            traceOk)
-        }
-        out.toDF("component", "eigval", "var_explained_pct",
-          "orthonormal_ok", "nonincreasing_ok", "trace_ok")
+          out.toDF("component", "eigval", "var_explained_pct",
+            "orthonormal_ok", "nonincreasing_ok", "trace_ok")
       }
     })
-
-  /** Driver-side eigensystem from the exact integer moments: top-`r`
-    * eigenvector rows plus the mean vector in ORIGINAL embedding units
-    * (eigenvectors are scale-invariant, so the 1e6 quantization factor
-    * cancels; the mean just divides back). Bounded work end to end:
-    * 2 080-row collect + 64-row collect + O(d³) Jacobi.
-    */
-  private def topComponents(s: SparkSession, dir: String, r: Int)
-      : Option[(Array[Array[Double]], Array[Double])] = {
-    val rows = momentsDf(s, dir).collect()
-    if (rows.isEmpty || rows.head.getLong(3) < 2) None
-    else {
-      val n = rows.head.getLong(3)
-      val sMat = Array.ofDim[Double](Dim, Dim)
-      rows.foreach { row =>
-        val (i, j, sij) = (row.getInt(0), row.getInt(1), row.getLong(2))
-        sMat(i)(j) = sij.toDouble; sMat(j)(i) = sij.toDouble
-      }
-      val sums = quantized(s, dir)
-        .select(posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy(col("i")).agg(sum(col("x")).as("sx"))
-        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
-      val cov = Array.tabulate(Dim, Dim) { (i, j) =>
-        (sMat(i)(j) - sums(i).toDouble * sums(j).toDouble / n) / (n - 1.0)
-      }
-      val (_, vecs) = jacobiEigen(cov)
-      Some((vecs.take(r), Array.tabulate(Dim)(i => sums(i).toDouble / n / 1e6)))
-    }
-  }
 
   /** ANN in PCA-reduced space: center + project every embedding onto
     * the top 32 components (one `dot_const` kernel call per component
@@ -231,17 +242,12 @@ object PcaOps {
     "ann_pca_topk",
     (s, dir) => {
       import s.implicits._
-      topComponents(s, dir, 32) match {
+      eigensystem(Tables(s, dir, "embeddings")) match {
         case None =>
           Seq.empty[(Long, Long)].toDF("q_id", "n_hits_in_brute_top10")
-        case Some((vecs, mu)) =>
-          import graft.functions.DotProductConst.dotConst
+        case Some(es) =>
           import graft.functions.CosineSimilarity.cosineSim
-          val offsets = vecs.map(v => v.zip(mu).map { case (a, b) => a * b }.sum)
-          val zExpr = array(vecs.indices.map(c =>
-            (dotConst(col("embedding"), vecs(c)) - lit(offsets(c))).cast("float")): _*)
-          val proj = Tables(s, dir, "embeddings")
-            .select(col("vec_id"), zExpr.as("pemb"))
+          val proj = project(Tables(s, dir, "embeddings"), es.vecs.take(32), es.mu)
           val q = broadcast(proj.filter(col("vec_id") < 10)
             .select(col("vec_id").as("q_id"), col("pemb").as("q_emb")))
           val scored = proj.crossJoin(q)
