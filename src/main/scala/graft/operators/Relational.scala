@@ -1496,6 +1496,81 @@ object Relational {
                           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
       GROUP BY c_mktsegment"""))
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the journey-analysis primitive (what follows a click?
+    * where do sessions die?). One user_id shuffle for the lag window
+    * (total order via the event_id tiebreak), then two tiny aggregates
+    * over the |types|² transition space. At 100 TB the window state is
+    * bounded per user, the aggregates by the type vocabulary.
+    */
+  val eventsMarkov: QueryDef = QueryDef(
+    "events_markov",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsm"), col("event_id"))
+      val trans = ev.select(col("user_id"), col("event_type"), col("event_id"),
+          graft.util.Tables.tsMicros(ev).as("tsm"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy(col("prev_type")).agg(sum(col("n")).as("row_total"))
+      trans.join(tot, "prev_type")
+        .select(col("prev_type"), col("event_type"), col("n"),
+          round(col("n") / col("row_total"), 6).as("p"))
+    },
+    Some("""WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events),
+      trans AS (SELECT prev_type, event_type, COUNT(*) AS n
+                FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+              FROM trans GROUP BY 1)
+      SELECT trans.prev_type, event_type, n,
+             ROUND(n / row_total, 6) AS p
+      FROM trans JOIN tot USING (prev_type)"""))
+
+  /** Per-type z-score outlier accounting — the numeric anomaly gate of
+    * an event pipeline. Mean and variance come from EXACT decimal sums
+    * (Σv, Σv² — order-independent), so the 3σ threshold compare cannot
+    * flip across engines or partitionings; the per-type stats broadcast
+    * back over the scan, one shuffle total.
+    */
+  val eventsOutliers: QueryDef = QueryDef(
+    "events_outliers",
+    (s, dir) => {
+      val evv = t(s, dir, "events").select(col("event_type"), col("value"))
+      val st = evv.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"),
+          dsum(col("value") * col("value")).as("s2"))
+        .select(col("event_type"), col("n"),
+          (col("s") / col("n")).as("mu"),
+          sqrt((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1))
+            .as("sigma"))
+      evv.join(broadcast(st), "event_type")
+        .filter(abs((col("value") - col("mu")) / col("sigma")) > 3)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_outliers"),
+          round(min(col("value")), 6).as("min_val"),
+          round(max(col("value")), 6).as("max_val"))
+    },
+    Some("""WITH st AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type),
+      st2 AS (SELECT event_type, s / n AS mu,
+                     sqrt((s2 - s * s / n) / (n - 1)) AS sigma
+              FROM st)
+      SELECT e.event_type, COUNT(*) AS n_outliers,
+             ROUND(MIN(value), 6) AS min_val, ROUND(MAX(value), 6) AS max_val
+      FROM events e JOIN st2 ON e.event_type = st2.event_type
+      WHERE ABS((value - mu) / sigma) > 3
+      GROUP BY e.event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -1511,5 +1586,6 @@ object Relational {
     q4OrderPriority, u7ExceptAll, u8IntersectAll,
     w6RangeFrame, a12Unpivot,
     q8MarketShare, q13Custdist, q15TopSupplier, q17SmallQty,
-    q19Disjunctive, q22DormantCustomers)
+    q19Disjunctive, q22DormantCustomers,
+    eventsMarkov, eventsOutliers)
 }
