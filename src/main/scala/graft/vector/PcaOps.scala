@@ -37,27 +37,86 @@ object PcaOps {
   private val Dim = 64
   private val K = 8
 
-  private def quantizedOf(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-        .as("qv"))
-
-  private def quantized(s: SparkSession, dir: String): DataFrame =
-    quantizedOf(Tables(s, dir, "embeddings"))
-
-  /** Upper-triangle second moments: (i, j, Σ qv[i]·qv[j]) — one
-    * explode-explode chain whose hash aggregate partial-combines to
-    * 2 080 keys per partition before the single shuffle. Works over any
-    * (vec_id, embedding) DataFrame — the `pca` CLI arm feeds arbitrary
-    * embeddings parquet through the same plan.
+  /** Upper-triangle second moments: (i, j, Σ qv[i]·qv[j]). One
+    * mapPartitions pass accumulates the 2 080-long upper triangle in a
+    * primitive loop — a syrk-style rank-1 update per vector — and emits
+    * ONE array per partition; the driver folds ≤ #partitions 16 KB
+    * accumulators. The obvious explode→groupBy formulation fans every
+    * vector into 2 080 generated rows (2 000× row amplification through
+    * codegen before the partial agg collapses it); measured 6× slower
+    * at 200 k vectors and 14× at 1 M (tools.PcaAB — 6.45 s vs 0.45 s),
+    * the gap widening with corpus size because the explode pays
+    * per-generated-row machinery where the kernel pays one
+    * multiply-add — the PqKernels lesson. Exactness is
+    * unchanged: quantized products are integers, long addition is
+    * associative, so any partitioning yields identical sums. Works over
+    * any (vec_id, embedding) DataFrame — the `pca` CLI arm feeds
+    * arbitrary embeddings parquet through the same code.
     */
-  def momentsOf(emb: DataFrame): DataFrame =
-    quantizedOf(emb)
-      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi") * col("xj")).as("s_ij"), count(lit(1)).as("n"))
+  private val NPairs = Dim * (Dim + 1) / 2
+
+  /** One corpus pass accumulating BOTH the pair products and the
+    * element sums: (upper-tri Σ qv_i·qv_j, Σ qv_i, n). None on empty.
+    */
+  private def accumulate(emb: DataFrame)
+      : Option[(Array[Long], Array[Long], Long)] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val partials = emb.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](NPairs)
+        val sums = new Array[Long](Dim)
+        val q = new Array[Long](Dim)
+        var n = 0L
+        while (it.hasNext) {
+          val v = it.next()
+          var i = 0
+          while (i < Dim) {
+            q(i) = math.floor(v(i).toDouble * 1000000).toLong
+            sums(i) += q(i)
+            i += 1
+          }
+          var idx = 0
+          i = 0
+          while (i < Dim) {
+            val qi = q(i)
+            var j = i
+            while (j < Dim) { acc(idx) += qi * q(j); idx += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty else Iterator.single((acc, sums, n))
+      }.collect()
+    if (partials.isEmpty) None
+    else {
+      val tp = new Array[Long](NPairs)
+      val ts = new Array[Long](Dim)
+      var n = 0L
+      partials.foreach { case (acc, sums, pn) =>
+        var k = 0
+        while (k < NPairs) { tp(k) += acc(k); k += 1 }
+        k = 0
+        while (k < Dim) { ts(k) += sums(k); k += 1 }
+        n += pn
+      }
+      Some((tp, ts, n))
+    }
+  }
+
+  private def pairIdx(i: Int, j: Int): Int = i * Dim - i * (i - 1) / 2 + (j - i)
+
+  def momentsOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    accumulate(emb) match {
+      case None => Seq.empty[(Int, Int, Long, Long)].toDF("i", "j", "s_ij", "n")
+      case Some((tp, _, n)) =>
+        val rows = for (i <- 0 until Dim; j <- i until Dim)
+          yield (i, j, tp(pairIdx(i, j)), n)
+        rows.toDF("i", "j", "s_ij", "n")
+    }
+  }
 
   private def momentsDf(s: SparkSession, dir: String): DataFrame =
     momentsOf(Tables(s, dir, "embeddings"))
@@ -75,26 +134,17 @@ object PcaOps {
     * 64-row collect + O(d³) Jacobi.
     */
   def eigensystem(emb: DataFrame): Option[EigenResult] = {
-    val rows = momentsOf(emb).collect()
-    if (rows.isEmpty || rows.head.getLong(3) < 2) None
-    else {
-      val n = rows.head.getLong(3)
-      val sMat = Array.ofDim[Double](Dim, Dim)
-      rows.foreach { row =>
-        val (i, j, sij) = (row.getInt(0), row.getInt(1), row.getLong(2))
-        sMat(i)(j) = sij.toDouble; sMat(j)(i) = sij.toDouble
-      }
-      val sums = quantizedOf(emb)
-        .select(posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy(col("i")).agg(sum(col("x")).as("sx"))
-        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
-      val cov = Array.tabulate(Dim, Dim) { (i, j) =>
-        (sMat(i)(j) - sums(i).toDouble * sums(j).toDouble / n) / (n - 1.0)
-      }
-      val (eig, vecs) = jacobiEigen(cov)
-      Some(EigenResult(eig, vecs,
-        Array.tabulate(Dim)(i => sums(i).toDouble / n / 1e6), n,
-        (0 until Dim).map(i => cov(i)(i)).sum))
+    accumulate(emb) match {
+      case Some((tp, ts, n)) if n >= 2 =>
+        val cov = Array.tabulate(Dim, Dim) { (i, j) =>
+          val sij = tp(pairIdx(math.min(i, j), math.max(i, j))).toDouble
+          (sij - ts(i).toDouble * ts(j).toDouble / n) / (n - 1.0)
+        }
+        val (eig, vecs) = jacobiEigen(cov)
+        Some(EigenResult(eig, vecs,
+          Array.tabulate(Dim)(i => ts(i).toDouble / n / 1e6), n,
+          (0 until Dim).map(i => cov(i)(i)).sum))
+      case _ => None
     }
   }
 
