@@ -195,6 +195,18 @@ object ScalePipeline {
         s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")} …")
     }
 
+    // ---- stage 6b: PCA over the full embedding corpus — ONE
+    //      mapPartitions moment pass (16 KB accumulator per partition,
+    //      tools.PcaAB: 14× over the explode form at 1 M vectors),
+    //      driver-side 64×64 Jacobi, one projection map stage ----
+    val pcaDir = s"$root/pca"
+    stage("pca") {
+      JobRunner.run(spark, JobCli("pca", embDir, pcaDir,
+        outParts = cpus.toInt, topK = 16))
+      println(s"[scale] pca projected: " +
+        s"${spark.read.parquet(s"$pcaDir/projected").count()} rows")
+    }
+
     // ---- stage 7: passage chunking (zero-shuffle map stage) ----
     val chunksDir = s"$root/chunks"
     stage("chunk_passages") {
