@@ -625,7 +625,7 @@ object JobRunner {
             case None => sys.error("pca needs at least 2 embedding rows")
             case Some(es) =>
               es.vecs.take(r).zipWithIndex.map { case (v, c) =>
-                (c, es.eig(c) / 1e12, v)
+                (c, es.eig(c) / graft.vector.PcaOps.qScaleSq, v)
               }.toSeq.toDF("component", "eigval", "eigvec")
                 .coalesce(1)
                 .write.mode("overwrite").parquet(s"${cli.output}/components")

@@ -139,6 +139,14 @@ object MediaOps {
     * count here, batch-wise, reusing one codec context per partition —
     * which is exactly the structure below.
     */
+  /** One digest instance per executor thread: getInstance per row would
+    * pay a JCA provider lookup + allocation for every record in the
+    * decode hot path (the same per-partition-init discipline the codec
+    * comments call for). reset() happens inside digest().
+    */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   private def decodeStub(r: MediaRow): MediaFeatures = {
     val bytes = r.payload
     val hist = new Array[Int](256)
@@ -158,7 +166,7 @@ object MediaOps {
     // BIGINT)), which is what lets video_frame_sample carry a
     // full-replay oracle instead of a rows-only check.
     val h = java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      md5Local.get().digest(bytes)
         .take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
     val frames = if (r.kind == "video") (1 + (h / 11) % 300).toInt else 1
     MediaFeatures(r.media_id, r.kind, r.source, bytes.length,

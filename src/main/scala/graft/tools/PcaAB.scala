@@ -29,7 +29,7 @@ object PcaAB {
     emb.count()
 
     def explodeForm() = emb
-      .select(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qv"))
+      .select(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
       .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))

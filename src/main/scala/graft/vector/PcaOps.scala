@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * never collected and never re-shuffled.
   *
   * Cross-engine determinism (same recipe as KMeansOps): embeddings
-  * quantize to integer-valued longs (floor(x·1e6), < 2^24), so moment
+  * quantize to integer-valued longs (floor(x·QScale)), so moment
   * products (< 2^48) and their sums (< 2^61 at any realistic SF) are
   * EXACT integer arithmetic — no summation-order sensitivity, which is
   * what lets `embedding_covariance` carry a full DuckDB replay oracle.
@@ -55,8 +55,23 @@ object PcaOps {
     */
   private val NPairs = Dim * (Dim + 1) / 2
 
-  /** One corpus pass accumulating BOTH the pair products and the
-    * element sums: (upper-tri Σ qv_i·qv_j, Σ qv_i, n). None on empty.
+  /** Quantization scale. 1e4 (not 1e6) bounds the exact-sum headroom:
+    * a pair sum is ≤ n·(max|q|)², so with |x| ≤ 1 (q ≤ 1e4) the Long
+    * accumulator is exact to n ≈ 9.2e10 rows — genuinely 100-TB-scale —
+    * where 1e6 wrapped silently at ~10⁷. The 1e-4 element precision is
+    * far below embedding noise; the driver fold guards the bound
+    * explicitly from the measured max|q| and fails loudly instead of
+    * wrapping.
+    */
+  private val QScale = 10000
+
+  /** QScale² — the factor between quantized-unit and original-unit
+    * variances (for callers reporting eigenvalues, e.g. the pca CLI).
+    */
+  val qScaleSq: Double = QScale.toDouble * QScale
+
+  /** One corpus pass accumulating the pair products, the element sums,
+    * the row count, and max|q| for the overflow guard. None on empty.
     */
   private def accumulate(emb: DataFrame)
       : Option[(Array[Long], Array[Long], Long)] = {
@@ -68,12 +83,16 @@ object PcaOps {
         val sums = new Array[Long](Dim)
         val q = new Array[Long](Dim)
         var n = 0L
+        var maxq = 0L
         while (it.hasNext) {
           val v = it.next()
+          if (v.length != Dim) throw new IllegalArgumentException(
+            s"pca expects $Dim-dim embeddings, got ${v.length}")
           var i = 0
           while (i < Dim) {
-            q(i) = math.floor(v(i).toDouble * 1000000).toLong
+            q(i) = math.floor(v(i).toDouble * QScale).toLong
             sums(i) += q(i)
+            if (math.abs(q(i)) > maxq) maxq = math.abs(q(i))
             i += 1
           }
           var idx = 0
@@ -86,20 +105,28 @@ object PcaOps {
           }
           n += 1
         }
-        if (n == 0) Iterator.empty else Iterator.single((acc, sums, n))
+        if (n == 0) Iterator.empty else Iterator.single((acc, sums, n, maxq))
       }.collect()
     if (partials.isEmpty) None
     else {
       val tp = new Array[Long](NPairs)
       val ts = new Array[Long](Dim)
       var n = 0L
-      partials.foreach { case (acc, sums, pn) =>
+      var maxq = 0L
+      partials.foreach { case (acc, sums, pn, pm) =>
         var k = 0
         while (k < NPairs) { tp(k) += acc(k); k += 1 }
         k = 0
         while (k < Dim) { ts(k) += sums(k); k += 1 }
         n += pn
+        maxq = math.max(maxq, pm)
       }
+      // exactness guard: every pair sum is ≤ n·maxq² in magnitude; fail
+      // loudly (with the remedy) instead of wrapping silently. The
+      // bound check itself is in double so it cannot overflow either.
+      require(n.toDouble * maxq.toDouble * maxq.toDouble < 4.5e18,
+        s"pca moment sums would overflow Long at n=$n, max|q|=$maxq " +
+          "(normalize the embeddings or lower QScale)")
       Some((tp, ts, n))
     }
   }
@@ -142,7 +169,7 @@ object PcaOps {
         }
         val (eig, vecs) = jacobiEigen(cov)
         Some(EigenResult(eig, vecs,
-          Array.tabulate(Dim)(i => ts(i).toDouble / n / 1e6), n,
+          Array.tabulate(Dim)(i => ts(i).toDouble / n / QScale), n,
           (0 until Dim).map(i => cov(i)(i)).sum))
       case _ => None
     }
@@ -170,7 +197,7 @@ object PcaOps {
     (s, dir) => momentsDf(s, dir),
     Some("""WITH q AS (
         SELECT list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
         FROM embeddings),
       a AS (SELECT qv, unnest(generate_series(1, 64)) AS i1 FROM q),
       b AS (SELECT qv, i1, unnest(generate_series(i1, 64)) AS j1 FROM a)
@@ -189,19 +216,28 @@ object PcaOps {
     val d = m.length
     val a = m.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // convergence is RELATIVE to the matrix scale: quantized-unit
+    // covariances have entries ~1e8+, where an absolute 1e-12 cutoff
+    // would never fire and every call would burn all 64 sweeps
+    val scaleRef = math.max(1e-300,
+      (0 until d).map(i => math.abs(m(i)(i))).max)
     var sweep = 0
     var off = Double.MaxValue
-    while (sweep < 64 && off > 1e-12) {
+    while (sweep < 64 && off > 1e-14 * scaleRef) {
       off = 0.0
       var p = 0
       while (p < d - 1) {
         var q = p + 1
         while (q < d) {
           val apq = a(p)(q)
-          if (math.abs(apq) > 1e-18) {
+          if (math.abs(apq) > 1e-18 * scaleRef) {
             off = math.max(off, math.abs(apq))
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // NOT math.signum: signum(0) = 0 would null the rotation
+            // for exactly-equal diagonal pairs (theta = 0 wants a 45°
+            // rotation, t = 1) and the block would never converge
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val sn = t * c
             var k = 0
@@ -263,9 +299,9 @@ object PcaOps {
           }.max
           val totalVar = eig.sum
           // report eigenvalues in ORIGINAL embedding units: quantization
-          // scaled every x by 1e6, so variances carry a 1e12 factor
+          // scaled every x by QScale, so variances carry a QScale² factor
           val out = (0 until K).map { c =>
-            (c, math.rint(eig(c) / 1e12 * 1e6) / 1e6,
+            (c, math.rint(eig(c) / qScaleSq * 1e6) / 1e6,
               math.rint(eig(c) / totalVar * 1e6) / 1e4,
               orthoErr < 1e-9,
               c == 0 || eig(c) <= eig(c - 1) + 1e-9,

@@ -44,6 +44,29 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("jacobi converges on exactly-equal diagonal blocks (theta = 0)") {
+    // [[2,1],[1,2]] needs a 45° rotation where theta = 0 exactly —
+    // a signum(0)-based tangent silently skips it and returns (2, 2)
+    val (eig, vecs) = PcaOps.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(eig(0) - 3.0) < 1e-12 && math.abs(eig(1) - 1.0) < 1e-12)
+    for (c <- 0 until 2; i <- 0 until 2) {
+      val m = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+      val mv = (0 until 2).map(k => m(i)(k) * vecs(c)(k)).sum
+      assert(math.abs(mv - eig(c) * vecs(c)(i)) < 1e-12)
+    }
+  }
+
+  test("moment accumulation rejects wrong-dimension embeddings") {
+    import spark.implicits._
+    val bad = Seq((1L, Array.fill(32)(0.5f)), (2L, Array.fill(32)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      PcaOps.momentsOf(bad).collect()
+    }
+    assert(e.getMessage.contains("64-dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("64-dim")))
+  }
+
   test("registered pca query self-grades green on real embeddings") {
     assume(new java.io.File(sf).exists())
     val rows = PcaOps.embeddingPca.fn(spark, sf).collect()
