@@ -1571,6 +1571,60 @@ object Relational {
       WHERE ABS((value - mu) / sigma) > 3
       GROUP BY e.event_type"""))
 
+  /** GROUPING SETS that is neither a rollup nor a cube — the two
+    * single-column granularities WITHOUT the pair or the grand total,
+    * the shape a7 (ROLLUP) and a11 (CUBE) can't express. Same physical
+    * story as cube: one Expand (2× row fan-out) feeding one
+    * partial+final hash aggregate — never a second scan per granularity,
+    * which is what a rewrite into UNION ALL of two GROUP BYs would cost
+    * at 100 TB. grouping_id disambiguates which set each row came from.
+    */
+  val a13GroupingSets: QueryDef = QueryDef(
+    "a13_grouping_sets",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"),
+        grouping_id().as("gid")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""))
+
+  /** The rank-family windows w5 doesn't cover — rank, dense_rank,
+    * cume_dist — over per-user value totals within each event type.
+    * The window input is the PRE-AGGREGATED user table (one shuffle
+    * partial+final agg collapses events → users before any sort), so
+    * the per-partition sort is bounded by user cardinality, not event
+    * volume; the unbounded-cardinality variant of this ranking is
+    * events_rfm's two-level cumCountDesc. All three ranks are
+    * tie-stable: they depend only on the ORDER BY value (an exact
+    * decimal total), never on arbitrary tie order, so both engines
+    * agree bit-for-bit.
+    */
+  val w7RankFamily: QueryDef = QueryDef(
+    "w7_rank_family",
+    (s, dir) => {
+      val byUser = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(dsum(col("value")).as("total_value"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("total_value").desc)
+      byUser.select(col("event_type"), col("user_id"),
+        round(col("total_value"), 6).as("total_value"),
+        rank().over(w).cast(LongType).as("rnk"),
+        dense_rank().over(w).cast(LongType).as("drnk"),
+        round(cume_dist().over(w), 6).as("cdist"))
+    },
+    Some("""WITH u AS (SELECT event_type, user_id,
+          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type, user_id)
+      SELECT event_type, user_id, ROUND(total_value, 6) AS total_value,
+        RANK() OVER w AS rnk,
+        DENSE_RANK() OVER w AS drnk,
+        ROUND(CUME_DIST() OVER w, 6) AS cdist
+      FROM u WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC)"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -1587,5 +1641,5 @@ object Relational {
     w6RangeFrame, a12Unpivot,
     q8MarketShare, q13Custdist, q15TopSupplier, q17SmallQty,
     q19Disjunctive, q22DormantCustomers,
-    eventsMarkov, eventsOutliers)
+    eventsMarkov, eventsOutliers, a13GroupingSets, w7RankFamily)
 }

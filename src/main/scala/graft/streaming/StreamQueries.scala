@@ -313,7 +313,62 @@ object StreamQueries {
         WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
       SELECT user_id, CAST(epoch_us(t3) AS BIGINT) AS completed_us FROM p"""))
 
+  /** Stream-stream LEFT OUTER join — the semantics stream_join (inner)
+    * doesn't cover: unmatched left rows are held in the state store and
+    * emitted null-padded only when the watermark proves no future match
+    * can arrive (c_ts + 30 min behind the global watermark, which is
+    * the MIN across both inputs' per-side watermarks). That eviction
+    * rule is exactly what bounds the state at 100 TB — left state is a
+    * sliding 40-minute window of clicks, not the whole stream — so the
+    * oracle encodes it explicitly: a drained static stream emits every
+    * matched pair plus exactly those unmatched clicks old enough to
+    * have been evicted before the final watermark
+    * (min(max click ts, max purchase ts) − 10 min delay). Anything
+    * else in the memory sink would be a state-lifecycle bug, which is
+    * what this query exists to pin.
+    */
+  val streamLeftJoin: QueryDef = QueryDef(
+    "stream_left_join",
+    (s, dir) => {
+      val staged = stagedEvents(s, dir)
+      def side(tpe: String, prefix: String) =
+        EventStream.readEvents(s, staged)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "10 minutes")
+      withStreamPartitions(s) {
+        val q = side("click", "c")
+          .join(side("purchase", "p"),
+            expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"),
+            "leftOuter")
+          .writeStream.format("memory").queryName("graft_stream_left_join")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.sql("""SELECT c_user AS user_id, count(*) AS n_rows,
+               count(p_ts) AS n_matched
+               FROM graft_stream_left_join GROUP BY c_user""")
+    },
+    Some("""WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                    - INTERVAL 10 MINUTE AS w),
+      matched AS (
+        SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts
+        FROM c JOIN p ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+      unmatched AS (
+        SELECT c.user_id, c.ts AS c_ts, CAST(NULL AS TIMESTAMP) AS p_ts
+        FROM c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+          AND c.ts + INTERVAL 30 MINUTE < wm.w)
+      SELECT user_id, COUNT(*) AS n_rows, COUNT(p_ts) AS n_matched
+      FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+      GROUP BY user_id"""))
+
   val all: Seq[QueryDef] =
     Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin,
-      streamCurate, streamFunnel)
+      streamCurate, streamFunnel, streamLeftJoin)
 }
