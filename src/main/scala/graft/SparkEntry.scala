@@ -23,6 +23,8 @@ object SparkEntry {
 
   private def rawDefs: Seq[QueryDef] =
     operators.Relational.all ++
+      operators.SeriesOps.all ++
+      operators.LayoutOps.all ++
       operators.TextOps.all ++
       operators.HeavyHitters.all ++
       operators.Decontam.all ++

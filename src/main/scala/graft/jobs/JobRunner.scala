@@ -58,6 +58,7 @@ object JobCli {
       |    (curate: extra filters)
       |  [--top_k K] (heavy_hitters)
       |  [--output_option target_mb=N] (compact: target file size)
+      |  [--output_option zorder=colA,colB] (compact: z-cluster files)
       |  host_graph flags: [--save_as_text DIR] [--normalize_host_names]
       |  [--validate_host_names] [--vertex_partitions N]
       |  [--vertex_ids PATH] [--add_input PATH]...
@@ -74,7 +75,9 @@ object JobCli {
       |        ann_index_build / ann_index_probe / ann_index_update
       |          (--add_input INDEX_DIR) |
       |        datacard | heavy_hitters (--top_k K) | chunk | funnel |
-      |        compact (--output_option target_mb=N) |
+      |        compact (--output_option target_mb=N
+      |                 --output_option zorder=colA,colB: Morton-clustered
+      |                 rewrite for two-key min/max file skipping) |
       |        pca (--top_k K: components kept)""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
@@ -643,6 +646,14 @@ object JobRunner {
         // File count = ceil(total bytes / target file size); contents
         // byte-identical, just re-laid-out. --output_option
         // target_mb=N overrides the 128 MB default.
+        // --output_option zorder=colA,colB additionally clusters the
+        // rewritten files on the Morton interleave of the two keys
+        // (Delta OPTIMIZE ZORDER BY): each output file covers a
+        // bounded rectangle in (colA, colB) space, so parquet footer
+        // min/max stats prune point/range predicates on EITHER key —
+        // a single-key sort layout only prunes its own key. The
+        // range partitioner samples zval (layout-only
+        // nondeterminism; row contents are untouched).
         {
           val df = spark.read.parquet(cli.input)
           val targetMb = cli.outputOptions.getOrElse("target_mb", "128").toLong
@@ -652,8 +663,13 @@ object JobRunner {
             new org.apache.hadoop.fs.Path(cli.input)).getLength
           val nFiles = math.max(1L,
             (totalBytes + targetMb * 1048576 - 1) / (targetMb * 1048576)).toInt
-          df.repartition(nFiles)
-            .write.mode("overwrite").parquet(cli.output)
+          val shaped = cli.outputOptions.get("zorder") match {
+            case Some(spec) =>
+              val Array(a, b) = spec.split(",").map(_.trim)
+              graft.operators.LayoutOps.zorderRewrite(df, a, b, nFiles)
+            case None => df.repartition(nFiles)
+          }
+          shaped.write.mode("overwrite").parquet(cli.output)
           spark.read.parquet(cli.output)
         }
       case other => sys.error(s"unknown job: $other\n${JobCli.usage}")

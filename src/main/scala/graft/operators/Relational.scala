@@ -1625,6 +1625,61 @@ object Relational {
         ROUND(CUME_DIST() OVER w, 6) AS cdist
       FROM u WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC)"""))
 
+  /** TPC-H Q6 shape — the pure scan-filter-aggregate: every predicate
+    * is pushable (two range filters on l_shipdate reach the parquet
+    * row-group stats, the discount/quantity bounds prune pages), the
+    * aggregate is a single partial+final sum with no grouping key, so
+    * the whole query is one codegen'd scan stage + a 1-row exchange.
+    * At 100 TB this is the query shape where data layout does all the
+    * work: ship-date-partitioned files reduce it to a month's scan.
+    */
+  val q6ForecastRevenue: QueryDef = QueryDef(
+    "q6_forecast_revenue",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines")),
+    Some("""SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** The distribution-family windows w7 doesn't cover — ntile,
+    * percent_rank, nth_value — over the same pre-aggregated user
+    * table. Unlike w7's rank family these are NOT tie-stable (ntile
+    * splits ties across buckets by position, nth_value reads a
+    * positional row), so the ORDER BY appends user_id to make the
+    * total order data-determined — the same determinism rule
+    * o2_zipwithindex pins for positional IDs.
+    */
+  val w8NtileFamily: QueryDef = QueryDef(
+    "w8_ntile_family",
+    (s, dir) => {
+      val byUser = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(dsum(col("value")).as("total_value"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("total_value").desc, col("user_id"))
+      byUser.select(col("event_type"), col("user_id"),
+        round(col("total_value"), 6).as("total_value"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        nth_value(col("user_id"), 2).over(w).as("runner_up"))
+    },
+    Some("""WITH u AS (SELECT event_type, user_id,
+          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type, user_id)
+      SELECT event_type, user_id, ROUND(total_value, 6) AS total_value,
+        NTILE(4) OVER w AS quartile,
+        ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+        NTH_VALUE(user_id, 2) OVER w AS runner_up
+      FROM u WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC, user_id)"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -1641,5 +1696,6 @@ object Relational {
     w6RangeFrame, a12Unpivot,
     q8MarketShare, q13Custdist, q15TopSupplier, q17SmallQty,
     q19Disjunctive, q22DormantCustomers,
-    eventsMarkov, eventsOutliers, a13GroupingSets, w7RankFamily)
+    eventsMarkov, eventsOutliers, a13GroupingSets, w7RankFamily,
+    q6ForecastRevenue, w8NtileFamily)
 }
