@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Relational.all ++
       operators.SeriesOps.all ++
       operators.LayoutOps.all ++
+      operators.DataQuality.all ++
       operators.TextOps.all ++
       operators.HeavyHitters.all ++
       operators.Decontam.all ++

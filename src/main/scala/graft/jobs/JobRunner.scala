@@ -74,7 +74,7 @@ object JobCli {
       |        decontam (--add_input EVAL_DOCS)
       |        ann_index_build / ann_index_probe / ann_index_update
       |          (--add_input INDEX_DIR) |
-      |        datacard | heavy_hitters (--top_k K) | chunk | funnel |
+      |        datacard | heavy_hitters (--top_k K) | chunk | funnel | dq |
       |        compact (--output_option target_mb=N
       |                 --output_option zorder=colA,colB: Morton-clustered
       |                 rewrite for two-key min/max file skipping) |
@@ -638,6 +638,11 @@ object JobRunner {
               spark.read.parquet(s"${cli.output}/projected")
           }
         }
+      case "dq" =>
+        // Data-quality profile of any parquet input (one aggregation
+        // pass; see operators/DataQuality.scala for the scale note on
+        // swapping exact COUNT(DISTINCT) for HLL at corpus scale)
+        graft.operators.DataQuality.profile(spark.read.parquet(cli.input))
       case "compact" =>
         // Small-files compaction — the ops chore every long-running
         // pipeline needs (streaming sinks and many-task writers
