@@ -883,6 +883,42 @@ object Relational {
       true AS within_5pct
       FROM events GROUP BY event_type"""))
 
+  /** HLL sketch MERGEABILITY — the pattern behind incremental
+    * distinct-count tables at 100 TB: per-slice (here per-day) HLL
+    * sketches are small binary aggregates computed once in the
+    * slice's ingest pass, and every rollup after that (global,
+    * rolling-window, per-month) is a sketch UNION over the tiny
+    * sketch table — no rescan of the raw corpus, unlike
+    * COUNT(DISTINCT) which cannot be composed from per-slice exacts.
+    * The audit merges the daily sketches and checks the estimate
+    * against the true global distinct within 5% (lgK=12 HLL++ σ is
+    * ~1.6%, so this is a >3σ bound); DataSketches HLL is
+    * deterministic for a given input multiset, so the flag is a
+    * stable value, not a flaky assertion. The exact side rides a
+    * constant-key 1×1 broadcast hash join (not a cartesian).
+    */
+  val sketchMergeAudit: QueryDef = QueryDef(
+    "sketch_merge_audit",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.select(to_date(graft.util.Tables.tsTimestamp(ev)).as("day"),
+          col("user_id"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .withColumn("k", lit(1))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+        .withColumn("k", lit(1))
+      merged.join(exact, "k")
+        .select(col("n_days"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("merged_within_5pct"))
+    },
+    Some("""SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+      COUNT(DISTINCT user_id) AS exact_users, true AS merged_within_5pct
+      FROM events"""))
+
   /** Join-key skew diagnostics — the report you run BEFORE deciding to
     * salt (a9_salted_sum) or lean on AQE's skew-join split: per-key
     * frequency histogram over decimal-digit buckets (integer-exact on
@@ -1697,5 +1733,5 @@ object Relational {
     q8MarketShare, q13Custdist, q15TopSupplier, q17SmallQty,
     q19Disjunctive, q22DormantCustomers,
     eventsMarkov, eventsOutliers, a13GroupingSets, w7RankFamily,
-    q6ForecastRevenue, w8NtileFamily)
+    q6ForecastRevenue, w8NtileFamily, sketchMergeAudit)
 }

@@ -36,6 +36,11 @@ class DeterminismAuditSpec extends AnyFunSuite {
     * (single-row) aggregate.
     */
   private def deterministicTail(p: LogicalPlan): Boolean = p match {
+    // ≤1 output row has exactly one order; this also covers shapes the
+    // optimizer rewrites past the Aggregate case below, e.g. the join
+    // of two ungrouped aggregates in sketch_merge_audit (whose terminal
+    // sort EliminateSorts removes precisely because maxRows is 1)
+    case _ if p.maxRows.exists(_ <= 1L) => true
     case s: Sort if s.global => true
     case a: Aggregate if a.groupingExpressions.isEmpty => true
     case proj: Project => deterministicTail(proj.child)

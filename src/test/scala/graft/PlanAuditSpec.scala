@@ -93,7 +93,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // the ≤10-row projected query set broadcast over the projected
     // corpus — identical bounded shape to ann_brute_topk's exact
     // rescoring stage
-    "ann_pca_topk")
+    "ann_pca_topk",
+    // 1-row merged-sketch aggregate × 1-row exact-distinct aggregate
+    // (the constant-key equi-join folds to NLJ after constant
+    // propagation); both inputs are ungrouped aggregates, so the
+    // broadcast is exactly one row at any corpus size
+    "sketch_merge_audit")
 
   /** Global (empty-partition) windows that are single-partition BY
     * CONTRACT: o2 reproduces the reference's zipWithIndex stable-ID
