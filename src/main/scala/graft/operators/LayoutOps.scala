@@ -56,9 +56,38 @@ object LayoutOps {
     * range-partition ranks; min/max linear scaling is the
     * sort-free form and is exact for the integer keys here.
     */
+  /** Three forms by domain width, all exact int64 (no float rounding):
+    *   - small span: multiply-then-divide uses every one of the 16
+    *     bits even on narrow domains (the form the zorder_layout
+    *     oracle mirrors) — safe while span*65535 fits in int64
+    *   - wide span (e.g. 64-bit hash ids): fixed-step divide; the
+    *     multiply would overflow, and with span ≥ 2^16 the step form
+    *     already reaches all 16 bits
+    *   - span itself overflows int64 (keys straddle the full long
+    *     range): unsigned-shift the wrapped difference — two's
+    *     complement makes (x-lo) the correct unsigned distance mod
+    *     2^64, and >>>48 maps it onto 0..65535
+    */
+  /** SQL bigint literal; Long.MinValue has no direct literal form (the
+    * parser sees unary minus on an out-of-range positive).
+    */
+  private def lit64(v: Long): String =
+    if (v == Long.MinValue) "(-9223372036854775807L - 1L)" else s"${v}L"
+
   private def scale16(name: String, lo: Long, hi: Long): Column = {
     val span = math.max(hi - lo, 1L)
-    expr(s"((CAST($name AS BIGINT) - ${lo}L) * 65535L) div ${span}L")
+    if (hi - lo < 0L)
+      // keys straddle so much of the long range that even the span
+      // overflows: take the top 16 bits of the offset-binary form
+      // (x XOR MinValue maps signed order onto unsigned order) — pure
+      // bit ops, monotone, and ANSI-safe where wrapped subtraction
+      // is not
+      shiftrightunsigned(
+        col(name).cast("long").bitwiseXOR(lit(Long.MinValue)), 48)
+    else if (span <= Long.MaxValue / 65535L)
+      expr(s"((CAST($name AS BIGINT) - ${lit64(lo)}) * 65535L) div ${lit64(span)}")
+    else
+      expr(s"(CAST($name AS BIGINT) - ${lit64(lo)}) div ${lit64(span / 65535L + 1L)}")
   }
 
   /** Per-radix-bucket clustering stats of the Z-ordered lineitem

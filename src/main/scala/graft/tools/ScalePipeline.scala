@@ -216,6 +216,25 @@ object ScalePipeline {
       println(s"[scale] chunks: ${spark.read.parquet(chunksDir).count()}")
     }
 
+    // ---- stage 8: data-quality gate over the shipped corpus (one
+    //      aggregation pass; the report is what a release pipeline
+    //      checks before promoting the snapshot) ----
+    stage("dq_profile") {
+      val prof = graft.operators.DataQuality
+        .profile(spark.read.parquet(s"$curatedDir/kept")).collect()
+      println(s"[scale] dq: " + prof.map(r =>
+        s"${r.getString(0)} nn=${r.getLong(2)} nd=${r.getLong(3)}").mkString(", "))
+    }
+
+    // ---- stage 9: z-order compaction of the kept corpus on
+    //      (doc_id, n_chars) — one range shuffle; per-file footer
+    //      min/max become prunable rectangles on BOTH keys ----
+    val zorderDir = s"$root/kept_zorder"
+    stage("zorder_compact") {
+      JobRunner.run(spark, JobCli("compact", s"$curatedDir/kept", zorderDir,
+        outputOptions = Map("target_mb" -> "32", "zorder" -> "doc_id,n_chars")))
+    }
+
     spark.stop()
   }
 }

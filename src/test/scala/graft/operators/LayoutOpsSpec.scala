@@ -74,6 +74,21 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(pHit < 0.15, s"z-order layout should also prune partkey points, hit=$pHit")
   }
 
+  test("zorderRewrite survives 64-bit-hash key domains without overflow") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // keys spanning nearly the full long range (hash-id shape), plus
+    // the exact extremes so the wrapped-difference branch is hit
+    val wide = (Seq.fill(500)((rnd.nextLong(), rnd.nextLong().abs % 1000L)) ++
+      Seq((Long.MinValue, 0L), (Long.MaxValue, 999L))).toDF("id", "sz")
+    val out = LayoutOps.zorderRewrite(wide, "id", "sz", 4)
+    assert(out.count() == 502)
+    // scaled z-values must still separate the data: 4 range partitions
+    // over a degenerate constant zval would collapse to 1 file
+    val parts = out.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(parts.count(_ > 0) >= 2, s"z-values degenerate: partitions=${parts.toSeq}")
+  }
+
   test("zorderRewrite writes files whose footer-visible rectangles prune both keys") {
     val sf = "/root/testdata/sf0.01"
     val li = graft.util.Tables(spark, sf, "lineitem")
