@@ -102,5 +102,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer leg: the canonical regex tokenizer pattern silently
     // becomes the native byte-scan kernel (graft.plans.TokenizeRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TokenizeRewrite)
+    // aggregate navigation onto a declared summary table (conf-gated,
+    // inert without spark.graft.summary.* keys)
+    ext.injectOptimizerRule(_ => graft.plans.SummaryAggRewrite)
   }
 }

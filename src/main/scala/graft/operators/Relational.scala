@@ -919,6 +919,77 @@ object Relational {
       COUNT(DISTINCT user_id) AS exact_users, true AS merged_within_5pct
       FROM events"""))
 
+  /** One summary build per (session, sf dir) — the "one corpus pass"
+    * the rewrite amortizes; repeated invocations (bench runs 3×, the
+    * audit suites walk the registry) reuse the first build.
+    */
+  private val mvSummaries = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialized-summary aggregate navigation, oracle-checked end to
+    * end: the query declares a (l_returnflag, l_linestatus) summary of
+    * lineitem via spark.graft.summary.* and runs a dims-filtered
+    * grouped aggregate; graft.plans.SummaryAggRewrite redirects it to
+    * the summary table at optimization time, and the DuckDB oracle —
+    * which always reads the raw fact — proves the rewritten plan is
+    * value-exact (decimal sums re-aggregate associatively; counts and
+    * min/max compose). MvRewriteSpec additionally asserts the executed
+    * plan scans the summary, not the fact, and that ineligible shapes
+    * decline. At 100 TB this turns every dashboard-shaped aggregate
+    * over the fact into a scan of a few-thousand-row table.
+    */
+  val mvRewriteAgg: QueryDef = QueryDef(
+    "mv_rewrite_agg",
+    (s, dir) => {
+      import graft.plans.SummaryAggRewrite
+      val sumPath = mvSummaries.computeIfAbsent(
+        s.sparkContext.applicationId + ":" + dir, _ => {
+          val p = java.nio.file.Files.createTempDirectory("graft_mv").toString
+          SummaryAggRewrite.writeSummary(t(s, dir, "lineitem"),
+            Seq("l_returnflag", "l_linestatus"),
+            Seq("l_quantity", "l_extendedprice"), p)
+          p
+        })
+      if (!s.experimental.extraOptimizations.contains(SummaryAggRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ SummaryAggRewrite
+      SummaryAggRewrite.declare(s, s"$dir/lineitem.parquet", sumPath,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"))
+      t(s, dir, "lineitem")
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+      MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+      FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag"""))
+
+  /** Rollup composition through the SAME summary: grouping by a
+    * strict subset of the summary dims forces the rewrite to
+    * re-aggregate across the collapsed dim (SUM of per-(flag,status)
+    * counts and decimal sums over status) — the property that makes
+    * one summary serve the whole rollup lattice, not just its exact
+    * grain. Shares mv_rewrite_agg's summary build and declaration.
+    */
+  val mvRollupAgg: QueryDef = QueryDef(
+    "mv_rollup_agg",
+    (s, dir) => {
+      mvRewriteAgg.fn(s, dir) // ensures summary exists + declaration set
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    },
+    Some("""SELECT l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+      MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_linestatus"""))
+
   /** Join-key skew diagnostics — the report you run BEFORE deciding to
     * salt (a9_salted_sum) or lean on AQE's skew-join split: per-key
     * frequency histogram over decimal-digit buckets (integer-exact on
@@ -1733,5 +1804,6 @@ object Relational {
     q8MarketShare, q13Custdist, q15TopSupplier, q17SmallQty,
     q19Disjunctive, q22DormantCustomers,
     eventsMarkov, eventsOutliers, a13GroupingSets, w7RankFamily,
-    q6ForecastRevenue, w8NtileFamily, sketchMergeAudit)
+    q6ForecastRevenue, w8NtileFamily, sketchMergeAudit, mvRewriteAgg,
+    mvRollupAgg)
 }

@@ -1,0 +1,209 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Aggregate navigation onto a materialized summary table — the
+  * classic OLAP rewrite (Oracle MV rewrite / BigQuery BI Engine /
+  * Delta OPTIMIZE+cube pattern): a 100 TB fact table is scanned ONCE
+  * to build a per-(dims) summary carrying count, exact-decimal sums,
+  * and min/max per measure; every later aggregate whose grouping is a
+  * subset of the dims and whose aggregates re-compose from those
+  * partials reads the summary instead of the corpus. The rewrite is
+  * value-exact by construction for the forms it accepts:
+  *
+  *   - `COUNT(literal)`          → `SUM(cnt)`               (exact ints)
+  *   - `SUM(CAST(m AS DECIMAL))` → `SUM(sum_m)`             (decimal sums
+  *     re-aggregate associatively — the graft `dsum` house style; bare
+  *     double SUM is deliberately NOT accepted, float reassociation
+  *     would change low bits)
+  *   - `MIN(m)` / `MAX(m)`       → `MIN(min_m)` / `MAX(max_m)`
+  *
+  * plus dims-only `Filter`s (a predicate over grouping dims commutes
+  * with the group-by pre-aggregation). Anything else — other
+  * aggregates, expressions of measures, DISTINCT, agg-level FILTER,
+  * global (ungrouped) aggregation (whose empty-input row differs), a
+  * filter touching a measure — declines and the plan is untouched.
+  *
+  * No reference counterpart (cc-pyspark re-reads the corpus per job);
+  * this is the `injectOptimizerRule`/`extraOptimizations` leg of the
+  * extension surface, conf-gated so it is inert unless a session
+  * declares a summary:
+  *
+  *   spark.graft.summary.fact     path of the fact parquet dir
+  *   spark.graft.summary.path     path of the summary built by
+  *                                [[writeSummary]]
+  *   spark.graft.summary.dims     comma-separated dim columns
+  *   spark.graft.summary.measures comma-separated measure columns
+  */
+object SummaryAggRewrite extends Rule[LogicalPlan] {
+
+  /** Single conf key carrying the whole declaration
+    * (`fact|path|dim,dim|measure,measure`): the four fields must be
+    * read consistently — concurrent sessions/suites each re-declaring
+    * a summary must never interleave a fact from one declaration with
+    * a path from another (a torn read could silently aggregate the
+    * wrong summary). One key makes every read atomic; a mismatched
+    * but CONSISTENT declaration merely declines.
+    */
+  val ConfKey = "spark.graft.summary"
+
+  /** Declare (or clear, with empty fact) the session's summary. */
+  def declare(spark: SparkSession, fact: String, path: String,
+              dims: Seq[String], measures: Seq[String]): Unit =
+    spark.conf.set(ConfKey,
+      s"$fact|$path|${dims.mkString(",")}|${measures.mkString(",")}")
+
+  /** The decimal type `dsum` accumulates in — the only SUM input type
+    * accepted, because decimal re-aggregation is exact.
+    */
+  private val Dec = DecimalType(25, 6)
+
+  /** One corpus pass: per-dims count + exact-decimal sum + min/max for
+    * each measure. The summary is orders of magnitude smaller than the
+    * fact (|dims cross-product| rows) and is the only thing rewritten
+    * queries scan.
+    */
+  def writeSummary(fact: DataFrame, dims: Seq[String], measures: Seq[String],
+                   path: String): Unit =
+    fact.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        measures.flatMap(m => Seq(
+          sum(col(m).cast(Dec)).as(s"sum_$m"),
+          min(col(m)).as(s"min_$m"),
+          max(col(m)).as(s"max_$m"))): _*)
+      .write.mode("overwrite").parquet(path)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val decl = conf.getConfString(ConfKey, "")
+    if (decl.isEmpty) return plan
+    val parts = decl.split("\\|", -1)
+    if (parts.length != 4) return plan
+    val Array(fact, path, dimsCsv, measCsv) = parts
+    if (fact.isEmpty || path.isEmpty) return plan
+    val dims = dimsCsv.split(",").map(_.trim).toSet
+    val measures = measCsv.split(",").map(_.trim).toSet
+    plan.transformDown {
+      case agg @ Aggregate(groups, aggExprs, child, _) if groups.nonEmpty =>
+        rewrite(agg, groups, aggExprs, child, fact, path, dims, measures)
+          .getOrElse(agg)
+    }
+  }
+
+  private def pathOf(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** Strip attribute-only projections and dims-only filters down to
+    * the fact scan; returns the filter conditions passed on the way.
+    */
+  private def factScan(p: LogicalPlan, fact: String, dims: Set[String])
+      : Option[Seq[Expression]] = p match {
+    case Project(projs, c) if projs.forall(_.isInstanceOf[AttributeReference]) =>
+      factScan(c, fact, dims)
+    case Filter(cond, c) if cond.references.forall(a => dims.contains(a.name)) &&
+        cond.deterministic =>
+      factScan(c, fact, dims).map(cond +: _)
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation
+          if fs.location.rootPaths.exists(rp => pathOf(rp.toString) == pathOf(fact)) =>
+        Some(Nil)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate, groups: Seq[Expression],
+                      aggExprs: Seq[NamedExpression], child: LogicalPlan,
+                      fact: String, path: String,
+                      dims: Set[String], measures: Set[String]): Option[Aggregate] = {
+    val filters = factScan(child, fact, dims).getOrElse(return None)
+    if (!groups.forall {
+      case a: AttributeReference => dims.contains(a.name)
+      case _ => false
+    }) return None
+
+    // every AggregateExpression anywhere in the output list must be a
+    // supported shape; scan first so a partial match never rewrites
+    val aggs = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
+    def supported(ae: AggregateExpression): Boolean =
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case Count(Seq(_: Literal)) => true
+        case Sum(Cast(a: AttributeReference, Dec, _, _), _) => measures.contains(a.name)
+        case Min(a: AttributeReference) => measures.contains(a.name)
+        case Max(a: AttributeReference) => measures.contains(a.name)
+        case _ => false
+      })
+    if (aggs.isEmpty || !aggs.forall(supported)) return None
+    // any attribute referenced OUTSIDE an aggregate function must be a
+    // dim (measure refs inside the aggs are handled by the agg rewrite)
+    def nonAggRefs(e: Expression): Seq[AttributeReference] = e match {
+      case _: AggregateExpression => Nil
+      case a: AttributeReference => Seq(a)
+      case other => other.children.flatMap(nonAggRefs)
+    }
+    if (!aggExprs.flatMap(nonAggRefs).forall(a => dims.contains(a.name))) return None
+
+    // fresh summary relation per rewrite (fresh exprIds keep the plan
+    // internally consistent if the same summary serves several aggs)
+    val sumRel = SparkSession.active.read.parquet(path)
+      .queryExecution.analyzed.collectFirst { case l: LogicalRelation => l }
+      .getOrElse(return None)
+    val byName = sumRel.output.map(a => a.name -> a).toMap
+    // the declared summary must actually carry the needed columns
+    if (!dims.forall(byName.contains)) return None
+    if (!measures.forall(m => byName.contains(s"sum_$m") &&
+      byName.contains(s"min_$m") && byName.contains(s"max_$m"))) return None
+    if (!byName.contains("cnt")) return None
+
+    def remapAttr(a: AttributeReference): Attribute = byName(a.name)
+    def rewriteAgg(ae: AggregateExpression): Expression = {
+      val rewritten = ae.aggregateFunction match {
+        case Count(Seq(_: Literal)) => ae.copy(aggregateFunction = Sum(byName("cnt")))
+        case Sum(Cast(a: AttributeReference, Dec, _, _), _) =>
+          ae.copy(aggregateFunction = Sum(byName(s"sum_${a.name}")))
+        case Min(a: AttributeReference) =>
+          ae.copy(aggregateFunction = Min(byName(s"min_${a.name}")))
+        case Max(a: AttributeReference) =>
+          ae.copy(aggregateFunction = Max(byName(s"max_${a.name}")))
+        case _ => return ae // unreachable: pre-checked
+      }
+      // re-aggregated partials can widen (sum of decimal sums gains
+      // precision digits); cast back so the output type is unchanged.
+      // Values fit by the same 25-digit headroom the original relies on.
+      if (rewritten.dataType == ae.dataType) rewritten
+      else Cast(rewritten, ae.dataType)
+    }
+
+    val newGroups = groups.map { case a: AttributeReference => remapAttr(a) }
+    // explicit recursion, NOT transformUp: a bottom-up transform would
+    // remap the measure attrs inside the aggregate functions (which
+    // have no same-name summary column) before the agg case fires
+    def rebuild(e: Expression): Expression = e match {
+      case ae: AggregateExpression => rewriteAgg(ae)
+      case a: AttributeReference => remapAttr(a)
+      case other => other.withNewChildren(other.children.map(rebuild))
+    }
+    val newAggExprs = aggExprs.map { ne =>
+      val transformed = rebuild(ne)
+      transformed match {
+        case a: Attribute =>
+          // bare grouping column: keep the original exprId visible
+          Alias(a, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+        case al: Alias =>
+          Alias(al.child, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+        case other =>
+          Alias(other, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+      }
+    }
+    val newChild = filters.foldLeft(sumRel: LogicalPlan) { (p, cond) =>
+      Filter(cond.transformUp { case a: AttributeReference => remapAttr(a) }, p)
+    }
+    Some(Aggregate(newGroups, newAggExprs, newChild, None))
+  }
+}
