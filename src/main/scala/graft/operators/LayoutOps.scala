@@ -45,18 +45,22 @@ object LayoutOps {
   def zorder2(x: Column, y: Column): Column =
     part1by1(x).bitwiseOR(shiftleft(part1by1(y), 1))
 
-  /** Scale both keys to the full 16-bit Morton domain via min/max
-    * range normalization — without it the narrower key's high bits
-    * are all zero and radix buckets degenerate to a single-key sort
-    * (a 100-supplier key next to a 20 000-part key contributes
-    * nothing to the top interleaved bits). Integer scaling
-    * (`(x - min) * 65535 div (max - min)`) keeps the whole pipeline
-    * in exact int64 — no float rounding to disagree across engines.
-    * Delta/Iceberg z-ordering does the same normalization with
-    * range-partition ranks; min/max linear scaling is the
-    * sort-free form and is exact for the integer keys here.
+  /** SQL bigint literal; Long.MinValue has no direct literal form (the
+    * parser sees unary minus on an out-of-range positive).
     */
-  /** Three forms by domain width, all exact int64 (no float rounding):
+  private def lit64(v: Long): String =
+    if (v == Long.MinValue) "(-9223372036854775807L - 1L)" else s"${v}L"
+
+  /** Scale a key to the full 16-bit Morton domain via min/max range
+    * normalization — without it the narrower key's high bits are all
+    * zero and radix buckets degenerate to a single-key sort (a
+    * 100-supplier key next to a 20 000-part key contributes nothing
+    * to the top interleaved bits). Delta/Iceberg z-ordering does the
+    * same normalization with range-partition ranks; min/max linear
+    * scaling is the sort-free form.
+    *
+    * Three forms by domain width, all exact int64 (no float rounding
+    * to disagree across engines):
     *   - small span: multiply-then-divide uses every one of the 16
     *     bits even on narrow domains (the form the zorder_layout
     *     oracle mirrors) — safe while span*65535 fits in int64
@@ -64,16 +68,8 @@ object LayoutOps {
     *     multiply would overflow, and with span ≥ 2^16 the step form
     *     already reaches all 16 bits
     *   - span itself overflows int64 (keys straddle the full long
-    *     range): unsigned-shift the wrapped difference — two's
-    *     complement makes (x-lo) the correct unsigned distance mod
-    *     2^64, and >>>48 maps it onto 0..65535
+    *     range): offset-binary top bits, pure bit ops
     */
-  /** SQL bigint literal; Long.MinValue has no direct literal form (the
-    * parser sees unary minus on an out-of-range positive).
-    */
-  private def lit64(v: Long): String =
-    if (v == Long.MinValue) "(-9223372036854775807L - 1L)" else s"${v}L"
-
   private def scale16(name: String, lo: Long, hi: Long): Column = {
     val span = math.max(hi - lo, 1L)
     if (hi - lo < 0L)
