@@ -669,9 +669,12 @@ object JobRunner {
           val nFiles = math.max(1L,
             (totalBytes + targetMb * 1048576 - 1) / (targetMb * 1048576)).toInt
           val shaped = cli.outputOptions.get("zorder") match {
-            case Some(spec) =>
-              val Array(a, b) = spec.split(",").map(_.trim)
-              graft.operators.LayoutOps.zorderRewrite(df, a, b, nFiles)
+            case Some(spec) => spec.split(",").map(_.trim).filter(_.nonEmpty) match {
+              case Array(a, b) => graft.operators.LayoutOps.zorderRewrite(df, a, b, nFiles)
+              case other => sys.error(
+                s"compact: zorder expects exactly two columns (zorder=colA,colB), " +
+                  s"got '${spec}'\n${JobCli.usage}")
+            }
             case None => df.repartition(nFiles)
           }
           shaped.write.mode("overwrite").parquet(cli.output)

@@ -29,13 +29,20 @@ object DataQuality {
     * arbitrary parquet input with this).
     */
   def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
-    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    // arbitrary parquet columns are legal SQL-identifier hazards
+    // (dashes, dots, reserved words) — backtick-quote everywhere, and
+    // skip map columns, which have no equality and break countDistinct
+    val cols = (if (columns.nonEmpty) columns else df.columns.toSeq).filter(c =>
+      !df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    require(cols.nonEmpty, "profile: no profilable (non-map) columns")
+    def bq(c: String) = "`" + c.replace("`", "``") + "`"
+    def sq(c: String) = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val agg0 = df.agg(
       count(lit(1)).as("n_rows"),
       cols.flatMap(c => Seq(
-        count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"))): _*)
-    val stackExpr = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+        count(col(bq(c))).as(s"nn_$c"),
+        countDistinct(col(bq(c))).as(s"nd_$c"))): _*)
+    val stackExpr = cols.map(c => s"${sq(c)}, ${bq(s"nn_$c")}, ${bq(s"nd_$c")}").mkString(", ")
     agg0.selectExpr("n_rows",
         s"stack(${cols.size}, $stackExpr) AS (column_name, n_nonnull, n_distinct)")
       .select(col("column_name"), col("n_rows"), col("n_nonnull"), col("n_distinct"),

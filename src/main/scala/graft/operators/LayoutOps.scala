@@ -70,7 +70,10 @@ object LayoutOps {
     *   - span itself overflows int64 (keys straddle the full long
     *     range): offset-binary top bits, pure bit ops
     */
-  private def scale16(name: String, lo: Long, hi: Long): Column = {
+  private def scale16(rawName: String, lo: Long, hi: Long): Column = {
+    // CLI-supplied column names can need quoting (dashes, reserved
+    // words like `div`); backtick for the expr branches
+    val name = "`" + rawName.replace("`", "``") + "`"
     val span = math.max(hi - lo, 1L)
     if (hi - lo < 0L)
       // keys straddle so much of the long range that even the span

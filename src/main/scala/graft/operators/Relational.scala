@@ -949,7 +949,12 @@ object Relational {
             Seq("l_quantity", "l_extendedprice"), p)
           p
         })
-      if (!s.experimental.extraOptimizations.contains(SummaryAggRewrite))
+      // an extensions-built session already injected the rule; adding
+      // it to extraOptimizations too would run it twice per plan
+      val viaExtensions = s.conf.getOption("spark.sql.extensions")
+        .exists(_.contains("GraftExtensions"))
+      if (!viaExtensions &&
+          !s.experimental.extraOptimizations.contains(SummaryAggRewrite))
         s.experimental.extraOptimizations =
           s.experimental.extraOptimizations :+ SummaryAggRewrite
       SummaryAggRewrite.declare(s, s"$dir/lineitem.parquet", sumPath,

@@ -54,11 +54,31 @@ object SummaryAggRewrite extends Rule[LogicalPlan] {
     */
   val ConfKey = "spark.graft.summary"
 
-  /** Declare (or clear, with empty fact) the session's summary. */
+  /** Declare (or clear, with empty fact) the session's summary.
+    *
+    * STALENESS CONTRACT (standard MV semantics): the declarer owns
+    * refresh. The rule trusts the declaration — if the fact mutates
+    * after [[writeSummary]], eligible aggregates read the stale
+    * summary until the declarer rebuilds it and re-declares (which
+    * also drops the cached relation below). Undeclare with
+    * `spark.conf.unset(ConfKey)` to route everything back to the fact.
+    */
   def declare(spark: SparkSession, fact: String, path: String,
-              dims: Seq[String], measures: Seq[String]): Unit =
+              dims: Seq[String], measures: Seq[String]): Unit = {
+    relCache.remove(canonical(path))
     spark.conf.set(ConfKey,
       s"$fact|$path|${dims.mkString(",")}|${measures.mkString(",")}")
+  }
+
+  /** Analyzed summary relation per canonical path — avoids a
+    * driver-side file listing + footer read during optimization of
+    * every eligible query (the rule's use case is high-frequency
+    * dashboard aggregates). Each use takes `newInstance()` for fresh
+    * exprIds; [[declare]] drops the entry so a rebuilt summary is
+    * re-listed.
+    */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LogicalRelation]()
 
   /** The decimal type `dsum` accumulates in — the only SUM input type
     * accepted, because decimal re-aggregation is exact.
@@ -96,11 +116,25 @@ object SummaryAggRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def pathOf(s: String): String =
-    new org.apache.hadoop.fs.Path(s).toUri.getPath
+  /** Scheme+authority+path canonical form: a bare `/x` and `file:/x`
+    * must compare equal, but the authority must stay in the key — two
+    * buckets with the same path component are different tables, and
+    * matching on path alone would rewrite one onto the other's
+    * summary.
+    */
+  private def canonical(s: String): String = {
+    val u = new org.apache.hadoop.fs.Path(s).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme://$auth${u.getPath}"
+  }
 
   /** Strip attribute-only projections and dims-only filters down to
     * the fact scan; returns the filter conditions passed on the way.
+    * The scan must read the declared fact and NOTHING ELSE: a
+    * multi-path relation that merely includes the fact (fact ∪
+    * increment) rewrites to a fact-only summary and silently drops
+    * the other paths' rows — so every root path must match.
     */
   private def factScan(p: LogicalPlan, fact: String, dims: Set[String])
       : Option[Seq[Expression]] = p match {
@@ -111,7 +145,8 @@ object SummaryAggRewrite extends Rule[LogicalPlan] {
       factScan(c, fact, dims).map(cond +: _)
     case l: LogicalRelation => l.relation match {
       case fs: HadoopFsRelation
-          if fs.location.rootPaths.exists(rp => pathOf(rp.toString) == pathOf(fact)) =>
+          if fs.location.rootPaths.nonEmpty &&
+            fs.location.rootPaths.forall(rp => canonical(rp.toString) == canonical(fact)) =>
         Some(Nil)
       case _ => None
     }
@@ -149,11 +184,14 @@ object SummaryAggRewrite extends Rule[LogicalPlan] {
     }
     if (!aggExprs.flatMap(nonAggRefs).forall(a => dims.contains(a.name))) return None
 
-    // fresh summary relation per rewrite (fresh exprIds keep the plan
-    // internally consistent if the same summary serves several aggs)
-    val sumRel = SparkSession.active.read.parquet(path)
-      .queryExecution.analyzed.collectFirst { case l: LogicalRelation => l }
-      .getOrElse(return None)
+    // fresh exprIds per rewrite (newInstance) over the cached analyzed
+    // relation, so the same summary can serve several aggs in one plan
+    val cached = relCache.computeIfAbsent(canonical(path), _ =>
+      SparkSession.active.read.parquet(path)
+        .queryExecution.analyzed.collectFirst { case l: LogicalRelation => l }
+        .orNull)
+    if (cached == null) return None
+    val sumRel = cached.newInstance()
     val byName = sumRel.output.map(a => a.name -> a).toMap
     // the declared summary must actually carry the needed columns
     if (!dims.forall(byName.contains)) return None

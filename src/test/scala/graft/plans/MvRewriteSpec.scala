@@ -127,6 +127,19 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a multi-path scan that merely INCLUDES the fact declines") {
+    withRule {
+      // fact ∪ another same-schema file: rewriting would silently drop
+      // the second path's rows
+      val q = spark.read.parquet(s"$sf/lineitem.parquet",
+          "/root/testdata/sf0.001/lineitem.parquet")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val paths = scanPaths(q)
+      assert(paths.nonEmpty && paths.forall(p => !p.contains(sumPath)),
+        s"multi-path scan must not be rewritten, scans=$paths")
+    }
+  }
+
   test("declines when the declared fact path does not match the scan") {
     withRule {
       SummaryAggRewrite.declare(spark, "/nonexistent/other.parquet", sumPath,
