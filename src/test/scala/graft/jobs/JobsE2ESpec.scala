@@ -549,6 +549,34 @@ class JobsE2ESpec extends AnyFunSuite {
       "no new-batch vector ever surfaced in any top-10")
   }
 
+  test("dq job profiles any parquet input, including awkward column names") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq_e2e").toString
+    Seq((1L, "x", Some(2.0)), (2L, "x", None), (3L, null, Some(4.0)))
+      .toDF("id", "first-name", "the value")
+      .write.parquet(s"$dir/in")
+    JobRunner.run(spark, JobCli("dq", s"$dir/in", s"$dir/out", outParts = 1))
+    val prof = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(prof("id") == ((3L, 3L)))
+    assert(prof("first-name") == ((2L, 1L)))
+    assert(prof("the value") == ((2L, 2L)))
+  }
+
+  test("compact --output_option zorder rewrites z-clustered; bad spec is a usage error") {
+    val dir = java.nio.file.Files.createTempDirectory("zc_e2e").toString
+    val src = "/root/testdata/sf0.001/lineitem.parquet"
+    val in = spark.read.parquet(src)
+    JobRunner.run(spark, JobCli("compact", src, s"$dir/out",
+      outputOptions = Map("target_mb" -> "1", "zorder" -> "l_partkey,l_suppkey")))
+    assert(spark.read.parquet(s"$dir/out").count() == in.count())
+    val bad = intercept[RuntimeException] {
+      JobRunner.run(spark, JobCli("compact", src, s"$dir/out2",
+        outputOptions = Map("zorder" -> "l_partkey")))
+    }
+    assert(bad.getMessage.contains("exactly two columns"))
+  }
+
   test("sitemaps job: list concat across hosts for one sitemap URL") {
     import spark.implicits._
     val r1 = Fixtures.robots("https://a.example.com/robots.txt",
