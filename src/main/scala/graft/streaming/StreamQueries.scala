@@ -368,7 +368,47 @@ object StreamQueries {
       FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
       GROUP BY user_id"""))
 
+  /** Incremental view maintenance by mergeable partials — the
+    * streaming counterpart of plans/SummaryAggRewrite's summary table:
+    * each microbatch appends its own per-group partial aggregate
+    * (count + exact-decimal sum) to the view storage via foreachBatch,
+    * and the view READ re-composes them (SUM of counts, SUM of
+    * decimal partials — associative, so the result is independent of
+    * how the stream was batched). Append-only maintenance means no
+    * read-modify-write races with concurrent readers, and the view
+    * compacts with the ordinary `compact` job when partials pile up.
+    * At scale this is how a 24/7 ingest keeps a dashboard summary
+    * fresh without ever rescanning the corpus; the drain-mode oracle
+    * proves the composed view equals the batch aggregate bit for bit.
+    */
+  val streamMvMaintenance: QueryDef = QueryDef(
+    "stream_mv_maintenance",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val Dec = org.apache.spark.sql.types.DecimalType(25, 6)
+      val view = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+      withStreamPartitions(s) {
+        val q = EventStream.readEvents(s, stagedEvents(s, dir))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("value").cast(Dec)).as("sum_value"))
+              .write.mode("append").parquet(view)
+          }
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(view)
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("sum_value")).cast("double").as("total"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM events GROUP BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin,
-      streamCurate, streamFunnel, streamLeftJoin)
+      streamCurate, streamFunnel, streamLeftJoin, streamMvMaintenance)
 }
