@@ -105,5 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregate navigation onto a declared summary table (conf-gated,
     // inert without spark.graft.summary.* keys)
     ext.injectOptimizerRule(_ => graft.plans.SummaryAggRewrite)
+    // whole-operator leg: plans the custom AsOfJoin logical node
+    // (AsOfJoinOps also self-installs this per-session for sessions
+    // not started with the extensions conf)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

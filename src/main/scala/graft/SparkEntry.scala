@@ -23,6 +23,7 @@ object SparkEntry {
 
   private def rawDefs: Seq[QueryDef] =
     operators.Relational.all ++
+      operators.AsOfJoinOps.all ++
       operators.SeriesOps.all ++
       operators.LayoutOps.all ++
       operators.DataQuality.all ++
