@@ -1792,6 +1792,54 @@ object Relational {
         NTH_VALUE(user_id, 2) OVER w AS runner_up
       FROM u WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC, user_id)"""))
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting) adapted to
+    * the fixture columns: late = shipped more than 60 days after the
+    * order date (the fixtures carry no commit/receipt dates). A
+    * supplier is "solely to blame" for an order when it shipped late,
+    * at least one OTHER supplier shipped in the same order (EXISTS),
+    * and no other supplier shipped late in it (NOT EXISTS). The two
+    * correlated subqueries are the point of the shape: Catalyst
+    * rewrites them to a left-semi and a left-anti join on l_orderkey
+    * with the suppkey inequality as residual — keyed joins on the
+    * fact's natural key, no nested loop, and the supplier dimension
+    * broadcasts. The NOT EXISTS correlates on BOTH l1.l_orderkey and
+    * o.o_orderdate (the outer join's date), exercising multi-column
+    * correlation.
+    */
+  val q21SoleLateSupplier: QueryDef = QueryDef(
+    "q21_sole_late_supplier",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q21_lineitem_v")
+      t(s, dir, "orders").createOrReplaceTempView("q21_orders_v")
+      t(s, dir, "supplier").createOrReplaceTempView("q21_supplier_v")
+      s.sql("""SELECT s_name, COUNT(*) AS numwait
+        FROM q21_lineitem_v l1
+        JOIN q21_orders_v o ON o.o_orderkey = l1.l_orderkey
+        JOIN q21_supplier_v s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM q21_lineitem_v l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_lineitem_v l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")
+    },
+    Some("""SELECT s_name, COUNT(*) AS numwait
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -1810,5 +1858,5 @@ object Relational {
     q19Disjunctive, q22DormantCustomers,
     eventsMarkov, eventsOutliers, a13GroupingSets, w7RankFamily,
     q6ForecastRevenue, w8NtileFamily, sketchMergeAudit, mvRewriteAgg,
-    mvRollupAgg)
+    mvRollupAgg, q21SoleLateSupplier)
 }

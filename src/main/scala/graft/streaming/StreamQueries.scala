@@ -408,7 +408,48 @@ object StreamQueries {
       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
       FROM events GROUP BY event_type"""))
 
+  /** Stream-static enrichment — the canonical 24/7 streaming shape the
+    * suite didn't cover: an unbounded event stream joined per
+    * micro-batch against a bounded dimension table. The join is
+    * STATELESS (no watermark, no state store — the static side is
+    * re-planned each batch and broadcasts, so a dimension update
+    * between batches is picked up automatically); that statelessness
+    * is the scale property: enriching 100 TB of stream costs exactly
+    * the stream scan plus one broadcast per batch. Users map onto the
+    * customer dimension by modular arithmetic (the fixtures share no
+    * natural key); the dimension COUNT is a bounded one-row driver
+    * lookup against the static table, mirrored by the oracle's
+    * subquery. The drained result is aggregated from the sink
+    * batch-side, so the streamed plan stays append-mode stateless.
+    */
+  val streamStaticEnrich: QueryDef = QueryDef(
+    "stream_static_enrich",
+    (s, dir) => {
+      val staged = stagedEvents(s, dir)
+      val dim = graft.util.Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val nCust = dim.count()
+      withStreamPartitions(s) {
+        val q = EventStream.readEvents(s, staged)
+          .withColumn("cust_key", pmod(col("user_id"), lit(nCust)))
+          .join(broadcast(dim), col("cust_key") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"), col("value"))
+          .writeStream.format("memory").queryName("graft_stream_enrich")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.sql("""SELECT segment, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM graft_stream_enrich GROUP BY segment""")
+    },
+    Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+      FROM events e JOIN customer c
+        ON e.user_id % (SELECT COUNT(*) FROM customer) = c.c_custkey
+      GROUP BY c_mktsegment"""))
+
   val all: Seq[QueryDef] =
     Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin,
-      streamCurate, streamFunnel, streamLeftJoin, streamMvMaintenance)
+      streamCurate, streamFunnel, streamLeftJoin, streamMvMaintenance,
+      streamStaticEnrich)
 }
