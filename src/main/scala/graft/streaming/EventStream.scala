@@ -127,6 +127,58 @@ object EventStream {
       }
   }
 
+  final case class EnrichedClick(event_id: Long, user_id: Long, ts_us: Long,
+                                 asof_value: Double)
+  // same Janino visibility note as SessionState
+  final case class AsofState(value: Double, has: Boolean)
+
+  /** Streaming point-in-time enrichment — the stream-stream AS-OF join
+    * Spark has no native operator for: every click is emitted with the
+    * same user's most recent purchase value at-or-before it. State per
+    * user is ONE number (the latest purchase value) — bounded by user
+    * cardinality, never event volume; a 24/7 deployment would add
+    * EventTimeTimeout eviction for users idle past its horizon.
+    *
+    * Events replay through the same bounded reorder heap as
+    * [[sessionize]], ordered by (µs, kind, event_id) with purchases
+    * (kind 0) before clicks at equal µs — so a purchase at the click's
+    * exact timestamp is visible to it, and among purchases sharing
+    * (user, ts) the max event_id is the one whose value survives:
+    * digit-for-digit the batch j6 window semantics, which is what the
+    * oracle checks.
+    */
+  def asofEnrich(events: Dataset[Event],
+                 maxBufferPerUser: Int = 1 << 14,
+                 watermarkDelay: String = "10 minutes"): Dataset[EnrichedClick] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, EnrichedClick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[AsofState]) =>
+          var st = state.getOption.getOrElse(AsofState(0.0, has = false))
+          val out = Vector.newBuilder[EnrichedClick]
+          def feed(us: Long, kind: Int, eid: Long, value: Double): Unit =
+            if (kind == 0) st = AsofState(value, has = true)
+            else out += EnrichedClick(eid, userId, us,
+              if (st.has) st.value else -1.0)
+          val heap = new java.util.PriorityQueue[(Long, Int, Long, Double)](
+            math.min(maxBufferPerUser, 1 << 10),
+            Ordering.by((p: (Long, Int, Long, Double)) => (p._1, p._2, p._3)))
+          def pop(): Unit = {
+            val (us, kind, eid, v) = heap.poll(); feed(us, kind, eid, v)
+          }
+          evs.foreach { e =>
+            val kind = if (e.event_type == "purchase") 0 else 1
+            heap.add((tsToMicros(e.ts), kind, e.event_id, e.value))
+            if (heap.size > maxBufferPerUser) pop()
+          }
+          while (!heap.isEmpty) pop()
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000,
                  maxBufferPerUser: Int = 1 << 14,
                  watermarkDelay: String = "10 minutes",

@@ -448,8 +448,49 @@ object StreamQueries {
         ON e.user_id % (SELECT COUNT(*) FROM customer) = c.c_custkey
       GROUP BY c_mktsegment"""))
 
+  /** The streaming counterpart of j6/j6_custom: point-in-time click
+    * enrichment as a REAL drained stream (file source → stateful
+    * operator → memory sink), state = one purchase value per user.
+    * Oracle: identical to the batch j6 window formulation — the
+    * reorder heap's (µs, kind, event_id) order reproduces its
+    * equal-timestamp semantics exactly, so all three as-of routes
+    * (batch window, custom merge operator, streaming state machine)
+    * are hash-checked against the same truth.
+    */
+  val streamAsofEnrich: QueryDef = QueryDef(
+    "stream_asof_enrich",
+    (s, dir) => {
+      import s.implicits._
+      val staged = stagedEvents(s, dir)
+      withStreamPartitions(s) {
+        val typed = EventStream.readEvents(s, staged)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStream.Event]
+        val q = EventStream.asofEnrich(typed).toDF()
+          .writeStream.format("memory").queryName("graft_stream_asof")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.sql("""SELECT event_id, user_id, ts_us,
+        round(asof_value, 6) AS asof_value FROM graft_stream_asof""")
+    },
+    Some("""WITH u AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+          CASE WHEN event_type = 'purchase' THEN value END AS pv
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      f AS (SELECT event_id, user_id, ts_us, kind,
+          last_value(pv IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_us, kind, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av
+        FROM u)
+      SELECT event_id, user_id, ts_us,
+        round(COALESCE(av, -1.0), 6) AS asof_value
+      FROM f WHERE kind = 1"""))
+
   val all: Seq[QueryDef] =
     Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin,
       streamCurate, streamFunnel, streamLeftJoin, streamMvMaintenance,
-      streamStaticEnrich)
+      streamStaticEnrich, streamAsofEnrich)
 }

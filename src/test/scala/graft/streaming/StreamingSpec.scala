@@ -154,4 +154,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0).getLong(1) == 2L, s"doc 0 must survive: ${out.toSeq}")
   }
+
+  test("streaming as-of enrichment equals the batch window route") {
+    import spark.implicits._
+    val raw = graft.util.Tables(spark, "/root/testdata/sf0.001", "events")
+    val typed = raw.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), graft.util.Tables.tsTimestamp(raw).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Event]
+    // batch-mode state machine (withWatermark is a no-op on batch)
+    val got = EventStream.asofEnrich(typed).toDF()
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        round(col("asof_value"), 6).as("asof_value"))
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.Relational.j6AsofJoin.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("as-of state carries purchases across micro-batches") {
+    import spark.implicits._
+    // two files, forced into separate batches: purchases land first,
+    // clicks second — the click batch must see state from batch 1
+    val dir = java.nio.file.Files.createTempDirectory("asof_batches")
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    Seq(EventStream.Event(1L, ts(1000000L), 7L, "purchase", 42.0))
+      .toDF().coalesce(1).write.parquet(dir.resolve("b0").toString)
+    Seq(EventStream.Event(2L, ts(2000000L), 7L, "click", 0.0))
+      .toDF().coalesce(1).write.parquet(dir.resolve("b1").toString)
+    val staged = java.nio.file.Files.createTempDirectory("asof_staged")
+    def onePart(sub: String, name: String): Unit = {
+      val st = java.nio.file.Files.list(dir.resolve(sub))
+      try {
+        import scala.jdk.CollectionConverters._
+        val part = st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part, staged.resolve(name))
+      } finally st.close()
+    }
+    onePart("b0", "part-00000.parquet")
+    onePart("b1", "part-00001.parquet")
+    val typed = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .as[EventStream.Event]
+    val q = EventStream.asofEnrich(typed).toDF()
+      .writeStream.format("memory").queryName("asof_two_batches")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.sql("SELECT event_id, asof_value FROM asof_two_batches").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSet === Set((2L, 42.0)))
+  }
 }
