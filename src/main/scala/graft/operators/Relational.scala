@@ -1840,6 +1840,122 @@ object Relational {
             AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
 
+  /** SCD2 (slowly-changing dimension, type 2) build: the purchase
+    * stream becomes a versioned dimension — one row per state change
+    * with [valid_from, valid_to) validity, open row NULL-terminated.
+    * One window pass per user (lead over ts); purchases sharing
+    * (user, ts) collapse to the max-event_id winner FIRST so every
+    * surviving interval is non-empty — exactly the equal-ts rule the
+    * as-of family pins. At scale this is the standard warehouse move
+    * that turns repeated point-in-time lookups into a plain interval
+    * join against a table |state changes| big, not |events| big.
+    */
+  val scd2Build: QueryDef = QueryDef(
+    "scd2_build",
+    (s, dir) => {
+      val raw = t(s, dir, "events")
+      val p = raw.filter(col("event_type") === "purchase")
+        .select(col("user_id"), graft.util.Tables.tsMicros(raw).as("ts_us"),
+          col("value"), col("event_id"))
+      val dedupW = Window.partitionBy(col("user_id"), col("ts_us"))
+        .orderBy(col("event_id").desc)
+      val leadW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      p.withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
+        .select(col("user_id"), round(col("value"), 6).as("value"),
+          col("ts_us").as("valid_from_us"),
+          lead(col("ts_us"), 1).over(leadW).as("valid_to_us"))
+    },
+    Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+      SELECT user_id, round(value, 6) AS value, ts_us AS valid_from_us,
+        LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us
+      FROM p WHERE rn = 1"""))
+
+  /** Point-in-time lookup route #4: clicks against the SCD2 interval
+    * table — an equi-join on user_id with the validity range as
+    * residual (hash/SMJ keyed join, never an inequality-only join).
+    * Same oracle as j6/j6_custom/stream_asof: window route, custom
+    * merge operator, streaming state machine, and interval table must
+    * all agree digit for digit. The interval form is the one that wins
+    * operationally when MANY fact tables need the same dimension
+    * state: build once, join everywhere.
+    */
+  val scd2PitJoin: QueryDef = QueryDef(
+    "scd2_pit_join",
+    (s, dir) => {
+      val raw = t(s, dir, "events")
+      val clicks = raw.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          graft.util.Tables.tsMicros(raw).as("ts_us"))
+      val dim = scd2Build.fn(s, dir)
+        .select(col("user_id").as("d_user"), col("value"),
+          col("valid_from_us"), col("valid_to_us"))
+      clicks.join(dim,
+          col("user_id") === col("d_user") &&
+            col("ts_us") >= col("valid_from_us") &&
+            (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")),
+          "left")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("value"), lit(-1.0)).as("asof_value"))
+    },
+    Some("""WITH u AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+          CASE WHEN event_type = 'purchase' THEN value END AS pv
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      f AS (SELECT event_id, user_id, ts_us, kind,
+          last_value(pv IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_us, kind, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av
+        FROM u)
+      SELECT event_id, user_id, ts_us,
+        round(COALESCE(av, -1.0), 6) AS asof_value
+      FROM f WHERE kind = 1"""))
+
+  /** Last-touch revenue attribution: every purchase's value credits the
+    * channel of the user's most recent click at-or-before it (channel
+    * = the click's props.k mod 5; 'direct' bucket -1 when no click
+    * precedes). The same backward-fill union-window shape as j6 — one
+    * shuffle on user_id — then a channel rollup whose cardinality is
+    * the channel count, so the second aggregation is a broadcast-sized
+    * reduction. The pattern behind marketing-attribution and
+    * conversion-credit pipelines.
+    */
+  val eventsAttribution: QueryDef = QueryDef(
+    "events_attribution",
+    (s, dir) => {
+      val raw = t(s, dir, "events")
+      val ev = raw.filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          graft.util.Tables.tsMicros(raw).as("ts_us"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"),
+          when(col("event_type") === "click",
+            get_json_object(col("props"), "$.k").cast("long") % 5).as("ck"),
+          col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Long.MinValue, 0)
+      ev.withColumn("channel", last(col("ck"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .groupBy(coalesce(col("channel"), lit(-1L)).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("attributed_value"))
+    },
+    Some("""WITH u AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+          CASE WHEN event_type = 'click'
+               THEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 END AS ck,
+          value
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      f AS (SELECT user_id, ts_us, kind, value,
+          last_value(ck IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_us, kind, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+        FROM u)
+      SELECT COALESCE(channel, -1) AS channel, COUNT(*) AS n_purchases,
+        CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS attributed_value
+      FROM f WHERE kind = 1 GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -1858,5 +1974,6 @@ object Relational {
     q19Disjunctive, q22DormantCustomers,
     eventsMarkov, eventsOutliers, a13GroupingSets, w7RankFamily,
     q6ForecastRevenue, w8NtileFamily, sketchMergeAudit, mvRewriteAgg,
-    mvRollupAgg, q21SoleLateSupplier)
+    mvRollupAgg, q21SoleLateSupplier, scd2Build, scd2PitJoin,
+    eventsAttribution)
 }
