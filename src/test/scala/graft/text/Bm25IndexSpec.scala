@@ -59,4 +59,38 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(stats.length == 1)
     assert(stats(0).getLong(0) > 0 && stats(0).getLong(1) > 0)
   }
+
+  test("appendDelta is append-only on postings and equals a from-scratch build") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables(spark, sf, "documents")
+    val merged = java.nio.file.Files.createTempDirectory("bm25_m").toString
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), merged)
+    def postingsFiles = {
+      val b = scala.collection.mutable.Map[String, Long]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(merged, "postings"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => b(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      b.toMap
+    }
+    val before = postingsFiles
+    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), merged)
+    val after = postingsFiles
+    // every base postings file survives the merge byte-untouched;
+    // delta-sized new files appear beside them
+    before.foreach { case (f, mtime) =>
+      assert(after.contains(f), s"base postings file rewritten: $f")
+      assert(after(f) === mtime, s"base postings file modified: $f")
+    }
+    assert(after.size > before.size, "no delta postings were appended")
+
+    val scratch = java.nio.file.Files.createTempDirectory("bm25_s").toString
+    InvertedIndex.save(docs, scratch)
+    val terms = Seq("join", "vector", "filter", "dup")
+    val got = InvertedIndex.probe(spark, merged, terms)
+      .collect().map(_.toSeq).toSet
+    val want = InvertedIndex.probe(spark, scratch, terms)
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
