@@ -395,6 +395,28 @@ object VectorOps {
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** FAISS-style `add`: fold new vectors into a persisted IVF index by
+    * assigning them to the EXISTING centroids — no re-clustering, no
+    * base read, no rewrite. Delta-sized part files append inside the
+    * cell dirs (the vectors table is the index's dominant bytes);
+    * the centroid table is untouched, so every already-planned probe
+    * stays valid. By construction the result is row-identical to
+    * assigning base ∪ delta against the same centroids (spec-pinned);
+    * recall drifts only as far as the delta's distribution does, the
+    * same contract FAISS documents for add-without-retrain — when the
+    * drift grows, rebuild (saveIvfIndex) is the retrain.
+    */
+  def appendIvfIndex(delta: DataFrame, indexDir: String): Unit = {
+    val s = delta.sparkSession
+    val cents: Seq[(Long, Seq[Double])] =
+      s.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    if (cents.isEmpty) throw new IllegalStateException(
+      s"$indexDir has no centroids — an untrained index cannot take adds (FAISS contract); build with saveIvfIndex first")
+    assignCells(delta, cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+  }
+
   /** `vectors` is the cell-partitioned inverted-list table
     * (vec_id, embedding, cell).
     */
@@ -565,6 +587,29 @@ object VectorOps {
     "ann_ivf_indexed_topk",
     (s, dir) => annIvfIndexed(queriesDf(s, dir, 10), sessionIvfIndex(s, dir)))
 
+  private def sessionAppendedIvfIndex(s: SparkSession, dir: String): IvfIndex = {
+    val idxDir = builtIdx.computeIfAbsent(
+      s.sparkContext.applicationId + ":appended:" + dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+        val c = corpus(s, dir)
+        saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), d, k = 10, iters = 2)
+        appendIvfIndex(c.filter(col("vec_id") % 5 === 0), d)
+        d
+      })
+    loadIvfIndex(s, idxDir)
+  }
+
+  /** Incremental-maintenance probe: index trained on 80% of the
+    * corpus, the remaining 20% folded in by [[appendIvfIndex]] (no
+    * retrain), then probed. IvfIndexSpec pins the invariant that the
+    * appended index row-equals a same-centroid assignment of the full
+    * corpus and that base cell files stay byte-untouched; recall
+    * grading rides the existing IVF family checks.
+    */
+  val annIvfAppendQuery: QueryDef = QueryDef(
+    "ann_ivf_append_topk",
+    (s, dir) => annIvfIndexed(queriesDf(s, dir, 10), sessionAppendedIvfIndex(s, dir)))
+
   /** Contrastive-pair mining for embedding/metric training: per anchor,
     * the HARD positive (least-similar same-label vector — the pair a
     * contrastive loss learns most from) and the HARD negative
@@ -620,5 +665,6 @@ object VectorOps {
       FROM ranked WHERE rn = 1"""))
 
   val all: Seq[QueryDef] =
-    Seq(annBrute, annLsh, annIvf, annIvfIndexedQuery, dedupEmbedding, contrastive)
+    Seq(annBrute, annLsh, annIvf, annIvfIndexedQuery, annIvfAppendQuery,
+      dedupEmbedding, contrastive)
 }

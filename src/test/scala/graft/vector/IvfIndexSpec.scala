@@ -73,4 +73,51 @@ class IvfIndexSpec extends AnyFunSuite {
       s"assignment plan shuffles:\n${assignments.queryExecution.executedPlan}")
     assert(assignments.count() == corpus.count())
   }
+
+  test("appendIvfIndex: append-only, centroids untouched, equals same-centroid full assignment") {
+    val sf = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+    assume(sf.isDefined)
+    val corpus = spark.read.parquet(s"${sf.get}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    VectorOps.saveIvfIndex(corpus.filter(col("vec_id") % 5 =!= 0), dir, k = 10, iters = 2)
+    def vectorFiles = {
+      val b = scala.collection.mutable.Map[String, Long]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => b(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      b.toMap
+    }
+    val centroidsBefore = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val before = vectorFiles
+    VectorOps.appendIvfIndex(corpus.filter(col("vec_id") % 5 === 0), dir)
+    val after = vectorFiles
+    before.foreach { case (f, m) =>
+      assert(after.get(f).contains(m), s"base cell file rewritten: $f")
+    }
+    assert(after.size > before.size, "no delta cell files appended")
+    val centroidsAfter = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(centroidsAfter === centroidsBefore)
+    // the appended index row-equals assigning the FULL corpus against
+    // the same centroids (the invariant that keeps probes correct)
+    // raw read (not loadIvfIndex's explicit schema): the cell partition
+    // column infers as int from the directory names — cast for the check
+    val got = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = VectorOps.assignCells(corpus, centroidsBefore)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // an untrained index refuses adds (FAISS contract)
+    val emptyDir = java.nio.file.Files.createTempDirectory("ivf_empty").toString
+    VectorOps.saveIvfIndex(corpus.filter(lit(false)), emptyDir, k = 10, iters = 2)
+    intercept[IllegalStateException] {
+      VectorOps.appendIvfIndex(corpus.limit(1), emptyDir)
+    }
+  }
 }
