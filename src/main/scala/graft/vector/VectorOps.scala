@@ -411,8 +411,14 @@ object VectorOps {
     val cents: Seq[(Long, Seq[Double])] =
       s.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids")
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    if (cents.isEmpty) throw new IllegalStateException(
-      s"$indexDir has no centroids — an untrained index cannot take adds (FAISS contract); build with saveIvfIndex first")
+    if (cents.isEmpty) {
+      // empty-corpus build has no centroids; folding an empty delta
+      // into it is a no-op (the zero-row pipeline case), folding real
+      // vectors is the FAISS untrained-index error
+      if (delta.select(col("vec_id")).limit(1).isEmpty) return
+      throw new IllegalStateException(
+        s"$indexDir has no centroids — an untrained index cannot take adds (FAISS contract); build with saveIvfIndex first")
+    }
     assignCells(delta, cents)
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
   }

@@ -37,6 +37,9 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val boundedBroadcastNlj = Set(
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_indexed_topk",
+    // same probed-index shape as ann_ivf_indexed_topk (the index was
+    // maintained by append instead of rebuilt — identical probe plan)
+    "ann_ivf_append_topk",
     // the ≤20-row anchor set broadcast over the corpus scan (same
     // bounded-query-set shape as ann_brute_topk)
     "contrastive_pairs",
@@ -59,6 +62,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_bm25",
     // same 1-row stats crossJoin, reading the persisted inverted index
     "bm25_index_topk",
+    // same 1-row stats crossJoin, probing the incrementally-maintained
+    // index (append-merged postings — identical probe plan)
+    "bm25_index_merge_topk",
     // 1-row vocabulary aggregate onto the bigram stream (as in
     // quality_lm_score) plus the ≤|langs|-row tercile-cutoff table
     "quality_ppl_buckets",
