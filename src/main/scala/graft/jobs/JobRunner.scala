@@ -70,6 +70,8 @@ object JobCli {
       |        warc_to_documents (--main_content: boilerplate removal) | curate |
       |        dedup_index_build | dedup_index_probe (--add_input INDEX_DIR) |
       |        bm25_index_build | bm25_index_probe (--query t1,t2) |
+      |        bm25_index_merge (--add_input INDEX_DIR: append-only delta fold) |
+      |        scd2_build | asof (native point-in-time join over events) |
       |        crawl_diff (--add_input SNAPSHOT_B)
       |        decontam (--add_input EVAL_DOCS)
       |        ann_index_build / ann_index_probe / ann_index_update
@@ -334,6 +336,29 @@ object JobRunner {
             .write.mode("overwrite").parquet(s"${cli.output}/topk")
           spark.read.parquet(s"${cli.output}/topk")
         }
+      case "bm25_index_merge" =>
+        // input = DELTA documents parquet dir; --add_input = index dir
+        // from bm25_index_build. Folds the delta in WITHOUT re-reading
+        // the indexed corpus: postings append, terms/stats re-aggregate
+        // and swap (text/InvertedIndex.appendDelta) — the per-crawl
+        // index-maintenance path, bm25's counterpart of ann_index_update
+        {
+          require(cli.addInputs.nonEmpty,
+            "bm25_index_merge needs --add_input <index_dir>")
+          graft.text.InvertedIndex.appendDelta(
+            spark.read.parquet(cli.input), cli.addInputs.head)
+          spark.read.parquet(s"${cli.addInputs.head}/stats")
+        }
+      case "scd2_build" =>
+        // input = events parquet; writes the type-2 slowly-changing
+        // dimension (user_id, value, valid_from_us, valid_to_us) —
+        // point-in-time lookups then become plain interval joins
+        graft.operators.Relational.scd2(spark.read.parquet(cli.input))
+      case "asof" =>
+        // input = events parquet; writes clicks enriched with the same
+        // user's latest purchase value at-or-before each click, via the
+        // native AsOfJoin operator (plans/AsOfJoinExec.scala)
+        graft.operators.AsOfJoinOps.enrichClicks(spark.read.parquet(cli.input))
       case "crawl_diff" =>
         // input = snapshot A, --add_input = snapshot B (documents parquet
         // dirs): writes per-doc status/ plus the per-source summary/

@@ -91,21 +91,25 @@ object AsOfJoinOps {
     * sharing (user, ts) the max event_id wins — precisely the
     * operator's `rightTs <= leftTs` + ascending `event_id` tiebreak.
     */
+  /** Click enrichment over a raw events frame via the custom operator —
+    * shared by the registered query and the `asof` CLI arm.
+    */
+  def enrichClicks(raw: DataFrame): DataFrame = {
+    val tsUs: Column = Tables.tsMicros(raw)
+    val clicks = raw.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+    val purchases = raw.filter(col("event_type") === "purchase")
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"), col("value"))
+    asofJoin(clicks, purchases, keys = Seq("user_id"),
+      leftTsCol = "ts_us", rightTsCol = "ts_us",
+      valueCols = Seq("value"), tiebreak = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        round(coalesce(col("value"), lit(-1.0)), 6).as("asof_value"))
+  }
+
   val j6AsofCustom: QueryDef = QueryDef(
     "j6_asof_custom",
-    (s, dir) => {
-      val raw = Tables(s, dir, "events")
-      val tsUs: Column = Tables.tsMicros(raw)
-      val clicks = raw.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
-      val purchases = raw.filter(col("event_type") === "purchase")
-        .select(col("user_id"), tsUs.as("ts_us"), col("event_id"), col("value"))
-      asofJoin(clicks, purchases, keys = Seq("user_id"),
-        leftTsCol = "ts_us", rightTsCol = "ts_us",
-        valueCols = Seq("value"), tiebreak = Seq("event_id"))
-        .select(col("event_id"), col("user_id"), col("ts_us"),
-          round(coalesce(col("value"), lit(-1.0)), 6).as("asof_value"))
-    },
+    (s, dir) => enrichClicks(Tables(s, dir, "events")),
     Some("""WITH u AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
           CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
           CASE WHEN event_type = 'purchase' THEN value END AS pv

@@ -1850,21 +1850,25 @@ object Relational {
     * that turns repeated point-in-time lookups into a plain interval
     * join against a table |state changes| big, not |events| big.
     */
+  /** SCD2 dimension from a raw events frame — shared by the registered
+    * query and the `scd2_build` CLI arm.
+    */
+  def scd2(raw: DataFrame): DataFrame = {
+    val p = raw.filter(col("event_type") === "purchase")
+      .select(col("user_id"), graft.util.Tables.tsMicros(raw).as("ts_us"),
+        col("value"), col("event_id"))
+    val dedupW = Window.partitionBy(col("user_id"), col("ts_us"))
+      .orderBy(col("event_id").desc)
+    val leadW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    p.withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
+      .select(col("user_id"), round(col("value"), 6).as("value"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(leadW).as("valid_to_us"))
+  }
+
   val scd2Build: QueryDef = QueryDef(
     "scd2_build",
-    (s, dir) => {
-      val raw = t(s, dir, "events")
-      val p = raw.filter(col("event_type") === "purchase")
-        .select(col("user_id"), graft.util.Tables.tsMicros(raw).as("ts_us"),
-          col("value"), col("event_id"))
-      val dedupW = Window.partitionBy(col("user_id"), col("ts_us"))
-        .orderBy(col("event_id").desc)
-      val leadW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-      p.withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
-        .select(col("user_id"), round(col("value"), 6).as("value"),
-          col("ts_us").as("valid_from_us"),
-          lead(col("ts_us"), 1).over(leadW).as("valid_to_us"))
-    },
+    (s, dir) => scd2(t(s, dir, "events")),
     Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_id,
           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
         FROM events WHERE event_type = 'purchase')

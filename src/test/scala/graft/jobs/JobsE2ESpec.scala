@@ -590,4 +590,46 @@ class JobsE2ESpec extends AnyFunSuite {
     val row = df.collect().find(_.getString(0) == "https://shared.example.com/s.xml").get
     assert(row.getSeq[String](1).sorted == Seq("a.example.com", "b.example.com"))
   }
+
+  test("bm25_index_merge CLI folds a delta; merged probe equals from-scratch") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).exists())
+    val base = java.nio.file.Files.createTempDirectory("bm25merge").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .write.parquet(s"$base/base_docs")
+    docs.filter(col("doc_id") % 5 === 0)
+      .write.parquet(s"$base/delta_docs")
+    JobRunner.run(spark, JobCli("bm25_index_build", s"$base/base_docs", s"$base/idx"))
+    JobRunner.run(spark, JobCli("bm25_index_merge", s"$base/delta_docs", s"$base/stats",
+      addInputs = Seq(s"$base/idx")))
+    JobRunner.run(spark, JobCli("bm25_index_probe", s"$base/idx", s"$base/out",
+      outParts = 1, query = Some("join,vector,filter,dup")))
+    val viaCli = spark.read.parquet(s"$base/out/topk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = graft.SparkEntry.queries("text_bm25")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaCli == direct)
+    assert(viaCli.nonEmpty)
+  }
+
+  test("scd2_build and asof CLI arms reproduce their registered queries") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).exists())
+    val base = java.nio.file.Files.createTempDirectory("asofcli").toString
+    JobRunner.run(spark, JobCli("scd2_build", s"$sf/events.parquet", s"$base/dim",
+      outParts = 1))
+    val dim = spark.read.parquet(s"$base/dim").collect().map(_.toSeq).toSet
+    val dimDirect = graft.SparkEntry.queries("scd2_build")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(dim === dimDirect)
+    JobRunner.run(spark, JobCli("asof", s"$sf/events.parquet", s"$base/enriched",
+      outParts = 1))
+    val enriched = spark.read.parquet(s"$base/enriched").collect().map(_.toSeq).toSet
+    val enrichedDirect = graft.SparkEntry.queries("j6_asof_custom")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(enriched === enrichedDirect)
+    assert(enriched.nonEmpty)
+  }
 }
