@@ -71,7 +71,8 @@ object JobCli {
       |        dedup_index_build | dedup_index_probe (--add_input INDEX_DIR) |
       |        bm25_index_build | bm25_index_probe (--query t1,t2) |
       |        bm25_index_merge (--add_input INDEX_DIR: append-only delta fold) |
-      |        scd2_build | asof (native point-in-time join over events) |
+      |        scd2_build | scd2_merge (--add_input DIM_DIR) |
+      |        asof (native point-in-time join over events) |
       |        crawl_diff (--add_input SNAPSHOT_B)
       |        decontam (--add_input EVAL_DOCS)
       |        ann_index_build / ann_index_probe / ann_index_update
@@ -354,6 +355,19 @@ object JobRunner {
         // dimension (user_id, value, valid_from_us, valid_to_us) —
         // point-in-time lookups then become plain interval joins
         graft.operators.Relational.scd2(spark.read.parquet(cli.input))
+      case "scd2_merge" =>
+        // input = DELTA events parquet; --add_input = existing dimension
+        // dir from scd2_build. Copy-on-write by user: only users with
+        // delta purchases rebuild, everyone else passes through — and
+        // the result is exactly a full rebuild (src_event_id lineage
+        // carries the equal-timestamp tiebreak)
+        {
+          require(cli.addInputs.nonEmpty,
+            "scd2_merge needs --add_input <dimension_dir>")
+          graft.operators.Relational.scd2Merge(
+            spark.read.parquet(cli.addInputs.head),
+            spark.read.parquet(cli.input))
+        }
       case "asof" =>
         // input = events parquet; writes clicks enriched with the same
         // user's latest purchase value at-or-before each click, via the

@@ -632,4 +632,22 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(enriched === enrichedDirect)
     assert(enriched.nonEmpty)
   }
+
+  test("scd2_merge CLI folds a delta; merged dimension equals full rebuild") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).exists())
+    val base = java.nio.file.Files.createTempDirectory("scd2m").toString
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    events.filter(col("event_id") % 5 =!= 0).write.parquet(s"$base/base_ev")
+    events.filter(col("event_id") % 5 === 0).write.parquet(s"$base/delta_ev")
+    JobRunner.run(spark, JobCli("scd2_build", s"$base/base_ev", s"$base/dim", outParts = 1))
+    JobRunner.run(spark, JobCli("scd2_merge", s"$base/delta_ev", s"$base/dim2",
+      outParts = 1, addInputs = Seq(s"$base/dim")))
+    val merged = spark.read.parquet(s"$base/dim2").collect().map(_.toSeq).toSet
+    val full = graft.SparkEntry.queries("scd2_build")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(merged === full)
+    assert(merged.nonEmpty)
+  }
 }
