@@ -192,8 +192,12 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.Files.copy(part, staged.resolve(name))
       } finally st.close()
     }
+    // batch boundaries controlled by ARRIVAL, not file mtime: the
+    // second file lands only after the first batch drains (equal
+    // mtimes once made the click file process first, and a purchase
+    // arriving after the click correctly yields -1.0 — not the
+    // state-carry scenario this test pins)
     onePart("b0", "part-00000.parquet")
-    onePart("b1", "part-00001.parquet")
     val typed = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", "1")
@@ -202,7 +206,11 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStream.asofEnrich(typed).toDF()
       .writeStream.format("memory").queryName("asof_two_batches")
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable() // batch 1: the purchase updates state
+      onePart("b1", "part-00001.parquet")
+      q.processAllAvailable() // batch 2: the click reads carried state
+    } finally q.stop()
     val rows = spark.sql("SELECT event_id, asof_value FROM asof_two_batches").collect()
     assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSet === Set((2L, 42.0)))
   }
