@@ -1910,7 +1910,7 @@ object Relational {
 
   // a def, not a val: scd2Build above initializes before a val here
   // would (object init order) and would capture null
-  private def Scd2OracleSql: String =
+  private[graft] def Scd2OracleSql: String =
     """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_id,
           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
         FROM events WHERE event_type = 'purchase')

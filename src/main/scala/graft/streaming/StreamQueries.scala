@@ -489,8 +489,45 @@ object StreamQueries {
         round(COALESCE(av, -1.0), 6) AS asof_value
       FROM f WHERE kind = 1"""))
 
+  /** Streaming SCD2 maintenance — the CDC-pipeline shape: every
+    * micro-batch folds into a VERSIONED dimension via scd2Merge
+    * (copy-on-write by user, version dirs v0→v1→…, readers keep a
+    * consistent snapshot while the next version writes). Because the
+    * merge is rebuild-exact (src_event_id lineage resolves equal-ts
+    * and late points identically to a from-scratch build), the drained
+    * dimension equals the batch scd2_build REGARDLESS of how arrival
+    * split the batches — which is exactly what the shared oracle
+    * checks. At scale each fold costs the delta's user set, and old
+    * versions garbage-collect by retention like any versioned table.
+    */
+  val streamScd2Maintenance: QueryDef = QueryDef(
+    "stream_scd2_maintenance",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val dimRoot = java.nio.file.Files.createTempDirectory("graft_scd2_ivm").toString
+      val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+      withStreamPartitions(s) {
+        val q = EventStream.readEvents(s, stagedEvents(s, dir))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val prev = s"$dimRoot/v${ver.get}"
+            val existing =
+              if (new java.io.File(prev).exists) batch.sparkSession.read.parquet(prev)
+              else graft.operators.Relational.scd2(batch.limit(0))
+            graft.operators.Relational.scd2Merge(existing, batch)
+              .write.mode("overwrite").parquet(s"$dimRoot/v${ver.get + 1}")
+            ver.incrementAndGet()
+            () // pin the Unit overload (the Int above breaks resolution)
+          }
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(s"$dimRoot/v${ver.get}")
+    },
+    Some(graft.operators.Relational.Scd2OracleSql))
+
   val all: Seq[QueryDef] =
     Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin,
       streamCurate, streamFunnel, streamLeftJoin, streamMvMaintenance,
-      streamStaticEnrich, streamAsofEnrich)
+      streamStaticEnrich, streamAsofEnrich, streamScd2Maintenance)
 }

@@ -69,4 +69,19 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     // starts 0, 40, 80 -> lengths 50, 50, 15
     assert(out == Map(0 -> 50, 1 -> 50, 2 -> 15), s"got $out")
   }
+
+  test("scd2Merge chain-folds arbitrary splits to exactly the full rebuild") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).exists())
+    val raw = graft.util.Tables(spark, sf, "events")
+    // three arbitrary chunks folded sequentially — including a split
+    // that scatters a user's purchases across chunks out of time order
+    var dim = Relational.scd2(raw.filter(col("event_id") % 3 === 1))
+    dim = Relational.scd2Merge(dim, raw.filter(col("event_id") % 3 === 2))
+    dim = Relational.scd2Merge(dim, raw.filter(col("event_id") % 3 === 0))
+    val full = Relational.scd2(raw)
+    assert(dim.collect().map(_.toSeq).toSet === full.collect().map(_.toSeq).toSet)
+    assert(full.count() > 0)
+  }
 }
