@@ -2018,6 +2018,67 @@ object Relational {
         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS attributed_value
       FROM f WHERE kind = 1 GROUP BY 1"""))
 
+  /** Multi-touch (linear) attribution — the companion of
+    * [[eventsAttribution]]'s last-touch rule: every purchase's value
+    * splits EQUALLY among the user's clicks in the 7-day lookback
+    * window at-or-before it (purchases with no such click fall into
+    * the direct bucket -1). Shape: one keyed join on user_id with the
+    * lookback range as residual — fan-out is clicks-per-user-per-week,
+    * a product constant, never corpus-squared — then a per-purchase
+    * count and a channel rollup. Credits are exact decimals divided
+    * per purchase, so the per-channel totals sum back to attributed
+    * revenue without float drift.
+    */
+  val eventsAttributionLinear: QueryDef = QueryDef(
+    "events_attribution_linear",
+    (s, dir) => {
+      val raw = t(s, dir, "events")
+      val lookbackUs = 7L * 24 * 3600 * 1000000L
+      val clicks = raw.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          graft.util.Tables.tsMicros(raw).as("c_ts"),
+          (get_json_object(col("props"), "$.k").cast("long") % 5).as("channel"))
+      val purchases = raw.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          graft.util.Tables.tsMicros(raw).as("p_ts"), col("value"))
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - lookbackUs,
+        "left")
+      val perPurchase = Window.partitionBy(col("p_id"))
+      // credit: IEEE double division then round-6 (bit-identical across
+      // engines), summed as exact decimal (order-independent) — the
+      // decimal-DIVISION route differs between engines' scale rules
+      joined
+        .withColumn("n_touch", count(col("channel")).over(perPurchase))
+        .select(
+          coalesce(col("channel"), lit(-1L)).as("channel"),
+          when(col("n_touch") === 0, round(col("value"), 6))
+            .otherwise(round(col("value") / col("n_touch"), 6))
+            .cast("decimal(18,6)").as("credit"))
+        .groupBy(col("channel"))
+        .agg(round(sum(col("credit")).cast("double"), 4).as("attributed_value"),
+          count(lit(1)).as("n_touches"))
+    },
+    Some("""WITH c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_ts,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS channel
+        FROM events WHERE event_type = 'click'),
+      p AS (SELECT event_id AS p_id, user_id AS p_user, epoch_us(ts) AS p_ts, value
+        FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT p.p_id, p.value, c.channel
+        FROM p LEFT JOIN c ON p.p_user = c.c_user
+          AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - 604800000000
+      ),
+      n AS (SELECT p_id, value, channel,
+          COUNT(channel) OVER (PARTITION BY p_id) AS n_touch FROM j)
+      SELECT COALESCE(channel, -1) AS channel,
+        ROUND(CAST(SUM(CAST(CASE WHEN n_touch = 0 THEN ROUND(value, 6)
+          ELSE ROUND(value / n_touch, 6)
+          END AS DECIMAL(18,6))) AS DOUBLE), 4) AS attributed_value,
+        COUNT(*) AS n_touches
+      FROM n GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, s4SqlPushdown,
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
@@ -2037,5 +2098,5 @@ object Relational {
     eventsMarkov, eventsOutliers, a13GroupingSets, w7RankFamily,
     q6ForecastRevenue, w8NtileFamily, sketchMergeAudit, mvRewriteAgg,
     mvRollupAgg, q21SoleLateSupplier, scd2Build, scd2PitJoin,
-    scd2MergeQuery, eventsAttribution)
+    scd2MergeQuery, eventsAttribution, eventsAttributionLinear)
 }

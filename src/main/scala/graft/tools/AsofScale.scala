@@ -38,15 +38,16 @@ object AsofScale {
     val m = new ScalePipeline.StageMetrics
     spark.sparkContext.addSparkListener(m)
 
-    // Zipf-ish user skew via an inverse-rank map: id -> users/(1+id%users)
-    // clusters a large share of events onto low-rank users (user 0 takes
-    // ~1/ln(users) of the mass) — the shape that breaks per-key buffering.
+    // Zipf(1)-ish user skew via a log-uniform map: P(user=k) ∝ 1/k, the
+    // hottest user holds ~1/ln(users) ≈ 8% of all events — the shape
+    // that breaks per-key buffering while leaving enough parallelism
+    // that the harness measures the plan, not one task.
     val ev = spark.range(n).select(
       col("id").as("event_id"),
       timestamp_micros(lit(1704067200000000L) +
         pmod(xxhash64(col("id")), lit(30L * 24 * 3600 * 1000000L))).as("ts"),
-      (lit(users) / (lit(1L) + pmod(xxhash64(col("id") + 7), lit(users)))).cast("long")
-        .as("user_id"),
+      floor(exp((pmod(xxhash64(col("id") + 7), lit(1000000L)) / lit(1000000.0)) *
+        log(lit(users.toDouble)))).cast("long").as("user_id"),
       when(pmod(col("id"), lit(10)) < 7, "click").otherwise("purchase")
         .as("event_type"),
       (pmod(xxhash64(col("id") + 13), lit(10000)) / lit(100.0)).as("value"))
