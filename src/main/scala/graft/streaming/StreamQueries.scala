@@ -526,8 +526,69 @@ object StreamQueries {
     },
     Some(graft.operators.Relational.Scd2OracleSql))
 
+  /** Per-source WARC archives synthesized from the documents table —
+    * built ON EXECUTORS (foreachPartition + WarcWriter; a cluster
+    * deployment would point WarcWriter.writeHadoop at shared storage),
+    * one archive per shuffle partition of the source key. Cached per
+    * (application, sf dir) like the other staged inputs.
+    */
+  private def stagedWarcs(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    staged.computeIfAbsent(s.sparkContext.applicationId + s":warcgen:" + dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_warc_stream").toString
+      import s.implicits._
+      graft.util.Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+        .repartition(8, col("source"))
+        .as[(String, Long, String)]
+        .foreachPartition { it: Iterator[(String, Long, String)] =>
+          val recs = it.map { case (src, id, text) =>
+            graft.warc.SampleWarc.response(
+              s"https://$src.example.test/doc$id",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }.toSeq
+          if (recs.nonEmpty) {
+            val name = java.util.UUID.randomUUID().toString
+            graft.warc.WarcWriter.writeFile(s"$stage/$name.warc.gz", recs)
+          }
+          () // writeFile returns offsets; the overload needs a Unit lambda
+        }
+      stage
+    })
+
+  /** Streaming ingest of RAW WARC archives through the custom DSv2
+    * micro-batch source (warc format, one archive per batch partition,
+    * seen-files offsets): the 24/7 crawl-landing shape end to end —
+    * archive bytes in, queryable per-source table out. The oracle
+    * replays the byte accounting from the documents table: each
+    * response payload is the fixed 44-byte HTTP envelope
+    * (status + Content-Type header + blank line) plus the UTF-8 text,
+    * so a hash match proves the writer → stream-reader → aggregation
+    * path loses nothing.
+    */
+  val streamWarcIngest: QueryDef = QueryDef(
+    "stream_warc_ingest",
+    (s, dir) => {
+      val staged = stagedWarcs(s, dir)
+      withStreamPartitions(s) {
+        val q = s.readStream.format("warc").load(staged)
+          .filter(col("warc_type") === "response")
+          .select(col("target_uri"), octet_length(col("payload")).as("n_bytes"))
+          .writeStream.format("memory").queryName("graft_stream_warc")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.sql("""SELECT regexp_extract(target_uri, 'https://(.*)\\.example\\.test/', 1) AS source,
+        COUNT(*) AS n_pages, COUNT(DISTINCT target_uri) AS n_uris,
+        SUM(CAST(n_bytes AS BIGINT)) AS total_bytes
+        FROM graft_stream_warc GROUP BY 1""")
+    },
+    Some("""SELECT source, COUNT(*) AS n_pages, COUNT(DISTINCT doc_id) AS n_uris,
+      CAST(SUM(44 + octet_length(encode(text))) AS BIGINT) AS total_bytes
+      FROM documents GROUP BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin,
       streamCurate, streamFunnel, streamLeftJoin, streamMvMaintenance,
-      streamStaticEnrich, streamAsofEnrich, streamScd2Maintenance)
+      streamStaticEnrich, streamAsofEnrich, streamScd2Maintenance,
+      streamWarcIngest)
 }

@@ -78,7 +78,7 @@ class WarcTable(path: String, recordType: Option[String])
   override def name(): String = s"warc:$path"
   override def schema(): StructType = WarcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(
       if (path.nonEmpty) path else options.get("path"),
@@ -136,9 +136,66 @@ class WarcScan(path: String, recordTypes: Option[Set[String]],
     new WarcReaderFactory(recordTypes, required,
       org.apache.spark.sql.SparkSession.getActiveSession
         .map(graft.util.HadoopConfs.ship))
+  override def toMicroBatchStream(
+      checkpointLocation: String): streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, recordTypes, required)
   override def description(): String =
     s"WarcScan(path=$path, pushedTypes=${recordTypes.getOrElse(Set.empty).mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
+}
+
+/** Structured Streaming over a landing directory of WARC archives — the
+  * 24/7 crawl-ingest shape: new `.warc(.gz)` files appear, each
+  * micro-batch processes exactly the not-yet-seen files, and the
+  * engine's checkpoint makes a restart resume without reprocessing.
+  * The batch ScanBuilder is shared, so warc_type pushdown and column
+  * pruning apply to the STREAM too (a streaming `WHERE warc_type =
+  * 'response'` never materializes other records).
+  *
+  * Offset = the sorted set of files already visible, serialized as a
+  * JSON array (the same information FileStreamSource keeps in its seen
+  * log; fine for landing dirs, whose file count a compaction job
+  * bounds). A batch's partitions are `end.files -- start.files` — one
+  * per new archive, the natural WARC work unit.
+  */
+class WarcMicroBatchStream(path: String, recordTypes: Option[Set[String]],
+                           required: StructType)
+    extends streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = WarcSourceOffset(Nil)
+  override def latestOffset(): Offset =
+    WarcSourceOffset(WarcDataSource.expand(path).sorted)
+  override def deserializeOffset(json: String): Offset =
+    WarcSourceOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcSourceOffset].files.toSet
+    end.asInstanceOf[WarcSourceOffset].files.filterNot(seen)
+      .map(p => WarcInputPartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(recordTypes, required,
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(graft.util.HadoopConfs.ship))
+}
+
+case class WarcSourceOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.Serialization.write(files)
+  }
+}
+
+object WarcSourceOffset {
+  def fromJson(j: String): WarcSourceOffset = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    WarcSourceOffset(org.json4s.jackson.Serialization.read[Seq[String]](j))
+  }
 }
 
 case class WarcInputPartition(file: String) extends InputPartition
