@@ -65,7 +65,8 @@ object JobCli {
       |  job ∈ server_count | html_tag_count | server_ip | word_count |
       |        sitemaps | anchor_text_corpus | extract_host_links | host_graph |
       |        wet_extract |
-      |        stream_windows | md5sum | warc_to_parquet | index_build |
+      |        stream_windows | warc_stream (landing-dir ingest, resumes) |
+      |        md5sum | warc_to_parquet | index_build |
       |        index_export | index_word_count |
       |        warc_to_documents (--main_content: boilerplate removal) | curate |
       |        dedup_index_build | dedup_index_probe (--add_input INDEX_DIR) |
@@ -226,7 +227,8 @@ object JobRunner {
     val selfWriting = Set("host_graph", "wet_extract", "index_build", "curate",
       "dedup_index_build", "dedup_index_probe",
       "bm25_index_build", "bm25_index_probe", "crawl_diff", "decontam",
-      "ann_index_build", "ann_index_probe", "compact", "pca") ++
+      "ann_index_build", "ann_index_probe", "compact", "pca",
+      "warc_stream") ++
       (if (cli.job == "stream_windows" && JobConfig.isPathOutput(cli.output))
         Set("stream_windows") else Set.empty)
 
@@ -625,6 +627,25 @@ object JobRunner {
           q.processAllAvailable(); q.stop()
           spark.sql("SELECT * FROM win")
         }
+      case "warc_stream" =>
+        // 24/7 crawl landing: input = a directory where raw .warc(.gz)
+        // archives keep arriving; each invocation streams every
+        // NOT-YET-SEEN archive (the DSv2 micro-batch source's seen-files
+        // offsets live in the checkpoint) and appends one row per record
+        // to the bronze table — a re-run after new archives land resumes
+        // exactly where the last one stopped, never reprocessing
+        {
+          import org.apache.spark.sql.functions.{col, octet_length}
+          val stream = spark.readStream.format("warc").load(cli.input)
+            .select(col("path"), col("warc_type"), col("target_uri"),
+              col("warc_date"), octet_length(col("payload")).as("n_bytes"))
+          val q = stream.writeStream.outputMode("append").format("parquet")
+            .option("path", s"${cli.output}/data")
+            .option("checkpointLocation", s"${cli.output}/_checkpoint")
+            .start()
+          q.processAllAvailable(); q.stop()
+          spark.read.parquet(s"${cli.output}/data")
+        }
       case "datacard" =>
         // input = documents parquet dir → the per-(lang, source) release
         // statistics sheet (corpus_datacard's expressions)
@@ -731,6 +752,7 @@ object JobRunner {
           case "wet_extract"    => s"${cli.output}/coords"
           case "index_build"    => s"${cli.output}/ccindex"
           case "stream_windows" => s"${cli.output}/data"
+          case "warc_stream"    => s"${cli.output}/data"
           case "curate"         => s"${cli.output}/kept"
           case "dedup_index_build" => s"${cli.output}/exact/digests"
           case "dedup_index_probe" => s"${cli.output}/exact"

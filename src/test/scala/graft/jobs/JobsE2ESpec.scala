@@ -650,4 +650,24 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(merged === full)
     assert(merged.nonEmpty)
   }
+
+  test("warc_stream CLI resumes across invocations without reprocessing") {
+    val land = java.nio.file.Files.createTempDirectory("warcland").toString
+    val out = java.nio.file.Files.createTempDirectory("warcbronze").toString
+    graft.warc.WarcWriter.writeFile(s"$land/a.warc.gz", graft.warc.Fixtures.all)
+    JobRunner.run(spark, JobCli("warc_stream", land, out))
+    val n1 = spark.read.parquet(s"$out/data").count()
+    assert(n1 === graft.warc.Fixtures.all.length.toLong)
+    // a new archive lands; a FRESH invocation (same output/checkpoint)
+    // must ingest only it
+    graft.warc.WarcWriter.writeFile(s"$land/b.warc.gz",
+      Seq(graft.warc.Fixtures.responseHtml))
+    JobRunner.run(spark, JobCli("warc_stream", land, out))
+    val rows = spark.read.parquet(s"$out/data")
+    assert(rows.count() === graft.warc.Fixtures.all.length.toLong + 1)
+    val perFile = rows.groupBy("path").count().collect()
+      .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    assert(perFile === Map("a.warc.gz" -> graft.warc.Fixtures.all.length.toLong,
+      "b.warc.gz" -> 1L))
+  }
 }
