@@ -65,7 +65,8 @@ object JobCli {
       |  job ∈ server_count | html_tag_count | server_ip | word_count |
       |        sitemaps | anchor_text_corpus | extract_host_links | host_graph |
       |        wet_extract |
-      |        stream_windows | warc_stream (landing-dir ingest, resumes) |
+      |        stream_windows | warc_stream (landing-dir ingest, resumes;
+      |          --table documents [--main_content]: streaming warc_to_documents) |
       |        md5sum | warc_to_parquet | index_build |
       |        index_export | index_word_count |
       |        warc_to_documents (--main_content: boilerplate removal) | curate |
@@ -635,10 +636,33 @@ object JobRunner {
         // to the bronze table — a re-run after new archives land resumes
         // exactly where the last one stopped, never reprocessing
         {
-          import org.apache.spark.sql.functions.{col, octet_length}
-          val stream = spark.readStream.format("warc").load(cli.input)
-            .select(col("path"), col("warc_type"), col("target_uri"),
-              col("warc_date"), octet_length(col("payload")).as("n_bytes"))
+          import org.apache.spark.sql.functions.{col, length, lit, octet_length, xxhash64}
+          import spark.implicits._
+          val base = spark.readStream.format("warc").load(cli.input)
+          // --table documents: the STREAMING form of warc_to_documents —
+          // the landing dir flows straight into the curation suite's
+          // table shape (html → text on the stream, same xxhash64 ids as
+          // the batch bridge, --main_content honored); default emits the
+          // per-record bronze rows
+          val stream =
+            if (cli.table == "documents")
+              base.select(col("path"), col("headers"), col("payload"))
+                .as[(String, Map[String, String], Array[Byte])]
+                .flatMap { case (path, hdrs, payload) =>
+                  val rec = graft.warc.WarcRecord(hdrs, payload)
+                  for {
+                    url <- rec.targetUri
+                    text <- graft.ops.Extractors.htmlToText(rec,
+                      mainOnly = cli.mainContent)
+                    t = text.trim if t.nonEmpty
+                  } yield (url, t, path.substring(path.lastIndexOf('/') + 1))
+                }.toDF("url", "text", "source")
+                .select(xxhash64(col("url")).as("doc_id"), col("text"),
+                  lit("").as("lang"), col("source"),
+                  length(col("text")).cast("long").as("n_chars"))
+            else
+              base.select(col("path"), col("warc_type"), col("target_uri"),
+                col("warc_date"), octet_length(col("payload")).as("n_bytes"))
           val q = stream.writeStream.outputMode("append").format("parquet")
             .option("path", s"${cli.output}/data")
             .option("checkpointLocation", s"${cli.output}/_checkpoint")

@@ -670,4 +670,23 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(perFile === Map("a.warc.gz" -> graft.warc.Fixtures.all.length.toLong,
       "b.warc.gz" -> 1L))
   }
+
+  test("warc_stream --table documents equals the batch warc_to_documents bridge") {
+    val land = java.nio.file.Files.createTempDirectory("warcland2").toString
+    val out = java.nio.file.Files.createTempDirectory("warcdocs").toString
+    // html response archives (Fixtures.responseHtml carries real html)
+    graft.warc.WarcWriter.writeFile(s"$land/a.warc.gz", graft.warc.Fixtures.all)
+    JobRunner.run(spark, JobCli("warc_stream", land, out, table = "documents"))
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(_.toSeq).toSet
+    // batch bridge over the same archives
+    val manifest = java.nio.file.Files.createTempDirectory("warcman").toString + "/m.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(manifest),
+      s"$land/a.warc.gz".getBytes("UTF-8"))
+    val batchOut = java.nio.file.Files.createTempDirectory("warcdocs_b").toString
+    JobRunner.run(spark, JobCli("warc_to_documents", manifest, batchOut, outParts = 1))
+    val batch = spark.read.parquet(batchOut).collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
