@@ -138,6 +138,16 @@ object ScalePipeline {
       println(f"[scale] generated $nFiles files, ${sz / 1e6}%.0f MB gzipped")
     }
 
+    // ---- stage 1b: streaming ingest of the same landing dir through
+    // the DSv2 micro-batch WARC source (the 24/7 arrival path) — one
+    // archive per batch partition, bronze rows out; count must equal
+    // the archives' record total
+    stage("warc_stream_ingest") {
+      JobRunner.run(spark, JobCli("warc_stream", warcDir, s"$root/bronze"))
+      val n = spark.read.parquet(s"$root/bronze/data").count()
+      println(s"[scale] warc_stream bronze rows: $n")
+    }
+
     // ---- stage 2: warc_to_documents (the real CLI job) ----
     val manifest = s"$root/manifest.txt"
     val files = new java.io.File(warcDir).listFiles().map(_.getAbsolutePath).sorted
