@@ -84,4 +84,37 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(dim.collect().map(_.toSeq).toSet === full.collect().map(_.toSeq).toSet)
     assert(full.count() > 0)
   }
+
+  test("property: scd2Merge over random splits always equals the full rebuild") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // tiny ts domain (0..5 µs) and 3 users force frequent equal-(user, ts)
+    // collisions ACROSS chunks — the case only the src_event_id lineage
+    // tiebreak resolves identically to a rebuild
+    val eventGen = for {
+      n <- Gen.choose(4, 24)
+      rows <- Gen.listOfN(n, for {
+        ts <- Gen.choose(0L, 5L)
+        user <- Gen.choose(0L, 2L)
+        isP <- Gen.oneOf(true, true, false)
+        v <- Gen.choose(0, 9999)
+        chunk <- Gen.choose(0, 2)
+      } yield (ts, user, if (isP) "purchase" else "click", v / 100.0, chunk))
+    } yield rows.zipWithIndex.map { case ((ts, u, tpe, v, c), i) =>
+      (i.toLong, ts, u, tpe, v, c)
+    }
+    var iter = 0
+    Iterator.continually(eventGen.sample).flatten.take(12).foreach { rows =>
+      iter += 1
+      val df = rows.toDF("event_id", "ts_raw", "user_id", "event_type", "value", "chunk")
+        .withColumn("ts", timestamp_micros(col("ts_raw")))
+      val full = Relational.scd2(df).collect().map(_.toSeq).toSet
+      var dim = Relational.scd2(df.filter(col("chunk") === 0))
+      dim = Relational.scd2Merge(dim, df.filter(col("chunk") === 1))
+      dim = Relational.scd2Merge(dim, df.filter(col("chunk") === 2))
+      val merged = dim.collect().map(_.toSeq).toSet
+      assert(merged === full, s"iteration $iter diverged on rows: $rows")
+    }
+  }
 }
