@@ -640,8 +640,121 @@ object Curation {
         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS b
         FROM documents)"""))
 
+  /** Sequential Poisson / priority sampling (Ohlsson 1998; Duffield et
+    * al. 2007) — weighted sampling WITHOUT replacement: each doc draws a
+    * deterministic uniform u ∈ (0,1] from the first 52 bits of
+    * md5(doc_id) (exact in a double, identical in DuckDB via the same
+    * hex prefix), gets priority ξ = u / w for weight w = n_chars + 1,
+    * and the k smallest-ξ docs per language win — longer documents are
+    * proportionally likelier to be kept, and the draw reproduces across
+    * engines, runs, and late-arriving shards (each doc's ξ depends only
+    * on itself). ξ is one IEEE division of exact inputs, so Spark and
+    * DuckDB order candidates bit-identically — no transcendental
+    * (`u^(1/w)` Efraimidis–Spirakis keys need pow/log, whose last-ulp is
+    * libm-dependent; the u/w priority form is the established equivalent
+    * that stays rational).
+    *
+    * Scale shape: per-group top-k as the salted two-stage rank — a local
+    * row_number within (lang, doc_id mod 64) prunes to ≤64·k candidates
+    * per language BEFORE the one per-language final rank, so the global
+    * window never concentrates a 100 TB language onto a single task.
+    */
+  val prioritySample: QueryDef = QueryDef(
+    "curation_priority_sample",
+    (s, dir) => {
+      val k = 50
+      val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
+        .cast("double") + lit(1.0)) / lit(4503599627370496.0) // 2^52
+      val scored = Tables(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          (u / (col("n_chars") + lit(1)).cast("double")).as("xi"))
+      val local = scored
+        .withColumn("salt", pmod(col("doc_id"), lit(64)))
+        .withColumn("lrk", row_number().over(
+          Window.partitionBy(col("lang"), col("salt"))
+            .orderBy(col("xi"), col("doc_id"))))
+        .filter(col("lrk") <= k).drop("lrk", "salt")
+      local
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("xi"), col("doc_id"))))
+        .filter(col("rk") <= k)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          round(col("xi") * lit(1000000.0), 6).as("xi_ppm"),
+          col("rk").cast("long").as("rk"))
+    },
+    Some("""WITH scored AS (SELECT lang, doc_id, n_chars,
+        ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+          / 4503599627370496.0) / (n_chars + 1.0) AS xi
+        FROM documents)
+      SELECT lang, doc_id, n_chars, round(xi * 1000000.0, 6) AS xi_ppm,
+        row_number() OVER (PARTITION BY lang ORDER BY xi, doc_id) AS rk
+      FROM scored
+      QUALIFY rk <= 50"""))
+
+  /** Per-source quality-median gate — the "keep the better half of every
+    * domain" cut of a pretraining filter, with the threshold derived
+    * from the data itself rather than a global constant (per-group
+    * cutoffs are what keep one boilerplate-heavy domain from eating the
+    * whole quality budget). Threshold = the LOWER MEDIAN (value at rank
+    * ⌈n/2⌉ in quality order) — rank selection, not interpolation,
+    * because the two engines' quantile interpolation associativity is
+    * not bit-pinned while rank math is exact.
+    *
+    * Scale shape: the median is computed from a VALUE HISTOGRAM, not a
+    * per-doc sort — quality is round-6-quantized in [0,1], so
+    * groupBy(source, quality) is map-side combinable and the cumulative
+    * window that locates the rank runs over ≤10^6 aggregated rows per
+    * source regardless of corpus size. No corpus-wide window, no
+    * per-source sort of raw docs; the tiny threshold table broadcasts
+    * back onto the scan. (The sketch alternative, approx_percentile, is
+    * graded separately by approx_quantile_audit — this operator pins the
+    * exact semantics.)
+    */
+  val qualityCutoff: QueryDef = QueryDef(
+    "curation_quality_cutoff",
+    (s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      val hist = scored.groupBy(col("source"), col("quality"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("quality"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      val thr = cum
+        .filter(col("cum") - col("c") < expr("(n + 1) div 2")
+          && expr("(n + 1) div 2") <= col("cum"))
+        .select(col("source"), col("quality").as("threshold"))
+      scored.join(broadcast(thr), "source")
+        .groupBy(col("source"))
+        .agg(max(col("threshold")).as("threshold"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("quality") > col("threshold"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("quality") > col("threshold"), col("n_chars"))
+            .otherwise(0L)).as("kept_chars"))
+    },
+    Some("""WITH scored AS (SELECT doc_id, source, n_chars,
+        round(least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+          + (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
+             / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 1.0)) * 0.5, 6) AS quality
+        FROM documents),
+      hist AS (SELECT source, quality, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+      cum AS (SELECT source, quality, c,
+          SUM(c) OVER (PARTITION BY source ORDER BY quality) AS cum,
+          SUM(c) OVER (PARTITION BY source) AS n
+        FROM hist),
+      thr AS (SELECT source, quality AS threshold FROM cum
+        WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum)
+      SELECT s.source, MAX(t.threshold) AS threshold, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN s.quality > t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN s.quality > t.threshold THEN s.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM scored s JOIN thr t USING (source)
+      GROUP BY s.source"""))
+
   val all: Seq[QueryDef] =
     Seq(domainBlocklist, domainQuota, dedupParagraph, stratifiedSample,
       shardShuffle, mixSources, badwords, cdcChunks, crawlDiff,
-      temperatureMix, crawlMergeQuery, sourceOverlapQuery, splitQuery)
+      temperatureMix, crawlMergeQuery, sourceOverlapQuery, splitQuery,
+      prioritySample, qualityCutoff)
 }

@@ -169,6 +169,20 @@ object TextOps {
           max(col("n_tok")).as("max_tokens"))
     })
 
+  /** The [[textQuality]] composite score as one reusable column — the
+    * SAME arithmetic (operand order, association, round-6) as the
+    * `quality` column below, so gates built on it (e.g.
+    * [[Curation.qualityCutoff]]) score documents identically to the
+    * text_quality oracle.
+    */
+  def qualityScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nTok = size(tokens(text)).cast(DoubleType)
+    val stops = size(regexp_extract_all(lower(text),
+      lit("\\b(the|a|of|and|to|in)\\b"), lit(0))).cast(DoubleType)
+    round(least(nTok / lit(100.0), lit(1.0)) * lit(0.5)
+      + stops / greatest(nTok, lit(1.0)) * lit(0.5), 6)
+  }
+
   /** Per-document quality scoring: token count, alpha density, stopword
     * ratio — the length/punct/stopword heuristics of a pretraining-data
     * quality filter, as pure column arithmetic (deterministic doubles:
