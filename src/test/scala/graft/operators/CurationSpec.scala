@@ -109,4 +109,42 @@ class CurationSpec extends AnyFunSuite {
     assert(got("sa") == ((1L, 0L, 0L)), s"crawl-1 copy must win: $got")
     assert(got("sb") == ((0L, 0L, 1L)), s"crawl-2 copy must drop: $got")
   }
+
+  test("priority sample equals the naive smallest-xi-per-language selection") {
+    assume(sf.isDefined)
+    import org.apache.spark.sql.functions._
+    // recompute xi per doc with NO windows/salting, select top-50 in Scala
+    val naive = graft.util.Tables(spark, sf.get, "documents")
+      .select(col("lang"), col("doc_id"),
+        ((conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
+          .cast("double") + lit(1.0)) / lit(4503599627370496.0)
+          / (col("n_chars") + lit(1)).cast("double")).as("xi"))
+      .collect()
+      .groupBy(_.getString(0)).toSeq
+      .flatMap { case (lang, rows) =>
+        rows.sortBy(r => (r.getDouble(2), r.getLong(1))).take(50)
+          .map(r => (lang, r.getLong(1))).toSeq
+      }.toSet
+    val got = graft.SparkEntry.queries("curation_priority_sample")(spark, sf.get)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == naive, s"two-stage salted top-k diverged from naive; " +
+      s"only-got=${(got -- naive).take(5)} only-naive=${(naive -- got).take(5)}")
+  }
+
+  test("quality cutoff threshold is the exact per-source lower median") {
+    assume(sf.isDefined)
+    import org.apache.spark.sql.functions._
+    val scored = graft.util.Tables(spark, sf.get, "documents")
+      .select(col("source"), TextOps.qualityScore(col("text")).as("q"))
+      .collect().groupBy(_.getString(0))
+    val got = graft.SparkEntry.queries("curation_quality_cutoff")(spark, sf.get)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(3))).toMap
+    scored.foreach { case (src, rows) =>
+      val qs = rows.map(_.getDouble(1)).sorted
+      val lowerMedian = qs((qs.length + 1) / 2 - 1)
+      val (thr, nKept) = got(src)
+      assert(thr == lowerMedian, s"$src: threshold $thr != lower median $lowerMedian")
+      assert(nKept == qs.count(_ > lowerMedian), s"$src: n_kept mismatch")
+    }
+  }
 }
