@@ -83,6 +83,8 @@ object JobCli {
       |        compact (--output_option target_mb=N
       |                 --output_option zorder=colA,colB: Morton-clustered
       |                 rewrite for two-key min/max file skipping) |
+      |        vacuum (--output_option keep=K: retain newest K versions
+      |                of a root/vN versioned table, delete the rest) |
       |        pca (--top_k K: components kept)""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
@@ -727,6 +729,14 @@ object JobRunner {
         // pass; see operators/DataQuality.scala for the scale note on
         // swapping exact COUNT(DISTINCT) for HLL at corpus scale)
         graft.operators.DataQuality.profile(spark.read.parquet(cli.input))
+      case "vacuum" =>
+        // Retention cleanup for versioned roots (scd2_merge /
+        // stream_scd2_maintenance publish root/vN) — completes the
+        // compact/zorder/vacuum maintenance trio. --output_option
+        // keep=K retains the newest K versions (default 2, min 1);
+        // the report of kept/deleted versions is the job output.
+        graft.operators.LayoutOps.vacuumVersions(spark, cli.input,
+          cli.outputOptions.getOrElse("keep", "2").toInt)
       case "compact" =>
         // Small-files compaction — the ops chore every long-running
         // pipeline needs (streaming sinks and many-task writers

@@ -163,5 +163,44 @@ object LayoutOps {
       .drop("__zval")
   }
 
+  /** Retention vacuum for versioned table roots — the `root/vN` layout
+    * that scd2_merge / stream_scd2_maintenance publish into and that
+    * any copy-on-write maintenance accumulates: delete every version
+    * below the newest `keep`. Only direct children named `v<int>` are
+    * version candidates; anything else under the root is untouched,
+    * and the current version (highest N) is never deletable (`keep`
+    * clamps to ≥1). Driver-side filesystem metadata work through the
+    * Hadoop FS API — no Spark job runs. Safe against concurrent
+    * readers of RETAINED versions because writers publish whole new
+    * `vN` dirs (a version is atomically present or absent under the
+    * swap protocol the versioned writers use); readers pinned to a
+    * vacuumed version fail like any expired-snapshot read — `keep`
+    * is the retention window, size it to the longest running read.
+    */
+  def vacuumVersions(spark: SparkSession, root: String, keep: Int): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val vName = "^v(\\d+)$".r
+    val versions = fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case vName(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      })
+      .sortBy(-_._1)
+    require(versions.nonEmpty, s"vacuum: no v<N> version dirs under $root")
+    val (kept, dropped) = versions.splitAt(math.max(keep, 1))
+    val report = (kept.map { case (v, p) =>
+      (v, p.toString, "kept", fs.getContentSummary(p).getLength)
+    } ++ dropped.map { case (v, p) =>
+      val bytes = fs.getContentSummary(p).getLength
+      fs.delete(p, true)
+      (v, p.toString, "deleted", bytes)
+    }).sortBy(-_._1)
+    import spark.implicits._
+    report.toDF("version", "path", "action", "bytes")
+  }
+
   val all: Seq[QueryDef] = Seq(zorderLayout)
 }

@@ -651,6 +651,26 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(merged.nonEmpty)
   }
 
+  test("vacuum CLI deletes superseded versions of a scd2-maintained dimension") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).exists())
+    val base = java.nio.file.Files.createTempDirectory("scd2vac").toString
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    // three maintenance generations of the same dimension root
+    events.filter(col("event_id") % 3 === 0).write.parquet(s"$base/dim/v1")
+    events.filter(col("event_id") % 3 <= 1).write.parquet(s"$base/dim/v2")
+    events.write.parquet(s"$base/dim/v3")
+    JobRunner.run(spark, JobCli("vacuum", s"$base/dim", s"$base/report",
+      outParts = 1, outputOptions = Map("keep" -> "1")))
+    assert(!new java.io.File(s"$base/dim/v1").exists)
+    assert(!new java.io.File(s"$base/dim/v2").exists)
+    assert(new java.io.File(s"$base/dim/v3").exists)
+    val rep = spark.read.parquet(s"$base/report")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rep === Map(3L -> "kept", 2L -> "deleted", 1L -> "deleted"))
+  }
+
   test("warc_stream CLI resumes across invocations without reprocessing") {
     val land = java.nio.file.Files.createTempDirectory("warcland").toString
     val out = java.nio.file.Files.createTempDirectory("warcbronze").toString

@@ -117,4 +117,34 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(avgPartSpan < 2000 * 0.6, s"partkey span per file too wide: $avgPartSpan")
     assert(avgSuppSpan < 100 * 0.6, s"suppkey span per file too wide: $avgSuppSpan")
   }
+
+  test("vacuum retains the newest K versions, ignores non-version dirs, never drops current") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    Seq(1L, 2L, 10L).foreach { v =>
+      Seq((v, "x")).toDF("ver", "payload").write.parquet(s"$root/v$v")
+    }
+    // non-version sibling must survive any vacuum
+    Seq((0L, "side")).toDF("ver", "payload").write.parquet(s"$root/data")
+
+    val rep = LayoutOps.vacuumVersions(spark, root, keep = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rep == Map(10L -> "kept", 2L -> "kept", 1L -> "deleted"), s"got $rep")
+    assert(!new java.io.File(s"$root/v1").exists)
+    assert(new java.io.File(s"$root/v2").exists && new java.io.File(s"$root/v10").exists)
+    assert(new java.io.File(s"$root/data").exists)
+    // v10 > v2 numerically (a lexicographic sort would rank v2 above v10)
+    assert(spark.read.parquet(s"$root/v10").as[(Long, String)].collect().head._1 == 10L)
+
+    // keep=0 clamps to 1: the current version is never deletable
+    val rep2 = LayoutOps.vacuumVersions(spark, root, keep = 0)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rep2 == Map(10L -> "kept", 2L -> "deleted"), s"got $rep2")
+    assert(new java.io.File(s"$root/v10").exists)
+
+    // idempotent on an already-clean root
+    val rep3 = LayoutOps.vacuumVersions(spark, root, keep = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rep3 == Map(10L -> "kept"), s"got $rep3")
+  }
 }
