@@ -85,6 +85,8 @@ object JobCli {
       |                 rewrite for two-key min/max file skipping) |
       |        vacuum (--output_option keep=K: retain newest K versions
       |                of a root/vN versioned table, delete the rest) |
+      |        sample (--output_option id=col [weight=col] [group=col]
+      |                [k=N]: exact weighted sampling w/o replacement) |
       |        pca (--top_k K: components kept)""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
@@ -729,6 +731,27 @@ object JobRunner {
         // pass; see operators/DataQuality.scala for the scale note on
         // swapping exact COUNT(DISTINCT) for HLL at corpus scale)
         graft.operators.DataQuality.profile(spark.read.parquet(cli.input))
+      case "sample" =>
+        // Generic priority sample of any parquet input — exact weighted
+        // sampling without replacement (the curation_priority_sample
+        // machinery), reproducible across runs and engines because the
+        // draw is a pure function of the id. --output_option id=col
+        // (required, numeric unique id), weight=col (uniform when
+        // absent), group=col (one global group when absent), k=N
+        // (default 100, per group).
+        {
+          import org.apache.spark.sql.functions.{col, lit}
+          val idc = cli.outputOptions.getOrElse("id",
+            sys.error(s"sample needs --output_option id=col\n${JobCli.usage}"))
+          val wc = cli.outputOptions.get("weight")
+            .map(c => col(s"`$c`")).getOrElse(lit(0L))
+          val gc = cli.outputOptions.get("group")
+            .map(c => col(s"`$c`")).getOrElse(lit("all"))
+          val k = cli.outputOptions.getOrElse("k", "100").toInt
+          graft.operators.Curation.priorityTopK(
+            graft.operators.Curation.priorityScores(
+              spark.read.parquet(cli.input), idc, wc, gc), idc, k)
+        }
       case "vacuum" =>
         // Retention cleanup for versioned roots (scd2_merge /
         // stream_scd2_maintenance publish root/vN) — completes the

@@ -6,7 +6,7 @@ import graft.functions.ShingleHashes
 import graft.util.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** URL/domain-level curation operators — the standard pretraining-filter
   * family (C4 / RefinedWeb recipe): domain blocklist filtering, per-domain
@@ -659,26 +659,48 @@ object Curation {
     * per language BEFORE the one per-language final rank, so the global
     * window never concentrates a 100 TB language onto a single task.
     */
+  /** ξ = u / w priority per row: u a 52-bit md5-derived uniform of the
+    * id (exact in a double, mirrorable in DuckDB via the same hex
+    * prefix), w = weight + 1 clamped positive. One IEEE division of
+    * exact inputs — engines order candidates bit-identically.
+    */
+  def priorityScores(df: DataFrame, idCol: String, weightCol: Column,
+                     groupCol: Column): DataFrame = {
+    val id = col(s"`$idCol`") // backtick: generic CLI inputs have arbitrary names
+    val u = (conv(substring(md5(id.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4503599627370496.0) // 2^52
+    df.withColumn("grp", groupCol)
+      .withColumn("xi", u / greatest(weightCol + lit(1), lit(1)).cast("double"))
+  }
+
+  /** k smallest-ξ rows per group as the salted two-stage rank: a local
+    * row_number within (grp, id mod 64) prunes to ≤64·k candidates per
+    * group BEFORE the one per-group final rank, so the global window
+    * never concentrates a 100 TB group onto a single task. Priority
+    * samples are MERGEABLE — topK(A ∪ B) = topK(topK(A) ∪ B) — which
+    * is what makes the streaming fold below exact.
+    */
+  def priorityTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val id = col(s"`$idCol`")
+    val local = scored
+      .withColumn("salt", pmod(id, lit(64)))
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("grp"), col("salt"))
+          .orderBy(col("xi"), id)))
+      .filter(col("lrk") <= k).drop("lrk", "salt")
+    local
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("xi"), id)))
+      .filter(col("rk") <= k)
+  }
+
   val prioritySample: QueryDef = QueryDef(
     "curation_priority_sample",
     (s, dir) => {
-      val k = 50
-      val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
-        .cast("double") + lit(1.0)) / lit(4503599627370496.0) // 2^52
-      val scored = Tables(s, dir, "documents")
-        .select(col("lang"), col("doc_id"), col("n_chars"),
-          (u / (col("n_chars") + lit(1)).cast("double")).as("xi"))
-      val local = scored
-        .withColumn("salt", pmod(col("doc_id"), lit(64)))
-        .withColumn("lrk", row_number().over(
-          Window.partitionBy(col("lang"), col("salt"))
-            .orderBy(col("xi"), col("doc_id"))))
-        .filter(col("lrk") <= k).drop("lrk", "salt")
-      local
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("xi"), col("doc_id"))))
-        .filter(col("rk") <= k)
-        .select(col("lang"), col("doc_id"), col("n_chars"),
+      val scored = priorityScores(Tables(s, dir, "documents"),
+        "doc_id", col("n_chars"), col("lang"))
+      priorityTopK(scored, "doc_id", 50)
+        .select(col("grp").as("lang"), col("doc_id"), col("n_chars"),
           round(col("xi") * lit(1000000.0), 6).as("xi_ppm"),
           col("rk").cast("long").as("rk"))
     },

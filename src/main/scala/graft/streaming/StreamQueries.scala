@@ -586,9 +586,62 @@ object StreamQueries {
       CAST(SUM(44 + octet_length(encode(text))) AS BIGINT) AS total_bytes
       FROM documents GROUP BY source"""))
 
+  /** Streaming corpus sampling as incremental maintenance: priority
+    * sampling is MERGEABLE — the k smallest priorities of a union equal
+    * the k smallest of (previous winners ∪ new batch) — so a
+    * foreachBatch fold over versioned sample dirs keeps an EXACT
+    * weighted-without-replacement sample of everything seen so far, no
+    * matter how arrival split the batches. Persistent state per group
+    * is the k retained rows themselves (no state store, no watermark);
+    * superseded versions garbage-collect by retention (JobRunner
+    * vacuum). The drain reads the final version and must hash-equal the
+    * batch curation_priority_sample oracle — streaming/batch
+    * equivalence for the sampling fold.
+    */
+  val streamPrioritySample: QueryDef = QueryDef(
+    "stream_priority_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val root = java.nio.file.Files.createTempDirectory("graft_psample").toString
+      val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+      withStreamPartitions(s) {
+        val q = s.readStream.schema(schema)
+          .parquet(stagedTable(s, dir, "documents"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val cand = graft.operators.Curation
+              .priorityScores(batch, "doc_id", col("n_chars"), col("lang"))
+              .select(col("grp"), col("doc_id"), col("n_chars"), col("xi"))
+            val prev = s"$root/v${ver.get}"
+            val merged =
+              if (new java.io.File(prev).exists)
+                batch.sparkSession.read.parquet(prev).unionByName(cand)
+              else cand
+            graft.operators.Curation.priorityTopK(merged, "doc_id", 50)
+              .drop("rk")
+              .write.mode("overwrite").parquet(s"$root/v${ver.get + 1}")
+            ver.incrementAndGet()
+            () // pin the Unit overload
+          }
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      if (ver.get == 0) // zero batches (empty staged dir): empty result, same shape
+        s.emptyDataFrame.select(lit("").as("lang"), lit(0L).as("doc_id"),
+          lit(0L).as("n_chars"), lit(0.0).as("xi_ppm"), lit(0L).as("rk")).limit(0)
+      else
+        graft.operators.Curation
+          .priorityTopK(s.read.parquet(s"$root/v${ver.get}"), "doc_id", 50)
+          .select(col("grp").as("lang"), col("doc_id"), col("n_chars"),
+            round(col("xi") * lit(1000000.0), 6).as("xi_ppm"),
+            col("rk").cast("long").as("rk"))
+    },
+    graft.operators.Curation.prioritySample.oracle)
+
   val all: Seq[QueryDef] =
     Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin,
       streamCurate, streamFunnel, streamLeftJoin, streamMvMaintenance,
       streamStaticEnrich, streamAsofEnrich, streamScd2Maintenance,
-      streamWarcIngest)
+      streamWarcIngest, streamPrioritySample)
 }

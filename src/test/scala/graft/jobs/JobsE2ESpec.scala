@@ -671,6 +671,22 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(rep === Map(3L -> "kept", 2L -> "deleted", 1L -> "deleted"))
   }
 
+  test("sample CLI reproduces the registered priority sample") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).exists())
+    val out = java.nio.file.Files.createTempDirectory("psample").toString + "/out"
+    JobRunner.run(spark, JobCli("sample", s"$sf/documents.parquet", out,
+      outParts = 1, outputOptions = Map(
+        "id" -> "doc_id", "weight" -> "n_chars", "group" -> "lang", "k" -> "50")))
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getString(r.fieldIndex("grp")),
+        r.getLong(r.fieldIndex("doc_id")))).toSet
+    val want = graft.SparkEntry.queries("curation_priority_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("warc_stream CLI resumes across invocations without reprocessing") {
     val land = java.nio.file.Files.createTempDirectory("warcland").toString
     val out = java.nio.file.Files.createTempDirectory("warcbronze").toString

@@ -214,4 +214,30 @@ class StreamingSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT event_id, asof_value FROM asof_two_batches").collect()
     assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSet === Set((2L, 42.0)))
   }
+
+  test("priority-sample fold over arbitrary chunkings equals the global selection") {
+    // the mergeability stream_priority_sample relies on: topK(A ∪ B) =
+    // topK(topK(A) ∪ B), so ANY arrival chunking folds to the batch answer
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).exists())
+    val docs = graft.util.Tables(spark, sf, "documents")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation
+        .priorityScores(df, "doc_id", col("n_chars"), col("lang"))
+        .select(col("grp"), col("doc_id"), col("n_chars"), col("xi"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.priorityTopK(df, "doc_id", 50)
+        .collect().map(r => (r.getString(r.fieldIndex("grp")),
+          r.getLong(r.fieldIndex("doc_id")))).toSet
+    val global = key(scores(docs))
+    val folded = (0 until 3).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      case (prev, i) =>
+        val chunk = scores(docs.filter(col("doc_id") % 3 === i))
+        val merged = prev.map(_.unionByName(chunk)).getOrElse(chunk)
+        Some(graft.operators.Curation.priorityTopK(merged, "doc_id", 50)
+          .drop("rk").localCheckpoint())
+    }.get
+    assert(key(folded) === global)
+  }
 }
