@@ -925,6 +925,21 @@ object Relational {
     */
   private val mvSummaries = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Session scoping for the MV rewrite: the summary declaration and the
+    * optimizer-rule registration live in a DEDICATED child session
+    * (`newSession()` — shared SparkContext/catalog-less state, isolated
+    * SQLConf + experimental methods), so the navigation rule can only
+    * ever fire on the mv_* queries' own plans. Declaring on the caller's
+    * session would persist for its lifetime and silently redirect ANY
+    * later eligible lineitem aggregate to the summary — value-exact, but
+    * plan-changing for unrelated queries and stale-data-prone if the
+    * fixture dir were regenerated in place (ADVICE r9).
+    */
+  private val mvSessions =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+  private def mvScopedSession(s: SparkSession): SparkSession =
+    mvSessions.computeIfAbsent(s.sparkContext.applicationId, _ => s.newSession())
+
   /** Materialized-summary aggregate navigation, oracle-checked end to
     * end: the query declares a (l_returnflag, l_linestatus) summary of
     * lineitem via spark.graft.summary.* and runs a dims-filtered
@@ -939,16 +954,19 @@ object Relational {
     */
   val mvRewriteAgg: QueryDef = QueryDef(
     "mv_rewrite_agg",
-    (s, dir) => {
+    (s0, dir) => {
       import graft.plans.SummaryAggRewrite
       val sumPath = mvSummaries.computeIfAbsent(
-        s.sparkContext.applicationId + ":" + dir, _ => {
+        s0.sparkContext.applicationId + ":" + dir, _ => {
           val p = java.nio.file.Files.createTempDirectory("graft_mv").toString
-          SummaryAggRewrite.writeSummary(t(s, dir, "lineitem"),
+          SummaryAggRewrite.writeSummary(t(s0, dir, "lineitem"),
             Seq("l_returnflag", "l_linestatus"),
             Seq("l_quantity", "l_extendedprice"), p)
           p
         })
+      // declaration + rule registration on the mv-scoped child session
+      // ONLY — the caller's session stays untouched (see mvScopedSession)
+      val s = mvScopedSession(s0)
       // an extensions-built session already injected the rule; adding
       // it to extraOptimizations too would run it twice per plan
       val viaExtensions = s.conf.getOption("spark.sql.extensions")
@@ -981,9 +999,9 @@ object Relational {
     */
   val mvRollupAgg: QueryDef = QueryDef(
     "mv_rollup_agg",
-    (s, dir) => {
-      mvRewriteAgg.fn(s, dir) // ensures summary exists + declaration set
-      t(s, dir, "lineitem")
+    (s0, dir) => {
+      mvRewriteAgg.fn(s0, dir) // ensures summary exists + declaration set
+      t(mvScopedSession(s0), dir, "lineitem")
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           dsum(col("l_extendedprice")).as("sum_price"),

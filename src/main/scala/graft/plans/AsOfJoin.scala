@@ -42,6 +42,13 @@ case class AsOfJoin(
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "as-of join needs at least one equi-key and matching key arity")
+  // the exec builds its key ordering from LEFT key types and compares
+  // rows projected with RIGHT-side types — a silent type mismatch would
+  // produce garbage comparisons, so fail analysis loudly instead
+  require(!(leftKeys ++ rightKeys ++ Seq(leftTs, rightTs)).forall(_.resolved) ||
+      (leftKeys.map(_.dataType) == rightKeys.map(_.dataType) &&
+        leftTs.dataType == rightTs.dataType),
+    s"as-of join key/ts types must match pairwise between sides")
   require(rightValues.size == valueAttrs.size,
     "one output attribute per emitted right-side value")
 

@@ -168,7 +168,9 @@ object SummaryAggRewrite extends Rule[LogicalPlan] {
     val aggs = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
     def supported(ae: AggregateExpression): Boolean =
       !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-        case Count(Seq(_: Literal)) => true
+        // COUNT(NULL) is 0 per group, not the group row count — only a
+        // non-null literal (COUNT(*)/COUNT(1)) may map to SUM(cnt)
+        case Count(Seq(l: Literal)) if l.value != null => true
         case Sum(Cast(a: AttributeReference, Dec, _, _), _) => measures.contains(a.name)
         case Min(a: AttributeReference) => measures.contains(a.name)
         case Max(a: AttributeReference) => measures.contains(a.name)

@@ -129,8 +129,14 @@ object EventStream {
 
   final case class EnrichedClick(event_id: Long, user_id: Long, ts_us: Long,
                                  asof_value: Double)
-  // same Janino visibility note as SessionState
-  final case class AsofState(value: Double, has: Boolean)
+  // same Janino visibility note as SessionState. Carries the retained
+  // purchase's (ts_us, event_id) — not just its value — so CROSS-batch
+  // reordering keeps as-of semantics: a purchase arriving in a later
+  // micro-batch replaces the state only if it is newer by the same
+  // (ts_us, event_id) total order the in-batch heap replays, and a late
+  // click never matches a purchase whose timestamp is after it.
+  final case class AsofState(tsUs: Long, eventId: Long, value: Double,
+                             has: Boolean)
 
   /** Streaming point-in-time enrichment — the stream-stream AS-OF join
     * Spark has no native operator for: every click is emitted with the
@@ -156,12 +162,23 @@ object EventStream {
       .flatMapGroupsWithState[AsofState, EnrichedClick](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, evs: Iterator[Event], state: GroupState[AsofState]) =>
-          var st = state.getOption.getOrElse(AsofState(0.0, has = false))
+          var st = state.getOption.getOrElse(
+            AsofState(Long.MinValue, Long.MinValue, 0.0, has = false))
           val out = Vector.newBuilder[EnrichedClick]
           def feed(us: Long, kind: Int, eid: Long, value: Double): Unit =
-            if (kind == 0) st = AsofState(value, has = true)
-            else out += EnrichedClick(eid, userId, us,
-              if (st.has) st.value else -1.0)
+            if (kind == 0) {
+              // keep the purchase that is latest by (ts_us, event_id) —
+              // a late-arriving older purchase must not clobber a newer
+              // retained one (cross-batch reordering)
+              if (!st.has || us > st.tsUs || (us == st.tsUs && eid > st.eventId))
+                st = AsofState(us, eid, value, has = true)
+            } else out += EnrichedClick(eid, userId, us,
+              // as-of: only a purchase at-or-before the click may enrich
+              // it; a late click older than the retained purchase gets
+              // the no-match sentinel (the single-value state cannot
+              // recover the overwritten older purchase — bounded state
+              // traded against full multi-version history, disclosed)
+              if (st.has && st.tsUs <= us) st.value else -1.0)
           val heap = new java.util.PriorityQueue[(Long, Int, Long, Double)](
             math.min(maxBufferPerUser, 1 << 10),
             Ordering.by((p: (Long, Int, Long, Double)) => (p._1, p._2, p._3)))

@@ -100,6 +100,8 @@ object InvertedIndex {
   def probe(s: SparkSession, dir: String, terms: Seq[String], k: Int = 10,
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
+    // finish any appendDelta swap interrupted mid-rename (crash-safety)
+    recoverSwap(dir, "terms"); recoverSwap(dir, "stats")
     val bucketIds = terms.toDF("term").select(bucketOf(col("term")).as("bucket"))
       .distinct().as[Long].collect().toSeq
     val post = s.read.schema(PostingsSchema).parquet(s"$dir/postings")
@@ -140,6 +142,7 @@ object InvertedIndex {
     */
   def appendDelta(deltaDocs: DataFrame, dir: String): Unit = {
     val s = deltaDocs.sparkSession
+    recoverSwap(dir, "terms"); recoverSwap(dir, "stats")
     val d = deltaDocs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
     val postings = d
@@ -176,19 +179,50 @@ object InvertedIndex {
 
   /** Replace `$dir/$name` with `$dir/${name}_new` (local-fs rename; an
     * object-store deployment versions whole index dirs instead).
+    *
+    * Crash-safe ordering: the live dir is renamed ASIDE
+    * (`${name}_old`) before the new dir moves into place, and the old
+    * copy is deleted LAST — a failure at any step leaves either the
+    * old or the new directory intact under a recoverable name, never a
+    * half-deleted live dir. [[recoverSwap]] finishes an interrupted
+    * swap on the next open.
     */
   private def swapDir(dir: String, name: String): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val st = Files.list(p)
-        try { import scala.jdk.CollectionConverters._
-          st.iterator().asScala.toVector.foreach(rm) } finally st.close()
-      }
-      Files.deleteIfExists(p)
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(dir, name)
+    val aside = Paths.get(dir, s"${name}_old")
+    rmTree(aside) // leftover from a previously interrupted swap
+    if (Files.exists(live)) Files.move(live, aside)
+    Files.move(Paths.get(dir, s"${name}_new"), live)
+    rmTree(aside)
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toVector.foreach(rmTree) } finally st.close()
     }
-    rm(Paths.get(dir, name))
-    Files.move(Paths.get(dir, s"${name}_new"), Paths.get(dir, name))
+    Files.deleteIfExists(p)
+  }
+
+  /** Finish a swap interrupted mid-flight: if the live dir is missing
+    * but a `_new` (preferred — it includes the appended delta) or
+    * `_old` copy exists, promote it; stale `_old`/`_new` copies next
+    * to an intact live dir are cleared. Idempotent; called on index
+    * open so a crashed [[appendDelta]] leaves a usable index.
+    */
+  private[text] def recoverSwap(dir: String, name: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(dir, name)
+    val aside = Paths.get(dir, s"${name}_old")
+    val fresh = Paths.get(dir, s"${name}_new")
+    if (!Files.exists(live)) {
+      if (Files.exists(fresh)) Files.move(fresh, live)
+      else if (Files.exists(aside)) Files.move(aside, live)
+    }
+    rmTree(aside); rmTree(fresh)
   }
 
   /** Build-once cache per (application, sf dir) — repeated invocations

@@ -215,6 +215,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSet === Set((2L, 42.0)))
   }
 
+  test("as-of state survives cross-batch reordering (late purchase, late click)") {
+    import spark.implicits._
+    // batch 1: purchase@5s (v=99) + click@6s. batch 2 (all LATE, inside
+    // the 10-minute watermark): purchase@1s (v=42) — older than the
+    // retained one, must NOT clobber it; click@0.5s — before the
+    // retained purchase, must get the -1.0 no-match sentinel, not 99;
+    // click@7s — still enriched by the retained purchase@5s.
+    val dir = java.nio.file.Files.createTempDirectory("asof_ooo")
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    Seq(EventStream.Event(1L, ts(5000000L), 7L, "purchase", 99.0),
+        EventStream.Event(2L, ts(6000000L), 7L, "click", 0.0))
+      .toDF().coalesce(1).write.parquet(dir.resolve("b0").toString)
+    Seq(EventStream.Event(3L, ts(1000000L), 7L, "purchase", 42.0),
+        EventStream.Event(4L, ts(500000L), 7L, "click", 0.0),
+        EventStream.Event(5L, ts(7000000L), 7L, "click", 0.0))
+      .toDF().coalesce(1).write.parquet(dir.resolve("b1").toString)
+    val staged = java.nio.file.Files.createTempDirectory("asof_ooo_staged")
+    def onePart(sub: String, name: String): Unit = {
+      val st = java.nio.file.Files.list(dir.resolve(sub))
+      try {
+        import scala.jdk.CollectionConverters._
+        val part = st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part, staged.resolve(name))
+      } finally st.close()
+    }
+    onePart("b0", "part-00000.parquet")
+    val typed = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .as[EventStream.Event]
+    val q = EventStream.asofEnrich(typed).toDF()
+      .writeStream.format("memory").queryName("asof_ooo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      onePart("b1", "part-00001.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT event_id, asof_value FROM asof_ooo").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      Set((2L, 99.0), (4L, -1.0), (5L, 99.0)))
+  }
+
   test("priority-sample fold over arbitrary chunkings equals the global selection") {
     // the mergeability stream_priority_sample relies on: topK(A ∪ B) =
     // topK(topK(A) ∪ B), so ANY arrival chunking folds to the batch answer
