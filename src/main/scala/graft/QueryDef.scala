@@ -6,11 +6,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query
   * over the same parquet tables. Queries without an oracle get the
   * driver's weaker rows>0 check and are additionally covered by ScalaTest.
+  *
+  * `oracleGen` is the DATA-DEPENDENT oracle variant: queries whose
+  * pipeline includes a deterministic trained artifact (k-means
+  * centroids, PQ codebooks, a PCA basis, a BPE merge table) cannot
+  * carry a static SQL string — the artifact is a function of the input
+  * corpus. The generator is evaluated by [[graft.Verify]] AFTER the
+  * queries run, with the same (session, sf dir), and embeds the
+  * artifact as SQL literals (Double.toString round-trips the exact
+  * double, the proven LSH-plane pattern), so DuckDB replays the full
+  * pipeline — training output included — end to end. Generators must
+  * read the artifact from the SAME per-session cache the query fn
+  * trained into, never retrain: float Lloyd means are only
+  * deterministic per (session, partitioning), and the hash gate
+  * compares this run's query output against this run's oracle.
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 object QueryDef {
 
@@ -39,5 +54,7 @@ object QueryDef {
         df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
       else df
     },
-    oracle = q.oracle.map(sql => s"SELECT * FROM (\n$sql\n) ORDER BY ALL"))
+    oracle = q.oracle.map(sql => s"SELECT * FROM (\n$sql\n) ORDER BY ALL"),
+    oracleGen = q.oracleGen.map(gen =>
+      (s, dir) => s"SELECT * FROM (\n${gen(s, dir)}\n) ORDER BY ALL"))
 }

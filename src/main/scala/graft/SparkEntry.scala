@@ -17,7 +17,7 @@ object SparkEntry {
     * row was an output-order/rounding hazard of exactly this kind).
     */
   val allDefs: Seq[QueryDef] = rawDefs.map {
-    case d if d.oracle.isDefined => QueryDef.ordered(d)
+    case d if d.oracle.isDefined || d.oracleGen.isDefined => QueryDef.ordered(d)
     case d => d
   }
 
@@ -62,5 +62,24 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    allDefs.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
+    allDefs.collect { case QueryDef(n, _, Some(sql), _) => n -> sql }.toMap
+
+  /** The full oracle map for a concrete (session, sf dir): the static
+    * SQL plus every data-dependent oracle the generators can produce
+    * (trained artifacts embedded as literals — see QueryDef.oracleGen).
+    * A generator failure downgrades that query to the rows-only check
+    * instead of failing the dump.
+    */
+  def oracleSqlFor(spark: SparkSession, sfDir: String,
+                   only: Option[Set[String]] = None): Map[String, String] =
+    oracleSql ++ allDefs.flatMap {
+      case QueryDef(n, _, _, Some(gen)) if only.forall(_.contains(n)) =>
+        try Some(n -> gen(spark, sfDir))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[verify] oracle gen for $n failed: ${e.getMessage}")
+            None
+        }
+      case _ => None
+    }.toMap
 }

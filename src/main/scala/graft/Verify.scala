@@ -41,7 +41,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // oracleSqlFor runs AFTER the queries: data-dependent generators
+    // read the trained artifacts the query fns cached this session and
+    // embed them as literals (QueryDef.oracleGen)
+    val json = SparkEntry.oracleSqlFor(spark, sfDir, only)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

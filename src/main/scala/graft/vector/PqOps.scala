@@ -142,10 +142,23 @@ object PqOps {
     * ONLY those candidates' raw vectors, exact-cosine re-rank to
     * `topk`. Output schema matches the other ANN paths.
     */
+  /** Session-cached codebooks for the registered queries: fn and the
+    * DuckDB oracle generator must embed the SAME training output (the
+    * cachedIvfCentroids argument — see VectorOps). Driver-side training
+    * is deterministic anyway; the cache also saves a retrain per call.
+    */
+  private val trainedCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  private def cachedCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    trainedCodebooks.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => trainCodebooks(Tables(s, dir, "embeddings")))
+
   def pqTopK(s: SparkSession, dir: String,
              rerank: Int = 50, topk: Int = 10): DataFrame = {
     val c = Tables(s, dir, "embeddings")
-    val codebooks = trainCodebooks(c)
+    val codebooks = cachedCodebooks(s, dir)
     val codes = encode(c, codebooks)
     val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -169,16 +182,97 @@ object PqOps {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Codebook rows as SQL VALUES: (m, j, centroid, half) with `half`
+    * accumulated in the same index order PqKernels.flatten uses, so the
+    * argmax scores replay bit-identically.
+    */
+  private def cbValuesSql(codebooks: Array[Array[Array[Double]]]): String = {
+    require(codebooks.nonEmpty, "no codebooks to embed (empty corpus)")
+    (for (mm <- codebooks.indices; j <- codebooks(mm).indices) yield {
+      val ct = codebooks(mm)(j)
+      var h = 0.0
+      var i = 0
+      while (i < ct.length) { h += ct(i) * ct(i); i += 1 }
+      s"($mm, $j, [${ct.map(_.toString).mkString(", ")}], ${(h / 2.0).toString})"
+    }).mkString(",\n          ")
+  }
+
+  /** PQ replay CTE chain, appended after a `WITH ... e AS (...)` prefix:
+    * L2-normalize with the kernel's exact float semantics (double norm,
+    * double divide, round to REAL), encode = per-(vec, subspace) argmax
+    * of dot − ‖c‖²/2 with ties to the lowest code, ADC = the 8 LUT
+    * lookups summed left-to-right (the kernel's accumulation order),
+    * top-`rerank` by (adc, vec_id), exact cosine re-rank on raw vectors.
+    * `cellRestrict` = true joins candidates through asn/pcells (the
+    * IVF-PQ inverted-list probe); false scans all codes (flat PQ).
+    * Ends at `ranked`, ready for VectorOps.recallTailSql.
+    */
+  private def pqReplayCtes(codebooks: Array[Array[Array[Double]]],
+                           cellRestrict: Boolean): String = {
+    val probe =
+      if (cellRestrict)
+        """JOIN asn a ON a.vec_id = cp.vec_id
+        JOIN pcells pc ON pc.cell = a.cell
+        JOIN lutv l0 ON l0.q_id = pc.q_id AND l0.m = 0 AND l0.j = cp.c0"""
+      else
+        """JOIN lutv l0 ON l0.m = 0 AND l0.j = cp.c0"""
+    val self = if (cellRestrict) "pc.q_id" else "l0.q_id"
+    val laterJoins = (1 to 7).map(m =>
+      s"JOIN lutv l$m ON l$m.q_id = l0.q_id AND l$m.m = $m AND l$m.j = cp.c$m")
+      .mkString("\n        ")
+    s"""cb(m, j, cvec, half) AS (VALUES
+          ${cbValuesSql(codebooks)}),
+      en AS (SELECT vec_id, CASE WHEN nrm > 0
+            THEN list_transform(emb, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
+            ELSE emb END AS nemb
+        FROM (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)),
+      codes AS (SELECT vec_id, m, j FROM (
+          SELECT en.vec_id, cb.m, cb.j,
+                 row_number() OVER (PARTITION BY en.vec_id, cb.m
+                   ORDER BY (list_dot_product(en.nemb[cb.m*8+1 : cb.m*8+8], cb.cvec)
+                             - cb.half) DESC, cb.j) AS rn
+          FROM en, cb) WHERE rn = 1),
+      cp AS (SELECT vec_id,
+          ${(0 to 7).map(m => s"MAX(CASE WHEN m = $m THEN j END) AS c$m").mkString(",\n          ")}
+        FROM codes GROUP BY vec_id),
+      qn AS (SELECT vec_id AS q_id, nemb FROM en WHERE vec_id < 10),
+      lutv AS (SELECT qn.q_id, cb.m, cb.j,
+          list_dot_product(qn.nemb[cb.m*8+1 : cb.m*8+8], cb.cvec) AS v
+        FROM qn, cb),
+      adc AS (SELECT l0.q_id, cp.vec_id,
+          ${(0 to 7).map(m => s"l$m.v").mkString(" + ")} AS adc
+        FROM cp
+        $probe
+        $laterJoins
+        WHERE cp.vec_id <> $self),
+      rr AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS r
+          FROM adc) WHERE r <= 50),
+      cand AS (SELECT rr.q_id, rr.vec_id,
+          list_cosine_similarity(eq.emb, ec.emb) AS cos
+        FROM rr JOIN e eq ON eq.vec_id = rr.q_id
+                JOIN e ec ON ec.vec_id = rr.vec_id),
+      ranked AS (SELECT q_id, vec_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM cand)"""
+  }
+
   /** Registered as recall@10 vs the brute-force truth, like the LSH/IVF
     * paths: deterministic sample, seeds, and iteration count make the
-    * recall stable build-to-build; AnnRecallSpec asserts the floor.
+    * recall stable build-to-build; AnnRecallSpec asserts the floor. The
+    * oracle replays the full compressed-domain pipeline — codebooks as
+    * literals, encode, ADC, re-rank — then the recall grading tail.
     */
   val annPq: QueryDef = QueryDef(
     "ann_pq_topk",
     (s, dir) => VectorOps.recallVsBrute(
       pqTopK(s, dir), VectorOps.bruteTopK(s, dir),
       Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"))))
+        .select(col("vec_id").as("q_id"))),
+    oracleGen = Some((s, dir) =>
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      ${pqReplayCtes(cachedCodebooks(s, dir), cellRestrict = false)},${VectorOps.recallTailSql}"""))
 
   /** IVF-PQ: the two scale levers composed the way FAISS's IVFADC does —
     * IVF cells prune WHICH vectors are scored (nprobe of k cells ≈
@@ -198,8 +292,16 @@ object PqOps {
   def ivfPqTopK(s: SparkSession, dir: String, nprobe: Int = 4,
                 rerank: Int = 50, topk: Int = 10): DataFrame = {
     val c = Tables(s, dir, "embeddings")
-    val (assignments, centroids) = VectorOps.buildIvf(c, k = 10, iters = 2)
-    val codebooks = trainCodebooks(c)
+    // shared session-cached training (one Lloyd run serves ann_ivf_topk,
+    // this query, and both oracle generators)
+    val cents = VectorOps.cachedIvfCentroids(s, dir)
+    val spark = s
+    import spark.implicits._
+    val assignments =
+      if (cents.isEmpty) c.select(col("vec_id"), lit(0L).as("cell")).limit(0)
+      else VectorOps.assignCells(c, cents).select(col("vec_id"), col("cell"))
+    val centroids = cents.toDF("cell", "centroid")
+    val codebooks = cachedCodebooks(s, dir)
     val codes = encode(c, codebooks).join(assignments, "vec_id")
     val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -236,7 +338,13 @@ object PqOps {
     (s, dir) => VectorOps.recallVsBrute(
       ivfPqTopK(s, dir), VectorOps.bruteTopK(s, dir),
       Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"))))
+        .select(col("vec_id").as("q_id"))),
+    oracleGen = Some((s, dir) =>
+      // IVF assignment/probe CTEs (shared cached centroids, nprobe=4)
+      // feed the cell-restricted ADC scan — the composed FAISS IVFADC
+      // shape replayed end to end, then the recall tail
+      s"""${VectorOps.ivfAssignCtes(VectorOps.cachedIvfCentroids(s, dir), nprobe = 4)},
+      ${pqReplayCtes(cachedCodebooks(s, dir), cellRestrict = true)},${VectorOps.recallTailSql}"""))
 
   /** Persisted IVF-PQ index — the full FAISS on-disk artifact:
     * `vectors/` (cell-partitioned raw vectors, the refine store),

@@ -174,6 +174,89 @@ object VectorOps {
       s"($pid, [${row.map(_.toString).mkString(", ")}])"
     }.mkString(",\n          ")
 
+  /** (id, vector) rows as SQL VALUES — Double.toString round-trips the
+    * exact double, so DuckDB parses bit-identical constants (the
+    * LSH-plane argument).
+    */
+  private[vector] def vecValuesSql(rows: Seq[(Long, Seq[Double])]): String =
+    rows.map { case (id, v) => s"($id, [${v.map(_.toString).mkString(", ")}])" }
+      .mkString(",\n          ")
+
+  /** Shared IVF replay: embedded centroid literals (raw for the probe
+    * cosine, norm-scaled for the assignment — the exact arrays
+    * NearestCellConst dots against), assignment as argmax-dot with ties
+    * to the lowest cell (row_number ORDER BY dot DESC, cell), the
+    * nprobe-nearest-cell probe with the dot/(|a|·|b|) cosine form
+    * GraftFunctions.cosine evaluates, and exact rescoring inside probed
+    * cells. Ends at `ranked` (q_id, vec_id, cos, rnk); callers append
+    * the top-k or recall tail.
+    */
+  private[vector] def ivfAssignCtes(cents: Seq[(Long, Seq[Double])],
+                                    nprobe: Int): String = {
+    require(cents.nonEmpty, "no centroids to embed (empty corpus)")
+    val scaled = scaledOf(cents).map { case (c, a) => (c, a.toSeq) }
+    s"""WITH sc(cell, svec) AS (VALUES
+          ${vecValuesSql(scaled)}),
+      ct(cell, cvec) AS (VALUES
+          ${vecValuesSql(cents)}),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      asn AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, sc.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.emb, sc.svec) DESC, sc.cell) AS rn
+          FROM e, sc) WHERE rn = 1),
+      qv AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      probed AS (SELECT qv.q_id, ct.cell,
+          list_dot_product(qv.q_emb, ct.cvec)
+            / (sqrt(list_dot_product(qv.q_emb, qv.q_emb))
+               * sqrt(list_dot_product(ct.cvec, ct.cvec))) AS ccos
+        FROM qv, ct),
+      pcells AS (SELECT q_id, cell FROM (
+          SELECT q_id, cell,
+                 row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cell) AS cr
+          FROM probed) WHERE cr <= $nprobe)"""
+  }
+
+  private def ivfReplayCtes(cents: Seq[(Long, Seq[Double])], nprobe: Int): String =
+    s"""${ivfAssignCtes(cents, nprobe)},
+      cand AS (SELECT pc.q_id, a.vec_id,
+          list_cosine_similarity(eq.emb, ec.emb) AS cos
+        FROM asn a
+        JOIN pcells pc ON a.cell = pc.cell
+        JOIN e ec ON ec.vec_id = a.vec_id
+        JOIN e eq ON eq.vec_id = pc.q_id
+        WHERE a.vec_id <> pc.q_id),
+      ranked AS (SELECT q_id, vec_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM cand)"""
+
+  /** recall@10-vs-brute tail over a `ranked` CTE (requires `e` in
+    * scope) — mirrors recallVsBrute + bruteTopK exactly.
+    */
+  private[vector] val recallTailSql: String = s"""
+      approx AS (SELECT q_id, vec_id FROM ranked WHERE rnk <= 10),
+      bscored AS (SELECT q.vec_id AS q_id, e2.vec_id,
+             list_cosine_similarity(q.emb, e2.emb) AS raw_cos
+           FROM e q, e e2 WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id),
+      brute AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY raw_cos DESC, vec_id) AS rn
+          FROM bscored) WHERE rn <= 10),
+      hits AS (SELECT a.q_id, COUNT(*) AS h
+        FROM approx a JOIN brute b ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+        GROUP BY a.q_id),
+      ql AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10)
+      SELECT ql.q_id, CAST(COALESCE(hits.h, 0) AS BIGINT) AS n_hits_in_brute_top10
+      FROM ql LEFT JOIN hits ON ql.q_id = hits.q_id"""
+
+  /** top-k output tail over `ranked` — the indexed-probe queries' row
+    * shape (rank is INT on the Spark side: row_number).
+    */
+  private val topkTailSql: String =
+    """
+      SELECT q_id, vec_id, round(cos, 6) AS cos, CAST(rnk AS INT) AS rank
+      FROM ranked WHERE rnk <= 10"""
+
   /** Registered as a recall@10 check against the brute-force truth (one
     * row per query) — see recallVsBrute; AnnRecallSpec asserts the
     * floor. The oracle REPLAYS the whole LSH pipeline in SQL: the plane
@@ -343,15 +426,21 @@ object VectorOps {
     * so `ann_index_update` can place NEW batches into an existing
     * index's cells without retraining.
     */
-  def assignCells(df: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
-    val scaled = centroids.map { case (cell, ct) =>
+  /** Norm-scaled copies of the centroids — the exact arrays the
+    * assignment kernel dots against (factored out so the DuckDB oracle
+    * generators can embed the SAME doubles as literals).
+    */
+  private[vector] def scaledOf(centroids: Seq[(Long, Seq[Double])])
+      : Seq[(Long, Array[Double])] =
+    centroids.map { case (cell, ct) =>
       val nrm = math.sqrt(ct.map(x => x * x).sum)
       (cell, if (nrm == 0.0) ct.toArray else ct.map(_ / nrm).toArray)
     }
+
+  def assignCells(df: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame =
     df.select(col("vec_id"), col("embedding"),
-      graft.functions.NearestCellConst.nearestCell(col("embedding"), scaled)
+      graft.functions.NearestCellConst.nearestCell(col("embedding"), scaledOf(centroids))
         .as("cell"))
-  }
 
   /** IVF probe against prebuilt cells: query probes its `nprobe`
     * nearest centroids, exact search within the probed cells only — the
@@ -474,10 +563,33 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Session-cached trained centroids for the registered build-and-query
+    * IVF paths (k=10, iters=2): the query fn and its DuckDB oracle
+    * generator MUST read the same training output — Lloyd means over
+    * doubles are deterministic only per (session, partitioning), and
+    * the hash gate compares this run's rows against this run's oracle.
+    * Bounded: k × Dim doubles per (application, sf dir).
+    */
+  private val trainedIvfCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+
+  private[vector] def cachedIvfCentroids(s: SparkSession, dir: String)
+      : Seq[(Long, Seq[Double])] =
+    trainedIvfCentroids.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir, _ => {
+        val (_, centroidsDf) = buildIvf(corpus(s, dir), k = 10, iters = 2)
+        centroidsDf.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      })
+
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val c0 = corpus(s, dir)
-    val (assignments, centroids) = buildIvf(c0, k = 10, iters = 2)
-    ivfProbe(c0, queriesDf(s, dir, 10), assignments, centroids)
+    val cents = cachedIvfCentroids(s, dir)
+    val spark = s
+    import spark.implicits._
+    val assignments =
+      if (cents.isEmpty) c0.select(col("vec_id"), lit(0L).as("cell")).limit(0)
+      else assignCells(c0, cents).select(col("vec_id"), col("cell"))
+    ivfProbe(c0, queriesDf(s, dir, 10), assignments, cents.toDF("cell", "centroid"))
   }
 
   /** IVF cell probe: k-means cells built distributed (see buildIvf),
@@ -488,7 +600,12 @@ object VectorOps {
   val annIvf: QueryDef = QueryDef(
     "ann_ivf_topk",
     (s, dir) => recallVsBrute(ivfTopK(s, dir), bruteTopK(s, dir),
-      queriesDf(s, dir, 10).select(col("q_id"))))
+      queriesDf(s, dir, 10).select(col("q_id"))),
+    oracleGen = Some((s, dir) =>
+      // replay with THIS session's trained centroids embedded as
+      // literals (cachedIvfCentroids — same training run the query fn
+      // assigned against), then the recall@10 grading tail
+      s"${ivfReplayCtes(cachedIvfCentroids(s, dir), nprobe = 2)},$recallTailSql"))
 
   /** Embedding-cosine near-dup pairs via LSH buckets (exact-bucket
     * collision only), verified with exact cosine ≥ 0.99. Summary agg for
@@ -589,9 +706,19 @@ object VectorOps {
     * (IvfIndexSpec asserts the pruned plan). Deterministic build →
     * identical rows to the build-and-query path.
     */
+  /** Centroids of a persisted index, collected back as exact doubles
+    * (parquet round-trips IEEE bits) — the oracle generators embed the
+    * index's OWN trained centroids, so the replay grades the persisted
+    * artifact, not a retrain.
+    */
+  private def indexCentroids(idx: IvfIndex): Seq[(Long, Seq[Double])] =
+    idx.centroids.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
   val annIvfIndexedQuery: QueryDef = QueryDef(
     "ann_ivf_indexed_topk",
-    (s, dir) => annIvfIndexed(queriesDf(s, dir, 10), sessionIvfIndex(s, dir)))
+    (s, dir) => annIvfIndexed(queriesDf(s, dir, 10), sessionIvfIndex(s, dir)),
+    oracleGen = Some((s, dir) =>
+      s"${ivfReplayCtes(indexCentroids(sessionIvfIndex(s, dir)), nprobe = 2)}$topkTailSql"))
 
   private def sessionAppendedIvfIndex(s: SparkSession, dir: String): IvfIndex = {
     val idxDir = builtIdx.computeIfAbsent(
@@ -612,9 +739,16 @@ object VectorOps {
     * corpus and that base cell files stay byte-untouched; recall
     * grading rides the existing IVF family checks.
     */
+  /** The appended index row-equals a same-centroid assignment of the
+    * full corpus (IvfIndexSpec pins it), so the replay assigns ALL of
+    * `embeddings` against the 80%-trained centroids — the oracle
+    * hash-checks exactly the invariant the incremental add claims.
+    */
   val annIvfAppendQuery: QueryDef = QueryDef(
     "ann_ivf_append_topk",
-    (s, dir) => annIvfIndexed(queriesDf(s, dir, 10), sessionAppendedIvfIndex(s, dir)))
+    (s, dir) => annIvfIndexed(queriesDf(s, dir, 10), sessionAppendedIvfIndex(s, dir)),
+    oracleGen = Some((s, dir) =>
+      s"${ivfReplayCtes(indexCentroids(sessionAppendedIvfIndex(s, dir)), nprobe = 2)}$topkTailSql"))
 
   /** Contrastive-pair mining for embedding/metric training: per anchor,
     * the HARD positive (least-similar same-label vector — the pair a
