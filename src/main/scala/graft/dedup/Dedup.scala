@@ -36,16 +36,23 @@ object Dedup {
     */
   def wordShingles(docs: DataFrame, w: Int): DataFrame =
     docs.select(col("doc_id"),
-        graft.functions.AsciiWordTokens.tokenHashesCol(col("text")).as("th"))
+        graft.functions.FnvHashes.fnvTokenHashes(col("text")).as("th"))
       .select(col("doc_id"),
-        graft.functions.ShingleHashes.longWindowHashes(col("th"), w).as("shingles"))
+        graft.functions.FnvHashes.fnvLongWindowHashes(col("th"), w).as("shingles"))
 
   /** (doc_id, shingles) from character n-grams of the normalized text
     * (one native byte scan per document).
+    *
+    * Hash family note (applies to wordShingles too): the LSH pipelines
+    * hash with FNV-1a 64 (graft.functions.FnvKernels) — a strict
+    * per-byte fold DuckDB replays exactly via list_reduce over HUGEINT
+    * — so the MinHash/SimHash signature+banding paths carry full
+    * SQL-replay oracles instead of rows-only checks. The exact-Jaccard
+    * truth paths keep xxhash64: their hashes are set proxies only.
     */
   def charShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
-      graft.functions.ShingleHashes.normCharNgramHashes(col("text"), n).as("shingles"))
+      graft.functions.FnvHashes.fnvNormCharNgramHashes(col("text"), n).as("shingles"))
 
   /** MinHash signature via one-permutation hashing (Li/König OPH), as a
     * single per-row expression: bin each shingle hash into `perms`
@@ -63,7 +70,7 @@ object Dedup {
     */
   def bands(sig: DataFrame, perms: Int, rowsPerBand: Int): DataFrame =
     sig.select(col("doc_id"),
-        posexplode(graft.functions.MinHashSig.bandBucketsCol(
+        posexplode(graft.functions.FnvHashes.fnvBandBuckets(
           col("sig"), perms, rowsPerBand)).as(Seq("band", "bucket")))
 
   /** Bucket-cap split WITHOUT a window: a `groupBy` computes each
@@ -211,7 +218,113 @@ object Dedup {
     labels
   }
 
-  // ---- registered queries (rows-only: LSH pipelines aren't ANSI-SQL) ----
+  // ---- FNV-1a SQL replay fragments (see FnvKernels scaladoc) ----
+  //
+  // Every LSH stage below is replayed in DuckDB with the EXACT kernel
+  // arithmetic: FNV-1a as a HUGEINT list_reduce fold (unsigned mod 2⁶⁴,
+  // then two's-complement to signed BIGINT), OPH binning as signed
+  // `((s % 64) + 64) % 64`, rotation densification as a
+  // nearest-bin-to-the-right window, band buckets as the FNV fold over
+  // the signature window's little-endian bytes.
+
+  private def fnvU(byteList: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform($byteList, fb -> CAST(fb AS HUGEINT))), " +
+      "(fa, fb) -> (xor(fa, fb) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))"
+
+  private val SignedU: String =
+    "CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT) " +
+      "THEN CAST(u - CAST(18446744073709551616 AS HUGEINT) AS BIGINT) " +
+      "ELSE CAST(u AS BIGINT) END"
+
+  private def leBytes(longs: String): String =
+    s"flatten(list_transform($longs, vv -> " +
+      "list_transform(range(0, 8), kk -> (vv >> (8*kk)) & 255)))"
+
+  /** documents → `shing(doc_id, s)`: distinct FNV word-5-shingle hashes
+    * (token FNV per token, FNV over each 5-hash window's LE bytes,
+    * whole-list fallback below 5 tokens). Also leaves `th0` (per-token
+    * hashes with multiplicity) in scope for the SimHash replay.
+    */
+  private val WordShingleFnvCtes: String = s"""
+      d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             FROM documents WHERE text IS NOT NULL),
+      tok AS (SELECT doc_id, i AS tpos, tk[i] AS t
+              FROM d0, unnest(generate_series(1, len(tk))) AS g(i)),
+      thu AS (SELECT doc_id, tpos,
+          ${fnvU("list_transform(range(1, length(t)+1), ci -> ascii(t[ci]))")} AS u
+          FROM tok),
+      th0 AS (SELECT doc_id, tpos, $SignedU AS h FROM thu),
+      thl AS (SELECT d.doc_id, coalesce(t.th, CAST([] AS BIGINT[])) AS th
+              FROM d0 d LEFT JOIN (SELECT doc_id, list(h ORDER BY tpos) AS th
+                                   FROM th0 GROUP BY doc_id) t USING (doc_id)),
+      shu AS (SELECT doc_id,
+          ${fnvU(leBytes("CASE WHEN len(th) < 5 THEN th ELSE th[i : i + 4] END"))} AS u
+          FROM thl, unnest(generate_series(1, greatest(len(th) - 4, 1))) AS g(i)),
+      shing AS (SELECT DISTINCT doc_id, $SignedU AS s FROM shu)"""
+
+  /** documents → `shing(doc_id, s)`: distinct FNV char-5-gram hashes of
+    * the byte-normalized text (lower, non-alnum runs → one space, trim;
+    * whole-input fallback below 5 chars). Leaves `d0(doc_id, nt)` in
+    * scope for the string-shingle truth replay.
+    */
+  private val CharShingleFnvCtes: String = s"""
+      d0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+             FROM documents WHERE text IS NOT NULL),
+      shu AS (SELECT doc_id,
+          ${fnvU("CASE WHEN length(nt) < 5 THEN list_transform(range(1, length(nt)+1), ci -> ascii(nt[ci])) " +
+        "ELSE list_transform(range(i, i + 5), ci -> ascii(nt[ci])) END")} AS u
+          FROM d0, unnest(generate_series(1, greatest(length(nt) - 4, 1))) AS g(i)),
+      shing AS (SELECT DISTINCT doc_id, $SignedU AS s FROM shu)"""
+
+  /** `shing` → `lsh(id1, id2, jaccard)`: OPH signature (64 bins, min per
+    * bin, rotation densification), FNV band buckets, the 64-cap
+    * bucket split with min-id spanning star, exact-Jaccard verification
+    * at `threshold` — the complete minHashDedup pipeline in SQL.
+    */
+  private def minhashLshCtes(r: Int, threshold: Double): String = {
+    val nb = 64 / r
+    s"""
+      bins AS (SELECT doc_id, ((s % 64) + 64) % 64 AS b, MIN(s) AS mn
+               FROM shing GROUP BY doc_id, ((s % 64) + 64) % 64),
+      dgrid AS (SELECT d.doc_id, g.j
+                FROM (SELECT DISTINCT doc_id FROM bins) d,
+                     (SELECT unnest(generate_series(0, 63)) AS j) g),
+      dens AS (SELECT doc_id, j, v FROM (
+          SELECT dg.doc_id, dg.j, b2.mn AS v,
+                 row_number() OVER (PARTITION BY dg.doc_id, dg.j
+                   ORDER BY ((b2.b - dg.j + 64) % 64)) AS rn
+          FROM dgrid dg JOIN bins b2 ON b2.doc_id = dg.doc_id) WHERE rn = 1),
+      sigl AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM dens GROUP BY doc_id),
+      bndu AS (SELECT doc_id, bb AS band,
+          ${fnvU(leBytes(s"sig[bb*$r + 1 : bb*$r + $r]"))} AS u
+          FROM sigl, (SELECT unnest(generate_series(0, ${nb - 1})) AS bb) g2),
+      banded AS (SELECT doc_id, band, $SignedU AS bucket FROM bndu),
+      bcn AS (SELECT band, bucket, COUNT(*) AS bw, MIN(doc_id) AS aid
+              FROM banded GROUP BY band, bucket),
+      bsmall AS (SELECT b.doc_id, b.band, b.bucket FROM banded b
+                 JOIN bcn USING (band, bucket) WHERE bcn.bw <= $MaxBucket),
+      bbig AS (SELECT b.doc_id, bcn.aid FROM banded b
+               JOIN bcn USING (band, bucket) WHERE bcn.bw > $MaxBucket),
+      candf AS (SELECT DISTINCT id1, id2 FROM (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM bsmall a JOIN bsmall b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          UNION ALL
+          SELECT aid, doc_id FROM bbig WHERE doc_id <> aid)),
+      ssz AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+      intr AS (SELECT c.id1, c.id2, COUNT(*) AS ic FROM candf c
+               JOIN shing s1 ON s1.doc_id = c.id1
+               JOIN shing s2 ON s2.doc_id = c.id2 AND s2.s = s1.s
+               GROUP BY c.id1, c.id2),
+      lsh AS (SELECT i.id1, i.id2,
+              round(CAST(i.ic AS DOUBLE) / (z1.n + z2.n - i.ic), 6) AS jaccard
+              FROM intr i JOIN ssz z1 ON z1.doc_id = i.id1
+                          JOIN ssz z2 ON z2.doc_id = i.id2
+              WHERE CAST(i.ic AS DOUBLE) / (z1.n + z2.n - i.ic) >= $threshold)"""
+  }
+
+  // ---- registered queries ----
 
   /** End-to-end dedup decision: MinHash pairs → connected components →
     * cluster stats (docs to drop = docs − clusters).
@@ -228,7 +341,30 @@ object Dedup {
           sum(col("sz")).as("n_docs_in_clusters"),
           (sum(col("sz")) - count(lit(1))).as("n_docs_to_drop"),
           max(col("sz")).as("largest_cluster"))
-    })
+    },
+    // full replay: FNV shingles → OPH signature → banding → cap split →
+    // exact verify → 10-round min-label CC (the dedup_clusters_exact
+    // recursive tail over the LSH pair set)
+    Some(s"""WITH RECURSIVE $WordShingleFnvCtes,${minhashLshCtes(4, 0.5)},
+      edges AS (SELECT id1 AS a, id2 AS b FROM lsh
+                UNION ALL SELECT id2, id1 FROM lsh),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      cc(iter, node, label) AS (
+        SELECT 0, node, node FROM nodes
+        UNION ALL
+        SELECT c.iter + 1, c.node,
+          least(c.label, coalesce((SELECT MIN(c2.label) FROM cc c2
+                                   JOIN edges e ON e.a = c2.node
+                                   WHERE e.b = c.node), c.label))
+        FROM cc c WHERE c.iter < 10
+      ),
+      labels AS (SELECT node, label FROM cc WHERE iter = 10),
+      clusters AS (SELECT label, COUNT(*) AS sz FROM labels GROUP BY label)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(sz) AS BIGINT) AS n_docs_in_clusters,
+             CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_docs_to_drop,
+             CAST(MAX(sz) AS BIGINT) AS largest_cluster
+      FROM clusters"""))
 
   /** Near-dup doc pairs via word-5-shingle MinHash (64 perms, 16 bands →
     * ~0.5 Jaccard collision threshold), verified exactly. SELF-GRADING
@@ -258,7 +394,23 @@ object Dedup {
             round(col("n_tp").cast("double") / col("n_pairs_exact"), 4))
             .otherwise(1.0).as("recall"),
           col("avg_jaccard"))
-    })
+    },
+    // LSH replay + the existing word-shingle truth (JaccardShingleCte,
+    // string shingles — set-equal to the xxhash proxy) + the graded row
+    Some(s"""WITH $WordShingleFnvCtes,${minhashLshCtes(4, 0.5)},
+      $JaccardShingleCte
+      SELECT l.n_pairs, l.n_docs_with_dup, e.n_pairs_exact, t.n_tp,
+        CASE WHEN l.n_pairs > 0
+          THEN round(CAST(t.n_tp AS DOUBLE) / l.n_pairs, 4) ELSE 1.0 END AS precision,
+        CASE WHEN e.n_pairs_exact > 0
+          THEN round(CAST(t.n_tp AS DOUBLE) / e.n_pairs_exact, 4) ELSE 1.0 END AS recall,
+        l.avg_jaccard
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT id1) AS BIGINT) AS n_docs_with_dup,
+                   coalesce(round(AVG(jaccard), 4), 0.0) AS avg_jaccard FROM lsh) l
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact FROM pairs) e
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_tp FROM lsh l2
+                  JOIN pairs p ON p.id1 = l2.id1 AND p.id2 = l2.id2) t"""))
 
   /** Exact char-n-gram Jaccard pairs — the truth `dedup_ngram_jaccard`
     * grades itself against, on the same single-scan bounded-collect plan
@@ -304,7 +456,34 @@ object Dedup {
             round(col("n_tp").cast("double") / col("n_pairs_exact"), 4))
             .otherwise(1.0).as("recall"),
           col("avg_jaccard"))
-    })
+    },
+    // char-shingle LSH replay (8-row bands, τ=0.7) + the string-5-gram
+    // truth with the same df≤100 stop-shingle cap + the graded row
+    Some(s"""WITH $CharShingleFnvCtes,${minhashLshCtes(8, 0.7)},
+      tsh AS (SELECT DISTINCT doc_id,
+                CASE WHEN length(nt) < 5 THEN nt ELSE nt[i : i + 4] END AS gs
+              FROM d0, unnest(generate_series(1, greatest(length(nt) - 4, 1))) AS t(i)),
+      tshc AS (SELECT doc_id, gs FROM tsh WHERE gs IN
+               (SELECT gs FROM tsh GROUP BY gs HAVING COUNT(*) <= 100)),
+      tsizes AS (SELECT doc_id, COUNT(*) AS n FROM tshc GROUP BY doc_id),
+      tinter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS ict
+                 FROM tshc a JOIN tshc b ON a.gs = b.gs AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+      tpairs AS (SELECT id1, id2 FROM tinter
+                 JOIN tsizes sa ON sa.doc_id = id1
+                 JOIN tsizes sb ON sb.doc_id = id2
+                 WHERE CAST(ict AS DOUBLE)/(sa.n + sb.n - ict) >= 0.7)
+      SELECT l.n_pairs_lsh, e.n_pairs_exact, t.n_tp,
+        CASE WHEN l.n_pairs_lsh > 0
+          THEN round(CAST(t.n_tp AS DOUBLE) / l.n_pairs_lsh, 4) ELSE 1.0 END AS precision,
+        CASE WHEN e.n_pairs_exact > 0
+          THEN round(CAST(t.n_tp AS DOUBLE) / e.n_pairs_exact, 4) ELSE 1.0 END AS recall,
+        l.avg_jaccard
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_lsh,
+                   coalesce(round(AVG(jaccard), 4), 0.0) AS avg_jaccard FROM lsh) l
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact FROM tpairs) e
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_tp FROM lsh l2
+                  JOIN tpairs p ON p.id1 = l2.id1 AND p.id2 = l2.id2) t"""))
 
   /** 64-bit SimHash over the token multiset; near-dups = pairs sharing one
     * of four 16-bit bands with Hamming distance ≤ 3 (standard
@@ -324,7 +503,7 @@ object Dedup {
                            maxHamming: Int): (DataFrame, DataFrame) = {
     val sigs = docs
       .select(col("doc_id"),
-        graft.functions.SimHashSig.simhashSig(tokens(col("text"))).as("sig"))
+        graft.functions.FnvHashes.fnvSimHashSig(col("text")).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band"),
@@ -368,7 +547,50 @@ object Dedup {
         .crossJoin(broadcast(overCap.agg(
           countDistinct(struct(col("band"), col("bucket"))).as("n_overcap_buckets"),
           countDistinct(col("doc_id")).as("n_overcap_docs"))))
-    })
+    },
+    // FNV-token SimHash replay: per-token FNV with multiplicity → 64
+    // per-bit votes → signature (bit 63 via HUGEINT to dodge signed
+    // overflow) → 16-bit quarter bands → 256-cap split with min-id
+    // star → Hamming≤3 pairs → the graded summary row
+    Some(s"""WITH $WordShingleFnvCtes,
+      tf AS (SELECT doc_id, h, COUNT(*) AS cnt FROM th0 GROUP BY doc_id, h),
+      votes AS (SELECT doc_id, bb.b,
+                SUM(CASE WHEN ((h >> bb.b) & 1) = 1 THEN cnt ELSE -cnt END) AS v
+                FROM tf, (SELECT unnest(generate_series(0, 63)) AS b) bb
+                GROUP BY doc_id, bb.b),
+      sig1 AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN
+                 CASE WHEN b = 63 THEN CAST(9223372036854775808 AS HUGEINT)
+                 ELSE CAST(CAST(1 AS BIGINT) << b AS HUGEINT) END
+                 ELSE CAST(0 AS HUGEINT) END) AS usig
+               FROM votes GROUP BY doc_id),
+      sigs AS (SELECT d.doc_id, coalesce(
+                 CASE WHEN s.usig >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN CAST(s.usig - CAST(18446744073709551616 AS HUGEINT) AS BIGINT)
+                 ELSE CAST(s.usig AS BIGINT) END, 0) AS sig
+               FROM d0 d LEFT JOIN sig1 s USING (doc_id)),
+      sbanded AS (SELECT doc_id, sig, kk.k AS band, (sig >> (16*kk.k)) & 65535 AS bucket
+                  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS k) kk),
+      sbc AS (SELECT band, bucket, COUNT(*) AS bw, MIN(doc_id) AS aid,
+              arg_min(sig, doc_id) AS asig FROM sbanded GROUP BY band, bucket),
+      psmall AS (SELECT b.doc_id, b.sig, b.band, b.bucket FROM sbanded b
+                 JOIN sbc USING (band, bucket) WHERE sbc.bw <= $SimHashMaxBucket),
+      pbig AS (SELECT b.doc_id, b.sig, b.band, b.bucket, sbc.aid, sbc.asig
+               FROM sbanded b JOIN sbc USING (band, bucket)
+               WHERE sbc.bw > $SimHashMaxBucket),
+      prs AS (SELECT DISTINCT id1, id2, hamming FROM (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 bit_count(xor(a.sig, b.sig)) AS hamming
+          FROM psmall a JOIN psmall b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 3
+          UNION ALL
+          SELECT aid, doc_id, bit_count(xor(asig, sig))
+          FROM pbig WHERE doc_id <> aid AND bit_count(xor(asig, sig)) <= 3))
+      SELECT a1.n_pairs, a1.avg_hamming, a2.n_overcap_buckets, a2.n_overcap_docs
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              coalesce(round(AVG(hamming), 4), -1.0) AS avg_hamming FROM prs) a1
+      CROSS JOIN (SELECT CAST(COUNT(DISTINCT band*65536 + bucket) AS BIGINT) AS n_overcap_buckets,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_overcap_docs FROM pbig) a2"""))
 
   /** Exact word-shingle Jaccard pairs over STRING shingles — the
     * oracle-mirrorable exact path (the LSH queries above grade via
@@ -436,7 +658,7 @@ object Dedup {
       .filter(col("jac") >= tau)
   }
 
-  private val JaccardShingleCte: String =
+  private lazy val JaccardShingleCte: String =
     """d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s
              FROM d, UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)

@@ -28,8 +28,11 @@ class SimHashTruthSpec extends AnyFunSuite {
   test("banded simhash pairs equal the brute-force Hamming<=3 truth") {
     assume(sf.isDefined)
     val docs = Tables(spark, sf.get, "documents")
+    // same signature family the pipeline uses (FNV token hashes — the
+    // SQL-replayable stack); the truth is about BANDING losslessness,
+    // so it must share the pipeline's signatures
     val sigs = docs.select(col("doc_id"),
-        graft.functions.SimHashSig.simhashSig(tokens(col("text"))).as("sig"))
+        graft.functions.FnvHashes.fnvSimHashSig(col("text")).as("sig"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val brute = (for {
       i <- sigs.indices.iterator
