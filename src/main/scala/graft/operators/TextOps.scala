@@ -154,12 +154,30 @@ object TextOps {
     * goldens (the Sennrich low/lower/newest/widest example) and asserts
     * exact ≥ the piece-count lower bound per source.
     */
+  /** Session-cached trained merge table — fn and oracle generator share
+    * one training run (the VectorOps.cachedIvfCentroids rationale;
+    * training is deterministic anyway: exact counts, lexicographic
+    * tiebreaks).
+    */
+  private val trainedMerges = new java.util.concurrent.ConcurrentHashMap[
+    String, Vector[(String, String)]]()
+
+  private def cachedMerges(s: org.apache.spark.sql.SparkSession, dir: String): Vector[(String, String)] =
+    trainedMerges.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => graft.text.Bpe.trainFromCorpus(Tables(s, dir, "documents"), nMerges = 200))
+
+  /** DuckDB-escaped (pre-token pattern is already proven RE2-compatible
+    * by the token_counts_bpe oracle).
+    */
+  private val BpePretokenSqlPattern: String =
+    """'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'"""
+
   val tokenCountsBpeExact: QueryDef = QueryDef(
     "token_counts_bpe_exact",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val ranks = graft.text.Bpe.ranksOf(
-        graft.text.Bpe.trainFromCorpus(docs, nMerges = 200))
+      val ranks = graft.text.Bpe.ranksOf(cachedMerges(s, dir))
       docs.select(col("source"),
           graft.text.Bpe.bpeCountTokens(
             regexp_extract_all(col("text"), lit(BpePretokenPattern), lit(0)),
@@ -167,7 +185,56 @@ object TextOps {
         .groupBy(col("source"))
         .agg(sum(col("n_tok")).as("total_tokens"), count(lit(1)).as("n_docs"),
           max(col("n_tok")).as("max_tokens"))
-    })
+    },
+    // Full replay of the Sennrich/GPT-2 encode loop: the trained merge
+    // table ships as a MAP literal with [left, right] list keys; a
+    // recursive CTE applies ONE leftmost lowest-rank merge per step —
+    // provably equivalent to Bpe.encode's merge-all-per-pair loop,
+    // because any pair involving a freshly created composite symbol was
+    // trained AFTER (so ranks BELOW) the merge that created it, so the
+    // leftmost-minimum choice never diverges. Pieces reduce over their
+    // DISTINCT set (the same memoization the kernel's piece cache
+    // applies), then counts rejoin per doc by multiplicity.
+    oracleGen = Some((s, dir) => {
+      val merges = cachedMerges(s, dir)
+      def esc(x: String) = x.replace("'", "''")
+      val mapLit =
+        if (merges.isEmpty) "MAP {[' ',' ']: 0}" // unreachable key
+        else merges.zipWithIndex.map { case ((a, b), r) =>
+          s"['${esc(a)}','${esc(b)}']: $r"
+        }.mkString("MAP {", ", ", "}")
+      def rankList(symsExpr: String) =
+        s"list_transform(range(1, len($symsExpr)), pi -> " +
+          s"coalesce(map_extract($mapLit, [$symsExpr[pi], $symsExpr[pi+1]])[1], 999999))"
+      s"""WITH RECURSIVE
+      pz AS (SELECT doc_id, source, unnest(regexp_extract_all(text, $BpePretokenSqlPattern)) AS piece
+             FROM documents),
+      pieces0 AS (SELECT DISTINCT piece FROM pz),
+      st(piece, syms) AS (
+        SELECT piece, list_transform(range(1, length(piece)+1), ci -> piece[ci])
+        FROM pieces0
+        UNION ALL
+        SELECT piece,
+          syms[1 : bi - 1] || [syms[bi] || syms[bi + 1]] || syms[bi + 2 : len(syms)]
+        FROM (
+          SELECT piece, syms,
+                 list_position(rl, list_min(rl)) AS bi, list_min(rl) AS mr
+          FROM (SELECT piece, syms, ${rankList("syms")} AS rl FROM st)
+        ) WHERE mr < 999999
+      ),
+      done AS (SELECT piece, len(syms) AS ntok FROM (
+          SELECT piece, syms, list_min(${rankList("syms")}) AS mn FROM st)
+          WHERE mn IS NULL OR mn = 999999),
+      perdoc AS (SELECT p.doc_id, p.source, SUM(dn.ntok) AS n_tok
+                 FROM pz p JOIN done dn ON dn.piece = p.piece
+                 GROUP BY p.doc_id, p.source),
+      withz AS (SELECT a.source, coalesce(pd.n_tok, 0) AS n_tok
+                FROM (SELECT doc_id, source FROM documents) a
+                LEFT JOIN perdoc pd ON pd.doc_id = a.doc_id)
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_docs, CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+      FROM withz GROUP BY source"""
+    }))
 
   /** The [[textQuality]] composite score as one reusable column — the
     * SAME arithmetic (operand order, association, round-6) as the

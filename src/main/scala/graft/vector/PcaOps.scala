@@ -157,6 +157,20 @@ object PcaOps {
   final case class EigenResult(eig: Array[Double], vecs: Array[Array[Double]],
                                mu: Array[Double], n: Long, trace: Double)
 
+  /** Session cache for the registered queries' eigensystem: the moment
+    * accumulation is exact-integer (deterministic under any
+    * partitioning) and Jacobi is a fixed driver-side iteration, so the
+    * cache is a speed + fn/oracle-consistency convenience, not a
+    * correctness requirement.
+    */
+  private val trainedEigen =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[EigenResult]]()
+
+  private def cachedEigensystem(s: SparkSession, dir: String): Option[EigenResult] =
+    trainedEigen.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => eigensystem(Tables(s, dir, "embeddings")))
+
   /** None below 2 rows. Bounded end to end: 2 080-row collect +
     * 64-row collect + O(d³) Jacobi.
     */
@@ -278,11 +292,19 @@ object PcaOps {
     * replays — but every distributed input to it is the hash-checked
     * `embedding_covariance` aggregate.
     */
+  /** Eigenvector rows as SQL VALUES (0-based component index c; 1-based
+    * list positions inside).
+    */
+  private def eigvecValuesSql(vecs: Array[Array[Double]]): String =
+    vecs.zipWithIndex.map { case (v, c) =>
+      s"($c, [${v.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n          ")
+
   val embeddingPca: QueryDef = QueryDef(
     "embedding_pca",
     (s, dir) => {
       import s.implicits._
-      eigensystem(Tables(s, dir, "embeddings")) match {
+      cachedEigensystem(s, dir) match {
         case None =>
           // empty-input contract: schema stable, zero rows
           Seq.empty[(Int, Double, Double, Boolean, Boolean, Boolean)]
@@ -310,7 +332,52 @@ object PcaOps {
           out.toDF("component", "eigval", "var_explained_pct",
             "orthonormal_ok", "nonincreasing_ok", "trace_ok")
       }
-    })
+    },
+    // NON-circular replay: the trained eigenvector BASIS is embedded as
+    // literals, but every eigenVALUE the oracle emits is the Rayleigh
+    // quotient vᵀCv against the covariance REBUILT FROM THE DATA (the
+    // exact-integer moment replay) — if Jacobi had not converged, vᵀCv
+    // would disagree with the diagonal value Spark reports and the row
+    // hash would go red. Orthonormality checks the literals;
+    // trace/total-variance come from the data side.
+    oracleGen = Some((s, dir) => {
+      val es = cachedEigensystem(s, dir).getOrElse(
+        throw new IllegalStateException("no eigensystem (needs >= 2 rows)"))
+      s"""WITH pv(c, vrow) AS (VALUES
+          ${eigvecValuesSql(es.vecs)}),
+      q AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+            FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      nn AS (SELECT COUNT(*) AS n FROM q),
+      mom AS (SELECT d1.i AS i, d2.i AS j, CAST(SUM(q.qv[d1.i] * q.qv[d2.i]) AS BIGINT) AS sij
+              FROM q, dims d1, dims d2 WHERE d2.i >= d1.i GROUP BY d1.i, d2.i),
+      esum AS (SELECT d.i, CAST(SUM(q.qv[d.i]) AS BIGINT) AS si
+               FROM q, dims d GROUP BY d.i),
+      cov AS (SELECT m.i, m.j,
+          (CAST(m.sij AS DOUBLE) - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE) / nn.n)
+            / (nn.n - 1.0) AS cv
+        FROM mom m JOIN esum sa ON sa.i = m.i JOIN esum sb ON sb.i = m.j, nn),
+      covf AS (SELECT i, j, cv FROM cov
+               UNION ALL SELECT j, i, cv FROM cov WHERE i <> j),
+      ray AS (SELECT pv.c, SUM(pv.vrow[cf.i] * cf.cv * pv.vrow[cf.j]) AS lam
+              FROM pv, covf cf GROUP BY pv.c),
+      tot AS (SELECT SUM(lam) AS totalvar FROM ray),
+      tr AS (SELECT SUM(cv) AS trace FROM cov WHERE i = j),
+      ortho AS (SELECT MAX(ABS(list_dot_product(a.vrow, b.vrow)
+                  - CASE WHEN a.c = b.c THEN 1.0 ELSE 0.0 END)) AS oerr
+                FROM pv a, pv b WHERE a.c < 8 AND b.c < 8),
+      tchk AS (SELECT ABS(tot.totalvar - tr.trace) <= 0.000001 * ABS(tr.trace) AS ok
+               FROM tot, tr)
+      SELECT CAST(r.c AS INT) AS component,
+        round_even(r.lam / 100000000.0 * 1000000.0, 0) / 1000000.0 AS eigval,
+        round_even(r.lam / tot.totalvar * 1000000.0, 0) / 10000.0 AS var_explained_pct,
+        ortho.oerr < 0.000000001 AS orthonormal_ok,
+        (r.c = 0 OR r.lam <= rp.lam + 0.000000001) AS nonincreasing_ok,
+        tchk.ok AS trace_ok
+      FROM ray r LEFT JOIN ray rp ON rp.c = r.c - 1, tot, ortho, tchk
+      WHERE r.c < 8"""
+    }))
 
   /** ANN in PCA-reduced space: center + project every embedding onto
     * the top 32 components (one `dot_const` kernel call per component
@@ -328,7 +395,7 @@ object PcaOps {
     "ann_pca_topk",
     (s, dir) => {
       import s.implicits._
-      eigensystem(Tables(s, dir, "embeddings")) match {
+      cachedEigensystem(s, dir) match {
         case None =>
           Seq.empty[(Long, Long)].toDF("q_id", "n_hits_in_brute_top10")
         case Some(es) =>
@@ -348,7 +415,34 @@ object PcaOps {
           VectorOps.recallVsBrute(approx, VectorOps.bruteTopK(s, dir),
             proj.filter(col("vec_id") < 10).select(col("vec_id").as("q_id")))
       }
-    })
+    },
+    // replay: top-32 eigenvector rows + their V·μ offsets as literals,
+    // projection with the kernel's exact float semantics (double dot,
+    // double subtract, round to REAL), cosine top-10 in reduced space,
+    // recall graded against the full-dimension brute truth
+    oracleGen = Some((s, dir) => {
+      val es = cachedEigensystem(s, dir).getOrElse(
+        throw new IllegalStateException("no eigensystem (needs >= 2 rows)"))
+      val vecs = es.vecs.take(32)
+      val offs = vecs.map(v => v.zip(es.mu).map { case (a, b) => a * b }.sum)
+      val pvRows = vecs.zip(offs).zipWithIndex.map { case ((v, o), c) =>
+        s"(${c + 1}, [${v.map(_.toString).mkString(", ")}], ${o.toString})"
+      }.mkString(",\n          ")
+      s"""WITH pv(c, vrow, off) AS (VALUES
+          $pvRows),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      proj AS (SELECT e.vec_id,
+          list(CAST(CAST(list_dot_product(e.emb, pv.vrow) - pv.off AS REAL) AS DOUBLE)
+               ORDER BY pv.c) AS pemb
+        FROM e, pv GROUP BY e.vec_id),
+      qp AS (SELECT vec_id AS q_id, pemb AS q_emb FROM proj WHERE vec_id < 10),
+      cand AS (SELECT qp.q_id, p.vec_id,
+          list_cosine_similarity(qp.q_emb, p.pemb) AS cos
+        FROM proj p, qp WHERE p.vec_id <> qp.q_id),
+      ranked AS (SELECT q_id, vec_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM cand),${VectorOps.recallTailSql}"""
+    }))
 
   val all: Seq[QueryDef] = Seq(embeddingCovariance, embeddingPca, annPcaTopK)
 }

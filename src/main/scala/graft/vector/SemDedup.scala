@@ -28,9 +28,26 @@ object SemDedup {
     * cells. Deterministic: fixed k-means seeds (buildIvf), exact cosine
     * on every emitted pair.
     */
+  /** Session-cached k=32 clustering centroids — the query fn and its
+    * oracle generator must share one training run (VectorOps rationale).
+    */
+  private val trainedCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+
+  private def cachedSemCentroids(c: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
+    trainedCentroids.computeIfAbsent(
+      c.sparkSession.sparkContext.applicationId + ":" + k + ":" +
+        c.queryExecution.analyzed.semanticHash(), _ => {
+        val (_, centroidsDf) = VectorOps.buildIvf(c, k, iters = 2)
+        centroidsDf.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      })
+
   def semanticDupPairs(c: DataFrame, k: Int = 32, tau: Double = 0.95,
                        cellCap: Int = 512): DataFrame = {
-    val (assignments, _) = VectorOps.buildIvf(c, k, iters = 2)
+    val cents = cachedSemCentroids(c, k)
+    val assignments =
+      if (cents.isEmpty) c.select(col("vec_id"), lit(0L).as("cell")).limit(0)
+      else VectorOps.assignCells(c, cents).select(col("vec_id"), col("cell"))
     val v = c.join(assignments, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
     val (small, overCap) = graft.dedup.Dedup.bucketCapSplit(
@@ -74,7 +91,48 @@ object SemDedup {
       c.agg(count(lit(1)).as("n_vecs")).crossJoin(stats)
         .select(col("n_vecs"), col("n_pairs"), col("n_dropped"),
           (col("n_vecs") - col("n_dropped")).as("n_kept"), col("avg_cos"))
-    })
+    },
+    // full replay: this session's k=32 centroids as literals (raw +
+    // norm-scaled), argmax-dot assignment with ties to the lowest cell,
+    // the 512-cap split with min-id star, exact cosine ≥ 0.95 gate,
+    // and the summary aggregates
+    oracleGen = Some((s, dir) => {
+      val cents = cachedSemCentroids(Tables(s, dir, "embeddings"), 32)
+      require(cents.nonEmpty, "no centroids to embed (empty corpus)")
+      val scaled = VectorOps.scaledOf(cents).map { case (c0, a) => (c0, a.toSeq) }
+      s"""WITH sc(cell, svec) AS (VALUES
+          ${VectorOps.vecValuesSql(scaled)}),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      asn AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, sc.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.emb, sc.svec) DESC, sc.cell) AS rn
+          FROM e, sc) WHERE rn = 1),
+      cellc AS (SELECT cell, COUNT(*) AS bw, MIN(vec_id) AS aid
+                FROM asn GROUP BY cell),
+      vsmall AS (SELECT a.vec_id, a.cell FROM asn a
+                 JOIN cellc USING (cell) WHERE cellc.bw <= 512),
+      vbig AS (SELECT a.vec_id, a.cell, cellc.aid FROM asn a
+               JOIN cellc USING (cell) WHERE cellc.bw > 512),
+      fullp AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+          list_cosine_similarity(ea.emb, eb.emb) AS cos
+        FROM vsmall a JOIN vsmall b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id),
+      starp AS (SELECT g.aid AS id1, g.vec_id AS id2,
+          list_cosine_similarity(ea.emb, eb.emb) AS cos
+        FROM vbig g JOIN e ea ON ea.vec_id = g.aid
+                    JOIN e eb ON eb.vec_id = g.vec_id
+        WHERE g.vec_id <> g.aid),
+      p2 AS (SELECT * FROM (SELECT * FROM fullp UNION ALL SELECT * FROM starp)
+             WHERE cos >= 0.95)
+      SELECT nv.n_vecs, st.n_pairs, st.n_dropped,
+             nv.n_vecs - st.n_dropped AS n_kept, st.avg_cos
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings) nv
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(COUNT(DISTINCT id2) AS BIGINT) AS n_dropped,
+          coalesce(round(AVG(cos), 4), 0.0) AS avg_cos FROM p2) st"""
+    }))
 
   val all: Seq[QueryDef] = Seq(dedupSemantic)
 }
