@@ -32,7 +32,9 @@ object AsOfJoinOps {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTsCol: String, rightTsCol: String,
                valueCols: Seq[String], tiebreak: Seq[String] = Nil,
-               toleranceUs: Option[Long] = None): DataFrame = {
+               toleranceUs: Option[Long] = None,
+               direction: graft.plans.AsOfDirection = graft.plans.AsOfBackward)
+      : DataFrame = {
     val spark = left.sparkSession
     PlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
 
@@ -77,7 +79,7 @@ object AsOfJoinOps {
       asLong(resolve(left, leftTsCol), "left"),
       asLong(resolve(rProj, "__asof_ts"), "right"),
       rightValues, valueAttrs.toSeq,
-      tbNames.map(resolve(rProj, _)), toleranceUs)
+      tbNames.map(resolve(rProj, _)), toleranceUs, direction)
     PlanBridge.ofRows(spark, node)
   }
 
@@ -107,6 +109,97 @@ object AsOfJoinOps {
         round(coalesce(col("value"), lit(-1.0)), 6).as("asof_value"))
   }
 
+  /** Directional variants on the same click/purchase frame: forward =
+    * the NEXT purchase at-or-after the click (equal-ts ties to the
+    * lowest event_id — the first row in tiebreak order), nearest =
+    * closer of backward/forward with equal distance preferring
+    * backward. Completes pandas merge_asof's direction surface on the
+    * O(1)-state merge.
+    */
+  def enrichClicksDirectional(raw: DataFrame,
+                              direction: graft.plans.AsOfDirection): DataFrame = {
+    val tsUs: Column = Tables.tsMicros(raw)
+    val clicks = raw.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+    val purchases = raw.filter(col("event_type") === "purchase")
+      .select(col("user_id"), tsUs.as("ts_us"), col("event_id"), col("value"))
+    asofJoin(clicks, purchases, keys = Seq("user_id"),
+      leftTsCol = "ts_us", rightTsCol = "ts_us",
+      valueCols = Seq("value"), tiebreak = Seq("event_id"),
+      direction = direction)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        round(coalesce(col("value"), lit(-1.0)), 6).as("asof_value"))
+  }
+
+  /** Forward oracle: first purchase value at-or-after each click. In
+    * the window form, purchases must sort AFTER clicks at equal µs
+    * (kind: click 0, purchase 1) so an exact-timestamp purchase lands
+    * in the CURRENT ROW..FOLLOWING frame; among equal-ts purchases the
+    * ascending event_id order makes first_value pick the lowest id —
+    * exactly the operator's first-in-tiebreak contract.
+    */
+  val j6AsofForward: QueryDef = QueryDef(
+    "j6_asof_forward",
+    (s, dir) => enrichClicksDirectional(Tables(s, dir, "events"),
+      graft.plans.AsOfForward),
+    Some("""WITH u AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind,
+          CASE WHEN event_type = 'purchase' THEN value END AS pv
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      f AS (SELECT event_id, user_id, ts_us, kind,
+          first_value(pv IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_us, kind, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS av
+        FROM u)
+      SELECT event_id, user_id, ts_us,
+        round(COALESCE(av, -1.0), 6) AS asof_value
+      FROM f WHERE kind = 0"""))
+
+  /** Nearest oracle: both directional candidates with their
+    * timestamps, then the distance comparison with the backward
+    * preference on ties — the operator's exact rule.
+    */
+  val j6AsofNearest: QueryDef = QueryDef(
+    "j6_asof_nearest",
+    (s, dir) => enrichClicksDirectional(Tables(s, dir, "events"),
+      graft.plans.AsOfNearest),
+    Some("""WITH u AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          event_type, value
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      b AS (SELECT event_id, user_id, ts_us, kind,
+          last_value(pv IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_us, kind, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bv,
+          last_value(pts IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_us, kind, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts
+        FROM (SELECT event_id, user_id, ts_us,
+            CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+            CASE WHEN event_type = 'purchase' THEN value END AS pv,
+            CASE WHEN event_type = 'purchase' THEN ts_us END AS pts
+          FROM u)),
+      fw AS (SELECT event_id, kind2,
+          first_value(pv2 IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_us, kind2, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fv,
+          first_value(pts2 IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_us, kind2, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fts
+        FROM (SELECT event_id, user_id, ts_us,
+            CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind2,
+            CASE WHEN event_type = 'purchase' THEN value END AS pv2,
+            CASE WHEN event_type = 'purchase' THEN ts_us END AS pts2
+          FROM u)),
+      j AS (SELECT b.event_id, b.user_id, b.ts_us, b.bv, b.bts, fw.fv, fw.fts
+        FROM b JOIN fw ON fw.event_id = b.event_id AND fw.kind2 = 1
+        WHERE b.kind = 1)
+      SELECT event_id, user_id, ts_us,
+        round(COALESCE(
+          CASE WHEN bts IS NOT NULL AND
+                    (fts IS NULL OR (ts_us - bts) <= (fts - ts_us)) THEN bv
+               WHEN fts IS NOT NULL THEN fv END, -1.0), 6) AS asof_value
+      FROM j"""))
+
   val j6AsofCustom: QueryDef = QueryDef(
     "j6_asof_custom",
     (s, dir) => enrichClicks(Tables(s, dir, "events")),
@@ -123,5 +216,5 @@ object AsOfJoinOps {
         round(COALESCE(av, -1.0), 6) AS asof_value
       FROM f WHERE kind = 1"""))
 
-  val all: Seq[QueryDef] = Seq(j6AsofCustom)
+  val all: Seq[QueryDef] = Seq(j6AsofCustom, j6AsofForward, j6AsofNearest)
 }

@@ -1013,6 +1013,37 @@ object Relational {
       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_linestatus"""))
 
+  /** AVG composition through the same summary: avg(CAST(m AS
+    * DECIMAL(25,6))) decomposes into SUM(sum_m)/SUM(cnt) evaluated by
+    * Average's own division (SummaryAggRewrite) — the most common
+    * rollup aggregate served from the MV. The oracle replays Spark's
+    * decimal semantics with exact integer arithmetic: sums in 1e-6
+    * units (HUGEINT), the scale-10 HALF_UP quotient as
+    * (u·10⁴·2 + n) // (2n), one correctly-rounded double conversion,
+    * round 6 — engine-stable where naive decimal division scale rules
+    * are not.
+    */
+  val mvRewriteAvg: QueryDef = QueryDef(
+    "mv_rewrite_avg",
+    (s0, dir) => {
+      mvRewriteAgg.fn(s0, dir) // ensures summary exists + declaration set
+      val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+      t(mvScopedSession(s0), dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("l_quantity").cast(dec)).cast("double"), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice").cast(dec)).cast("double"), 6).as("avg_price"))
+    },
+    Some("""WITH g AS (SELECT l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) * 1000000 AS HUGEINT) AS uq,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) * 1000000 AS HUGEINT) AS up
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus)
+      SELECT l_linestatus, n,
+        round(CAST((uq * 10000 * 2 + n) // (2 * n) AS DOUBLE) / 10000000000.0, 6) AS avg_qty,
+        round(CAST((up * 10000 * 2 + n) // (2 * n) AS DOUBLE) / 10000000000.0, 6) AS avg_price
+      FROM g"""))
+
   /** Join-key skew diagnostics — the report you run BEFORE deciding to
     * salt (a9_salted_sum) or lean on AQE's skew-join split: per-key
     * frequency histogram over decimal-digit buckets (integer-exact on
@@ -2115,6 +2146,6 @@ object Relational {
     q19Disjunctive, q22DormantCustomers,
     eventsMarkov, eventsOutliers, a13GroupingSets, w7RankFamily,
     q6ForecastRevenue, w8NtileFamily, sketchMergeAudit, mvRewriteAgg,
-    mvRollupAgg, q21SoleLateSupplier, scd2Build, scd2PitJoin,
+    mvRollupAgg, mvRewriteAvg, q21SoleLateSupplier, scd2Build, scd2PitJoin,
     scd2MergeQuery, eventsAttribution, eventsAttributionLinear)
 }

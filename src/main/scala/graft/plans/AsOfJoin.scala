@@ -3,6 +3,20 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
 
+/** Matching direction (pandas merge_asof parity):
+  *   - [[AsOfBackward]] — greatest right ts AT-OR-BEFORE the left ts
+  *     (the default; equal-ts ties go to the LAST row in tiebreak order)
+  *   - [[AsOfForward]]  — smallest right ts AT-OR-AFTER the left ts
+  *     (equal-ts ties go to the FIRST row in tiebreak order)
+  *   - [[AsOfNearest]]  — whichever of the two is closer in |Δts|;
+  *     equal distance prefers the backward match
+  * Tolerance bounds the chosen side's |Δts| in every mode.
+  */
+sealed trait AsOfDirection extends Serializable
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+case object AsOfNearest extends AsOfDirection
+
 /** AS-OF join as a first-class logical operator: for every left row,
   * the single right row with equal join keys and the greatest event
   * time at-or-before the left row's event time (optionally within
@@ -38,7 +52,8 @@ case class AsOfJoin(
     rightValues: Seq[Expression],
     valueAttrs: Seq[AttributeReference],
     rightTiebreak: Seq[Expression],
-    toleranceUs: Option[Long]) extends BinaryNode {
+    toleranceUs: Option[Long],
+    direction: AsOfDirection = AsOfBackward) extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "as-of join needs at least one equi-key and matching key arity")

@@ -34,6 +34,7 @@ case class AsOfJoinExec(
     valueAttrs: Seq[AttributeReference],
     rightTiebreak: Seq[Expression],
     toleranceUs: Option[Long],
+    direction: AsOfDirection,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -96,9 +97,13 @@ case class AsOfJoinExec(
             candVal = null
             candTs = Long.MinValue
           }
+          // backward/nearest consume equal-ts rows into the backward
+          // candidate (last in tiebreak order wins); forward leaves
+          // them buffered so the FIRST equal-ts row is the match
+          val consumeEq = direction != AsOfForward
           if (matchable) {
-            // consume right rows up to (lkey, lts); later left rows only
-            // need later right rows, so each right row is touched once
+            // consume right rows strictly useless for this and every
+            // later left row, so each right row is touched once
             var advance = true
             while (advance && rBuf.hasNext) {
               val rkey = rKeyProj(rBuf.head)
@@ -112,11 +117,13 @@ case class AsOfJoinExec(
                   if (rTsRow.isNullAt(0)) rBuf.next() // null ts never matches
                   else {
                     val rts = rTsRow.getLong(0)
-                    if (rts <= lts) {
-                      // (keys, ts, tiebreak) order makes the LAST
-                      // consumed row the winner at equal ts
-                      candVal = rValProj(rBuf.head).copy()
-                      candTs = rts
+                    if (rts < lts || (consumeEq && rts == lts)) {
+                      if (direction != AsOfForward) {
+                        // (keys, ts, tiebreak) order makes the LAST
+                        // consumed row the winner at equal ts
+                        candVal = rValProj(rBuf.head).copy()
+                        candTs = rts
+                      }
                       rBuf.next()
                     } else advance = false
                   }
@@ -124,11 +131,33 @@ case class AsOfJoinExec(
               }
             }
           }
-          val hit = matchable && candVal != null &&
-            tol.forall(t => lts - candTs <= t)
+          // forward candidate: the buffered head, NOT consumed — later
+          // left rows at this key may need the same at-or-after row
+          var fwdVal: InternalRow = null
+          var fwdTs = Long.MaxValue
+          if (direction != AsOfBackward && matchable && rBuf.hasNext) {
+            val rkey = rKeyProj(rBuf.head)
+            if (!rkey.anyNull && keyOrd.compare(rkey, lkey) == 0) {
+              val rTsRow = rTsProj(rBuf.head)
+              if (!rTsRow.isNullAt(0)) {
+                fwdTs = rTsRow.getLong(0)
+                fwdVal = rValProj(rBuf.head)
+              }
+            }
+          }
+          val bOk = matchable && candVal != null && tol.forall(t => lts - candTs <= t)
+          val fOk = matchable && fwdVal != null && tol.forall(t => fwdTs - lts <= t)
+          val (hit, hitVal) = direction match {
+            case AsOfBackward => (bOk, candVal)
+            case AsOfForward => (fOk, fwdVal)
+            case AsOfNearest => // equal distance prefers backward
+              if (bOk && (!fOk || (lts - candTs) <= (fwdTs - lts))) (true, candVal)
+              else if (fOk) (true, fwdVal)
+              else (false, null)
+          }
           if (hit) numMatched += 1
           numOutputRows += 1
-          joiner(joined(lrow, if (hit) candVal else nullValues))
+          joiner(joined(lrow, if (hit) hitVal else nullValues))
         }
       }
     }
@@ -148,7 +177,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case j: AsOfJoin =>
       AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs,
         j.rightValues, j.valueAttrs, j.rightTiebreak, j.toleranceUs,
-        planLater(j.left), planLater(j.right)) :: Nil
+        j.direction, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }

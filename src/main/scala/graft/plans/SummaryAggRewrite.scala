@@ -172,6 +172,19 @@ object SummaryAggRewrite extends Rule[LogicalPlan] {
         // non-null literal (COUNT(*)/COUNT(1)) may map to SUM(cnt)
         case Count(Seq(l: Literal)) if l.value != null => true
         case Sum(Cast(a: AttributeReference, Dec, _, _), _) => measures.contains(a.name)
+        // AVG of the decimal-cast measure decomposes into the summary's
+        // exact partials: sum = SUM(sum_m) (decimal re-aggregation is
+        // exact, and its type equals Average's internal sum buffer over
+        // a Dec input), count = SUM(cnt) — then Average's OWN
+        // evaluateExpression runs over those, so division semantics are
+        // identical by construction. Bare double AVG stays declined
+        // (float reassociation). NULL-measure caveat: the summary's cnt
+        // counts rows, not non-null measure values, so the decomposed
+        // count is exact only for non-nullable measures — declare only
+        // non-null measure columns (the fixture fact's are), or extend
+        // writeSummary with per-measure non-null counts.
+        case Average(Cast(a: AttributeReference, Dec, _, _), _) =>
+          measures.contains(a.name)
         case Min(a: AttributeReference) => measures.contains(a.name)
         case Max(a: AttributeReference) => measures.contains(a.name)
         case _ => false
@@ -207,6 +220,33 @@ object SummaryAggRewrite extends Rule[LogicalPlan] {
         case Count(Seq(_: Literal)) => ae.copy(aggregateFunction = Sum(byName("cnt")))
         case Sum(Cast(a: AttributeReference, Dec, _, _), _) =>
           ae.copy(aggregateFunction = Sum(byName(s"sum_${a.name}")))
+        case avg @ Average(Cast(a: AttributeReference, Dec, _, _), _) =>
+          // sum/count decomposition, evaluated by the ORIGINAL Average's
+          // evaluateExpression with its buffer attrs substituted — the
+          // division (type, scale, overflow mode) is Average's own, so
+          // the rewrite cannot change a digit. Types line up exactly:
+          // SUM over the decimal(25,6) partial widens to the same
+          // decimal(35,6) Average's internal sum buffer uses over a
+          // Dec(25,6) input, and SUM(cnt: long) is LongType like its
+          // count buffer. Fresh resultIds per partial — two aggregates
+          // sharing one resultId would collide in the physical agg.
+          val Seq(avgSum, avgCnt) = avg.aggBufferAttributes
+          // the summary's sum_m is itself a widened SUM (25,6 → 35,6),
+          // so re-summing widens once more (38,6); cast back to
+          // Average's sum-buffer type — same scale, exact by the same
+          // 25-digit headroom the original aggregation relies on
+          val sumPart: Expression = Cast(
+            AggregateExpression(Sum(byName(s"sum_${a.name}")),
+              ae.mode, ae.isDistinct, ae.filter, NamedExpression.newExprId),
+            avgSum.dataType)
+          val cntPart = AggregateExpression(Sum(byName("cnt")),
+            ae.mode, ae.isDistinct, ae.filter, NamedExpression.newExprId)
+          require(cntPart.dataType == avgCnt.dataType,
+            s"avg decomposition type drift: ${cntPart.dataType} vs ${avgCnt.dataType}")
+          avg.evaluateExpression.transform {
+            case b: AttributeReference if b.exprId == avgSum.exprId => sumPart
+            case b: AttributeReference if b.exprId == avgCnt.exprId => cntPart
+          }
         case Min(a: AttributeReference) =>
           ae.copy(aggregateFunction = Min(byName(s"min_${a.name}")))
         case Max(a: AttributeReference) =>

@@ -133,6 +133,68 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() === 50)
   }
 
+  test("forward direction: first at-or-after wins, equal-ts tie to the LOWEST id") {
+    import graft.plans.AsOfForward
+    val left = fixture(Seq((1L, 10L, 100L, 0.0), (2L, 10L, 150L, 0.0),
+      (3L, 10L, 300L, 0.0)), "l")
+    val right = fixture(Seq(
+      (7L, 10L, 100L, 1.0), (9L, 10L, 100L, 2.0), // equal-ts: id 7 (FIRST) wins
+      (4L, 10L, 200L, 5.0)), "r")
+    val out = AsOfJoinOps.asofJoin(left.drop("v"), right, Seq("k"), "ts_us", "ts_us",
+      Seq("v"), tiebreak = Seq("id"), direction = AsOfForward)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) === Some(1.0)) // exact-ts match, lowest id
+    assert(out(2L) === Some(5.0)) // next at-or-after 150 is 200
+    assert(out(3L) === None) // nothing at-or-after 300
+  }
+
+  test("forward tolerance bounds rts - lts") {
+    import graft.plans.AsOfForward
+    val left = fixture(Seq((1L, 1L, 100L, 0.0)), "l")
+    val right = fixture(Seq((5L, 1L, 700L, 3.0)), "r")
+    def run(tol: Long) = AsOfJoinOps.asofJoin(left.drop("v"), right,
+      Seq("k"), "ts_us", "ts_us", Seq("v"),
+      toleranceUs = Some(tol), direction = AsOfForward)
+      .select("v").collect()
+    assert(run(500L).forall(_.isNullAt(0)), "600µs-ahead match outside 500µs tolerance")
+    assert(run(600L).head.getDouble(0) === 3.0)
+  }
+
+  test("nearest direction: closer side wins, equal distance prefers backward") {
+    import graft.plans.AsOfNearest
+    val left = fixture(Seq(
+      (1L, 10L, 100L, 0.0), // backward at 90 (Δ10) vs forward at 130 (Δ30) → backward
+      (2L, 10L, 125L, 0.0), // backward at 90 (Δ35) vs forward at 130 (Δ5) → forward
+      (3L, 10L, 110L, 0.0), // Δ20 both sides → backward preferred
+      (4L, 20L, 500L, 0.0)), "l") // no right rows for key 20 → null
+    val right = fixture(Seq((5L, 10L, 90L, 1.0), (6L, 10L, 130L, 2.0)), "r")
+    val out = AsOfJoinOps.asofJoin(left.drop("v"), right, Seq("k"), "ts_us", "ts_us",
+      Seq("v"), tiebreak = Seq("id"), direction = AsOfNearest)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) === Some(1.0))
+    assert(out(2L) === Some(2.0))
+    assert(out(3L) === Some(1.0))
+    assert(out(4L) === None)
+  }
+
+  test("nearest falls back across sides when tolerance excludes the closer one") {
+    import graft.plans.AsOfNearest
+    // backward at Δ400, forward at Δ100: nearest picks forward; with a
+    // tolerance of 50 both are excluded; with 150 only forward survives
+    val left = fixture(Seq((1L, 1L, 1000L, 0.0)), "l")
+    val right = fixture(Seq((5L, 1L, 600L, 1.0), (6L, 1L, 1100L, 2.0)), "r")
+    def run(tol: Option[Long]) = AsOfJoinOps.asofJoin(left.drop("v"), right,
+      Seq("k"), "ts_us", "ts_us", Seq("v"), direction = AsOfNearest,
+      toleranceUs = tol).select("v").collect()
+    assert(run(None).head.getDouble(0) === 2.0)
+    assert(run(Some(150L)).head.getDouble(0) === 2.0)
+    assert(run(Some(50L)).forall(_.isNullAt(0)))
+    // tolerance excluding forward only: backward (Δ400) survives at 450
+    assert(run(Some(450L)).head.getDouble(0) === 2.0) // fwd Δ100 still closer
+  }
+
   test("merge semantics equal a reference nested-loop computation on a random fixture") {
     val rnd = new scala.util.Random(42)
     val lrows = (1L to 300L).map(i => (i, rnd.nextInt(7).toLong, rnd.nextInt(1000).toLong, 0.0))

@@ -113,8 +113,11 @@ class MvRewriteSpec extends AnyFunSuite {
         // filter touches a measure — cannot commute with pre-agg
         li.filter(col("l_quantity") > 10)
           .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")),
-        // avg is not recomposable bit-exactly from the stored partials
+        // BARE double avg is not recomposable bit-exactly (the
+        // decimal-cast form is — see the avg navigation test below)
         li.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a")),
+        // COUNT(NULL) is 0 per group, not the row count (r9 advice)
+        li.groupBy(col("l_returnflag")).agg(count(lit(null)).as("n")),
         // bare double SUM would change low bits under reassociation
         li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s")),
         // global aggregate: empty-input row semantics differ
@@ -124,6 +127,25 @@ class MvRewriteSpec extends AnyFunSuite {
         assert(paths.nonEmpty && paths.forall(p => !p.contains(sumPath)),
           s"shape $i must NOT be rewritten, scans=$paths")
       }
+    }
+  }
+
+  test("decimal-cast avg navigates to the summary and matches the fact values") {
+    withRule {
+      def q(frame: org.apache.spark.sql.DataFrame) = frame
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(avg(col("l_quantity").cast("decimal(25,6)")).as("aq"),
+          avg(col("l_extendedprice").cast("decimal(25,6)")).as("ap"),
+          count(lit(1)).as("n"))
+      val rewritten = q(li)
+      val paths = scanPaths(rewritten)
+      assert(paths.nonEmpty && paths.forall(_.contains(sumPath)),
+        s"expected summary scan for decimal avg, got $paths")
+      val got = rewritten.orderBy("l_linestatus").collect().map(_.toSeq).toSeq
+      spark.conf.unset(SummaryAggRewrite.ConfKey)
+      val want = q(li).orderBy("l_linestatus").collect().map(_.toSeq).toSeq
+      assert(got == want, "avg navigation must be value-exact, digit for digit")
     }
   }
 
