@@ -42,6 +42,7 @@ object SparkEntry {
       dedup.EditDedup.all ++
       vector.VectorOps.all ++
       vector.PqOps.all ++
+      vector.QuantOps.all ++
       vector.SemDedup.all ++
       vector.KMeansOps.all ++
       vector.PcaOps.all ++

@@ -100,6 +100,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus — identical bounded shape to ann_brute_topk's exact
     // rescoring stage
     "ann_pca_topk",
+    // the 1-row abs-max scale aggregate broadcast onto the encode scan
+    // (the text_bm25 stats shape) plus the ≤10-row query-code set over
+    // the code scan — both sides bounded by construction
+    "ann_sq8_topk",
+    // the ≤10-row packed-sign query set broadcast over the 2-word
+    // sketch scan; candidate/rerank joins are keyed equi-joins
+    "ann_bq_topk",
     // 1-row merged-sketch aggregate × 1-row exact-distinct aggregate
     // (the constant-key equi-join folds to NLJ after constant
     // propagation); both inputs are ungrouped aggregates, so the

@@ -53,6 +53,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(hits >= 40, s"PQ total recall collapsed: $hits/100")
   }
 
+  test("SQ8 int8 + exact re-rank recall@10 clears its floor") {
+    assume(sfDir.isDefined)
+    val (hits, nq) = totalHits("ann_sq8_topk", sfDir.get)
+    assert(nq == 10, s"expected one recall row per query, got $nq")
+    // int8 with rerank=50 is near-lossless: measured 100/100/100 at
+    // sf0.001/0.01/0.1; floor 90%
+    assert(hits >= 90, s"SQ8 total recall collapsed: $hits/100")
+  }
+
+  test("binary-quantization recall@10 clears its floor") {
+    assume(sfDir.isDefined)
+    val (hits, nq) = totalHits("ann_bq_topk", sfDir.get)
+    assert(nq == 10, s"expected one recall row per query, got $nq")
+    // 64 sign bits, rerank=50: measured 61/66/36 at sf0.001/0.01/0.1
+    // (fixed rerank budget is a shrinking corpus fraction); floor 40%
+    // at the spec's sf0.001
+    assert(hits >= 40, s"BQ total recall collapsed: $hits/100")
+  }
+
   test("IVF-PQ recall@10 clears its floor on every query set") {
     assume(sfDir.isDefined)
     val (hits, nq) = totalHits("ann_ivfpq_topk", sfDir.get)
