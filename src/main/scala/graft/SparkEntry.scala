@@ -43,6 +43,8 @@ object SparkEntry {
       vector.VectorOps.all ++
       vector.PqOps.all ++
       vector.QuantOps.all ++
+      vector.HybridOps.all ++
+      vector.OpqOps.all ++
       vector.SemDedup.all ++
       vector.KMeansOps.all ++
       vector.PcaOps.all ++

@@ -166,7 +166,7 @@ object PcaOps {
   private val trainedEigen =
     new java.util.concurrent.ConcurrentHashMap[String, Option[EigenResult]]()
 
-  private def cachedEigensystem(s: SparkSession, dir: String): Option[EigenResult] =
+  private[vector] def cachedEigensystem(s: SparkSession, dir: String): Option[EigenResult] =
     trainedEigen.computeIfAbsent(
       s.sparkContext.applicationId + ":" + dir,
       _ => eigensystem(Tables(s, dir, "embeddings")))
@@ -190,16 +190,18 @@ object PcaOps {
   }
 
   /** Centered projection onto `vecs` rows: z_c = V_c·x − V_c·μ, one
-    * `dot_const` kernel call per component — a pure map stage whose
-    * constants (eigenvectors, offsets) ship like the LSH plane table.
+    * `matvec_const` kernel call — a pure map stage whose constants
+    * (eigenvectors, offsets) ship like the LSH plane table. Previously
+    * one `dot_const` per component inside an `array(...)`; at 64 rows
+    * that unrolled to a >8000-byte un-JIT-able generated method
+    * (CodegenAuditSpec), so the whole rotation is now a single kernel
+    * with identical per-component arithmetic.
     */
   def project(emb: DataFrame, vecs: Array[Array[Double]],
               mu: Array[Double]): DataFrame = {
-    import graft.functions.DotProductConst.dotConst
+    import graft.functions.MatVecConst.matVec
     val offsets = vecs.map(v => v.zip(mu).map { case (a, b) => a * b }.sum)
-    val zExpr = array(vecs.indices.map(c =>
-      (dotConst(col("embedding"), vecs(c)) - lit(offsets(c))).cast("float")): _*)
-    emb.select(col("vec_id"), zExpr.as("pemb"))
+    emb.select(col("vec_id"), matVec(col("embedding"), vecs, offsets).as("pemb"))
   }
 
   /** Registered query: the exact integer moment matrix — the one part

@@ -106,7 +106,7 @@ object PqOps {
     * float rounding in the normalize is far below the quantization
     * noise floor.
     */
-  private def normalized(v: Column): Column = {
+  private[vector] def normalized(v: Column): Column = {
     val nrm = l2Norm(v)
     when(nrm > 0, transform(v, x => (x.cast("double") / nrm).cast("float")))
       .otherwise(v)
@@ -132,7 +132,7 @@ object PqOps {
     * (j_0..j_{M-1}) is Σ_m lut(m)(j_m). Same single-native-expression
     * shape as `encode`.
     */
-  private def queryLuts(q: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+  private[vector] def queryLuts(q: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
     q.select(col("q_id"), col("q_emb"),
       graft.functions.PqKernels.pqLuts(
         normalized(col("q_emb")), codebooks, SubDim).as("lut"))
@@ -186,7 +186,7 @@ object PqOps {
     * accumulated in the same index order PqKernels.flatten uses, so the
     * argmax scores replay bit-identically.
     */
-  private def cbValuesSql(codebooks: Array[Array[Array[Double]]]): String = {
+  private[vector] def cbValuesSql(codebooks: Array[Array[Array[Double]]]): String = {
     require(codebooks.nonEmpty, "no codebooks to embed (empty corpus)")
     (for (mm <- codebooks.indices; j <- codebooks(mm).indices) yield {
       val ct = codebooks(mm)(j)
@@ -207,8 +207,9 @@ object PqOps {
     * IVF-PQ inverted-list probe); false scans all codes (flat PQ).
     * Ends at `ranked`, ready for VectorOps.recallTailSql.
     */
-  private def pqReplayCtes(codebooks: Array[Array[Array[Double]]],
-                           cellRestrict: Boolean): String = {
+  private[vector] def pqReplayCtes(codebooks: Array[Array[Array[Double]]],
+                                   cellRestrict: Boolean,
+                                   encSrc: String = "e"): String = {
     val probe =
       if (cellRestrict)
         """JOIN asn a ON a.vec_id = cp.vec_id
@@ -225,7 +226,7 @@ object PqOps {
       en AS (SELECT vec_id, CASE WHEN nrm > 0
             THEN list_transform(emb, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
             ELSE emb END AS nemb
-        FROM (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)),
+        FROM (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM $encSrc)),
       codes AS (SELECT vec_id, m, j FROM (
           SELECT en.vec_id, cb.m, cb.j,
                  row_number() OVER (PARTITION BY en.vec_id, cb.m

@@ -49,6 +49,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // ≤k-row centroid table and 10-row query/LUT sets broadcast; the
     // cell-pruned ADC join is the keyed equi-join
     "ann_ivfpq_topk",
+    // ann_pq_topk's 10-row LUT broadcast over the (rotated) code scan
+    // plus the brute-truth side — same bounded shapes
+    "ann_opq_topk",
     "dedup_embedding",
     // the 1-row global-budget aggregate joined onto the 20-row per-source
     // table (constant-key join folds to NLJ); the corpus side joins rates
@@ -107,6 +110,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the ≤10-row packed-sign query set broadcast over the 2-word
     // sketch scan; candidate/rerank joins are keyed equi-joins
     "ann_bq_topk",
+    // text_bm25's 1-row stats crossJoin on the lexical side plus
+    // ann_brute_topk's ≤4-row query broadcast on the dense side; the
+    // fusion join is a keyed full-outer over two ≤200-row rank lists
+    "hybrid_rrf_topk",
     // 1-row merged-sketch aggregate × 1-row exact-distinct aggregate
     // (the constant-key equi-join folds to NLJ after constant
     // propagation); both inputs are ungrouped aggregates, so the

@@ -53,6 +53,28 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(hits >= 40, s"PQ total recall collapsed: $hits/100")
   }
 
+  test("OPQ rotated-PQ recall@10 clears its floor") {
+    assume(sfDir.isDefined)
+    val (hits, nq) = totalHits("ann_opq_topk", sfDir.get)
+    assert(nq == 10, s"expected one recall row per query, got $nq")
+    // measured 74/70/51 at sf0.001/0.01/0.1 — within noise of flat PQ
+    // on this near-isotropic synthetic corpus; floor 40% like PQ
+    assert(hits >= 40, s"OPQ total recall collapsed: $hits/100")
+  }
+
+  test("OPQ eigenvalue allocation is a balanced permutation") {
+    // descending spectrum with a heavy head — the case plain PCA
+    // ordering gets wrong (all variance in subspace 0)
+    val eig = Array.tabulate(64)(i => math.pow(0.8, i) + 1e-6)
+    val order = OpqOps.allocateComponents(eig)
+    assert(order.sorted.sameElements(0 until 64), "not a permutation")
+    // each 8-dim subspace must receive exactly one of the top-8
+    // components (greedy Σlog-λ balancing spreads the head)
+    val top8Buckets = (0 until 8).map(c => order.indexOf(c) / 8)
+    assert(top8Buckets.toSet.size == 8,
+      s"top-8 components not spread across subspaces: $top8Buckets")
+  }
+
   test("SQ8 int8 + exact re-rank recall@10 clears its floor") {
     assume(sfDir.isDefined)
     val (hits, nq) = totalHits("ann_sq8_topk", sfDir.get)
