@@ -49,6 +49,7 @@ object SparkEntry {
       vector.KMeansOps.all ++
       vector.PcaOps.all ++
       media.MediaOps.all ++
+      media.ImageDedup.all ++
       ops.WarcFixtureQueries.all ++
       streaming.StreamQueries.all ++
       Seq(jobs.HostRank.hostRank, jobs.HostRank.graphHits)
