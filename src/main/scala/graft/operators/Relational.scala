@@ -225,6 +225,37 @@ object Relational {
     Some("""SELECT c_custkey, c_acctbal FROM customer
       ORDER BY c_acctbal DESC, c_custkey LIMIT 10"""))
 
+  /** Grouped top-k, declared as the row_number-filter idiom on
+    * PURPOSE: Spark's InferWindowGroupLimit rewrites it into a
+    * WindowGroupLimit pair — a PARTIAL group-limit before the shuffle
+    * (each map task keeps only k rows per group it sees, a bounded
+    * heap instead of a sort) and a FINAL one after — so the exchange
+    * moves O(k·groups·tasks) rows, not the corpus. A hand-built top-k
+    * aggregate would re-implement exactly this; the declarative form
+    * gets it from Catalyst and WindowGroupLimitSpec pins the rewrite
+    * so a conf or version change that silently drops back to the full
+    * window sort fails by name.
+    */
+  val o9GroupedTopK: QueryDef = QueryDef(
+    "o9_grouped_topk",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+    },
+    Some("""SELECT l_returnflag, l_linestatus, l_extendedprice, l_orderkey,
+        l_linenumber, rk FROM (
+      SELECT l_returnflag, l_linestatus, l_extendedprice, l_orderkey,
+             l_linenumber,
+             row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      FROM lineitem) WHERE rk <= 5"""))
+
   /** O7 self-loop filter (hostlinks_to_graph.py:155-158). */
   val o7SelfLoopFilter: QueryDef = QueryDef(
     "o7_selfloop_filter",
@@ -2133,7 +2164,7 @@ object Relational {
     a3CollectList, a5Count, j1GraphIds, j3SemiJoin, j4AntiJoin, a7Rollup,
     a8Percentiles, a9SaltedSum, o2ZipWithIndex, u1Union, u2Distinct,
     u3DropDuplicates, u4DropNa, u5Intersect, u6Except, o1TopN,
-    o7SelfLoopFilter, j5FullOuter, a10Pivot, p14SplitPart,
+    o9GroupedTopK, o7SelfLoopFilter, j5FullOuter, a10Pivot, p14SplitPart,
     fScalarStrings, fDatetime, fArrayFuncs, fMathFuncs, fCondNull,
     w1RowNumber, w2RunningSum, w3DailyRollup, eJsonExtract,
     j6AsofJoin, j7RangeJoin, eventsFunnel, eventsCohort, eventsRfm,

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Catalyst rank-limit pushdown the grouped-top-k idiom relies
+  * on: `row_number().over(partitionBy...orderBy...)` + `filter(rk <= k)`
+  * must plan a WindowGroupLimit PAIR — a Partial group-limit BEFORE the
+  * exchange (each map task keeps only k rows per group via a bounded
+  * heap) and a Final one after — so the shuffle moves O(k·groups·tasks)
+  * rows instead of the corpus. This is why the repo declares grouped
+  * top-k instead of hand-building a top-k aggregate; if a conf or Spark
+  * upgrade silently drops the rewrite (falling back to a full per-group
+  * sort of every row), this spec fails by name rather than the bench
+  * quietly regressing.
+  */
+class WindowGroupLimitSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("o9_grouped_topk plans a Partial+Final WindowGroupLimit around the exchange") {
+    val df = SparkEntry.queries("o9_grouped_topk")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing — full window sort of the corpus:\n$plan")
+    assert(plan.contains("Partial") && plan.contains("Final"),
+      s"expected map-side Partial + reduce-side Final group limits:\n$plan")
+    // the Partial limit must sit BELOW the exchange (map side)
+    val lines = plan.linesIterator.toVector
+    val partialIdx = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"Partial group limit should be under the exchange in the plan tree:\n$plan")
+  }
+
+  test("grouped top-k output matches a naive per-group sort-take") {
+    import scala.jdk.CollectionConverters._
+    val rows = SparkEntry.queries("o9_grouped_topk")(spark, sf)
+      .collectAsList().asScala
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getAs[Number](3).longValue, r.getAs[Number](4).longValue,
+        r.getAs[Number](5).longValue))
+    val naive = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_linestatus", "l_extendedprice",
+        "l_orderkey", "l_linenumber")
+      .collectAsList().asScala
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getAs[Number](3).longValue, r.getAs[Number](4).longValue))
+      .groupBy(t => (t._1, t._2))
+      .flatMap { case (_, g) =>
+        g.toSeq.sortBy(t => (-t._3, t._4, t._5)).take(5).zipWithIndex
+          .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, (i + 1).toLong) }
+      }.toSet
+    assert(rows.toSet == naive, "pushed-down group limit changed the result")
+  }
+}
