@@ -147,7 +147,11 @@ object ImageDedup {
     * spanning star, and the Hamming sum — byte-for-byte the kernel's
     * integer arithmetic.
     */
-  private val oracle = s"""WITH imgs AS (
+  /** Shared replay CTE chain ending at `ham(media_a, media_b, hamming)`
+    * — the analytic pixel/hash/banding/pair pipeline both image-dedup
+    * oracles read.
+    */
+  private val phashCtes = s"""imgs AS (
         SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n,
                hex(CAST(text AS BLOB)) AS hx
         FROM documents WHERE text IS NOT NULL AND length(text) > 0),
@@ -186,13 +190,54 @@ object ImageDedup {
         FROM pairs p
         JOIN band a ON a.media_id = p.id1
         JOIN band b ON b.media_id = p.id2 AND b.band = a.band
-        GROUP BY p.id1, p.id2)
-      SELECT media_a, media_b, hamming, hamming <= $DupThreshold AS is_dup FROM ham"""
+        GROUP BY p.id1, p.id2)"""
 
   val imageDedupPhash: QueryDef = QueryDef(
     "image_dedup_phash",
     (s, dir) => dhashPairs(s, dir),
-    Some(oracle))
+    Some(s"""WITH $phashCtes
+      SELECT media_a, media_b, hamming, hamming <= $DupThreshold AS is_dup FROM ham"""))
 
-  val all: Seq[QueryDef] = Seq(imageDedupPhash)
+  /** Visual duplicate CLUSTERS: the is_dup pairs feed the same capped
+    * min-label-fixpoint connected components as the text dedup family
+    * (Dedup.connectedComponents — 10 keyed join+agg rounds with the
+    * join-free convergence check, no windows), summarized to one row.
+    * The keep-one-per-cluster drop count is the number a curation run
+    * budgets against.
+    */
+  val imageDedupClusters: QueryDef = QueryDef(
+    "image_dedup_clusters",
+    (s, dir) => {
+      val dups = dhashPairs(s, dir).filter(col("is_dup"))
+        .select(col("media_a").as("id1"), col("media_b").as("id2"))
+      graft.dedup.Dedup.connectedComponents(dups)
+        .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum(col("sz")), lit(0L)).as("n_imgs_in_clusters"),
+          coalesce(sum(col("sz")) - count(lit(1)), lit(0L)).as("n_imgs_to_drop"),
+          coalesce(max(col("sz")), lit(0L)).as("largest_cluster"))
+    },
+    Some(s"""WITH RECURSIVE $phashCtes,
+      dups AS (SELECT media_a, media_b FROM ham WHERE hamming <= $DupThreshold),
+      edges AS (SELECT media_a AS a, media_b AS b FROM dups
+                UNION ALL SELECT media_b, media_a FROM dups),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      cc(iter, node, label) AS (
+        SELECT 0, node, node FROM nodes
+        UNION ALL
+        SELECT c.iter + 1, c.node,
+          least(c.label, coalesce((SELECT MIN(c2.label) FROM cc c2
+                                   JOIN edges e ON e.a = c2.node
+                                   WHERE e.b = c.node), c.label))
+        FROM cc c WHERE c.iter < 10
+      ),
+      labels AS (SELECT node, label FROM cc WHERE iter = 10),
+      clusters AS (SELECT label, COUNT(*) AS sz FROM labels GROUP BY label)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_imgs_in_clusters,
+             CAST(COALESCE(SUM(sz) - COUNT(*), 0) AS BIGINT) AS n_imgs_to_drop,
+             CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS largest_cluster
+      FROM clusters"""))
+
+  val all: Seq[QueryDef] = Seq(imageDedupPhash, imageDedupClusters)
 }
