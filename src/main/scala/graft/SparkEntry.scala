@@ -44,6 +44,7 @@ object SparkEntry {
       vector.PqOps.all ++
       vector.QuantOps.all ++
       vector.HybridOps.all ++
+      vector.FeatureEmbed.all ++
       vector.OpqOps.all ++
       vector.SemDedup.all ++
       vector.KMeansOps.all ++

@@ -227,12 +227,12 @@ object Dedup {
   // nearest-bin-to-the-right window, band buckets as the FNV fold over
   // the signature window's little-endian bytes.
 
-  private def fnvU(byteList: String): String =
+  private[graft] def fnvU(byteList: String): String =
     s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
       s"list_transform($byteList, fb -> CAST(fb AS HUGEINT))), " +
       "(fa, fb) -> (xor(fa, fb) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))"
 
-  private val SignedU: String =
+  private[graft] val SignedU: String =
     "CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT) " +
       "THEN CAST(u - CAST(18446744073709551616 AS HUGEINT) AS BIGINT) " +
       "ELSE CAST(u AS BIGINT) END"
