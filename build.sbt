@@ -27,5 +27,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Test suites share one forked JVM and the FIRST suite to call
+  // getOrCreate pins the SparkContext conf — RetrySpec's local[4, 2]
+  // master is ignored when another suite won that race, and with the
+  // local-mode default of maxFailures=1 its injected first-attempt
+  // failures abort instead of retrying. Set it JVM-wide (cluster
+  // deployments default to 4; retries only engage on task failure).
+  "-Dspark.task.maxFailures=2",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
