@@ -344,9 +344,12 @@ object Dedup {
     },
     // full replay: FNV shingles → OPH signature → banding → cap split →
     // exact verify → 10-round min-label CC (the dedup_clusters_exact
-    // recursive tail over the LSH pair set)
+    // recursive tail over the LSH pair set). `edges` is MATERIALIZED:
+    // without the hint DuckDB re-inlines the whole LSH chain into the
+    // recursive iteration and the replay OOMs at sf0.1 (the hint is
+    // value-neutral; 69.7 s with it, abort without).
     Some(s"""WITH RECURSIVE $WordShingleFnvCtes,${minhashLshCtes(4, 0.5)},
-      edges AS (SELECT id1 AS a, id2 AS b FROM lsh
+      edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM lsh
                 UNION ALL SELECT id2, id1 FROM lsh),
       nodes AS (SELECT DISTINCT a AS node FROM edges),
       cc(iter, node, label) AS (

@@ -125,7 +125,16 @@ object ImageDedup {
     * non-empty on corpora with no near-dups).
     */
   def dhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // Persist the signatures: the OPPOSITE call from minHashDedup's
+    // no-persist rationale, for the same reason. There the materialized
+    // shingles are ~10× their text and the recompute is a cheap fused
+    // scan; here the signature is 24 bytes/image while the recompute is
+    // the full PNG decode + pixel pass — the one expensive stage —
+    // and it feeds three consumers (banding, both verify sides).
+    // At corpus scale 10B images persist as ~240 GB spillable
+    // cluster-wide vs re-decoding the archive bytes twice more.
     val hashed = hashedImages(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashed.select(col("media_id").as("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
     val pairs = graft.dedup.Dedup.candidatePairs(banded)

@@ -23,6 +23,12 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # An in-memory DuckDB has NO temp directory, so a heavy oracle
+    # (the full LSH replays at sf0.1) aborts with OOM instead of
+    # spilling. Give it a spill dir and a bounded budget so the check
+    # also survives running next to a Spark JVM.
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
