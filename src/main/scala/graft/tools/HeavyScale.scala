@@ -28,7 +28,10 @@ object HeavyScale {
   private val Heavy = Seq(
     "graph_pagerank", "graph_hits", "stream_join", "stream_left_join",
     "dedup_clusters", "dedup_clusters_exact", "dedup_minhash",
-    "decontam_near", "ann_ivfpq_topk", "quality_model_score")
+    "decontam_near", "ann_ivfpq_topk", "quality_model_score",
+    // round-10 additions: the payload-heavy decode+LSH pipeline, the
+    // two-retriever fusion, and the rotated-PQ path
+    "image_dedup_clusters", "hybrid_rrf_topk", "ann_opq_topk")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
