@@ -87,7 +87,9 @@ object JobCli {
       |                of a root/vN versioned table, delete the rest) |
       |        sample (--output_option id=col [weight=col] [group=col]
       |                [k=N]: exact weighted sampling w/o replacement) |
-      |        pca (--top_k K: components kept)""".stripMargin
+      |        pca (--top_k K: components kept) |
+      |        image_dedup (input: (media_id, payload) parquet;
+      |                writes pairs/, outputs the cluster summary)""".stripMargin
 
   private def kv(s: String): (String, String) = s.split("=", 2) match {
     case Array(k, v) => (k, v)
@@ -233,7 +235,7 @@ object JobRunner {
       "dedup_index_build", "dedup_index_probe",
       "bm25_index_build", "bm25_index_probe", "crawl_diff", "decontam",
       "ann_index_build", "ann_index_probe", "compact", "pca",
-      "warc_stream") ++
+      "image_dedup", "warc_stream") ++
       (if (cli.job == "stream_windows" && JobConfig.isPathOutput(cli.output))
         Set("stream_windows") else Set.empty)
 
@@ -731,6 +733,29 @@ object JobRunner {
         // pass; see operators/DataQuality.scala for the scale note on
         // swapping exact COUNT(DISTINCT) for HLL at corpus scale)
         graft.operators.DataQuality.profile(spark.read.parquet(cli.input))
+      case "image_dedup" =>
+        // Visual near-dup over any (media_id, payload) image parquet:
+        // decode → dHash → banded Hamming LSH → exact verify. Writes
+        // pairs/ (media_a, media_b, hamming, is_dup) and summary/ (the
+        // one-row cluster report, computed from the pairs just written
+        // — the decontam read-back pattern). Undecodable payloads
+        // drop, like the resize path.
+        {
+          import org.apache.spark.sql.functions.col
+          val hashed = graft.media.ImageDedup
+            .hashPayloads(spark.read.parquet(cli.input))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          graft.media.ImageDedup.pairsFromHashes(hashed)
+            .repartition(cli.outParts)
+            .write.mode("overwrite").parquet(s"${cli.output}/pairs")
+          hashed.unpersist()
+          graft.media.ImageDedup.clusterSummary(
+            spark.read.parquet(s"${cli.output}/pairs")
+              .filter(col("is_dup"))
+              .select(col("media_a").as("id1"), col("media_b").as("id2")))
+            .write.mode("overwrite").parquet(s"${cli.output}/summary")
+          spark.read.parquet(s"${cli.output}/summary")
+        }
       case "sample" =>
         // Generic priority sample of any parquet input — exact weighted
         // sampling without replacement (the curation_priority_sample
@@ -821,6 +846,7 @@ object JobRunner {
           case "ann_index_probe"   => s"${cli.output}/topk"
           case "compact"           => cli.output
           case "pca"               => s"${cli.output}/projected"
+          case "image_dedup"       => s"${cli.output}/pairs"
         }
         spark.read.parquet(countPath).count()
       } else if (JobConfig.isPathOutput(cli.output)) {

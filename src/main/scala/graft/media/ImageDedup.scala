@@ -97,6 +97,28 @@ object ImageDedup {
     bands
   }
 
+  /** (media_id, 4 band ints) from any (media_id, payload) image table:
+    * JDK decode → dHash, one map stage. Undecodable payloads drop
+    * (resizeImages' contract). The CLI entry point.
+    */
+  def hashPayloads(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          val img = try {
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          } catch { case _: Exception => null }
+          if (img == null) Iterator.empty
+          else Iterator.single((id, dhashBands(img)))
+        }
+      }
+      .toDF("media_id", "bands")
+  }
+
   /** (media_id, 4 band ints) for every non-empty document's
     * content-keyed PNG: encode → JDK decode → dHash, one map stage.
     */
@@ -124,17 +146,12 @@ object ImageDedup {
     * the LSH precision is visible in the output (and the row set stays
     * non-empty on corpora with no near-dups).
     */
-  def dhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // Persist the signatures: the OPPOSITE call from minHashDedup's
-    // no-persist rationale, for the same reason. There the materialized
-    // shingles are ~10× their text and the recompute is a cheap fused
-    // scan; here the signature is 24 bytes/image while the recompute is
-    // the full PNG decode + pixel pass — the one expensive stage —
-    // and it feeds three consumers (banding, both verify sides).
-    // At corpus scale 10B images persist as ~240 GB spillable
-    // cluster-wide vs re-decoding the archive bytes twice more.
-    val hashed = hashedImages(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Band/verify over a (media_id, bands) signature table — callers
+    * persist `hashed` (24 bytes/image; it feeds three consumers while
+    * the recompute is the full decode — the OPPOSITE economics from
+    * minHashDedup's no-persist shingles, which are ~10× their text).
+    */
+  def pairsFromHashes(hashed: DataFrame): DataFrame = {
     val banded = hashed.select(col("media_id").as("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
     val pairs = graft.dedup.Dedup.candidatePairs(banded)
@@ -148,6 +165,23 @@ object ImageDedup {
           lit(0), (acc, v) => acc + v.cast("int")).as("hamming"))
       .withColumn("is_dup", col("hamming") <= DupThreshold)
   }
+
+  def dhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // At corpus scale 10B images persist as ~240 GB spillable
+    // cluster-wide vs re-decoding the archive bytes twice more.
+    val hashed = hashedImages(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromHashes(hashed)
+  }
+
+  /** Pairs → summary cluster row (shared by the query and the CLI). */
+  def clusterSummary(dupPairs: DataFrame): DataFrame =
+    graft.dedup.Dedup.connectedComponents(dupPairs)
+      .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("sz")), lit(0L)).as("n_imgs_in_clusters"),
+        coalesce(sum(col("sz")) - count(lit(1)), lit(0L)).as("n_imgs_to_drop"),
+        coalesce(max(col("sz")), lit(0L)).as("largest_cluster"))
 
   /** Full analytic replay: the synthetic pixel formula (byte b at
     * (x, y) = text_bytes[(x + 32·y) mod n]; rgb = (b, (31b) mod 256,
@@ -216,16 +250,8 @@ object ImageDedup {
     */
   val imageDedupClusters: QueryDef = QueryDef(
     "image_dedup_clusters",
-    (s, dir) => {
-      val dups = dhashPairs(s, dir).filter(col("is_dup"))
-        .select(col("media_a").as("id1"), col("media_b").as("id2"))
-      graft.dedup.Dedup.connectedComponents(dups)
-        .groupBy(col("label")).agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).as("n_clusters"),
-          coalesce(sum(col("sz")), lit(0L)).as("n_imgs_in_clusters"),
-          coalesce(sum(col("sz")) - count(lit(1)), lit(0L)).as("n_imgs_to_drop"),
-          coalesce(max(col("sz")), lit(0L)).as("largest_cluster"))
-    },
+    (s, dir) => clusterSummary(dhashPairs(s, dir).filter(col("is_dup"))
+      .select(col("media_a").as("id1"), col("media_b").as("id2"))),
     Some(s"""WITH RECURSIVE $phashCtes,
       dups AS (SELECT media_a, media_b FROM ham WHERE hamming <= $DupThreshold),
       edges AS (SELECT media_a AS a, media_b AS b FROM dups

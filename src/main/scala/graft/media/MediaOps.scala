@@ -290,7 +290,7 @@ object MediaOps {
     * reader accepts), so `image_resize` exercises decode → scale →
     * re-encode end to end.
     */
-  private[media] def syntheticPng(seed: Long, text: String,
+  private[graft] def syntheticPng(seed: Long, text: String,
                                   w: Int = 32, h: Int = 24): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

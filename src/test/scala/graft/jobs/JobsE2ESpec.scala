@@ -687,6 +687,41 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("image_dedup CLI reproduces the registered phash pipeline") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).exists())
+    // Build the same content-keyed PNG corpus the registered query
+    // hashes, as a generic (media_id, payload) parquet — the CLI's
+    // input contract — plus one undecodable payload that must drop.
+    val dir = java.nio.file.Files.createTempDirectory("imgdedup").toString
+    import spark.implicits._
+    val media = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull && org.apache.spark.sql.functions
+        .length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, t) =>
+          (id, graft.media.MediaOps.syntheticPng(0, t))
+        }
+      }.toDF("media_id", "payload")
+      .union(Seq((999999L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"))
+    media.write.parquet(s"$dir/media")
+    JobRunner.run(spark,
+      JobCli("image_dedup", s"$dir/media", s"$dir/out", outParts = 1))
+    val gotPairs = spark.read.parquet(s"$dir/out/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wantPairs = graft.SparkEntry.queries("image_dedup_phash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotPairs === wantPairs)
+    assert(gotPairs.nonEmpty)
+    val wantSummary = graft.SparkEntry.queries("image_dedup_clusters")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val gotSummary = spark.read.parquet(s"$dir/out/summary")
+      .collect().map(_.toSeq).toSeq
+    assert(gotSummary === wantSummary)
+  }
+
   test("warc_stream CLI resumes across invocations without reprocessing") {
     val land = java.nio.file.Files.createTempDirectory("warcland").toString
     val out = java.nio.file.Files.createTempDirectory("warcbronze").toString
