@@ -27,12 +27,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Test suites share one forked JVM and the FIRST suite to call
-  // getOrCreate pins the SparkContext conf — RetrySpec's local[4, 2]
-  // master is ignored when another suite won that race, and with the
-  // local-mode default of maxFailures=1 its injected first-attempt
-  // failures abort instead of retrying. Set it JVM-wide (cluster
-  // deployments default to 4; retries only engage on task failure).
+  // NOTE: this conf is IGNORED in local mode — there task retries come
+  // only from the `local[N, F]` master string, which is why every test
+  // suite's builder says local[N, 2] (suites share one forked JVM and
+  // the FIRST getOrCreate pins the context, so RetrySpec's own master
+  // is ignored when another suite wins the race). Kept for the
+  // documentation value on any non-local run of these mains.
   "-Dspark.task.maxFailures=2",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -17,7 +17,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class CodegenAuditSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .config("spark.sql.shuffle.partitions", "4")
     // static plans: codegenStringSeq cannot see inside an unexecuted
     // AdaptiveSparkPlanExec

@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class EmptyInputSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[8]")
+    .master("local[8, 2]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")

@@ -18,7 +18,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     SparkSession.builder()
-      .master("local[2]")
+      .master("local[2, 2]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")

@@ -17,7 +17,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class WindowGroupLimitSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

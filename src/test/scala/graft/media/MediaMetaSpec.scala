@@ -107,7 +107,7 @@ class MediaMetaSpec extends AnyFunSuite {
 
   test("probes feed extractFeatures end to end") {
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").config("spark.ui.enabled", "false")
+      .master("local[2, 2]").config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "2").getOrCreate()
     import spark.implicits._
     val rows = Seq(

@@ -10,7 +10,7 @@ class ScaleUtilsSpec extends AnyFunSuite {
   // earlier suite, ignoring builder configs — set runtime confs in-test.
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("wh").toString)

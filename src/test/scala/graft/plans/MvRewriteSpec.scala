@@ -19,7 +19,7 @@ class MvRewriteSpec extends AnyFunSuite {
   // spec's declaration between planning and collect
   lazy val spark: SparkSession = {
     val base = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -20,7 +20,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class PqCodegenSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
+    .master("local[2, 2]")
     .config("spark.sql.shuffle.partitions", "2")
     // static plans: codegenStringSeq cannot see inside an unexecuted
     // AdaptiveSparkPlanExec, and the codegen shape is the same either way

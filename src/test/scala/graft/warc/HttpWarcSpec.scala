@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class HttpWarcSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
+    .master("local[2, 2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

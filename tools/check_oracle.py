@@ -21,20 +21,28 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
+    # One connection PER ORACLE: buffer-manager memory accumulates
+    # across queries on a shared connection, and at sf0.1 the heavy
+    # LSH replays then abort with OOM even though each passes alone.
+    # An in-memory DuckDB also has NO temp directory by default, so a
+    # heavy oracle aborts instead of spilling — give it a spill dir
+    # and a bounded budget so the check survives running next to a
+    # Spark JVM too.
     con = duckdb.connect()
-    # An in-memory DuckDB has NO temp directory, so a heavy oracle
-    # (the full LSH replays at sf0.1) aborts with OOM instead of
-    # spilling. Give it a spill dir and a bounded budget so the check
-    # also survives running next to a Spark JVM.
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        con = fresh_con(sf_dir)
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -49,7 +57,9 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}")
             n_fail += 1
+            con.close()
             continue
+        con.close()
         if sorted(gcols) != sorted(wcols):
             print(f"FAIL {name}: cols {sorted(gcols)} != {sorted(wcols)}")
             n_fail += 1
