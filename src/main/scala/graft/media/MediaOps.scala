@@ -381,21 +381,104 @@ object MediaOps {
                  THEN ROUND(frames / 30.0, 6) ELSE 0.0 END), 4) AS total_duration_s
       FROM feat GROUP BY source, kind"""))
 
-  /** Registered query: real decode → bilinear 16×16 → PNG re-encode over
-    * the synthetic-PNG corpus, aggregated per source. Rows-only (binary
-    * pipeline, no SQL equivalent); deterministic — same pixels in, same
-    * PNG bytes out on a given JDK.
+  /** Exact fixed-point bilinear luma resample 32×24 → 16×16. The
+    * standard align-corners-false sample grid lands on rational
+    * offsets (x frac always 1/2, y frac 1/4 or 3/4 by row parity), so
+    * the whole 4-tap lerp is integer arithmetic over eighths with one
+    * floor division — bit-replayable in SQL, unlike AWT's
+    * Graphics2D bilinear (whose resampler is JDK-internal). Luma per
+    * source pixel is the established (77r + 150g + 29b) >> 8.
+    */
+  private[media] def bilinearLuma16(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    def luma(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+    }
+    val out = new Array[Int](256)
+    var dy = 0
+    while (dy < 16) {
+      val fy4 = 6 * dy + 1 // fy = (dy+0.5)·1.5 − 0.5 in quarter units
+      val y0 = fy4 / 4
+      val q = fy4 - y0 * 4 // vertical weight of the lower row, in quarters
+      val y1 = math.min(y0 + 1, h - 1)
+      var dx = 0
+      while (dx < 16) {
+        val x0 = 2 * dx // fx = (dx+0.5)·2 − 0.5 = 2dx + 1/2: equal x taps
+        val x1 = math.min(x0 + 1, w - 1)
+        out(dy * 16 + dx) =
+          ((4 - q) * (luma(x0, y0) + luma(x1, y0)) +
+            q * (luma(x0, y1) + luma(x1, y1))) / 8
+        dx += 1
+      }
+      dy += 1
+    }
+    out
+  }
+
+  /** Registered query: real decode → EXACT bilinear 16×16 luma resample
+    * over the synthetic-PNG corpus, aggregated per id bucket. The
+    * decode is the real JDK PNG codec; because PNG is lossless and the
+    * payload pixels are the deterministic content formula, the ORACLE
+    * recomputes the decoded pixels analytically and replays the
+    * fixed-point resample tap-for-tap (the image_dedup_phash pattern) —
+    * upgrading this query from rows-only to the full hash gate. The
+    * byte-level resize-to-PNG API (`resizeImages`, AWT bilinear +
+    * re-encode) stays for the thumbnail-output pipeline and its own
+    * round-trip spec.
     */
   val imageResize: QueryDef = QueryDef(
     "image_resize",
     (s, dir) => {
-      val thumbs = resizeImages(mediaWithDecodableImages(s, dir), 16, 16)
-      thumbs.toDF("media_id", "thumb")
+      import s.implicits._
+      val thumbs = mediaWithDecodableImages(s, dir).mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          val img = try {
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          } catch { case _: Exception => null }
+          if (img == null) Iterator.empty
+          else Iterator.single((r.media_id, bilinearLuma16(img)))
+        }
+      }.toDF("media_id", "thumb")
+      thumbs
         .groupBy((col("media_id") % 5).as("bucket"))
         .agg(count(lit(1)).as("n_resized"),
-          sum(octet_length(col("thumb"))).as("total_thumb_bytes"),
-          countDistinct(md5(col("thumb"))).as("n_distinct_thumbs"))
-    })
+          sum(aggregate(col("thumb"), lit(0L), (a, v) => a + v)).as("total_luma"),
+          countDistinct(col("thumb")).as("n_distinct_thumbs"))
+    },
+    Some("""WITH imgs AS (
+        SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n,
+               hex(CAST(text AS BLOB)) AS hx
+        FROM documents WHERE doc_id % 3 = 0),
+      g2 AS (SELECT media_id, n, hx, d % 16 AS dx, d // 16 AS dy
+        FROM (SELECT media_id, n, hx, unnest(range(0, 256)) AS d FROM imgs)),
+      g3 AS (SELECT media_id, n, hx, dy * 16 + dx AS pos,
+               2 * dx AS x0, LEAST(2 * dx + 1, 31) AS x1,
+               (6 * dy + 1) // 4 AS y0,
+               LEAST((6 * dy + 1) // 4 + 1, 23) AS y1,
+               (6 * dy + 1) % 4 AS q
+        FROM g2),
+      taps AS (SELECT media_id, n, hx, pos, t['x'] AS x, t['y'] AS y, t['w'] AS w
+        FROM (SELECT media_id, n, hx, pos,
+                unnest([{'x': x0, 'y': y0, 'w': 4 - q}, {'x': x1, 'y': y0, 'w': 4 - q},
+                        {'x': x0, 'y': y1, 'w': q}, {'x': x1, 'y': y1, 'w': q}]) AS t
+              FROM g3)),
+      px AS (SELECT media_id, pos,
+               w * ((77 * bv + 150 * ((bv * 31) % 256) + 29 * (media_id % 256)) // 256) AS wl
+        FROM (SELECT media_id, pos, w,
+                CAST(('0x' || substr(hx,
+                  CAST(2 * ((x + y * 32 + media_id) % n) + 1 AS INT), 2)) AS INT) AS bv
+              FROM taps)),
+      tv AS (SELECT media_id, pos, CAST(SUM(wl) // 8 AS INT) AS v
+        FROM px GROUP BY media_id, pos),
+      per AS (SELECT media_id, CAST(SUM(v) AS BIGINT) AS s,
+               list(v ORDER BY pos) AS tl
+        FROM tv GROUP BY media_id)
+      SELECT media_id % 5 AS bucket, COUNT(*) AS n_resized,
+             CAST(SUM(s) AS BIGINT) AS total_luma,
+             CAST(COUNT(DISTINCT tl) AS BIGINT) AS n_distinct_thumbs
+      FROM per GROUP BY media_id % 5"""))
 
   /** Registered query: per-frame-index stats of evenly-spaced frame
     * sampling (4 frames per video row). The frame cut is the disclosed
