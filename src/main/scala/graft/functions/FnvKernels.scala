@@ -32,6 +32,18 @@ object FnvKernels {
   final val Offset = 0xcbf29ce484222325L
   final val Prime = 0x100000001b3L
 
+  /** FNV-1a over a UTF8String's bytes, no allocation. */
+  def fnvUtf8(s: UTF8String): Long = {
+    var h = Offset
+    var i = 0
+    val n = s.numBytes
+    while (i < n) {
+      h = (h ^ (s.getByte(i) & 0xffL)) * Prime
+      i += 1
+    }
+    h
+  }
+
   /** FNV-1a over a byte range. */
   def fnv(bytes: Array[Byte], from: Int, len: Int): Long = {
     var h = Offset

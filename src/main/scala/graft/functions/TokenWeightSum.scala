@@ -13,11 +13,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
   * path of a fasttext/CCNet-style linear quality classifier. The learned
   * weight vector ships once per task as a codegen reference object (like
   * [[DotProductConst]]); each row is one primitive loop over its tokens,
-  * no feature vector is ever materialized. Token hash is
-  * `UTF8String.hashCode` (Spark's murmur3 over the raw bytes), computed
-  * directly on the array slots — no String allocation per token — and
-  * the training-side featurizer uses the identical hash so train/serve
-  * features agree bit-for-bit.
+  * no feature vector is ever materialized. Token hash is FNV-1a 64 over
+  * the raw UTF-8 bytes (FnvKernels.fnvUtf8 — no String allocation per
+  * token); the training-side featurizer uses the identical hash so
+  * train/serve features agree bit-for-bit, and FNV keeps the bucket
+  * assignment SQL-expressible so the trained model's scoring pass
+  * replays in the DuckDB oracle (the LSH dedup family's hash choice,
+  * for the same reason — murmur3 would be opaque to the replay).
   */
 case class TokenWeightSum(child: Expression, weights: Array[Double])
     extends UnaryExpression {
@@ -38,7 +40,8 @@ case class TokenWeightSum(child: Expression, weights: Array[Double])
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        s += weights(java.lang.Math.floorMod(a.getUTF8String(i).hashCode, weights.length))
+        s += weights(java.lang.Math.floorMod(
+          FnvKernels.fnvUtf8(a.getUTF8String(i)), weights.length.toLong).toInt)
       }
       i += 1
     }
@@ -56,7 +59,8 @@ case class TokenWeightSum(child: Expression, weights: Array[Double])
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
-         |    $s += $w[java.lang.Math.floorMod($a.getUTF8String($i).hashCode(), $w.length)];
+         |    $s += $w[(int) java.lang.Math.floorMod(
+         |      graft.functions.FnvKernels.fnvUtf8($a.getUTF8String($i)), (long) $w.length)];
          |  }
          |}
          |${ev.value} = $s;
@@ -77,5 +81,7 @@ object TokenWeightSum {
   /** The matching featurizer-side bucket index for a token. */
   def bucket(token: String, dim: Int): Int =
     java.lang.Math.floorMod(
-      org.apache.spark.unsafe.types.UTF8String.fromString(token).hashCode, dim)
+      FnvKernels.fnvUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(token)),
+      dim.toLong).toInt
 }

@@ -106,29 +106,87 @@ object TextClassifier {
       .withColumn("label",
         size(col("toks")).between(50, 100000).cast("int").cast("double"))
 
+  /** Session-cached trained model: the query fn and the oracle
+    * generator must embed the SAME floats (the QueryDef.oracleGen
+    * contract — LBFGS is deterministic only per session/partitioning).
+    */
+  private val trainedModel =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]()
+
+  private def cachedModel(s: SparkSession, dir: String): (Array[Double], Double) =
+    trainedModel.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir,
+      _ => train(ruleLabeled(s, dir)))
+
   /** Registered query: distill the rule on the 80% split, serve the
-    * native scorer over the full corpus, report per-source score mass
-    * plus held-out accuracy-at-0.5 — the number a pipeline operator
-    * watches before trusting a learned filter. Rows-only (a trained
-    * model has no ANSI-SQL oracle); TextClassifierSpec grades held-out
-    * AUC against the rule and pins native-vs-MLlib scoring parity.
+    * native scorer over the full corpus, report per-source decision
+    * counts, held-out accuracy counts, and the mean margin — the
+    * numbers a pipeline operator watches before trusting a learned
+    * filter. Every output is either an exact integer or the
+    * decimal-summed 6dp margin, and the decision (z ≥ 0 ⟺ score ≥ ½)
+    * needs no transcendental, so given the same weights both engines
+    * agree bit-for-bit: the ORACLE (a generator — weights embedded as
+    * literals, the LSH-plane pattern) replays tokenize → FNV bucket →
+    * the left-to-right weight fold (list_reduce pins the kernel's IEEE
+    * add order) → threshold/aggregate. TextClassifierSpec additionally
+    * grades held-out AUC and pins native-vs-MLlib scoring parity.
     */
   val qualityModel: QueryDef = QueryDef(
     "quality_model_score",
     (s, dir) => {
       val data = ruleLabeled(s, dir)
-      val (w, b) = train(data)
-      score(Tables(s, dir, "documents"), w, b)
+      val (w, b) = cachedModel(s, dir)
+      val z = lit(b) + TokenWeightSum.tokenWeightSum(tokens(col("text")), w)
+      Tables(s, dir, "documents").withColumn("z", z)
         .join(data.select(col("doc_id"), col("label")), "doc_id")
-        .select(col("source"), col("label"), col("score"), splitKey.as("k"))
+        .select(col("source"), col("label"), col("z"), splitKey.as("k"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("score")), 4).as("mean_score"),
-          round(avg(when(col("k") >= 800,
-            when((col("score") >= 0.5).cast("double") === col("label"), 1.0)
-              .otherwise(0.0))), 4).as("heldout_acc"))
+          sum((col("z") >= 0).cast("long")).as("n_pred_pos"),
+          sum(when(col("k") >= 800, 1L).otherwise(0L)).as("heldout_n"),
+          sum(when(col("k") >= 800 &&
+              (col("z") >= 0).cast("double") === col("label"), 1L)
+            .otherwise(0L)).as("heldout_correct"),
+          round(dsum(round(col("z"), 6)) / count(lit(1)), 4).as("mean_z"))
     },
-    None)
+    oracleGen = Some((s, dir) => {
+      val (w, b) = cachedModel(s, dir)
+      val dim = w.length
+      val wRows = w.zipWithIndex
+        .map { case (v, i) => s"($i, ${v.toString})" }.mkString(", ")
+      s"""WITH w(i, v) AS (VALUES $wRows),
+        d0 AS (SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+               FROM documents),
+        tok AS (SELECT doc_id, i AS tpos, tk[i] AS t
+                FROM d0, unnest(generate_series(1, len(tk))) AS g(i)),
+        thu AS (SELECT doc_id, tpos,
+            ${graft.dedup.Dedup.fnvU(
+              "list_transform(range(1, length(t)+1), ci -> ascii(t[ci]))")} AS u
+            FROM tok),
+        th0 AS (SELECT doc_id, tpos, ${graft.dedup.Dedup.SignedU} AS h FROM thu),
+        tw AS (SELECT th0.doc_id, th0.tpos, w.v AS wv
+               FROM th0 JOIN w ON w.i = ((th0.h % $dim) + $dim) % $dim),
+        zs AS (SELECT doc_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(wv ORDER BY tpos)), (fa, fb) -> fa + fb) AS sw
+               FROM tw GROUP BY doc_id),
+        zz AS (SELECT d0.doc_id, d0.source,
+               ${b.toString} + COALESCE(zs.sw, 0.0) AS z,
+               CASE WHEN len(d0.tk) BETWEEN 50 AND 100000
+                 THEN 1.0 ELSE 0.0 END AS label,
+               ((d0.doc_id % 999983) * (2654435761 % 999983)) % 999983 % 1000 AS k
+               FROM d0 LEFT JOIN zs ON zs.doc_id = d0.doc_id)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+          CAST(SUM(CASE WHEN k >= 800 THEN 1 ELSE 0 END) AS BIGINT) AS heldout_n,
+          CAST(SUM(CASE WHEN k >= 800
+            AND (CASE WHEN z >= 0 THEN 1.0 ELSE 0.0 END) = label
+            THEN 1 ELSE 0 END) AS BIGINT) AS heldout_correct,
+          round(CAST(SUM(CAST(round(z, 6) AS DECIMAL(25, 6))) AS DOUBLE)
+            / COUNT(*), 4) AS mean_z
+        FROM zz GROUP BY source"""
+    }))
 
   val all: Seq[QueryDef] = Seq(qualityModel)
 }
