@@ -12,6 +12,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked run's stdout RAW instead of through sbt's logger:
+// the logger prefixes every forwarded line with "[info] ", so no stdout
+// line ever STARTS with '{' — a harness that scans for a line-leading
+// JSON object (the Bench contract: one {"metric":...} line) finds
+// nothing in 10 rounds of otherwise-complete output. With StdoutOutput
+// the Bench JSON lines reach the collecting process byte-identical,
+// column 0.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -157,7 +157,6 @@ object Bench {
     }
     kept += "\"others_sum\":" + f2(othersSum)
     val compact = fixed + kept.mkString(",") + "}}"
-    println(compact)
     // Belt-and-braces: the harness reading stdout has repeatedly failed
     // to parse these lines out of its capped/prefixed capture window
     // (r9's artifact records parsed:null while the data sat in the
@@ -171,6 +170,12 @@ object Bench {
         (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"steady_medians":$steadyJson,"sf":"$sfDir","runs":$runs,"wall_sec":${math.rint(wall * 1000) / 1000}}""" +
           "\n" + compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => }
+    // stop() BEFORE the compact line: Spark's stop/shutdown logging all
+    // lands above it, so the guaranteed-parseable line is the LAST thing
+    // this JVM writes — a tail-capturing harness sees it complete at
+    // column 0 (run/outputStrategy forwards forked stdout raw) whether
+    // it captures stdout alone or both streams merged.
     spark.stop()
+    println(compact)
   }
 }

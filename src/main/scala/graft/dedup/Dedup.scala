@@ -227,6 +227,21 @@ object Dedup {
   // nearest-bin-to-the-right window, band buckets as the FNV fold over
   // the signature window's little-endian bytes.
 
+  /** ASCII-only case fold for the replay CTEs' tokenization. The Spark
+    * kernels (FnvKernels.tokenHashes / normCharNgram, AsciiWordTokens)
+    * fold A-Z at the BYTE level, while DuckDB's `lower()` is
+    * Unicode-aware: code points whose Unicode lowercase lands in
+    * [a-z] (U+212A KELVIN SIGN → 'k', U+0130 'İ' → 'i'+combining dot)
+    * would produce oracle tokens the kernel never emits, breaking the
+    * hash-exact replay on non-ASCII corpora. translate() folds ONLY
+    * A-Z, matching the kernel for every input: non-ASCII code points
+    * stay non-alnum on both sides (multi-byte sequences are delimiter
+    * runs to the kernel, non-matching code points to the regex), so
+    * token boundaries and bytes agree unconditionally.
+    */
+  private[graft] def asciiLower(e: String): String =
+    s"translate($e, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+
   private[graft] def fnvU(byteList: String): String =
     s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
       s"list_transform($byteList, fb -> CAST(fb AS HUGEINT))), " +
@@ -247,7 +262,7 @@ object Dedup {
     * hashes with multiplicity) in scope for the SimHash replay.
     */
   private val WordShingleFnvCtes: String = s"""
-      d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      d0 AS (SELECT doc_id, regexp_extract_all(${asciiLower("text")}, '[a-z0-9]+') AS tk
              FROM documents WHERE text IS NOT NULL),
       tok AS (SELECT doc_id, i AS tpos, tk[i] AS t
               FROM d0, unnest(generate_series(1, len(tk))) AS g(i)),
@@ -269,7 +284,7 @@ object Dedup {
     * scope for the string-shingle truth replay.
     */
   private val CharShingleFnvCtes: String = s"""
-      d0 AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+      d0 AS (SELECT doc_id, trim(regexp_replace(${asciiLower("text")}, '[^a-z0-9]+', ' ', 'g')) AS nt
              FROM documents WHERE text IS NOT NULL),
       shu AS (SELECT doc_id,
           ${fnvU("CASE WHEN length(nt) < 5 THEN list_transform(range(1, length(nt)+1), ci -> ascii(nt[ci])) " +
@@ -736,11 +751,33 @@ object Dedup {
     * signature agreement (the standard unbiased MinHash estimator);
     * the original shingle sets are deliberately NOT retained.
     */
+  /** Hash family the signature/banding kernels use. Bumped whenever the
+    * kernel changes in a way that invalidates persisted signatures (r10
+    * moved wordShingles/bands from xxhash64 to FNV-1a — an index built
+    * before that change gets ~zero bucket collisions against a
+    * post-change probe and silently returns an empty near-dup set).
+    * The index dir records this plus every signature parameter, and the
+    * probe fails loudly on any mismatch instead.
+    */
+  private[graft] val MinHashHashFamily = "fnv1a64-oph1"
+
+  private def indexMetaPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_graft_minhash_meta")
+
+  private def minHashMeta(shingleW: Int, perms: Int, rowsPerBand: Int): String =
+    s"hash_family=$MinHashHashFamily\nshingle_w=$shingleW\nperms=$perms\nrows_per_band=$rowsPerBand\n"
+
   def saveMinHashIndex(docs: DataFrame, indexDir: String, shingleW: Int = 5,
                        perms: Int = 64, rowsPerBand: Int = 4): Unit = {
     val sig = minHashSignature(wordShingles(docs, shingleW), perms)
     bands(sig, perms, rowsPerBand).join(sig, "doc_id")
       .write.mode("overwrite").partitionBy("band").parquet(s"$indexDir/bands")
+    val fs = indexMetaPath(indexDir).getFileSystem(
+      docs.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(indexMetaPath(indexDir), true)
+    try out.write(minHashMeta(shingleW, perms, rowsPerBand)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** New-batch dedup probe against a saved index: candidates = band-bucket
@@ -753,6 +790,25 @@ object Dedup {
                                rowsPerBand: Int = 4,
                                threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
+    val fs = indexMetaPath(indexDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(indexMetaPath(indexDir)))
+      throw new IllegalStateException(
+        s"MinHash index at $indexDir has no _graft_minhash_meta marker: it was " +
+          s"built by an older binary with an unknown hash family, and probing it " +
+          s"would silently return zero near-dups. Rebuild with saveMinHashIndex.")
+    val meta = {
+      val in = fs.open(indexMetaPath(indexDir))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val expect = minHashMeta(shingleW, perms, rowsPerBand)
+    if (meta != expect)
+      throw new IllegalStateException(
+        s"MinHash index at $indexDir was built with incompatible parameters —\n" +
+          s"index:\n$meta\nprobe expects:\n$expect" +
+          s"Probing across hash families/parameters silently yields zero bucket " +
+          s"collisions; rebuild the index or match the probe parameters.")
     val idx = spark.read.parquet(s"$indexDir/bands")
       .select(col("band"), col("bucket"),
         col("doc_id").as("idx_id"), col("sig").as("idx_sig"))

@@ -101,6 +101,10 @@ object TextClassifier {
     */
   private[operators] def ruleLabeled(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      // null-intolerant kernels (tokens/TokenWeightSum) emit NULL z for
+      // NULL text while the oracle's COALESCE would score it b — filter
+      // on BOTH sides so the contract is "scored docs have text"
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         tokens(col("text")).as("toks"))
       .withColumn("label",
@@ -137,7 +141,7 @@ object TextClassifier {
       val data = ruleLabeled(s, dir)
       val (w, b) = cachedModel(s, dir)
       val z = lit(b) + TokenWeightSum.tokenWeightSum(tokens(col("text")), w)
-      Tables(s, dir, "documents").withColumn("z", z)
+      Tables(s, dir, "documents").filter(col("text").isNotNull).withColumn("z", z)
         .join(data.select(col("doc_id"), col("label")), "doc_id")
         .select(col("source"), col("label"), col("z"), splitKey.as("k"))
         .groupBy(col("source"))
@@ -156,8 +160,8 @@ object TextClassifier {
         .map { case (v, i) => s"($i, ${v.toString})" }.mkString(", ")
       s"""WITH w(i, v) AS (VALUES $wRows),
         d0 AS (SELECT doc_id, source,
-               regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-               FROM documents),
+               regexp_extract_all(${graft.dedup.Dedup.asciiLower("text")}, '[a-z0-9]+') AS tk
+               FROM documents WHERE text IS NOT NULL),
         tok AS (SELECT doc_id, i AS tpos, tk[i] AS t
                 FROM d0, unnest(generate_series(1, len(tk))) AS g(i)),
         thu AS (SELECT doc_id, tpos,

@@ -101,7 +101,7 @@ object InvertedIndex {
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
     // finish any appendDelta swap interrupted mid-rename (crash-safety)
-    recoverSwap(dir, "terms"); recoverSwap(dir, "stats")
+    recoverSwaps(dir)
     val bucketIds = terms.toDF("term").select(bucketOf(col("term")).as("bucket"))
       .distinct().as[Long].collect().toSeq
     val post = s.read.schema(PostingsSchema).parquet(s"$dir/postings")
@@ -142,7 +142,7 @@ object InvertedIndex {
     */
   def appendDelta(deltaDocs: DataFrame, dir: String): Unit = {
     val s = deltaDocs.sparkSession
-    recoverSwap(dir, "terms"); recoverSwap(dir, "stats")
+    recoverSwaps(dir)
     val d = deltaDocs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
     val postings = d
@@ -173,9 +173,22 @@ object InvertedIndex {
         .select((col("n_docs") + col("d_docs")).as("n_docs"),
           (col("total_dl") + col("d_dl")).as("total_dl"))
         .write.mode("overwrite").parquet(s"$dir/stats_new")
+      // terms and stats must swap ATOMICALLY as a pair: a crash between
+      // two independent swaps would commit new-terms/old-stats — df
+      // counts including the delta but n_docs/total_dl without it — and
+      // a later recovery would treat the surviving stats_new as stale.
+      // The COMMIT marker makes the pair one decision point: both *_new
+      // are complete before it appears, so recovery promotes BOTH (or,
+      // with no marker, trusts NEITHER).
+      import java.nio.file.{Files, Paths}
+      Files.createFile(Paths.get(dir, SwapCommitMarker))
       swapDir(dir, "terms"); swapDir(dir, "stats")
+      Files.deleteIfExists(Paths.get(dir, SwapCommitMarker))
     } finally postings.unpersist(blocking = false)
   }
+
+  private[text] val SwapCommitMarker = "_swap_commit"
+  private val SwappedNames = Seq("terms", "stats")
 
   /** Replace `$dir/$name` with `$dir/${name}_new` (local-fs rename; an
     * object-store deployment versions whole index dirs instead).
@@ -184,8 +197,9 @@ object InvertedIndex {
     * (`${name}_old`) before the new dir moves into place, and the old
     * copy is deleted LAST — a failure at any step leaves either the
     * old or the new directory intact under a recoverable name, never a
-    * half-deleted live dir. [[recoverSwap]] finishes an interrupted
-    * swap on the next open.
+    * half-deleted live dir. [[recoverSwaps]] finishes an interrupted
+    * swap on the next open, using the pair-level COMMIT marker to
+    * decide whether `_new` dirs are trustworthy.
     */
   private def swapDir(dir: String, name: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -207,22 +221,44 @@ object InvertedIndex {
     Files.deleteIfExists(p)
   }
 
-  /** Finish a swap interrupted mid-flight: if the live dir is missing
-    * but a `_new` (preferred — it includes the appended delta) or
-    * `_old` copy exists, promote it; stale `_old`/`_new` copies next
-    * to an intact live dir are cleared. Idempotent; called on index
-    * open so a crashed [[appendDelta]] leaves a usable index.
+  /** Finish an appendDelta interrupted mid-flight. The COMMIT marker
+    * decides which side of the swap to trust for the WHOLE
+    * terms+stats pair:
+    *
+    *  - marker present: every `*_new` was fully written before the
+    *    marker appeared — finish the interrupted swaps (promote each
+    *    surviving `_new`; restore `_old` where a swap died between its
+    *    two renames), then clear the marker. New-terms/new-stats win
+    *    together.
+    *  - marker absent: any `*_new` is an untrusted torn write (the
+    *    crash hit the parquet writes) — delete it, restore `_old` if a
+    *    live dir is missing. Old-terms/old-stats win together.
+    *
+    * Idempotent; called on index open so a crashed [[appendDelta]]
+    * always leaves a mutually CONSISTENT terms/stats pair, never the
+    * torn new-terms/old-stats state.
     */
-  private[text] def recoverSwap(dir: String, name: String): Unit = {
+  private[text] def recoverSwaps(dir: String): Unit = {
     import java.nio.file.{Files, Paths}
-    val live = Paths.get(dir, name)
-    val aside = Paths.get(dir, s"${name}_old")
-    val fresh = Paths.get(dir, s"${name}_new")
-    if (!Files.exists(live)) {
-      if (Files.exists(fresh)) Files.move(fresh, live)
-      else if (Files.exists(aside)) Files.move(aside, live)
+    val marker = Paths.get(dir, SwapCommitMarker)
+    val committed = Files.exists(marker)
+    SwappedNames.foreach { name =>
+      val live = Paths.get(dir, name)
+      val aside = Paths.get(dir, s"${name}_old")
+      val fresh = Paths.get(dir, s"${name}_new")
+      if (committed) {
+        if (Files.exists(fresh)) {
+          if (Files.exists(live)) { rmTree(aside); Files.move(live, aside) }
+          Files.move(fresh, live)
+        } else if (!Files.exists(live) && Files.exists(aside))
+          Files.move(aside, live) // died between its two renames, post-promote states keep live
+      } else {
+        rmTree(fresh)
+        if (!Files.exists(live) && Files.exists(aside)) Files.move(aside, live)
+      }
+      rmTree(aside); rmTree(fresh)
     }
-    rmTree(aside); rmTree(fresh)
+    Files.deleteIfExists(marker)
   }
 
   /** Build-once cache per (application, sf dir) — repeated invocations

@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   * dimension, exact-integer L2 normalize. Every double is an exact
   * integer pushed through one IEEE sqrt and one IEEE divide, so the
   * vectors match bit-for-bit with no rounding contract needed.
+  *
+  * Output shape: the registered query posexplodes the vector to scalar
+  * (doc_id, dim, value) rows — the driver's pandas comparator cannot
+  * hash array-typed columns (CORRECTNESS_r10's one red row), so every
+  * oracled query keeps its final projection scalar (enforced by
+  * OutputShapeSpec). Downstream consumers use the array-valued
+  * featureEmbed column directly; the explode exists only at the gate.
   */
 object FeatureEmbed {
 
@@ -33,10 +40,12 @@ object FeatureEmbed {
     (s, dir) => Tables(s, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        FeatureHashEmbed.featureEmbed(
-          FnvHashes.fnvTokenHashes(col("text")), Dim).as("emb")),
+        posexplode(FeatureHashEmbed.featureEmbed(
+          FnvHashes.fnvTokenHashes(col("text")), Dim)))
+      .select(col("doc_id"), col("pos").cast("long").as("dim"),
+        col("col").as("value")),
     Some(s"""WITH d0 AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        SELECT doc_id, regexp_extract_all(${Dedup.asciiLower("text")}, '[a-z0-9]+') AS tk
         FROM documents WHERE text IS NOT NULL),
       tok AS (SELECT doc_id, i AS tpos, tk[i] AS t
               FROM d0, unnest(generate_series(1, len(tk))) AS g(i)),
@@ -52,12 +61,10 @@ object FeatureEmbed {
               CAST(COALESCE(acc.c, 0) AS DOUBLE) AS c
              FROM grid LEFT JOIN acc
                ON acc.doc_id = grid.doc_id AND acc.dm = grid.dm),
-      nr AS (SELECT doc_id, sqrt(SUM(c * c)) AS nv FROM af GROUP BY doc_id),
-      emb AS (SELECT af.doc_id,
-              list(CASE WHEN nv > 0 THEN c / nv ELSE 0.0 END ORDER BY dm) AS emb
-              FROM af JOIN nr ON nr.doc_id = af.doc_id
-              GROUP BY af.doc_id, nv)
-      SELECT doc_id, emb FROM emb"""))
+      nr AS (SELECT doc_id, sqrt(SUM(c * c)) AS nv FROM af GROUP BY doc_id)
+      SELECT af.doc_id, CAST(af.dm AS BIGINT) AS dim,
+             CASE WHEN nv > 0 THEN af.c / nv ELSE 0.0 END AS value
+      FROM af JOIN nr ON nr.doc_id = af.doc_id"""))
 
   val all: Seq[QueryDef] = Seq(textFeatureEmbed)
 }

@@ -61,4 +61,26 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"probe must be a keyed join:\n$plan")
   }
+
+  test("probe fails loudly on a hash-family/parameter mismatch or a missing marker") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx3").toString
+    Dedup.saveMinHashIndex(corpus, dir)
+
+    // parameter drift: same index probed with a different banding scheme
+    // would silently produce zero bucket collisions — must throw instead
+    val e1 = intercept[IllegalStateException] {
+      Dedup.dedupAgainstMinHashIndex(corpus, dir, rowsPerBand = 8)
+    }
+    assert(e1.getMessage.contains("incompatible parameters"))
+
+    // pre-marker index (built by an older binary): marker absent → throw,
+    // never an empty result
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_graft_minhash_meta"))
+    val e2 = intercept[IllegalStateException] {
+      Dedup.dedupAgainstMinHashIndex(corpus, dir)
+    }
+    assert(e2.getMessage.contains("no _graft_minhash_meta marker"))
+  }
 }

@@ -93,4 +93,41 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("a crash between the terms and stats swaps recovers to the NEW pair (commit marker)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("bm25_swap").toString
+    def mk(name: String, tag: String): Unit = {
+      Files.createDirectories(Paths.get(dir, name))
+      Files.write(Paths.get(dir, name, "TAG"), tag.getBytes)
+    }
+    def tag(name: String) = new String(Files.readAllBytes(Paths.get(dir, name, "TAG")))
+    // state after: terms fully swapped, crash BEFORE swapDir("stats") —
+    // the exact torn window: live new-terms beside live old-stats
+    mk("terms", "new"); mk("stats", "old"); mk("stats_new", "new")
+    Files.createFile(Paths.get(dir, InvertedIndex.SwapCommitMarker))
+    InvertedIndex.recoverSwaps(dir)
+    assert(tag("terms") == "new" && tag("stats") == "new",
+      "marker present: recovery must promote the surviving stats_new")
+    assert(!Files.exists(Paths.get(dir, "stats_new")))
+    assert(!Files.exists(Paths.get(dir, InvertedIndex.SwapCommitMarker)))
+  }
+
+  test("a crash during the *_new writes (no marker) recovers to the OLD pair") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("bm25_swap2").toString
+    def mk(name: String, tag: String): Unit = {
+      Files.createDirectories(Paths.get(dir, name))
+      Files.write(Paths.get(dir, name, "TAG"), tag.getBytes)
+    }
+    def tag(name: String) = new String(Files.readAllBytes(Paths.get(dir, name, "TAG")))
+    // crash mid-parquet-write: terms_new complete, stats_new torn, no
+    // marker — NEITHER _new may be trusted or the pair tears
+    mk("terms", "old"); mk("stats", "old"); mk("terms_new", "new"); mk("stats_new", "torn")
+    InvertedIndex.recoverSwaps(dir)
+    assert(tag("terms") == "old" && tag("stats") == "old",
+      "no marker: recovery must keep the old pair and drop every _new")
+    assert(!Files.exists(Paths.get(dir, "terms_new")))
+    assert(!Files.exists(Paths.get(dir, "stats_new")))
+  }
 }

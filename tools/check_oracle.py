@@ -42,12 +42,12 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        con = fresh_con(sf_dir)
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        con = fresh_con(sf_dir)
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchall()
@@ -57,9 +57,9 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}")
             n_fail += 1
-            con.close()
             continue
-        con.close()
+        finally:
+            con.close()
         if sorted(gcols) != sorted(wcols):
             print(f"FAIL {name}: cols {sorted(gcols)} != {sorted(wcols)}")
             n_fail += 1
