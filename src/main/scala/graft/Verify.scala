@@ -19,6 +19,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The dump itself, callable without owning the session's lifecycle
+    * (VerifyReplaySpec runs it twice in one JVM to pin the
+    * oracleGen/artifact-cache replay contract).
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          only: Option[Set[String]] = None): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -47,6 +57,5 @@ object Verify {
     val json = SparkEntry.oracleSqlFor(spark, sfDir, only)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

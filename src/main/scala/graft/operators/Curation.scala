@@ -74,14 +74,10 @@ object Curation {
     */
   val domainQuota: QueryDef = QueryDef(
     "curation_domain_quota",
-    (s, dir) => {
-      val docs = withSurtHost(Tables(s, dir, "documents"))
-      val w = Window.partitionBy(col("surt_host"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      docs.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("surt_host"), col("doc_id"), col("n_chars"), col("rk"))
-    },
+    (s, dir) => ScaleUtils.groupedTopK(
+        withSurtHost(Tables(s, dir, "documents")),
+        Seq(col("surt_host")), Seq(col("n_chars").desc, col("doc_id")), k = 5)
+      .select(col("surt_host"), col("doc_id"), col("n_chars"), col("rk")),
     Some(s"""WITH d AS ($surtCte),
       r AS (SELECT surt_host, doc_id, n_chars,
         CAST(row_number() OVER (PARTITION BY surt_host ORDER BY n_chars DESC, doc_id) AS INT) AS rk
@@ -682,16 +678,11 @@ object Curation {
     */
   def priorityTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val id = col(s"`$idCol`")
-    val local = scored
-      .withColumn("salt", pmod(id, lit(64)))
-      .withColumn("lrk", row_number().over(
-        Window.partitionBy(col("grp"), col("salt"))
-          .orderBy(col("xi"), id)))
-      .filter(col("lrk") <= k).drop("lrk", "salt")
-    local
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("grp")).orderBy(col("xi"), id)))
-      .filter(col("rk") <= k)
+    val local = ScaleUtils.groupedTopK(
+        scored.withColumn("salt", pmod(id, lit(64))),
+        Seq(col("grp"), col("salt")), Seq(col("xi"), id), k, rankCol = "lrk")
+      .drop("lrk", "salt")
+    ScaleUtils.groupedTopK(local, Seq(col("grp")), Seq(col("xi"), id), k)
   }
 
   val prioritySample: QueryDef = QueryDef(

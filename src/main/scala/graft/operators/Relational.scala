@@ -238,16 +238,14 @@ object Relational {
     */
   val o9GroupedTopK: QueryDef = QueryDef(
     "o9_grouped_topk",
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag"), col("l_linestatus"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-      t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
-    },
+    (s, dir) => ScaleUtils.groupedTopK(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber")),
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        k = 5)
+      .withColumn("rk", col("rk").cast("long")),
     Some("""SELECT l_returnflag, l_linestatus, l_extendedprice, l_orderkey,
         l_linenumber, rk FROM (
       SELECT l_returnflag, l_linestatus, l_extendedprice, l_orderkey,

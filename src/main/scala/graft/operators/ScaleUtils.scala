@@ -32,6 +32,31 @@ object ScaleUtils {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Bounded per-group selection (top-k per group), declared as the
+    * row_number-over-partition + rank-filter idiom ON PURPOSE: Catalyst's
+    * InferWindowGroupLimit rewrites exactly this shape into a
+    * Partial+Final WindowGroupLimit pair around the exchange — each map
+    * task keeps a bounded k-row heap per group it sees, so the shuffle
+    * moves O(k·groups·tasks) rows and a degenerate hot group (one domain
+    * = half the corpus) never funnels through a full single-task sort.
+    * Every grouped top-k in the repo (o9_grouped_topk,
+    * curation_domain_quota, both phases of Curation.priorityTopK) routes
+    * through here so the rewrite contract is pinned ONCE:
+    * WindowGroupLimitSpec asserts the executed plan for all call sites,
+    * and a Spark upgrade that silently drops the rewrite fails them all
+    * by name.
+    *
+    * The rank column stays in the output (callers project/cast it);
+    * ordering must be a TOTAL order (tie-broken) or the kept rows are
+    * nondeterministic — same contract as any top-k.
+    */
+  def groupedTopK(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+                  k: Int, rankCol: String = "rk"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
   /** Convenience: salted sum-by-key (the A1 shape under a hot key). */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 salts: Int = 16): DataFrame =

@@ -24,19 +24,41 @@ class WindowGroupLimitSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("o9_grouped_topk plans a Partial+Final WindowGroupLimit around the exchange") {
-    val df = SparkEntry.queries("o9_grouped_topk")(spark, sf)
+  /** All grouped top-k call sites route through ScaleUtils.groupedTopK;
+    * this assertion pins the rewrite for each registered query that
+    * uses it, so a Spark upgrade that drops the pushdown fails every
+    * site by name at once.
+    */
+  private def assertGroupLimitPushdown(name: String): Unit = {
+    val df = SparkEntry.queries(name)(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
-      s"rank-limit pushdown missing — full window sort of the corpus:\n$plan")
+      s"$name: rank-limit pushdown missing — full window sort of the corpus:\n$plan")
     assert(plan.contains("Partial") && plan.contains("Final"),
-      s"expected map-side Partial + reduce-side Final group limits:\n$plan")
+      s"$name: expected map-side Partial + reduce-side Final group limits:\n$plan")
     // the Partial limit must sit BELOW the exchange (map side)
     val lines = plan.linesIterator.toVector
     val partialIdx = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
     val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
     assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
-      s"Partial group limit should be under the exchange in the plan tree:\n$plan")
+      s"$name: Partial group limit should be under the exchange in the plan tree:\n$plan")
+  }
+
+  test("o9_grouped_topk plans a Partial+Final WindowGroupLimit around the exchange") {
+    assertGroupLimitPushdown("o9_grouped_topk")
+  }
+
+  test("curation_domain_quota gets the same pushdown (the skewed-domain cap)") {
+    assertGroupLimitPushdown("curation_domain_quota")
+  }
+
+  test("curation_priority_sample's two-phase rank keeps the pushdown in both phases") {
+    assertGroupLimitPushdown("curation_priority_sample")
+    val plan = SparkEntry.queries("curation_priority_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // salted local phase + global phase = at least two group-limit sites
+    assert(plan.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected group limits in BOTH priorityTopK phases:\n$plan")
   }
 
   test("grouped top-k output matches a naive per-group sort-take") {
