@@ -127,6 +127,18 @@ object BloomDedup {
     * text — the third member of the incremental-index family next to
     * [[Dedup.saveMinHashIndex]] and the IVF index.
     */
+  /** Schema/hash-family contract of the digest index. The probe
+    * RE-COMPUTES chunking + digest + bloom key on the new batch, so any
+    * change to the 20-token chunker, the md5 digest, or the xxhash64
+    * bloom key silently empties the dup set against an old index (the
+    * MinHash-index failure class — see Dedup.MinHashHashFamily). Bump
+    * when any of the three changes; the probe fails loudly on mismatch.
+    */
+  private[graft] val DigestIndexScheme = "tok20-md5-xxbloom-v1"
+
+  private def digestMetaPath(indexDir: String) =
+    new Path(s"$indexDir/_graft_digest_meta")
+
   def saveDigestIndex(docs: DataFrame, indexDir: String,
                       expectedItems: Long = 1L << 20,
                       fpp: Double = 0.01): Unit = {
@@ -143,6 +155,10 @@ object BloomDedup {
     val fs = new Path(indexDir).getFileSystem(HadoopConfs.get)
     val out = fs.create(new Path(s"$indexDir/bloom.bin"), true)
     try out.write(bytes) finally out.close()
+    val mout = fs.create(digestMetaPath(indexDir), true)
+    try mout.write(DigestIndexScheme.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally mout.close()
   }
 
   /** Probe a saved digest index: returns the new batch's duplicated
@@ -154,6 +170,19 @@ object BloomDedup {
   def dedupAgainstDigestIndex(newDocs: DataFrame, indexDir: String): DataFrame = {
     val spark = newDocs.sparkSession
     val fs = new Path(indexDir).getFileSystem(HadoopConfs.get)
+    if (!fs.exists(digestMetaPath(indexDir)))
+      throw new IllegalStateException(
+        s"digest index at $indexDir has no _graft_digest_meta marker (built by " +
+          s"an older binary); probing across chunking/digest schemes silently " +
+          s"returns zero dups — rebuild with saveDigestIndex")
+    val metaIn = fs.open(digestMetaPath(indexDir))
+    val scheme =
+      try scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
+      finally metaIn.close()
+    if (scheme != DigestIndexScheme)
+      throw new IllegalStateException(
+        s"digest index at $indexDir was built with scheme '$scheme' but this " +
+          s"binary probes with '$DigestIndexScheme' — rebuild the index")
     val in = fs.open(new Path(s"$indexDir/bloom.bin"))
     val bytes =
       try {

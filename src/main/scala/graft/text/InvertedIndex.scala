@@ -133,7 +133,10 @@ object InvertedIndex {
     *  - postings: APPEND-ONLY — delta-sized part files land beside the
     *    base files in the same bucket dirs (a probe reads every file
     *    in the probed buckets, so append needs no rewrite). The
-    *    index's dominant bytes are never rewritten.
+    *    index's dominant bytes are never rewritten. The delta stages
+    *    under `postings_delta/` and moves live only under the commit
+    *    marker, so a crashed/retried fold can neither half-append nor
+    *    double-append.
     *  - terms: df is additive, but the table must be REPLACED — base ∪
     *    delta re-aggregated (vocabulary-sized, orders of magnitude
     *    below postings) and swapped in via write-new + directory
@@ -152,10 +155,18 @@ object InvertedIndex {
       .withColumn("bucket", bucketOf(col("term")))
       .persist()
     try {
+      // delta postings land in a STAGING dir first, not appended live:
+      // a crash after a live append leaves delta part-files beside
+      // old terms/stats, and a RETRY of the whole appendDelta would
+      // append them a second time (double postings, silently). Staged
+      // files move into the bucket dirs only under the commit marker —
+      // part-file names are write-unique (uuid), so the per-file
+      // renames are collision-free and idempotent to re-drive.
       postings
         .repartition(col("bucket"))
         .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/postings_delta")
       val deltaTerms = postings.groupBy(col("term"), col("bucket"))
         .agg(count(lit(1)).as("df"))
       val mergedTerms = s.read.schema(TermsSchema).parquet(s"$dir/terms")
@@ -182,6 +193,7 @@ object InvertedIndex {
       // with no marker, trusts NEITHER).
       import java.nio.file.{Files, Paths}
       Files.createFile(Paths.get(dir, SwapCommitMarker))
+      promoteStagedPostings(dir)
       swapDir(dir, "terms"); swapDir(dir, "stats")
       Files.deleteIfExists(Paths.get(dir, SwapCommitMarker))
     } finally postings.unpersist(blocking = false)
@@ -189,6 +201,34 @@ object InvertedIndex {
 
   private[text] val SwapCommitMarker = "_swap_commit"
   private val SwappedNames = Seq("terms", "stats")
+
+  /** Move staged delta part-files into the live bucket dirs, then drop
+    * the staging dir. Idempotent: a file is either still staged or
+    * already live (same-FS rename), so re-driving after a crash moves
+    * exactly the remainder. Only called with the commit marker present.
+    */
+  private def promoteStagedPostings(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val staging = Paths.get(dir, "postings_delta")
+    if (!Files.isDirectory(staging)) return
+    val st = Files.list(staging)
+    val buckets =
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toVector.filter(p =>
+          Files.isDirectory(p) && p.getFileName.toString.startsWith("bucket="))
+      } finally st.close()
+    buckets.foreach { b =>
+      val target = Paths.get(dir, "postings", b.getFileName.toString)
+      Files.createDirectories(target)
+      val fs = Files.list(b)
+      val parts =
+        try { import scala.jdk.CollectionConverters._
+          fs.iterator().asScala.toVector.filter(_.toString.endsWith(".parquet"))
+        } finally fs.close()
+      parts.foreach(p => Files.move(p, target.resolve(p.getFileName.toString)))
+    }
+    rmTree(staging)
+  }
 
   /** Replace `$dir/$name` with `$dir/${name}_new` (local-fs rename; an
     * object-store deployment versions whole index dirs instead).
@@ -242,6 +282,11 @@ object InvertedIndex {
     import java.nio.file.{Files, Paths}
     val marker = Paths.get(dir, SwapCommitMarker)
     val committed = Files.exists(marker)
+    // staged delta postings follow the same marker decision: committed →
+    // finish moving them live (idempotent remainder); not committed →
+    // the whole delta is untrusted, drop the staging dir
+    if (committed) promoteStagedPostings(dir)
+    else rmTree(Paths.get(dir, "postings_delta"))
     SwappedNames.foreach { name =>
       val live = Paths.get(dir, name)
       val aside = Paths.get(dir, s"${name}_old")

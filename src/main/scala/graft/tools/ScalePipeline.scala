@@ -108,11 +108,19 @@ object ScalePipeline {
               else (0 until 150 + rng.nextInt(300))
                 .map(i => tok(i, "tok" + rng.nextInt(4000)))
             val text = words.mkString(" ")
+            // cross-host links give the corpus a REAL host graph for the
+            // extract_host_links → host_graph → pagerank/HITS stages:
+            // every page links the hub (host0 becomes the authority),
+            // plus a spread target so the edge set isn't a pure star —
+            // deterministic, so the graph is reproducible run-to-run
+            val spreadHost = (fi.toInt + 1 + d % 13) % nFiles
             val html =
               s"""<html><head><title>p$d</title></head><body>
                  |<nav><a href="/">home</a> <a href="/s">section menu</a></nav>
                  |<article><p>$text</p></article>
                  |<p><a href="/rel$d">related page $d</a></p>
+                 |<p>partners: <a href="https://host0.example.test/">hub</a>
+                 |<a href="https://host$spreadHost.example.test/page${d % 97}">p</a></p>
                  |<footer>copyright footer boilerplate</footer>
                  |</body></html>""".stripMargin
             val url =
@@ -243,6 +251,49 @@ object ScalePipeline {
     stage("zorder_compact") {
       JobRunner.run(spark, JobCli("compact", s"$curatedDir/kept", zorderDir,
         outputOptions = Map("target_mb" -> "32", "zorder" -> "doc_id,n_chars")))
+    }
+
+    // ---- stage 10: host-link edges from the raw archives — the
+    //      reference's flagship pipeline (wat_extract_links →
+    //      hostlinks_to_graph) over the SAME manifest the documents
+    //      came from: redirect Location edges + raw-HTML anchors,
+    //      SURT-normalized per host pair, deduped in the scan ----
+    val linksDir = s"$root/hostlinks"
+    stage("extract_host_links") {
+      JobRunner.run(spark, JobCli("extract_host_links", manifest, linksDir,
+        inParts = nFiles, outParts = cpus.toInt))
+      println(s"[scale] host edges: ${spark.read.parquet(linksDir).count()}")
+    }
+
+    // ---- stage 11: hostlinks_to_graph — integer-ID vertex/edge tables
+    //      via the scalable sortBy+zipWithIndex assignment (no
+    //      single-partition bottleneck), self-loops dropped post-ID ----
+    val graphDir = s"$root/host_graph"
+    stage("host_graph") {
+      JobRunner.run(spark, JobCli("host_graph", linksDir, graphDir,
+        outParts = cpus.toInt, vertexPartitions = cpus.toInt,
+        normalizeHostNames = true))
+      println(s"[scale] graph: " +
+        s"${spark.read.parquet(s"$graphDir/vertices").count()} vertices, " +
+        s"${spark.read.parquet(s"$graphDir/edges").count()} edges")
+    }
+
+    // ---- stages 12-13: PageRank + HITS over the REAL extracted edge
+    //      structure (per-iteration cost ≈ wall / iters; both are the
+    //      keyed-join-per-round shape with checkpointed lineage) ----
+    stage("graph_pagerank_5it") {
+      val pr = graft.jobs.HostRank
+        .pageRank(spark.read.parquet(s"$graphDir/edges"), iters = 5)
+        .orderBy(col("rank").desc).limit(5).collect()
+      println(s"[scale] top pagerank: " +
+        pr.map(r => s"${r.get(0)}=${"%.4f".format(r.getDouble(1))}").mkString(", "))
+    }
+    stage("graph_hits_3it") {
+      val top = graft.jobs.HostRank
+        .hits(spark.read.parquet(s"$graphDir/edges"), iters = 3)
+        .orderBy(col("a").desc).limit(5).collect()
+      println(s"[scale] top authorities: " +
+        top.map(r => s"${r.get(0)}").mkString(", "))
     }
 
     spark.stop()

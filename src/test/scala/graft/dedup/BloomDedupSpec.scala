@@ -86,4 +86,29 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
     assert(viaIndex == direct)
   }
+
+  test("digest probe fails loudly on a missing or mismatched scheme marker") {
+    assume(sf.isDefined)
+    val dir = java.nio.file.Files.createTempDirectory("bloomidx2").toString
+    val docs = Tables(spark, sf.get, "documents")
+    BloomDedup.saveDigestIndex(docs.filter(col("doc_id") % 10 < 7), dir,
+      expectedItems = 1L << 16)
+    val marker = java.nio.file.Paths.get(dir, "_graft_digest_meta")
+    // scheme drift (a future chunker/digest change against an old index);
+    // drop the Hadoop local-FS checksum sidecar — we're simulating an
+    // old-binary write, not on-disk corruption
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._graft_digest_meta.crc"))
+    java.nio.file.Files.write(marker, "tok20-md5-xxbloom-v0".getBytes)
+    val e1 = intercept[IllegalStateException] {
+      BloomDedup.dedupAgainstDigestIndex(docs.filter(col("doc_id") % 10 >= 7), dir)
+    }
+    assert(e1.getMessage.contains("scheme"))
+    // pre-marker index
+    java.nio.file.Files.delete(marker)
+    val e2 = intercept[IllegalStateException] {
+      BloomDedup.dedupAgainstDigestIndex(docs.filter(col("doc_id") % 10 >= 7), dir)
+    }
+    assert(e2.getMessage.contains("_graft_digest_meta"))
+  }
 }

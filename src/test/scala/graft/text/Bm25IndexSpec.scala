@@ -103,14 +103,22 @@ class Bm25IndexSpec extends AnyFunSuite {
     }
     def tag(name: String) = new String(Files.readAllBytes(Paths.get(dir, name, "TAG")))
     // state after: terms fully swapped, crash BEFORE swapDir("stats") —
-    // the exact torn window: live new-terms beside live old-stats
+    // the exact torn window: live new-terms beside live old-stats, and
+    // one staged delta part-file not yet moved live
     mk("terms", "new"); mk("stats", "old"); mk("stats_new", "new")
+    Files.createDirectories(Paths.get(dir, "postings", "bucket=3"))
+    Files.createDirectories(Paths.get(dir, "postings_delta", "bucket=3"))
+    Files.write(Paths.get(dir, "postings_delta", "bucket=3", "part-x.parquet"),
+      "d".getBytes)
     Files.createFile(Paths.get(dir, InvertedIndex.SwapCommitMarker))
     InvertedIndex.recoverSwaps(dir)
     assert(tag("terms") == "new" && tag("stats") == "new",
       "marker present: recovery must promote the surviving stats_new")
     assert(!Files.exists(Paths.get(dir, "stats_new")))
     assert(!Files.exists(Paths.get(dir, InvertedIndex.SwapCommitMarker)))
+    assert(Files.exists(Paths.get(dir, "postings", "bucket=3", "part-x.parquet")),
+      "marker present: staged delta postings must finish moving live")
+    assert(!Files.exists(Paths.get(dir, "postings_delta")))
   }
 
   test("a crash during the *_new writes (no marker) recovers to the OLD pair") {
@@ -122,12 +130,18 @@ class Bm25IndexSpec extends AnyFunSuite {
     }
     def tag(name: String) = new String(Files.readAllBytes(Paths.get(dir, name, "TAG")))
     // crash mid-parquet-write: terms_new complete, stats_new torn, no
-    // marker — NEITHER _new may be trusted or the pair tears
+    // marker — NEITHER _new may be trusted or the pair tears; staged
+    // postings are part of the same uncommitted delta
     mk("terms", "old"); mk("stats", "old"); mk("terms_new", "new"); mk("stats_new", "torn")
+    Files.createDirectories(Paths.get(dir, "postings_delta", "bucket=1"))
+    Files.write(Paths.get(dir, "postings_delta", "bucket=1", "part-y.parquet"),
+      "d".getBytes)
     InvertedIndex.recoverSwaps(dir)
     assert(tag("terms") == "old" && tag("stats") == "old",
       "no marker: recovery must keep the old pair and drop every _new")
     assert(!Files.exists(Paths.get(dir, "terms_new")))
     assert(!Files.exists(Paths.get(dir, "stats_new")))
+    assert(!Files.exists(Paths.get(dir, "postings_delta")),
+      "no marker: the uncommitted staged delta must be dropped whole")
   }
 }
