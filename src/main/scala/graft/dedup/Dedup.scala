@@ -780,6 +780,45 @@ object Dedup {
     finally out.close()
   }
 
+  /** Fold a NEW batch's signatures into an existing MinHash index —
+    * the cross-crawl maintenance arm (MinHash's counterpart of the IVF
+    * `ann_index_update` and the BM25 delta fold): crawl N+1's
+    * signatures append as delta part-files inside the SAME band
+    * partition dirs, so the index grows by exactly the batch's
+    * ~0.5 KB/doc and the dominant bytes are never rewritten. The
+    * marker is validated FIRST — appending signatures from a different
+    * hash family/banding would poison every later probe (a worse
+    * failure than the probe-side mismatch, because it corrupts the
+    * index itself). doc_id novelty is upstream's contract, same as
+    * [[dedupAgainstMinHashIndex]].
+    */
+  def appendMinHashIndex(newDocs: DataFrame, indexDir: String,
+                         shingleW: Int = 5, perms: Int = 64,
+                         rowsPerBand: Int = 4): Unit = {
+    val fs = indexMetaPath(indexDir).getFileSystem(
+      newDocs.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(indexMetaPath(indexDir)))
+      throw new IllegalStateException(
+        s"MinHash index at $indexDir has no _graft_minhash_meta marker; " +
+          s"appending into an unknown-hash-family index would poison it — " +
+          s"rebuild with saveMinHashIndex.")
+    val meta = {
+      val in = fs.open(indexMetaPath(indexDir))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val expect = minHashMeta(shingleW, perms, rowsPerBand)
+    if (meta != expect)
+      throw new IllegalStateException(
+        s"MinHash index at $indexDir was built with incompatible parameters —\n" +
+          s"index:\n$meta\nappend expects:\n$expect" +
+          s"Appending across hash families/parameters poisons the index; " +
+          s"rebuild it or match the parameters.")
+    val sig = minHashSignature(wordShingles(newDocs, shingleW), perms)
+    bands(sig, perms, rowsPerBand).join(sig, "doc_id")
+      .write.mode("append").partitionBy("band").parquet(s"$indexDir/bands")
+  }
+
   /** New-batch dedup probe against a saved index: candidates = band-bucket
     * collisions (keyed join, never a scan of index × batch), verified by
     * the signature-agreement estimator. Returns

@@ -70,7 +70,8 @@ object JobCli {
       |        md5sum | warc_to_parquet | index_build |
       |        index_export | index_word_count |
       |        warc_to_documents (--main_content: boilerplate removal) | curate |
-      |        dedup_index_build | dedup_index_probe (--add_input INDEX_DIR) |
+      |        dedup_index_build | dedup_index_probe | dedup_index_update
+      |          (--add_input INDEX_DIR) |
       |        bm25_index_build | bm25_index_probe (--query t1,t2) |
       |        bm25_index_merge (--add_input INDEX_DIR: append-only delta fold) |
       |        scd2_build | scd2_merge (--add_input DIM_DIR) |
@@ -345,6 +346,23 @@ object JobRunner {
             .coalesce(cli.outParts)
             .write.mode("overwrite").parquet(s"${cli.output}/topk")
           spark.read.parquet(s"${cli.output}/topk")
+        }
+      case "dedup_index_update" =>
+        // input = NEW batch (documents parquet); --add_input = index dir
+        // from dedup_index_build. Folds the batch's MinHash signatures
+        // into the band-partitioned index (delta part-files, dominant
+        // bytes never rewritten) — dedup's counterpart of
+        // ann_index_update; the marker guard refuses a hash-family or
+        // parameter mismatch before any write. Typical cadence: probe
+        // (dedup_index_probe), drop the hits, then update with the kept.
+        {
+          require(cli.addInputs.nonEmpty,
+            "dedup_index_update needs --add_input <index_dir>")
+          import org.apache.spark.sql.functions.{col, count, lit}
+          graft.dedup.Dedup.appendMinHashIndex(
+            spark.read.parquet(cli.input), s"${cli.addInputs.head}/minhash")
+          spark.read.parquet(s"${cli.addInputs.head}/minhash/bands")
+            .groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
         }
       case "bm25_index_merge" =>
         // input = DELTA documents parquet dir; --add_input = index dir

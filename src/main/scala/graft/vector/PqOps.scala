@@ -69,8 +69,16 @@ object PqOps {
     * the plans stay valid and encode/score simply see no rows.
     */
   def trainCodebooks(c: DataFrame,
-                     nKnown: Option[Long] = None): Array[Array[Array[Double]]] = {
-    val sample = trainSample(c, nKnown)
+                     nKnown: Option[Long] = None): Array[Array[Array[Double]]] =
+    trainCodebooksOn(trainSample(c, nKnown))
+
+  /** The Lloyd loop itself over an in-memory sample — shared by the
+    * plain-vector codebooks above and the RESIDUAL codebooks the IVFADC
+    * variant trains (same seeds, same iteration count, different input
+    * space).
+    */
+  private[vector] def trainCodebooksOn(
+      sample: Array[Array[Double]]): Array[Array[Array[Double]]] = {
     Array.tabulate(M) { m =>
       val subs = sample.map(_.slice(m * SubDim, (m + 1) * SubDim))
       if (subs.isEmpty) Array.fill(Ks)(Array.fill(SubDim)(0.0))
@@ -347,6 +355,192 @@ object PqOps {
       s"""${VectorOps.ivfAssignCtes(VectorOps.cachedIvfCentroids(s, dir), nprobe = 4)},
       ${pqReplayCtes(cachedCodebooks(s, dir), cellRestrict = true)},${VectorOps.recallTailSql}"""))
 
+  // ---------------------------------------------------------------
+  // Residual-encoding IVFADC (FAISS's `IVF{k},PQ{M}` with
+  // by-residual=true — the variant the scaladoc above deliberately
+  // traded away for cell-agnostic codes). Here it is as its own query:
+  // codes quantize x − c_cell instead of x, so each code spends its 4
+  // bits on the WITHIN-CELL geometry (residuals are centered near 0
+  // with far smaller spread than raw vectors — the same codebook
+  // resolution buys finer distances). The cost is cell-coupled
+  // scoring: approximate <q, x> = <q, c_cell> + Σ_m lut_m[code_m],
+  // so the ADC needs a per-(query, cell) bias term and encoded rows
+  // only make sense joined to their cell. Scale shape is unchanged
+  // from ivfPqTopK: training driver-side over the bounded sample,
+  // encode one map stage (centroid join is a broadcast of k rows),
+  // probe a keyed equi-join on the cell id.
+  // ---------------------------------------------------------------
+
+  private val trainedResidCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  /** Training-sample cell assignment, driver-side: argmax over the same
+    * norm-scaled centroids assignCells uses. Only determinism matters
+    * here (codebooks are parameters, embedded identically in the query
+    * and its oracle by the session cache).
+    */
+  private def nearestCellIdx(v: Array[Double],
+                             scaled: Seq[(Long, Array[Double])]): Int = {
+    var best = 0; var bestD = Double.NegativeInfinity
+    var j = 0
+    while (j < scaled.length) {
+      val ct = scaled(j)._2
+      var d = 0.0; var i = 0
+      val n = math.min(v.length, ct.length)
+      while (i < n) { d += v(i) * ct(i); i += 1 }
+      if (d > bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  private def cachedResidCodebooks(s: SparkSession, dir: String)
+      : Array[Array[Array[Double]]] =
+    trainedResidCodebooks.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir, _ => {
+        val cents = VectorOps.cachedIvfCentroids(s, dir)
+        val sample = trainSample(Tables(s, dir, "embeddings"), None)
+        if (cents.isEmpty) trainCodebooksOn(sample)
+        else {
+          val scaled = VectorOps.scaledOf(cents)
+          val raw = cents.map(_._2.toArray)
+          trainCodebooksOn(sample.map { v =>
+            val ct = raw(nearestCellIdx(v, scaled))
+            Array.tabulate(v.length)(i =>
+              v(i) - (if (i < ct.length) ct(i) else 0.0))
+          })
+        }
+      })
+
+  /** Residual ADC top-k: assign → residual (float-rounded, so the
+    * DuckDB replay is bit-exact) → encode against the residual
+    * codebooks → per-(query, probed-cell) bias + M lookups → exact
+    * re-rank of the top `rerank`.
+    */
+  def ivfAdcTopK(s: SparkSession, dir: String, nprobe: Int = 4,
+                 rerank: Int = 50, topk: Int = 10): DataFrame = {
+    val c = Tables(s, dir, "embeddings")
+    val cents = VectorOps.cachedIvfCentroids(s, dir)
+    val rcb = cachedResidCodebooks(s, dir)
+    val spark = s
+    import spark.implicits._
+    val asn =
+      if (cents.isEmpty) c.select(col("vec_id"), lit(0L).as("cell")).limit(0)
+      else VectorOps.assignCells(c, cents).select(col("vec_id"), col("cell"))
+    val centroids = cents.toDF("cell", "centroid")
+    // residual of the NORMALIZED vector vs its raw cell centroid,
+    // rounded to float — the kernels' input type, and one IEEE rounding
+    // the oracle mirrors exactly
+    val rs = c.select(col("vec_id"), normalized(col("embedding")).as("nemb"))
+      .join(asn, "vec_id").join(broadcast(centroids), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("nemb"), col("centroid"),
+          (x, ct) => (x.cast("double") - ct).cast("float")).as("rv"))
+    val codes = rs.select(col("vec_id"), col("cell"),
+      graft.functions.PqKernels.pqCodes(col("rv"), rcb, SubDim).as("codes"))
+    val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qn = q.select(col("q_id"), col("q_emb"), normalized(col("q_emb")).as("qnv"))
+    val luts = qn.select(col("q_id"),
+      graft.functions.PqKernels.pqLuts(col("qnv"), rcb, SubDim).as("lut"))
+    // probe the nprobe nearest cells per query (the ivfPqTopK shape)
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("cell"),
+        graft.functions.GraftFunctions.cosine(col("q_emb"), col("centroid")).as("ccos"))
+    val cells = graft.operators.ScaleUtils.groupedTopK(probed,
+        Seq(col("q_id")), Seq(col("ccos").desc, col("cell")), nprobe, rankCol = "cr")
+      .select(col("q_id"), col("cell"))
+    // per-(query, probed cell) bias <q_n, c_cell> — nq × nprobe rows
+    val bias = cells.join(qn.select(col("q_id"), col("qnv")), "q_id")
+      .join(broadcast(centroids), "cell")
+      .select(col("q_id"), col("cell"),
+        graft.functions.GraftFunctions.dotProduct(col("qnv"), col("centroid")).as("b"))
+    val scored = codes
+      .join(broadcast(bias.join(luts, "q_id")), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("b") + graft.functions.AdcScore.adcScore(col("lut"), col("codes")))
+          .as("adc"))
+    val cand = graft.operators.ScaleUtils.groupedTopK(scored,
+        Seq(col("q_id")), Seq(col("adc").desc, col("vec_id")), rerank, rankCol = "r")
+      .select(col("q_id"), col("vec_id"))
+    val exact = c.join(broadcast(cand), "vec_id")
+      .join(broadcast(qn.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("q_emb"), col("embedding")).as("cos"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topk)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Residual-replay CTE chain, appended after VectorOps.ivfAssignCtes
+    * (which leaves sc/ct/e/asn/qv/probed/pcells in scope): residual =
+    * float(nemb − c_cell), codes by the same argmax-with-half
+    * convention, ADC = bias + (l0 + … + l7) with the parenthesization
+    * matching the kernel's fold order (IEEE addition is not
+    * associative — the bias adds LAST on both engines).
+    */
+  private def ivfAdcReplayCtes(residCb: Array[Array[Array[Double]]]): String = {
+    val laterJoins = (1 to 7).map(m =>
+      s"JOIN lutv l$m ON l$m.q_id = bias.q_id AND l$m.m = $m AND l$m.j = cp.c$m")
+      .mkString("\n        ")
+    s"""rcb(m, j, cvec, half) AS (VALUES
+          ${cbValuesSql(residCb)}),
+      en AS (SELECT vec_id, CASE WHEN nrm > 0
+            THEN list_transform(emb, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
+            ELSE emb END AS nemb
+        FROM (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)),
+      rs AS (SELECT en.vec_id, a.cell,
+          list_transform(range(1, ${Dim + 1}),
+            i -> CAST(CAST(en.nemb[i] - ct.cvec[i] AS REAL) AS DOUBLE)) AS rv
+        FROM en JOIN asn a ON a.vec_id = en.vec_id JOIN ct ON ct.cell = a.cell),
+      codes AS (SELECT vec_id, cell, m, j FROM (
+          SELECT rs.vec_id, rs.cell, rcb.m, rcb.j,
+                 row_number() OVER (PARTITION BY rs.vec_id, rcb.m
+                   ORDER BY (list_dot_product(rs.rv[rcb.m*$SubDim+1 : rcb.m*$SubDim+$SubDim], rcb.cvec)
+                             - rcb.half) DESC, rcb.j) AS rn
+          FROM rs, rcb) WHERE rn = 1),
+      cp AS (SELECT vec_id, cell,
+          ${(0 to 7).map(m => s"MAX(CASE WHEN m = $m THEN j END) AS c$m").mkString(",\n          ")}
+        FROM codes GROUP BY vec_id, cell),
+      qn AS (SELECT vec_id AS q_id, nemb FROM en WHERE vec_id < 10),
+      bias AS (SELECT pc.q_id, pc.cell,
+          list_dot_product(qn.nemb, ct.cvec) AS b
+        FROM pcells pc JOIN qn ON qn.q_id = pc.q_id JOIN ct ON ct.cell = pc.cell),
+      lutv AS (SELECT qn.q_id, rcb.m, rcb.j,
+          list_dot_product(qn.nemb[rcb.m*$SubDim+1 : rcb.m*$SubDim+$SubDim], rcb.cvec) AS v
+        FROM qn, rcb),
+      adc AS (SELECT bias.q_id, cp.vec_id,
+          bias.b + (${(0 to 7).map(m => s"l$m.v").mkString(" + ")}) AS adc
+        FROM cp
+        JOIN bias ON bias.cell = cp.cell
+        JOIN lutv l0 ON l0.q_id = bias.q_id AND l0.m = 0 AND l0.j = cp.c0
+        $laterJoins
+        WHERE cp.vec_id <> bias.q_id),
+      rr AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS r
+          FROM adc) WHERE r <= 50),
+      cand AS (SELECT rr.q_id, rr.vec_id,
+          list_cosine_similarity(eq.emb, ec.emb) AS cos
+        FROM rr JOIN e eq ON eq.vec_id = rr.q_id
+                JOIN e ec ON ec.vec_id = rr.vec_id),
+      ranked AS (SELECT q_id, vec_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM cand)"""
+  }
+
+  val annIvfAdc: QueryDef = QueryDef(
+    "ann_ivfadc_topk",
+    (s, dir) => VectorOps.recallVsBrute(
+      ivfAdcTopK(s, dir), VectorOps.bruteTopK(s, dir),
+      Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"))),
+    oracleGen = Some((s, dir) =>
+      s"""${VectorOps.ivfAssignCtes(VectorOps.cachedIvfCentroids(s, dir), nprobe = 4)},
+      ${ivfAdcReplayCtes(cachedResidCodebooks(s, dir))},${VectorOps.recallTailSql}"""))
+
   /** Persisted IVF-PQ index — the full FAISS on-disk artifact:
     * `vectors/` (cell-partitioned raw vectors, the refine store),
     * `codes/` (cell-partitioned 4-bit code lists — the part a 100 TB
@@ -457,5 +651,5 @@ object PqOps {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  val all: Seq[QueryDef] = Seq(annPq, annIvfPq)
+  val all: Seq[QueryDef] = Seq(annPq, annIvfPq, annIvfAdc)
 }

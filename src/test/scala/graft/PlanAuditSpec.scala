@@ -49,6 +49,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // ≤k-row centroid table and 10-row query/LUT sets broadcast; the
     // cell-pruned ADC join is the keyed equi-join
     "ann_ivfpq_topk",
+    // same bounded shapes plus the k-row centroid broadcast on the
+    // residual-encode side; the bias/LUT join onto codes is keyed (cell)
+    "ann_ivfadc_topk",
     // ann_pq_topk's 10-row LUT broadcast over the (rotated) code scan
     // plus the brute-truth side — same bounded shapes
     "ann_opq_topk",

@@ -83,4 +83,43 @@ class MinHashIndexSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("no _graft_minhash_meta marker"))
   }
+
+  test("appendMinHashIndex folds a delta in; probes equal a from-scratch build") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val oldCrawl = corpus.filter(col("doc_id") % 3 =!= 0)
+    val newCrawl = corpus.filter(col("doc_id") % 3 === 0)
+
+    val grown = java.nio.file.Files.createTempDirectory("mhidx_g").toString
+    Dedup.saveMinHashIndex(oldCrawl, grown)
+    def bandFiles(d: String) = {
+      val b = scala.collection.mutable.Map[String, Long]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d, "bands"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => b(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      b.toMap
+    }
+    val before = bandFiles(grown)
+    Dedup.appendMinHashIndex(newCrawl, grown)
+    val after = bandFiles(grown)
+    // append-only: every base part-file survives byte-untouched
+    before.foreach { case (f, mtime) =>
+      assert(after.contains(f) && after(f) == mtime, s"base band file rewritten: $f")
+    }
+    assert(after.size > before.size, "no delta band files appended")
+
+    val scratch = java.nio.file.Files.createTempDirectory("mhidx_s").toString
+    Dedup.saveMinHashIndex(corpus, scratch)
+    val probe = corpus.filter(col("doc_id") < 5)
+    def hits(d: String) = Dedup.dedupAgainstMinHashIndex(probe, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hits(grown) == hits(scratch))
+    assert(hits(grown).nonEmpty)
+
+    // append refuses parameter drift BEFORE writing (it would poison the index)
+    val e = intercept[IllegalStateException] {
+      Dedup.appendMinHashIndex(newCrawl, grown, perms = 32, rowsPerBand = 8)
+    }
+    assert(e.getMessage.contains("incompatible parameters"))
+  }
 }

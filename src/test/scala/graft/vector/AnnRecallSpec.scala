@@ -103,6 +103,16 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(hits >= 40, s"IVF-PQ total recall collapsed: $hits/100")
   }
 
+  test("residual IVFADC recall@10 clears its floor and beats-or-ties plain IVF-PQ's floor") {
+    assume(sfDir.isDefined)
+    val (hits, nq) = totalHits("ann_ivfadc_topk", sfDir.get)
+    assert(nq == 10, s"expected one recall row per query, got $nq")
+    // residual codes spend their 4 bits on within-cell geometry — the
+    // whole point of by-residual encoding; same probe/rerank budget as
+    // ann_ivfpq_topk, same 40% floor
+    assert(hits >= 40, s"IVFADC total recall collapsed: $hits/100")
+  }
+
   test("PQ codes are 4-bit and deterministic across encode calls") {
     assume(sfDir.isDefined)
     val c = graft.util.Tables(spark, sfDir.get, "embeddings")
