@@ -297,7 +297,12 @@ object Dedup {
     * bucket split with min-id spanning star, exact-Jaccard verification
     * at `threshold` — the complete minHashDedup pipeline in SQL.
     */
-  private def minhashLshCtes(r: Int, threshold: Double): String = {
+  /** Signature + banding replay (OPH bins, rotation densification,
+    * FNV band buckets) — shared by the LSH dedup oracle and the
+    * streaming index-maintenance oracle. Leaves `sigl(doc_id, sig)`
+    * and `banded(doc_id, band, bucket)` in scope; expects `shing`.
+    */
+  private def sigBandCtes(r: Int): String = {
     val nb = 64 / r
     s"""
       bins AS (SELECT doc_id, ((s % 64) + 64) % 64 AS b, MIN(s) AS mn
@@ -314,7 +319,11 @@ object Dedup {
       bndu AS (SELECT doc_id, bb AS band,
           ${fnvU(leBytes(s"sig[bb*$r + 1 : bb*$r + $r]"))} AS u
           FROM sigl, (SELECT unnest(generate_series(0, ${nb - 1})) AS bb) g2),
-      banded AS (SELECT doc_id, band, $SignedU AS bucket FROM bndu),
+      banded AS (SELECT doc_id, band, $SignedU AS bucket FROM bndu)"""
+  }
+
+  private def minhashLshCtes(r: Int, threshold: Double): String = {
+    s"""${sigBandCtes(r)},
       bcn AS (SELECT band, bucket, COUNT(*) AS bw, MIN(doc_id) AS aid
               FROM banded GROUP BY band, bucket),
       bsmall AS (SELECT b.doc_id, b.band, b.bucket FROM banded b
@@ -764,6 +773,19 @@ object Dedup {
   private def indexMetaPath(indexDir: String) =
     new org.apache.hadoop.fs.Path(s"$indexDir/_graft_minhash_meta")
 
+  /** On-disk layout of `bands/`: (doc_id, bucket, sig) data columns under
+    * band= partition dirs. Explicit so empty indexes read as empty.
+    */
+  private val BandsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType)))
+
   private def minHashMeta(shingleW: Int, perms: Int, rowsPerBand: Int): String =
     s"hash_family=$MinHashHashFamily\nshingle_w=$shingleW\nperms=$perms\nrows_per_band=$rowsPerBand\n"
 
@@ -848,7 +870,10 @@ object Dedup {
           s"index:\n$meta\nprobe expects:\n$expect" +
           s"Probing across hash families/parameters silently yields zero bucket " +
           s"collisions; rebuild the index or match the probe parameters.")
-    val idx = spark.read.parquet(s"$indexDir/bands")
+    // explicit schema: a just-seeded index may hold ZERO band files
+    // (empty first crawl) and schema inference over a part-less
+    // partitioned dir throws — an empty index must read as empty
+    val idx = spark.read.schema(BandsSchema).parquet(s"$indexDir/bands")
       .select(col("band"), col("bucket"),
         col("doc_id").as("idx_id"), col("sig").as("idx_sig"))
     val sigN = minHashSignature(wordShingles(newDocs, shingleW), perms)
@@ -941,6 +966,42 @@ object Dedup {
         CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
         round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_frac
       FROM base b LEFT JOIN cov c USING (doc_id)"""))
+
+  /** Oracle for the STREAMING index-maintenance drain
+    * (streaming.StreamQueries.streamDedupIndexMaintenance): crawls are
+    * doc_id % nCrawls; crawl 0 seeds the index, crawls 1.. arrive as
+    * micro-batches that probe-then-append. Because every batch appends
+    * ALL its docs, the drained hit set is exactly "banded collision
+    * pairs across STRICTLY increasing crawls with signature agreement
+    * ≥ 32/64" — no iteration, so the replay is one static join over
+    * the same signature/banding CTEs the LSH dedup oracle uses. The
+    * probe path has NO bucket cap (the index join is already keyed),
+    * so neither does the replay.
+    */
+  private[graft] def minhashStreamProbeOracle(nCrawls: Int): String = {
+    val r = 4 // 64 perms / 4 rows per band — the index defaults
+    s"""WITH $WordShingleFnvCtes,${sigBandCtes(r)},
+      pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id % $nCrawls > b.doc_id % $nCrawls),
+      est AS (SELECT p.new_id FROM pairs p
+        JOIN sigl sa ON sa.doc_id = p.new_id
+        JOIN sigl sb ON sb.doc_id = p.idx_id
+        WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32),
+      crawls AS (SELECT unnest(generate_series(1, ${nCrawls - 1})) AS crawl),
+      hit AS (SELECT new_id % $nCrawls AS crawl, COUNT(*) AS n_hits,
+              COUNT(DISTINCT new_id) AS n_dup_docs
+              FROM est GROUP BY new_id % $nCrawls),
+      nd AS (SELECT doc_id % $nCrawls AS crawl, COUNT(*) AS n_docs
+             FROM documents WHERE text IS NOT NULL
+             GROUP BY doc_id % $nCrawls)
+      SELECT c.crawl, nd.n_docs,
+        CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(hit.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+      FROM crawls c JOIN nd ON nd.crawl = c.crawl
+      LEFT JOIN hit ON hit.crawl = c.crawl"""
+  }
 
   val all: Seq[QueryDef] =
     Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash, dedupClusters,
