@@ -31,7 +31,10 @@ object HeavyScale {
     "decontam_near", "ann_ivfpq_topk", "quality_model_score",
     // round-10 additions: the payload-heavy decode+LSH pipeline, the
     // two-retriever fusion, and the rotated-PQ path
-    "image_dedup_clusters", "hybrid_rrf_topk", "ann_opq_topk")
+    "image_dedup_clusters", "hybrid_rrf_topk", "ann_opq_topk",
+    // round-11 additions: the residual-encode ADC path and the
+    // probe-then-append streaming index maintenance drain
+    "ann_ivfadc_topk", "stream_dedup_index_maintenance")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
