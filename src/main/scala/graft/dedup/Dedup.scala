@@ -873,9 +873,30 @@ object Dedup {
     // explicit schema: a just-seeded index may hold ZERO band files
     // (empty first crawl) and schema inference over a part-less
     // partitioned dir throws — an empty index must read as empty
-    val idx = spark.read.schema(BandsSchema).parquet(s"$indexDir/bands")
+    val idx0 = spark.read.schema(BandsSchema).parquet(s"$indexDir/bands")
       .select(col("band"), col("bucket"),
         col("doc_id").as("idx_id"), col("sig").as("idx_sig"))
+    // Degenerate-bucket cap on the INDEX side (the probe-join analogue
+    // of bucketCapSplit): a bucket holding a mass of near-identical
+    // docs — thousands of boilerplate twins accumulated across crawls —
+    // would make this join emit |new∩bucket| × |idx∩bucket| pairs, the
+    // quadratic blow-up the batch self-join solves with the min-id
+    // star. Here each over-cap index bucket keeps ONLY its min-id row
+    // as the collision witness: a new doc landing in a degenerate
+    // bucket still gets a candidate pair (vs the anchor) and still
+    // passes signature verification, because a bucket only goes
+    // degenerate when its members are near-identical — any member
+    // witnesses as well as any other. Benign 64-bit-hash collisions
+    // stay far under the cap (measured ≤179 at sf0.1; same constant as
+    // SimHashMaxBucket's reasoning). The cap changes WHICH idx_id a
+    // degenerate match reports, never WHETHER a dup is found.
+    val overCap = idx0.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bw"), min(col("idx_id")).as("aid"))
+      .filter(col("bw") > SimHashMaxBucket)
+      .select(col("band"), col("bucket"), col("aid"))
+    val idx = idx0.join(overCap, Seq("band", "bucket"), "left")
+      .filter(col("aid").isNull || col("idx_id") === col("aid"))
+      .drop("aid")
     val sigN = minHashSignature(wordShingles(newDocs, shingleW), perms)
     val bandedN = bands(sigN, perms, rowsPerBand).join(sigN, "doc_id")
       .select(col("doc_id").as("new_id"), col("band"), col("bucket"),

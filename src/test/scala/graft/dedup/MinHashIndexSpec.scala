@@ -122,4 +122,23 @@ class MinHashIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("incompatible parameters"))
   }
+
+  test("degenerate index bucket probes via its min-id anchor, not all-pairs") {
+    import spark.implicits._
+    // 300 identical docs (> the 256 bucket cap): every band bucket goes
+    // degenerate — the pathological boilerplate-accumulation case
+    val tpl = (1 to 60).map(i => s"boiler plate token$i").mkString(" ")
+    val massDup = (0L until 300L).map(i => (i, tpl, "en", "src", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_hot").toString
+    Dedup.saveMinHashIndex(massDup, dir)
+    val twin = Seq((9000L, tpl, "en", "src", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hits = Dedup.dedupAgainstMinHashIndex(twin, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the dup IS found (est 1.0) but against exactly ONE witness — the
+    // bucket's min-id anchor — instead of 300 pairs
+    assert(hits.toSeq == Seq((9000L, 0L, 1.0)),
+      s"expected the single anchor witness, got ${hits.toSeq}")
+  }
 }
