@@ -53,7 +53,8 @@ object SparkEntry {
       media.ImageDedup.all ++
       ops.WarcFixtureQueries.all ++
       streaming.StreamQueries.all ++
-      Seq(jobs.HostRank.hostRank, jobs.HostRank.graphHits)
+      Seq(jobs.HostRank.hostRank, jobs.HostRank.graphHits,
+        jobs.HostRank.hostRankPersonalized)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -42,4 +42,33 @@ class HostRankSpec extends AnyFunSuite {
     assert(rows.head.getString(0).startsWith("s"))
     assert(rows.map(_.getDouble(1)).toSeq == rows.map(_.getDouble(1)).toSeq.sorted.reverse)
   }
+
+  test("personalized pagerank: mass concentrates on seeds and their reach, conserved") {
+    import spark.implicits._
+    // star-of-two: seed a -> {x, y}; b -> {x, z}; seeding ONLY a must
+    // rank y (reachable from a alone) above z (reachable from b alone)
+    val edges = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "z"))
+      .toDF("s", "t")
+    val ranks = HostRank.personalizedPageRank(
+        edges, Seq("a").toDF("node"), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // teleport + dangling both return to the seed: total mass conserved
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    assert(ranks("y") > ranks("z"), s"seed-reachable y must outrank z: $ranks")
+    // b has no in-edges and no teleport mass: exactly zero
+    assert(ranks("b") == 0.0)
+
+    // the registered query: non-seed customers carry exactly zero rank,
+    // so the top-20 is seeds + reachable suppliers only
+    val rows = HostRank.hostRankPersonalized.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 20)
+    // mass concentrates: the head rows carry seed-derived mass, and once
+    // ranks hit exactly 0 (nodes unreachable from the 3 sf0.001 seeds —
+    // fewer than 20 positive nodes exist at this SF) they stay 0
+    assert(rows.head.getDouble(1) > 0.0)
+    val rs = rows.map(_.getDouble(1)).toSeq
+    assert(rs == rs.sorted.reverse)
+    assert(rs.count(_ > 0.0) >= 3, s"at least the 3 seeds carry mass: $rs")
+  }
 }
