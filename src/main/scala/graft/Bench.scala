@@ -175,7 +175,9 @@ object Bench {
     // this JVM writes — a tail-capturing harness sees it complete at
     // column 0 (run/outputStrategy forwards forked stdout raw) whether
     // it captures stdout alone or both streams merged.
-    spark.stop()
+    // a throwing stop() (shutdown-hook/FS-close noise after streaming
+    // sessions) must not suppress the one line the harness depends on
+    try spark.stop() catch { case _: Throwable => }
     println(compact)
   }
 }

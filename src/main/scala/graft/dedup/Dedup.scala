@@ -776,7 +776,7 @@ object Dedup {
   /** On-disk layout of `bands/`: (doc_id, bucket, sig) data columns under
     * band= partition dirs. Explicit so empty indexes read as empty.
     */
-  private val BandsSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val BandsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("bucket",
@@ -814,16 +814,26 @@ object Dedup {
     * index itself). doc_id novelty is upstream's contract, same as
     * [[dedupAgainstMinHashIndex]].
     */
-  def appendMinHashIndex(newDocs: DataFrame, indexDir: String,
-                         shingleW: Int = 5, perms: Int = 64,
-                         rowsPerBand: Int = 4): Unit = {
+  /** (doc_id, band, bucket, sig) for a batch — the rows both the probe
+    * and the append consume; computed ONCE per maintenance step.
+    */
+  private def bandedSignatures(docs: DataFrame, shingleW: Int, perms: Int,
+                               rowsPerBand: Int): DataFrame = {
+    val sig = minHashSignature(wordShingles(docs, shingleW), perms)
+    bands(sig, perms, rowsPerBand).join(sig, "doc_id")
+  }
+
+  private def validateIndexMeta(spark: SparkSession, indexDir: String,
+                                shingleW: Int, perms: Int, rowsPerBand: Int,
+                                verb: String): Unit = {
     val fs = indexMetaPath(indexDir).getFileSystem(
-      newDocs.sparkSession.sessionState.newHadoopConf())
+      spark.sessionState.newHadoopConf())
     if (!fs.exists(indexMetaPath(indexDir)))
       throw new IllegalStateException(
-        s"MinHash index at $indexDir has no _graft_minhash_meta marker; " +
-          s"appending into an unknown-hash-family index would poison it — " +
-          s"rebuild with saveMinHashIndex.")
+        s"MinHash index at $indexDir has no _graft_minhash_meta marker: it was " +
+          s"built by an older binary with an unknown hash family — $verb it " +
+          s"would silently break (empty probes / a poisoned index). " +
+          s"Rebuild with saveMinHashIndex.")
     val meta = {
       val in = fs.open(indexMetaPath(indexDir))
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -833,11 +843,17 @@ object Dedup {
     if (meta != expect)
       throw new IllegalStateException(
         s"MinHash index at $indexDir was built with incompatible parameters —\n" +
-          s"index:\n$meta\nappend expects:\n$expect" +
-          s"Appending across hash families/parameters poisons the index; " +
-          s"rebuild it or match the parameters.")
-    val sig = minHashSignature(wordShingles(newDocs, shingleW), perms)
-    bands(sig, perms, rowsPerBand).join(sig, "doc_id")
+          s"index:\n$meta\n$verb expects:\n$expect" +
+          s"Crossing hash families/parameters silently yields zero bucket " +
+          s"collisions or a poisoned index; rebuild it or match the parameters.")
+  }
+
+  def appendMinHashIndex(newDocs: DataFrame, indexDir: String,
+                         shingleW: Int = 5, perms: Int = 64,
+                         rowsPerBand: Int = 4): Unit = {
+    validateIndexMeta(newDocs.sparkSession, indexDir,
+      shingleW, perms, rowsPerBand, "appending")
+    bandedSignatures(newDocs, shingleW, perms, rowsPerBand)
       .write.mode("append").partitionBy("band").parquet(s"$indexDir/bands")
   }
 
@@ -851,25 +867,18 @@ object Dedup {
                                rowsPerBand: Int = 4,
                                threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val fs = indexMetaPath(indexDir).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    if (!fs.exists(indexMetaPath(indexDir)))
-      throw new IllegalStateException(
-        s"MinHash index at $indexDir has no _graft_minhash_meta marker: it was " +
-          s"built by an older binary with an unknown hash family, and probing it " +
-          s"would silently return zero near-dups. Rebuild with saveMinHashIndex.")
-    val meta = {
-      val in = fs.open(indexMetaPath(indexDir))
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    }
-    val expect = minHashMeta(shingleW, perms, rowsPerBand)
-    if (meta != expect)
-      throw new IllegalStateException(
-        s"MinHash index at $indexDir was built with incompatible parameters —\n" +
-          s"index:\n$meta\nprobe expects:\n$expect" +
-          s"Probing across hash families/parameters silently yields zero bucket " +
-          s"collisions; rebuild the index or match the probe parameters.")
+    validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "probing")
+    probeWithBands(spark,
+      bandedSignatures(newDocs, shingleW, perms, rowsPerBand),
+      indexDir, perms, threshold)
+  }
+
+  /** The probe join itself, over precomputed (doc_id, band, bucket, sig)
+    * batch rows. Meta validation is the caller's responsibility.
+    */
+  private def probeWithBands(spark: SparkSession, bandedBatch: DataFrame,
+                             indexDir: String, perms: Int,
+                             threshold: Double): DataFrame = {
     // explicit schema: a just-seeded index may hold ZERO band files
     // (empty first crawl) and schema inference over a part-less
     // partitioned dir throws — an empty index must read as empty
@@ -883,13 +892,16 @@ object Dedup {
     // quadratic blow-up the batch self-join solves with the min-id
     // star. Here each over-cap index bucket keeps ONLY its min-id row
     // as the collision witness: a new doc landing in a degenerate
-    // bucket still gets a candidate pair (vs the anchor) and still
-    // passes signature verification, because a bucket only goes
-    // degenerate when its members are near-identical — any member
-    // witnesses as well as any other. Benign 64-bit-hash collisions
-    // stay far under the cap (measured ≤179 at sf0.1; same constant as
-    // SimHashMaxBucket's reasoning). The cap changes WHICH idx_id a
-    // degenerate match reports, never WHETHER a dup is found.
+    // bucket still gets a candidate pair (vs the anchor) which still
+    // passes signature verification whenever the bucket is degenerate
+    // for the usual reason — a mass of near-identical members. Benign
+    // 64-bit-hash collisions stay far under the cap (measured ≤179 at
+    // sf0.1; same constant as SimHashMaxBucket's reasoning). Recall
+    // caveat (same one bucketCapSplit's star accepts): if a bucket
+    // goes wide on a shared PREFIX while bodies differ, a twin hiding
+    // in it is found only via its OTHER bands' under-cap buckets —
+    // a miss needs every shared band over-cap AND the anchor
+    // dissimilar, the multi-band redundancy LSH already relies on.
     val overCap = idx0.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bw"), min(col("idx_id")).as("aid"))
       .filter(col("bw") > SimHashMaxBucket)
@@ -897,8 +909,7 @@ object Dedup {
     val idx = idx0.join(overCap, Seq("band", "bucket"), "left")
       .filter(col("aid").isNull || col("idx_id") === col("aid"))
       .drop("aid")
-    val sigN = minHashSignature(wordShingles(newDocs, shingleW), perms)
-    val bandedN = bands(sigN, perms, rowsPerBand).join(sigN, "doc_id")
+    val bandedN = bandedBatch
       .select(col("doc_id").as("new_id"), col("band"), col("bucket"),
         col("sig").as("new_sig"))
     bandedN.join(idx, Seq("band", "bucket"))
@@ -908,6 +919,28 @@ object Dedup {
           s" / CAST($perms AS DOUBLE)"))
       .filter(col("est_jaccard") >= threshold)
       .select(col("new_id"), col("idx_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Probe-then-append in one maintenance step — the per-crawl (and
+    * streaming foreachBatch) cadence: the batch's signatures/bands are
+    * computed ONCE and serve both sides (they are the dominant
+    * per-batch CPU — tokenize → shingle → 64-bin OPH — and computing
+    * them twice doubled the drain's cost). Hits land in `hitsOut`
+    * (parquet, append) BEFORE the index mutates, so the probe always
+    * reflects the pre-batch index state.
+    */
+  def probeAndAppendMinHashIndex(newDocs: DataFrame, indexDir: String,
+                                 hitsOut: String, shingleW: Int = 5,
+                                 perms: Int = 64, rowsPerBand: Int = 4,
+                                 threshold: Double = 0.5): Unit = {
+    val spark = newDocs.sparkSession
+    validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "maintaining")
+    val banded = bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist()
+    try {
+      probeWithBands(spark, banded, indexDir, perms, threshold)
+        .write.mode("append").parquet(hitsOut)
+      banded.write.mode("append").partitionBy("band").parquet(s"$indexDir/bands")
+    } finally { banded.unpersist(blocking = false); () }
   }
 
   /** Exact-substring duplication mass (Lee et al. 2021's suffix-array
@@ -996,16 +1029,27 @@ object Dedup {
     * pairs across STRICTLY increasing crawls with signature agreement
     * ≥ 32/64" — no iteration, so the replay is one static join over
     * the same signature/banding CTEs the LSH dedup oracle uses. The
-    * probe path has NO bucket cap (the index join is already keyed),
-    * so neither does the replay.
+    * probe's degenerate-bucket cap is replayed too: the index side of
+    * each crawl-k probe keeps only the min-id anchor of any
+    * (band, bucket) whose width — measured over the crawls ALREADY
+    * indexed when k probes, i.e. doc_id % n < k — exceeds
+    * SimHashMaxBucket, exactly dedupAgainstMinHashIndex's rule.
     */
   private[graft] def minhashStreamProbeOracle(nCrawls: Int): String = {
     val r = 4 // 64 perms / 4 rows per band — the index defaults
     s"""WITH $WordShingleFnvCtes,${sigBandCtes(r)},
+      wdt AS (SELECT k.crawl, bb.band, bb.bucket,
+              COUNT(*) AS bw, MIN(bb.doc_id) AS aid
+          FROM (SELECT unnest(generate_series(1, ${nCrawls - 1})) AS crawl) k
+          JOIN banded bb ON bb.doc_id % $nCrawls < k.crawl
+          GROUP BY k.crawl, bb.band, bb.bucket),
       pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket
-        WHERE a.doc_id % $nCrawls > b.doc_id % $nCrawls),
+        JOIN wdt w ON w.crawl = a.doc_id % $nCrawls
+          AND w.band = a.band AND w.bucket = a.bucket
+        WHERE a.doc_id % $nCrawls > b.doc_id % $nCrawls
+          AND (w.bw <= $SimHashMaxBucket OR b.doc_id = w.aid)),
       est AS (SELECT p.new_id FROM pairs p
         JOIN sigl sa ON sa.doc_id = p.new_id
         JOIN sigl sb ON sb.doc_id = p.idx_id

@@ -239,7 +239,11 @@ object HostRank {
     * their rank is exactly 0 — only seeds and supplier nodes reachable
     * from them carry mass. Oracle: the graph_pagerank recursive CTE
     * with the teleport vector swapped in (p0 join instead of the 1/n
-    * constant; dangling mass × p0 instead of /n).
+    * constant; dangling mass × p0 instead of /n). The oracle's
+    * `node < 1000000` seed guard mirrors the custkey < 1e6 id-encoding
+    * assumption this whole query family (graph_pagerank/graph_hits'
+    * `suppkey + 1000000` scheme) already makes about the fixtures —
+    * a corpus that breaks it breaks the encoding first.
     */
   val hostRankPersonalized: QueryDef = QueryDef(
     "graph_pagerank_personalized",

@@ -361,7 +361,10 @@ object JobRunner {
           import org.apache.spark.sql.functions.{col, count, lit}
           graft.dedup.Dedup.appendMinHashIndex(
             spark.read.parquet(cli.input), s"${cli.addInputs.head}/minhash")
-          spark.read.parquet(s"${cli.addInputs.head}/minhash/bands")
+          // schema-read like the probe: an empty-seeded index has zero
+          // band part files and inference would fail AFTER the update
+          spark.read.schema(graft.dedup.Dedup.BandsSchema)
+            .parquet(s"${cli.addInputs.head}/minhash/bands")
             .groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
         }
       case "bm25_index_merge" =>

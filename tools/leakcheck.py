@@ -58,9 +58,11 @@ PATTERNS = {
     "api-key": re.compile(
         r"AKIA[0-9A-Z]{16}|xox[baprs]-[0-9A-Za-z-]{10,}|sk-[A-Za-z0-9]{20,}"
         r"|-----BEGIN [A-Z ]*PRIVATE KEY-----|ghp_[A-Za-z0-9]{36}"),
-    # env vars outside this project's own documented surface
+    # env vars outside this project's own documented surface — matches
+    # sys.env("X"), sys.env.get("X"), sys.env.getOrElse("X", ...),
+    # os.environ["X"]/.get("X"), getenv("X")
     "axon-env": re.compile(
-        r"""(?:sys\.env|os\.environ|getenv)[(.]\s*(?:get\()?["']"""
+        r"""(?:sys\.env|os\.environ|getenv)[(.\[]\s*(?:get(?:OrElse)?\(\s*)?["']"""
         r"""(?!SPARK_|COURSIER_|JAVA_|PATH|HOME|TMPDIR|TZ|USER)([A-Z][A-Z0-9_]{2,})"""),
 }
 
@@ -91,6 +93,9 @@ def main(rnd):
             mod = m.group(1)
             if PUBLISHER_ROOT.match(mod) and not mod.startswith(PUBLIC_IMPORT_ROOTS):
                 hits["internal-import"].append(f"{path}: import {mod}")
+                pkg2 = ".".join(mod.split(".")[:2])
+                if pkg2 not in hits["internal-pkg2"]:
+                    hits["internal-pkg2"].append(pkg2)
         for cat in ("internal-url", "internal-bucket"):
             for m in PATTERNS[cat].finditer(text):
                 if not PUBLIC_HOST_ALLOW.search(m.group(0)):
