@@ -54,7 +54,7 @@ object SparkEntry {
       ops.WarcFixtureQueries.all ++
       streaming.StreamQueries.all ++
       Seq(jobs.HostRank.hostRank, jobs.HostRank.graphHits,
-        jobs.HostRank.hostRankPersonalized)
+        jobs.HostRank.hostRankPersonalized, jobs.HostRank.hostRankWeighted)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

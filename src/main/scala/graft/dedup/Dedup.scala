@@ -770,11 +770,36 @@ object Dedup {
     */
   private[graft] val MinHashHashFamily = "fnv1a64-oph1"
 
+  /** Bucket sub-partition count: `bands/` and the `widths/` sidecar lay
+    * out as band=* / bmod=* with bmod = pmod(bucket, MinHashBucketMods),
+    * so a probe pushes its batch's bounded touched-(band, bmod) set —
+    * ≤ nBands × this many values — as a STATIC partition filter (the
+    * probed-cell trick the IVF and BM25 indexes already use) instead of
+    * reading the whole persisted index per batch. Pruning wins when the
+    * batch touches few of the partitions (interactive probes, small
+    * micro-batches against a years-deep index); a batch wide enough to
+    * touch every mod degrades to the full-scan cost, but the widths
+    * sidecar still spares the O(index) over-cap aggregate either way.
+    * Recorded in the meta marker: a probe computing bmod with a
+    * different modulus would prune REAL candidates away silently.
+    *
+    * Sizing: COMPACTION rewrites one part file per non-empty
+    * (band, bmod) partition ×2 tables (measured ~12 ms of commit cost
+    * per dir per write at local[8] — row count irrelevant), and a
+    * pruned probe's partition-listing work follows the same count.
+    * Appends never pay it: they land in the flat tail (below). 16
+    * (=256 dirs with 16 bands) keeps small probes ~97% pruned at a
+    * compaction cost the sf0.1 corpus absorbs in single-digit seconds;
+    * a petabyte-deep index would raise it with index size (the rewrite
+    * amortizes over compacted bytes).
+    */
+  private[graft] val MinHashBucketMods = 16
+
   private def indexMetaPath(indexDir: String) =
     new org.apache.hadoop.fs.Path(s"$indexDir/_graft_minhash_meta")
 
   /** On-disk layout of `bands/`: (doc_id, bucket, sig) data columns under
-    * band= partition dirs. Explicit so empty indexes read as empty.
+    * band= / bmod= partition dirs. Explicit so empty indexes read as empty.
     */
   private[graft] val BandsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
@@ -784,16 +809,201 @@ object Dedup {
     org.apache.spark.sql.types.StructField("sig",
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
     org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bmod",
       org.apache.spark.sql.types.IntegerType)))
 
+  /** `widths/` sidecar: per-bucket width + min-id anchor, maintained
+    * INCREMENTALLY — the build writes one row per bucket, every append
+    * adds a delta row per touched bucket, and readers fold
+    * (sum bw, min aid) over the TOUCHED partitions only. This is what
+    * lets the probe's degenerate-bucket cap run without the per-probe
+    * full-index groupBy the r11 design carried: over-cap detection costs
+    * O(touched buckets), not O(index), and compaction re-folds the
+    * deltas back to one row per bucket.
+    */
+  private[graft] val WidthsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bw",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("aid",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bmod",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private val ProbeHitSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("new_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("idx_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("est_jaccard",
+      org.apache.spark.sql.types.DoubleType)))
+
   private def minHashMeta(shingleW: Int, perms: Int, rowsPerBand: Int): String =
-    s"hash_family=$MinHashHashFamily\nshingle_w=$shingleW\nperms=$perms\nrows_per_band=$rowsPerBand\n"
+    s"hash_family=$MinHashHashFamily\nshingle_w=$shingleW\nperms=$perms\n" +
+      s"rows_per_band=$rowsPerBand\nbucket_mods=$MinHashBucketMods\n"
+
+  // ---- two-level layout + maintenance commit protocol ----
+  //
+  // LSM shape: `bands/` + `widths/` are the COMPACTED BASE —
+  // (band, bmod)-partitioned so probes prune statically — while
+  // `bands_tail/` + `widths_tail/` are the level-0 TAIL where appends
+  // land as a handful of FLAT files (band/bmod as data columns). A
+  // micro-batch append therefore costs two small unpartitioned writes,
+  // never a 100+-partition-dir commit (measured ~12 ms/dir — 14× the
+  // sf0.1 drain's wall when appends wrote the partitioned layout
+  // directly); probes read the pruned base plus the whole tail, which
+  // the compaction cadence keeps bounded (compactMinHashIndex folds
+  // the tail into the base and re-folds widths). This is the Delta/
+  // Iceberg-style split of cheap appends vs. clustered layout.
+  //
+  // Commit protocol (single-writer, local-fs renames; an object-store
+  // deployment versions whole index dirs instead): appends stage under
+  // bands_delta/ + widths_delta/ and move into the tails only under
+  // the _append_commit marker (InvertedIndex.appendDelta's staged
+  // protocol): a crashed/retried maintenance step can neither
+  // half-append nor double-append. The marker FILE carries the batch id,
+  // so recovery can finish the token write too; committed/<batchId>
+  // tokens make a re-driven batch a no-op — the foreachBatch
+  // exactly-once recipe the durable streaming sinks use.
+  private val AppendCommitMarker = "_append_commit"
+  private val CompactCommitMarker = "_compact_commit"
+  private val SwappedDirs = Seq("bands", "widths", "bands_tail", "widths_tail")
+
+  private def committedToken(indexDir: String, batchId: String) = {
+    require(batchId.nonEmpty && batchId.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"batchId must be a plain token, got '$batchId'")
+    java.nio.file.Paths.get(indexDir, "committed", batchId)
+  }
+
+  /** True iff `batchId` was already folded into the index — the caller
+    * must treat the whole probe+append as a completed no-op.
+    */
+  def isBatchCommitted(indexDir: String, batchId: String): Boolean =
+    java.nio.file.Files.exists(committedToken(indexDir, batchId))
+
+  private def finishAppend(indexDir: String, batchId: Option[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    graft.util.FileTrees.promoteStaged(
+      Paths.get(indexDir, "bands_delta"), Paths.get(indexDir, "bands_tail"))
+    graft.util.FileTrees.promoteStaged(
+      Paths.get(indexDir, "widths_delta"), Paths.get(indexDir, "widths_tail"))
+    batchId.foreach { bid =>
+      val tok = committedToken(indexDir, bid)
+      Files.createDirectories(tok.getParent)
+      Files.write(tok, Array.emptyByteArray); ()
+    }
+    Files.deleteIfExists(Paths.get(indexDir, AppendCommitMarker)); ()
+  }
+
+  /** Replace `$indexDir/$name` with `${name}_new` via rename-aside —
+    * crash leaves old or new intact under a recoverable name, never a
+    * half-deleted live dir; only called with the compact marker present.
+    */
+  private def swapLive(indexDir: String, name: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(indexDir, name)
+    val aside = Paths.get(indexDir, s"${name}_old")
+    graft.util.FileTrees.rmTree(aside)
+    if (Files.exists(live)) { Files.move(live, aside); () }
+    Files.move(Paths.get(indexDir, s"${name}_new"), live)
+    graft.util.FileTrees.rmTree(aside)
+  }
+
+  /** Finish (or roll back) any maintenance step interrupted mid-flight;
+    * called on every index open. Marker present → every staged/`_new`
+    * dir was complete before it appeared, so recovery PROMOTES the
+    * remainder (file moves are idempotent) and re-writes the batch
+    * token. Marker absent → staged dirs are untrusted torn writes and
+    * are dropped; a live dir missing mid-swap restores from `_old`.
+    */
+  private[dedup] def recoverIndex(indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    // compact swap first (compact and append never run concurrently —
+    // single-writer contract — so at most one marker exists)
+    val cm = Paths.get(indexDir, CompactCommitMarker)
+    SwappedDirs.foreach { name =>
+      val live = Paths.get(indexDir, name)
+      val aside = Paths.get(indexDir, s"${name}_old")
+      val fresh = Paths.get(indexDir, s"${name}_new")
+      if (Files.exists(cm)) {
+        if (Files.exists(fresh)) {
+          if (Files.exists(live)) {
+            graft.util.FileTrees.rmTree(aside); Files.move(live, aside); ()
+          }
+          Files.move(fresh, live); ()
+        } else if (!Files.exists(live) && Files.exists(aside)) {
+          Files.move(aside, live); ()
+        }
+      } else {
+        graft.util.FileTrees.rmTree(fresh)
+        if (!Files.exists(live) && Files.exists(aside)) { Files.move(aside, live); () }
+      }
+      graft.util.FileTrees.rmTree(aside)
+    }
+    Files.deleteIfExists(cm)
+    // append staging
+    val am = Paths.get(indexDir, AppendCommitMarker)
+    if (Files.exists(am)) {
+      val bid = new String(Files.readAllBytes(am),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finishAppend(indexDir, if (bid.isEmpty) None else Some(bid))
+    } else {
+      graft.util.FileTrees.rmTree(Paths.get(indexDir, "bands_delta"))
+      graft.util.FileTrees.rmTree(Paths.get(indexDir, "widths_delta"))
+    }
+  }
+
+  /** Stage the batch's banded signatures + widths deltas, then commit
+    * them live under the marker. Both parquet writes complete BEFORE the
+    * marker appears — the marker is the single decision point.
+    */
+  private def stageAndCommitAppend(indexDir: String, banded0: DataFrame,
+                                   batchId: Option[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    // the bands and widths deltas both consume the banded signatures —
+    // the dominant per-batch CPU (tokenize → shingle → 64-bin OPH);
+    // persist so the pass runs once (idempotent when the maintenance
+    // caller already persisted for its probe side)
+    val banded = banded0.persist()
+    try {
+      // level-0 tail files: FLAT, band/bmod as data columns, a handful
+      // of part files per batch — the append's cost follows the batch,
+      // not the partition-dir count (compaction owns the re-layout)
+      banded
+        .select(col("doc_id"), col("bucket"), col("sig"), col("band"), col("bmod"))
+        .write.mode("overwrite").parquet(s"$indexDir/bands_delta")
+      banded.groupBy(col("band"), col("bmod"), col("bucket"))
+        .agg(count(lit(1)).as("bw"), min(col("doc_id")).as("aid"))
+        .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
+        .write.mode("overwrite").parquet(s"$indexDir/widths_delta")
+      Files.write(Paths.get(indexDir, AppendCommitMarker),
+        batchId.getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finishAppend(indexDir, batchId)
+    } finally { banded.unpersist(blocking = false); () }
+  }
 
   def saveMinHashIndex(docs: DataFrame, indexDir: String, shingleW: Int = 5,
                        perms: Int = 64, rowsPerBand: Int = 4): Unit = {
-    val sig = minHashSignature(wordShingles(docs, shingleW), perms)
-    bands(sig, perms, rowsPerBand).join(sig, "doc_id")
-      .write.mode("overwrite").partitionBy("band").parquet(s"$indexDir/bands")
+    // one signature pass serves both tables (see stageAndCommitAppend)
+    val banded = bandedSignatures(docs, shingleW, perms, rowsPerBand).persist()
+    try {
+      banded
+        .repartition(col("band"), col("bmod"))
+        .sortWithinPartitions(col("bucket"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("band", "bmod")
+        .parquet(s"$indexDir/bands")
+      banded.groupBy(col("band"), col("bmod"), col("bucket"))
+        .agg(count(lit(1)).as("bw"), min(col("doc_id")).as("aid"))
+        .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
+        .repartition(col("band"), col("bmod"))
+        .write.mode("overwrite").partitionBy("band", "bmod")
+        .parquet(s"$indexDir/widths")
+    } finally { banded.unpersist(blocking = false); () }
     val fs = indexMetaPath(indexDir).getFileSystem(
       docs.sparkSession.sessionState.newHadoopConf())
     val out = fs.create(indexMetaPath(indexDir), true)
@@ -802,25 +1012,15 @@ object Dedup {
     finally out.close()
   }
 
-  /** Fold a NEW batch's signatures into an existing MinHash index —
-    * the cross-crawl maintenance arm (MinHash's counterpart of the IVF
-    * `ann_index_update` and the BM25 delta fold): crawl N+1's
-    * signatures append as delta part-files inside the SAME band
-    * partition dirs, so the index grows by exactly the batch's
-    * ~0.5 KB/doc and the dominant bytes are never rewritten. The
-    * marker is validated FIRST — appending signatures from a different
-    * hash family/banding would poison every later probe (a worse
-    * failure than the probe-side mismatch, because it corrupts the
-    * index itself). doc_id novelty is upstream's contract, same as
-    * [[dedupAgainstMinHashIndex]].
-    */
-  /** (doc_id, band, bucket, sig) for a batch — the rows both the probe
-    * and the append consume; computed ONCE per maintenance step.
+  /** (doc_id, band, bucket, sig, bmod) for a batch — the rows both the
+    * probe and the append consume; computed ONCE per maintenance step.
     */
   private def bandedSignatures(docs: DataFrame, shingleW: Int, perms: Int,
                                rowsPerBand: Int): DataFrame = {
     val sig = minHashSignature(wordShingles(docs, shingleW), perms)
     bands(sig, perms, rowsPerBand).join(sig, "doc_id")
+      .withColumn("bmod",
+        pmod(col("bucket"), lit(MinHashBucketMods.toLong)).cast("int"))
   }
 
   private def validateIndexMeta(spark: SparkSession, indexDir: String,
@@ -844,23 +1044,40 @@ object Dedup {
       throw new IllegalStateException(
         s"MinHash index at $indexDir was built with incompatible parameters —\n" +
           s"index:\n$meta\n$verb expects:\n$expect" +
-          s"Crossing hash families/parameters silently yields zero bucket " +
+          s"Crossing hash families/parameters/layout silently yields zero bucket " +
           s"collisions or a poisoned index; rebuild it or match the parameters.")
   }
 
+  /** Fold a NEW batch's signatures into an existing MinHash index —
+    * the cross-crawl maintenance arm (MinHash's counterpart of the IVF
+    * `ann_index_update` and the BM25 delta fold): crawl N+1's
+    * signatures land as delta part-files inside the SAME (band, bmod)
+    * partition dirs, so the index grows by exactly the batch's
+    * ~0.5 KB/doc and the dominant bytes are never rewritten; the widths
+    * sidecar gets matching delta rows in the same commit. The marker is
+    * validated FIRST — appending signatures from a different hash
+    * family/banding would poison every later probe. With a `batchId`,
+    * the append is retry-idempotent: a batch already recorded under
+    * committed/ is a no-op. doc_id novelty is upstream's contract, same
+    * as [[dedupAgainstMinHashIndex]].
+    */
   def appendMinHashIndex(newDocs: DataFrame, indexDir: String,
                          shingleW: Int = 5, perms: Int = 64,
-                         rowsPerBand: Int = 4): Unit = {
+                         rowsPerBand: Int = 4,
+                         batchId: Option[String] = None): Unit = {
     validateIndexMeta(newDocs.sparkSession, indexDir,
       shingleW, perms, rowsPerBand, "appending")
-    bandedSignatures(newDocs, shingleW, perms, rowsPerBand)
-      .write.mode("append").partitionBy("band").parquet(s"$indexDir/bands")
+    recoverIndex(indexDir)
+    if (batchId.exists(isBatchCommitted(indexDir, _))) return
+    stageAndCommitAppend(indexDir,
+      bandedSignatures(newDocs, shingleW, perms, rowsPerBand), batchId)
   }
 
   /** New-batch dedup probe against a saved index: candidates = band-bucket
-    * collisions (keyed join, never a scan of index × batch), verified by
-    * the signature-agreement estimator. Returns
-    * (new_id, idx_id, est_jaccard) for pairs estimated ≥ `threshold`.
+    * collisions (keyed join over the PRUNED partitions the batch touches,
+    * never a scan of the whole index), verified by the signature-agreement
+    * estimator. Returns (new_id, idx_id, est_jaccard) for pairs estimated
+    * ≥ `threshold`.
     */
   def dedupAgainstMinHashIndex(newDocs: DataFrame, indexDir: String,
                                shingleW: Int = 5, perms: Int = 64,
@@ -868,21 +1085,56 @@ object Dedup {
                                threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
     validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "probing")
+    recoverIndex(indexDir)
+    // persist: the touched-partition collect and the candidate join both
+    // consume the banded signatures — the dominant batch-side CPU; the
+    // cache is batch-sized (~0.5 KB/doc) and cleared by the bench
+    // barrier / session end (the lazy result can't scope an unpersist)
     probeWithBands(spark,
-      bandedSignatures(newDocs, shingleW, perms, rowsPerBand),
+      bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist(),
       indexDir, perms, threshold)
   }
 
-  /** The probe join itself, over precomputed (doc_id, band, bucket, sig)
-    * batch rows. Meta validation is the caller's responsibility.
+  /** The probe join itself, over precomputed (doc_id, band, bucket, sig,
+    * bmod) batch rows. Meta validation / recovery are the caller's
+    * responsibility.
+    *
+    * Scale shape: the batch's DISTINCT (band, bmod) set — bounded by
+    * nBands × MinHashBucketMods (≤1024 at the defaults), a bounded
+    * driver collect — pushes as a static partition filter on BOTH the
+    * bands read and the widths read, so the probe scans only the index
+    * partitions the batch can collide with. Over-cap anchors fold from
+    * the widths sidecar's touched partitions (sum bw, min aid per
+    * bucket) instead of a full-index aggregate: per-batch probe cost
+    * follows the BATCH, not the accumulated index.
     */
   private def probeWithBands(spark: SparkSession, bandedBatch: DataFrame,
                              indexDir: String, perms: Int,
                              threshold: Double): DataFrame = {
-    // explicit schema: a just-seeded index may hold ZERO band files
-    // (empty first crawl) and schema inference over a part-less
-    // partitioned dir throws — an empty index must read as empty
-    val idx0 = spark.read.schema(BandsSchema).parquet(s"$indexDir/bands")
+    val touched = bandedBatch
+      .select((col("band").cast("long") * MinHashBucketMods + col("bmod")).as("pk"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (touched.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ProbeHitSchema)
+    val partFilter =
+      (col("band").cast("long") * MinHashBucketMods + col("bmod")).isin(touched: _*)
+    // base (partition-PRUNED by the static filter) ∪ tail (flat recent
+    // appends — the same predicate applies as a row filter; the
+    // compaction cadence keeps the tail small). Explicit schema: a
+    // just-seeded index may hold ZERO band files (empty first crawl)
+    // and schema inference over a part-less partitioned dir throws —
+    // an empty index must read as empty.
+    def withTail(base: String, tail: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val b = spark.read.schema(schema).parquet(s"$indexDir/$base").filter(partFilter)
+      val tp = new org.apache.hadoop.fs.Path(s"$indexDir/$tail")
+      if (tp.getFileSystem(spark.sessionState.newHadoopConf()).exists(tp))
+        b.unionByName(
+          spark.read.schema(schema).parquet(s"$indexDir/$tail").filter(partFilter))
+      else b
+    }
+    val idx0 = withTail("bands", "bands_tail", BandsSchema)
       .select(col("band"), col("bucket"),
         col("doc_id").as("idx_id"), col("sig").as("idx_sig"))
     // Degenerate-bucket cap on the INDEX side (the probe-join analogue
@@ -890,7 +1142,7 @@ object Dedup {
     // docs — thousands of boilerplate twins accumulated across crawls —
     // would make this join emit |new∩bucket| × |idx∩bucket| pairs, the
     // quadratic blow-up the batch self-join solves with the min-id
-    // star. Here each over-cap index bucket keeps ONLY its min-id row
+    // star. Each over-cap index bucket keeps ONLY its min-id row
     // as the collision witness: a new doc landing in a degenerate
     // bucket still gets a candidate pair (vs the anchor) which still
     // passes signature verification whenever the bucket is degenerate
@@ -902,8 +1154,9 @@ object Dedup {
     // in it is found only via its OTHER bands' under-cap buckets —
     // a miss needs every shared band over-cap AND the anchor
     // dissimilar, the multi-band redundancy LSH already relies on.
-    val overCap = idx0.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bw"), min(col("idx_id")).as("aid"))
+    val overCap = withTail("widths", "widths_tail", WidthsSchema)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
       .filter(col("bw") > SimHashMaxBucket)
       .select(col("band"), col("bucket"), col("aid"))
     val idx = idx0.join(overCap, Seq("band", "bucket"), "left")
@@ -926,21 +1179,104 @@ object Dedup {
     * computed ONCE and serve both sides (they are the dominant
     * per-batch CPU — tokenize → shingle → 64-bin OPH — and computing
     * them twice doubled the drain's cost). Hits land in `hitsOut`
-    * (parquet, append) BEFORE the index mutates, so the probe always
-    * reflects the pre-batch index state.
+    * BEFORE the index mutates, so the probe always reflects the
+    * pre-batch index state.
+    *
+    * Exactly-once with a `batchId` (Spark's micro-batch retry is
+    * at-least-once): hits write to `$hitsOut/batch_id=<id>` with
+    * OVERWRITE (a replay rewrites the same partition, never duplicates
+    * rows), the index append commits under the marker protocol, and a
+    * batch whose committed/ token exists is a complete no-op. Crash
+    * anywhere: before the marker — recovery drops the staged delta and
+    * the re-driven batch recomputes against the unchanged index;
+    * after — recovery finishes the promote + token, and the retry
+    * skips. Without a batchId the append is crash-ATOMIC but a
+    * re-driven call double-appends; callers with retry semantics must
+    * pass one.
     */
   def probeAndAppendMinHashIndex(newDocs: DataFrame, indexDir: String,
                                  hitsOut: String, shingleW: Int = 5,
                                  perms: Int = 64, rowsPerBand: Int = 4,
-                                 threshold: Double = 0.5): Unit = {
+                                 threshold: Double = 0.5,
+                                 batchId: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
     validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "maintaining")
+    recoverIndex(indexDir)
+    if (batchId.exists(isBatchCommitted(indexDir, _))) return
     val banded = bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist()
     try {
-      probeWithBands(spark, banded, indexDir, perms, threshold)
-        .write.mode("append").parquet(hitsOut)
-      banded.write.mode("append").partitionBy("band").parquet(s"$indexDir/bands")
+      val hits = probeWithBands(spark, banded, indexDir, perms, threshold)
+      batchId match {
+        case Some(bid) =>
+          hits.write.mode("overwrite").parquet(s"$hitsOut/batch_id=$bid")
+        case None =>
+          hits.write.mode("append").parquet(hitsOut)
+      }
+      stageAndCommitAppend(indexDir, banded, batchId)
     } finally { banded.unpersist(blocking = false); () }
+  }
+
+  /** Compact the index: fold the flat level-0 TAIL into the
+    * (band, bmod)-partitioned base — one sorted file set per partition
+    * — and re-fold the widths sidecar's per-batch delta rows back to
+    * one row per bucket; the tails swap to empty. This is the
+    * maintenance arm that stops a 24/7 append cadence from growing the
+    * tail into an unpruned full scan per probe (and, pre-fold, the
+    * widths into one delta row per batch per bucket). Probe results
+    * are identical before/after (same rows, same fold semantics).
+    * Committed-batch tokens and the meta marker are untouched.
+    * Crash-safe via the same marker + rename-aside swap the BM25
+    * terms/stats fold uses — all four dirs (bands, widths, both tails)
+    * swap under ONE marker decision; NOT concurrent with appends
+    * (single-writer contract).
+    */
+  def compactMinHashIndex(spark: SparkSession, indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (!Files.exists(Paths.get(indexDir, "_graft_minhash_meta")))
+      throw new IllegalStateException(
+        s"MinHash index at $indexDir has no _graft_minhash_meta marker; " +
+          s"refusing to compact an unrecognized layout.")
+    recoverIndex(indexDir)
+    def full(base: String, tail: String,
+             schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val b = spark.read.schema(schema).parquet(s"$indexDir/$base")
+      if (Files.isDirectory(Paths.get(indexDir, tail)))
+        b.unionByName(spark.read.schema(schema).parquet(s"$indexDir/$tail"))
+      else b
+    }
+    full("bands", "bands_tail", BandsSchema)
+      .repartition(col("band"), col("bmod"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("band", "bmod")
+      .parquet(s"$indexDir/bands_new")
+    full("widths", "widths_tail", WidthsSchema)
+      .groupBy(col("band"), col("bmod"), col("bucket"))
+      .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
+      .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
+      .repartition(col("band"), col("bmod"))
+      .write.mode("overwrite").partitionBy("band", "bmod")
+      .parquet(s"$indexDir/widths_new")
+    // empty replacement tails, created BEFORE the marker so the swap
+    // set is complete when the decision point appears
+    Files.createDirectories(Paths.get(indexDir, "bands_tail_new"))
+    Files.createDirectories(Paths.get(indexDir, "widths_tail_new"))
+    Files.write(Paths.get(indexDir, CompactCommitMarker), Array.emptyByteArray)
+    SwappedDirs.foreach(swapLive(indexDir, _))
+    Files.deleteIfExists(Paths.get(indexDir, CompactCommitMarker)); ()
+  }
+
+  /** Per-band signature row counts across base + tail — the CLI
+    * maintenance arms' report frame. Schema-read like the probe: an
+    * empty-seeded index has zero part files and inference would throw.
+    */
+  def indexBandCounts(spark: SparkSession, indexDir: String): DataFrame = {
+    val base = spark.read.schema(BandsSchema).parquet(s"$indexDir/bands")
+    val tp = new org.apache.hadoop.fs.Path(s"$indexDir/bands_tail")
+    val all0 =
+      if (tp.getFileSystem(spark.sessionState.newHadoopConf()).exists(tp))
+        base.unionByName(spark.read.schema(BandsSchema).parquet(tp.toString))
+      else base
+    all0.groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
   }
 
   /** Exact-substring duplication mass (Lee et al. 2021's suffix-array
@@ -1068,7 +1404,83 @@ object Dedup {
       LEFT JOIN hit ON hit.crawl = c.crawl"""
   }
 
+  /** Build-once per (application, sf dir): the seed index (crawl 0 via
+    * saveMinHashIndex, crawls 1-2 folded with batch-id'd appends — three
+    * part-file generations per partition, exactly what compaction is
+    * for). Repeated invocations (bench 3×) measure compact + probe,
+    * each against a cheap file-copy of the seed, never mutating it.
+    */
+  private val dicFixed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Registered maintenance arm: compact the grown cross-crawl index
+    * (fold widths deltas, one sorted file set per partition), then
+    * probe crawl 3 against it — proving the fold + re-layout preserve
+    * probe semantics exactly (the oracle replays the probe statically;
+    * MinHashIndexSpec additionally pins before == after byte-for-byte).
+    */
+  val dedupIndexCompact: QueryDef = QueryDef(
+    "dedup_index_compact",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val seed = dicFixed.computeIfAbsent(
+        s.sparkContext.applicationId + ":" + dir, _ => {
+          val sd = java.nio.file.Files.createTempDirectory("graft_dic_seed").toString
+          saveMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) === 0L), sd)
+          appendMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) === 1L),
+            sd, batchId = Some("crawl-1"))
+          appendMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) === 2L),
+            sd, batchId = Some("crawl-2"))
+          sd
+        })
+      val work = java.nio.file.Files.createTempDirectory("graft_dic_work").toString
+      try {
+        graft.util.FileTrees.copyTree(seed, work)
+        compactMinHashIndex(s, work)
+        // bounded driver artifacts: one count + a 1-row aggregate
+        val nSig = s.read.schema(BandsSchema).parquet(s"$work/bands").count()
+        val h = dedupAgainstMinHashIndex(
+            docs.filter(pmod(col("doc_id"), lit(4L)) === 3L), work)
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("new_id")).as("n_dup_docs"))
+          .collect()(0)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_sig_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_hits",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_dup_docs",
+            org.apache.spark.sql.types.LongType)))
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(nSig, h.getLong(0), h.getLong(1))), 1), schema)
+      } finally graft.util.FileTrees.rmTree(work)
+    },
+    // static replay of "crawl 3 probes crawls 0-2": banded collisions
+    // across the split with the index-side over-cap anchor rule (widths
+    // measured over doc % 4 < 3 — compaction's fold must equal this or
+    // the hash gate catches it), signature agreement ≥ 32/64
+    Some(s"""WITH $WordShingleFnvCtes,${sigBandCtes(4)},
+      wdt AS (SELECT band, bucket, COUNT(*) AS bw, MIN(doc_id) AS aid
+              FROM banded WHERE doc_id % 4 < 3 GROUP BY band, bucket),
+      pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+        JOIN wdt w ON w.band = a.band AND w.bucket = a.bucket
+        WHERE a.doc_id % 4 = 3 AND b.doc_id % 4 < 3
+          AND (w.bw <= $SimHashMaxBucket OR b.doc_id = w.aid)),
+      est AS (SELECT p.new_id FROM pairs p
+        JOIN sigl sa ON sa.doc_id = p.new_id
+        JOIN sigl sb ON sb.doc_id = p.idx_id
+        WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32)
+      SELECT
+        CAST((SELECT COUNT(*) FROM banded WHERE doc_id % 4 < 3) AS BIGINT)
+          AS n_sig_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_hits,
+        CAST(COUNT(DISTINCT new_id) AS BIGINT) AS n_dup_docs
+      FROM est"""))
+
   val all: Seq[QueryDef] =
     Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash, dedupClusters,
-      dedupJaccardExact, dedupClustersExact, dedupSubstring)
+      dedupJaccardExact, dedupClustersExact, dedupSubstring,
+      dedupIndexCompact)
 }

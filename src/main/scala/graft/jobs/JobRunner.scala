@@ -33,6 +33,7 @@ final case class JobCli(
     outputShards: Option[Int] = None,
     badwords: Seq[String] = Nil,
     minEntropy: Option[Double] = None,
+    batchId: Option[String] = None,
     maxDupFrac: Option[Double] = None,
     mainContent: Boolean = false,
     topK: Int = 20) {
@@ -71,7 +72,8 @@ object JobCli {
       |        index_export | index_word_count |
       |        warc_to_documents (--main_content: boilerplate removal) | curate |
       |        dedup_index_build | dedup_index_probe | dedup_index_update
-      |          (--add_input INDEX_DIR) |
+      |          (--add_input INDEX_DIR [--batch_id TOKEN: retry-idempotent]) |
+      |        dedup_index_compact (input = INDEX_DIR: fold deltas, re-layout) |
       |        bm25_index_build | bm25_index_probe (--query t1,t2) |
       |        bm25_index_merge (--add_input INDEX_DIR: append-only delta fold) |
       |        scd2_build | scd2_merge (--add_input DIM_DIR) |
@@ -146,6 +148,7 @@ object JobCli {
         case "--badwords" => cli = cli.copy(badwords =
           value.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
         case "--min_entropy"   => cli = cli.copy(minEntropy = Some(value.toDouble))
+        case "--batch_id"      => cli = cli.copy(batchId = Some(value))
         case "--max_dup_frac"  => cli = cli.copy(maxDupFrac = Some(value.toDouble))
         case "--main_content"  => cli = cli.copy(mainContent = true)
         case "--top_k"         => cli = cli.copy(topK = value.toInt)
@@ -355,17 +358,28 @@ object JobRunner {
         // ann_index_update; the marker guard refuses a hash-family or
         // parameter mismatch before any write. Typical cadence: probe
         // (dedup_index_probe), drop the hits, then update with the kept.
+        // --batch_id <token> makes a re-driven update a no-op (the
+        // committed/ token protocol) — pass one from any retrying
+        // orchestrator.
         {
           require(cli.addInputs.nonEmpty,
             "dedup_index_update needs --add_input <index_dir>")
-          import org.apache.spark.sql.functions.{col, count, lit}
           graft.dedup.Dedup.appendMinHashIndex(
-            spark.read.parquet(cli.input), s"${cli.addInputs.head}/minhash")
-          // schema-read like the probe: an empty-seeded index has zero
-          // band part files and inference would fail AFTER the update
-          spark.read.schema(graft.dedup.Dedup.BandsSchema)
-            .parquet(s"${cli.addInputs.head}/minhash/bands")
-            .groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
+            spark.read.parquet(cli.input), s"${cli.addInputs.head}/minhash",
+            batchId = cli.batchId)
+          graft.dedup.Dedup.indexBandCounts(spark, s"${cli.addInputs.head}/minhash")
+        }
+      case "dedup_index_compact" =>
+        // input = index dir from dedup_index_build. Rewrites the
+        // append-only minhash band partitions to one sorted file set
+        // each and folds the widths sidecar's per-batch delta rows —
+        // the maintenance arm that keeps a 24/7 update cadence from
+        // rotting the index into a small-files scan. Probe results are
+        // byte-identical before/after (marker + rename-aside swap, same
+        // crash-safety as the BM25 terms/stats fold).
+        {
+          graft.dedup.Dedup.compactMinHashIndex(spark, s"${cli.input}/minhash")
+          graft.dedup.Dedup.indexBandCounts(spark, s"${cli.input}/minhash")
         }
       case "bm25_index_merge" =>
         // input = DELTA documents parquet dir; --add_input = index dir

@@ -654,28 +654,6 @@ object StreamQueries {
     * append-all makes the drained hit set order-free GIVEN the crawl
     * order, which the hash compare therefore also pins.
     */
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val st = java.nio.file.Files.list(p)
-      try { import scala.jdk.CollectionConverters._
-        st.iterator().asScala.toVector.foreach(rmTree)
-      } finally st.close()
-    }
-    java.nio.file.Files.deleteIfExists(p); ()
-  }
-
-  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-    java.nio.file.Files.createDirectories(dst)
-    val st = java.nio.file.Files.list(src)
-    try { import scala.jdk.CollectionConverters._
-      st.iterator().asScala.toVector.foreach { p =>
-        val t = dst.resolve(p.getFileName.toString)
-        if (java.nio.file.Files.isDirectory(p)) copyTree(p, t)
-        else { java.nio.file.Files.copy(p, t); () }
-      }
-    } finally st.close()
-  }
-
   /** Build-once per (application, sf dir): the staged crawl files and
     * the crawl-0 SEED index — the fixed inputs of the maintenance
     * drain. Repeated invocations (bench 3×) measure the MAINTENANCE
@@ -708,7 +686,7 @@ object StreamQueries {
             java.nio.file.Files.move(part, tgt)
             java.nio.file.Files.setLastModifiedTime(tgt,
               java.nio.file.attribute.FileTime.fromMillis(1000L * k))
-            rmTree(tmp)
+            graft.util.FileTrees.rmTree(tmp)
           }
           graft.dedup.Dedup.saveMinHashIndex(
             docs.filter(pmod(col("doc_id"), lit(nCrawls)) === 0), si)
@@ -718,42 +696,49 @@ object StreamQueries {
       // file-copy of the seed index, so repeated runs never double-feed
       val idxDir = java.nio.file.Files.createTempDirectory("graft_sdim_idx").toString
       val hitsDir = java.nio.file.Files.createTempDirectory("graft_sdim_hits").toString
-      copyTree(java.nio.file.Paths.get(seedIdx), java.nio.file.Paths.get(idxDir))
-      withStreamPartitions(s) {
-        val q = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", 1).parquet(streamDir)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            // ONE signature pass per batch serves both the probe and
-            // the append; hits land before the index mutates
-            graft.dedup.Dedup.probeAndAppendMinHashIndex(batch, idxDir, hitsDir)
-          }
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      val hits = s.read.parquet(hitsDir)
-        .select(pmod(col("new_id"), lit(nCrawls.toLong)).as("crawl"), col("new_id"))
-        .groupBy(col("crawl"))
-        .agg(count(lit(1)).as("n_hits"),
-          countDistinct(col("new_id")).as("n_dup_docs"))
-      val result = docs.filter(col("text").isNotNull)
-        .select(pmod(col("doc_id"), lit(nCrawls.toLong)).as("crawl"))
-        .filter(col("crawl") >= 1)
-        .groupBy(col("crawl")).agg(count(lit(1)).as("n_docs"))
-        .join(hits, Seq("crawl"), "left")
-        .select(col("crawl"), col("n_docs"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
-      // materialize the 3-row summary, then drop the run's MUTABLE
-      // working set (grown index copy + hit log ≈ a corpus copy per
-      // invocation — bench runs each query 3×, and nothing else would
-      // ever reclaim the temp dirs); the cached staged crawls + seed
-      // index stay for the session's next invocation
-      val rows = result.collect().toSeq
-      Seq(idxDir, hitsDir)
-        .foreach(d => rmTree(java.nio.file.Paths.get(d)))
+      // try/finally around the WHOLE drain-through-collect: the two
+      // mutable temp dirs grow to roughly a corpus copy per invocation,
+      // and a throw mid-drain would otherwise leak them across bench
+      // retries with nothing reclaiming them
+      val rows = try {
+        graft.util.FileTrees.copyTree(seedIdx, idxDir)
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(streamDir)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              // ONE signature pass per batch serves both the probe and
+              // the append; the batchId makes the pair EXACTLY-ONCE
+              // under Spark's at-least-once micro-batch retry: hits
+              // overwrite a batch-keyed partition and the index append
+              // commits under a recorded token, so a replayed batch
+              // can neither double-feed the index nor inflate the log
+              graft.dedup.Dedup.probeAndAppendMinHashIndex(
+                batch, idxDir, hitsDir, batchId = Some(s"b$batchId"))
+            }
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val hits = s.read.parquet(hitsDir)
+          .select(pmod(col("new_id"), lit(nCrawls.toLong)).as("crawl"), col("new_id"))
+          .groupBy(col("crawl"))
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("new_id")).as("n_dup_docs"))
+        val result = docs.filter(col("text").isNotNull)
+          .select(pmod(col("doc_id"), lit(nCrawls.toLong)).as("crawl"))
+          .filter(col("crawl") >= 1)
+          .groupBy(col("crawl")).agg(count(lit(1)).as("n_docs"))
+          .join(hits, Seq("crawl"), "left")
+          .select(col("crawl"), col("n_docs"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+        // materialize the 3-row summary, then drop the run's MUTABLE
+        // working set; the cached staged crawls + seed index stay for
+        // the session's next invocation
+        (result.collect().toSeq, result.schema)
+      } finally Seq(idxDir, hitsDir).foreach(graft.util.FileTrees.rmTree)
       s.createDataFrame(
-        s.sparkContext.parallelize(rows, 1), result.schema)
+        s.sparkContext.parallelize(rows._1, 1), rows._2)
     },
     Some(graft.dedup.Dedup.minhashStreamProbeOracle(4)))
 

@@ -208,26 +208,9 @@ object InvertedIndex {
     * exactly the remainder. Only called with the commit marker present.
     */
   private def promoteStagedPostings(dir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val staging = Paths.get(dir, "postings_delta")
-    if (!Files.isDirectory(staging)) return
-    val st = Files.list(staging)
-    val buckets =
-      try { import scala.jdk.CollectionConverters._
-        st.iterator().asScala.toVector.filter(p =>
-          Files.isDirectory(p) && p.getFileName.toString.startsWith("bucket="))
-      } finally st.close()
-    buckets.foreach { b =>
-      val target = Paths.get(dir, "postings", b.getFileName.toString)
-      Files.createDirectories(target)
-      val fs = Files.list(b)
-      val parts =
-        try { import scala.jdk.CollectionConverters._
-          fs.iterator().asScala.toVector.filter(_.toString.endsWith(".parquet"))
-        } finally fs.close()
-      parts.foreach(p => Files.move(p, target.resolve(p.getFileName.toString)))
-    }
-    rmTree(staging)
+    import java.nio.file.Paths
+    graft.util.FileTrees.promoteStaged(
+      Paths.get(dir, "postings_delta"), Paths.get(dir, "postings"))
   }
 
   /** Replace `$dir/$name` with `$dir/${name}_new` (local-fs rename; an
@@ -245,20 +228,10 @@ object InvertedIndex {
     import java.nio.file.{Files, Paths}
     val live = Paths.get(dir, name)
     val aside = Paths.get(dir, s"${name}_old")
-    rmTree(aside) // leftover from a previously interrupted swap
+    graft.util.FileTrees.rmTree(aside) // leftover from a previously interrupted swap
     if (Files.exists(live)) Files.move(live, aside)
     Files.move(Paths.get(dir, s"${name}_new"), live)
-    rmTree(aside)
-  }
-
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.isDirectory(p)) {
-      val st = Files.list(p)
-      try { import scala.jdk.CollectionConverters._
-        st.iterator().asScala.toVector.foreach(rmTree) } finally st.close()
-    }
-    Files.deleteIfExists(p)
+    graft.util.FileTrees.rmTree(aside)
   }
 
   /** Finish an appendDelta interrupted mid-flight. The COMMIT marker
@@ -286,22 +259,22 @@ object InvertedIndex {
     // finish moving them live (idempotent remainder); not committed →
     // the whole delta is untrusted, drop the staging dir
     if (committed) promoteStagedPostings(dir)
-    else rmTree(Paths.get(dir, "postings_delta"))
+    else graft.util.FileTrees.rmTree(Paths.get(dir, "postings_delta"))
     SwappedNames.foreach { name =>
       val live = Paths.get(dir, name)
       val aside = Paths.get(dir, s"${name}_old")
       val fresh = Paths.get(dir, s"${name}_new")
       if (committed) {
         if (Files.exists(fresh)) {
-          if (Files.exists(live)) { rmTree(aside); Files.move(live, aside) }
+          if (Files.exists(live)) { graft.util.FileTrees.rmTree(aside); Files.move(live, aside) }
           Files.move(fresh, live)
         } else if (!Files.exists(live) && Files.exists(aside))
           Files.move(aside, live) // died between its two renames, post-promote states keep live
       } else {
-        rmTree(fresh)
+        graft.util.FileTrees.rmTree(fresh)
         if (!Files.exists(live) && Files.exists(aside)) Files.move(aside, live)
       }
-      rmTree(aside); rmTree(fresh)
+      graft.util.FileTrees.rmTree(aside); graft.util.FileTrees.rmTree(fresh)
     }
     Files.deleteIfExists(marker)
   }

@@ -296,6 +296,49 @@ object ScalePipeline {
         top.map(r => s"${r.get(0)}").mkString(", "))
     }
 
+    // ---- stage: cross-crawl dedup-index maintenance at corpus scale.
+    // Seed with shard 0 of the curated corpus, then probe+append shards
+    // 1..3 as successive "crawls", timing EACH batch separately — the
+    // curve that shows the pruned probe's per-batch cost following the
+    // BATCH, not the accumulated index (the pre-r12 probe re-scanned
+    // and re-aggregated the whole index per batch, so these walls would
+    // grow with k). A final compaction must leave probe results
+    // identical while collapsing the per-batch part-file generations.
+    val mIdx = s"$root/minhash_index"
+    val mHits = s"$root/minhash_hits"
+    stage("dedup_index_seed") {
+      Seq(mIdx, mHits).foreach(graft.util.FileTrees.rmTree)
+      graft.dedup.Dedup.saveMinHashIndex(
+        spark.read.parquet(s"$curatedDir/kept")
+          .filter(pmod(col("doc_id"), lit(4L)) === 0L), mIdx)
+    }
+    (1 to 3).foreach { k =>
+      stage(s"dedup_index_probe_append_$k") {
+        graft.dedup.Dedup.probeAndAppendMinHashIndex(
+          spark.read.parquet(s"$curatedDir/kept")
+            .filter(pmod(col("doc_id"), lit(4L)) === k.toLong),
+          mIdx, mHits, batchId = Some(s"crawl-$k"))
+      }
+    }
+    stage("dedup_index_compact") {
+      def nFiles = {
+        val c = new java.util.concurrent.atomic.AtomicLong()
+        java.nio.file.Files.walk(java.nio.file.Paths.get(mIdx))
+          .forEach(p => if (p.toString.endsWith(".parquet")) { c.incrementAndGet(); () })
+        c.get()
+      }
+      val probe = spark.read.parquet(s"$curatedDir/kept")
+        .filter(pmod(col("doc_id"), lit(16L)) === 5L)
+      val before = graft.dedup.Dedup.dedupAgainstMinHashIndex(probe, mIdx).count()
+      val filesBefore = nFiles
+      graft.dedup.Dedup.compactMinHashIndex(spark, mIdx)
+      val after = graft.dedup.Dedup.dedupAgainstMinHashIndex(probe, mIdx).count()
+      require(before == after, s"compaction changed probe results: $before vs $after")
+      println(s"[scale] minhash index part-files $filesBefore -> $nFiles, " +
+        s"drained hits ${spark.read.parquet(mHits).count()}, " +
+        s"probe hits stable at $before")
+    }
+
     spark.stop()
   }
 }

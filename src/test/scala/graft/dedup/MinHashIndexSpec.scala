@@ -92,21 +92,25 @@ class MinHashIndexSpec extends AnyFunSuite {
 
     val grown = java.nio.file.Files.createTempDirectory("mhidx_g").toString
     Dedup.saveMinHashIndex(oldCrawl, grown)
-    def bandFiles(d: String) = {
+    def filesUnder(d: String, sub: String) = {
       val b = scala.collection.mutable.Map[String, Long]()
-      java.nio.file.Files.walk(java.nio.file.Paths.get(d, "bands"))
-        .filter(_.toString.endsWith(".parquet"))
-        .forEach(p => b(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      val p0 = java.nio.file.Paths.get(d, sub)
+      if (java.nio.file.Files.isDirectory(p0))
+        java.nio.file.Files.walk(p0)
+          .filter(_.toString.endsWith(".parquet"))
+          .forEach(p => b(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis)
       b.toMap
     }
-    val before = bandFiles(grown)
+    val before = filesUnder(grown, "bands")
     Dedup.appendMinHashIndex(newCrawl, grown)
-    val after = bandFiles(grown)
-    // append-only: every base part-file survives byte-untouched
+    // level-0 shape: the partitioned BASE survives byte-untouched — the
+    // delta lands as a handful of flat tail files
+    val after = filesUnder(grown, "bands")
     before.foreach { case (f, mtime) =>
       assert(after.contains(f) && after(f) == mtime, s"base band file rewritten: $f")
     }
-    assert(after.size > before.size, "no delta band files appended")
+    assert(after.size == before.size, "append must not touch the base layout")
+    assert(filesUnder(grown, "bands_tail").nonEmpty, "no tail files appended")
 
     val scratch = java.nio.file.Files.createTempDirectory("mhidx_s").toString
     Dedup.saveMinHashIndex(corpus, scratch)
@@ -121,6 +125,170 @@ class MinHashIndexSpec extends AnyFunSuite {
       Dedup.appendMinHashIndex(newCrawl, grown, perms = 32, rowsPerBand = 8)
     }
     assert(e.getMessage.contains("incompatible parameters"))
+  }
+
+  test("probe prunes to the batch's touched (band, bmod) partitions and scans bands ONCE") {
+    assume(sf.isDefined)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_pr").toString
+    Dedup.saveMinHashIndex(corpus, dir)
+    val probe = Dedup.dedupAgainstMinHashIndex(
+      corpus.filter(col("doc_id") < 2), dir)
+
+    def scansOf(sub: String) = probe.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(sub)) => f
+    }
+    // the r11 design scanned bands/ TWICE per probe (candidate join +
+    // a full-index over-cap groupBy); the widths sidecar removes the
+    // second scan entirely
+    val bandsScans = scansOf("/bands")
+    assert(bandsScans.size == 1, s"bands must be scanned exactly once, got ${bandsScans.size}")
+    // both index-side scans carry a static partition filter from the
+    // batch's bounded touched set — the probe reads only the partitions
+    // the batch can collide with, never the whole persisted index
+    (bandsScans ++ scansOf("/widths")).foreach { f =>
+      // the batch's touched set arrives as STATIC literals (the join may
+      // add a DynamicPruningSubquery on top, which listFiles can't
+      // evaluate — the static filter alone must already prune)
+      val static = f.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      assert(static.nonEmpty, s"index scan without static partition filter:\n$f")
+      val pruned = f.relation.location.listFiles(static, Nil)
+        .map(_.files.size).sum
+      val total = f.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
+      assert(pruned < total,
+        s"2-doc probe must prune (pruned=$pruned, total=$total)")
+      assert(pruned > 0, "pruning must keep the touched partitions")
+    }
+    // and the pruned probe still finds the planted self-match
+    assert(probe.collect().exists(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("probe of an empty batch returns empty, no index read") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_e").toString
+    Dedup.saveMinHashIndex(corpus, dir)
+    val hits = Dedup.dedupAgainstMinHashIndex(corpus.filter(lit(false)), dir)
+    assert(hits.columns.toSeq == Seq("new_id", "idx_id", "est_jaccard"))
+    assert(hits.count() == 0)
+  }
+
+  test("batch-id'd append is retry-idempotent; un-committed staging is rolled back") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_i").toString
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), dir)
+    val delta = corpus.filter(col("doc_id") % 2 === 1)
+    def nRows = {
+      val base = spark.read.schema(Dedup.BandsSchema).parquet(s"$dir/bands").count()
+      val tp = java.nio.file.Paths.get(dir, "bands_tail")
+      base + (if (java.nio.file.Files.isDirectory(tp))
+        spark.read.schema(Dedup.BandsSchema).parquet(tp.toString).count() else 0L)
+    }
+    val before = nRows
+    Dedup.appendMinHashIndex(delta, dir, batchId = Some("crawl-7"))
+    val once = nRows
+    assert(once > before)
+    // at-least-once redelivery of the same batch: a no-op, not a double-append
+    Dedup.appendMinHashIndex(delta, dir, batchId = Some("crawl-7"))
+    assert(nRows == once, "re-driven committed batch must not double-append")
+    assert(Dedup.isBatchCommitted(dir, "crawl-7"))
+
+    // crash BEFORE the commit marker: staged delta dirs exist, marker
+    // absent — recovery must drop the torn staging, not promote it
+    val staged = java.nio.file.Paths.get(dir, "bands_delta", "band=0", "bmod=0")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.write(staged.resolve("part-torn.parquet"), Array[Byte](1, 2, 3))
+    Dedup.recoverIndex(dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands_delta")))
+    assert(nRows == once)
+  }
+
+  test("crash AFTER the commit marker: recovery promotes the staged batch exactly once") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val oldCrawl = corpus.filter(col("doc_id") % 2 === 0)
+    val newCrawl = corpus.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_c").toString
+    Dedup.saveMinHashIndex(oldCrawl, dir)
+    // reconstruct the exact pre-crash state: both delta dirs fully
+    // staged (a real append's promoted tail files ARE the staged files
+    // — promote only moves them) and the marker present with the batch
+    // id — the writer died between marker and promote
+    val stage = java.nio.file.Files.createTempDirectory("mhidx_c_s").toString
+    Dedup.saveMinHashIndex(newCrawl.filter(lit(false)), stage)
+    Dedup.appendMinHashIndex(newCrawl, stage)
+    java.nio.file.Files.move(java.nio.file.Paths.get(stage, "bands_tail"),
+      java.nio.file.Paths.get(dir, "bands_delta"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(stage, "widths_tail"),
+      java.nio.file.Paths.get(dir, "widths_delta"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_append_commit"),
+      "crawl-9".getBytes("UTF-8"))
+
+    Dedup.recoverIndex(dir)
+    assert(Dedup.isBatchCommitted(dir, "crawl-9"),
+      "recovery must finish the committed batch's token")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_append_commit")))
+    // the recovered index answers probes exactly like a from-scratch build
+    val scratch = java.nio.file.Files.createTempDirectory("mhidx_c2").toString
+    Dedup.saveMinHashIndex(corpus, scratch)
+    val probe = corpus.filter(col("doc_id") < 5)
+    def hits(d: String) = Dedup.dedupAgainstMinHashIndex(probe, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hits(dir) == hits(scratch) && hits(dir).nonEmpty)
+    // and the re-driven batch is a no-op
+    val n = spark.read.schema(Dedup.BandsSchema).parquet(s"$dir/bands").count()
+    Dedup.appendMinHashIndex(newCrawl, dir, batchId = Some("crawl-9"))
+    assert(spark.read.schema(Dedup.BandsSchema).parquet(s"$dir/bands").count() == n)
+  }
+
+  test("compaction folds deltas + re-lays partitions; probes are identical before/after") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_k").toString
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 3 === 0), dir)
+    Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 3 === 1), dir,
+      batchId = Some("c1"))
+    Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 3 === 2), dir,
+      batchId = Some("c2"))
+    val probe = corpus.filter(col("doc_id") < 5)
+    def hits = Dedup.dedupAgainstMinHashIndex(probe, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def files(sub: String) = {
+      val c = new java.util.concurrent.atomic.AtomicLong()
+      val p0 = java.nio.file.Paths.get(dir, sub)
+      if (java.nio.file.Files.isDirectory(p0))
+        java.nio.file.Files.walk(p0)
+          .forEach(p => if (p.toString.endsWith(".parquet")) { c.incrementAndGet(); () })
+      c.get()
+    }
+    val hitsBefore = hits
+    val totalBefore = files("")
+    assert(files("bands_tail") > 0, "appends must have landed in the tail")
+
+    Dedup.compactMinHashIndex(spark, dir)
+
+    assert(hits == hitsBefore && hits.nonEmpty,
+      "compaction must not change probe results")
+    // the tail folded into the base: fewer files overall, empty tails
+    assert(files("") < totalBefore,
+      s"index file count must drop (${files("")} vs $totalBefore)")
+    assert(files("bands_tail") == 0 && files("widths_tail") == 0,
+      "tails must be empty after compaction")
+    // widths deltas are FOLDED: one row per (band, bucket) again
+    val w = spark.read.schema(Dedup.WidthsSchema).parquet(s"$dir/widths")
+    assert(w.groupBy(col("band"), col("bucket")).count()
+      .filter(col("count") > 1).count() == 0, "widths must fold to one row per bucket")
+    // committed tokens + meta survive; appends keep working after compact
+    assert(Dedup.isBatchCommitted(dir, "c1") && Dedup.isBatchCommitted(dir, "c2"))
+    Dedup.appendMinHashIndex(probe.withColumn("doc_id", col("doc_id") + 5000000L),
+      dir, batchId = Some("c3"))
+    assert(Dedup.dedupAgainstMinHashIndex(
+      probe.withColumn("doc_id", col("doc_id") + 6000000L), dir)
+      .collect().nonEmpty)
   }
 
   test("degenerate index bucket probes via its min-id anchor, not all-pairs") {
