@@ -76,6 +76,7 @@ object JobCli {
       |        dedup_index_compact (input = INDEX_DIR: fold deltas, re-layout) |
       |        bm25_index_build | bm25_index_probe (--query t1,t2) |
       |        bm25_index_merge (--add_input INDEX_DIR: append-only delta fold) |
+      |        bm25_index_compact (input = INDEX_DIR: fold postings deltas) |
       |        scd2_build | scd2_merge (--add_input DIM_DIR) |
       |        asof (native point-in-time join over events) |
       |        crawl_diff (--add_input SNAPSHOT_B)
@@ -380,6 +381,15 @@ object JobRunner {
         {
           graft.dedup.Dedup.compactMinHashIndex(spark, s"${cli.input}/minhash")
           graft.dedup.Dedup.indexBandCounts(spark, s"${cli.input}/minhash")
+        }
+      case "bm25_index_compact" =>
+        // input = index dir from bm25_index_build. Folds the per-merge
+        // postings delta file sets back to one sorted file set per
+        // bucket (terms/stats already re-aggregate per merge); probe
+        // results identical, row-group term pruning restored.
+        {
+          graft.text.InvertedIndex.compact(spark, cli.input)
+          spark.read.parquet(s"${cli.input}/stats")
         }
       case "bm25_index_merge" =>
         // input = DELTA documents parquet dir; --add_input = index dir

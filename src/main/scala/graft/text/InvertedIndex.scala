@@ -200,7 +200,33 @@ object InvertedIndex {
   }
 
   private[text] val SwapCommitMarker = "_swap_commit"
-  private val SwappedNames = Seq("terms", "stats")
+  private val SwappedNames = Seq("postings", "terms", "stats")
+
+  /** Compact the append-grown postings. Each [[appendDelta]] fold lands
+    * one delta file set beside the base files in every touched bucket
+    * dir, forever — terms/stats re-aggregate+swap per fold and stay one
+    * file set, but postings rot into a small-files scan at a 24/7 fold
+    * cadence. This rewrites every bucket to ONE term-sorted file set
+    * (restoring the row-group pruning the within-file term sort gives a
+    * probe), leaving probe results identical. Crash-safe under the same
+    * `_swap_commit` marker [[recoverSwaps]] already arbitrates:
+    * `postings_new` is complete before the marker appears, so recovery
+    * promotes it exactly like the fold's terms/stats pair — or drops it
+    * unmarked. NOT concurrent with appendDelta (single-writer contract;
+    * the two protocols share the marker but stage disjoint artifacts).
+    */
+  def compact(s: SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    recoverSwaps(dir)
+    s.read.schema(PostingsSchema).parquet(s"$dir/postings")
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings_new")
+    Files.createFile(Paths.get(dir, SwapCommitMarker))
+    swapDir(dir, "postings")
+    Files.deleteIfExists(Paths.get(dir, SwapCommitMarker)); ()
+  }
 
   /** Move staged delta part-files into the live bucket dirs, then drop
     * the staging dir. Idempotent: a file is either still staged or
@@ -338,5 +364,34 @@ object InvertedIndex {
       Seq("join", "vector", "filter", "dup")),
     bm25IndexTopk.oracle)
 
-  val all: Seq[QueryDef] = Seq(bm25IndexTopk, bm25IndexMergeTopk)
+  /** Build-once per (application, sf dir): an 80/20 build+fold index
+    * this query COMPACTS on every invocation before probing — measuring
+    * the maintenance rewrite honestly (compaction is idempotent, so
+    * re-compacting the same index is the same full-postings rewrite).
+    */
+  private def sessionFoldedIndex(s: SparkSession, dir: String): String =
+    builtIdx.computeIfAbsent(s.sparkContext.applicationId + ":folded:" + dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_bm25_folded").toString
+      val docs = Tables(s, dir, "documents")
+      save(docs.filter(col("doc_id") % 5 =!= 0), d)
+      appendDelta(docs.filter(col("doc_id") % 5 === 0), d)
+      d
+    })
+
+  /** Registered maintenance arm: compact the fold-grown postings (one
+    * delta file set per fold, forever) back to one sorted file set per
+    * bucket, then probe. Oracle = the SAME full-corpus BM25 SQL:
+    * compaction must be invisible to retrieval, hash-checked.
+    */
+  val bm25IndexCompactTopk: QueryDef = QueryDef(
+    "bm25_index_compact_topk",
+    (s, dir) => {
+      val idx = sessionFoldedIndex(s, dir)
+      compact(s, idx)
+      probe(s, idx, Seq("join", "vector", "filter", "dup"))
+    },
+    bm25IndexTopk.oracle)
+
+  val all: Seq[QueryDef] =
+    Seq(bm25IndexTopk, bm25IndexMergeTopk, bm25IndexCompactTopk)
 }

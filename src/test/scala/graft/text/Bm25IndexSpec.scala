@@ -94,6 +94,76 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("compact folds postings deltas to one file set per bucket; probes identical") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_c").toString
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 >= 3), dir)
+    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 2), dir)
+    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 1), dir)
+    def files = {
+      val perBucket = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "postings"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => perBucket(p.getParent.getFileName.toString) += 1)
+      perBucket.toMap
+    }
+    val terms = Seq("join", "vector", "filter", "dup")
+    def topk = InvertedIndex.probe(spark, dir, terms).collect().map(_.toSeq).toSet
+    val (hitsBefore, filesBefore) = (topk, files)
+    // two folds: touched buckets carry up to 3 file generations
+    assert(filesBefore.values.max > 1, s"expected multi-generation buckets: $filesBefore")
+
+    InvertedIndex.compact(spark, dir)
+
+    assert(files.values.max == 1,
+      s"every bucket must fold to one file set: $files")
+    assert(files.values.sum < filesBefore.values.sum)
+    assert(topk == hitsBefore && topk.nonEmpty,
+      "compaction must be invisible to retrieval")
+    // maintenance keeps composing: folding the last shard into the
+    // compacted index still matches a from-scratch full-corpus build
+    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir)
+    val scratch = java.nio.file.Files.createTempDirectory("bm25_cs").toString
+    InvertedIndex.save(docs, scratch)
+    assert(topk == InvertedIndex.probe(spark, scratch, terms).collect().map(_.toSeq).toSet)
+  }
+
+  test("a compact crash is arbitrated by the marker: promoted with it, dropped without") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables(spark, sf, "documents")
+    val dir = Files.createTempDirectory("bm25_ck").toString
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir)
+    val terms = Seq("join", "vector", "filter", "dup")
+    def topk = InvertedIndex.probe(spark, dir, terms).collect().map(_.toSeq).toSet
+    val want = topk
+
+    // crash BEFORE the marker: a torn postings_new must be dropped
+    Files.createDirectories(Paths.get(dir, "postings_new", "bucket=0"))
+    Files.write(Paths.get(dir, "postings_new", "bucket=0", "part-torn.parquet"),
+      Array[Byte](9, 9, 9))
+    assert(topk == want, "unmarked postings_new must be ignored and dropped")
+    assert(!Files.exists(Paths.get(dir, "postings_new")))
+
+    // crash AFTER the marker mid-swap: the complete postings_new must win
+    val real = Files.createTempDirectory("bm25_ck2").toString
+    InvertedIndex.save(docs, real) // full-corpus postings = the compacted target
+    Files.move(Paths.get(real, "postings"), Paths.get(dir, "postings_new"))
+    Files.createFile(Paths.get(dir, InvertedIndex.SwapCommitMarker))
+    // the next probe opens the index → recoverSwaps promotes the marked
+    // postings_new (terms/stats already cover the full corpus — the 80%
+    // build + 20% fold — so the swapped set stays mutually consistent)
+    val recovered = topk
+    assert(!Files.exists(Paths.get(dir, "postings_new")))
+    assert(!Files.exists(Paths.get(dir, InvertedIndex.SwapCommitMarker)))
+    val scratch = Files.createTempDirectory("bm25_ck3").toString
+    InvertedIndex.save(docs, scratch)
+    assert(recovered ==
+      InvertedIndex.probe(spark, scratch, terms).collect().map(_.toSeq).toSet)
+  }
+
   test("a crash between the terms and stats swaps recovers to the NEW pair (commit marker)") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("bm25_swap").toString
