@@ -56,8 +56,8 @@ object HostRank {
   private val graphCache =
     new java.util.concurrent.ConcurrentHashMap[String, PreparedGraph]()
 
-  private def orderGraph(s: SparkSession, dir: String): PreparedGraph =
-    graphCache.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+  private def orderGraph(s: SparkSession, dir: String): PreparedGraph = {
+    val g = graphCache.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
       val o = Tables(s, dir, "orders")
       val l = Tables(s, dir, "lineitem")
       // long node ids shuffle far cheaper than string keys; prefix only
@@ -65,6 +65,15 @@ object HostRank {
       prepareGraph(o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("s"), (col("l_suppkey") + 1000000L).as("t")))
     })
+    // the bench barrier (and any notebook user) may clearCache() between
+    // invocations — a stale handle would silently iterate the per-round
+    // joins over UNCACHED join lineage; re-mark and let the first action
+    // repopulate
+    import org.apache.spark.storage.StorageLevel
+    if (g.e.storageLevel == StorageLevel.NONE) g.e.cache()
+    if (g.nodes.storageLevel == StorageLevel.NONE) g.nodes.cache()
+    g
+  }
 
   /** edges: (s, t) of any node type. Returns (node, rank). */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
