@@ -34,12 +34,19 @@ object HeavyScale {
     "image_dedup_clusters", "hybrid_rrf_topk", "ann_opq_topk",
     // round-11 additions: the residual-encode ADC path and the
     // probe-then-append streaming index maintenance drain
-    "ann_ivfadc_topk", "stream_dedup_index_maintenance")
+    "ann_ivfadc_topk", "stream_dedup_index_maintenance",
+    // round-12 additions: the full-index compaction folds and the
+    // weighted-teleport rank
+    "dedup_index_compact", "bm25_index_compact_topk",
+    "graph_pagerank_weighted")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val base = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    // optional query filter: HeavyScale 10 out base q1,q2 re-measures
+    // just the named queries against an existing scaled corpus
+    val only = args.lift(3).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -110,7 +117,7 @@ object HeavyScale {
       (wall, rows, m.tasks.sum, m.shuffleWrite.sum / 1e6, m.peakTaskMem.get / 1e6)
     }
 
-    Heavy.foreach { q =>
+    Heavy.filter(q => only.forall(_.contains(q))).foreach { q =>
       val (w1, r1, t1, s1, p1) = run(q, base)
       val (wN, rN, tN, sN, pN) = run(q, out)
       val ratio = wN / math.max(w1, 0.001)
