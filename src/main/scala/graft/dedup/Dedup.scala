@@ -900,19 +900,11 @@ object Dedup {
     Files.deleteIfExists(Paths.get(indexDir, AppendCommitMarker)); ()
   }
 
-  /** Replace `$indexDir/$name` with `${name}_new` via rename-aside —
-    * crash leaves old or new intact under a recoverable name, never a
-    * half-deleted live dir; only called with the compact marker present.
+  /** Rename-aside swap (shared FileTrees implementation); only called
+    * with the compact marker present.
     */
-  private def swapLive(indexDir: String, name: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val live = Paths.get(indexDir, name)
-    val aside = Paths.get(indexDir, s"${name}_old")
-    graft.util.FileTrees.rmTree(aside)
-    if (Files.exists(live)) { Files.move(live, aside); () }
-    Files.move(Paths.get(indexDir, s"${name}_new"), live)
-    graft.util.FileTrees.rmTree(aside)
-  }
+  private def swapLive(indexDir: String, name: String): Unit =
+    graft.util.FileTrees.swapLive(java.nio.file.Paths.get(indexDir), name)
 
   /** Finish (or roll back) any maintenance step interrupted mid-flight;
     * called on every index open. Marker present → every staged/`_new`
@@ -946,7 +938,8 @@ object Dedup {
       graft.util.FileTrees.rmTree(aside)
     }
     Files.deleteIfExists(cm)
-    // append staging
+    // append staging (a leftover marker .tmp is a torn pre-commit write)
+    Files.deleteIfExists(Paths.get(indexDir, AppendCommitMarker + ".tmp"))
     val am = Paths.get(indexDir, AppendCommitMarker)
     if (Files.exists(am)) {
       val bid = new String(Files.readAllBytes(am),
@@ -981,14 +974,34 @@ object Dedup {
         .agg(count(lit(1)).as("bw"), min(col("doc_id")).as("aid"))
         .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
         .write.mode("overwrite").parquet(s"$indexDir/widths_delta")
-      Files.write(Paths.get(indexDir, AppendCommitMarker),
-        batchId.getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the marker must appear ATOMICALLY with its batch-id payload: a
+      // crash mid-write would otherwise leave a committed-looking marker
+      // with a truncated id, and recovery would promote the rows but
+      // never record the token — the retry then double-appends
+      val tmp = Paths.get(indexDir, AppendCommitMarker + ".tmp")
+      Files.write(tmp, batchId.getOrElse("")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(indexDir, AppendCommitMarker),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       finishAppend(indexDir, batchId)
     } finally { banded.unpersist(blocking = false); () }
   }
 
   def saveMinHashIndex(docs: DataFrame, indexDir: String, shingleW: Int = 5,
                        perms: Int = 64, rowsPerBand: Int = 4): Unit = {
+    // a REBUILD into a previously-maintained dir must not inherit the
+    // old generation's state: stale tail files would union into every
+    // probe (with possibly different signature params), and surviving
+    // committed/ tokens would silently no-op a new crawl that reuses a
+    // batch id — the exact dir validateIndexMeta's "rebuild it" remedy
+    // points at
+    {
+      import java.nio.file.{Files, Paths}
+      Seq("bands_tail", "widths_tail", "bands_delta", "widths_delta", "committed")
+        .foreach(n => graft.util.FileTrees.rmTree(Paths.get(indexDir, n)))
+      Seq(AppendCommitMarker, CompactCommitMarker)
+        .foreach(n => Files.deleteIfExists(Paths.get(indexDir, n)))
+    }
     // one signature pass serves both tables (see stageAndCommitAppend)
     val banded = bandedSignatures(docs, shingleW, perms, rowsPerBand).persist()
     try {
@@ -1078,6 +1091,18 @@ object Dedup {
     * never a scan of the whole index), verified by the signature-agreement
     * estimator. Returns (new_id, idx_id, est_jaccard) for pairs estimated
     * ≥ `threshold`.
+    *
+    * READ-ONLY — deliberately runs no crash recovery, so concurrent
+    * probes can never destroy a writer's staged delta (a recovery that
+    * dropped unmarked staging under a writer between its parquet writes
+    * and its marker would record the batch's token over ZERO appended
+    * rows). The read-isolation contract: staged-but-uncommitted rows are
+    * invisible, and a crash-interrupted commit becomes visible when the
+    * next MAINTENANCE call (append / probe-and-append / compact) runs
+    * its recovery. The lazy result also can't scope a persist, so the
+    * pure probe pays the signature pass per consuming job rather than
+    * leaking one CacheManager entry per call in a 24/7 probing service;
+    * the hot maintenance path keeps its single persisted pass.
     */
   def dedupAgainstMinHashIndex(newDocs: DataFrame, indexDir: String,
                                shingleW: Int = 5, perms: Int = 64,
@@ -1085,13 +1110,8 @@ object Dedup {
                                threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
     validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "probing")
-    recoverIndex(indexDir)
-    // persist: the touched-partition collect and the candidate join both
-    // consume the banded signatures — the dominant batch-side CPU; the
-    // cache is batch-sized (~0.5 KB/doc) and cleared by the bench
-    // barrier / session end (the lazy result can't scope an unpersist)
     probeWithBands(spark,
-      bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist(),
+      bandedSignatures(newDocs, shingleW, perms, rowsPerBand),
       indexDir, perms, threshold)
   }
 
@@ -1108,6 +1128,26 @@ object Dedup {
     * bucket) instead of a full-index aggregate: per-batch probe cost
     * follows the BATCH, not the accumulated index.
     */
+  /** The ONE base ∪ tail reader every index consumer goes through:
+    * partition-pruned (or full) base plus the flat `<base>_tail` level-0
+    * files, with the probe's explicit-schema discipline — a just-seeded
+    * index may hold ZERO part files and schema inference over a
+    * part-less partitioned dir throws; an empty index must read as
+    * empty. The optional filter prunes base partitions statically and
+    * applies as a row filter on the tail.
+    */
+  private def readWithTail(spark: SparkSession, indexDir: String, base: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           filter: Option[Column] = None): DataFrame = {
+    def f(df: DataFrame) = filter.map(df.filter).getOrElse(df)
+    val b = f(spark.read.schema(schema).parquet(s"$indexDir/$base"))
+    val tp = new org.apache.hadoop.fs.Path(s"$indexDir/${base}_tail")
+    if (tp.getFileSystem(spark.sessionState.newHadoopConf()).exists(tp))
+      b.unionByName(
+        f(spark.read.schema(schema).parquet(s"$indexDir/${base}_tail")))
+    else b
+  }
+
   private def probeWithBands(spark: SparkSession, bandedBatch: DataFrame,
                              indexDir: String, perms: Int,
                              threshold: Double): DataFrame = {
@@ -1119,22 +1159,7 @@ object Dedup {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ProbeHitSchema)
     val partFilter =
       (col("band").cast("long") * MinHashBucketMods + col("bmod")).isin(touched: _*)
-    // base (partition-PRUNED by the static filter) ∪ tail (flat recent
-    // appends — the same predicate applies as a row filter; the
-    // compaction cadence keeps the tail small). Explicit schema: a
-    // just-seeded index may hold ZERO band files (empty first crawl)
-    // and schema inference over a part-less partitioned dir throws —
-    // an empty index must read as empty.
-    def withTail(base: String, tail: String,
-                 schema: org.apache.spark.sql.types.StructType): DataFrame = {
-      val b = spark.read.schema(schema).parquet(s"$indexDir/$base").filter(partFilter)
-      val tp = new org.apache.hadoop.fs.Path(s"$indexDir/$tail")
-      if (tp.getFileSystem(spark.sessionState.newHadoopConf()).exists(tp))
-        b.unionByName(
-          spark.read.schema(schema).parquet(s"$indexDir/$tail").filter(partFilter))
-      else b
-    }
-    val idx0 = withTail("bands", "bands_tail", BandsSchema)
+    val idx0 = readWithTail(spark, indexDir, "bands", BandsSchema, Some(partFilter))
       .select(col("band"), col("bucket"),
         col("doc_id").as("idx_id"), col("sig").as("idx_sig"))
     // Degenerate-bucket cap on the INDEX side (the probe-join analogue
@@ -1154,7 +1179,7 @@ object Dedup {
     // in it is found only via its OTHER bands' under-cap buckets —
     // a miss needs every shared band over-cap AND the anchor
     // dissimilar, the multi-band redundancy LSH already relies on.
-    val overCap = withTail("widths", "widths_tail", WidthsSchema)
+    val overCap = readWithTail(spark, indexDir, "widths", WidthsSchema, Some(partFilter))
       .groupBy(col("band"), col("bucket"))
       .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
       .filter(col("bw") > SimHashMaxBucket)
@@ -1232,24 +1257,30 @@ object Dedup {
     */
   def compactMinHashIndex(spark: SparkSession, indexDir: String): Unit = {
     import java.nio.file.{Files, Paths}
-    if (!Files.exists(Paths.get(indexDir, "_graft_minhash_meta")))
+    val metaP = Paths.get(indexDir, "_graft_minhash_meta")
+    if (!Files.exists(metaP))
       throw new IllegalStateException(
         s"MinHash index at $indexDir has no _graft_minhash_meta marker; " +
           s"refusing to compact an unrecognized layout.")
+    // compaction is agnostic to the signature params (it only re-lays
+    // rows) but NOT to the hash family or the partition modulus — a
+    // rewrite under a different bucket_mods would silently relocate
+    // every row out of the partitions future probes prune to
+    val meta = new String(Files.readAllBytes(metaP),
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (!meta.contains(s"hash_family=$MinHashHashFamily\n") ||
+        !meta.contains(s"bucket_mods=$MinHashBucketMods\n"))
+      throw new IllegalStateException(
+        s"MinHash index at $indexDir has an incompatible layout —\n$meta\n" +
+          s"compacting expects hash_family=$MinHashHashFamily and " +
+          s"bucket_mods=$MinHashBucketMods; rebuild with saveMinHashIndex.")
     recoverIndex(indexDir)
-    def full(base: String, tail: String,
-             schema: org.apache.spark.sql.types.StructType): DataFrame = {
-      val b = spark.read.schema(schema).parquet(s"$indexDir/$base")
-      if (Files.isDirectory(Paths.get(indexDir, tail)))
-        b.unionByName(spark.read.schema(schema).parquet(s"$indexDir/$tail"))
-      else b
-    }
-    full("bands", "bands_tail", BandsSchema)
+    readWithTail(spark, indexDir, "bands", BandsSchema)
       .repartition(col("band"), col("bmod"))
       .sortWithinPartitions(col("bucket"), col("doc_id"))
       .write.mode("overwrite").partitionBy("band", "bmod")
       .parquet(s"$indexDir/bands_new")
-    full("widths", "widths_tail", WidthsSchema)
+    readWithTail(spark, indexDir, "widths", WidthsSchema)
       .groupBy(col("band"), col("bmod"), col("bucket"))
       .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
       .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
@@ -1269,15 +1300,9 @@ object Dedup {
     * maintenance arms' report frame. Schema-read like the probe: an
     * empty-seeded index has zero part files and inference would throw.
     */
-  def indexBandCounts(spark: SparkSession, indexDir: String): DataFrame = {
-    val base = spark.read.schema(BandsSchema).parquet(s"$indexDir/bands")
-    val tp = new org.apache.hadoop.fs.Path(s"$indexDir/bands_tail")
-    val all0 =
-      if (tp.getFileSystem(spark.sessionState.newHadoopConf()).exists(tp))
-        base.unionByName(spark.read.schema(BandsSchema).parquet(tp.toString))
-      else base
-    all0.groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
-  }
+  def indexBandCounts(spark: SparkSession, indexDir: String): DataFrame =
+    readWithTail(spark, indexDir, "bands", BandsSchema)
+      .groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
 
   /** Exact-substring duplication mass (Lee et al. 2021's suffix-array
     * recipe, re-expressed for a shared-nothing engine): a duplicated

@@ -250,15 +250,8 @@ object InvertedIndex {
     * swap on the next open, using the pair-level COMMIT marker to
     * decide whether `_new` dirs are trustworthy.
     */
-  private def swapDir(dir: String, name: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val live = Paths.get(dir, name)
-    val aside = Paths.get(dir, s"${name}_old")
-    graft.util.FileTrees.rmTree(aside) // leftover from a previously interrupted swap
-    if (Files.exists(live)) Files.move(live, aside)
-    Files.move(Paths.get(dir, s"${name}_new"), live)
-    graft.util.FileTrees.rmTree(aside)
-  }
+  private def swapDir(dir: String, name: String): Unit =
+    graft.util.FileTrees.swapLive(java.nio.file.Paths.get(dir), name)
 
   /** Finish an appendDelta interrupted mid-flight. The COMMIT marker
     * decides which side of the swap to trust for the WHOLE

@@ -321,20 +321,20 @@ object ScalePipeline {
       }
     }
     stage("dedup_index_compact") {
-      def nFiles = {
-        val c = new java.util.concurrent.atomic.AtomicLong()
-        java.nio.file.Files.walk(java.nio.file.Paths.get(mIdx))
-          .forEach(p => if (p.toString.endsWith(".parquet")) { c.incrementAndGet(); () })
-        c.get()
+      def idxParquetFiles = { // distinct name: `nFiles` is the corpus CLI arg
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(mIdx))
+        try { import scala.jdk.CollectionConverters._
+          st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        } finally st.close()
       }
       val probe = spark.read.parquet(s"$curatedDir/kept")
         .filter(pmod(col("doc_id"), lit(16L)) === 5L)
       val before = graft.dedup.Dedup.dedupAgainstMinHashIndex(probe, mIdx).count()
-      val filesBefore = nFiles
+      val filesBefore = idxParquetFiles
       graft.dedup.Dedup.compactMinHashIndex(spark, mIdx)
       val after = graft.dedup.Dedup.dedupAgainstMinHashIndex(probe, mIdx).count()
       require(before == after, s"compaction changed probe results: $before vs $after")
-      println(s"[scale] minhash index part-files $filesBefore -> $nFiles, " +
+      println(s"[scale] minhash index part-files $filesBefore -> $idxParquetFiles, " +
         s"drained hits ${spark.read.parquet(mHits).count()}, " +
         s"probe hits stable at $before")
     }

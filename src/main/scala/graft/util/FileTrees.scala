@@ -43,6 +43,24 @@ object FileTrees {
   def copyTree(src: String, dst: String): Unit =
     copyTree(java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
 
+  /** Replace `dir/name` with `dir/${name}_new` via rename-aside:
+    * live → `${name}_old`, `_new` → live, old deleted LAST — a crash at
+    * any step leaves either the old or the new directory intact under a
+    * recoverable name, never a half-deleted live dir. A missing live dir
+    * is fine (first swap of that name). Callers arbitrate WHEN to swap
+    * with their own commit markers; this is only the crash-ordered
+    * rename pair (shared by the BM25 terms/stats/postings fold and the
+    * MinHash base/tail compaction).
+    */
+  def swapLive(dir: Path, name: String): Unit = {
+    val live = dir.resolve(name)
+    val aside = dir.resolve(s"${name}_old")
+    rmTree(aside)
+    if (Files.exists(live)) { Files.move(live, aside); () }
+    Files.move(dir.resolve(s"${name}_new"), live)
+    rmTree(aside)
+  }
+
   /** Move every parquet part-file under `staging`'s partition dirs into
     * the same relative partition dirs under `live`, then drop `staging`.
     * Handles arbitrarily nested `k=v` partition layouts. Idempotent to
