@@ -846,110 +846,63 @@ object Dedup {
     s"hash_family=$MinHashHashFamily\nshingle_w=$shingleW\nperms=$perms\n" +
       s"rows_per_band=$rowsPerBand\nbucket_mods=$MinHashBucketMods\n"
 
-  // ---- two-level layout + maintenance commit protocol ----
+  // ---- size-tiered LSM layout + maintenance commit protocol ----
   //
-  // LSM shape: `bands/` + `widths/` are the COMPACTED BASE —
-  // (band, bmod)-partitioned so probes prune statically — while
-  // `bands_tail/` + `widths_tail/` are the level-0 TAIL where appends
-  // land as a handful of FLAT files (band/bmod as data columns). A
-  // micro-batch append therefore costs two small unpartitioned writes,
-  // never a 100+-partition-dir commit (measured ~12 ms/dir — 14× the
-  // sf0.1 drain's wall when appends wrote the partitioned layout
-  // directly); probes read the pruned base plus the whole tail, which
-  // the compaction cadence keeps bounded (compactMinHashIndex folds
-  // the tail into the base and re-folds widths). This is the Delta/
-  // Iceberg-style split of cheap appends vs. clustered layout.
+  // LSM shape (generic layout/policy in graft.util.TieredIndex):
+  // `bands/` + `widths/` are the BASE — (band, bmod)-partitioned so
+  // probes prune statically; `bands_l1/run=K` + `widths_l1/run=K` are
+  // LEVEL-1 runs in the same partitioned layout (one per minor
+  // compaction, equally pruned); `bands_tail/` + `widths_tail/` are the
+  // level-0 TAIL where appends land as a handful of FLAT files
+  // (band/bmod as data columns). A micro-batch append therefore costs
+  // two small unpartitioned writes, never a 100+-partition-dir commit
+  // (measured ~12 ms/dir — 14× the sf0.1 drain's wall when appends
+  // wrote the partitioned layout directly); probes read the pruned
+  // base + pruned runs + the whole tail, which the tiered compaction
+  // cadence keeps bounded at O(tail) IO per cycle (see
+  // compactMinHashIndex). This is the Delta/Iceberg-style split of
+  // cheap appends vs. clustered layout, with LevelDB-style tiering so
+  // maintenance never pays a full-index rewrite per cycle.
   //
-  // Commit protocol (single-writer, local-fs renames; an object-store
-  // deployment versions whole index dirs instead): appends stage under
-  // bands_delta/ + widths_delta/ and move into the tails only under
-  // the _append_commit marker (InvertedIndex.appendDelta's staged
-  // protocol): a crashed/retried maintenance step can neither
-  // half-append nor double-append. The marker FILE carries the batch id,
-  // so recovery can finish the token write too; committed/<batchId>
-  // tokens make a re-driven batch a no-op — the foreachBatch
-  // exactly-once recipe the durable streaming sinks use.
-  private val AppendCommitMarker = "_append_commit"
-  private val CompactCommitMarker = "_compact_commit"
-  private val SwappedDirs = Seq("bands", "widths", "bands_tail", "widths_tail")
-
-  private def committedToken(indexDir: String, batchId: String) = {
-    require(batchId.nonEmpty && batchId.forall(c =>
-      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
-      s"batchId must be a plain token, got '$batchId'")
-    java.nio.file.Paths.get(indexDir, "committed", batchId)
-  }
+  // Commit protocol: graft.util.IndexCommit — the ONE staged-promote +
+  // marker + committed-token + dir-swap implementation all three
+  // persisted indexes share (BM25 postings and the IVF inverted lists
+  // declare their own Layouts over the same module). Appends stage under
+  // bands_delta/ + widths_delta/ and move into the tails only under the
+  // _append_commit marker; a crashed/retried maintenance step can
+  // neither half-append nor double-append, and committed/<batchId>
+  // tokens make a re-driven batch a no-op. Writers run under the
+  // module's OS-file-lock lease — a concurrent second writer throws
+  // instead of silently overwriting the fixed staging paths.
+  private val AppendLayout = graft.util.IndexCommit.Layout("_append_commit",
+    staged = Seq("bands_delta" -> "bands_tail", "widths_delta" -> "widths_tail"))
+  // compaction publishes one of three artifact subsets (minor / run
+  // re-merge / major — see compactMinHashIndex) under ONE marker name;
+  // recovery uses the UNION layout and acts on whatever exists
+  private val MinorCompactLayout = graft.util.IndexCommit.Layout("_compact_commit",
+    staged = Seq("bands_l1_delta" -> "bands_l1", "widths_l1_delta" -> "widths_l1"),
+    swaps = Seq("bands_tail", "widths_tail"))
+  private val MergeCompactLayout = graft.util.IndexCommit.Layout("_compact_commit",
+    swaps = Seq("bands_l1", "widths_l1", "bands_tail", "widths_tail"))
+  private val MajorCompactLayout = graft.util.IndexCommit.Layout("_compact_commit",
+    swaps = Seq("bands", "widths", "bands_l1", "widths_l1",
+      "bands_tail", "widths_tail"))
+  private val CompactRecoveryLayout = graft.util.IndexCommit.Layout(
+    "_compact_commit",
+    staged = MinorCompactLayout.staged, swaps = MajorCompactLayout.swaps)
 
   /** True iff `batchId` was already folded into the index — the caller
     * must treat the whole probe+append as a completed no-op.
     */
   def isBatchCommitted(indexDir: String, batchId: String): Boolean =
-    java.nio.file.Files.exists(committedToken(indexDir, batchId))
-
-  private def finishAppend(indexDir: String, batchId: Option[String]): Unit = {
-    import java.nio.file.{Files, Paths}
-    graft.util.FileTrees.promoteStaged(
-      Paths.get(indexDir, "bands_delta"), Paths.get(indexDir, "bands_tail"))
-    graft.util.FileTrees.promoteStaged(
-      Paths.get(indexDir, "widths_delta"), Paths.get(indexDir, "widths_tail"))
-    batchId.foreach { bid =>
-      val tok = committedToken(indexDir, bid)
-      Files.createDirectories(tok.getParent)
-      Files.write(tok, Array.emptyByteArray); ()
-    }
-    Files.deleteIfExists(Paths.get(indexDir, AppendCommitMarker)); ()
-  }
-
-  /** Rename-aside swap (shared FileTrees implementation); only called
-    * with the compact marker present.
-    */
-  private def swapLive(indexDir: String, name: String): Unit =
-    graft.util.FileTrees.swapLive(java.nio.file.Paths.get(indexDir), name)
+    graft.util.IndexCommit.isBatchCommitted(indexDir, batchId)
 
   /** Finish (or roll back) any maintenance step interrupted mid-flight;
-    * called on every index open. Marker present → every staged/`_new`
-    * dir was complete before it appeared, so recovery PROMOTES the
-    * remainder (file moves are idempotent) and re-writes the batch
-    * token. Marker absent → staged dirs are untrusted torn writes and
-    * are dropped; a live dir missing mid-swap restores from `_old`.
+    * runs on every maintenance open (under the writer lease). At most
+    * one marker exists — the lease serializes writers.
     */
-  private[dedup] def recoverIndex(indexDir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    // compact swap first (compact and append never run concurrently —
-    // single-writer contract — so at most one marker exists)
-    val cm = Paths.get(indexDir, CompactCommitMarker)
-    SwappedDirs.foreach { name =>
-      val live = Paths.get(indexDir, name)
-      val aside = Paths.get(indexDir, s"${name}_old")
-      val fresh = Paths.get(indexDir, s"${name}_new")
-      if (Files.exists(cm)) {
-        if (Files.exists(fresh)) {
-          if (Files.exists(live)) {
-            graft.util.FileTrees.rmTree(aside); Files.move(live, aside); ()
-          }
-          Files.move(fresh, live); ()
-        } else if (!Files.exists(live) && Files.exists(aside)) {
-          Files.move(aside, live); ()
-        }
-      } else {
-        graft.util.FileTrees.rmTree(fresh)
-        if (!Files.exists(live) && Files.exists(aside)) { Files.move(aside, live); () }
-      }
-      graft.util.FileTrees.rmTree(aside)
-    }
-    Files.deleteIfExists(cm)
-    // append staging (a leftover marker .tmp is a torn pre-commit write)
-    Files.deleteIfExists(Paths.get(indexDir, AppendCommitMarker + ".tmp"))
-    val am = Paths.get(indexDir, AppendCommitMarker)
-    if (Files.exists(am)) {
-      val bid = new String(Files.readAllBytes(am),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finishAppend(indexDir, if (bid.isEmpty) None else Some(bid))
-    } else {
-      graft.util.FileTrees.rmTree(Paths.get(indexDir, "bands_delta"))
-      graft.util.FileTrees.rmTree(Paths.get(indexDir, "widths_delta"))
-    }
-  }
+  private[dedup] def recoverIndex(indexDir: String): Unit =
+    graft.util.IndexCommit.recover(indexDir, Seq(CompactRecoveryLayout, AppendLayout))
 
   /** Stage the batch's banded signatures + widths deltas, then commit
     * them live under the marker. Both parquet writes complete BEFORE the
@@ -957,7 +910,6 @@ object Dedup {
     */
   private def stageAndCommitAppend(indexDir: String, banded0: DataFrame,
                                    batchId: Option[String]): Unit = {
-    import java.nio.file.{Files, Paths}
     // the bands and widths deltas both consume the banded signatures —
     // the dominant per-batch CPU (tokenize → shingle → 64-bin OPH);
     // persist so the pass runs once (idempotent when the maintenance
@@ -974,21 +926,16 @@ object Dedup {
         .agg(count(lit(1)).as("bw"), min(col("doc_id")).as("aid"))
         .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
         .write.mode("overwrite").parquet(s"$indexDir/widths_delta")
-      // the marker must appear ATOMICALLY with its batch-id payload: a
-      // crash mid-write would otherwise leave a committed-looking marker
-      // with a truncated id, and recovery would promote the rows but
-      // never record the token — the retry then double-appends
-      val tmp = Paths.get(indexDir, AppendCommitMarker + ".tmp")
-      Files.write(tmp, batchId.getOrElse("")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(tmp, Paths.get(indexDir, AppendCommitMarker),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      finishAppend(indexDir, batchId)
+      graft.util.IndexCommit.commit(indexDir, AppendLayout, batchId)
     } finally { banded.unpersist(blocking = false); () }
   }
 
   def saveMinHashIndex(docs: DataFrame, indexDir: String, shingleW: Int = 5,
                        perms: Int = 64, rowsPerBand: Int = 4): Unit = {
+    graft.util.IndexCommit.assertRenameCommitFs(
+      docs.sparkSession.sessionState.newHadoopConf(), indexDir,
+      "saveMinHashIndex")
+    graft.util.IndexCommit.withWriterLease(indexDir) {
     // a REBUILD into a previously-maintained dir must not inherit the
     // old generation's state: stale tail files would union into every
     // probe (with possibly different signature params), and surviving
@@ -997,9 +944,11 @@ object Dedup {
     // points at
     {
       import java.nio.file.{Files, Paths}
-      Seq("bands_tail", "widths_tail", "bands_delta", "widths_delta", "committed")
+      Seq("bands_tail", "widths_tail", "bands_l1", "widths_l1",
+        "bands_delta", "widths_delta", "bands_l1_delta", "widths_l1_delta",
+        "committed")
         .foreach(n => graft.util.FileTrees.rmTree(Paths.get(indexDir, n)))
-      Seq(AppendCommitMarker, CompactCommitMarker)
+      Seq(AppendLayout.marker, CompactRecoveryLayout.marker)
         .foreach(n => Files.deleteIfExists(Paths.get(indexDir, n)))
     }
     // one signature pass serves both tables (see stageAndCommitAppend)
@@ -1023,6 +972,7 @@ object Dedup {
     try out.write(minHashMeta(shingleW, perms, rowsPerBand)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    }
   }
 
   /** (doc_id, band, bucket, sig, bmod) for a batch — the rows both the
@@ -1080,10 +1030,15 @@ object Dedup {
                          batchId: Option[String] = None): Unit = {
     validateIndexMeta(newDocs.sparkSession, indexDir,
       shingleW, perms, rowsPerBand, "appending")
-    recoverIndex(indexDir)
-    if (batchId.exists(isBatchCommitted(indexDir, _))) return
-    stageAndCommitAppend(indexDir,
-      bandedSignatures(newDocs, shingleW, perms, rowsPerBand), batchId)
+    graft.util.IndexCommit.assertRenameCommitFs(
+      newDocs.sparkSession.sessionState.newHadoopConf(), indexDir,
+      "appendMinHashIndex")
+    graft.util.IndexCommit.withWriterLease(indexDir) {
+      recoverIndex(indexDir)
+      if (!batchId.exists(isBatchCommitted(indexDir, _)))
+        stageAndCommitAppend(indexDir,
+          bandedSignatures(newDocs, shingleW, perms, rowsPerBand), batchId)
+    }
   }
 
   /** New-batch dedup probe against a saved index: candidates = band-bucket
@@ -1099,10 +1054,24 @@ object Dedup {
     * rows). The read-isolation contract: staged-but-uncommitted rows are
     * invisible, and a crash-interrupted commit becomes visible when the
     * next MAINTENANCE call (append / probe-and-append / compact) runs
-    * its recovery. The lazy result also can't scope a persist, so the
-    * pure probe pays the signature pass per consuming job rather than
-    * leaking one CacheManager entry per call in a 24/7 probing service;
-    * the hot maintenance path keeps its single persisted pass.
+    * its recovery. Probes may run concurrently with APPENDS (the
+    * worst-case race reads a promoted bands file before its widths
+    * sibling and UNDER-counts a width, which only widens the candidate
+    * set) but NOT with compaction: its multi-dir publish can
+    * transiently double-count widths across a promoted run and the
+    * not-yet-emptied tail, and the anchor-only filter would then drop
+    * real candidates — see compactMinHashIndex's scheduling note.
+    *
+    * The batch's signatures — the dominant per-batch CPU (tokenize →
+    * shingle → 64-bin OPH) — are computed ONCE via an eager
+    * localCheckpoint: both the touched-partition collect and the lazily
+    * returned candidate-join plan read the materialized blocks (a
+    * persist can't scope across the lazy result, and an unscoped one
+    * would leak a CacheManager entry per call in a 24/7 probing
+    * service; checkpoint blocks are reclaimed by the ContextCleaner
+    * when the result frame is garbage-collected). Cluster caveat: an
+    * executor loss invalidates a local checkpoint and fails the
+    * consuming job, which simply re-runs the read-only probe.
     */
   def dedupAgainstMinHashIndex(newDocs: DataFrame, indexDir: String,
                                shingleW: Int = 5, perms: Int = 64,
@@ -1111,7 +1080,7 @@ object Dedup {
     val spark = newDocs.sparkSession
     validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "probing")
     probeWithBands(spark,
-      bandedSignatures(newDocs, shingleW, perms, rowsPerBand),
+      bandedSignatures(newDocs, shingleW, perms, rowsPerBand).localCheckpoint(),
       indexDir, perms, threshold)
   }
 
@@ -1128,25 +1097,15 @@ object Dedup {
     * bucket) instead of a full-index aggregate: per-batch probe cost
     * follows the BATCH, not the accumulated index.
     */
-  /** The ONE base ∪ tail reader every index consumer goes through:
-    * partition-pruned (or full) base plus the flat `<base>_tail` level-0
-    * files, with the probe's explicit-schema discipline — a just-seeded
-    * index may hold ZERO part files and schema inference over a
-    * part-less partitioned dir throws; an empty index must read as
-    * empty. The optional filter prunes base partitions statically and
-    * applies as a row filter on the tail.
+  /** The ONE base ∪ L1-runs ∪ tail reader every index consumer goes
+    * through (graft.util.TieredIndex.read): partition-pruned base and
+    * runs plus the flat level-0 tail, explicit-schema'd so an empty
+    * index reads as empty.
     */
   private def readWithTail(spark: SparkSession, indexDir: String, base: String,
                            schema: org.apache.spark.sql.types.StructType,
-                           filter: Option[Column] = None): DataFrame = {
-    def f(df: DataFrame) = filter.map(df.filter).getOrElse(df)
-    val b = f(spark.read.schema(schema).parquet(s"$indexDir/$base"))
-    val tp = new org.apache.hadoop.fs.Path(s"$indexDir/${base}_tail")
-    if (tp.getFileSystem(spark.sessionState.newHadoopConf()).exists(tp))
-      b.unionByName(
-        f(spark.read.schema(schema).parquet(s"$indexDir/${base}_tail")))
-    else b
-  }
+                           filter: Option[Column] = None): DataFrame =
+    graft.util.TieredIndex.read(spark, indexDir, base, schema, filter)
 
   private def probeWithBands(spark: SparkSession, bandedBatch: DataFrame,
                              indexDir: String, perms: Int,
@@ -1217,7 +1176,9 @@ object Dedup {
     * after — recovery finishes the promote + token, and the retry
     * skips. Without a batchId the append is crash-ATOMIC but a
     * re-driven call double-appends; callers with retry semantics must
-    * pass one.
+    * pass one. Batch-less hits still land under a GENERATED
+    * `batch_id=adhoc-*` partition so one hitsOut dir never mixes flat
+    * and partitioned layouts (a Spark read-time error).
     */
   def probeAndAppendMinHashIndex(newDocs: DataFrame, indexDir: String,
                                  hitsOut: String, shingleW: Int = 5,
@@ -1226,34 +1187,54 @@ object Dedup {
                                  batchId: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
     validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "maintaining")
-    recoverIndex(indexDir)
-    if (batchId.exists(isBatchCommitted(indexDir, _))) return
-    val banded = bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist()
-    try {
-      val hits = probeWithBands(spark, banded, indexDir, perms, threshold)
-      batchId match {
-        case Some(bid) =>
+    graft.util.IndexCommit.assertRenameCommitFs(
+      spark.sessionState.newHadoopConf(), indexDir, "probeAndAppendMinHashIndex")
+    graft.util.IndexCommit.withWriterLease(indexDir) {
+      recoverIndex(indexDir)
+      if (!batchId.exists(isBatchCommitted(indexDir, _))) {
+        val banded = bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist()
+        try {
+          val hits = probeWithBands(spark, banded, indexDir, perms, threshold)
+          // hits ALWAYS land under a batch_id partition — mixing flat and
+          // partitioned layouts in one hitsOut dir is a read-time error
+          // ("Conflicting directory structures"), so a batch-less call
+          // gets a generated unique token instead of a root-level append
+          val bid = batchId.getOrElse(
+            s"adhoc-${java.util.UUID.randomUUID().toString.take(12)}")
           hits.write.mode("overwrite").parquet(s"$hitsOut/batch_id=$bid")
-        case None =>
-          hits.write.mode("append").parquet(hitsOut)
+          stageAndCommitAppend(indexDir, banded, batchId)
+        } finally { banded.unpersist(blocking = false); () }
       }
-      stageAndCommitAppend(indexDir, banded, batchId)
-    } finally { banded.unpersist(blocking = false); () }
+    }
   }
 
-  /** Compact the index: fold the flat level-0 TAIL into the
-    * (band, bmod)-partitioned base — one sorted file set per partition
-    * — and re-fold the widths sidecar's per-batch delta rows back to
-    * one row per bucket; the tails swap to empty. This is the
-    * maintenance arm that stops a 24/7 append cadence from growing the
-    * tail into an unpruned full scan per probe (and, pre-fold, the
-    * widths into one delta row per batch per bucket). Probe results
-    * are identical before/after (same rows, same fold semantics).
-    * Committed-batch tokens and the meta marker are untouched.
-    * Crash-safe via the same marker + rename-aside swap the BM25
-    * terms/stats fold uses — all four dirs (bands, widths, both tails)
-    * swap under ONE marker decision; NOT concurrent with appends
-    * (single-writer contract).
+  /** SIZE-TIERED compaction (policy in graft.util.TieredIndex): the
+    * routine cycle folds the flat level-0 TAIL into one new
+    * (band, bmod)-partitioned LEVEL-1 RUN — O(tail) IO, the base is
+    * never touched; runs re-merge into a single run when their count
+    * passes TieredIndex.MaxL1Runs (O(L1), base still untouched); and
+    * the base itself rewrites ONLY when the L1+tail mass reaches
+    * MajorRatio × base, so the O(base) rewrite amortizes over O(base)
+    * of appended bytes. Per-cycle compaction IO therefore follows the
+    * TAIL, not the accumulated index — the r12 single-level design
+    * rewrote the whole base every cycle (48.6 s / 27.2 GB shuffle at
+    * 1 M docs to fold 0.5 s appends).
+    *
+    * At every tier the widths sidecar folds alongside its bands rows
+    * (sum bw / min aid per bucket WITHIN the folded mass; readers
+    * re-fold across tiers), so probe results are identical across every
+    * level state. Committed-batch tokens and the meta marker are
+    * untouched. Crash-safe under ONE `_compact_commit` marker decision
+    * per cycle; NOT concurrent with other writers (enforced by the
+    * lease) NOR with probes — a probe racing the multi-dir publish can
+    * transiently double-count a bucket's width across a promoted run
+    * and the not-yet-emptied tail, and the anchor-only filter would
+    * then drop real candidates. Appends, by contrast, stay
+    * probe-concurrent: their staged dirs are invisible and the
+    * worst-case race UNDER-counts a width, which only widens the
+    * candidate set. Schedule compaction from the single maintenance
+    * orchestrator, between probes (or deploy on the manifest protocol,
+    * where readers resolve a consistent snapshot for free).
     */
   def compactMinHashIndex(spark: SparkSession, indexDir: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -1274,26 +1255,53 @@ object Dedup {
         s"MinHash index at $indexDir has an incompatible layout —\n$meta\n" +
           s"compacting expects hash_family=$MinHashHashFamily and " +
           s"bucket_mods=$MinHashBucketMods; rebuild with saveMinHashIndex.")
-    recoverIndex(indexDir)
-    readWithTail(spark, indexDir, "bands", BandsSchema)
-      .repartition(col("band"), col("bmod"))
-      .sortWithinPartitions(col("bucket"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("band", "bmod")
-      .parquet(s"$indexDir/bands_new")
-    readWithTail(spark, indexDir, "widths", WidthsSchema)
-      .groupBy(col("band"), col("bmod"), col("bucket"))
-      .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
-      .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
-      .repartition(col("band"), col("bmod"))
-      .write.mode("overwrite").partitionBy("band", "bmod")
-      .parquet(s"$indexDir/widths_new")
-    // empty replacement tails, created BEFORE the marker so the swap
-    // set is complete when the decision point appears
-    Files.createDirectories(Paths.get(indexDir, "bands_tail_new"))
-    Files.createDirectories(Paths.get(indexDir, "widths_tail_new"))
-    Files.write(Paths.get(indexDir, CompactCommitMarker), Array.emptyByteArray)
-    SwappedDirs.foreach(swapLive(indexDir, _))
-    Files.deleteIfExists(Paths.get(indexDir, CompactCommitMarker)); ()
+    graft.util.IndexCommit.assertRenameCommitFs(
+      spark.sessionState.newHadoopConf(), indexDir, "compactMinHashIndex")
+    import graft.util.TieredIndex
+    // one sorted (band, bmod)-partitioned file set from `rows`
+    def layBands(rows: DataFrame, path: String): Unit =
+      rows.repartition(col("band"), col("bmod"))
+        .sortWithinPartitions(col("bucket"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("band", "bmod").parquet(path)
+    def layWidths(rows: DataFrame, path: String): Unit =
+      rows.groupBy(col("band"), col("bmod"), col("bucket"))
+        .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
+        .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
+        .repartition(col("band"), col("bmod"))
+        .write.mode("overwrite").partitionBy("band", "bmod").parquet(path)
+    // empty replacement dirs, created BEFORE the marker so the swap set
+    // is complete when the decision point appears
+    def emptyNew(names: String*): Unit =
+      names.foreach(n => Files.createDirectories(Paths.get(indexDir, s"${n}_new")))
+    graft.util.IndexCommit.withWriterLease(indexDir) {
+      recoverIndex(indexDir)
+      TieredIndex.plan(spark, indexDir, "bands", BandsSchema) match {
+        case TieredIndex.NoOp => ()
+        case TieredIndex.Minor(k) =>
+          layBands(TieredIndex.readTail(spark, indexDir, "bands", BandsSchema),
+            s"$indexDir/bands_l1_delta/run=$k")
+          layWidths(TieredIndex.readTail(spark, indexDir, "widths", WidthsSchema),
+            s"$indexDir/widths_l1_delta/run=$k")
+          emptyNew("bands_tail", "widths_tail")
+          graft.util.IndexCommit.commit(indexDir, MinorCompactLayout)
+        case TieredIndex.MergeRuns =>
+          layBands(
+            TieredIndex.readAboveBase(spark, indexDir, "bands", BandsSchema),
+            s"$indexDir/bands_l1_new/run=0")
+          layWidths(
+            TieredIndex.readAboveBase(spark, indexDir, "widths", WidthsSchema),
+            s"$indexDir/widths_l1_new/run=0")
+          emptyNew("bands_tail", "widths_tail")
+          graft.util.IndexCommit.commit(indexDir, MergeCompactLayout)
+        case TieredIndex.Major =>
+          layBands(readWithTail(spark, indexDir, "bands", BandsSchema),
+            s"$indexDir/bands_new")
+          layWidths(readWithTail(spark, indexDir, "widths", WidthsSchema),
+            s"$indexDir/widths_new")
+          emptyNew("bands_l1", "widths_l1", "bands_tail", "widths_tail")
+          graft.util.IndexCommit.commit(indexDir, MajorCompactLayout)
+      }
+    }
   }
 
   /** Per-band signature row counts across base + tail — the CLI
@@ -1462,8 +1470,10 @@ object Dedup {
       try {
         graft.util.FileTrees.copyTree(seed, work)
         compactMinHashIndex(s, work)
-        // bounded driver artifacts: one count + a 1-row aggregate
-        val nSig = s.read.schema(BandsSchema).parquet(s"$work/bands").count()
+        // bounded driver artifacts: one count + a 1-row aggregate.
+        // n_sig_rows counts the PROBE-VISIBLE mass (base ∪ runs ∪ tail)
+        // — invariant across whichever tier the size policy rewrote
+        val nSig = readWithTail(s, work, "bands", BandsSchema).count()
         val h = dedupAgainstMinHashIndex(
             docs.filter(pmod(col("doc_id"), lit(4L)) === 3L), work)
           .agg(count(lit(1)).as("n_hits"),
