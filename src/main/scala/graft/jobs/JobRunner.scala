@@ -82,7 +82,9 @@ object JobCli {
       |        crawl_diff (--add_input SNAPSHOT_B)
       |        decontam (--add_input EVAL_DOCS)
       |        ann_index_build / ann_index_probe / ann_index_update
-      |          (--add_input INDEX_DIR) |
+      |          (--add_input INDEX_DIR [--batch_id TOKEN: retry-idempotent,
+      |           default = digest of input path]) |
+      |        ann_index_compact (input = INDEX_DIR: tiered tail fold) |
       |        datacard | heavy_hitters (--top_k K) | chunk | funnel | dq |
       |        compact (--output_option target_mb=N
       |                 --output_option zorder=colA,colB: Morton-clustered
@@ -202,6 +204,17 @@ final class StageProfiler extends org.apache.spark.scheduler.SparkListener {
 }
 
 object JobRunner {
+
+  /** Default batch id for index-update verbs: a digest of the input
+    * path, so RE-RUNNING the same command (the crashed-orchestrator
+    * retry) hits the index's committed/ token and no-ops instead of
+    * double-appending. Deterministic across JVMs (SHA-1, not
+    * String.hashCode-family).
+    */
+  private def inputDigestBatchId(input: String): String =
+    "add-" + java.security.MessageDigest.getInstance("SHA-1")
+      .digest(input.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
 
   /** index coordinate selection: --query over the index view, or a
     * pre-extracted coordinate table via --input_table_format
@@ -396,12 +409,16 @@ object JobRunner {
         // from bm25_index_build. Folds the delta in WITHOUT re-reading
         // the indexed corpus: postings append, terms/stats re-aggregate
         // and swap (text/InvertedIndex.appendDelta) — the per-crawl
-        // index-maintenance path, bm25's counterpart of ann_index_update
+        // index-maintenance path, bm25's counterpart of ann_index_update.
+        // Batch id defaults to a digest of the input path so a re-run
+        // of the same command is a no-op, never a double-fold; pass
+        // --batch_id to name batches explicitly.
         {
           require(cli.addInputs.nonEmpty,
             "bm25_index_merge needs --add_input <index_dir>")
           graft.text.InvertedIndex.appendDelta(
-            spark.read.parquet(cli.input), cli.addInputs.head)
+            spark.read.parquet(cli.input), cli.addInputs.head,
+            batchId = Some(cli.batchId.getOrElse(inputDigestBatchId(cli.input))))
           spark.read.parquet(s"${cli.addInputs.head}/stats")
         }
       case "scd2_build" =>
@@ -524,14 +541,31 @@ object JobRunner {
       case "ann_index_update" =>
         // input = NEW embeddings batch; --add_input = index dir from
         // ann_index_build. Places the batch into the existing cells and
-        // codebooks (two map stages, no retraining) and APPENDS to the
-        // cell-partitioned stores — the per-crawl ingest path.
+        // codebooks (two map stages, no retraining) and folds it into
+        // the cell-partitioned stores' tails under the exactly-once
+        // commit marker — the per-crawl ingest path. The batch id
+        // defaults to a digest of the input path, so RE-RUNNING the
+        // same command (the crashed-orchestrator retry) is a no-op
+        // instead of a silent double-append; pass --batch_id to name
+        // batches explicitly (e.g. when one path is re-ingested with
+        // genuinely new content).
         {
           require(cli.addInputs.nonEmpty,
             "ann_index_update needs --add_input <index_dir>")
           graft.vector.PqOps.addToPqIndex(
-            spark.read.parquet(cli.input), cli.addInputs.head)
+            spark.read.parquet(cli.input), cli.addInputs.head,
+            batchId = Some(cli.batchId.getOrElse(inputDigestBatchId(cli.input))))
           spark.read.parquet(s"${cli.addInputs.head}/centroids")
+        }
+      case "ann_index_compact" =>
+        // input = index dir from ann_index_build. Size-tiered fold of
+        // the update-grown tails back into pruned cell= layout
+        // (vector/IvfMaintenance) — probe results identical, per-cycle
+        // IO follows the tail. Completes the ANN index's
+        // build/probe/update/compact maintenance parity.
+        {
+          graft.vector.VectorOps.compactIvfIndex(spark, cli.input)
+          spark.read.parquet(s"${cli.input}/centroids")
         }
       case "ann_index_probe" =>
         // input = query vectors parquet (vec_id, embedding); --add_input

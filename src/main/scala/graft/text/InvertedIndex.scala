@@ -25,11 +25,18 @@ import org.apache.spark.sql.types.DoubleType
   *  - `stats/`: one row (n_docs, total_dl) — exact integer sums, so the
   *    probe recomputes avgdl by one double division and scores match the
   *    direct query bit for bit.
+  *  - `postings_l1/run=K/bucket=B/` + `postings_tail/`: the size-tiered
+  *    maintenance layout (graft.util.TieredIndex) — folds land in the
+  *    flat tail under the shared commit protocol
+  *    (graft.util.IndexCommit), [[compact]] re-lays them into pruned
+  *    bucket dirs on the tiered cadence.
   *
-  * A probe reads ONLY the probed buckets' files (≤ |terms| of 64
-  * directories, asserted on the plan by Bm25IndexSpec), never the corpus:
-  * query cost scales with the postings of the probed terms, not the
-  * collection — the inverted-file analogue of the IVF cell layout.
+  * A probe reads ONLY the probed buckets' files in the base and runs
+  * (≤ |terms| of 64 directories each, asserted on the plan by
+  * Bm25IndexSpec) plus the compaction-bounded flat tail, never the
+  * corpus: query cost scales with the postings of the probed terms,
+  * not the collection — the inverted-file analogue of the IVF cell
+  * layout.
   */
 object InvertedIndex {
 
@@ -47,6 +54,19 @@ object InvertedIndex {
     * and pays the corpus scan exactly once per build.
     */
   def save(docs: DataFrame, dir: String): Unit = {
+    graft.util.IndexCommit.assertRenameCommitFs(
+      docs.sparkSession.sessionState.newHadoopConf(), dir, "InvertedIndex.save")
+    graft.util.IndexCommit.withWriterLease(dir) {
+    // a rebuild must not inherit a previous generation's tail, runs,
+    // staging, markers, or committed-batch tokens
+    {
+      import java.nio.file.{Files, Paths}
+      Seq("postings_tail", "postings_l1", "postings_delta",
+        "postings_l1_delta", "committed")
+        .foreach(n => graft.util.FileTrees.rmTree(Paths.get(dir, n)))
+      Seq(AppendLayout.marker, CompactRecoveryLayout.marker)
+        .foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
+    }
     val d = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
     val postings = d
@@ -74,6 +94,7 @@ object InvertedIndex {
           .agg(coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
         .write.mode("overwrite").parquet(s"$dir/stats")
     } finally postings.unpersist(blocking = false)
+    }
   }
 
   /** BM25 top-k per probe term against the persisted index. The probe
@@ -97,15 +118,21 @@ object InvertedIndex {
   private val StatsSchema = StructType(Seq(
     StructField("n_docs", LongType), StructField("total_dl", LongType)))
 
+  /** READ-ONLY — runs no crash recovery, so concurrent probes can
+    * never destroy a writer's staged delta (recovery runs on every
+    * MAINTENANCE open instead; staged-but-uncommitted rows stay
+    * invisible until then — the MinHash probe contract). Postings
+    * read base ∪ level-1 runs ∪ tail: the bucket IN-filter prunes the
+    * partitioned base and runs statically, and only the
+    * compaction-bounded flat tail is row-filtered.
+    */
   def probe(s: SparkSession, dir: String, terms: Seq[String], k: Int = 10,
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
-    // finish any appendDelta swap interrupted mid-rename (crash-safety)
-    recoverSwaps(dir)
     val bucketIds = terms.toDF("term").select(bucketOf(col("term")).as("bucket"))
       .distinct().as[Long].collect().toSeq
-    val post = s.read.schema(PostingsSchema).parquet(s"$dir/postings")
-      .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
+    val post = graft.util.TieredIndex.read(s, dir, "postings", PostingsSchema,
+      Some(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*)))
     val df = s.read.schema(TermsSchema).parquet(s"$dir/terms")
       .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
       .select(col("term"), col("df"))
@@ -126,176 +153,160 @@ object InvertedIndex {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  // ---- maintenance commit protocol + size-tiered postings layout ----
+  //
+  // The ONE staged-promote + marker + committed-token + dir-swap
+  // implementation all three persisted indexes share
+  // (graft.util.IndexCommit) and the shared size-tiered layout/policy
+  // (graft.util.TieredIndex): `postings/bucket=B/` is the BASE,
+  // `postings_l1/run=K/bucket=B/` are level-1 runs (equally pruned by
+  // a probe's bucket IN-filter), `postings_tail/` is the flat level-0
+  // tail where folds land as a handful of unpartitioned files. Appends
+  // also swap the vocabulary-sized `terms/` + 1-row `stats/` pair —
+  // the pair rides the SAME marker as the staged postings, so a crash
+  // can never commit new-terms/old-stats (df counts including the
+  // delta but n_docs/total_dl without it).
+  private[text] val AppendLayout = graft.util.IndexCommit.Layout(
+    "_append_commit",
+    staged = Seq("postings_delta" -> "postings_tail"),
+    swaps = Seq("terms", "stats"))
+  private val MinorCompactLayout = graft.util.IndexCommit.Layout(
+    "_compact_commit",
+    staged = Seq("postings_l1_delta" -> "postings_l1"),
+    swaps = Seq("postings_tail"))
+  private val MergeCompactLayout = graft.util.IndexCommit.Layout(
+    "_compact_commit",
+    swaps = Seq("postings_l1", "postings_tail"))
+  private val MajorCompactLayout = graft.util.IndexCommit.Layout(
+    "_compact_commit",
+    swaps = Seq("postings", "postings_l1", "postings_tail"))
+  private[text] val CompactRecoveryLayout = graft.util.IndexCommit.Layout(
+    "_compact_commit",
+    staged = MinorCompactLayout.staged, swaps = MajorCompactLayout.swaps)
+
+  /** Finish (or roll back) a maintenance step interrupted mid-flight;
+    * runs on every maintenance open, under the writer lease.
+    */
+  private[text] def recoverIndex(dir: String): Unit =
+    graft.util.IndexCommit.recover(dir, Seq(CompactRecoveryLayout, AppendLayout))
+
   /** Incremental maintenance: fold a DELTA corpus into an existing
     * index without re-reading the indexed corpus. doc_ids must be new
     * (dedup/decontam are upstream's job). IO shape at scale:
     *
-    *  - postings: APPEND-ONLY — delta-sized part files land beside the
-    *    base files in the same bucket dirs (a probe reads every file
-    *    in the probed buckets, so append needs no rewrite). The
-    *    index's dominant bytes are never rewritten. The delta stages
-    *    under `postings_delta/` and moves live only under the commit
-    *    marker, so a crashed/retried fold can neither half-append nor
-    *    double-append.
+    *  - postings: APPEND-ONLY — the delta stages under
+    *    `postings_delta/` and moves into the flat level-0 TAIL only
+    *    under the commit marker (one small unpartitioned write, never
+    *    a 64-bucket-dir commit; [[compact]] owns the re-layout into
+    *    pruned bucket dirs on the tiered cadence). The index's
+    *    dominant bytes are never rewritten, and a crashed/retried
+    *    fold can neither half-append nor double-append — with a
+    *    `batchId`, a batch already recorded under `committed/` is a
+    *    no-op.
     *  - terms: df is additive, but the table must be REPLACED — base ∪
     *    delta re-aggregated (vocabulary-sized, orders of magnitude
-    *    below postings) and swapped in via write-new + directory
-    *    rename, never overwritten in place while being read.
-    *  - stats: one additive row, same swap.
+    *    below postings) and swapped in under the SAME marker, never
+    *    overwritten in place while being read.
+    *  - stats: one additive row, same swap, same marker.
+    *
+    * Writers run under the module's OS-file-lock lease — a concurrent
+    * second writer throws instead of silently overwriting the fixed
+    * staging paths.
     */
-  def appendDelta(deltaDocs: DataFrame, dir: String): Unit = {
+  def appendDelta(deltaDocs: DataFrame, dir: String,
+                  batchId: Option[String] = None): Unit = {
     val s = deltaDocs.sparkSession
-    recoverSwaps(dir)
-    val d = deltaDocs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
-    val postings = d
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", bucketOf(col("term")))
-      .persist()
-    try {
-      // delta postings land in a STAGING dir first, not appended live:
-      // a crash after a live append leaves delta part-files beside
-      // old terms/stats, and a RETRY of the whole appendDelta would
-      // append them a second time (double postings, silently). Staged
-      // files move into the bucket dirs only under the commit marker —
-      // part-file names are write-unique (uuid), so the per-file
-      // renames are collision-free and idempotent to re-drive.
-      postings
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$dir/postings_delta")
-      val deltaTerms = postings.groupBy(col("term"), col("bucket"))
-        .agg(count(lit(1)).as("df"))
-      val mergedTerms = s.read.schema(TermsSchema).parquet(s"$dir/terms")
-        .select(col("term"), col("bucket"), col("df"))
-        .unionByName(deltaTerms)
-        .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
-      mergedTerms.repartition(col("bucket")).sortWithinPartitions(col("term"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms_new")
-      val deltaStats = deltaDocs.select(col("doc_id"))
-        .agg(count(lit(1)).as("d_docs"))
-        .crossJoin(postings.select(col("doc_id"), col("dl"))
-          .dropDuplicates("doc_id")
-          .agg(coalesce(sum(col("dl")), lit(0L)).as("d_dl")))
-      s.read.schema(StatsSchema).parquet(s"$dir/stats").crossJoin(deltaStats)
-        .select((col("n_docs") + col("d_docs")).as("n_docs"),
-          (col("total_dl") + col("d_dl")).as("total_dl"))
-        .write.mode("overwrite").parquet(s"$dir/stats_new")
-      // terms and stats must swap ATOMICALLY as a pair: a crash between
-      // two independent swaps would commit new-terms/old-stats — df
-      // counts including the delta but n_docs/total_dl without it — and
-      // a later recovery would treat the surviving stats_new as stale.
-      // The COMMIT marker makes the pair one decision point: both *_new
-      // are complete before it appears, so recovery promotes BOTH (or,
-      // with no marker, trusts NEITHER).
-      import java.nio.file.{Files, Paths}
-      Files.createFile(Paths.get(dir, SwapCommitMarker))
-      promoteStagedPostings(dir)
-      swapDir(dir, "terms"); swapDir(dir, "stats")
-      Files.deleteIfExists(Paths.get(dir, SwapCommitMarker))
-    } finally postings.unpersist(blocking = false)
+    graft.util.IndexCommit.assertRenameCommitFs(
+      s.sessionState.newHadoopConf(), dir, "InvertedIndex.appendDelta")
+    graft.util.IndexCommit.withWriterLease(dir) {
+      recoverIndex(dir)
+      if (!batchId.exists(graft.util.IndexCommit.isBatchCommitted(dir, _))) {
+      val d = deltaDocs.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+      val postings = d
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", bucketOf(col("term")))
+        .persist()
+      try {
+        postings
+          .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("bucket"))
+          .write.mode("overwrite").parquet(s"$dir/postings_delta")
+        val deltaTerms = postings.groupBy(col("term"), col("bucket"))
+          .agg(count(lit(1)).as("df"))
+        val mergedTerms = s.read.schema(TermsSchema).parquet(s"$dir/terms")
+          .select(col("term"), col("bucket"), col("df"))
+          .unionByName(deltaTerms)
+          .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
+        mergedTerms.repartition(col("bucket")).sortWithinPartitions(col("term"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms_new")
+        val deltaStats = deltaDocs.select(col("doc_id"))
+          .agg(count(lit(1)).as("d_docs"))
+          .crossJoin(postings.select(col("doc_id"), col("dl"))
+            .dropDuplicates("doc_id")
+            .agg(coalesce(sum(col("dl")), lit(0L)).as("d_dl")))
+        s.read.schema(StatsSchema).parquet(s"$dir/stats").crossJoin(deltaStats)
+          .select((col("n_docs") + col("d_docs")).as("n_docs"),
+            (col("total_dl") + col("d_dl")).as("total_dl"))
+          .write.mode("overwrite").parquet(s"$dir/stats_new")
+        // every artifact (staged postings, terms_new, stats_new) is
+        // complete BEFORE the marker appears — the single decision
+        // point; recovery promotes ALL of them or NONE
+        graft.util.IndexCommit.commit(dir, AppendLayout, batchId)
+      } finally postings.unpersist(blocking = false)
+      }
+    }
   }
 
-  private[text] val SwapCommitMarker = "_swap_commit"
-  private val SwappedNames = Seq("postings", "terms", "stats")
-
-  /** Compact the append-grown postings. Each [[appendDelta]] fold lands
-    * one delta file set beside the base files in every touched bucket
-    * dir, forever — terms/stats re-aggregate+swap per fold and stay one
-    * file set, but postings rot into a small-files scan at a 24/7 fold
-    * cadence. This rewrites every bucket to ONE term-sorted file set
-    * (restoring the row-group pruning the within-file term sort gives a
-    * probe), leaving probe results identical. Crash-safe under the same
-    * `_swap_commit` marker [[recoverSwaps]] already arbitrates:
-    * `postings_new` is complete before the marker appears, so recovery
-    * promotes it exactly like the fold's terms/stats pair — or drops it
-    * unmarked. NOT concurrent with appendDelta (single-writer contract;
-    * the two protocols share the marker but stage disjoint artifacts).
+  /** SIZE-TIERED compaction of the fold-grown postings (policy in
+    * graft.util.TieredIndex): the routine cycle folds ONLY the flat
+    * tail into one new bucket-partitioned level-1 run — O(tail) IO,
+    * restoring static bucket pruning and within-file term sort (and
+    * with it parquet row-group pruning) for the folded rows; runs
+    * re-merge into one past TieredIndex.MaxL1Runs (O(L1), base
+    * untouched); the base rewrites ONLY when the L1+tail mass reaches
+    * MajorRatio × base, so the O(base) rewrite amortizes over O(base)
+    * of appended bytes — the r12 single-level design rewrote the whole
+    * postings table every cycle. terms/stats are already one file set
+    * per fold and are not touched. Crash-safe under one
+    * `_compact_commit` marker; writer-leased; NOT probe-concurrent
+    * (the multi-dir publish can transiently double-read rows across a
+    * promoted run and the not-yet-emptied tail — schedule from the
+    * single maintenance orchestrator, between probes).
     */
   def compact(s: SparkSession, dir: String): Unit = {
     import java.nio.file.{Files, Paths}
-    recoverSwaps(dir)
-    s.read.schema(PostingsSchema).parquet(s"$dir/postings")
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/postings_new")
-    Files.createFile(Paths.get(dir, SwapCommitMarker))
-    swapDir(dir, "postings")
-    Files.deleteIfExists(Paths.get(dir, SwapCommitMarker)); ()
-  }
-
-  /** Move staged delta part-files into the live bucket dirs, then drop
-    * the staging dir. Idempotent: a file is either still staged or
-    * already live (same-FS rename), so re-driving after a crash moves
-    * exactly the remainder. Only called with the commit marker present.
-    */
-  private def promoteStagedPostings(dir: String): Unit = {
-    import java.nio.file.Paths
-    graft.util.FileTrees.promoteStaged(
-      Paths.get(dir, "postings_delta"), Paths.get(dir, "postings"))
-  }
-
-  /** Replace `$dir/$name` with `$dir/${name}_new` (local-fs rename; an
-    * object-store deployment versions whole index dirs instead).
-    *
-    * Crash-safe ordering: the live dir is renamed ASIDE
-    * (`${name}_old`) before the new dir moves into place, and the old
-    * copy is deleted LAST — a failure at any step leaves either the
-    * old or the new directory intact under a recoverable name, never a
-    * half-deleted live dir. [[recoverSwaps]] finishes an interrupted
-    * swap on the next open, using the pair-level COMMIT marker to
-    * decide whether `_new` dirs are trustworthy.
-    */
-  private def swapDir(dir: String, name: String): Unit =
-    graft.util.FileTrees.swapLive(java.nio.file.Paths.get(dir), name)
-
-  /** Finish an appendDelta interrupted mid-flight. The COMMIT marker
-    * decides which side of the swap to trust for the WHOLE
-    * terms+stats pair:
-    *
-    *  - marker present: every `*_new` was fully written before the
-    *    marker appeared — finish the interrupted swaps (promote each
-    *    surviving `_new`; restore `_old` where a swap died between its
-    *    two renames), then clear the marker. New-terms/new-stats win
-    *    together.
-    *  - marker absent: any `*_new` is an untrusted torn write (the
-    *    crash hit the parquet writes) — delete it, restore `_old` if a
-    *    live dir is missing. Old-terms/old-stats win together.
-    *
-    * Idempotent; called on index open so a crashed [[appendDelta]]
-    * always leaves a mutually CONSISTENT terms/stats pair, never the
-    * torn new-terms/old-stats state.
-    */
-  private[text] def recoverSwaps(dir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val marker = Paths.get(dir, SwapCommitMarker)
-    val committed = Files.exists(marker)
-    // staged delta postings follow the same marker decision: committed →
-    // finish moving them live (idempotent remainder); not committed →
-    // the whole delta is untrusted, drop the staging dir
-    if (committed) promoteStagedPostings(dir)
-    else graft.util.FileTrees.rmTree(Paths.get(dir, "postings_delta"))
-    SwappedNames.foreach { name =>
-      val live = Paths.get(dir, name)
-      val aside = Paths.get(dir, s"${name}_old")
-      val fresh = Paths.get(dir, s"${name}_new")
-      if (committed) {
-        if (Files.exists(fresh)) {
-          if (Files.exists(live)) { graft.util.FileTrees.rmTree(aside); Files.move(live, aside) }
-          Files.move(fresh, live)
-        } else if (!Files.exists(live) && Files.exists(aside))
-          Files.move(aside, live) // died between its two renames, post-promote states keep live
-      } else {
-        graft.util.FileTrees.rmTree(fresh)
-        if (!Files.exists(live) && Files.exists(aside)) Files.move(aside, live)
+    import graft.util.TieredIndex
+    graft.util.IndexCommit.assertRenameCommitFs(
+      s.sessionState.newHadoopConf(), dir, "InvertedIndex.compact")
+    def lay(rows: DataFrame, path: String): Unit =
+      rows.repartition(col("bucket"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    def emptyNew(names: String*): Unit =
+      names.foreach(n => Files.createDirectories(Paths.get(dir, s"${n}_new")))
+    graft.util.IndexCommit.withWriterLease(dir) {
+      recoverIndex(dir)
+      TieredIndex.plan(s, dir, "postings", PostingsSchema) match {
+        case TieredIndex.NoOp => ()
+        case TieredIndex.Minor(k) =>
+          lay(TieredIndex.readTail(s, dir, "postings", PostingsSchema),
+            s"$dir/postings_l1_delta/run=$k")
+          emptyNew("postings_tail")
+          graft.util.IndexCommit.commit(dir, MinorCompactLayout)
+        case TieredIndex.MergeRuns =>
+          lay(TieredIndex.readAboveBase(s, dir, "postings", PostingsSchema),
+            s"$dir/postings_l1_new/run=0")
+          emptyNew("postings_tail")
+          graft.util.IndexCommit.commit(dir, MergeCompactLayout)
+        case TieredIndex.Major =>
+          lay(TieredIndex.read(s, dir, "postings", PostingsSchema),
+            s"$dir/postings_new")
+          emptyNew("postings_l1", "postings_tail")
+          graft.util.IndexCommit.commit(dir, MajorCompactLayout)
       }
-      graft.util.FileTrees.rmTree(aside); graft.util.FileTrees.rmTree(fresh)
     }
-    Files.deleteIfExists(marker)
   }
 
   /** Build-once cache per (application, sf dir) — repeated invocations
@@ -340,7 +351,8 @@ object InvertedIndex {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_merged").toString
       val docs = Tables(s, dir, "documents")
       save(docs.filter(col("doc_id") % 5 =!= 0), d)
-      appendDelta(docs.filter(col("doc_id") % 5 === 0), d)
+      appendDelta(docs.filter(col("doc_id") % 5 === 0), d,
+        batchId = Some("merge-1"))
       d
     })
 
@@ -358,28 +370,37 @@ object InvertedIndex {
     bm25IndexTopk.oracle)
 
   /** Build-once per (application, sf dir): an 80/20 build+fold index
-    * this query COMPACTS on every invocation before probing — measuring
-    * the maintenance rewrite honestly (compaction is idempotent, so
-    * re-compacting the same index is the same full-postings rewrite).
+    * plus a pristine snapshot of the post-fold TAIL — the only tier
+    * state compaction mutates at this shape (tail 20% < base 80% →
+    * Minor).
     */
   private def sessionFoldedIndex(s: SparkSession, dir: String): String =
     builtIdx.computeIfAbsent(s.sparkContext.applicationId + ":folded:" + dir, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_folded").toString
       val docs = Tables(s, dir, "documents")
-      save(docs.filter(col("doc_id") % 5 =!= 0), d)
-      appendDelta(docs.filter(col("doc_id") % 5 === 0), d)
+      save(docs.filter(col("doc_id") % 5 =!= 0), s"$d/work")
+      appendDelta(docs.filter(col("doc_id") % 5 === 0), s"$d/work",
+        batchId = Some("fold-1"))
+      graft.util.FileTrees.copyTree(s"$d/work/postings_tail", s"$d/tail_seed")
       d
     })
 
-  /** Registered maintenance arm: compact the fold-grown postings (one
-    * delta file set per fold, forever) back to one sorted file set per
-    * bucket, then probe. Oracle = the SAME full-corpus BM25 SQL:
-    * compaction must be invisible to retrieval, hash-checked.
+  /** Registered maintenance arm: fold the appended tail into the
+    * tiered layout, then probe. Oracle = the SAME full-corpus BM25
+    * SQL: compaction must be invisible to retrieval, hash-checked.
+    * Each invocation RESETS only the tiers compaction mutates (tail +
+    * level-1 runs) from the pristine snapshot — an O(batch) copy — so
+    * the bench measures one real Minor fold + probe every time, not a
+    * NoOp re-probe of the first invocation's fold.
     */
   val bm25IndexCompactTopk: QueryDef = QueryDef(
     "bm25_index_compact_topk",
     (s, dir) => {
-      val idx = sessionFoldedIndex(s, dir)
+      val root = sessionFoldedIndex(s, dir)
+      val idx = s"$root/work"
+      graft.util.FileTrees.rmTree(s"$idx/postings_l1")
+      graft.util.FileTrees.rmTree(s"$idx/postings_tail")
+      graft.util.FileTrees.copyTree(s"$root/tail_seed", s"$idx/postings_tail")
       compact(s, idx)
       probe(s, idx, Seq("join", "vector", "filter", "dup"))
     },

@@ -552,32 +552,36 @@ object PqOps {
                   nKnown: Option[Long] = None): Unit = {
     val spark = c.sparkSession
     import spark.implicits._
-    val (assignments, centroids) = VectorOps.buildIvf(c, k, iters, nKnown = nKnown)
-    val codebooks = trainCodebooks(c, nKnown)
-    c.join(assignments, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
-    encode(c, codebooks).join(assignments, "vec_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
-    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    (for ((cb, m) <- codebooks.zipWithIndex.toSeq; (ct, j) <- cb.zipWithIndex)
-      yield (m, j, ct.toSeq))
-      .toDF("m", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    graft.util.IndexCommit.assertRenameCommitFs(
+      spark.sessionState.newHadoopConf(), indexDir, "savePqIndex")
+    graft.util.IndexCommit.withWriterLease(indexDir) {
+      // a rebuild must not inherit a previous generation's tails, runs,
+      // or committed-batch tokens (IvfMaintenance.clearMaintenanceState)
+      IvfMaintenance.clearMaintenanceState(indexDir)
+      val (assignments, centroids) = VectorOps.buildIvf(c, k, iters, nKnown = nKnown)
+      val codebooks = trainCodebooks(c, nKnown)
+      c.join(assignments, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+      encode(c, codebooks).join(assignments, "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+      centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+      (for ((cb, m) <- codebooks.zipWithIndex.toSeq; (ct, j) <- cb.zipWithIndex)
+        yield (m, j, ct.toSeq))
+        .toDF("m", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    }
   }
 
   final case class PqIndex(vectors: DataFrame, codes: DataFrame,
                            centroids: DataFrame,
                            codebooks: Array[Array[Array[Double]]])
 
-  private val CodesSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("codes",
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
-    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType)))
-
   /** Codebooks collect to the driver — M × Ks × SubDim doubles, bounded
-    * by construction (the same shape training produced them in).
+    * by construction (the same shape training produced them in). Both
+    * cell-partitioned stores read base ∪ runs ∪ tail (see
+    * [[VectorOps.loadIvfIndex]] — same tiered layout, same read-only
+    * probe contract).
     */
   def loadPqIndex(spark: SparkSession, indexDir: String): PqIndex = {
     val ivf = VectorOps.loadIvfIndex(spark, indexDir)
@@ -585,7 +589,7 @@ object PqOps {
     spark.read.parquet(s"$indexDir/codebooks").collect().foreach { r =>
       cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
-    PqIndex(ivf.vectors, spark.read.schema(CodesSchema).parquet(s"$indexDir/codes"),
+    PqIndex(ivf.vectors, IvfMaintenance.readCodes(spark, indexDir),
       ivf.centroids, cb)
   }
 
@@ -595,25 +599,39 @@ object PqOps {
     * wastes the dominant cost and would silently re-shuffle every old
     * vector's cell). The existing centroids place the batch (map-stage
     * assignCells), the existing codebooks encode it (map-stage encode),
-    * and both cell-partitioned stores APPEND — dynamic partition
-    * overwrite is off, so old files are untouched and a probe sees old
-    * and new vectors in the same cell layout. Caller owns vec_id
-    * uniqueness across batches (as with any append store).
+    * and both cell-partitioned stores take the batch in their flat
+    * level-0 tails under ONE [[graft.util.IndexCommit]] marker
+    * (writer-leased, staged under `vectors_delta/` + `codes_delta/`) —
+    * a crashed or retried update can neither half-append (vectors
+    * landed, codes lost: the ADC scan would silently miss the batch)
+    * nor double-append, and with a `batchId` a re-driven batch is a
+    * no-op. Old files are untouched and a probe sees old and new
+    * vectors in the same layout; [[VectorOps.compactIvfIndex]] folds
+    * the tails into pruned `cell=` dirs on the tiered cadence. Caller
+    * owns vec_id uniqueness across batches (as with any append store).
     */
-  def addToPqIndex(newBatch: DataFrame, indexDir: String): Unit = {
+  def addToPqIndex(newBatch: DataFrame, indexDir: String,
+                   batchId: Option[String] = None): Unit = {
     val spark = newBatch.sparkSession
     val idx = loadPqIndex(spark, indexDir)
     val centroids = idx.centroids.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     require(centroids.nonEmpty,
       s"$indexDir has no centroids — build the index before updating it")
+    graft.util.IndexCommit.assertRenameCommitFs(
+      spark.sessionState.newHadoopConf(), indexDir, "addToPqIndex")
     val assigned = VectorOps.assignCells(newBatch, centroids)
       .select(col("vec_id"), col("cell"))
-    newBatch.join(assigned, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
-    encode(newBatch, idx.codebooks).join(assigned, "vec_id")
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
+    graft.util.IndexCommit.withWriterLease(indexDir) {
+      IvfMaintenance.recover(indexDir)
+      if (!batchId.exists(IvfMaintenance.isBatchCommitted(indexDir, _)))
+        IvfMaintenance.stageAndCommitAdd(indexDir,
+          newBatch.join(assigned, "vec_id")
+            .select(col("vec_id"), col("embedding"), col("cell")),
+          codes = Some(encode(newBatch, idx.codebooks).join(assigned, "vec_id")
+            .select(col("vec_id"), col("codes"), col("cell"))),
+          batchId)
+    }
   }
 
   /** Probe the persisted IVF-PQ index: no k-means, no codebook training,

@@ -477,25 +477,41 @@ object VectorOps {
     * the index instead of joining the full corpus on vec_id.
     */
   def saveIvfIndex(c: DataFrame, indexDir: String, k: Int, iters: Int): Unit = {
-    val (assignments, centroids) = buildIvf(c, k, iters)
-    c.join(assignments, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
-    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    graft.util.IndexCommit.assertRenameCommitFs(
+      c.sparkSession.sessionState.newHadoopConf(), indexDir, "saveIvfIndex")
+    graft.util.IndexCommit.withWriterLease(indexDir) {
+      // a rebuild must not inherit a previous generation's tails, runs,
+      // or committed-batch tokens (a surviving token would silently
+      // no-op a new ingest that reuses a batch id)
+      IvfMaintenance.clearMaintenanceState(indexDir)
+      val (assignments, centroids) = buildIvf(c, k, iters)
+      c.join(assignments, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+      centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    }
   }
 
   /** FAISS-style `add`: fold new vectors into a persisted IVF index by
     * assigning them to the EXISTING centroids — no re-clustering, no
-    * base read, no rewrite. Delta-sized part files append inside the
-    * cell dirs (the vectors table is the index's dominant bytes);
-    * the centroid table is untouched, so every already-planned probe
-    * stays valid. By construction the result is row-identical to
-    * assigning base ∪ delta against the same centroids (spec-pinned);
-    * recall drifts only as far as the delta's distribution does, the
-    * same contract FAISS documents for add-without-retrain — when the
-    * drift grows, rebuild (saveIvfIndex) is the retrain.
+    * base read, no rewrite. The batch stages under `vectors_delta/`
+    * and lands in the flat level-0 tail only under the shared
+    * [[graft.util.IndexCommit]] marker (writer-leased), so a
+    * crashed/retried add can neither half-append nor double-append —
+    * with a `batchId`, a batch already recorded under `committed/` is
+    * a no-op (the exactly-once contract a foreachBatch retry or a
+    * re-run CLI `ann_index_update` needs; the r12 bare
+    * `mode("append")` double-appended here). The centroid table is
+    * untouched, so every already-planned probe stays valid. By
+    * construction the result is row-identical to assigning base ∪
+    * delta against the same centroids (spec-pinned); recall drifts
+    * only as far as the delta's distribution does, the same contract
+    * FAISS documents for add-without-retrain — when the drift grows,
+    * rebuild (saveIvfIndex) is the retrain. [[compactIvfIndex]] folds
+    * the tail back into pruned `cell=` layout on the tiered cadence.
     */
-  def appendIvfIndex(delta: DataFrame, indexDir: String): Unit = {
+  def appendIvfIndex(delta: DataFrame, indexDir: String,
+                     batchId: Option[String] = None): Unit = {
     val s = delta.sparkSession
     val cents: Seq[(Long, Seq[Double])] =
       s.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids")
@@ -508,9 +524,22 @@ object VectorOps {
       throw new IllegalStateException(
         s"$indexDir has no centroids — an untrained index cannot take adds (FAISS contract); build with saveIvfIndex first")
     }
-    assignCells(delta, cents)
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+    graft.util.IndexCommit.assertRenameCommitFs(
+      s.sessionState.newHadoopConf(), indexDir, "appendIvfIndex")
+    graft.util.IndexCommit.withWriterLease(indexDir) {
+      IvfMaintenance.recover(indexDir)
+      if (!batchId.exists(IvfMaintenance.isBatchCommitted(indexDir, _)))
+        IvfMaintenance.stageAndCommitAdd(indexDir,
+          assignCells(delta, cents), codes = None, batchId)
+    }
   }
+
+  /** Size-tiered compaction of a persisted IVF (or IVF-PQ) index —
+    * see [[IvfMaintenance.compact]]. Probe results are identical
+    * before and after (spec-pinned); per-cycle IO follows the tail.
+    */
+  def compactIvfIndex(spark: SparkSession, indexDir: String): Unit =
+    IvfMaintenance.compact(spark, indexDir)
 
   /** `vectors` is the cell-partitioned inverted-list table
     * (vec_id, embedding, cell).
@@ -521,18 +550,17 @@ object VectorOps {
     * corpus writes no parquet parts (only _SUCCESS), and schema
     * inference would fail where an empty frame is the right answer.
     */
-  private val VectorsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("embedding",
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
-    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType)))
-  private val CentroidsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("centroid",
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+  private val CentroidsSchema = IvfMaintenance.CentroidsSchema
 
+  /** `vectors` reads base ∪ level-1 runs ∪ tail (TieredIndex.read):
+    * a probe's cell IN-filter pushes through the union, so the base
+    * and run scans stay statically pruned to probed `cell=` dirs and
+    * only the compaction-bounded flat tail is row-filtered. READ-ONLY
+    * — runs no recovery, so concurrent probes can never destroy a
+    * writer's staged delta (the MinHash probe contract).
+    */
   def loadIvfIndex(spark: SparkSession, indexDir: String): IvfIndex =
-    IvfIndex(spark.read.schema(VectorsSchema).parquet(s"$indexDir/vectors"),
+    IvfIndex(IvfMaintenance.readVectors(spark, indexDir),
       spark.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids"))
 
   /** ANN against a persisted index — no k-means at query time, no base
@@ -750,6 +778,48 @@ object VectorOps {
     oracleGen = Some((s, dir) =>
       s"${ivfReplayCtes(indexCentroids(sessionAppendedIvfIndex(s, dir)), nprobe = 2)}$topkTailSql"))
 
+  /** Build-once per (application, sf dir): an 80%-trained index with
+    * the remaining 20% batch-appended (exactly-once, `batch-1`), plus
+    * a pristine snapshot of the post-append TAIL — the only tier
+    * state compaction mutates.
+    */
+  private def sessionIvfCompactRoot(s: SparkSession, dir: String): String =
+    builtIdx.computeIfAbsent(s.sparkContext.applicationId + ":compact:" + dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+      val c = corpus(s, dir)
+      saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), s"$root/work", k = 10, iters = 2)
+      appendIvfIndex(c.filter(col("vec_id") % 5 === 0), s"$root/work",
+        batchId = Some("batch-1"))
+      graft.util.FileTrees.copyTree(s"$root/work/vectors_tail", s"$root/tail_seed")
+      root
+    })
+
+  /** Registered maintenance arm (completes the IVF family's
+    * build/probe/update/compact parity with the MinHash and BM25
+    * indexes): fold the appended tail into the tiered layout, then
+    * probe — compaction must be invisible to retrieval, hash-checked
+    * against the same full-corpus replay as `ann_ivf_append_topk`.
+    * Each invocation RESETS only the tiers compaction mutates (tail +
+    * level-1 runs) from the pristine snapshot — an O(batch) copy — so
+    * the bench measures one real Minor fold + probe every time, not a
+    * NoOp re-probe of the first invocation's fold (and not the
+    * full-index tree copy the r12 dedup_index_compact registration
+    * paid per call).
+    */
+  val annIvfCompactQuery: QueryDef = QueryDef(
+    "ann_ivf_compact_topk",
+    (s, dir) => {
+      val root = sessionIvfCompactRoot(s, dir)
+      val work = s"$root/work"
+      graft.util.FileTrees.rmTree(s"$work/vectors_l1")
+      graft.util.FileTrees.rmTree(s"$work/vectors_tail")
+      graft.util.FileTrees.copyTree(s"$root/tail_seed", s"$work/vectors_tail")
+      compactIvfIndex(s, work)
+      annIvfIndexed(queriesDf(s, dir, 10), loadIvfIndex(s, work))
+    },
+    oracleGen = Some((s, dir) =>
+      s"${ivfReplayCtes(indexCentroids(loadIvfIndex(s, s"${sessionIvfCompactRoot(s, dir)}/work")), nprobe = 2)}$topkTailSql"))
+
   /** Contrastive-pair mining for embedding/metric training: per anchor,
     * the HARD positive (least-similar same-label vector — the pair a
     * contrastive loss learns most from) and the HARD negative
@@ -806,5 +876,5 @@ object VectorOps {
 
   val all: Seq[QueryDef] =
     Seq(annBrute, annLsh, annIvf, annIvfIndexedQuery, annIvfAppendQuery,
-      dedupEmbedding, contrastive)
+      annIvfCompactQuery, dedupEmbedding, contrastive)
 }

@@ -537,8 +537,19 @@ class JobsE2ESpec extends AnyFunSuite {
     val centroidsAfter = spark.read.parquet(s"$dir/idx/centroids")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(centroidsAfter == centroidsBefore)
-    assert(spark.read.parquet(s"$dir/idx/vectors").count() == emb.count())
-    assert(spark.read.parquet(s"$dir/idx/codes").count() == emb.count())
+    // counts through the tiered read (base ∪ runs ∪ tail) — the batch
+    // lands in the flat tails, the base cell files stay untouched
+    val pq = graft.vector.PqOps.loadPqIndex(spark, s"$dir/idx")
+    assert(pq.vectors.count() == emb.count())
+    assert(pq.codes.count() == emb.count())
+    // a RE-RUN of the same update command is a no-op: the CLI derives
+    // the batch id from the input path, so the crashed-and-retried
+    // ingest can never double-append (the r12 bug this closes)
+    JobRunner.run(spark, JobCli("ann_index_update", s"$dir/batch2", s"$dir/upd2",
+      addInputs = Seq(s"$dir/idx")))
+    val pq2 = graft.vector.PqOps.loadPqIndex(spark, s"$dir/idx")
+    assert(pq2.vectors.count() == emb.count(), "re-run update double-appended")
+    assert(pq2.codes.count() == emb.count())
     // a probe now surfaces odd (new-batch) neighbors too
     emb.filter(col("vec_id") < 3).write.parquet(s"$dir/queries")
     JobRunner.run(spark, JobCli("ann_index_probe", s"$dir/queries", s"$dir/out",
@@ -547,6 +558,14 @@ class JobsE2ESpec extends AnyFunSuite {
     assert(topk.groupBy(_.getLong(0)).values.forall(_.length == 10))
     assert(topk.exists(_.getLong(1) % 2 != 0),
       "no new-batch vector ever surfaced in any top-10")
+    // the compact arm folds the update tail; the probe is unchanged
+    JobRunner.run(spark, JobCli("ann_index_compact", s"$dir/idx", s"$dir/cmp"))
+    JobRunner.run(spark, JobCli("ann_index_probe", s"$dir/queries", s"$dir/out2",
+      addInputs = Seq(s"$dir/idx")))
+    val topk2 = spark.read.parquet(s"$dir/out2/topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(topk2 == topk.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet,
+      "compaction changed CLI probe results")
   }
 
   test("dq job profiles any parquet input, including awkward column names") {

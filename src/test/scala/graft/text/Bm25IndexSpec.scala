@@ -75,13 +75,14 @@ class Bm25IndexSpec extends AnyFunSuite {
     val before = postingsFiles
     InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), merged)
     val after = postingsFiles
-    // every base postings file survives the merge byte-untouched;
-    // delta-sized new files appear beside them
-    before.foreach { case (f, mtime) =>
-      assert(after.contains(f), s"base postings file rewritten: $f")
-      assert(after(f) === mtime, s"base postings file modified: $f")
-    }
-    assert(after.size > before.size, "no delta postings were appended")
+    // every base postings file survives the merge byte-untouched; the
+    // delta lands in the flat level-0 tail (compact owns the re-layout)
+    assert(after == before, "base postings files changed by a fold")
+    val tail = java.nio.file.Files.list(
+      java.nio.file.Paths.get(merged, "postings_tail"))
+    try assert(tail.anyMatch(_.toString.endsWith(".parquet")),
+      "no delta postings were appended to the tail")
+    finally tail.close()
 
     val scratch = java.nio.file.Files.createTempDirectory("bm25_s").toString
     InvertedIndex.save(docs, scratch)
@@ -94,31 +95,41 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("compact folds postings deltas to one file set per bucket; probes identical") {
+  test("compact folds the tail into a pruned level-1 run; probes identical") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables(spark, sf, "documents")
     val dir = java.nio.file.Files.createTempDirectory("bm25_c").toString
     InvertedIndex.save(docs.filter(col("doc_id") % 5 >= 3), dir)
     InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 2), dir)
     InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 1), dir)
-    def files = {
-      val perBucket = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    def baseFiles = {
+      val b = scala.collection.mutable.Map[String, Long]()
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "postings"))
         .filter(_.toString.endsWith(".parquet"))
-        .forEach(p => perBucket(p.getParent.getFileName.toString) += 1)
-      perBucket.toMap
+        .forEach(p => b(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      b.toMap
+    }
+    def tailFiles = {
+      val p0 = java.nio.file.Paths.get(dir, "postings_tail")
+      if (!java.nio.file.Files.isDirectory(p0)) 0L
+      else {
+        val c = new java.util.concurrent.atomic.AtomicLong()
+        java.nio.file.Files.walk(p0)
+          .forEach(p => if (p.toString.endsWith(".parquet")) { c.incrementAndGet(); () })
+        c.get()
+      }
     }
     val terms = Seq("join", "vector", "filter", "dup")
     def topk = InvertedIndex.probe(spark, dir, terms).collect().map(_.toSeq).toSet
-    val (hitsBefore, filesBefore) = (topk, files)
-    // two folds: touched buckets carry up to 3 file generations
-    assert(filesBefore.values.max > 1, s"expected multi-generation buckets: $filesBefore")
+    val (hitsBefore, base0) = (topk, baseFiles)
+    assert(tailFiles > 0, "two folds must leave tail files")
 
+    // tail (2/5 of docs) < base (3/5) → Minor: one new run, base intact
     InvertedIndex.compact(spark, dir)
 
-    assert(files.values.max == 1,
-      s"every bucket must fold to one file set: $files")
-    assert(files.values.sum < filesBefore.values.sum)
+    assert(tailFiles == 0, "minor fold must empty the tail")
+    assert(graft.util.TieredIndex.runIds(dir, "postings") == Seq(0L))
+    assert(baseFiles == base0, "minor fold must not touch base files")
     assert(topk == hitsBefore && topk.nonEmpty,
       "compaction must be invisible to retrieval")
     // maintenance keeps composing: folding the last shard into the
@@ -126,6 +137,12 @@ class Bm25IndexSpec extends AnyFunSuite {
     InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir)
     val scratch = java.nio.file.Files.createTempDirectory("bm25_cs").toString
     InvertedIndex.save(docs, scratch)
+    assert(topk == InvertedIndex.probe(spark, scratch, terms).collect().map(_.toSeq).toSet)
+    // a second cycle folds the new tail too (Minor or Major depending
+    // on the shards' exact row counts — the size policy decides); the
+    // probe must hold across whichever tier state it lands in
+    InvertedIndex.compact(spark, dir)
+    assert(tailFiles == 0)
     assert(topk == InvertedIndex.probe(spark, scratch, terms).collect().map(_.toSeq).toSet)
   }
 
@@ -140,24 +157,31 @@ class Bm25IndexSpec extends AnyFunSuite {
     def topk = InvertedIndex.probe(spark, dir, terms).collect().map(_.toSeq).toSet
     val want = topk
 
-    // crash BEFORE the marker: a torn postings_new must be dropped
+    // crash BEFORE the marker: a torn postings_new is invisible to the
+    // read-only probe and must be dropped by the next maintenance open
     Files.createDirectories(Paths.get(dir, "postings_new", "bucket=0"))
     Files.write(Paths.get(dir, "postings_new", "bucket=0", "part-torn.parquet"),
       Array[Byte](9, 9, 9))
-    assert(topk == want, "unmarked postings_new must be ignored and dropped")
+    assert(topk == want, "probe must not read an unmarked postings_new")
+    InvertedIndex.recoverIndex(dir)
     assert(!Files.exists(Paths.get(dir, "postings_new")))
+    assert(topk == want)
 
-    // crash AFTER the marker mid-swap: the complete postings_new must win
+    // crash AFTER the marker mid-swap: the complete publish set must
+    // win. Reproduce exactly what a Major compact stages — full-corpus
+    // postings_new PLUS the empty replacement tail/l1 dirs (the live
+    // tail still holds the 20% fold; promoting postings_new without
+    // emptying the tail would double those rows)
     val real = Files.createTempDirectory("bm25_ck2").toString
     InvertedIndex.save(docs, real) // full-corpus postings = the compacted target
     Files.move(Paths.get(real, "postings"), Paths.get(dir, "postings_new"))
-    Files.createFile(Paths.get(dir, InvertedIndex.SwapCommitMarker))
-    // the next probe opens the index → recoverSwaps promotes the marked
-    // postings_new (terms/stats already cover the full corpus — the 80%
-    // build + 20% fold — so the swapped set stays mutually consistent)
+    Files.createDirectories(Paths.get(dir, "postings_l1_new"))
+    Files.createDirectories(Paths.get(dir, "postings_tail_new"))
+    Files.write(Paths.get(dir, "_compact_commit"), Array.emptyByteArray)
+    InvertedIndex.recoverIndex(dir)
     val recovered = topk
     assert(!Files.exists(Paths.get(dir, "postings_new")))
-    assert(!Files.exists(Paths.get(dir, InvertedIndex.SwapCommitMarker)))
+    assert(!Files.exists(Paths.get(dir, "_compact_commit")))
     val scratch = Files.createTempDirectory("bm25_ck3").toString
     InvertedIndex.save(docs, scratch)
     assert(recovered ==
@@ -172,22 +196,20 @@ class Bm25IndexSpec extends AnyFunSuite {
       Files.write(Paths.get(dir, name, "TAG"), tag.getBytes)
     }
     def tag(name: String) = new String(Files.readAllBytes(Paths.get(dir, name, "TAG")))
-    // state after: terms fully swapped, crash BEFORE swapDir("stats") —
+    // state after: terms fully swapped, crash BEFORE the stats swap —
     // the exact torn window: live new-terms beside live old-stats, and
-    // one staged delta part-file not yet moved live
+    // one staged delta part-file not yet moved into the tail
     mk("terms", "new"); mk("stats", "old"); mk("stats_new", "new")
-    Files.createDirectories(Paths.get(dir, "postings", "bucket=3"))
-    Files.createDirectories(Paths.get(dir, "postings_delta", "bucket=3"))
-    Files.write(Paths.get(dir, "postings_delta", "bucket=3", "part-x.parquet"),
-      "d".getBytes)
-    Files.createFile(Paths.get(dir, InvertedIndex.SwapCommitMarker))
-    InvertedIndex.recoverSwaps(dir)
+    Files.createDirectories(Paths.get(dir, "postings_delta"))
+    Files.write(Paths.get(dir, "postings_delta", "part-x.parquet"), "d".getBytes)
+    Files.write(Paths.get(dir, "_append_commit"), Array.emptyByteArray)
+    InvertedIndex.recoverIndex(dir)
     assert(tag("terms") == "new" && tag("stats") == "new",
       "marker present: recovery must promote the surviving stats_new")
     assert(!Files.exists(Paths.get(dir, "stats_new")))
-    assert(!Files.exists(Paths.get(dir, InvertedIndex.SwapCommitMarker)))
-    assert(Files.exists(Paths.get(dir, "postings", "bucket=3", "part-x.parquet")),
-      "marker present: staged delta postings must finish moving live")
+    assert(!Files.exists(Paths.get(dir, "_append_commit")))
+    assert(Files.exists(Paths.get(dir, "postings_tail", "part-x.parquet")),
+      "marker present: staged delta postings must finish moving into the tail")
     assert(!Files.exists(Paths.get(dir, "postings_delta")))
   }
 
@@ -203,15 +225,39 @@ class Bm25IndexSpec extends AnyFunSuite {
     // marker — NEITHER _new may be trusted or the pair tears; staged
     // postings are part of the same uncommitted delta
     mk("terms", "old"); mk("stats", "old"); mk("terms_new", "new"); mk("stats_new", "torn")
-    Files.createDirectories(Paths.get(dir, "postings_delta", "bucket=1"))
-    Files.write(Paths.get(dir, "postings_delta", "bucket=1", "part-y.parquet"),
-      "d".getBytes)
-    InvertedIndex.recoverSwaps(dir)
+    Files.createDirectories(Paths.get(dir, "postings_delta"))
+    Files.write(Paths.get(dir, "postings_delta", "part-y.parquet"), "d".getBytes)
+    InvertedIndex.recoverIndex(dir)
     assert(tag("terms") == "old" && tag("stats") == "old",
       "no marker: recovery must keep the old pair and drop every _new")
     assert(!Files.exists(Paths.get(dir, "terms_new")))
     assert(!Files.exists(Paths.get(dir, "stats_new")))
     assert(!Files.exists(Paths.get(dir, "postings_delta")),
       "no marker: the uncommitted staged delta must be dropped whole")
+  }
+
+  test("appendDelta is exactly-once under a batch id; second writer throws") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_once").toString
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir,
+      batchId = Some("b1"))
+    val terms = Seq("join", "vector", "filter", "dup")
+    def topk = InvertedIndex.probe(spark, dir, terms).collect().map(_.toSeq).toSet
+    val want = topk
+    val stats0 = spark.read.parquet(s"$dir/stats").collect()(0).getLong(0)
+    // the retried fold no-ops: postings, terms, AND stats all unchanged
+    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir,
+      batchId = Some("b1"))
+    assert(topk == want, "retried fold changed probe results")
+    assert(spark.read.parquet(s"$dir/stats").collect()(0).getLong(0) == stats0,
+      "retried fold double-counted n_docs")
+    // single-writer contract is enforced, not documented
+    graft.util.IndexCommit.withWriterLease(dir) {
+      intercept[IllegalStateException] {
+        InvertedIndex.appendDelta(docs.limit(1), dir, batchId = Some("b2"))
+      }
+    }
   }
 }

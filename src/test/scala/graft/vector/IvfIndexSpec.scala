@@ -94,19 +94,23 @@ class IvfIndexSpec extends AnyFunSuite {
     val before = vectorFiles
     VectorOps.appendIvfIndex(corpus.filter(col("vec_id") % 5 === 0), dir)
     val after = vectorFiles
-    before.foreach { case (f, m) =>
-      assert(after.get(f).contains(m), s"base cell file rewritten: $f")
-    }
-    assert(after.size > before.size, "no delta cell files appended")
+    // the BASE cell files are byte-untouched: the batch lands in the
+    // flat level-0 tail (compaction owns the re-layout into cell dirs)
+    assert(after == before, "base cell files changed by an append")
+    val tailFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "vectors_tail"))
+    try assert(tailFiles.anyMatch(_.toString.endsWith(".parquet")),
+      "no tail files appended")
+    finally tailFiles.close()
     val centroidsAfter = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     assert(centroidsAfter === centroidsBefore)
     // the appended index row-equals assigning the FULL corpus against
-    // the same centroids (the invariant that keeps probes correct)
-    // raw read (not loadIvfIndex's explicit schema): the cell partition
-    // column infers as int from the directory names — cast for the check
-    val got = spark.read.parquet(s"$dir/vectors")
-      .select(col("vec_id"), col("cell").cast("long"))
+    // the same centroids (the invariant that keeps probes correct);
+    // read through loadIvfIndex — the base ∪ runs ∪ tail union every
+    // probe consumes
+    val got = VectorOps.loadIvfIndex(spark, dir).vectors
+      .select(col("vec_id"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = VectorOps.assignCells(corpus, centroidsBefore)
       .select(col("vec_id"), col("cell"))
