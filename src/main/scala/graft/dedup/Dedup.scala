@@ -1233,8 +1233,9 @@ object Dedup {
     * probe-concurrent: their staged dirs are invisible and the
     * worst-case race UNDER-counts a width, which only widens the
     * candidate set. Schedule compaction from the single maintenance
-    * orchestrator, between probes (or deploy on the manifest protocol,
-    * where readers resolve a consistent snapshot for free).
+    * orchestrator, between probes (or deploy on
+    * graft.util.ManifestCommit's versioned-manifest protocol, where
+    * readers resolve a consistent snapshot for free).
     */
   def compactMinHashIndex(spark: SparkSession, indexDir: String): Unit = {
     import java.nio.file.{Files, Paths}

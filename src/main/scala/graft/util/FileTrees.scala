@@ -8,9 +8,11 @@ import java.nio.file.{Files, Path}
   * implementation of the recursive traversal/close logic instead of a
   * private copy per call site.
   *
-  * Local-fs only by design: these back the single-writer index commit
-  * protocols, whose atomic same-FS renames an object-store deployment
-  * replaces with whole-dir versioning.
+  * Local-fs only by design: these back [[IndexCommit]]'s rename-based
+  * single-writer protocol. An object-store deployment uses
+  * [[ManifestCommit]]'s versioned-manifest protocol instead — no
+  * renames on data paths, create-no-overwrite manifest publishes,
+  * snapshot-isolated readers.
   */
 object FileTrees {
 
