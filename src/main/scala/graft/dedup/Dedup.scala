@@ -1305,6 +1305,23 @@ object Dedup {
     }
   }
 
+  /** Per-tier row mass + the size policy's pending decision for this
+    * index — the maintenance-curve observability hook
+    * (tools/MaintenanceCurve, SCALE.md's per-compaction IO rows).
+    * Read-only; costs three metadata counts.
+    */
+  def compactionTiers(spark: SparkSession, indexDir: String)
+      : (String, graft.util.TieredIndex.TierSizes) = {
+    val sizes = graft.util.TieredIndex.rowSizes(spark, indexDir, "bands", BandsSchema)
+    val action = graft.util.TieredIndex.plan(sizes) match {
+      case graft.util.TieredIndex.NoOp => "NoOp"
+      case graft.util.TieredIndex.Minor(_) => "Minor"
+      case graft.util.TieredIndex.MergeRuns => "MergeRuns"
+      case graft.util.TieredIndex.Major => "Major"
+    }
+    (action, sizes)
+  }
+
   /** Per-band signature row counts across base + tail — the CLI
     * maintenance arms' report frame. Schema-read like the probe: an
     * empty-seeded index has zero part files and inference would throw.
