@@ -1092,10 +1092,13 @@ object Dedup {
     * nBands × MinHashBucketMods (≤1024 at the defaults), a bounded
     * driver collect — pushes as a static partition filter on BOTH the
     * bands read and the widths read, so the probe scans only the index
-    * partitions the batch can collide with. Over-cap anchors fold from
-    * the widths sidecar's touched partitions (sum bw, min aid per
-    * bucket) instead of a full-index aggregate: per-batch probe cost
-    * follows the BATCH, not the accumulated index.
+    * partitions the batch can collide with; a broadcast SEMI-join on
+    * the batch's (band, bucket) keys then drops non-colliding index
+    * rows inside the scan stage, so the scanned mass is never
+    * SHUFFLED. Over-cap anchors fold from the widths sidecar's
+    * touched, colliding rows (sum bw, min aid per bucket) instead of
+    * a full-index aggregate: per-batch probe cost follows the BATCH
+    * and its collisions, not the accumulated index.
     */
   /** The ONE base ∪ L1-runs ∪ tail reader every index consumer goes
     * through (graft.util.TieredIndex.read): partition-pruned base and
@@ -1106,6 +1109,15 @@ object Dedup {
                            schema: org.apache.spark.sql.types.StructType,
                            filter: Option[Column] = None): DataFrame =
     graft.util.TieredIndex.read(spark, indexDir, base, schema, filter)
+
+  /** Over this many distinct (band, bucket) batch keys the probe skips
+    * the broadcast semi-join and falls back to the shuffled candidate
+    * join: 16 M keys × two longs ≈ 256 MB broadcast — the ceiling a
+    * real executor fleet absorbs comfortably; a batch this wide (≥1 M
+    * docs in ONE maintenance step) is no longer a micro-batch and can
+    * afford the index-side shuffle it pays instead.
+    */
+  private val MaxProbeBroadcastKeys = 16L * 1000 * 1000
 
   private def probeWithBands(spark: SparkSession, bandedBatch: DataFrame,
                              indexDir: String, perms: Int,
@@ -1118,7 +1130,28 @@ object Dedup {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ProbeHitSchema)
     val partFilter =
       (col("band").cast("long") * MinHashBucketMods + col("bmod")).isin(touched: _*)
-    val idx0 = readWithTail(spark, indexDir, "bands", BandsSchema, Some(partFilter))
+    // The batch's distinct collision keys, broadcast-SEMI-joined
+    // against both index-side reads BEFORE any exchange: index rows
+    // whose (band, bucket) no batch row carries can never produce a
+    // candidate, so they are dropped inside the scan stage and the
+    // index's mass is scanned (partition-pruned files) but never
+    // SHUFFLED. Without this the candidate join planned as a
+    // sort-merge (the checkpointed batch carries no size stats, so no
+    // auto-broadcast) and shuffled the whole touched index per probe —
+    // measured 8.9 GB of shuffle for a ~700-doc probe against a
+    // 9.6 M-row index, growing linearly with index depth; with it the
+    // probe's shuffle follows the BATCH and its collisions. The keys
+    // frame is |batch| × nBands two-long rows, counted (one bounded
+    // job over the persisted/checkpointed batch) and broadcast only
+    // under [[MaxProbeBroadcastKeys]].
+    val keysDf = bandedBatch.select(col("band"), col("bucket")).distinct()
+    val semiKeys =
+      if (keysDf.count() <= MaxProbeBroadcastKeys) Some(broadcast(keysDf))
+      else None
+    def collidable(df: DataFrame): DataFrame =
+      semiKeys.map(k => df.join(k, Seq("band", "bucket"), "left_semi")).getOrElse(df)
+    val idx0 = collidable(
+      readWithTail(spark, indexDir, "bands", BandsSchema, Some(partFilter)))
       .select(col("band"), col("bucket"),
         col("doc_id").as("idx_id"), col("sig").as("idx_sig"))
     // Degenerate-bucket cap on the INDEX side (the probe-join analogue
@@ -1138,7 +1171,11 @@ object Dedup {
     // in it is found only via its OTHER bands' under-cap buckets —
     // a miss needs every shared band over-cap AND the anchor
     // dissimilar, the multi-band redundancy LSH already relies on.
-    val overCap = readWithTail(spark, indexDir, "widths", WidthsSchema, Some(partFilter))
+    // widths rows for NON-colliding buckets can't gate any candidate —
+    // the same semi-join turns the sidecar fold from O(touched widths)
+    // into O(batch collisions) before its aggregation shuffles
+    val overCap = collidable(
+      readWithTail(spark, indexDir, "widths", WidthsSchema, Some(partFilter)))
       .groupBy(col("band"), col("bucket"))
       .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
       .filter(col("bw") > SimHashMaxBucket)

@@ -38,7 +38,9 @@ object HeavyScale {
     // round-12 additions: the full-index compaction folds and the
     // weighted-teleport rank
     "dedup_index_compact", "bm25_index_compact_topk",
-    "graph_pagerank_weighted")
+    "graph_pagerank_weighted",
+    // round-13 addition: the IVF tiered-compaction arm
+    "ann_ivf_compact_topk")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -96,6 +96,13 @@ object MaintenanceCurve {
         shard(k), idx, hits, batchId = Some(s"crawl-$k")))
       println(f"""[curve] {"stage":"probe_append","crawl":$k,"wall_s":$w%.1f,"shuffle_mb":${m.shuffleWrite.sum / 1e6}%.1f,"peak_task_mem_mb":${m.peakTaskMem.get / 1e6}%.1f}""")
       if (k % compactEvery == 0 || k == nShards - 1) {
+        // a FIXED small batch probed at every depth: the 24/7 cadence's
+        // unit of work. Its wall/shuffle across the curve shows what a
+        // routine micro-batch pays as the index deepens.
+        val small = docs.filter(pmod(col("doc_id"), lit((nShards * 128).toLong)) === 7L)
+        val (smallHits, spw) = timed(
+          graft.dedup.Dedup.dedupAgainstMinHashIndex(small, idx).count())
+        println(f"""[curve] {"stage":"small_probe","after_crawl":$k,"wall_s":$spw%.1f,"shuffle_mb":${m.shuffleWrite.sum / 1e6}%.1f,"hits":$smallHits}""")
         val (action, sizes) = graft.dedup.Dedup.compactionTiers(spark, idx)
         val before = idxFiles
         val refBefore = graft.dedup.Dedup
