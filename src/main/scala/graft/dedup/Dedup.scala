@@ -1122,9 +1122,17 @@ object Dedup {
   private def probeWithBands(spark: SparkSession, bandedBatch: DataFrame,
                              indexDir: String, perms: Int,
                              threshold: Double): DataFrame = {
-    val touched = bandedBatch
-      .select((col("band").cast("long") * MinHashBucketMods + col("bmod")).as("pk"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // ONE bounded job serves both driver artifacts: the touched
+    // (band, bmod) partition set (≤ nBands × MinHashBucketMods values)
+    // and the distinct collision-key count that gates the broadcast
+    // semi-join below — two separate jobs were pure scheduling floor
+    // on the per-probe constant
+    val batchStats = bandedBatch.agg(
+      collect_set(col("band").cast("long") * MinHashBucketMods + col("bmod"))
+        .as("pks"),
+      countDistinct(col("band"), col("bucket")).as("nk")).collect()(0)
+    val touched = batchStats.getSeq[Long](0)
+    val nKeys = batchStats.getLong(1)
     if (touched.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ProbeHitSchema)
@@ -1141,12 +1149,12 @@ object Dedup {
     // measured 8.9 GB of shuffle for a ~700-doc probe against a
     // 9.6 M-row index, growing linearly with index depth; with it the
     // probe's shuffle follows the BATCH and its collisions. The keys
-    // frame is |batch| × nBands two-long rows, counted (one bounded
-    // job over the persisted/checkpointed batch) and broadcast only
-    // under [[MaxProbeBroadcastKeys]].
+    // frame is |batch| × nBands two-long rows, its count folded into
+    // the batch-stats job above, and broadcast only under
+    // [[MaxProbeBroadcastKeys]].
     val keysDf = bandedBatch.select(col("band"), col("bucket")).distinct()
     val semiKeys =
-      if (keysDf.count() <= MaxProbeBroadcastKeys) Some(broadcast(keysDf))
+      if (nKeys <= MaxProbeBroadcastKeys) Some(broadcast(keysDf))
       else None
     def collidable(df: DataFrame): DataFrame =
       semiKeys.map(k => df.join(k, Seq("band", "bucket"), "left_semi")).getOrElse(df)
@@ -1533,8 +1541,8 @@ object Dedup {
       val work = s"$root/work"
       Seq("bands_l1", "widths_l1", "bands_tail", "widths_tail")
         .foreach(n => graft.util.FileTrees.rmTree(s"$work/$n"))
-      graft.util.FileTrees.copyTree(s"$root/bands_tail_seed", s"$work/bands_tail")
-      graft.util.FileTrees.copyTree(s"$root/widths_tail_seed", s"$work/widths_tail")
+      graft.util.FileTrees.copyTreeIfExists(s"$root/bands_tail_seed", s"$work/bands_tail")
+      graft.util.FileTrees.copyTreeIfExists(s"$root/widths_tail_seed", s"$work/widths_tail")
       compactMinHashIndex(s, work)
       // bounded driver artifacts: one count + a 1-row aggregate.
       // n_sig_rows counts the PROBE-VISIBLE mass (base ∪ runs ∪ tail)

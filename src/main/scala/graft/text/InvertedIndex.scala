@@ -381,7 +381,7 @@ object InvertedIndex {
       save(docs.filter(col("doc_id") % 5 =!= 0), s"$d/work")
       appendDelta(docs.filter(col("doc_id") % 5 === 0), s"$d/work",
         batchId = Some("fold-1"))
-      graft.util.FileTrees.copyTree(s"$d/work/postings_tail", s"$d/tail_seed")
+      graft.util.FileTrees.copyTreeIfExists(s"$d/work/postings_tail", s"$d/tail_seed")
       d
     })
 
@@ -400,7 +400,7 @@ object InvertedIndex {
       val idx = s"$root/work"
       graft.util.FileTrees.rmTree(s"$idx/postings_l1")
       graft.util.FileTrees.rmTree(s"$idx/postings_tail")
-      graft.util.FileTrees.copyTree(s"$root/tail_seed", s"$idx/postings_tail")
+      graft.util.FileTrees.copyTreeIfExists(s"$root/tail_seed", s"$idx/postings_tail")
       compact(s, idx)
       probe(s, idx, Seq("join", "vector", "filter", "dup"))
     },

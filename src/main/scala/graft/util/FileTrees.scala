@@ -45,6 +45,12 @@ object FileTrees {
   def copyTree(src: String, dst: String): Unit =
     copyTree(java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
 
+  /** [[copyTree]] when `src` exists; a tier dir that never received a
+    * batch (an empty corpus's tail) simply isn't there — not an error.
+    */
+  def copyTreeIfExists(src: String, dst: String): Unit =
+    if (Files.isDirectory(java.nio.file.Paths.get(src))) copyTree(src, dst)
+
   /** Replace `dir/name` with `dir/${name}_new` via rename-aside:
     * live → `${name}_old`, `_new` → live, old deleted LAST — a crash at
     * any step leaves either the old or the new directory intact under a

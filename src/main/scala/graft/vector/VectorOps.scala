@@ -790,7 +790,7 @@ object VectorOps {
       saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), s"$root/work", k = 10, iters = 2)
       appendIvfIndex(c.filter(col("vec_id") % 5 === 0), s"$root/work",
         batchId = Some("batch-1"))
-      graft.util.FileTrees.copyTree(s"$root/work/vectors_tail", s"$root/tail_seed")
+      graft.util.FileTrees.copyTreeIfExists(s"$root/work/vectors_tail", s"$root/tail_seed")
       root
     })
 
@@ -813,7 +813,7 @@ object VectorOps {
       val work = s"$root/work"
       graft.util.FileTrees.rmTree(s"$work/vectors_l1")
       graft.util.FileTrees.rmTree(s"$work/vectors_tail")
-      graft.util.FileTrees.copyTree(s"$root/tail_seed", s"$work/vectors_tail")
+      graft.util.FileTrees.copyTreeIfExists(s"$root/tail_seed", s"$work/vectors_tail")
       compactIvfIndex(s, work)
       annIvfIndexed(queriesDf(s, dir, 10), loadIvfIndex(s, work))
     },

@@ -40,6 +40,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // same probed-index shape as ann_ivf_indexed_topk (the index was
     // maintained by append instead of rebuilt — identical probe plan)
     "ann_ivf_append_topk",
+    // same probed-index shape again — the tiered work index is reset
+    // and Minor-folded per invocation, the probe is unchanged
+    "ann_ivf_compact_topk",
     // the ≤20-row anchor set broadcast over the corpus scan (same
     // bounded-query-set shape as ann_brute_topk)
     "contrastive_pairs",
