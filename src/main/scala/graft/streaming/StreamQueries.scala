@@ -742,9 +742,118 @@ object StreamQueries {
     },
     Some(graft.dedup.Dedup.minhashStreamProbeOracle(4)))
 
+  /** 24/7 ANN-index maintenance as a drained stream — the IVF
+    * counterpart of [[streamDedupIndexMaintenance]], exercising this
+    * round's exactly-once IVF add under the real foreachBatch cadence:
+    * the embedding corpus splits into deterministic "crawls"
+    * (vec_id % 4), crawl 0 trains + builds the persisted IVF index,
+    * crawls 1-3 arrive as micro-batches (mtime-ordered staged files)
+    * and each batch PROBES the index for its vectors' top-1 neighbors
+    * (nprobe=2 cells, the `ann_index_probe` plan) then APPENDS itself
+    * under its batch id (`ann_index_update`) — hits land before the
+    * index mutates, and a replayed micro-batch can neither double-add
+    * vectors (committed/ token) nor inflate the hit log (batch-keyed
+    * overwrite). Scale shape per batch: one map-stage cell assignment,
+    * one pruned probed-cells join, one flat tail append — centroids
+    * never retrain, the corpus is never re-read. The oracle replays
+    * the whole drain statically with the seed centroids as literals
+    * (VectorOps.ivfStreamMaintenanceOracle): crawl k probes exactly
+    * seed ∪ crawls < k, so the summary is order-free GIVEN the crawl
+    * order, which the hash compare therefore also pins.
+    */
+  private val saimFixed =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Build-once per (application, sf dir): staged crawl files + the
+    * crawl-0 seed index (repeated invocations measure the maintenance
+    * cost, each against a cheap file-copy of the seed).
+    */
+  private def saimInputs(s: org.apache.spark.sql.SparkSession,
+                         dir: String): (String, String) =
+    saimFixed.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+      val embs = graft.util.Tables(s, dir, "embeddings")
+      val sd = java.nio.file.Files.createTempDirectory("graft_saim").toString
+      (1 until 4).foreach { k =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_saim_w")
+        embs.filter(pmod(col("vec_id"), lit(4L)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val st = java.nio.file.Files.list(tmp)
+        val part =
+          try { import scala.jdk.CollectionConverters._
+            st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          } finally st.close()
+        val tgt = java.nio.file.Paths.get(sd, f"crawl-$k%02d.parquet")
+        java.nio.file.Files.move(part, tgt)
+        java.nio.file.Files.setLastModifiedTime(tgt,
+          java.nio.file.attribute.FileTime.fromMillis(1000L * k))
+        graft.util.FileTrees.rmTree(tmp)
+      }
+      val si = java.nio.file.Files.createTempDirectory("graft_saim_seed").toString
+      graft.vector.VectorOps.saveIvfIndex(
+        embs.filter(pmod(col("vec_id"), lit(4L)) === 0), si, k = 10, iters = 2)
+      (sd, si)
+    })
+
+  val streamAnnIndexMaintenance: QueryDef = QueryDef(
+    "stream_ann_index_maintenance",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val embs = graft.util.Tables(s, dir, "embeddings")
+      val (streamDir, seedIdx) = saimInputs(s, dir)
+      // fresh MUTABLE state per invocation: the drain appends into a
+      // file-copy of the seed index, so repeated runs never double-feed
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_saim_idx").toString
+      val hitsDir = java.nio.file.Files.createTempDirectory("graft_saim_hits").toString
+      val rows = try {
+        graft.util.FileTrees.copyTree(seedIdx, idxDir)
+        withStreamPartitions(s) {
+          val q = s.readStream.schema(embs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(streamDir)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              // probe BEFORE append — hits reflect the pre-batch index;
+              // the batchId makes the pair EXACTLY-ONCE under Spark's
+              // at-least-once micro-batch retry
+              graft.vector.VectorOps.annIvfIndexed(
+                batch.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+                graft.vector.VectorOps.loadIvfIndex(s, idxDir),
+                nprobe = 2, topk = 1)
+                .write.mode("overwrite").parquet(s"$hitsDir/batch_id=b$batchId")
+              graft.vector.VectorOps.appendIvfIndex(
+                batch.select(col("vec_id"), col("embedding")), idxDir,
+                batchId = Some(s"b$batchId"))
+            }
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val hits = s.read.parquet(hitsDir)
+          .select(pmod(col("q_id"), lit(4L)).as("crawl"), col("cos"))
+          .groupBy(col("crawl"))
+          .agg(count(lit(1)).as("n_probed"),
+            round(avg(col("cos")), 4).as("avg_top1"))
+        val result = embs
+          .select(pmod(col("vec_id"), lit(4L)).as("crawl"))
+          .filter(col("crawl") >= 1)
+          .groupBy(col("crawl")).agg(count(lit(1)).as("n_vecs"))
+          .join(hits, Seq("crawl"), "left")
+          .select(col("crawl"), col("n_vecs"),
+            coalesce(col("n_probed"), lit(0L)).as("n_probed"),
+            coalesce(col("avg_top1"), lit(0.0)).as("avg_top1"))
+        (result.collect().toSeq, result.schema)
+      } finally Seq(idxDir, hitsDir).foreach(graft.util.FileTrees.rmTree)
+      s.createDataFrame(s.sparkContext.parallelize(rows._1, 1), rows._2)
+    },
+    oracleGen = Some((s, dir) => {
+      val (_, seedIdx) = saimInputs(s, dir)
+      val cents = graft.vector.VectorOps.loadIvfIndex(s, seedIdx).centroids
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      graft.vector.VectorOps.ivfStreamMaintenanceOracle(cents, nCrawls = 4)
+    }))
+
   val all: Seq[QueryDef] =
     Seq(streamWindows, streamSessions, sessionWindowAgg, streamDedup, streamJoin,
       streamCurate, streamFunnel, streamLeftJoin, streamMvMaintenance,
       streamStaticEnrich, streamAsofEnrich, streamScd2Maintenance,
-      streamWarcIngest, streamPrioritySample, streamDedupIndexMaintenance)
+      streamWarcIngest, streamPrioritySample, streamDedupIndexMaintenance,
+      streamAnnIndexMaintenance)
 }

@@ -820,6 +820,66 @@ object VectorOps {
     oracleGen = Some((s, dir) =>
       s"${ivfReplayCtes(indexCentroids(loadIvfIndex(s, s"${sessionIvfCompactRoot(s, dir)}/work")), nprobe = 2)}$topkTailSql"))
 
+  /** Static replay of the streaming IVF maintenance drain
+    * (stream_ann_index_maintenance): crawl k's vectors probe the index
+    * state seed ∪ crawls < k — membership is the id-mod arithmetic;
+    * the cell assignment replays the SEED-trained centroids as
+    * literals (appends never retrain, the FAISS contract, so ONE
+    * centroid table serves every batch's replay); the per-crawl
+    * summary aggregates each query's top-1 candidate cosine. Mirrors
+    * annIvfIndexed exactly: assignment ranks by scaled dot (the
+    * NearestCellConst kernel's argmax), probed cells by full cosine
+    * against the unscaled centroid, candidates by raw cosine with
+    * vec_id ties, rounding only at output.
+    */
+  private[graft] def ivfStreamMaintenanceOracle(
+      cents: Seq[(Long, Seq[Double])], nCrawls: Int): String = {
+    require(cents.nonEmpty, "no centroids to embed (empty corpus)")
+    val scaled = scaledOf(cents).map { case (c, a) => (c, a.toSeq) }
+    s"""WITH sc(cell, svec) AS (VALUES
+          ${vecValuesSql(scaled)}),
+      ct(cell, cvec) AS (VALUES
+          ${vecValuesSql(cents)}),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      asn AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, sc.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.emb, sc.svec) DESC, sc.cell) AS rn
+          FROM e, sc) WHERE rn = 1),
+      pcells AS (SELECT q_id, cell FROM (
+          SELECT e.vec_id AS q_id, ct.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.emb, ct.cvec)
+                     / (sqrt(list_dot_product(e.emb, e.emb))
+                        * sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC,
+                   ct.cell) AS cr
+          FROM e, ct WHERE e.vec_id % $nCrawls >= 1) WHERE cr <= 2),
+      cand AS (SELECT pc.q_id, a.vec_id AS idx_id,
+          list_cosine_similarity(eq.emb, ec.emb) AS cos
+        FROM pcells pc
+        JOIN asn a ON a.cell = pc.cell
+        JOIN e ec ON ec.vec_id = a.vec_id
+        JOIN e eq ON eq.vec_id = pc.q_id
+        WHERE a.vec_id % $nCrawls < pc.q_id % $nCrawls),
+      top1 AS (SELECT q_id, round(cos, 6) AS cos FROM (
+          SELECT q_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, idx_id) AS rn
+          FROM cand) WHERE rn = 1),
+      crawls AS (SELECT unnest(generate_series(1, ${nCrawls - 1})) AS crawl),
+      nv AS (SELECT vec_id % $nCrawls AS crawl, CAST(COUNT(*) AS BIGINT) AS n_vecs
+             FROM embeddings WHERE vec_id % $nCrawls >= 1 GROUP BY 1),
+      pr AS (SELECT q_id % $nCrawls AS crawl,
+                    CAST(COUNT(*) AS BIGINT) AS n_probed,
+                    round(AVG(cos), 4) AS avg_top1
+             FROM top1 GROUP BY 1)
+      SELECT c.crawl, nv.n_vecs,
+             COALESCE(pr.n_probed, 0) AS n_probed,
+             COALESCE(pr.avg_top1, 0.0) AS avg_top1
+      FROM crawls c JOIN nv ON nv.crawl = c.crawl
+      LEFT JOIN pr ON pr.crawl = c.crawl"""
+  }
+
   /** Contrastive-pair mining for embedding/metric training: per anchor,
     * the HARD positive (least-similar same-label vector — the pair a
     * contrastive loss learns most from) and the HARD negative
