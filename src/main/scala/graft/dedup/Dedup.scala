@@ -941,16 +941,10 @@ object Dedup {
     // probe (with possibly different signature params), and surviving
     // committed/ tokens would silently no-op a new crawl that reuses a
     // batch id — the exact dir validateIndexMeta's "rebuild it" remedy
-    // points at
-    {
-      import java.nio.file.{Files, Paths}
-      Seq("bands_tail", "widths_tail", "bands_l1", "widths_l1",
-        "bands_delta", "widths_delta", "bands_l1_delta", "widths_l1_delta",
-        "committed")
-        .foreach(n => graft.util.FileTrees.rmTree(Paths.get(indexDir, n)))
-      Seq(AppendLayout.marker, CompactRecoveryLayout.marker)
-        .foreach(n => Files.deleteIfExists(Paths.get(indexDir, n)))
-    }
+    // points at. The artifact set derives from the layouts themselves
+    // (IndexCommit.clearMaintenanceState), never a hand-kept list.
+    graft.util.IndexCommit.clearMaintenanceState(indexDir,
+      Seq(CompactRecoveryLayout, AppendLayout))
     // one signature pass serves both tables (see stageAndCommitAppend)
     val banded = bandedSignatures(docs, shingleW, perms, rowsPerBand).persist()
     try {
@@ -1079,6 +1073,11 @@ object Dedup {
                                threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
     validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "probing")
+    // self-heal a MARKED commit whose writer died mid-publish (a
+    // compaction's dir swap can leave a live dir transiently missing);
+    // unmarked staging is never touched — see IndexCommit.healMarkedCommit
+    graft.util.IndexCommit.healMarkedCommit(indexDir,
+      Seq(CompactRecoveryLayout, AppendLayout))
     probeWithBands(spark,
       bandedSignatures(newDocs, shingleW, perms, rowsPerBand).localCheckpoint(),
       indexDir, perms, threshold)

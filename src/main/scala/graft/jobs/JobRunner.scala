@@ -83,7 +83,7 @@ object JobCli {
       |        decontam (--add_input EVAL_DOCS)
       |        ann_index_build / ann_index_probe / ann_index_update
       |          (--add_input INDEX_DIR [--batch_id TOKEN: retry-idempotent,
-      |           default = digest of input path]) |
+      |           default = digest of input path + its file listing]) |
       |        ann_index_compact (input = INDEX_DIR: tiered tail fold) |
       |        datacard | heavy_hitters (--top_k K) | chunk | funnel | dq |
       |        compact (--output_option target_mb=N
@@ -206,15 +206,36 @@ final class StageProfiler extends org.apache.spark.scheduler.SparkListener {
 object JobRunner {
 
   /** Default batch id for index-update verbs: a digest of the input
-    * path, so RE-RUNNING the same command (the crashed-orchestrator
-    * retry) hits the index's committed/ token and no-ops instead of
-    * double-appending. Deterministic across JVMs (SHA-1, not
+    * path PLUS its file listing (each file's relative name, length,
+    * mtime), so RE-RUNNING the same command over unchanged input (the
+    * crashed-orchestrator retry) hits the index's committed/ token and
+    * no-ops instead of double-appending — while a staging path that
+    * was REWRITTEN with a new day's content digests differently and
+    * ingests normally. A path-only digest had the second case silently
+    * no-op forever (the common reuse-one-staging-dir orchestrator
+    * pattern would ingest exactly once and then drop every later day
+    * with a green exit code). Deterministic across JVMs (SHA-1, not
     * String.hashCode-family).
     */
-  private def inputDigestBatchId(input: String): String =
-    "add-" + java.security.MessageDigest.getInstance("SHA-1")
-      .digest(input.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString
+  private def inputDigestBatchId(spark: org.apache.spark.sql.SparkSession,
+                                 input: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    def feed(s: String): Unit =
+      { md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); () }
+    feed(input)
+    val root = new org.apache.hadoop.fs.Path(input)
+    val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(root)) {
+      val it = fsys.listFiles(root, /*recursive=*/ true)
+      val entries = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}"
+      }
+      entries.sorted.foreach(feed)
+    }
+    "add-" + md.digest().take(8).map(b => f"$b%02x").mkString
+  }
 
   /** index coordinate selection: --query over the index view, or a
     * pre-extracted coordinate table via --input_table_format
@@ -410,15 +431,16 @@ object JobRunner {
         // the indexed corpus: postings append, terms/stats re-aggregate
         // and swap (text/InvertedIndex.appendDelta) — the per-crawl
         // index-maintenance path, bm25's counterpart of ann_index_update.
-        // Batch id defaults to a digest of the input path so a re-run
-        // of the same command is a no-op, never a double-fold; pass
-        // --batch_id to name batches explicitly.
+        // Batch id defaults to a digest of the input path + file
+        // listing, so a re-run of the same command over unchanged
+        // input is a no-op, never a double-fold; pass --batch_id to
+        // name batches explicitly.
         {
           require(cli.addInputs.nonEmpty,
             "bm25_index_merge needs --add_input <index_dir>")
           graft.text.InvertedIndex.appendDelta(
             spark.read.parquet(cli.input), cli.addInputs.head,
-            batchId = Some(cli.batchId.getOrElse(inputDigestBatchId(cli.input))))
+            batchId = Some(cli.batchId.getOrElse(inputDigestBatchId(spark, cli.input))))
           spark.read.parquet(s"${cli.addInputs.head}/stats")
         }
       case "scd2_build" =>
@@ -544,17 +566,18 @@ object JobRunner {
         // codebooks (two map stages, no retraining) and folds it into
         // the cell-partitioned stores' tails under the exactly-once
         // commit marker — the per-crawl ingest path. The batch id
-        // defaults to a digest of the input path, so RE-RUNNING the
-        // same command (the crashed-orchestrator retry) is a no-op
-        // instead of a silent double-append; pass --batch_id to name
-        // batches explicitly (e.g. when one path is re-ingested with
-        // genuinely new content).
+        // defaults to a digest of the input path + its file listing:
+        // re-running the same command over unchanged input (the
+        // crashed-orchestrator retry) is a no-op instead of a silent
+        // double-append, while a staging path REWRITTEN with new
+        // content digests differently and ingests normally; pass
+        // --batch_id to name batches explicitly.
         {
           require(cli.addInputs.nonEmpty,
             "ann_index_update needs --add_input <index_dir>")
           graft.vector.PqOps.addToPqIndex(
             spark.read.parquet(cli.input), cli.addInputs.head,
-            batchId = Some(cli.batchId.getOrElse(inputDigestBatchId(cli.input))))
+            batchId = Some(cli.batchId.getOrElse(inputDigestBatchId(spark, cli.input))))
           spark.read.parquet(s"${cli.addInputs.head}/centroids")
         }
       case "ann_index_compact" =>

@@ -813,15 +813,28 @@ object StreamQueries {
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
               // probe BEFORE append — hits reflect the pre-batch index;
               // the batchId makes the pair EXACTLY-ONCE under Spark's
-              // at-least-once micro-batch retry
-              graft.vector.VectorOps.annIvfIndexed(
-                batch.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-                graft.vector.VectorOps.loadIvfIndex(s, idxDir),
-                nprobe = 2, topk = 1)
-                .write.mode("overwrite").parquet(s"$hitsDir/batch_id=b$batchId")
-              graft.vector.VectorOps.appendIvfIndex(
-                batch.select(col("vec_id"), col("embedding")), idxDir,
-                batchId = Some(s"b$batchId"))
+              // at-least-once micro-batch retry. The committed-token
+              // check must gate the PROBE too, not just the append: a
+              // batch replayed after its index commit (but before the
+              // stream checkpoint landed) would otherwise overwrite its
+              // hit partition with a probe against the POST-append
+              // index — same-crawl neighbors the first attempt (and the
+              // static oracle) never saw.
+              // finish any crashed prior commit FIRST (the MinHash
+              // drain's order): a batch that died between its marker
+              // and its token must complete before the check below, or
+              // its replay would probe a half-promoted tail
+              graft.vector.VectorOps.recoverIvfIndex(idxDir)
+              if (!graft.util.IndexCommit.isBatchCommitted(idxDir, s"b$batchId")) {
+                graft.vector.VectorOps.annIvfIndexed(
+                  batch.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+                  graft.vector.VectorOps.loadIvfIndex(s, idxDir),
+                  nprobe = 2, topk = 1)
+                  .write.mode("overwrite").parquet(s"$hitsDir/batch_id=b$batchId")
+                graft.vector.VectorOps.appendIvfIndex(
+                  batch.select(col("vec_id"), col("embedding")), idxDir,
+                  batchId = Some(s"b$batchId"))
+              }
             }
             .outputMode("append").start()
           try q.processAllAvailable() finally q.stop()

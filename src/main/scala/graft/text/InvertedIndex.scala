@@ -58,15 +58,10 @@ object InvertedIndex {
       docs.sparkSession.sessionState.newHadoopConf(), dir, "InvertedIndex.save")
     graft.util.IndexCommit.withWriterLease(dir) {
     // a rebuild must not inherit a previous generation's tail, runs,
-    // staging, markers, or committed-batch tokens
-    {
-      import java.nio.file.{Files, Paths}
-      Seq("postings_tail", "postings_l1", "postings_delta",
-        "postings_l1_delta", "committed")
-        .foreach(n => graft.util.FileTrees.rmTree(Paths.get(dir, n)))
-      Seq(AppendLayout.marker, CompactRecoveryLayout.marker)
-        .foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
-    }
+    // staging, markers, or committed-batch tokens; the artifact set
+    // derives from the layouts (IndexCommit.clearMaintenanceState)
+    graft.util.IndexCommit.clearMaintenanceState(dir,
+      Seq(CompactRecoveryLayout, AppendLayout))
     val d = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
     val postings = d
@@ -129,6 +124,13 @@ object InvertedIndex {
   def probe(s: SparkSession, dir: String, terms: Seq[String], k: Int = 10,
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
+    // self-heal a MARKED commit whose writer died mid-publish — the
+    // append layout swaps terms+stats, so a post-marker crash between
+    // the two renames leaves a live dir missing and every probe would
+    // otherwise throw until the next maintenance open; unmarked
+    // staging is never touched (IndexCommit.healMarkedCommit)
+    graft.util.IndexCommit.healMarkedCommit(dir,
+      Seq(CompactRecoveryLayout, AppendLayout))
     val bucketIds = terms.toDF("term").select(bucketOf(col("term")).as("bucket"))
       .distinct().as[Long].collect().toSeq
     val post = graft.util.TieredIndex.read(s, dir, "postings", PostingsSchema,

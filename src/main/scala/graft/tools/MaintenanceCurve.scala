@@ -108,12 +108,16 @@ object MaintenanceCurve {
         val refBefore = graft.dedup.Dedup
           .dedupAgainstMinHashIndex(heldOut, idx).count()
         val (_, cw) = timed(graft.dedup.Dedup.compactMinHashIndex(spark, idx))
+        // capture the compaction's OWN shuffle before the held-out
+        // re-probe runs — the re-probe's bytes would otherwise inflate
+        // the per-compaction IO this tool exists to measure
+        val compactShuffleMb = m.shuffleWrite.sum / 1e6
         val refAfter = graft.dedup.Dedup
           .dedupAgainstMinHashIndex(heldOut, idx).count()
         require(refBefore == refAfter,
           s"compaction changed held-out probe: $refBefore vs $refAfter")
         probeRef = refAfter
-        println(f"""[curve] {"stage":"compact","after_crawl":$k,"action":"$action","base_rows":${sizes.base},"l1_rows":${sizes.l1},"tail_rows":${sizes.tail},"runs":${sizes.runCount},"wall_s":$cw%.1f,"shuffle_mb":${m.shuffleWrite.sum / 1e6}%.1f,"files_before":$before,"files_after":$idxFiles,"probe_hits":$refAfter}""")
+        println(f"""[curve] {"stage":"compact","after_crawl":$k,"action":"$action","base_rows":${sizes.base},"l1_rows":${sizes.l1},"tail_rows":${sizes.tail},"runs":${sizes.runCount},"wall_s":$cw%.1f,"shuffle_mb":$compactShuffleMb%.1f,"files_before":$before,"files_after":$idxFiles,"probe_hits":$refAfter}""")
       }
     }
     println(s"[curve] drained hits: ${spark.read.parquet(hits).count()}, " +

@@ -170,6 +170,48 @@ object IndexCommit {
     Files.deleteIfExists(Paths.get(indexDir, layout.marker)); ()
   }
 
+  /** Remove every maintenance artifact a REBUILD must not inherit from
+    * the previous generation, derived from the index's own layouts
+    * rather than a hand-kept list per index (the duplication-drift
+    * failure mode this module exists to end — a tier dir added to a
+    * Layout but missed in a hand list would make rebuilds silently
+    * inherit stale tail rows or committed tokens): every staging dir
+    * and its promote target (tails, level-1 runs), every swap's
+    * `_new`/`_old` temp, the `committed/` tokens (a surviving token
+    * would silently no-op a new ingest that reuses a batch id), and
+    * the markers. Swap names themselves (the live base tables) are NOT
+    * removed — the rebuild overwrites them.
+    */
+  def clearMaintenanceState(indexDir: String, layouts: Seq[Layout]): Unit = {
+    val dirs = layouts.flatMap(l =>
+      l.staged.flatMap { case (staging, live) => Seq(staging, live) } ++
+        l.swaps.flatMap(n => Seq(s"${n}_new", s"${n}_old"))).distinct :+ "committed"
+    dirs.foreach(n => FileTrees.rmTree(Paths.get(indexDir, n)))
+    layouts.map(_.marker).distinct
+      .foreach(m => Files.deleteIfExists(Paths.get(indexDir, m)))
+  }
+
+  /** Probe-side self-heal for MARKED commits. A writer that dies
+    * between a layout's marker and its last dir swap can leave a live
+    * dir transiently missing (mid-[[FileTrees.swapLive]]: the old dir
+    * moved aside, the new one not yet in place) — the one crash state
+    * a READ-ONLY consumer can observe as an error rather than as
+    * old-or-new rows, and without healing every probe fails until the
+    * next maintenance open runs recovery (hours of query outage in a
+    * probe-heavy, nightly-fold deployment). Marker present + lease
+    * ACQUIRABLE ⇒ the writer is dead and every published artifact is
+    * complete, so FINISHING the commit is the documented recovery and
+    * is safe from any process; lease held ⇒ a live writer is
+    * mid-commit and will finish in moments — do nothing. Marker
+    * absent ⇒ nothing runs: unmarked staging is NEVER touched from a
+    * probe (dropping a live writer's staged delta was the hazard that
+    * made probes read-only in the first place).
+    */
+  def healMarkedCommit(indexDir: String, layouts: Seq[Layout]): Unit =
+    if (layouts.exists(l => Files.exists(Paths.get(indexDir, l.marker))))
+      try withWriterLease(indexDir)(recover(indexDir, layouts))
+      catch { case _: IllegalStateException => () } // live writer owns it
+
   /** Finish (or roll back) any maintenance step interrupted mid-flight;
     * called on every index open under the writer lease. At most one
     * marker exists (the lease serializes writers), but each layout is

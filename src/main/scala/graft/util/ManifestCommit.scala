@@ -116,30 +116,38 @@ object ManifestCommit {
       }.getOrElse(Set.empty))
   }
 
+  private def readManifestFile(f: FileSystem, p: Path): Option[Manifest] = {
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    decode(text)
+  }
+
+  /** Every manifest generation present on disk, newest first, paired
+    * with its decoded content (None = torn). Shared by the reader
+    * resolve, the publish CAS guard, and vacuum — all three must agree
+    * on what exists and what is complete.
+    */
+  private def listManifests(f: FileSystem, indexDir: String)
+      : Seq[(Long, Path, Option[Manifest])] = {
+    val dir = manifestsDir(indexDir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq
+      .map(_.getPath)
+      .flatMap(p => p.getName.stripPrefix("m").toLongOption
+        .filter(_ => p.getName.startsWith("m")).map(g => (g, p)))
+      .sortBy(-_._1)
+      .map { case (g, p) => (g, p, readManifestFile(f, p)) }
+  }
+
   /** Resolve the newest COMPLETE manifest — the reader's snapshot.
     * Torn files (a crashed publish) and non-manifest names are
     * skipped; an index with no manifests reads as [[Empty]].
     */
-  def current(conf: Configuration, indexDir: String): Manifest = {
-    val f = fs(conf, indexDir)
-    val dir = manifestsDir(indexDir)
-    if (!f.exists(dir)) return Empty
-    val gens = f.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("m") => n.stripPrefix("m") }
-      .flatMap(_.toLongOption)
-      .sorted(Ordering[Long].reverse)
-    gens.iterator
-      .flatMap { g =>
-        val p = new Path(dir, s"m$g")
-        val in = f.open(p)
-        val text =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        decode(text)
-      }
-      .nextOption().getOrElse(Empty)
-  }
+  def current(conf: Configuration, indexDir: String): Manifest =
+    listManifests(fs(conf, indexDir), indexDir)
+      .iterator.flatMap(_._3).nextOption().getOrElse(Empty)
 
   def isBatchCommitted(conf: Configuration, indexDir: String,
                        batchId: String): Boolean =
@@ -192,6 +200,27 @@ object ManifestCommit {
       committed = cur.committed ++ batchId)
     val f = fs(conf, indexDir)
     f.mkdirs(manifestsDir(indexDir))
+    // stale-snapshot guard: the target generation must be STRICTLY
+    // above every generation on disk (complete or torn). Without it,
+    // a writer holding a snapshot from before a vacuum could re-claim
+    // a vacuumed generation NUMBER: its create would succeed, but
+    // readers resolve the highest gen, so the "published" manifest
+    // would never become current — a silent lost update through the
+    // very mechanism that is supposed to fail loudly.
+    val existing = listManifests(f, indexDir)
+    if (existing.headOption.exists(_._1 >= next.gen)) {
+      // one self-heal: if the occupant of OUR target gen is a TORN
+      // object (a crashed publish — unreadable to every reader by
+      // construction) and nothing newer exists, clear it and take the
+      // slot. Safe under the single-writer contract (a torn object's
+      // writer is dead; object stores never expose in-progress PUTs),
+      // and without it a torn top manifest would wedge every future
+      // publish forever — the retry re-resolves the same base and
+      // collides with the same dead object.
+      val (topGen, topPath, topContent) = existing.head
+      if (topGen == next.gen && topContent.isEmpty) { f.delete(topPath, false); () }
+      else throw contention(indexDir, next.gen)
+    }
     val p = new Path(manifestsDir(indexDir), s"m${next.gen}")
     val out =
       try f.create(p, /*overwrite=*/ false)
@@ -230,19 +259,16 @@ object ManifestCommit {
   def vacuum(conf: Configuration, indexDir: String, keepGens: Int = 2): Unit = {
     require(keepGens >= 1, "vacuum must keep at least the current generation")
     val f = fs(conf, indexDir)
-    val mdir = manifestsDir(indexDir)
-    if (!f.exists(mdir)) return
-    val all = f.listStatus(mdir).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("m"))
-      .sortBy(p => p.getName.stripPrefix("m").toLongOption.getOrElse(-1L))
-    val kept = all.takeRight(keepGens)
-    val live: Set[String] = kept.flatMap { p =>
-      val in = f.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      decode(text).toSeq.flatMap(_.tables.values.flatten)
-    }.toSet
+    val all = listManifests(f, indexDir) // newest first
+    // kept = the newest keepGens COMPLETE manifests. Torn files do NOT
+    // count toward the window: a torn newest manifest references
+    // nothing, and counting it once deleted every dir the real current
+    // snapshot referenced — total index loss from the crash state the
+    // protocol promises to tolerate.
+    val kept = all.filter(_._3.isDefined).take(keepGens)
+    if (kept.isEmpty) return // nothing complete: nothing is safely known garbage
+    val live: Set[String] =
+      kept.flatMap(_._3).flatMap(_.tables.values.flatten).toSet
     // data dirs live under data/<table>/<dir>
     val dataRoot = new Path(indexDir, "data")
     if (f.exists(dataRoot)) {
@@ -253,6 +279,11 @@ object ManifestCommit {
         }
       }
     }
-    all.dropRight(keepGens).foreach(p => f.delete(p, false))
+    // drop only manifests OLDER than the oldest kept complete gen —
+    // never a newer torn object (publishAt's CAS self-heal owns that;
+    // deleting it here could race the in-flight write that file IS on
+    // a filesystem where partial writes are visible)
+    val floor = kept.last._1
+    all.filter(_._1 < floor).foreach { case (_, p, _) => f.delete(p, false); () }
   }
 }

@@ -93,17 +93,13 @@ private[vector] object IvfMaintenance {
   /** A rebuild into a previously-maintained dir must not inherit the
     * old generation's tails, runs, staging, markers, or committed
     * tokens (a surviving token would silently no-op a new ingest that
-    * reuses a batch id). Called by the save paths under their lease.
+    * reuses a batch id). Called by the save paths under their lease;
+    * the artifact set derives from the layouts
+    * (IndexCommit.clearMaintenanceState).
     */
-  def clearMaintenanceState(indexDir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    Seq("vectors_tail", "codes_tail", "vectors_l1", "codes_l1",
-      "vectors_delta", "codes_delta", "vectors_l1_delta", "codes_l1_delta",
-      "committed")
-      .foreach(n => graft.util.FileTrees.rmTree(Paths.get(indexDir, n)))
-    Seq(AppendLayout.marker, CompactRecoveryLayout.marker)
-      .foreach(n => Files.deleteIfExists(Paths.get(indexDir, n)))
-  }
+  def clearMaintenanceState(indexDir: String): Unit =
+    IndexCommit.clearMaintenanceState(indexDir,
+      Seq(CompactRecoveryLayout, AppendLayout))
 
   /** Stage a fully-assigned (and, for PQ, fully-encoded) batch, then
     * commit it into the tails under the marker. Both parquet writes
@@ -124,8 +120,20 @@ private[vector] object IvfMaintenance {
     IndexCommit.commit(indexDir, AppendLayout, batchId)
   }
 
-  def readVectors(spark: SparkSession, indexDir: String): DataFrame =
+  /** Probe-side self-heal — see [[IndexCommit.healMarkedCommit]]: a
+    * compaction's dir swap can leave `vectors/` transiently missing
+    * after a post-marker crash; loads finish the marked commit (never
+    * touching unmarked staging) instead of failing until the next
+    * maintenance open.
+    */
+  def healMarked(indexDir: String): Unit =
+    IndexCommit.healMarkedCommit(indexDir,
+      Seq(CompactRecoveryLayout, AppendLayout))
+
+  def readVectors(spark: SparkSession, indexDir: String): DataFrame = {
+    healMarked(indexDir)
     TieredIndex.read(spark, indexDir, "vectors", VectorsSchema)
+  }
 
   def readCodes(spark: SparkSession, indexDir: String): DataFrame =
     TieredIndex.read(spark, indexDir, "codes", CodesSchema)

@@ -541,6 +541,18 @@ object VectorOps {
   def compactIvfIndex(spark: SparkSession, indexDir: String): Unit =
     IvfMaintenance.compact(spark, indexDir)
 
+  /** Finish (or roll back) a maintenance step interrupted mid-flight,
+    * under the writer lease — for orchestrators (the streaming drain)
+    * that must complete a crashed prior commit BEFORE their
+    * committed-batch check, so a batch that died between its marker
+    * and its token is finished (and then skipped) rather than probed
+    * against a half-promoted tail.
+    */
+  def recoverIvfIndex(indexDir: String): Unit =
+    graft.util.IndexCommit.withWriterLease(indexDir) {
+      IvfMaintenance.recover(indexDir)
+    }
+
   /** `vectors` is the cell-partitioned inverted-list table
     * (vec_id, embedding, cell).
     */

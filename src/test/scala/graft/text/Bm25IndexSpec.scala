@@ -236,6 +236,28 @@ class Bm25IndexSpec extends AnyFunSuite {
       "no marker: the uncommitted staged delta must be dropped whole")
   }
 
+  test("a probe self-heals a MARKED commit whose writer died mid-swap") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables(spark, sf, "documents")
+    val dir = Files.createTempDirectory("bm25_heal").toString
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir)
+    val terms = Seq("join", "vector", "filter", "dup")
+    val want = InvertedIndex.probe(spark, dir, terms).collect().map(_.toSeq).toSet
+    // fabricate the post-marker mid-swap crash: the writer published
+    // its complete terms_new and died between swapLive's two renames —
+    // live terms/ is MISSING. Before the self-heal, every probe threw
+    // 'Path does not exist' until the next maintenance open.
+    Files.move(Paths.get(dir, "terms"), Paths.get(dir, "terms_new"))
+    Files.write(Paths.get(dir, "_append_commit"), Array.emptyByteArray)
+    val healed = InvertedIndex.probe(spark, dir, terms).collect().map(_.toSeq).toSet
+    assert(healed == want, "probe after self-heal must serve the committed state")
+    assert(Files.exists(Paths.get(dir, "terms")))
+    assert(!Files.exists(Paths.get(dir, "terms_new")))
+    assert(!Files.exists(Paths.get(dir, "_append_commit")))
+  }
+
   test("appendDelta is exactly-once under a batch id; second writer throws") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables(spark, sf, "documents")

@@ -85,10 +85,44 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(readIds(dir) == (0L until 10L).toSet)
     assert(!ManifestCommit.isBatchCommitted(conf, dir, "b2"),
       "a torn publish must not count as committed")
-    // the retried publish must fail LOUDLY on the occupied generation
-    // (single-writer arbitration is the create-no-overwrite race) —
-    // the orchestrator clears the torn object and retries
-    intercept[IllegalStateException] { append(dir, rows(10, 5), "b2") }
+    // vacuum must NOT count the torn file toward the keep window — the
+    // old behavior kept only the torn m2, computed an empty live set,
+    // and deleted every dir the real current snapshot referenced
+    ManifestCommit.vacuum(conf, dir, keepGens = 1)
+    assert(readIds(dir) == (0L until 10L).toSet,
+      "vacuum with a torn newest manifest destroyed the live snapshot")
+    assert(ManifestCommit.current(conf, dir).gen == 1L)
+    // the retried publish SELF-HEALS the torn generation: its occupant
+    // is unreadable to every reader by construction (and its writer is
+    // dead under the single-writer contract), so the retry clears it
+    // and takes the slot — without this the index is write-wedged
+    // forever (every retry re-resolves gen 1 and collides again)
+    append(dir, rows(10, 5), "b2")
+    assert(ManifestCommit.current(conf, dir).gen == 2L)
+    assert(readIds(dir) == (0L until 15L).toSet)
+    assert(ManifestCommit.isBatchCommitted(conf, dir, "b2"))
+  }
+
+  test("a stale writer cannot re-claim a vacuumed generation number") {
+    val dir = java.nio.file.Files.createTempDirectory("mc_stale").toString
+    append(dir, rows(0, 5), "b1")
+    val stale = ManifestCommit.current(conf, dir) // gen 1
+    append(dir, rows(5, 5), "b2")
+    append(dir, rows(10, 5), "b3")
+    ManifestCommit.vacuum(conf, dir, keepGens = 1) // m1, m2 deleted
+    // the stale writer targets gen 2 — the file is GONE, so the bare
+    // create-no-overwrite would succeed, but readers resolve gen 3 and
+    // would never see the "published" manifest: the gen guard must
+    // fail it loudly instead of losing the update silently
+    val d = ManifestCommit.newDataDir(dir, "t")
+    rows(100, 5).write.parquet(s"$dir/$d")
+    intercept[IllegalStateException] {
+      ManifestCommit.publishAt(conf, dir, stale,
+        m => m.copy(tables = m.tables.updated("t", m.table("t") :+ d)),
+        batchId = Some("w"))
+    }
+    assert(readIds(dir) == (0L until 15L).toSet)
+    assert(!ManifestCommit.isBatchCommitted(conf, dir, "w"))
   }
 
   test("two writers racing one generation: exactly one wins, the loser throws") {
