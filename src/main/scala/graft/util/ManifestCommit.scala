@@ -124,13 +124,14 @@ object ManifestCommit {
     decode(text)
   }
 
-  /** Every manifest generation present on disk, newest first, paired
-    * with its decoded content (None = torn). Shared by the reader
-    * resolve, the publish CAS guard, and vacuum — all three must agree
-    * on what exists and what is complete.
+  /** Every manifest generation present on disk, newest first — names
+    * only (one LIST, no reads). Shared by the reader resolve, the
+    * publish CAS guard, and vacuum — all three must agree on what
+    * exists; each decodes only the files it actually needs (readers
+    * stop at the first complete one), keeping the common resolve at
+    * one LIST + one GET on an object store.
     */
-  private def listManifests(f: FileSystem, indexDir: String)
-      : Seq[(Long, Path, Option[Manifest])] = {
+  private def listGens(f: FileSystem, indexDir: String): Seq[(Long, Path)] = {
     val dir = manifestsDir(indexDir)
     if (!f.exists(dir)) return Nil
     f.listStatus(dir).toSeq
@@ -138,16 +139,18 @@ object ManifestCommit {
       .flatMap(p => p.getName.stripPrefix("m").toLongOption
         .filter(_ => p.getName.startsWith("m")).map(g => (g, p)))
       .sortBy(-_._1)
-      .map { case (g, p) => (g, p, readManifestFile(f, p)) }
   }
 
   /** Resolve the newest COMPLETE manifest — the reader's snapshot.
     * Torn files (a crashed publish) and non-manifest names are
     * skipped; an index with no manifests reads as [[Empty]].
     */
-  def current(conf: Configuration, indexDir: String): Manifest =
-    listManifests(fs(conf, indexDir), indexDir)
-      .iterator.flatMap(_._3).nextOption().getOrElse(Empty)
+  def current(conf: Configuration, indexDir: String): Manifest = {
+    val f = fs(conf, indexDir)
+    listGens(f, indexDir).iterator
+      .flatMap { case (_, p) => readManifestFile(f, p) }
+      .nextOption().getOrElse(Empty)
+  }
 
   def isBatchCommitted(conf: Configuration, indexDir: String,
                        batchId: String): Boolean =
@@ -207,7 +210,7 @@ object ManifestCommit {
     // readers resolve the highest gen, so the "published" manifest
     // would never become current — a silent lost update through the
     // very mechanism that is supposed to fail loudly.
-    val existing = listManifests(f, indexDir)
+    val existing = listGens(f, indexDir)
     if (existing.headOption.exists(_._1 >= next.gen)) {
       // one self-heal: if the occupant of OUR target gen is a TORN
       // object (a crashed publish — unreadable to every reader by
@@ -217,8 +220,9 @@ object ManifestCommit {
       // and without it a torn top manifest would wedge every future
       // publish forever — the retry re-resolves the same base and
       // collides with the same dead object.
-      val (topGen, topPath, topContent) = existing.head
-      if (topGen == next.gen && topContent.isEmpty) { f.delete(topPath, false); () }
+      val (topGen, topPath) = existing.head
+      if (topGen == next.gen && readManifestFile(f, topPath).isEmpty)
+        { f.delete(topPath, false); () }
       else throw contention(indexDir, next.gen)
     }
     val p = new Path(manifestsDir(indexDir), s"m${next.gen}")
@@ -259,7 +263,9 @@ object ManifestCommit {
   def vacuum(conf: Configuration, indexDir: String, keepGens: Int = 2): Unit = {
     require(keepGens >= 1, "vacuum must keep at least the current generation")
     val f = fs(conf, indexDir)
-    val all = listManifests(f, indexDir) // newest first
+    // newest first, decoded (vacuum genuinely needs the contents)
+    val all = listGens(f, indexDir)
+      .map { case (g, p) => (g, p, readManifestFile(f, p)) }
     // kept = the newest keepGens COMPLETE manifests. Torn files do NOT
     // count toward the window: a torn newest manifest references
     // nothing, and counting it once deleted every dir the real current
