@@ -657,13 +657,13 @@ object Dedup {
     exactPairsFromExploded(sh, tau, maxDf)
   }
 
-  /** Exact-Jaccard pairs from any exploded (doc_id, s) shingle stream —
-    * the single-scan bounded-collect plan shared by the word-shingle
-    * truth above and the char-shingle truth `dedup_ngram_jaccard`
-    * grades against.
+  /** Shared-shingle pair counts from any exploded (doc_id, s) shingle
+    * stream — (id1 < id2, |A∩B|, |A|, |B|), the single-scan
+    * bounded-collect plan every exact set-similarity flavor derives
+    * from (Jaccard above, directional containment below, the
+    * char-shingle truth `dedup_ngram_jaccard` grades against).
     */
-  private def exactPairsFromExploded(sh: DataFrame, tau: Double,
-                                     maxDf: Int): DataFrame = {
+  private def sharedShingleCounts(sh: DataFrame, maxDf: Int): DataFrame = {
     val grouped = sh.groupBy(col("s"))
       .agg(graft.functions.BoundedLongCollect.boundedCollect(col("doc_id"), maxDf)
         .as("ids"))
@@ -680,10 +680,14 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
       .join(sizes.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")
+  }
+
+  private def exactPairsFromExploded(sh: DataFrame, tau: Double,
+                                     maxDf: Int): DataFrame =
+    sharedShingleCounts(sh, maxDf)
       .select(col("id1"), col("id2"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .filter(col("jac") >= tau)
-  }
 
   private lazy val JaccardShingleCte: String =
     """d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
@@ -708,6 +712,59 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jac"), 6).as("jaccard")),
     Some(s"""WITH $JaccardShingleCte
       SELECT id1, id2, round(jac, 6) AS jaccard FROM pairs"""))
+
+  /** DIRECTIONAL containment pairs: c(A→B) = |shA ∩ shB| / |shA| ≥ τ
+    * means A's shingle set sits (near-)inside B's — the ASYMMETRIC
+    * near-dup Jaccard misses by construction (a paragraph quoted whole
+    * inside a 100× longer aggregator page has J ≈ 0.01 but
+    * containment ≈ 1.0; dropping the contained copy is the standard
+    * training-data hygiene for quote farms / aggregators / boilerplate
+    * wrappers). Same single-scan bounded-collect plan as the exact
+    * Jaccard — both directions of each shared-shingle pair are scored
+    * from the one (inter, |A|, |B|) row, so the asymmetric flavor
+    * costs zero extra shuffles. τ default 0.9 (Lee et al.-style
+    * near-containment); the stop-shingle df cap bounds fan-out exactly
+    * as in [[jaccardExactPairs]]. At 100 TB this exact stage runs on
+    * LSH candidates; registered standalone so the containment math is
+    * hash-checked against DuckDB.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 5, tau: Double = 0.9,
+                       maxDf: Int = 100): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        graft.functions.AsciiWordTokens.tokenHashesCol(col("text")).as("th"))
+      .filter(size(col("th")) >= n)
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes.longWindowHashes(col("th"), n)).as("s"))
+    val counts = sharedShingleCounts(sh, maxDf)
+    counts.select(col("id1").as("doc_id"), col("id2").as("container_id"),
+        (col("inter").cast("double") / col("na")).as("containment"))
+      .union(counts.select(col("id2").as("doc_id"), col("id1").as("container_id"),
+        (col("inter").cast("double") / col("nb")).as("containment")))
+      .filter(col("containment") >= tau)
+  }
+
+  /** The oracle reuses the Jaccard shingle CTEs (string shingles where
+    * Spark joins 64-bit hashes — the Decontam seam) and scores both
+    * directions of each id1<id2 pair; the containment value is ONE
+    * IEEE division of exact integers, bit-identical across engines, so
+    * the raw-threshold + 6dp-rounded-output shape is safe.
+    */
+  val dedupContainment: QueryDef = QueryDef(
+    "dedup_containment",
+    (s, dir) => containmentPairs(Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("container_id"),
+        round(col("containment"), 6).as("containment")),
+    Some(s"""WITH $JaccardShingleCte,
+      dirs AS (
+        SELECT id1 AS doc_id, id2 AS container_id,
+               CAST(inter AS DOUBLE) / sa.n AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = id1
+        UNION ALL
+        SELECT id2, id1, CAST(inter AS DOUBLE) / sb.n
+        FROM inter JOIN sizes sb ON sb.doc_id = id2)
+      SELECT doc_id, container_id, round(containment, 6) AS containment
+      FROM dirs WHERE containment >= 0.9"""))
 
   /** Connected components over the exact pairs, cross-engine graded: the
     * min-label fixpoint is engine-independent (unlike float iteration),
@@ -1588,6 +1645,6 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash, dedupClusters,
-      dedupJaccardExact, dedupClustersExact, dedupSubstring,
-      dedupIndexCompact)
+      dedupJaccardExact, dedupClustersExact, dedupContainment,
+      dedupSubstring, dedupIndexCompact)
 }
