@@ -979,16 +979,22 @@ object Dedup {
       banded
         .select(col("doc_id"), col("bucket"), col("sig"), col("band"), col("bmod"))
         .write.mode("overwrite").parquet(s"$indexDir/bands_delta")
-      banded.groupBy(col("band"), col("bmod"), col("bucket"))
-        .agg(count(lit(1)).as("bw"), min(col("doc_id")).as("aid"))
-        .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
+      widthsOf(banded)
         .write.mode("overwrite").parquet(s"$indexDir/widths_delta")
       graft.util.IndexCommit.commit(indexDir, AppendLayout, batchId)
     } finally { banded.unpersist(blocking = false); () }
   }
 
   def saveMinHashIndex(docs: DataFrame, indexDir: String, shingleW: Int = 5,
-                       perms: Int = 64, rowsPerBand: Int = 4): Unit = {
+                       perms: Int = 64, rowsPerBand: Int = 4,
+                       protocol: graft.util.CommitProtocol =
+                         graft.util.CommitProtocol.Auto): Unit = {
+    val conf = docs.sparkSession.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.forBuild(conf, indexDir, protocol) match {
+      case graft.util.CommitProtocol.Manifest =>
+        return saveMinHashManifest(docs, indexDir, shingleW, perms, rowsPerBand)
+      case _ => ()
+    }
     graft.util.IndexCommit.assertRenameCommitFs(
       docs.sparkSession.sessionState.newHadoopConf(), indexDir,
       "saveMinHashIndex")
@@ -1010,21 +1016,183 @@ object Dedup {
         .sortWithinPartitions(col("bucket"), col("doc_id"))
         .write.mode("overwrite").partitionBy("band", "bmod")
         .parquet(s"$indexDir/bands")
-      banded.groupBy(col("band"), col("bmod"), col("bucket"))
-        .agg(count(lit(1)).as("bw"), min(col("doc_id")).as("aid"))
-        .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
+      widthsOf(banded)
         .repartition(col("band"), col("bmod"))
+        .sortWithinPartitions(col("bucket"))
         .write.mode("overwrite").partitionBy("band", "bmod")
         .parquet(s"$indexDir/widths")
     } finally { banded.unpersist(blocking = false); () }
+    writeIndexMeta(docs.sparkSession, indexDir, shingleW, perms, rowsPerBand)
+    }
+  }
+
+  private def writeIndexMeta(spark: SparkSession, indexDir: String,
+                             shingleW: Int, perms: Int, rowsPerBand: Int): Unit = {
     val fs = indexMetaPath(indexDir).getFileSystem(
-      docs.sparkSession.sessionState.newHadoopConf())
+      spark.sessionState.newHadoopConf())
     val out = fs.create(indexMetaPath(indexDir), true)
     try out.write(minHashMeta(shingleW, perms, rowsPerBand)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    }
   }
+
+  /** The widths sidecar's delta rows for a banded batch — shared by
+    * every lay site (build, append, compaction re-fold).
+    */
+  private def widthsOf(banded: DataFrame): DataFrame =
+    banded.groupBy(col("band"), col("bmod"), col("bucket"))
+      .agg(count(lit(1)).as("bw"), min(col("doc_id")).as("aid"))
+      .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
+
+  // ---- versioned-manifest (object-store) protocol arms ----
+  //
+  // Same tables, same probe join, same size-tiered policy — but every
+  // maintenance step writes FRESH data dirs and publishes ONE new
+  // manifest (graft.util.ManifestCommit), so the protocol needs no
+  // renames, no OS locks, and no marker recovery: exactly what an
+  // S3-class store offers. Probes resolve a manifest SNAPSHOT, which
+  // deletes the rename protocol's probe-vs-compaction scheduling
+  // caveat outright. Level-1 runs are flat (band, bmod, bucket)-sorted
+  // files pruned by parquet footer stats (TieredIndex.layFlatSorted).
+
+  import graft.util.{ManifestCommit, ManifestTiered}
+
+  private def saveMinHashManifest(docs: DataFrame, indexDir: String,
+                                  shingleW: Int, perms: Int,
+                                  rowsPerBand: Int): Unit = {
+    val spark = docs.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    // meta marker first: a reader that can resolve the manifest must
+    // always find the params file (between the two writes the index
+    // reads as empty, which is the honest mid-build state)
+    writeIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand)
+    val banded = bandedSignatures(docs, shingleW, perms, rowsPerBand).persist()
+    try {
+      val bd = ManifestTiered.layDir(spark, indexDir, "bands",
+        banded.select(col("doc_id"), col("bucket"), col("sig"), col("band"), col("bmod")),
+        partitionBy = Seq("band", "bmod"),
+        sortKeys = Seq(col("bucket"), col("doc_id")))
+      val wd = ManifestTiered.layDir(spark, indexDir, "widths",
+        widthsOf(banded), partitionBy = Seq("band", "bmod"),
+        sortKeys = Seq(col("bucket")))
+      // a REBUILD replaces every table and resets the committed-batch
+      // state: a new logical index must not inherit tokens that would
+      // silently no-op a new crawl reusing a batch id (the manifest
+      // generation stays monotone — the stale-writer guard needs it)
+      ManifestCommit.publish(conf, indexDir, m => m.copy(
+        tables = Map("bands" -> Seq(bd), "widths" -> Seq(wd)),
+        committed = Map.empty, writers = Map.empty, floor = 0L)); ()
+    } finally { banded.unpersist(blocking = false); () }
+  }
+
+  private def appendMinHashManifest(banded0: DataFrame, indexDir: String,
+                                    batchId: Option[String]): Unit = {
+    val conf = banded0.sparkSession.sessionState.newHadoopConf()
+    val m = ManifestCommit.current(conf, indexDir)
+    if (batchId.exists(m.isCommitted)) return
+    val banded = banded0.persist()
+    try appendAtManifest(banded, indexDir, m, batchId)
+    finally { banded.unpersist(blocking = false); () }
+  }
+
+  /** Lay the batch's tail dirs and publish against the caller's
+    * resolved snapshot. Cheapest possible lay: flat unsorted tail dirs
+    * (the append's cost follows the batch; compaction owns the
+    * re-sort), both tables landing in ONE publish — atomically, with
+    * the batch id.
+    */
+  private def appendAtManifest(banded: DataFrame, indexDir: String,
+                               m: ManifestCommit.Manifest,
+                               batchId: Option[String]): Unit = {
+    val spark = banded.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val bd = ManifestTiered.layDir(spark, indexDir, "bands.tail",
+      banded.select(col("doc_id"), col("bucket"), col("sig"), col("band"), col("bmod")),
+      partitionBy = Nil, sortKeys = Nil)
+    val wd = ManifestTiered.layDir(spark, indexDir, "widths.tail",
+      widthsOf(banded), partitionBy = Nil, sortKeys = Nil)
+    ManifestCommit.publishAt(conf, indexDir, m, mm =>
+      ManifestCommit.addDir(
+        ManifestCommit.addDir(mm, "bands.tail", bd.dir, bd.rows),
+        "widths.tail", wd.dir, wd.rows),
+      batchId); ()
+  }
+
+  private def compactMinHashManifest(spark: SparkSession,
+                                     indexDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = readIndexMetaText(spark, indexDir)
+    if (!meta.contains(s"hash_family=$MinHashHashFamily\n") ||
+        !meta.contains(s"bucket_mods=$MinHashBucketMods\n"))
+      throw new IllegalStateException(
+        s"MinHash index at $indexDir has an incompatible layout —\n$meta\n" +
+          s"compacting expects hash_family=$MinHashHashFamily and " +
+          s"bucket_mods=$MinHashBucketMods; rebuild with saveMinHashIndex.")
+    val m = ManifestCommit.current(conf, indexDir)
+    val sizes = ManifestTiered.sizes(spark, indexDir, m, "bands", BandsSchema)
+    val action = graft.util.TieredIndex.plan(sizes)
+    if (action == graft.util.TieredIndex.NoOp) return
+    val (bandsRows, widthsRows, mass) = action match {
+      case graft.util.TieredIndex.Minor(_) =>
+        (ManifestTiered.readTail(spark, indexDir, m, "bands", BandsSchema),
+          ManifestTiered.readTail(spark, indexDir, m, "widths", WidthsSchema),
+          sizes.tail)
+      case graft.util.TieredIndex.MergeRuns =>
+        (ManifestTiered.readAboveBase(spark, indexDir, m, "bands", BandsSchema),
+          ManifestTiered.readAboveBase(spark, indexDir, m, "widths", WidthsSchema),
+          sizes.l1 + sizes.tail)
+      case _ =>
+        (ManifestTiered.read(spark, indexDir, m, "bands", BandsSchema),
+          ManifestTiered.read(spark, indexDir, m, "widths", WidthsSchema),
+          sizes.base + sizes.l1 + sizes.tail)
+    }
+    // widths re-fold (sum bw / min aid within the folded mass — readers
+    // re-fold across tiers, so probe results are identical at every
+    // tier state, same as the rename protocol's layWidths)
+    val widthsFolded = widthsRows
+      .groupBy(col("band"), col("bmod"), col("bucket"))
+      .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
+      .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
+    val (bd, wd) = action match {
+      case graft.util.TieredIndex.Major =>
+        (ManifestTiered.layDir(spark, indexDir, "bands", bandsRows,
+          partitionBy = Seq("band", "bmod"),
+          sortKeys = Seq(col("bucket"), col("doc_id"))),
+          ManifestTiered.layDir(spark, indexDir, "widths", widthsFolded,
+            partitionBy = Seq("band", "bmod"), sortKeys = Seq(col("bucket"))))
+      case _ =>
+        (ManifestTiered.layDir(spark, indexDir, ManifestTiered.l1Table("bands"),
+          bandsRows, partitionBy = Nil,
+          sortKeys = Seq(col("band"), col("bmod"), col("bucket"), col("doc_id")),
+          sizeHintRows = mass, rowsPerFile = BandsRowsPerRunFile),
+          ManifestTiered.layDir(spark, indexDir, ManifestTiered.l1Table("widths"),
+            widthsFolded, partitionBy = Nil,
+            sortKeys = Seq(col("band"), col("bmod"), col("bucket")),
+            sizeHintRows = mass, rowsPerFile = WidthsRowsPerRunFile))
+    }
+    ManifestCommit.publishAt(conf, indexDir, m, mm =>
+      ManifestTiered.foldUpdate(
+        ManifestTiered.foldUpdate(mm, "bands", action, bd),
+        "widths", action, wd)); ()
+  }
+
+  private def readIndexMetaText(spark: SparkSession, indexDir: String): String = {
+    val fs = indexMetaPath(indexDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(indexMetaPath(indexDir)))
+      throw new IllegalStateException(
+        s"MinHash index at $indexDir has no _graft_minhash_meta marker; " +
+          s"refusing to compact an unrecognized layout.")
+    val in = fs.open(indexMetaPath(indexDir))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** ~550 B/row (64-long signature): ~1 M rows ≈ a few hundred MB per
+    * run file. Widths rows are 3 longs + 2 ints.
+    */
+  private val BandsRowsPerRunFile = 1L * 1000 * 1000
+  private val WidthsRowsPerRunFile = 8L * 1000 * 1000
 
   /** (doc_id, band, bucket, sig, bmod) for a batch — the rows both the
     * probe and the append consume; computed ONCE per maintenance step.
@@ -1081,14 +1249,19 @@ object Dedup {
                          batchId: Option[String] = None): Unit = {
     validateIndexMeta(newDocs.sparkSession, indexDir,
       shingleW, perms, rowsPerBand, "appending")
-    graft.util.IndexCommit.assertRenameCommitFs(
-      newDocs.sparkSession.sessionState.newHadoopConf(), indexDir,
-      "appendMinHashIndex")
-    graft.util.IndexCommit.withWriterLease(indexDir) {
-      recoverIndex(indexDir)
-      if (!batchId.exists(isBatchCommitted(indexDir, _)))
-        stageAndCommitAppend(indexDir,
-          bandedSignatures(newDocs, shingleW, perms, rowsPerBand), batchId)
+    graft.util.CommitProtocol.ofIndex(
+      newDocs.sparkSession.sessionState.newHadoopConf(), indexDir) match {
+      case graft.util.CommitProtocol.Manifest =>
+        appendMinHashManifest(
+          bandedSignatures(newDocs, shingleW, perms, rowsPerBand),
+          indexDir, batchId)
+      case _ =>
+        graft.util.IndexCommit.withWriterLease(indexDir) {
+          recoverIndex(indexDir)
+          if (!batchId.exists(isBatchCommitted(indexDir, _)))
+            stageAndCommitAppend(indexDir,
+              bandedSignatures(newDocs, shingleW, perms, rowsPerBand), batchId)
+        }
     }
   }
 
@@ -1130,15 +1303,41 @@ object Dedup {
                                threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
     validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "probing")
-    // self-heal a MARKED commit whose writer died mid-publish (a
-    // compaction's dir swap can leave a live dir transiently missing);
-    // unmarked staging is never touched — see IndexCommit.healMarkedCommit
-    graft.util.IndexCommit.healMarkedCommit(indexDir,
-      Seq(CompactRecoveryLayout, AppendLayout))
-    probeWithBands(spark,
-      bandedSignatures(newDocs, shingleW, perms, rowsPerBand).localCheckpoint(),
-      indexDir, perms, threshold)
+    val banded =
+      bandedSignatures(newDocs, shingleW, perms, rowsPerBand).localCheckpoint()
+    graft.util.CommitProtocol.ofIndex(
+      spark.sessionState.newHadoopConf(), indexDir) match {
+      case graft.util.CommitProtocol.Manifest =>
+        // readers resolve ONE manifest snapshot — consistent across any
+        // concurrent append/compact/vacuum, no healing needed (a crashed
+        // manifest writer leaves only invisible garbage)
+        val m = graft.util.ManifestCommit.current(
+          spark.sessionState.newHadoopConf(), indexDir)
+        probeWithBands(spark, banded, manifestReader(spark, indexDir, m),
+          perms, threshold)
+      case _ =>
+        // self-heal a MARKED commit whose writer died mid-publish (a
+        // compaction's dir swap can leave a live dir transiently missing);
+        // unmarked staging is never touched — see IndexCommit.healMarkedCommit
+        graft.util.IndexCommit.healMarkedCommit(indexDir,
+          Seq(CompactRecoveryLayout, AppendLayout))
+        probeWithBands(spark, banded, renameReader(spark, indexDir),
+          perms, threshold)
+    }
   }
+
+  /** The two probe-side index readers, one per commit protocol — both
+    * present base ∪ level-1 runs ∪ tail behind the same (table, schema,
+    * filter) shape so [[probeWithBands]] is protocol-blind.
+    */
+  private def renameReader(spark: SparkSession, indexDir: String)
+      : (String, org.apache.spark.sql.types.StructType, Option[Column]) => DataFrame =
+    (t, sch, f) => readWithTail(spark, indexDir, t, sch, f)
+
+  private def manifestReader(spark: SparkSession, indexDir: String,
+                             m: graft.util.ManifestCommit.Manifest)
+      : (String, org.apache.spark.sql.types.StructType, Option[Column]) => DataFrame =
+    (t, sch, f) => graft.util.ManifestTiered.read(spark, indexDir, m, t, sch, f)
 
   /** The probe join itself, over precomputed (doc_id, band, bucket, sig,
     * bmod) batch rows. Meta validation / recovery are the caller's
@@ -1176,7 +1375,9 @@ object Dedup {
   private val MaxProbeBroadcastKeys = 16L * 1000 * 1000
 
   private def probeWithBands(spark: SparkSession, bandedBatch: DataFrame,
-                             indexDir: String, perms: Int,
+                             readIdx: (String, org.apache.spark.sql.types.StructType,
+                               Option[Column]) => DataFrame,
+                             perms: Int,
                              threshold: Double): DataFrame = {
     // ONE bounded job serves both driver artifacts: the touched
     // (band, bmod) partition set (≤ nBands × MinHashBucketMods values)
@@ -1192,8 +1393,16 @@ object Dedup {
     if (touched.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ProbeHitSchema)
+    // exact pair pruning PLUS the per-column envelopes: the pair
+    // expression prunes the partitioned base's dirs precisely, but
+    // parquet can only push DIRECT column predicates to row-group
+    // stats — the band/bmod isin conjuncts are what let the flat
+    // (band, bmod, bucket)-sorted level-1 runs and tail skip row
+    // groups instead of being scanned whole per probe
     val partFilter =
-      (col("band").cast("long") * MinHashBucketMods + col("bmod")).isin(touched: _*)
+      col("band").isin(touched.map(p => (p / MinHashBucketMods).toInt).distinct: _*) &&
+        col("bmod").isin(touched.map(p => (p % MinHashBucketMods).toInt).distinct: _*) &&
+        (col("band").cast("long") * MinHashBucketMods + col("bmod")).isin(touched: _*)
     // The batch's distinct collision keys, broadcast-SEMI-joined
     // against both index-side reads BEFORE any exchange: index rows
     // whose (band, bucket) no batch row carries can never produce a
@@ -1215,7 +1424,7 @@ object Dedup {
     def collidable(df: DataFrame): DataFrame =
       semiKeys.map(k => df.join(k, Seq("band", "bucket"), "left_semi")).getOrElse(df)
     val idx0 = collidable(
-      readWithTail(spark, indexDir, "bands", BandsSchema, Some(partFilter)))
+      readIdx("bands", BandsSchema, Some(partFilter)))
       .select(col("band"), col("bucket"),
         col("doc_id").as("idx_id"), col("sig").as("idx_sig"))
     // Degenerate-bucket cap on the INDEX side (the probe-join analogue
@@ -1239,7 +1448,7 @@ object Dedup {
     // the same semi-join turns the sidecar fold from O(touched widths)
     // into O(batch collisions) before its aggregation shuffles
     val overCap = collidable(
-      readWithTail(spark, indexDir, "widths", WidthsSchema, Some(partFilter)))
+      readIdx("widths", WidthsSchema, Some(partFilter)))
       .groupBy(col("band"), col("bucket"))
       .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
       .filter(col("bw") > SimHashMaxBucket)
@@ -1288,24 +1497,41 @@ object Dedup {
                                  batchId: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
     validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "maintaining")
-    graft.util.IndexCommit.assertRenameCommitFs(
-      spark.sessionState.newHadoopConf(), indexDir, "probeAndAppendMinHashIndex")
-    graft.util.IndexCommit.withWriterLease(indexDir) {
-      recoverIndex(indexDir)
-      if (!batchId.exists(isBatchCommitted(indexDir, _))) {
-        val banded = bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist()
-        try {
-          val hits = probeWithBands(spark, banded, indexDir, perms, threshold)
-          // hits ALWAYS land under a batch_id partition — mixing flat and
-          // partitioned layouts in one hitsOut dir is a read-time error
-          // ("Conflicting directory structures"), so a batch-less call
-          // gets a generated unique token instead of a root-level append
-          val bid = batchId.getOrElse(
-            s"adhoc-${java.util.UUID.randomUUID().toString.take(12)}")
-          hits.write.mode("overwrite").parquet(s"$hitsOut/batch_id=$bid")
-          stageAndCommitAppend(indexDir, banded, batchId)
-        } finally { banded.unpersist(blocking = false); () }
-      }
+    // hits ALWAYS land under a batch_id partition — mixing flat and
+    // partitioned layouts in one hitsOut dir is a read-time error
+    // ("Conflicting directory structures"), so a batch-less call
+    // gets a generated unique token instead of a root-level append
+    def hitsBid = batchId.getOrElse(
+      s"adhoc-${java.util.UUID.randomUUID().toString.take(12)}")
+    graft.util.CommitProtocol.ofIndex(
+      spark.sessionState.newHadoopConf(), indexDir) match {
+      case graft.util.CommitProtocol.Manifest =>
+        val conf = spark.sessionState.newHadoopConf()
+        val m = ManifestCommit.current(conf, indexDir)
+        if (!batchId.exists(m.isCommitted)) {
+          val banded = bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist()
+          try {
+            val hits = probeWithBands(spark, banded,
+              manifestReader(spark, indexDir, m), perms, threshold)
+            hits.write.mode("overwrite").parquet(s"$hitsOut/batch_id=$hitsBid")
+            // the append publishes against the SAME snapshot the probe
+            // read — the CAS fails loudly if anything landed in between
+            appendAtManifest(banded, indexDir, m, batchId)
+          } finally { banded.unpersist(blocking = false); () }
+        }
+      case _ =>
+        graft.util.IndexCommit.withWriterLease(indexDir) {
+          recoverIndex(indexDir)
+          if (!batchId.exists(isBatchCommitted(indexDir, _))) {
+            val banded = bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist()
+            try {
+              val hits = probeWithBands(spark, banded,
+                renameReader(spark, indexDir), perms, threshold)
+              hits.write.mode("overwrite").parquet(s"$hitsOut/batch_id=$hitsBid")
+              stageAndCommitAppend(indexDir, banded, batchId)
+            } finally { banded.unpersist(blocking = false); () }
+          }
+        }
     }
   }
 
@@ -1339,6 +1565,12 @@ object Dedup {
     * readers resolve a consistent snapshot for free).
     */
   def compactMinHashIndex(spark: SparkSession, indexDir: String): Unit = {
+    graft.util.CommitProtocol.ofIndex(
+      spark.sessionState.newHadoopConf(), indexDir) match {
+      case graft.util.CommitProtocol.Manifest =>
+        return compactMinHashManifest(spark, indexDir)
+      case _ => ()
+    }
     import java.nio.file.{Files, Paths}
     val metaP = Paths.get(indexDir, "_graft_minhash_meta")
     if (!Files.exists(metaP))
@@ -1360,39 +1592,57 @@ object Dedup {
     graft.util.IndexCommit.assertRenameCommitFs(
       spark.sessionState.newHadoopConf(), indexDir, "compactMinHashIndex")
     import graft.util.TieredIndex
-    // one sorted (band, bmod)-partitioned file set from `rows`
+    // the BASE keeps the (band, bmod) partition-dir tree (statically
+    // pruned, rewritten only at the ratio trip); LEVEL-1 RUNS are laid
+    // as flat (band, bmod, bucket)-sorted files instead — a Minor
+    // fold's cost floor used to be the 2×(partition count)-dir commit
+    // (~5.8 s at ANY toy SF, rows irrelevant), while flat runs are one
+    // small write pruned by parquet footer stats on the probe's direct
+    // band/bmod predicates (see TieredIndex.layFlatSorted)
     def layBands(rows: DataFrame, path: String): Unit =
       rows.repartition(col("band"), col("bmod"))
         .sortWithinPartitions(col("bucket"), col("doc_id"))
         .write.mode("overwrite").partitionBy("band", "bmod").parquet(path)
-    def layWidths(rows: DataFrame, path: String): Unit =
+    def foldWidths(rows: DataFrame): DataFrame =
       rows.groupBy(col("band"), col("bmod"), col("bucket"))
         .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
         .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
+    def layWidths(rows: DataFrame, path: String): Unit =
+      foldWidths(rows)
         .repartition(col("band"), col("bmod"))
         .write.mode("overwrite").partitionBy("band", "bmod").parquet(path)
+    def layBandsRun(rows: DataFrame, path: String, mass: Long): Unit =
+      TieredIndex.layFlatSorted(rows, path,
+        Seq(col("band"), col("bmod"), col("bucket"), col("doc_id")),
+        mass, BandsRowsPerRunFile)
+    def layWidthsRun(rows: DataFrame, path: String, mass: Long): Unit =
+      TieredIndex.layFlatSorted(foldWidths(rows), path,
+        Seq(col("band"), col("bmod"), col("bucket")),
+        mass, WidthsRowsPerRunFile)
     // empty replacement dirs, created BEFORE the marker so the swap set
     // is complete when the decision point appears
     def emptyNew(names: String*): Unit =
       names.foreach(n => Files.createDirectories(Paths.get(indexDir, s"${n}_new")))
     graft.util.IndexCommit.withWriterLease(indexDir) {
       recoverIndex(indexDir)
-      TieredIndex.plan(spark, indexDir, "bands", BandsSchema) match {
+      val (action, sizes) =
+        TieredIndex.planWithSizes(spark, indexDir, "bands", BandsSchema)
+      action match {
         case TieredIndex.NoOp => ()
         case TieredIndex.Minor(k) =>
-          layBands(TieredIndex.readTail(spark, indexDir, "bands", BandsSchema),
-            s"$indexDir/bands_l1_delta/run=$k")
-          layWidths(TieredIndex.readTail(spark, indexDir, "widths", WidthsSchema),
-            s"$indexDir/widths_l1_delta/run=$k")
+          layBandsRun(TieredIndex.readTail(spark, indexDir, "bands", BandsSchema),
+            s"$indexDir/bands_l1_delta/run=$k", sizes.tail)
+          layWidthsRun(TieredIndex.readTail(spark, indexDir, "widths", WidthsSchema),
+            s"$indexDir/widths_l1_delta/run=$k", sizes.tail)
           emptyNew("bands_tail", "widths_tail")
           graft.util.IndexCommit.commit(indexDir, MinorCompactLayout)
         case TieredIndex.MergeRuns =>
-          layBands(
+          layBandsRun(
             TieredIndex.readAboveBase(spark, indexDir, "bands", BandsSchema),
-            s"$indexDir/bands_l1_new/run=0")
-          layWidths(
+            s"$indexDir/bands_l1_new/run=0", sizes.l1 + sizes.tail)
+          layWidthsRun(
             TieredIndex.readAboveBase(spark, indexDir, "widths", WidthsSchema),
-            s"$indexDir/widths_l1_new/run=0")
+            s"$indexDir/widths_l1_new/run=0", sizes.l1 + sizes.tail)
           emptyNew("bands_tail", "widths_tail")
           graft.util.IndexCommit.commit(indexDir, MergeCompactLayout)
         case TieredIndex.Major =>
@@ -1413,7 +1663,15 @@ object Dedup {
     */
   def compactionTiers(spark: SparkSession, indexDir: String)
       : (String, graft.util.TieredIndex.TierSizes) = {
-    val sizes = graft.util.TieredIndex.rowSizes(spark, indexDir, "bands", BandsSchema)
+    val sizes = graft.util.CommitProtocol.ofIndex(
+      spark.sessionState.newHadoopConf(), indexDir) match {
+      case graft.util.CommitProtocol.Manifest =>
+        val m = ManifestCommit.current(
+          spark.sessionState.newHadoopConf(), indexDir)
+        ManifestTiered.sizes(spark, indexDir, m, "bands", BandsSchema)
+      case _ =>
+        graft.util.TieredIndex.rowSizes(spark, indexDir, "bands", BandsSchema)
+    }
     val action = graft.util.TieredIndex.plan(sizes) match {
       case graft.util.TieredIndex.NoOp => "NoOp"
       case graft.util.TieredIndex.Minor(_) => "Minor"
@@ -1427,9 +1685,17 @@ object Dedup {
     * maintenance arms' report frame. Schema-read like the probe: an
     * empty-seeded index has zero part files and inference would throw.
     */
-  def indexBandCounts(spark: SparkSession, indexDir: String): DataFrame =
-    readWithTail(spark, indexDir, "bands", BandsSchema)
-      .groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
+  def indexBandCounts(spark: SparkSession, indexDir: String): DataFrame = {
+    val rows = graft.util.CommitProtocol.ofIndex(
+      spark.sessionState.newHadoopConf(), indexDir) match {
+      case graft.util.CommitProtocol.Manifest =>
+        val m = ManifestCommit.current(
+          spark.sessionState.newHadoopConf(), indexDir)
+        ManifestTiered.read(spark, indexDir, m, "bands", BandsSchema)
+      case _ => readWithTail(spark, indexDir, "bands", BandsSchema)
+    }
+    rows.groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
+  }
 
   /** Exact-substring duplication mass (Lee et al. 2021's suffix-array
     * recipe, re-expressed for a shared-nothing engine): a duplicated
@@ -1643,8 +1909,72 @@ object Dedup {
         CAST(COUNT(DISTINCT new_id) AS BIGINT) AS n_dup_docs
       FROM est"""))
 
+  /** Build-once per (application, sf dir): the manifest-protocol seed
+    * (crawls 0-1 built, crawl 2 appended under a batch id) and the
+    * post-append generation number — the snapshot each invocation
+    * rewinds to.
+    */
+  private val dimFixed =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** The SAME maintenance arm as dedup_index_compact, run on the
+    * versioned-manifest (object-store) commit protocol: build crawls
+    * 0-1 with `protocol = Manifest`, fold crawl 2's appended tail
+    * (Minor — one flat sorted run, one manifest publish), probe crawl
+    * 3 against the compacted index. The oracle is dedup_index_compact's
+    * static replay verbatim — the commit protocol must be invisible to
+    * retrieval, hash-checked. Each invocation rewinds the index to the
+    * post-append snapshot by dropping the manifests the previous fold
+    * published and vacuuming their dirs (generation time-travel — an
+    * O(fold output) reset the versioned protocol gives for free), so
+    * the bench measures one real Minor fold + probe every time.
+    */
+  val dedupIndexManifest: QueryDef = QueryDef(
+    "dedup_index_manifest",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val conf = s.sessionState.newHadoopConf()
+      val (work, seedGen) = dimFixed.computeIfAbsent(
+        s.sparkContext.applicationId + ":" + dir, _ => {
+          val rt = java.nio.file.Files.createTempDirectory("graft_dim").toString
+          saveMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) <= 1L),
+            s"$rt/work", protocol = graft.util.CommitProtocol.Manifest)
+          appendMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) === 2L),
+            s"$rt/work", batchId = Some("crawl-2"))
+          (s"$rt/work", ManifestCommit.current(conf, s"$rt/work").gen)
+        })
+      // rewind to the post-append snapshot: drop newer generations,
+      // then GC the dirs only they referenced (bench-harness
+      // time-travel, NOT a production op — production never deletes a
+      // published manifest)
+      val mdir = java.nio.file.Paths.get(work, "_manifests")
+      java.nio.file.Files.list(mdir).forEach { p =>
+        val g = p.getFileName.toString.stripPrefix("m").toLongOption
+        if (g.exists(_ > seedGen)) java.nio.file.Files.delete(p)
+      }
+      ManifestCommit.vacuum(conf, work, keepGens = 1, graceMs = 0L)
+      compactMinHashIndex(s, work)
+      val m = ManifestCommit.current(conf, work)
+      val nSig = ManifestTiered.read(s, work, m, "bands", BandsSchema).count()
+      val h = dedupAgainstMinHashIndex(
+          docs.filter(pmod(col("doc_id"), lit(4L)) === 3L), work)
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("new_id")).as("n_dup_docs"))
+        .collect()(0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_sig_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_hits",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_dup_docs",
+          org.apache.spark.sql.types.LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(nSig, h.getLong(0), h.getLong(1))), 1), schema)
+    },
+    dedupIndexCompact.oracle)
+
   val all: Seq[QueryDef] =
     Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash, dedupClusters,
       dedupJaccardExact, dedupClustersExact, dedupContainment,
-      dedupSubstring, dedupIndexCompact)
+      dedupSubstring, dedupIndexCompact, dedupIndexManifest)
 }

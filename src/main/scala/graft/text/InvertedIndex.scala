@@ -53,7 +53,14 @@ object InvertedIndex {
     * text — costs one compact (term, doc_id, dl, tf) materialization
     * and pays the corpus scan exactly once per build.
     */
-  def save(docs: DataFrame, dir: String): Unit = {
+  def save(docs: DataFrame, dir: String,
+           protocol: graft.util.CommitProtocol =
+             graft.util.CommitProtocol.Auto): Unit = {
+    val conf = docs.sparkSession.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.forBuild(conf, dir, protocol) match {
+      case graft.util.CommitProtocol.Manifest => return saveManifest(docs, dir)
+      case _ => ()
+    }
     graft.util.IndexCommit.assertRenameCommitFs(
       docs.sparkSession.sessionState.newHadoopConf(), dir, "InvertedIndex.save")
     graft.util.IndexCommit.withWriterLease(dir) {
@@ -62,14 +69,7 @@ object InvertedIndex {
     // derives from the layouts (IndexCommit.clearMaintenanceState)
     graft.util.IndexCommit.clearMaintenanceState(dir,
       Seq(CompactRecoveryLayout, AppendLayout))
-    val d = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
-    val postings = d
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", bucketOf(col("term")))
-      .persist()
+    val postings = tokenizedPostings(docs).persist()
     try {
       postings
         .repartition(col("bucket"))
@@ -79,17 +79,144 @@ object InvertedIndex {
       postings.groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
         .repartition(col("bucket")).sortWithinPartitions(col("term"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
-      // stats without re-tokenizing: n_docs from the base table's id
-      // column (zero-token docs have no postings row but DO count toward
-      // n_docs/avgdl); total_dl from one (doc_id, dl) row per posted doc
-      // — a dl > 0 doc always has ≥1 posting, a dl = 0 doc adds 0
-      docs.select(col("doc_id")).agg(count(lit(1)).as("n_docs"))
-        .crossJoin(postings.select(col("doc_id"), col("dl"))
-          .dropDuplicates("doc_id")
-          .agg(coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
-        .write.mode("overwrite").parquet(s"$dir/stats")
+      statsOf(docs, postings).write.mode("overwrite").parquet(s"$dir/stats")
     } finally postings.unpersist(blocking = false)
     }
+  }
+
+  /** One tokenize pass → (term, doc_id, dl, tf, bucket) — shared by
+    * build and delta fold on both commit protocols.
+    */
+  private def tokenizedPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term")))
+
+  /** Corpus stats without re-tokenizing: n_docs from the base table's
+    * id column (zero-token docs have no postings row but DO count
+    * toward n_docs/avgdl); total_dl from one (doc_id, dl) row per
+    * posted doc — a dl > 0 doc always has ≥1 posting, a dl = 0 doc
+    * adds 0.
+    */
+  private def statsOf(docs: DataFrame, postings: DataFrame): DataFrame =
+    docs.select(col("doc_id")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(postings.select(col("doc_id"), col("dl"))
+        .dropDuplicates("doc_id")
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
+
+  // ---- versioned-manifest (object-store) protocol arms ----
+  //
+  // Tables: `postings` tiered (base partitioned by bucket; flat sorted
+  // L1 runs; flat tail), `terms` and `stats` replaced wholesale on
+  // every fold — the pair rides the SAME publish as the postings
+  // delta, so new-terms/old-stats can never co-exist (the atomicity
+  // the rename protocol needs a marker for, a single manifest file
+  // gives outright). Probes resolve one snapshot — compaction and
+  // vacuum are invisible to them by construction.
+
+  import graft.util.{ManifestCommit, ManifestTiered}
+
+  private def saveManifest(docs: DataFrame, dir: String): Unit = {
+    val s = docs.sparkSession
+    val conf = s.sessionState.newHadoopConf()
+    val postings = tokenizedPostings(docs).persist()
+    try {
+      val pd = ManifestTiered.layDir(s, dir, "postings", postings,
+        partitionBy = Seq("bucket"), sortKeys = Seq(col("term"), col("doc_id")))
+      val td = ManifestTiered.layDir(s, dir, "terms",
+        postings.groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
+          .select(col("term"), col("df"), col("bucket")),
+        partitionBy = Seq("bucket"), sortKeys = Seq(col("term")))
+      val sd = ManifestTiered.layDir(s, dir, "stats", statsOf(docs, postings),
+        partitionBy = Nil, sortKeys = Nil)
+      // a REBUILD replaces every table and resets the committed-batch
+      // state (a new logical index must not inherit tokens)
+      ManifestCommit.publish(conf, dir, m => m.copy(
+        tables = Map("postings" -> Seq(pd), "terms" -> Seq(td),
+          "stats" -> Seq(sd)),
+        committed = Map.empty, writers = Map.empty, floor = 0L)); ()
+    } finally postings.unpersist(blocking = false)
+  }
+
+  private def appendDeltaManifest(deltaDocs: DataFrame, dir: String,
+                                  batchId: Option[String]): Unit = {
+    val s = deltaDocs.sparkSession
+    val conf = s.sessionState.newHadoopConf()
+    val m = ManifestCommit.current(conf, dir)
+    if (batchId.exists(m.isCommitted)) return
+    val postings = tokenizedPostings(deltaDocs).persist()
+    try {
+      // postings: cheapest possible flat tail lay (compaction owns the
+      // re-sort); terms/stats: additive re-aggregates REPLACING their
+      // single-dir tables — vocabulary-sized and 1-row, orders of
+      // magnitude below postings
+      val pd = ManifestTiered.layDir(s, dir, ManifestTiered.tailTable("postings"),
+        postings.select(col("term"), col("doc_id"), col("dl"), col("tf"), col("bucket")),
+        partitionBy = Nil, sortKeys = Nil)
+      val deltaTerms = postings.groupBy(col("term"), col("bucket"))
+        .agg(count(lit(1)).as("df"))
+      val mergedTerms = ManifestCommit.readTable(s, dir, m, "terms", TermsSchema)
+        .select(col("term"), col("bucket"), col("df"))
+        .unionByName(deltaTerms)
+        .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
+        .select(col("term"), col("df"), col("bucket"))
+      val td = ManifestTiered.layDir(s, dir, "terms", mergedTerms,
+        partitionBy = Seq("bucket"), sortKeys = Seq(col("term")))
+      val deltaStats = deltaDocs.select(col("doc_id"))
+        .agg(count(lit(1)).as("d_docs"))
+        .crossJoin(postings.select(col("doc_id"), col("dl"))
+          .dropDuplicates("doc_id")
+          .agg(coalesce(sum(col("dl")), lit(0L)).as("d_dl")))
+      val sd = ManifestTiered.layDir(s, dir, "stats",
+        ManifestCommit.readTable(s, dir, m, "stats", StatsSchema)
+          .crossJoin(deltaStats)
+          .select((col("n_docs") + col("d_docs")).as("n_docs"),
+            (col("total_dl") + col("d_dl")).as("total_dl")),
+        partitionBy = Nil, sortKeys = Nil)
+      // ONE publish lands all three — atomically, with the batch id
+      ManifestCommit.publishAt(conf, dir, m, mm =>
+        ManifestCommit.setDirs(
+          ManifestCommit.setDirs(
+            ManifestCommit.addDir(mm, ManifestTiered.tailTable("postings"),
+              pd.dir, pd.rows),
+            "terms", Seq(td)),
+          "stats", Seq(sd)),
+        batchId); ()
+    } finally postings.unpersist(blocking = false)
+  }
+
+  private def compactManifest(s: SparkSession, dir: String): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    val m = ManifestCommit.current(conf, dir)
+    val sizes = ManifestTiered.sizes(s, dir, m, "postings", PostingsSchema)
+    val action = graft.util.TieredIndex.plan(sizes)
+    if (action == graft.util.TieredIndex.NoOp) return
+    val (rows, mass) = action match {
+      case graft.util.TieredIndex.Minor(_) =>
+        (ManifestTiered.readTail(s, dir, m, "postings", PostingsSchema),
+          sizes.tail)
+      case graft.util.TieredIndex.MergeRuns =>
+        (ManifestTiered.readAboveBase(s, dir, m, "postings", PostingsSchema),
+          sizes.l1 + sizes.tail)
+      case _ =>
+        (ManifestTiered.read(s, dir, m, "postings", PostingsSchema),
+          sizes.base + sizes.l1 + sizes.tail)
+    }
+    val pd = action match {
+      case graft.util.TieredIndex.Major =>
+        ManifestTiered.layDir(s, dir, "postings", rows,
+          partitionBy = Seq("bucket"), sortKeys = Seq(col("term"), col("doc_id")))
+      case _ =>
+        ManifestTiered.layDir(s, dir, ManifestTiered.l1Table("postings"), rows,
+          partitionBy = Nil,
+          sortKeys = Seq(col("bucket"), col("term"), col("doc_id")),
+          sizeHintRows = mass, rowsPerFile = 8L * 1000 * 1000)
+    }
+    ManifestCommit.publishAt(conf, dir, m, mm =>
+      ManifestTiered.foldUpdate(mm, "postings", action, pd)); ()
   }
 
   /** BM25 top-k per probe term against the persisted index. The probe
@@ -124,21 +251,40 @@ object InvertedIndex {
   def probe(s: SparkSession, dir: String, terms: Seq[String], k: Int = 10,
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
-    // self-heal a MARKED commit whose writer died mid-publish — the
-    // append layout swaps terms+stats, so a post-marker crash between
-    // the two renames leaves a live dir missing and every probe would
-    // otherwise throw until the next maintenance open; unmarked
-    // staging is never touched (IndexCommit.healMarkedCommit)
-    graft.util.IndexCommit.healMarkedCommit(dir,
-      Seq(CompactRecoveryLayout, AppendLayout))
+    val manifest = graft.util.CommitProtocol.ofIndex(
+      s.sessionState.newHadoopConf(), dir) match {
+      case graft.util.CommitProtocol.Manifest =>
+        // one snapshot for all three tables — consistent across any
+        // concurrent fold/compact/vacuum, no healing needed
+        Some(ManifestCommit.current(s.sessionState.newHadoopConf(), dir))
+      case _ =>
+        // self-heal a MARKED commit whose writer died mid-publish — the
+        // append layout swaps terms+stats, so a post-marker crash between
+        // the two renames leaves a live dir missing and every probe would
+        // otherwise throw until the next maintenance open; unmarked
+        // staging is never touched (IndexCommit.healMarkedCommit)
+        graft.util.IndexCommit.healMarkedCommit(dir,
+          Seq(CompactRecoveryLayout, AppendLayout))
+        None
+    }
     val bucketIds = terms.toDF("term").select(bucketOf(col("term")).as("bucket"))
       .distinct().as[Long].collect().toSeq
-    val post = graft.util.TieredIndex.read(s, dir, "postings", PostingsSchema,
-      Some(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*)))
-    val df = s.read.schema(TermsSchema).parquet(s"$dir/terms")
+    val postFilter =
+      col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*)
+    val post = manifest match {
+      case Some(m) => ManifestTiered.read(s, dir, m, "postings",
+        PostingsSchema, Some(postFilter))
+      case None => graft.util.TieredIndex.read(s, dir, "postings",
+        PostingsSchema, Some(postFilter))
+    }
+    val df = manifest
+      .map(m => ManifestCommit.readTable(s, dir, m, "terms", TermsSchema))
+      .getOrElse(s.read.schema(TermsSchema).parquet(s"$dir/terms"))
       .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
       .select(col("term"), col("df"))
-    val stats = s.read.schema(StatsSchema).parquet(s"$dir/stats")
+    val stats = manifest
+      .map(m => ManifestCommit.readTable(s, dir, m, "stats", StatsSchema))
+      .getOrElse(s.read.schema(StatsSchema).parquet(s"$dir/stats"))
       .select(col("n_docs"),
         // nullif: an empty corpus has n_docs = 0 and no postings — avgdl
         // is never consumed then, but ANSI mode would fail fast on 0/0
@@ -218,19 +364,18 @@ object InvertedIndex {
   def appendDelta(deltaDocs: DataFrame, dir: String,
                   batchId: Option[String] = None): Unit = {
     val s = deltaDocs.sparkSession
+    graft.util.CommitProtocol.ofIndex(
+      s.sessionState.newHadoopConf(), dir) match {
+      case graft.util.CommitProtocol.Manifest =>
+        return appendDeltaManifest(deltaDocs, dir, batchId)
+      case _ => ()
+    }
     graft.util.IndexCommit.assertRenameCommitFs(
       s.sessionState.newHadoopConf(), dir, "InvertedIndex.appendDelta")
     graft.util.IndexCommit.withWriterLease(dir) {
       recoverIndex(dir)
       if (!batchId.exists(graft.util.IndexCommit.isBatchCommitted(dir, _))) {
-      val d = deltaDocs.select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
-      val postings = d
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy(col("term"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("bucket", bucketOf(col("term")))
-        .persist()
+      val postings = tokenizedPostings(deltaDocs).persist()
       try {
         postings
           .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("bucket"))
@@ -280,26 +425,43 @@ object InvertedIndex {
   def compact(s: SparkSession, dir: String): Unit = {
     import java.nio.file.{Files, Paths}
     import graft.util.TieredIndex
+    graft.util.CommitProtocol.ofIndex(
+      s.sessionState.newHadoopConf(), dir) match {
+      case graft.util.CommitProtocol.Manifest =>
+        return compactManifest(s, dir)
+      case _ => ()
+    }
     graft.util.IndexCommit.assertRenameCommitFs(
       s.sessionState.newHadoopConf(), dir, "InvertedIndex.compact")
+    // the BASE keeps the bucket partition-dir tree; LEVEL-1 runs are
+    // flat (bucket, term, doc_id)-sorted files — a Minor fold costs a
+    // handful-of-files write instead of a 64-bucket-dir commit, and
+    // the probe's direct bucket/term predicates prune them via parquet
+    // footer stats (TieredIndex.layFlatSorted)
     def lay(rows: DataFrame, path: String): Unit =
       rows.repartition(col("bucket"))
         .sortWithinPartitions(col("term"), col("doc_id"))
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    def layRun(rows: DataFrame, path: String, mass: Long): Unit =
+      TieredIndex.layFlatSorted(rows, path,
+        Seq(col("bucket"), col("term"), col("doc_id")),
+        mass, 8L * 1000 * 1000)
     def emptyNew(names: String*): Unit =
       names.foreach(n => Files.createDirectories(Paths.get(dir, s"${n}_new")))
     graft.util.IndexCommit.withWriterLease(dir) {
       recoverIndex(dir)
-      TieredIndex.plan(s, dir, "postings", PostingsSchema) match {
+      val (action, sizes) =
+        TieredIndex.planWithSizes(s, dir, "postings", PostingsSchema)
+      action match {
         case TieredIndex.NoOp => ()
         case TieredIndex.Minor(k) =>
-          lay(TieredIndex.readTail(s, dir, "postings", PostingsSchema),
-            s"$dir/postings_l1_delta/run=$k")
+          layRun(TieredIndex.readTail(s, dir, "postings", PostingsSchema),
+            s"$dir/postings_l1_delta/run=$k", sizes.tail)
           emptyNew("postings_tail")
           graft.util.IndexCommit.commit(dir, MinorCompactLayout)
         case TieredIndex.MergeRuns =>
-          lay(TieredIndex.readAboveBase(s, dir, "postings", PostingsSchema),
-            s"$dir/postings_l1_new/run=0")
+          layRun(TieredIndex.readAboveBase(s, dir, "postings", PostingsSchema),
+            s"$dir/postings_l1_new/run=0", sizes.l1 + sizes.tail)
           emptyNew("postings_tail")
           graft.util.IndexCommit.commit(dir, MergeCompactLayout)
         case TieredIndex.Major =>
@@ -408,6 +570,50 @@ object InvertedIndex {
     },
     bm25IndexTopk.oracle)
 
+  /** Build-once per (application, sf dir): an 80/20 manifest-protocol
+    * build+fold plus the post-fold generation — the snapshot each
+    * invocation rewinds to.
+    */
+  private val manifestIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** The bm25_index_compact_topk lifecycle on the versioned-manifest
+    * (object-store) commit protocol: 80% built with `protocol =
+    * Manifest`, 20% folded via the manifest appendDelta (postings tail
+    * + terms/stats replace in ONE publish), the tail Minor-folded into
+    * a flat sorted run, then probed. Oracle = the SAME full-corpus
+    * BM25 SQL — the commit protocol must be invisible to retrieval,
+    * hash-checked. Each invocation rewinds to the post-fold snapshot
+    * by dropping the previous compaction's generations and vacuuming
+    * (manifest time-travel — an O(fold output) reset), so the bench
+    * measures one real Minor fold + probe every time.
+    */
+  val bm25IndexManifestTopk: QueryDef = QueryDef(
+    "bm25_index_manifest_topk",
+    (s, dir) => {
+      val conf = s.sessionState.newHadoopConf()
+      val (idx, seedGen) = manifestIdx.computeIfAbsent(
+        s.sparkContext.applicationId + ":" + dir, _ => {
+          val d = java.nio.file.Files.createTempDirectory("graft_bm25_mani").toString
+          val docs = Tables(s, dir, "documents")
+          save(docs.filter(col("doc_id") % 5 =!= 0), d,
+            protocol = graft.util.CommitProtocol.Manifest)
+          appendDelta(docs.filter(col("doc_id") % 5 === 0), d,
+            batchId = Some("fold-1"))
+          (d, ManifestCommit.current(conf, d).gen)
+        })
+      val mdir = java.nio.file.Paths.get(idx, "_manifests")
+      java.nio.file.Files.list(mdir).forEach { p =>
+        val g = p.getFileName.toString.stripPrefix("m").toLongOption
+        if (g.exists(_ > seedGen)) java.nio.file.Files.delete(p)
+      }
+      ManifestCommit.vacuum(conf, idx, keepGens = 1, graceMs = 0L)
+      compact(s, idx)
+      probe(s, idx, Seq("join", "vector", "filter", "dup"))
+    },
+    bm25IndexTopk.oracle)
+
   val all: Seq[QueryDef] =
-    Seq(bm25IndexTopk, bm25IndexMergeTopk, bm25IndexCompactTopk)
+    Seq(bm25IndexTopk, bm25IndexMergeTopk, bm25IndexCompactTopk,
+      bm25IndexManifestTopk)
 }

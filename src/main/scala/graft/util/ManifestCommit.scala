@@ -42,14 +42,41 @@ import org.apache.spark.sql.types.StructType
   *    protocol holds even on stores where a crashed PUT could leave a
   *    visible partial object.
   *  - Exactly-once folds ride the manifest itself: the committed
-  *    batch-id set is part of the published state, so a retried batch
-  *    checks [[isBatchCommitted]] against the same snapshot it would
-  *    append to (no separate token files whose visibility could lag
-  *    the data's).
+  *    batch-id state is part of the published snapshot, so a retried
+  *    batch checks [[isBatchCommitted]] against the same snapshot it
+  *    would append to (no separate token files whose visibility could
+  *    lag the data's). Two id forms, because a 24/7 cadence must not
+  *    grow the manifest forever (an id set carrying full history
+  *    re-serializes ~0.5 M ids/year at 1/min — multi-MB manifests
+  *    with per-publish cost growing without bound):
+  *      - SEQUENCED ids `writer#seq` ([[seqBatchId]]) — the
+  *        Delta-Lake-style idempotent-writer contract: the manifest
+  *        keeps ONE high-water seq per writer, so state is O(writers)
+  *        forever and a replayed (old-seq) batch no-ops at ANY age.
+  *        This is the form the streaming drains and any repeating
+  *        orchestrator must use.
+  *      - FREE-FORM ids (digests, ad-hoc tokens) — retained with the
+  *        generation they committed at and PRUNED once they age past
+  *        [[CommittedRetainGens]] publishes; the prune floor is
+  *        recorded. Inside the window a replay no-ops; a replay
+  *        delayed past the window is indistinguishable from a new
+  *        batch (detecting it exactly for arbitrary opaque ids would
+  *        require the unbounded history this bound exists to remove —
+  *        sequenced ids are the never-forgets answer) and would fold
+  *        again; size the window above any real retry horizon.
   *  - Crash recovery is a NO-OP by construction: a writer that died
   *    before its manifest landed left only unreferenced data dirs
   *    (invisible to every reader); [[vacuum]] garbage-collects them
-  *    along with superseded generations.
+  *    along with superseded generations — skipping anything younger
+  *    than a grace window, so a LIVE writer's fully-laid but
+  *    not-yet-published dirs (a legal mid-publish state) survive a
+  *    racing vacuum (the Iceberg/Delta orphan-retention convention).
+  *
+  * Each table's dir entries carry the dir's ROW COUNT, written once at
+  * lay time — so the size-tiered compaction policy reads tier masses
+  * straight off the manifest instead of running per-tier Spark counts
+  * (on an object store those were a LIST across a many-file base per
+  * maintenance cycle).
   *
   * All IO goes through the Hadoop FileSystem API, so the same code
   * runs on file:, hdfs:, s3a:, etc. The spec exercises it with
@@ -57,44 +84,130 @@ import org.apache.spark.sql.types.StructType
   */
 object ManifestCommit {
 
+  /** Free-form committed batch ids older than this many publishes are
+    * pruned from the manifest (their max pruned generation is kept as
+    * the floor). 4096 generations at even a 1-minute publish cadence
+    * is ~3 days — far above any retry horizon a re-driven job meets —
+    * while bounding the committed set a manifest re-serializes.
+    * Sequenced ids ([[seqBatchId]]) never prune.
+    */
+  val CommittedRetainGens = 4096
+
+  /** [[publishAt]] refuses to self-heal a torn manifest younger than
+    * this (default 15 min): on filesystems where in-progress writes
+    * are visible (file:, hdfs:) a "torn" top manifest may be a LIVE
+    * writer's stream mid-flight, and deleting it would silently lose
+    * that writer's publish — the exact lost update the CAS exists to
+    * prevent. Older than the grace window, the writer is dead and the
+    * torn object is a crashed publish every reader already skips.
+    */
+  val TornHealGraceMs = 15L * 60 * 1000
+
+  /** [[vacuum]] never deletes an unreferenced data dir younger than
+    * this (default 1 h): dirs fully laid but not yet named by a
+    * manifest are the legal mid-publish state of a live writer.
+    */
+  val VacuumGraceMs = 60L * 60 * 1000
+
+  /** One live data dir of a table, with the row count recorded at lay
+    * time (`rows` = -1 when unknown — manifests written by the
+    * row-count-less v1 encoder).
+    */
+  final case class DirEntry(dir: String, rows: Long)
+
   /** One published index state: per-table live data dirs (relative to
-    * the index dir) and the committed batch-id set.
+    * the index dir), the windowed free-form committed batch ids (id →
+    * commit generation), the per-writer sequenced-id high-water marks,
+    * and the free-form prune floor.
     */
   final case class Manifest(gen: Long,
-                            tables: Map[String, Seq[String]],
-                            committed: Set[String]) {
-    def table(name: String): Seq[String] = tables.getOrElse(name, Nil)
+                            tables: Map[String, Seq[DirEntry]],
+                            committed: Map[String, Long],
+                            writers: Map[String, Long],
+                            floor: Long) {
+    def entries(name: String): Seq[DirEntry] = tables.getOrElse(name, Nil)
+    def table(name: String): Seq[String] = entries(name).map(_.dir)
+    /** Total rows across a table's dirs; -1 if any dir's count is unknown. */
+    def rows(name: String): Long = {
+      val es = entries(name)
+      if (es.exists(_.rows < 0)) -1L else es.map(_.rows).sum
+    }
+    /** True iff `batchId` is recorded as committed in THIS snapshot.
+      * Sequenced ids answer exactly at any age; a free-form id absent
+      * from the window is reported uncommitted (indeterminate beyond
+      * [[Manifest.floor]] — see the class doc's id-form contract).
+      */
+    def isCommitted(batchId: String): Boolean = parseSeqId(batchId) match {
+      case Some((w, s)) => writers.get(w).exists(_ >= s)
+      case None => committed.contains(batchId)
+    }
   }
 
-  val Empty: Manifest = Manifest(0L, Map.empty, Set.empty)
+  val Empty: Manifest = Manifest(0L, Map.empty, Map.empty, Map.empty, 0L)
+
+  /** Manifest helpers for the append/replace shapes every index uses. */
+  def addDir(m: Manifest, table: String, dir: String, rows: Long): Manifest =
+    m.copy(tables = m.tables.updated(table, m.entries(table) :+ DirEntry(dir, rows)))
+  def setDirs(m: Manifest, table: String, dirs: Seq[DirEntry]): Manifest =
+    m.copy(tables = m.tables.updated(table, dirs))
 
   private def manifestsDir(indexDir: String) = new Path(indexDir, "_manifests")
 
   private def fs(conf: Configuration, indexDir: String): FileSystem =
     new Path(indexDir).getFileSystem(conf)
 
+  private def isPlainToken(s: String): Boolean =
+    s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-')
+
   private def requireToken(s: String, what: String): String = {
-    require(s.nonEmpty && s.forall(c =>
-      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
-      s"$what must be a plain token, got '$s'")
+    require(isPlainToken(s), s"$what must be a plain token, got '$s'")
+    s
+  }
+
+  /** A sequenced batch id `writer#seq` — the bounded exactly-once form
+    * (one high-water mark per writer in the manifest, replays no-op at
+    * any age). `seq` must be non-decreasing per writer across real
+    * batches; a replay re-presents an old seq.
+    */
+  def seqBatchId(writer: String, seq: Long): String = {
+    requireToken(writer, "writer")
+    require(seq >= 0, s"seq must be >= 0, got $seq")
+    s"$writer#$seq"
+  }
+
+  private[util] def parseSeqId(batchId: String): Option[(String, Long)] =
+    batchId.split("#", 2) match {
+      case Array(w, s) if isPlainToken(w) && s.nonEmpty && s.forall(_.isDigit) =>
+        s.toLongOption.map(w -> _)
+      case _ => None
+    }
+
+  private def requireBatchId(s: String): String = {
+    require(isPlainToken(s) || parseSeqId(s).isDefined,
+      s"batchId must be a plain token or writer#seq, got '$s'")
     s
   }
 
   /** Serialized line format (no JSON dependency, trivially greppable):
-    * `gen=N`, `committed=b1,b2`, one `table=name:dir1,dir2` per table,
-    * then the completeness terminator `end=<total line count>`.
+    * `gen=N`, `floor=G`, `committed=id@gen,...`, `writers=w@seq,...`,
+    * one `table=name:dir@rows,...` per table, then the completeness
+    * terminator `end=<total line count>`.
     */
   private def encode(m: Manifest): String = {
     val body = Seq(s"gen=${m.gen}",
-      s"committed=${m.committed.toSeq.sorted.mkString(",")}") ++
+      s"floor=${m.floor}",
+      s"committed=${m.committed.toSeq.sorted.map { case (id, g) => s"$id@$g" }.mkString(",")}",
+      s"writers=${m.writers.toSeq.sorted.map { case (w, s) => s"$w@$s" }.mkString(",")}") ++
       m.tables.toSeq.sortBy(_._1).map { case (t, dirs) =>
-        s"table=$t:${dirs.mkString(",")}"
+        s"table=$t:${dirs.map(e => s"${e.dir}@${e.rows}").mkString(",")}"
       }
     (body :+ s"end=${body.size + 1}").mkString("\n")
   }
 
   /** None for a torn/incomplete file (terminator absent or wrong) —
-    * the reader-side half of publish atomicity.
+    * the reader-side half of publish atomicity. Reads v1 manifests
+    * (bare committed ids → committed at their own generation, the
+    * conservative retention; bare dirs → rows unknown).
     */
   private[util] def decode(text: String): Option[Manifest] = {
     val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
@@ -103,17 +216,36 @@ object ManifestCommit {
     }
     val end = kv.collectFirst { case ("end", v) => v }
     if (!end.exists(v => v.toLongOption.contains(lines.size.toLong))) return None
+    def splitAtLast(s: String, sep: Char): (String, Option[Long]) =
+      s.lastIndexOf(sep) match {
+        case -1 => (s, None)
+        case i => (s.take(i), s.drop(i + 1).toLongOption)
+      }
     for {
       gen <- kv.collectFirst { case ("gen", v) => v }.flatMap(_.toLongOption)
     } yield Manifest(
       gen,
       kv.collect { case ("table", v) =>
         val Array(name, dirs) = v.split(":", 2)
-        name -> dirs.split(",").toSeq.filter(_.nonEmpty)
+        name -> dirs.split(",").toSeq.filter(_.nonEmpty).map { d =>
+          val (dir, rows) = splitAtLast(d, '@')
+          if (rows.isDefined) DirEntry(dir, rows.get) else DirEntry(d, -1L)
+        }
       }.toMap,
       kv.collectFirst { case ("committed", v) =>
-        v.split(",").toSet.filter(_.nonEmpty)
-      }.getOrElse(Set.empty))
+        v.split(",").toSeq.filter(_.nonEmpty).map { e =>
+          val (id, g) = splitAtLast(e, '@')
+          if (g.isDefined) (id, g.get) else (e, gen)
+        }.toMap
+      }.getOrElse(Map.empty),
+      kv.collectFirst { case ("writers", v) =>
+        v.split(",").toSeq.filter(_.nonEmpty).flatMap { e =>
+          val (w, s) = splitAtLast(e, '@')
+          s.map(w -> _)
+        }.toMap
+      }.getOrElse(Map.empty),
+      kv.collectFirst { case ("floor", v) => v }.flatMap(_.toLongOption)
+        .getOrElse(0L))
   }
 
   private def readManifestFile(f: FileSystem, p: Path): Option[Manifest] = {
@@ -152,9 +284,16 @@ object ManifestCommit {
       .nextOption().getOrElse(Empty)
   }
 
+  /** True iff a manifest-protocol index exists at `indexDir` — the
+    * `_manifests` dir is the protocol marker ([[IndexCommit]]-protocol
+    * indexes never create one).
+    */
+  def exists(conf: Configuration, indexDir: String): Boolean =
+    fs(conf, indexDir).exists(manifestsDir(indexDir))
+
   def isBatchCommitted(conf: Configuration, indexDir: String,
                        batchId: String): Boolean =
-    current(conf, indexDir).committed.contains(requireToken(batchId, "batchId"))
+    current(conf, indexDir).isCommitted(requireBatchId(batchId))
 
   /** A fresh never-published data dir for `table` — unique name, so
     * concurrent/crashed writers can never collide on a data path and
@@ -165,42 +304,70 @@ object ManifestCommit {
     s"data/$table/d-${java.util.UUID.randomUUID().toString.take(12)}"
   }
 
-  private def contention(indexDir: String, gen: Long) = new IllegalStateException(
-    s"concurrent manifest publish on index $indexDir: generation $gen " +
-      s"already exists. Index maintenance is single-writer; a second " +
-      s"writer lost the create-no-overwrite race (the object-store " +
-      s"analogue of the writer lease). Re-resolve the current manifest " +
-      s"and retry, or serialize maintenance (one orchestrator per index).")
+  private def contention(indexDir: String, gen: Long, why: String) =
+    new IllegalStateException(
+      s"concurrent manifest publish on index $indexDir: $why generation " +
+        s"$gen. Index maintenance is single-writer; a second " +
+        s"writer lost the create-no-overwrite race (the object-store " +
+        s"analogue of the writer lease). Re-resolve the current manifest " +
+        s"and retry, or serialize maintenance (one orchestrator per index).")
 
   /** Publish the next generation on top of the current snapshot —
     * resolve-then-[[publishAt]] in one call.
     */
   def publish(conf: Configuration, indexDir: String,
               update: Manifest => Manifest,
-              batchId: Option[String] = None): Manifest =
-    publishAt(conf, indexDir, current(conf, indexDir), update, batchId)
+              batchId: Option[String] = None,
+              retainGens: Int = CommittedRetainGens,
+              tornHealGraceMs: Long = TornHealGraceMs): Manifest =
+    publishAt(conf, indexDir, current(conf, indexDir), update, batchId,
+      retainGens, tornHealGraceMs)
 
   /** Publish generation `base.gen + 1`: apply `update` to the caller's
     * resolved snapshot (add dirs for an append, replace a table's list
-    * for a compaction), record the optional batch id, and write
-    * `_manifests/m<gen+1>` with create-NO-overwrite — the explicit
-    * compare-and-swap: if ANY other writer published after `base` was
-    * resolved (or a crashed publish left even a torn object on the
-    * target generation), the create fails and this throws
-    * [[IllegalStateException]] — fail-loudly single-writer
-    * arbitration, no advisory locks needed. A batch id already
-    * committed in `base` makes the whole publish a NO-OP (returns
-    * `base` unchanged) — the exactly-once retry contract.
+    * for a compaction), fold in the optional batch id (sequenced ids
+    * advance their writer's watermark; free-form ids enter the
+    * windowed set, and entries older than `retainGens` publishes are
+    * pruned with the floor advanced), and write `_manifests/m<gen+1>`
+    * with create-NO-overwrite — the explicit compare-and-swap: if ANY
+    * other writer published after `base` was resolved (or a crashed
+    * publish left even a torn object on the target generation), the
+    * create fails and this throws [[IllegalStateException]] —
+    * fail-loudly single-writer arbitration, no advisory locks needed.
+    * A batch id already committed in `base` makes the whole publish a
+    * NO-OP (returns `base` unchanged) — the exactly-once retry
+    * contract.
     */
   def publishAt(conf: Configuration, indexDir: String, base: Manifest,
                 update: Manifest => Manifest,
-                batchId: Option[String] = None): Manifest = {
-    batchId.foreach(requireToken(_, "batchId"))
+                batchId: Option[String] = None,
+                retainGens: Int = CommittedRetainGens,
+                tornHealGraceMs: Long = TornHealGraceMs): Manifest = {
+    batchId.foreach(requireBatchId)
     val cur = base
-    if (batchId.exists(cur.committed.contains)) return cur
+    if (batchId.exists(cur.isCommitted)) return cur
     val next0 = update(cur)
-    val next = next0.copy(gen = cur.gen + 1,
-      committed = cur.committed ++ batchId)
+    val gen = cur.gen + 1
+    var committed = next0.committed
+    var writers = next0.writers
+    batchId.foreach { id =>
+      parseSeqId(id) match {
+        case Some((w, s)) =>
+          writers = writers.updated(w, math.max(writers.getOrElse(w, -1L), s))
+        case None => committed = committed.updated(id, gen)
+      }
+    }
+    // windowed retention for free-form ids: entries that aged past the
+    // window drop out and the floor records the newest pruned
+    // generation — the manifest's committed state stays O(window +
+    // writers) at any cadence instead of carrying full history
+    val cut = gen - retainGens
+    val (keep, drop) = committed.partition { case (_, g) => g > cut }
+    val floor =
+      if (drop.isEmpty) next0.floor
+      else math.max(next0.floor, drop.values.max)
+    val next = next0.copy(gen = gen, committed = keep, writers = writers,
+      floor = floor)
     val f = fs(conf, indexDir)
     f.mkdirs(manifestsDir(indexDir))
     // stale-snapshot guard: the target generation must be STRICTLY
@@ -213,26 +380,38 @@ object ManifestCommit {
     val existing = listGens(f, indexDir)
     if (existing.headOption.exists(_._1 >= next.gen)) {
       // one self-heal: if the occupant of OUR target gen is a TORN
-      // object (a crashed publish — unreadable to every reader by
-      // construction) and nothing newer exists, clear it and take the
-      // slot. Safe under the single-writer contract (a torn object's
-      // writer is dead; object stores never expose in-progress PUTs),
-      // and without it a torn top manifest would wedge every future
-      // publish forever — the retry re-resolves the same base and
-      // collides with the same dead object.
+      // object (unreadable to every reader by construction), nothing
+      // newer exists, AND it is older than the grace window — so it is
+      // a crashed publish, not a live writer's stream caught mid-PUT
+      // on a filesystem where partial writes are visible (file:,
+      // hdfs:) — clear it and take the slot. Without the heal a torn
+      // top manifest would wedge every future publish forever (the
+      // retry re-resolves the same base and collides with the same
+      // dead object); without the grace a second writer racing a LIVE
+      // writer could read the still-streaming manifest as torn,
+      // delete it, and silently lose the first writer's publish.
       val (topGen, topPath) = existing.head
-      if (topGen == next.gen && readManifestFile(f, topPath).isEmpty)
-        { f.delete(topPath, false); () }
-      else throw contention(indexDir, next.gen)
+      val tornAndStale = topGen == next.gen &&
+        readManifestFile(f, topPath).isEmpty && {
+          val age = System.currentTimeMillis() -
+            f.getFileStatus(topPath).getModificationTime
+          age >= tornHealGraceMs
+        }
+      if (tornAndStale) { f.delete(topPath, false); () }
+      else if (topGen == next.gen && readManifestFile(f, topPath).isEmpty)
+        throw contention(indexDir, next.gen,
+          "a torn-looking manifest younger than the heal grace window " +
+            "(possibly a live writer's in-flight stream) occupies")
+      else throw contention(indexDir, next.gen, "a newer publish occupies")
     }
     val p = new Path(manifestsDir(indexDir), s"m${next.gen}")
     val out =
       try f.create(p, /*overwrite=*/ false)
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          throw contention(indexDir, next.gen)
+          throw contention(indexDir, next.gen, "a racing publish won")
         case _: java.io.IOException if f.exists(p) =>
-          throw contention(indexDir, next.gen)
+          throw contention(indexDir, next.gen, "a racing publish won")
       }
     try out.write(encode(next).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -259,8 +438,14 @@ object ManifestCommit {
     * `keepGens` ≥ 1 keeps the current snapshot; a deployment sizes the
     * window to its longest-running reader, which keeps resolving its
     * (retained) snapshot mid-vacuum — the snapshot-isolation story.
+    * Unreferenced dirs younger than `graceMs` are SKIPPED: a dir fully
+    * laid but not yet named by a manifest is the legal mid-publish
+    * state of a live writer, and deleting it would let that publish
+    * succeed while referencing deleted paths (total read outage) —
+    * the Delta/Iceberg orphan-retention convention.
     */
-  def vacuum(conf: Configuration, indexDir: String, keepGens: Int = 2): Unit = {
+  def vacuum(conf: Configuration, indexDir: String, keepGens: Int = 2,
+             graceMs: Long = VacuumGraceMs): Unit = {
     require(keepGens >= 1, "vacuum must keep at least the current generation")
     val f = fs(conf, indexDir)
     // newest first, decoded (vacuum genuinely needs the contents)
@@ -274,14 +459,21 @@ object ManifestCommit {
     val kept = all.filter(_._3.isDefined).take(keepGens)
     if (kept.isEmpty) return // nothing complete: nothing is safely known garbage
     val live: Set[String] =
-      kept.flatMap(_._3).flatMap(_.tables.values.flatten).toSet
+      kept.flatMap(_._3).flatMap(_.tables.values.flatten.map(_.dir)).toSet
+    val youngFloor = System.currentTimeMillis() - graceMs
+    // a candidate dir is "young" (possibly a live writer's mid-publish
+    // lay) if the dir itself or ANY file under it was modified inside
+    // the grace window; the extra LIST runs only for unreferenced dirs
+    def isYoung(d: org.apache.hadoop.fs.FileStatus): Boolean =
+      d.getModificationTime >= youngFloor ||
+        f.listStatus(d.getPath).exists(_.getModificationTime >= youngFloor)
     // data dirs live under data/<table>/<dir>
     val dataRoot = new Path(indexDir, "data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { t =>
         f.listStatus(t.getPath).foreach { d =>
           val rel = s"data/${t.getPath.getName}/${d.getPath.getName}"
-          if (!live.contains(rel)) { f.delete(d.getPath, true); () }
+          if (!live.contains(rel) && !isYoung(d)) { f.delete(d.getPath, true); () }
         }
       }
     }

@@ -1,0 +1,178 @@
+package graft.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import ManifestCommit.{DirEntry, Manifest}
+
+/** The size-tiered LSM layout expressed over [[ManifestCommit]]'s
+  * versioned manifests — what [[TieredIndex]] (fixed dirs + rename
+  * commits) is to [[IndexCommit]]. One tiered table `name` maps to
+  * three manifest tables:
+  *
+  *  - `name`       — the BASE: normally one dir holding a partitioned
+  *    file tree (probes prune it statically, exactly like the rename
+  *    layout's `<name>/`),
+  *  - `name.l1`    — LEVEL-1 runs: one dir per minor fold, each a few
+  *    FLAT files range-sorted on the probe keys (footer min/max
+  *    pruning — see [[TieredIndex.layFlatSorted]]),
+  *  - `name.tail`  — the flat level-0 tail: one small dir per append.
+  *
+  * Every maintenance step writes FRESH dirs and publishes ONE new
+  * manifest, so append+compact touch disjoint paths and probes resolve
+  * a consistent snapshot — the probe-during-compaction race the rename
+  * protocol excludes by scheduling simply does not exist here.
+  *
+  * Tier masses ride the manifest (each [[DirEntry]] carries its row
+  * count, recorded once at lay time), so the [[TieredIndex]] size
+  * policy runs with ZERO Spark jobs — on an object store the
+  * rename-protocol `rowSizes` was a LIST across a many-file base per
+  * maintenance cycle.
+  */
+object ManifestTiered {
+
+  def l1Table(name: String): String = s"$name.l1"
+  def tailTable(name: String): String = s"$name.tail"
+
+  /** Base ∪ runs ∪ tail of one tiered table, pinned to the caller's
+    * snapshot. The optional filter prunes the (partitioned) base
+    * statically and the flat runs/tail via parquet footer stats —
+    * callers must keep it to direct column predicates for the latter
+    * to engage.
+    */
+  def read(spark: SparkSession, indexDir: String, m: Manifest, name: String,
+           schema: StructType, filter: Option[Column] = None): DataFrame = {
+    def f(df: DataFrame) = filter.map(df.filter).getOrElse(df)
+    f(ManifestCommit.readTable(spark, indexDir, m, name, schema))
+      .unionByName(f(ManifestCommit.readTable(spark, indexDir, m, l1Table(name), schema)))
+      .unionByName(f(ManifestCommit.readTable(spark, indexDir, m, tailTable(name), schema)))
+  }
+
+  /** Rows of the tail only (what a Minor fold rewrites). */
+  def readTail(spark: SparkSession, indexDir: String, m: Manifest,
+               name: String, schema: StructType): DataFrame =
+    ManifestCommit.readTable(spark, indexDir, m, tailTable(name), schema)
+
+  /** Rows of the level-1 + tail mass only (what a MergeRuns fold
+    * rewrites — the base is deliberately not read).
+    */
+  def readAboveBase(spark: SparkSession, indexDir: String, m: Manifest,
+                    name: String, schema: StructType): DataFrame =
+    ManifestCommit.readTable(spark, indexDir, m, l1Table(name), schema)
+      .unionByName(ManifestCommit.readTable(spark, indexDir, m, tailTable(name), schema))
+
+  /** Tier masses straight off the manifest — no Spark counts. A -1
+    * (unknown — a v1 manifest) only ever over-triggers compaction
+    * toward Major, which is correct, just not lazy: treat as 0 base /
+    * large delta is wrong either way, so map unknown to the
+    * conservative "recount" via a real Spark count.
+    */
+  def sizes(spark: SparkSession, indexDir: String, m: Manifest, name: String,
+            schema: StructType): TieredIndex.TierSizes = {
+    def mass(table: String): Long = m.rows(table) match {
+      case -1L =>
+        ManifestCommit.readTable(spark, indexDir, m, table, schema).count()
+      case n => n
+    }
+    TieredIndex.TierSizes(
+      base = mass(name), l1 = mass(l1Table(name)), tail = mass(tailTable(name)),
+      runCount = m.entries(l1Table(name)).size)
+  }
+
+  /** Lay `rows` into a FRESH unpublished data dir of `table` and
+    * return its manifest entry. Three write shapes:
+    * `partitionBy` non-empty → the base's partition-dir tree (sorted
+    * within partitions on `sortKeys`); empty with `sortKeys` → flat
+    * run files range-sorted via [[TieredIndex.layFlatSorted]]
+    * (`sizeHintRows` drives the file count — an upper bound is fine);
+    * neither → a plain flat write (the tail-append shape: cheapest
+    * possible lay, compaction owns the re-sort). The entry's row
+    * count always comes from one metadata-only count over the freshly
+    * written footers — exact, and what lets the size policy skip
+    * Spark counts forever after.
+    */
+  def layDir(spark: SparkSession, indexDir: String, table: String,
+             rows: DataFrame, partitionBy: Seq[String], sortKeys: Seq[Column],
+             sizeHintRows: Long = -1L, rowsPerFile: Long = 4L * 1000 * 1000)
+      : DirEntry = {
+    val d = ManifestCommit.newDataDir(indexDir, table)
+    val path = s"$indexDir/$d"
+    if (partitionBy.nonEmpty)
+      rows.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortKeys: _*)
+        .write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+    else if (sortKeys.nonEmpty)
+      TieredIndex.layFlatSorted(rows, path, sortKeys,
+        math.max(0L, sizeHintRows), rowsPerFile)
+    else
+      rows.write.mode("overwrite").parquet(path)
+    DirEntry(d, spark.read.schema(rows.schema).parquet(path).count())
+  }
+
+  /** The manifest update for one tiered table's compaction fold:
+    * Minor adds a run and empties the tail; MergeRuns replaces the
+    * runs with one and empties the tail; Major replaces the base and
+    * empties both.
+    */
+  def foldUpdate(m: Manifest, name: String, action: TieredIndex.CompactAction,
+                 newDir: DirEntry): Manifest = action match {
+    case TieredIndex.Minor(_) =>
+      ManifestCommit.setDirs(
+        ManifestCommit.addDir(m, l1Table(name), newDir.dir, newDir.rows),
+        tailTable(name), Nil)
+    case TieredIndex.MergeRuns =>
+      ManifestCommit.setDirs(
+        ManifestCommit.setDirs(m, l1Table(name), Seq(newDir)),
+        tailTable(name), Nil)
+    case TieredIndex.Major =>
+      ManifestCommit.setDirs(
+        ManifestCommit.setDirs(
+          ManifestCommit.setDirs(m, name, Seq(newDir)),
+          l1Table(name), Nil),
+        tailTable(name), Nil)
+    case TieredIndex.NoOp => m
+  }
+}
+
+/** Which commit protocol a persisted index runs on. [[IndexCommit]]'s
+  * rename protocol needs atomic same-FS renames + OS file locks —
+  * local-FS only; [[ManifestCommit]]'s versioned manifests need only
+  * fresh-file create + delete and run anywhere (the object-store
+  * deployment the reference targets). `Auto` picks by filesystem
+  * scheme at BUILD time; after that the index itself records the
+  * choice (`_manifests/` exists ⇔ manifest protocol) and every
+  * maintenance/probe entry dispatches off the index, so one binary
+  * drives both kinds.
+  */
+sealed trait CommitProtocol
+object CommitProtocol {
+  /** Local filesystem → [[Rename]]; anything else → [[Manifest]]. */
+  case object Auto extends CommitProtocol
+  case object Rename extends CommitProtocol
+  case object Manifest extends CommitProtocol
+
+  private def isLocal(conf: Configuration, dir: String): Boolean = {
+    val scheme = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf).getUri.getScheme
+    scheme == null || scheme == "file"
+  }
+
+  /** Resolve the protocol to BUILD a new index with. */
+  def forBuild(conf: Configuration, dir: String,
+               chosen: CommitProtocol): CommitProtocol = chosen match {
+    case Auto => if (isLocal(conf, dir)) Rename else Manifest
+    case p => p
+  }
+
+  /** The protocol an EXISTING index at `dir` runs on: the `_manifests`
+    * dir is the marker a manifest-protocol build always creates (its
+    * first publish writes there); without one, a local dir is a
+    * rename-protocol index and a non-local dir can only legally hold a
+    * manifest one (the rename protocol refuses to build there).
+    */
+  def ofIndex(conf: Configuration, dir: String): CommitProtocol =
+    if (ManifestCommit.exists(conf, dir)) Manifest
+    else if (isLocal(conf, dir)) Rename
+    else Manifest
+}

@@ -112,14 +112,48 @@ object TieredIndex {
     else NoOp
   }
 
-  /** Policy + next-run-id resolution for table `name` of an index. */
-  def plan(spark: SparkSession, indexDir: String, name: String,
-           schema: org.apache.spark.sql.types.StructType): CompactAction =
-    plan(rowSizes(spark, indexDir, name, schema)) match {
+  /** Policy + next-run-id resolution for table `name` of an index.
+    * Returns the measured tier masses alongside the decision so the
+    * fold can size its output files without re-counting.
+    */
+  def planWithSizes(spark: SparkSession, indexDir: String, name: String,
+                    schema: org.apache.spark.sql.types.StructType)
+      : (CompactAction, TierSizes) = {
+    val sizes = rowSizes(spark, indexDir, name, schema)
+    val action = plan(sizes) match {
       case Minor(_) =>
         Minor(runIds(indexDir, name).lastOption.getOrElse(-1L) + 1L)
       case other => other
     }
+    (action, sizes)
+  }
+
+  /** Policy + next-run-id resolution for table `name` of an index. */
+  def plan(spark: SparkSession, indexDir: String, name: String,
+           schema: org.apache.spark.sql.types.StructType): CompactAction =
+    planWithSizes(spark, indexDir, name, schema)._1
+
+  /** Lay `rows` as a handful of FLAT range-partitioned files sorted on
+    * `sortKeys` — the LEVEL-1 run layout. Runs deliberately skip the
+    * base's partition-dir tree: a Minor fold's cost floor was the
+    * 2×(partition count)-dir commit (~12 ms/dir — at toy scale the
+    * whole fold was commit machinery, rows irrelevant), while a flat
+    * sorted lay is one small write whose files prune by parquet footer
+    * min/max on the leading sort keys — the same pruning the
+    * zorder_layout path proves, effective exactly because the range
+    * partitioning gives each file a tight key rectangle. Readers
+    * filter runs with DIRECT column predicates (band/bucket/cell
+    * isin), which parquet pushes to row-group stats.
+    */
+  def layFlatSorted(rows: DataFrame, path: String,
+                    sortKeys: Seq[org.apache.spark.sql.Column],
+                    rowCount: Long, rowsPerFile: Long): Unit = {
+    val n = math.max(1L, (rowCount + rowsPerFile - 1) / rowsPerFile)
+      .min(10000L).toInt
+    rows.repartitionByRange(n, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** The ONE base ∪ runs ∪ tail reader every consumer goes through,
     * with the probes' explicit-schema discipline (a just-seeded index

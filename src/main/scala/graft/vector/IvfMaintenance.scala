@@ -138,6 +138,130 @@ private[vector] object IvfMaintenance {
   def readCodes(spark: SparkSession, indexDir: String): DataFrame =
     TieredIndex.read(spark, indexDir, "codes", CodesSchema)
 
+  // ---- versioned-manifest (object-store) protocol arms ----
+  //
+  // Tables: `vectors` (+ `codes` for the PQ flavor) tiered — base
+  // partitioned by cell (statically pruned probes), flat
+  // (cell, vec_id)-sorted L1 runs (footer-stat pruned: the probe's
+  // cell IN-filter is a direct column predicate), flat tails;
+  // `centroids`/`codebooks` are train-once single-dir tables replaced
+  // only by a rebuild. Probes resolve ONE snapshot covering every
+  // table, so a probe can never see new vectors with old codes — the
+  // cross-table atomicity the rename protocol needs a shared marker
+  // for, a single manifest file gives outright.
+
+  import graft.util.{CommitProtocol, ManifestCommit, ManifestTiered}
+
+  def isManifest(spark: SparkSession, indexDir: String): Boolean =
+    CommitProtocol.ofIndex(spark.sessionState.newHadoopConf(), indexDir) ==
+      CommitProtocol.Manifest
+
+  /** Rebuild-publish: lay every table fresh and publish a manifest
+    * replacing the whole index state (committed-batch state reset — a
+    * new logical index must not inherit tokens).
+    */
+  def saveManifest(spark: SparkSession, indexDir: String, vectors: DataFrame,
+                   centroids: DataFrame, codes: Option[DataFrame],
+                   codebooks: Option[DataFrame]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val vd = ManifestTiered.layDir(spark, indexDir, "vectors", vectors,
+      partitionBy = Seq("cell"), sortKeys = Seq(col("vec_id")))
+    val ctd = ManifestTiered.layDir(spark, indexDir, "centroids", centroids,
+      partitionBy = Nil, sortKeys = Nil)
+    val cd = codes.map(c => ManifestTiered.layDir(spark, indexDir, "codes", c,
+      partitionBy = Seq("cell"), sortKeys = Seq(col("vec_id"))))
+    val cbd = codebooks.map(cb => ManifestTiered.layDir(spark, indexDir,
+      "codebooks", cb, partitionBy = Nil, sortKeys = Nil))
+    ManifestCommit.publish(conf, indexDir, m => m.copy(
+      tables = Map("vectors" -> Seq(vd), "centroids" -> Seq(ctd)) ++
+        cd.map("codes" -> Seq(_)) ++ cbd.map("codebooks" -> Seq(_)),
+      committed = Map.empty, writers = Map.empty, floor = 0L)); ()
+  }
+
+  /** FAISS add on the manifest protocol: flat unsorted tail dirs for
+    * vectors (+ codes), ONE publish, exactly-once under the batch id.
+    */
+  def appendManifest(spark: SparkSession, indexDir: String, vectors: DataFrame,
+                     codes: Option[DataFrame],
+                     batchId: Option[String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val m = ManifestCommit.current(conf, indexDir)
+    if (batchId.exists(m.isCommitted)) return
+    val vd = ManifestTiered.layDir(spark, indexDir,
+      ManifestTiered.tailTable("vectors"),
+      vectors.select(col("vec_id"), col("embedding"), col("cell")),
+      partitionBy = Nil, sortKeys = Nil)
+    val cd = codes.map(c => ManifestTiered.layDir(spark, indexDir,
+      ManifestTiered.tailTable("codes"),
+      c.select(col("vec_id"), col("codes"), col("cell")),
+      partitionBy = Nil, sortKeys = Nil))
+    ManifestCommit.publishAt(conf, indexDir, m, mm => {
+      val withV = ManifestCommit.addDir(mm,
+        ManifestTiered.tailTable("vectors"), vd.dir, vd.rows)
+      cd.map(d => ManifestCommit.addDir(withV,
+        ManifestTiered.tailTable("codes"), d.dir, d.rows)).getOrElse(withV)
+    }, batchId); ()
+  }
+
+  /** One snapshot's tiered reads — every consumer of a manifest index
+    * resolves [[ManifestCommit.current]] ONCE and reads all tables
+    * through it.
+    */
+  def readVectorsManifest(spark: SparkSession, indexDir: String,
+                          m: ManifestCommit.Manifest): DataFrame =
+    ManifestTiered.read(spark, indexDir, m, "vectors", VectorsSchema)
+
+  def readCodesManifest(spark: SparkSession, indexDir: String,
+                        m: ManifestCommit.Manifest): DataFrame =
+    ManifestTiered.read(spark, indexDir, m, "codes", CodesSchema)
+
+  /** Size-tiered compaction on the manifest protocol: `vectors` (the
+    * dominant table) decides; `codes` — row-for-row the same ids when
+    * present — folds alongside in the SAME publish, so the two stores
+    * can never commit to different tier states.
+    */
+  def compactManifest(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val m = ManifestCommit.current(conf, indexDir)
+    val pq = m.entries("codes").nonEmpty ||
+      m.entries(ManifestTiered.tailTable("codes")).nonEmpty
+    val sizes = ManifestTiered.sizes(spark, indexDir, m, "vectors", VectorsSchema)
+    val action = TieredIndex.plan(sizes)
+    if (action == TieredIndex.NoOp) return
+    def tierRows(name: String, schema: org.apache.spark.sql.types.StructType)
+        : (DataFrame, Long) = action match {
+      case TieredIndex.Minor(_) =>
+        (ManifestTiered.readTail(spark, indexDir, m, name, schema), sizes.tail)
+      case TieredIndex.MergeRuns =>
+        (ManifestTiered.readAboveBase(spark, indexDir, m, name, schema),
+          sizes.l1 + sizes.tail)
+      case _ =>
+        (ManifestTiered.read(spark, indexDir, m, name, schema),
+          sizes.base + sizes.l1 + sizes.tail)
+    }
+    def fold(name: String, schema: org.apache.spark.sql.types.StructType)
+        : ManifestCommit.DirEntry = {
+      val (rows, mass) = tierRows(name, schema)
+      action match {
+        case TieredIndex.Major =>
+          ManifestTiered.layDir(spark, indexDir, name, rows,
+            partitionBy = Seq("cell"), sortKeys = Seq(col("vec_id")))
+        case _ =>
+          ManifestTiered.layDir(spark, indexDir, ManifestTiered.l1Table(name),
+            rows, partitionBy = Nil,
+            sortKeys = Seq(col("cell"), col("vec_id")),
+            sizeHintRows = mass, rowsPerFile = 250L * 1000)
+      }
+    }
+    val vd = fold("vectors", VectorsSchema)
+    val cd = if (pq) Some(fold("codes", CodesSchema)) else None
+    ManifestCommit.publishAt(conf, indexDir, m, mm => {
+      val withV = ManifestTiered.foldUpdate(mm, "vectors", action, vd)
+      cd.map(d => ManifestTiered.foldUpdate(withV, "codes", action, d))
+        .getOrElse(withV)
+    }); ()
+  }
+
   private def hasCodes(spark: SparkSession, indexDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)

@@ -549,9 +549,28 @@ object PqOps {
     * layout, so flat probes work against it too.
     */
   def savePqIndex(c: DataFrame, indexDir: String, k: Int, iters: Int,
-                  nKnown: Option[Long] = None): Unit = {
+                  nKnown: Option[Long] = None,
+                  protocol: graft.util.CommitProtocol =
+                    graft.util.CommitProtocol.Auto): Unit = {
     val spark = c.sparkSession
     import spark.implicits._
+    graft.util.CommitProtocol.forBuild(
+      spark.sessionState.newHadoopConf(), indexDir, protocol) match {
+      case graft.util.CommitProtocol.Manifest =>
+        val (assignments, centroids) = VectorOps.buildIvf(c, k, iters, nKnown = nKnown)
+        val codebooks = trainCodebooks(c, nKnown)
+        return IvfMaintenance.saveManifest(spark, indexDir,
+          c.join(assignments, "vec_id")
+            .select(col("vec_id"), col("embedding"), col("cell")),
+          centroids,
+          codes = Some(encode(c, codebooks).join(assignments, "vec_id")
+            .select(col("vec_id"), col("codes"), col("cell"))),
+          codebooks = Some(
+            (for ((cb, m) <- codebooks.zipWithIndex.toSeq; (ct, j) <- cb.zipWithIndex)
+              yield (m, j, ct.toSeq))
+              .toDF("m", "code", "centroid").coalesce(1)))
+      case _ => ()
+    }
     graft.util.IndexCommit.assertRenameCommitFs(
       spark.sessionState.newHadoopConf(), indexDir, "savePqIndex")
     graft.util.IndexCommit.withWriterLease(indexDir) {
@@ -583,14 +602,38 @@ object PqOps {
     * [[VectorOps.loadIvfIndex]] — same tiered layout, same read-only
     * probe contract).
     */
+  private val CodebooksSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("m",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("code",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("centroid",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+
   def loadPqIndex(spark: SparkSession, indexDir: String): PqIndex = {
-    val ivf = VectorOps.loadIvfIndex(spark, indexDir)
     val cb = Array.fill(M, Ks)(Array.fill(SubDim)(0.0))
-    spark.read.parquet(s"$indexDir/codebooks").collect().foreach { r =>
-      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    if (IvfMaintenance.isManifest(spark, indexDir)) {
+      // ONE snapshot covers all four tables: a probe can never pair
+      // new vectors with old codes or a different codebook generation
+      val m = graft.util.ManifestCommit.current(
+        spark.sessionState.newHadoopConf(), indexDir)
+      graft.util.ManifestCommit.readTable(spark, indexDir, m,
+        "codebooks", CodebooksSchema).collect().foreach { r =>
+        cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      PqIndex(IvfMaintenance.readVectorsManifest(spark, indexDir, m),
+        IvfMaintenance.readCodesManifest(spark, indexDir, m),
+        graft.util.ManifestCommit.readTable(spark, indexDir, m,
+          "centroids", IvfMaintenance.CentroidsSchema), cb)
+    } else {
+      val ivf = VectorOps.loadIvfIndex(spark, indexDir)
+      spark.read.parquet(s"$indexDir/codebooks").collect().foreach { r =>
+        cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      PqIndex(ivf.vectors, IvfMaintenance.readCodes(spark, indexDir),
+        ivf.centroids, cb)
     }
-    PqIndex(ivf.vectors, IvfMaintenance.readCodes(spark, indexDir),
-      ivf.centroids, cb)
   }
 
   /** Add a NEW vector batch to an existing persisted index without
@@ -618,10 +661,17 @@ object PqOps {
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     require(centroids.nonEmpty,
       s"$indexDir has no centroids — build the index before updating it")
-    graft.util.IndexCommit.assertRenameCommitFs(
-      spark.sessionState.newHadoopConf(), indexDir, "addToPqIndex")
     val assigned = VectorOps.assignCells(newBatch, centroids)
       .select(col("vec_id"), col("cell"))
+    if (IvfMaintenance.isManifest(spark, indexDir))
+      return IvfMaintenance.appendManifest(spark, indexDir,
+        newBatch.join(assigned, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cell")),
+        codes = Some(encode(newBatch, idx.codebooks).join(assigned, "vec_id")
+          .select(col("vec_id"), col("codes"), col("cell"))),
+        batchId)
+    graft.util.IndexCommit.assertRenameCommitFs(
+      spark.sessionState.newHadoopConf(), indexDir, "addToPqIndex")
     graft.util.IndexCommit.withWriterLease(indexDir) {
       IvfMaintenance.recover(indexDir)
       if (!batchId.exists(IvfMaintenance.isBatchCommitted(indexDir, _)))

@@ -476,7 +476,19 @@ object VectorOps {
     * the base corpus — at 100 TB a 2-of-1024-cell probe scans ~0.2% of
     * the index instead of joining the full corpus on vec_id.
     */
-  def saveIvfIndex(c: DataFrame, indexDir: String, k: Int, iters: Int): Unit = {
+  def saveIvfIndex(c: DataFrame, indexDir: String, k: Int, iters: Int,
+                   protocol: graft.util.CommitProtocol =
+                     graft.util.CommitProtocol.Auto): Unit = {
+    val conf = c.sparkSession.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.forBuild(conf, indexDir, protocol) match {
+      case graft.util.CommitProtocol.Manifest =>
+        val (assignments, centroids) = buildIvf(c, k, iters)
+        return IvfMaintenance.saveManifest(c.sparkSession, indexDir,
+          c.join(assignments, "vec_id")
+            .select(col("vec_id"), col("embedding"), col("cell")),
+          centroids, codes = None, codebooks = None)
+      case _ => ()
+    }
     graft.util.IndexCommit.assertRenameCommitFs(
       c.sparkSession.sessionState.newHadoopConf(), indexDir, "saveIvfIndex")
     graft.util.IndexCommit.withWriterLease(indexDir) {
@@ -513,9 +525,16 @@ object VectorOps {
   def appendIvfIndex(delta: DataFrame, indexDir: String,
                      batchId: Option[String] = None): Unit = {
     val s = delta.sparkSession
-    val cents: Seq[(Long, Seq[Double])] =
-      s.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids")
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val manifest = IvfMaintenance.isManifest(s, indexDir)
+    val snap =
+      if (manifest) Some(graft.util.ManifestCommit.current(
+        s.sessionState.newHadoopConf(), indexDir))
+      else None
+    val cents: Seq[(Long, Seq[Double])] = snap
+      .map(m => graft.util.ManifestCommit.readTable(s, indexDir, m,
+        "centroids", CentroidsSchema))
+      .getOrElse(s.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     if (cents.isEmpty) {
       // empty-corpus build has no centroids; folding an empty delta
       // into it is a no-op (the zero-row pipeline case), folding real
@@ -524,6 +543,9 @@ object VectorOps {
       throw new IllegalStateException(
         s"$indexDir has no centroids — an untrained index cannot take adds (FAISS contract); build with saveIvfIndex first")
     }
+    if (manifest)
+      return IvfMaintenance.appendManifest(s, indexDir,
+        assignCells(delta, cents), codes = None, batchId)
     graft.util.IndexCommit.assertRenameCommitFs(
       s.sessionState.newHadoopConf(), indexDir, "appendIvfIndex")
     graft.util.IndexCommit.withWriterLease(indexDir) {
@@ -539,7 +561,9 @@ object VectorOps {
     * before and after (spec-pinned); per-cycle IO follows the tail.
     */
   def compactIvfIndex(spark: SparkSession, indexDir: String): Unit =
-    IvfMaintenance.compact(spark, indexDir)
+    if (IvfMaintenance.isManifest(spark, indexDir))
+      IvfMaintenance.compactManifest(spark, indexDir)
+    else IvfMaintenance.compact(spark, indexDir)
 
   /** Finish (or roll back) a maintenance step interrupted mid-flight,
     * under the writer lease — for orchestrators (the streaming drain)
@@ -572,8 +596,17 @@ object VectorOps {
     * writer's staged delta (the MinHash probe contract).
     */
   def loadIvfIndex(spark: SparkSession, indexDir: String): IvfIndex =
-    IvfIndex(IvfMaintenance.readVectors(spark, indexDir),
-      spark.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids"))
+    if (IvfMaintenance.isManifest(spark, indexDir)) {
+      // ONE snapshot covers both tables — a concurrent fold can never
+      // show this probe new vectors against missing/old state
+      val m = graft.util.ManifestCommit.current(
+        spark.sessionState.newHadoopConf(), indexDir)
+      IvfIndex(IvfMaintenance.readVectorsManifest(spark, indexDir, m),
+        graft.util.ManifestCommit.readTable(spark, indexDir, m,
+          "centroids", CentroidsSchema))
+    } else
+      IvfIndex(IvfMaintenance.readVectors(spark, indexDir),
+        spark.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids"))
 
   /** ANN against a persisted index — no k-means at query time, no base
     * corpus access. The probed cell set (≤ nq × nprobe distinct ids,
@@ -832,6 +865,53 @@ object VectorOps {
     oracleGen = Some((s, dir) =>
       s"${ivfReplayCtes(indexCentroids(loadIvfIndex(s, s"${sessionIvfCompactRoot(s, dir)}/work")), nprobe = 2)}$topkTailSql"))
 
+  /** Build-once per (application, sf dir): the manifest-protocol
+    * 80%-trained index with the remaining 20% batch-appended, plus the
+    * post-append generation — the snapshot each invocation rewinds to.
+    */
+  private val manifestIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def sessionIvfManifestRoot(s: SparkSession, dir: String): (String, Long) =
+    manifestIdx.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_ivf_mani").toString
+      val c = corpus(s, dir)
+      saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), d, k = 10, iters = 2,
+        protocol = graft.util.CommitProtocol.Manifest)
+      appendIvfIndex(c.filter(col("vec_id") % 5 === 0), d,
+        batchId = Some("batch-1"))
+      (d, graft.util.ManifestCommit.current(
+        s.sessionState.newHadoopConf(), d).gen)
+    })
+
+  /** The ann_ivf_compact_topk lifecycle on the versioned-manifest
+    * (object-store) commit protocol: 80% trained+built with `protocol
+    * = Manifest`, 20% appended exactly-once, the tail Minor-folded
+    * into a flat (cell, vec_id)-sorted run in one publish, then
+    * probed. Oracle = the same full-corpus assignment replay against
+    * the index's OWN centroids — the commit protocol must be invisible
+    * to retrieval, hash-checked. Each invocation rewinds to the
+    * post-append snapshot (drop newer generations + vacuum — manifest
+    * time-travel, an O(fold output) reset) so the bench measures one
+    * real Minor fold + probe every time.
+    */
+  val annIvfManifestQuery: QueryDef = QueryDef(
+    "ann_ivf_manifest_topk",
+    (s, dir) => {
+      val conf = s.sessionState.newHadoopConf()
+      val (idx, seedGen) = sessionIvfManifestRoot(s, dir)
+      val mdir = java.nio.file.Paths.get(idx, "_manifests")
+      java.nio.file.Files.list(mdir).forEach { p =>
+        val g = p.getFileName.toString.stripPrefix("m").toLongOption
+        if (g.exists(_ > seedGen)) java.nio.file.Files.delete(p)
+      }
+      graft.util.ManifestCommit.vacuum(conf, idx, keepGens = 1, graceMs = 0L)
+      compactIvfIndex(s, idx)
+      annIvfIndexed(queriesDf(s, dir, 10), loadIvfIndex(s, idx))
+    },
+    oracleGen = Some((s, dir) =>
+      s"${ivfReplayCtes(indexCentroids(loadIvfIndex(s, sessionIvfManifestRoot(s, dir)._1)), nprobe = 2)}$topkTailSql"))
+
   /** Static replay of the streaming IVF maintenance drain
     * (stream_ann_index_maintenance): crawl k's vectors probe the index
     * state seed ∪ crawls < k — membership is the id-mod arithmetic;
@@ -948,5 +1028,5 @@ object VectorOps {
 
   val all: Seq[QueryDef] =
     Seq(annBrute, annLsh, annIvf, annIvfIndexedQuery, annIvfAppendQuery,
-      annIvfCompactQuery, dedupEmbedding, contrastive)
+      annIvfCompactQuery, annIvfManifestQuery, dedupEmbedding, contrastive)
 }

@@ -1,0 +1,156 @@
+package graft.dedup
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.{CommitProtocol, ManifestCommit, ManifestTiered}
+
+/** The MinHash index on the versioned-manifest (object-store) commit
+  * protocol: the SAME public entry points (save / append /
+  * probeAndAppend / compact / probe) must produce probe results
+  * identical to the rename-protocol index — the protocol is a
+  * deployment choice, never a semantics choice. Exercised on the local
+  * FS with protocol = Manifest (the manifest module itself never
+  * renames, so local-FS green implies the same code path an s3a:// dir
+  * takes — ManifestCommitSpec holds the primitive-level guarantees).
+  */
+class MinHashManifestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4, 2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def sf: Option[String] =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists())
+
+  private def hitSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("manifest build + probe equals the rename-protocol index bit for bit") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val mDir = java.nio.file.Files.createTempDirectory("mh_mani").toString
+    val rDir = java.nio.file.Files.createTempDirectory("mh_ren").toString
+    Dedup.saveMinHashIndex(corpus, mDir, protocol = CommitProtocol.Manifest)
+    Dedup.saveMinHashIndex(corpus, rDir)
+    assert(ManifestCommit.exists(conf, mDir), "manifest build must create _manifests")
+    assert(!ManifestCommit.exists(conf, rDir), "rename build must NOT")
+    val probe = corpus.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, mDir)) ==
+      hitSet(Dedup.dedupAgainstMinHashIndex(probe, rDir)))
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, mDir)).nonEmpty)
+  }
+
+  test("append folds a delta exactly once; probes equal a from-scratch build; compact is invisible") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val oldCrawl = corpus.filter(col("doc_id") % 3 =!= 0)
+    val delta = corpus.filter(col("doc_id") % 3 === 0)
+    val grown = java.nio.file.Files.createTempDirectory("mh_mani_g").toString
+    val scratch = java.nio.file.Files.createTempDirectory("mh_mani_s").toString
+    Dedup.saveMinHashIndex(oldCrawl, grown, protocol = CommitProtocol.Manifest)
+    Dedup.saveMinHashIndex(corpus, scratch, protocol = CommitProtocol.Manifest)
+    Dedup.appendMinHashIndex(delta, grown, batchId = Some("crawl-7"))
+    // the crashed-orchestrator retry: the committed id makes it a no-op
+    Dedup.appendMinHashIndex(delta, grown, batchId = Some("crawl-7"))
+    assert(ManifestCommit.isBatchCommitted(conf, grown, "crawl-7"))
+    val probe = corpus.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    def hits(d: String) = hitSet(Dedup.dedupAgainstMinHashIndex(probe, d))
+    val fromScratch = hits(scratch)
+    assert(hits(grown) == fromScratch, "append+retry must equal a from-scratch build")
+    assert(fromScratch.nonEmpty)
+    // tail is non-empty pre-compact; Minor folds it into one flat run
+    val m0 = ManifestCommit.current(conf, grown)
+    assert(m0.rows(ManifestTiered.tailTable("bands")) > 0L)
+    Dedup.compactMinHashIndex(spark, grown)
+    val m1 = ManifestCommit.current(conf, grown)
+    assert(m1.rows(ManifestTiered.tailTable("bands")) == 0L, "tail must empty")
+    assert(m1.entries(ManifestTiered.l1Table("bands")).size == 1, "one L1 run")
+    assert(m1.rows(ManifestTiered.l1Table("bands")) ==
+      m0.rows(ManifestTiered.tailTable("bands")), "Minor folds exactly the tail")
+    assert(hits(grown) == fromScratch, "compaction changed probe results")
+    // idempotent: nothing left to fold
+    Dedup.compactMinHashIndex(spark, grown)
+    assert(ManifestCommit.current(conf, grown).gen == m1.gen, "NoOp must not publish")
+    // maintenance observability reads tier masses off the manifest
+    val (action, sizes) = Dedup.compactionTiers(spark, grown)
+    assert(action == "NoOp" && sizes.tail == 0L && sizes.l1 == m1.rows(ManifestTiered.l1Table("bands")))
+  }
+
+  test("probe-and-append drains crawls with snapshot-isolated probes; vacuum keeps live readers whole") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mh_mani_d").toString
+    val hitsOut = java.nio.file.Files.createTempDirectory("mh_mani_h").toString
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 4 === 0), dir,
+      protocol = CommitProtocol.Manifest)
+    // two crawls through the maintenance entry: each probes the
+    // PRE-batch snapshot, then appends itself in the same publish
+    (1 to 2).foreach { k =>
+      Dedup.probeAndAppendMinHashIndex(
+        corpus.filter(col("doc_id") % 4 === k), dir, hitsOut.toString,
+        batchId = Some(ManifestCommit.seqBatchId("drain", k.toLong)))
+    }
+    // retried batch (watermark id): a full no-op — no third hits dir,
+    // no index growth
+    val genBefore = ManifestCommit.current(conf, dir).gen
+    Dedup.probeAndAppendMinHashIndex(
+      corpus.filter(col("doc_id") % 4 === 2), dir, hitsOut.toString,
+      batchId = Some(ManifestCommit.seqBatchId("drain", 2L)))
+    assert(ManifestCommit.current(conf, dir).gen == genBefore)
+    // a reader pinned to the pre-compaction snapshot keeps its results
+    // across compact + vacuum(keepGens=2) — snapshot isolation, the
+    // race the rename protocol excludes only by scheduling
+    val probe = corpus.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + 3000000L)
+    val pinned = Dedup.dedupAgainstMinHashIndex(probe, dir)
+    val before = hitSet(pinned)
+    Dedup.compactMinHashIndex(spark, dir)
+    ManifestCommit.vacuum(conf, dir, keepGens = 2, graceMs = 0L)
+    assert(hitSet(pinned) == before, "pinned snapshot broken by compact+vacuum")
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) == before,
+      "fresh probe changed by compaction")
+    // vacuum to the current snapshot only: fresh probes still whole
+    ManifestCommit.vacuum(conf, dir, keepGens = 1, graceMs = 0L)
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) == before)
+    assert(before.nonEmpty)
+  }
+
+  test("a writer crash between lay and publish leaves probes on the old snapshot; the redrive lands clean") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+      .filter(col("doc_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("mh_mani_c").toString
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), dir,
+      protocol = CommitProtocol.Manifest)
+    val probe = corpus.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 4000000L)
+    val before = hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir))
+    // simulate the crash state the protocol promises to tolerate: data
+    // dirs fully laid, manifest never published (what a killed
+    // appendMinHashIndex leaves behind)
+    val orphan = ManifestCommit.newDataDir(dir, "bands.tail")
+    graft.util.Tables(spark, sf.get, "documents").limit(0)
+      .select(col("doc_id"), col("doc_id").as("bucket"),
+        array(col("doc_id")).as("sig"),
+        lit(0).as("band"), lit(0).as("bmod"))
+      .write.parquet(s"$dir/$orphan")
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) == before,
+      "unpublished dirs must be invisible to probes")
+    // the redrive appends for real and the orphan stays garbage
+    Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 2 === 1), dir,
+      batchId = Some("redrive-1"))
+    val scratch = java.nio.file.Files.createTempDirectory("mh_mani_c2").toString
+    Dedup.saveMinHashIndex(corpus, scratch, protocol = CommitProtocol.Manifest)
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) ==
+      hitSet(Dedup.dedupAgainstMinHashIndex(probe, scratch)))
+  }
+}

@@ -114,13 +114,20 @@ class TieredCompactionSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
-  test("probes prune level-1 runs like the base (static partition filters)") {
+  test("probes prune level-1 runs via pushed footer predicates (flat sorted runs)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("tier_prune").toString
     Dedup.saveMinHashIndex(docs(0, 100), dir)
     Dedup.appendMinHashIndex(docs(100, 10), dir, batchId = Some("b1"))
     Dedup.compactMinHashIndex(spark, dir) // → one run
     assert(runsOf(dir) == Seq(0L))
+    // runs are FLAT (band, bmod, bucket)-sorted files — a Minor fold
+    // costs a handful-of-files write, never a partition-dir-tree
+    // commit; pruning happens via parquet row-group stats, so the
+    // probe's DIRECT band/bmod predicates must reach PushedFilters
+    val runDir = java.nio.file.Paths.get(dir, "bands_l1", "run=0")
+    assert(java.nio.file.Files.list(runDir).count() <= 4,
+      "flat run must be a handful of files, not a partition tree")
     val probe = Dedup.dedupAgainstMinHashIndex(docs(0, 1), dir)
     val runScans = probe.queryExecution.sparkPlan.collect {
       case f: FileSourceScanExec
@@ -128,13 +135,9 @@ class TieredCompactionSpec extends AnyFunSuite {
     }
     assert(runScans.nonEmpty, "probe must read the level-1 run")
     runScans.foreach { f =>
-      val static = f.partitionFilters.filterNot(_.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
-      assert(static.nonEmpty, s"run scan without static partition filter:\n$f")
-      val pruned = f.relation.location.listFiles(static, Nil).map(_.files.size).sum
-      val total = f.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
-      assert(pruned < total && pruned >= 0,
-        s"1-doc probe must prune the run (pruned=$pruned, total=$total)")
+      val pushed = f.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("band") && pushed.contains("bmod"),
+        s"run scan must push band/bmod to parquet stats, got: $pushed")
     }
     assert(probeHit(dir) == Set((900000L, 0L, 1.0)))
   }

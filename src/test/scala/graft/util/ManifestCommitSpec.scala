@@ -31,13 +31,19 @@ class ManifestCommitSpec extends AnyFunSuite {
     (from until from + n).map(i => (i, i * 10)).toDF("id", "v")
   }
 
-  /** Append-shaped maintenance step: write a fresh dir, publish. */
-  private def append(dir: String, df: DataFrame, batchId: String): Unit = {
+  /** Append-shaped maintenance step: write a fresh dir, publish.
+    * graceMs = 0 throughout: single-threaded tests have no live racing
+    * writer, and the defaults would otherwise (correctly) refuse to
+    * heal/GC just-written files.
+    */
+  private def append(dir: String, df: DataFrame, batchId: String,
+                     retainGens: Int = ManifestCommit.CommittedRetainGens): Unit = {
     val d = ManifestCommit.newDataDir(dir, "t")
     df.write.parquet(s"$dir/$d")
     ManifestCommit.publish(conf, dir,
-      m => m.copy(tables = m.tables.updated("t", m.table("t") :+ d)),
-      batchId = Some(batchId)); ()
+      m => ManifestCommit.addDir(m, "t", d, df.count()),
+      batchId = Some(batchId), retainGens = retainGens,
+      tornHealGraceMs = 0L); ()
   }
 
   private def readIds(dir: String): Set[Long] =
@@ -55,6 +61,9 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(ManifestCommit.isBatchCommitted(conf, dir, "b1"))
     append(dir, rows(10, 5), "b2")
     assert(readIds(dir) == (0L until 15L).toSet)
+    // dir row counts ride the manifest: the tiering policy reads tier
+    // masses with ZERO Spark counts
+    assert(ManifestCommit.current(conf, dir).rows("t") == 15L)
   }
 
   test("a writer that dies before its publish leaves only invisible garbage") {
@@ -64,10 +73,26 @@ class ManifestCommitSpec extends AnyFunSuite {
     val orphan = ManifestCommit.newDataDir(dir, "t")
     rows(100, 5).write.parquet(s"$dir/$orphan")
     assert(readIds(dir) == (0L until 10L).toSet, "unpublished dir leaked into reads")
-    // vacuum GCs the orphan
-    ManifestCommit.vacuum(conf, dir, keepGens = 1)
+    // vacuum GCs the orphan — once it is older than the grace window
+    ManifestCommit.vacuum(conf, dir, keepGens = 1, graceMs = 0L)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, orphan)))
     assert(readIds(dir) == (0L until 10L).toSet)
+  }
+
+  test("vacuum skips unreferenced dirs younger than the grace window (a live writer's mid-publish lay)") {
+    val dir = java.nio.file.Files.createTempDirectory("mc_grace").toString
+    append(dir, rows(0, 10), "b1")
+    // a LIVE writer: dirs fully laid, manifest not yet created — the
+    // legal state between lay and publish
+    val staged = ManifestCommit.newDataDir(dir, "t")
+    rows(100, 5).write.parquet(s"$dir/$staged")
+    ManifestCommit.vacuum(conf, dir, keepGens = 1) // default grace
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, staged)),
+      "vacuum deleted a just-laid dir inside the grace window")
+    // the racing writer's publish still resolves every referenced file
+    ManifestCommit.publish(conf, dir,
+      m => ManifestCommit.addDir(m, "t", staged, 5L), batchId = Some("b2"))
+    assert(readIds(dir) == ((0L until 10L) ++ (100L until 105L)).toSet)
   }
 
   test("a torn manifest write is invisible: readers resolve the previous generation") {
@@ -88,7 +113,7 @@ class ManifestCommitSpec extends AnyFunSuite {
     // vacuum must NOT count the torn file toward the keep window — the
     // old behavior kept only the torn m2, computed an empty live set,
     // and deleted every dir the real current snapshot referenced
-    ManifestCommit.vacuum(conf, dir, keepGens = 1)
+    ManifestCommit.vacuum(conf, dir, keepGens = 1, graceMs = 0L)
     assert(readIds(dir) == (0L until 10L).toSet,
       "vacuum with a torn newest manifest destroyed the live snapshot")
     assert(ManifestCommit.current(conf, dir).gen == 1L)
@@ -103,13 +128,40 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(ManifestCommit.isBatchCommitted(conf, dir, "b2"))
   }
 
+  test("a torn manifest YOUNGER than the heal grace is contention, not heal-bait") {
+    val dir = java.nio.file.Files.createTempDirectory("mc_torn_young").toString
+    append(dir, rows(0, 10), "b1")
+    // on file:/hdfs: a still-streaming manifest is visible mid-write
+    // and decodes as torn — a second writer must NOT delete it and
+    // claim the slot (silent lost update of the live writer's publish)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_manifests", "m2"),
+      "gen=2\ncommitted=".getBytes("UTF-8"))
+    val d = ManifestCommit.newDataDir(dir, "t")
+    rows(10, 5).write.parquet(s"$dir/$d")
+    val e = intercept[IllegalStateException] {
+      ManifestCommit.publish(conf, dir,
+        m => ManifestCommit.addDir(m, "t", d, 5L), batchId = Some("b2"))
+    }
+    assert(e.getMessage.contains("grace"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_manifests", "m2")),
+      "young torn manifest must survive a racing publish")
+    // aged past the grace window the same file IS a dead crash — the
+    // retry heals it and lands (the mc_torn case, via the knob)
+    ManifestCommit.publish(conf, dir,
+      m => ManifestCommit.addDir(m, "t", d, 5L), batchId = Some("b2"),
+      tornHealGraceMs = 0L)
+    assert(readIds(dir) == (0L until 15L).toSet)
+  }
+
   test("a stale writer cannot re-claim a vacuumed generation number") {
     val dir = java.nio.file.Files.createTempDirectory("mc_stale").toString
     append(dir, rows(0, 5), "b1")
     val stale = ManifestCommit.current(conf, dir) // gen 1
     append(dir, rows(5, 5), "b2")
     append(dir, rows(10, 5), "b3")
-    ManifestCommit.vacuum(conf, dir, keepGens = 1) // m1, m2 deleted
+    ManifestCommit.vacuum(conf, dir, keepGens = 1, graceMs = 0L) // m1, m2 deleted
     // the stale writer targets gen 2 — the file is GONE, so the bare
     // create-no-overwrite would succeed, but readers resolve gen 3 and
     // would never see the "published" manifest: the gen guard must
@@ -118,7 +170,7 @@ class ManifestCommitSpec extends AnyFunSuite {
     rows(100, 5).write.parquet(s"$dir/$d")
     intercept[IllegalStateException] {
       ManifestCommit.publishAt(conf, dir, stale,
-        m => m.copy(tables = m.tables.updated("t", m.table("t") :+ d)),
+        m => ManifestCommit.addDir(m, "t", d, 5L),
         batchId = Some("w"))
     }
     assert(readIds(dir) == (0L until 15L).toSet)
@@ -137,12 +189,10 @@ class ManifestCommitSpec extends AnyFunSuite {
     // fail loudly on the occupied generation, never overwrite it
     val stale = ManifestCommit.current(conf, dir)
     ManifestCommit.publishAt(conf, dir, stale,
-      m => m.copy(tables = m.tables.updated("t", m.table("t") :+ d2)),
-      batchId = Some("w1"))
+      m => ManifestCommit.addDir(m, "t", d2, 5L), batchId = Some("w1"))
     intercept[IllegalStateException] {
       ManifestCommit.publishAt(conf, dir, stale,
-        m => m.copy(tables = m.tables.updated("t", m.table("t") :+ d3)),
-        batchId = Some("w2"))
+        m => ManifestCommit.addDir(m, "t", d3, 5L), batchId = Some("w2"))
     }
     // winner's commit survives intact; the loser's batch is uncommitted
     assert(readIds(dir) == (0L until 15L).toSet)
@@ -150,8 +200,7 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(!ManifestCommit.isBatchCommitted(conf, dir, "w2"))
     // the loser retries against a FRESH snapshot and lands cleanly
     ManifestCommit.publish(conf, dir,
-      m => m.copy(tables = m.tables.updated("t", m.table("t") :+ d3)),
-      batchId = Some("w2"))
+      m => ManifestCommit.addDir(m, "t", d3, 5L), batchId = Some("w2"))
     assert(readIds(dir) == ((0L until 15L) ++ (20L until 25L)).toSet)
   }
 
@@ -167,7 +216,8 @@ class ManifestCommitSpec extends AnyFunSuite {
     ManifestCommit.readTable(spark, dir, snapshot, "t", schema)
       .repartition(1).write.parquet(s"$dir/$folded")
     ManifestCommit.publish(conf, dir,
-      m => m.copy(tables = m.tables.updated("t", Seq(folded))))
+      m => ManifestCommit.setDirs(m, "t",
+        Seq(ManifestCommit.DirEntry(folded, 20L))))
     assert(ManifestCommit.current(conf, dir).table("t") == Seq(folded))
     assert(readIds(dir) == (0L until 20L).toSet, "compaction changed reads")
     // the pre-compaction reader still scans its snapshot's dirs — they
@@ -175,10 +225,10 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(pinned.select(col("id")).collect().map(_.getLong(0)).toSet ==
       (0L until 20L).toSet, "snapshot reader broken by a concurrent compaction")
     // vacuum keeping 2 gens retains the snapshot's dirs; keeping 1 drops them
-    ManifestCommit.vacuum(conf, dir, keepGens = 2)
+    ManifestCommit.vacuum(conf, dir, keepGens = 2, graceMs = 0L)
     assert(pinned.select(col("id")).collect().map(_.getLong(0)).toSet ==
       (0L until 20L).toSet, "keepGens=2 vacuum must retain the previous snapshot")
-    ManifestCommit.vacuum(conf, dir, keepGens = 1)
+    ManifestCommit.vacuum(conf, dir, keepGens = 1, graceMs = 0L)
     assert(readIds(dir) == (0L until 20L).toSet)
     val dataDirs = java.nio.file.Files.list(
       java.nio.file.Paths.get(dir, "data", "t"))
@@ -186,18 +236,72 @@ class ManifestCommitSpec extends AnyFunSuite {
     finally dataDirs.close()
   }
 
+  test("sequenced ids keep ONE watermark per writer; replays no-op at any age") {
+    val dir = java.nio.file.Files.createTempDirectory("mc_seq").toString
+    val drain = (s: Long, from: Long) =>
+      append(dir, rows(from, 5), ManifestCommit.seqBatchId("drain", s))
+    drain(0, 0); drain(1, 5); drain(2, 10)
+    assert(readIds(dir) == (0L until 15L).toSet)
+    // arbitrarily late replays of any already-folded seq are no-ops —
+    // no window to outlive (the committed set prunes ONLY free-form
+    // ids; the watermark never forgets)
+    drain(0, 100); drain(2, 200)
+    assert(readIds(dir) == (0L until 15L).toSet,
+      "replayed sequenced batch double-appended")
+    val m = ManifestCommit.current(conf, dir)
+    assert(m.writers == Map("drain" -> 2L), "state must be ONE mark per writer")
+    assert(m.committed.isEmpty, "sequenced ids must not enter the free-form set")
+    assert(ManifestCommit.isBatchCommitted(conf, dir, "drain#1"))
+    assert(!ManifestCommit.isBatchCommitted(conf, dir, "drain#3"))
+    assert(!ManifestCommit.isBatchCommitted(conf, dir, "other#0"))
+    // a second writer gets its own independent watermark
+    append(dir, rows(20, 5), ManifestCommit.seqBatchId("cli", 7))
+    assert(ManifestCommit.current(conf, dir).writers ==
+      Map("drain" -> 2L, "cli" -> 7L))
+  }
+
+  test("free-form committed ids are windowed: the set stays bounded, the floor records the prune") {
+    val dir = java.nio.file.Files.createTempDirectory("mc_window").toString
+    // retainGens=3 for the test; the production default is 4096
+    append(dir, rows(0, 2), "crawl-a", retainGens = 3)
+    append(dir, rows(2, 2), "crawl-b", retainGens = 3)
+    // inside the window a replay no-ops
+    append(dir, rows(0, 2), "crawl-a", retainGens = 3)
+    assert(readIds(dir) == (0L until 4L).toSet)
+    append(dir, rows(4, 2), "crawl-c", retainGens = 3)
+    append(dir, rows(6, 2), "crawl-d", retainGens = 3)
+    val m = ManifestCommit.current(conf, dir)
+    // crawl-a (gen 1 ≤ gen 4 − 3) pruned; floor advanced to its gen;
+    // the set carries only the in-window ids — bounded at any cadence
+    assert(!m.committed.contains("crawl-a"), "aged-out id must be pruned")
+    assert(m.committed.keySet == Set("crawl-b", "crawl-c", "crawl-d"))
+    assert(m.floor == 1L, s"floor must record the newest pruned gen, got ${m.floor}")
+    // beyond the window the id is indistinguishable from a new batch —
+    // the documented free-form contract (sequenced ids are the
+    // never-forgets form); the publish itself still works
+    assert(!ManifestCommit.isBatchCommitted(conf, dir, "crawl-a"))
+  }
+
   test("empty index reads as empty; manifest round-trips its encoding") {
     val dir = java.nio.file.Files.createTempDirectory("mc_empty").toString
     assert(ManifestCommit.current(conf, dir) == ManifestCommit.Empty)
     assert(readIds(dir) == Set.empty[Long])
-    val m = ManifestCommit.Manifest(7L,
-      Map("bands" -> Seq("data/bands/d-a", "data/bands/d-b"),
-        "widths" -> Nil),
-      Set("b1", "b2"))
-    // decode(encode(m)) — through the private codec via a real publish
     append(dir, rows(0, 1), "b1")
     val cur = ManifestCommit.current(conf, dir)
-    assert(cur.gen == 1L && cur.committed == Set("b1") && cur.table("t").size == 1)
-    assert(m.table("widths").isEmpty)
+    assert(cur.gen == 1L && cur.committed.keySet == Set("b1") &&
+      cur.table("t").size == 1 && cur.rows("t") == 1L && cur.floor == 0L)
+  }
+
+  test("v1 manifests (no rows, bare committed ids) still decode") {
+    val text = "gen=3\ncommitted=b1,b2\ntable=t:data/t/d-a,data/t/d-b\nend=4"
+    val m = ManifestCommit.decode(text).get
+    assert(m.gen == 3L)
+    assert(m.table("t") == Seq("data/t/d-a", "data/t/d-b"))
+    assert(m.rows("t") == -1L, "unknown v1 row counts must read as unknown")
+    // bare ids read as committed at their manifest's own generation —
+    // the conservative retention (kept for a full window from here)
+    assert(m.committed == Map("b1" -> 3L, "b2" -> 3L))
+    assert(m.writers.isEmpty && m.floor == 0L)
+    assert(m.isCommitted("b1") && !m.isCommitted("b9"))
   }
 }
