@@ -1560,9 +1560,12 @@ object Dedup {
     * probe-concurrent: their staged dirs are invisible and the
     * worst-case race UNDER-counts a width, which only widens the
     * candidate set. Schedule compaction from the single maintenance
-    * orchestrator, between probes (or deploy on
-    * graft.util.ManifestCommit's versioned-manifest protocol, where
-    * readers resolve a consistent snapshot for free).
+    * orchestrator, between probes — this caveat applies to the RENAME
+    * protocol only: building the index with
+    * `saveMinHashIndex(protocol = CommitProtocol.Manifest)` routes
+    * every maintenance step through the versioned-manifest protocol,
+    * where probes resolve one snapshot and compaction needs no
+    * scheduling at all (the object-store deployment default).
     */
   def compactMinHashIndex(spark: SparkSession, indexDir: String): Unit = {
     graft.util.CommitProtocol.ofIndex(

@@ -66,7 +66,7 @@ object HostRank {
     * design — memory is reclaimed only by Spark's clearCache (which
     * the re-cache guards below tolerate).
     */
-  private def computeCached[V <: AnyRef](
+  private[jobs] def computeCached[V <: AnyRef](
       m: java.util.concurrent.ConcurrentHashMap[String, V], key: String)(
       mk: => V)(release: V => Unit): V = {
     val existing = m.get(key)

@@ -226,11 +226,19 @@ object JobRunner {
     val root = new org.apache.hadoop.fs.Path(input)
     val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fsys.exists(root)) {
+      // qualified root so relativize matches the listing's URIs
+      val rootUri = fsys.makeQualified(root).toUri
       val it = fsys.listFiles(root, /*recursive=*/ true)
       val entries = scala.collection.mutable.ArrayBuffer[String]()
       while (it.hasNext) {
         val st = it.next()
-        entries += s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}"
+        // the path RELATIVE to the input root, not the basename: a
+        // part file moved between partition subdirs, or same-named
+        // same-sized files in swapped subdirs, must change the digest
+        // — basenames alone let a genuinely changed staging input
+        // silently no-op as an already-committed batch
+        val rel = rootUri.relativize(st.getPath.toUri).toString
+        entries += s"$rel|${st.getLen}|${st.getModificationTime}"
       }
       entries.sorted.foreach(feed)
     }

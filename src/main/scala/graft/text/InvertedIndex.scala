@@ -473,6 +473,30 @@ object InvertedIndex {
     }
   }
 
+  /** Per-tier postings mass + the size policy's pending decision — the
+    * maintenance-curve observability hook (tools/MaintenanceCurve).
+    * Read-only; manifest indexes answer from the manifest (zero Spark
+    * jobs), rename indexes from three metadata counts.
+    */
+  def compactionTiers(s: SparkSession, dir: String)
+      : (String, graft.util.TieredIndex.TierSizes) = {
+    val sizes = graft.util.CommitProtocol.ofIndex(
+      s.sessionState.newHadoopConf(), dir) match {
+      case graft.util.CommitProtocol.Manifest =>
+        val m = ManifestCommit.current(s.sessionState.newHadoopConf(), dir)
+        ManifestTiered.sizes(s, dir, m, "postings", PostingsSchema)
+      case _ =>
+        graft.util.TieredIndex.rowSizes(s, dir, "postings", PostingsSchema)
+    }
+    val action = graft.util.TieredIndex.plan(sizes) match {
+      case graft.util.TieredIndex.NoOp => "NoOp"
+      case graft.util.TieredIndex.Minor(_) => "Minor"
+      case graft.util.TieredIndex.MergeRuns => "MergeRuns"
+      case graft.util.TieredIndex.Major => "Major"
+    }
+    (action, sizes)
+  }
+
   /** Build-once cache per (application, sf dir) — repeated invocations
     * measure probe cost, the mode the index exists for (mirrors
     * VectorOps.sessionIvfIndex).

@@ -46,9 +46,11 @@ import graft.util.{IndexCommit, TieredIndex}
   * the next probe sees), but NOT a compaction, whose multi-dir publish
   * can transiently double-read rows across a promoted run and the
   * not-yet-emptied tail — schedule compaction from the single
-  * maintenance orchestrator, between probes (or deploy on
-  * [[graft.util.ManifestCommit]], where readers resolve a consistent
-  * snapshot for free).
+  * maintenance orchestrator, between probes. Rename-protocol caveat
+  * only: an index built with `protocol = CommitProtocol.Manifest`
+  * runs every step through the versioned-manifest arms below
+  * ([[saveManifest]]/[[appendManifest]]/[[compactManifest]]), where
+  * probes resolve one snapshot and need no scheduling.
   */
 private[vector] object IvfMaintenance {
 

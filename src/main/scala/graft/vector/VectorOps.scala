@@ -496,6 +496,15 @@ object VectorOps {
       // or committed-batch tokens (a surviving token would silently
       // no-op a new ingest that reuses a batch id)
       IvfMaintenance.clearMaintenanceState(indexDir)
+      // a FLAT rebuild over a dir that previously held a PQ index must
+      // also drop the live codes/codebooks tables: this build never
+      // overwrites them, so the dir would still read as a valid PQ
+      // index (hasCodes) and loadPqIndex would silently join the OLD
+      // generation's codes against the NEW vectors — wrong ADC results
+      // with no error
+      Seq("codes", "codes_l1", "codes_tail", "codebooks")
+        .foreach(n => graft.util.FileTrees.rmTree(
+          java.nio.file.Paths.get(indexDir, n)))
       val (assignments, centroids) = buildIvf(c, k, iters)
       c.join(assignments, "vec_id")
         .select(col("vec_id"), col("embedding"), col("cell"))
@@ -576,6 +585,30 @@ object VectorOps {
     graft.util.IndexCommit.withWriterLease(indexDir) {
       IvfMaintenance.recover(indexDir)
     }
+
+  /** Per-tier vectors mass + the size policy's pending decision — the
+    * maintenance-curve observability hook (tools/MaintenanceCurve).
+    * Read-only; manifest indexes answer from the manifest (zero Spark
+    * jobs), rename indexes from three metadata counts.
+    */
+  def compactionTiers(spark: SparkSession, indexDir: String)
+      : (String, graft.util.TieredIndex.TierSizes) = {
+    val sizes =
+      if (IvfMaintenance.isManifest(spark, indexDir)) {
+        val m = graft.util.ManifestCommit.current(
+          spark.sessionState.newHadoopConf(), indexDir)
+        graft.util.ManifestTiered.sizes(spark, indexDir, m, "vectors",
+          IvfMaintenance.VectorsSchema)
+      } else graft.util.TieredIndex.rowSizes(spark, indexDir, "vectors",
+        IvfMaintenance.VectorsSchema)
+    val action = graft.util.TieredIndex.plan(sizes) match {
+      case graft.util.TieredIndex.NoOp => "NoOp"
+      case graft.util.TieredIndex.Minor(_) => "Minor"
+      case graft.util.TieredIndex.MergeRuns => "MergeRuns"
+      case graft.util.TieredIndex.Major => "Major"
+    }
+    (action, sizes)
+  }
 
   /** `vectors` is the cell-partitioned inverted-list table
     * (vec_id, embedding, cell).

@@ -13,6 +13,62 @@ class HostRankSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("cache fill runs OUTSIDE the map lock: same-bin keys fill concurrently, a same-key race keeps one winner, reentrancy is legal") {
+    import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
+    import java.util.concurrent.atomic.AtomicInteger
+    // 1) non-serialization: "Aa" and "BB" share a hashCode (same CHM
+    //    bin) — under the old computeIfAbsent the second fill blocked
+    //    on the bin lock for the whole seconds-long Spark build, so the
+    //    latch below could never open. Both fills must be IN-FLIGHT at
+    //    once.
+    val m = new ConcurrentHashMap[String, String]()
+    val inFlight = new CountDownLatch(2)
+    val serialized = new AtomicInteger(0)
+    def fill(key: String): String =
+      HostRank.computeCached(m, key) {
+        inFlight.countDown()
+        if (!inFlight.await(10, TimeUnit.SECONDS)) serialized.incrementAndGet()
+        s"v-$key"
+      }(_ => ())
+    val th = Seq("Aa", "BB").map { k =>
+      val t = new Thread(() => { fill(k); () }); t.start(); t
+    }
+    th.foreach(_.join(30000))
+    assert(serialized.get() == 0,
+      "same-bin first invocations serialized — the build is running under the bin lock")
+    assert(m.get("Aa") == "v-Aa" && m.get("BB") == "v-BB")
+    // 2) same-key race: both threads compute, exactly one instance
+    //    wins, the loser's value is RELEASED, both callers see the
+    //    winner
+    val m2 = new ConcurrentHashMap[String, Object]()
+    val gate = new CountDownLatch(2)
+    val released = new AtomicInteger(0)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Object]()
+    val th2 = (1 to 2).map { _ =>
+      val t = new Thread(() => {
+        val v = HostRank.computeCached(m2, "k") {
+          gate.countDown(); gate.await(10, TimeUnit.SECONDS)
+          new Object()
+        }(_ => { released.incrementAndGet(); () })
+        results.add(v); ()
+      }); t.start(); t
+    }
+    th2.foreach(_.join(30000))
+    assert(released.get() == 1, "exactly the losing racer's build must be released")
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet.size == 1 &&
+      results.asScala.forall(_ eq m2.get("k")),
+      "both racers must observe the single winning instance")
+    // 3) reentrancy: a fill whose build fills ANOTHER key on the same
+    //    thread (a graph query whose prep consults a second cache) —
+    //    computeIfAbsent throws 'Recursive update' here
+    val m3 = new ConcurrentHashMap[String, String]()
+    val outer = HostRank.computeCached(m3, "outer") {
+      HostRank.computeCached(m3, "inner")("i")(_ => ()) + "-o"
+    }(_ => ())
+    assert(outer == "i-o" && m3.get("inner") == "i")
+  }
+
   test("pagerank: hub accumulates rank, total mass conserved") {
     // star: a,b,c all link to hub; hub links to a (cycle keeps mass moving)
     val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"))

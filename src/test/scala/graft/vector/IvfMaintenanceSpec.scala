@@ -188,4 +188,20 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(r1 == r0, "compaction changed PQ probe results")
   }
+
+  test("a FLAT rebuild over a former PQ dir drops the stale codes/codebooks generation") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_downgrade").toString
+    PqOps.savePqIndex(vecs(0, 120), dir, k = 4, iters = 2)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes")))
+    // rebuild as a FLAT index: saveIvfIndex never writes codes, so
+    // stale codes/codebooks surviving here would make the dir still
+    // read as a PQ index and silently join the OLD generation's codes
+    // against the NEW vectors
+    VectorOps.saveIvfIndex(vecs(0, 140), dir, k = 4, iters = 2)
+    Seq("codes", "codes_l1", "codes_tail", "codebooks").foreach { n =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n)),
+        s"stale PQ artifact '$n' survived a flat rebuild")
+    }
+    assert(VectorOps.loadIvfIndex(spark, dir).vectors.count() == 140)
+  }
 }
