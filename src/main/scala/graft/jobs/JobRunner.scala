@@ -36,7 +36,20 @@ final case class JobCli(
     batchId: Option[String] = None,
     maxDupFrac: Option[Double] = None,
     mainContent: Boolean = false,
-    topK: Int = 20) {
+    topK: Int = 20,
+    commitProtocol: String = "auto") {
+
+  /** Index-build commit protocol: `auto` picks by filesystem scheme
+    * (local → rename, object store → versioned manifests); existing
+    * indexes always dispatch off what they were built with.
+    */
+  def indexProtocol: graft.util.CommitProtocol = commitProtocol match {
+    case "manifest" => graft.util.CommitProtocol.Manifest
+    case "rename" => graft.util.CommitProtocol.Rename
+    case "auto" => graft.util.CommitProtocol.Auto
+    case other => sys.error(
+      s"--commit_protocol must be auto|rename|manifest, got '$other'")
+  }
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
     outputFormat, outputCompression, outputOptions, outputBucketBy)
@@ -85,6 +98,10 @@ object JobCli {
       |          (--add_input INDEX_DIR [--batch_id TOKEN: retry-idempotent,
       |           default = digest of input path + its file listing]) |
       |        ann_index_compact (input = INDEX_DIR: tiered tail fold) |
+      |        index_vacuum (input = MANIFEST-protocol INDEX_DIR:
+      |                GC superseded generations; --output_option keep=K
+      |                grace_minutes=M) — index builds take
+      |                [--commit_protocol auto|rename|manifest] |
       |        datacard | heavy_hitters (--top_k K) | chunk | funnel | dq |
       |        compact (--output_option target_mb=N
       |                 --output_option zorder=colA,colB: Morton-clustered
@@ -152,6 +169,7 @@ object JobCli {
           value.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
         case "--min_entropy"   => cli = cli.copy(minEntropy = Some(value.toDouble))
         case "--batch_id"      => cli = cli.copy(batchId = Some(value))
+        case "--commit_protocol" => cli = cli.copy(commitProtocol = value)
         case "--max_dup_frac"  => cli = cli.copy(maxDupFrac = Some(value.toDouble))
         case "--main_content"  => cli = cli.copy(mainContent = true)
         case "--top_k"         => cli = cli.copy(topK = value.toInt)
@@ -349,7 +367,8 @@ object JobRunner {
         // re-reading its text
         {
           val docs = spark.read.parquet(cli.input)
-          graft.dedup.Dedup.saveMinHashIndex(docs, s"${cli.output}/minhash")
+          graft.dedup.Dedup.saveMinHashIndex(docs, s"${cli.output}/minhash",
+            protocol = cli.indexProtocol)
           graft.dedup.BloomDedup.saveDigestIndex(docs, s"${cli.output}/exact")
           spark.read.parquet(s"${cli.output}/exact/digests")
         }
@@ -377,8 +396,9 @@ object JobRunner {
         // bucketed — text/InvertedIndex.scala): build once over a
         // documents parquet dir, probe many times without the corpus
         {
-          graft.text.InvertedIndex.save(spark.read.parquet(cli.input), cli.output)
-          spark.read.parquet(s"${cli.output}/stats")
+          graft.text.InvertedIndex.save(spark.read.parquet(cli.input),
+            cli.output, protocol = cli.indexProtocol)
+          graft.text.InvertedIndex.readStats(spark, cli.output)
         }
       case "bm25_index_probe" =>
         // input = index dir from bm25_index_build; --query term1,term2
@@ -412,6 +432,30 @@ object JobRunner {
             batchId = cli.batchId)
           graft.dedup.Dedup.indexBandCounts(spark, s"${cli.addInputs.head}/minhash")
         }
+      case "index_vacuum" =>
+        // input = a MANIFEST-protocol index dir (any of the three
+        // families built with --commit_protocol manifest, or on an
+        // object store). Garbage-collects data dirs no retained
+        // manifest references and manifests older than the keep
+        // window. --output_option keep=K (default 2) sizes the window
+        // to the longest-running reader (snapshot isolation);
+        // --output_option grace_minutes=M (default 60) protects a live
+        // writer's laid-but-unpublished dirs.
+        {
+          val conf = spark.sessionState.newHadoopConf()
+          require(graft.util.ManifestCommit.exists(conf, cli.input),
+            s"index_vacuum expects a manifest-protocol index at ${cli.input} " +
+              s"(rename-protocol indexes have no superseded generations to GC)")
+          val keep = cli.outputOptions.get("keep").map(_.toInt).getOrElse(2)
+          val graceMs = cli.outputOptions.get("grace_minutes").map(_.toLong)
+            .getOrElse(60L) * 60 * 1000
+          graft.util.ManifestCommit.vacuum(conf, cli.input, keep, graceMs)
+          val m = graft.util.ManifestCommit.current(conf, cli.input)
+          import spark.implicits._
+          m.tables.toSeq.sortBy(_._1)
+            .map { case (t, dirs) => (t, dirs.size.toLong, m.rows(t)) }
+            .toDF("table", "n_dirs", "n_rows")
+        }
       case "dedup_index_compact" =>
         // input = index dir from dedup_index_build. Rewrites the
         // append-only minhash band partitions to one sorted file set
@@ -431,7 +475,7 @@ object JobRunner {
         // results identical, row-group term pruning restored.
         {
           graft.text.InvertedIndex.compact(spark, cli.input)
-          spark.read.parquet(s"${cli.input}/stats")
+          graft.text.InvertedIndex.readStats(spark, cli.input)
         }
       case "bm25_index_merge" =>
         // input = DELTA documents parquet dir; --add_input = index dir
@@ -565,8 +609,8 @@ object JobRunner {
           val n = c.count()
           val k = math.min(256L, math.max(4L, math.round(math.sqrt(n.toDouble)))).toInt
           graft.vector.PqOps.savePqIndex(c, cli.output, k = k, iters = 2,
-            nKnown = Some(n))
-          spark.read.parquet(s"${cli.output}/centroids")
+            nKnown = Some(n), protocol = cli.indexProtocol)
+          graft.vector.VectorOps.loadIvfIndex(spark, cli.output).centroids
         }
       case "ann_index_update" =>
         // input = NEW embeddings batch; --add_input = index dir from
@@ -939,26 +983,34 @@ object JobRunner {
 
     val rows =
       if (selfWriting.contains(cli.job)) {
-        val countPath = cli.job match {
-          case "host_graph"     => s"${cli.output}/edges"
-          case "wet_extract"    => s"${cli.output}/coords"
-          case "index_build"    => s"${cli.output}/ccindex"
-          case "stream_windows" => s"${cli.output}/data"
-          case "warc_stream"    => s"${cli.output}/data"
-          case "curate"         => s"${cli.output}/kept"
-          case "dedup_index_build" => s"${cli.output}/exact/digests"
-          case "dedup_index_probe" => s"${cli.output}/exact"
-          case "bm25_index_build"  => s"${cli.output}/stats"
-          case "bm25_index_probe"  => s"${cli.output}/topk"
-          case "crawl_diff"        => s"${cli.output}/summary"
-          case "decontam"          => s"${cli.output}/kept"
-          case "ann_index_build"   => s"${cli.output}/centroids"
-          case "ann_index_probe"   => s"${cli.output}/topk"
-          case "compact"           => cli.output
-          case "pca"               => s"${cli.output}/projected"
-          case "image_dedup"       => s"${cli.output}/pairs"
+        // manifest-protocol index builds have no fixed table paths —
+        // count through the protocol-aware readers instead
+        cli.job match {
+          case "bm25_index_build" =>
+            graft.text.InvertedIndex.readStats(spark, cli.output).count()
+          case "ann_index_build" =>
+            graft.vector.VectorOps.loadIvfIndex(spark, cli.output)
+              .centroids.count()
+          case _ =>
+            val countPath = cli.job match {
+              case "host_graph"     => s"${cli.output}/edges"
+              case "wet_extract"    => s"${cli.output}/coords"
+              case "index_build"    => s"${cli.output}/ccindex"
+              case "stream_windows" => s"${cli.output}/data"
+              case "warc_stream"    => s"${cli.output}/data"
+              case "curate"         => s"${cli.output}/kept"
+              case "dedup_index_build" => s"${cli.output}/exact/digests"
+              case "dedup_index_probe" => s"${cli.output}/exact"
+              case "bm25_index_probe"  => s"${cli.output}/topk"
+              case "crawl_diff"        => s"${cli.output}/summary"
+              case "decontam"          => s"${cli.output}/kept"
+              case "ann_index_probe"   => s"${cli.output}/topk"
+              case "compact"           => cli.output
+              case "pca"               => s"${cli.output}/projected"
+              case "image_dedup"       => s"${cli.output}/pairs"
+            }
+            spark.read.parquet(countPath).count()
         }
-        spark.read.parquet(countPath).count()
       } else if (JobConfig.isPathOutput(cli.output)) {
         spark.read.format(config.outputFormat).options(config.outputOptions)
           .load(cli.output).count()

@@ -823,9 +823,18 @@ object StreamQueries {
               // finish any crashed prior commit FIRST (the MinHash
               // drain's order): a batch that died between its marker
               // and its token must complete before the check below, or
-              // its replay would probe a half-promoted tail
-              graft.vector.VectorOps.recoverIvfIndex(idxDir)
-              if (!graft.util.IndexCommit.isBatchCommitted(idxDir, s"b$batchId")) {
+              // its replay would probe a half-promoted tail. Manifest
+              // indexes need neither: a crashed publish left only
+              // invisible garbage, and the committed state rides the
+              // snapshot itself
+              val manifest = graft.util.ManifestCommit.exists(
+                s.sessionState.newHadoopConf(), idxDir)
+              if (!manifest) graft.vector.VectorOps.recoverIvfIndex(idxDir)
+              val committed =
+                if (manifest) graft.util.ManifestCommit.isBatchCommitted(
+                  s.sessionState.newHadoopConf(), idxDir, s"b$batchId")
+                else graft.util.IndexCommit.isBatchCommitted(idxDir, s"b$batchId")
+              if (!committed) {
                 graft.vector.VectorOps.annIvfIndexed(
                   batch.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
                   graft.vector.VectorOps.loadIvfIndex(s, idxDir),

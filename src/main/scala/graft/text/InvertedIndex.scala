@@ -473,6 +473,19 @@ object InvertedIndex {
     }
   }
 
+  /** The (n_docs, total_dl) stats row, protocol-aware — the CLI verbs'
+    * bounded return frame.
+    */
+  def readStats(s: SparkSession, dir: String): DataFrame =
+    graft.util.CommitProtocol.ofIndex(
+      s.sessionState.newHadoopConf(), dir) match {
+      case graft.util.CommitProtocol.Manifest =>
+        ManifestCommit.readTable(s, dir,
+          ManifestCommit.current(s.sessionState.newHadoopConf(), dir),
+          "stats", StatsSchema)
+      case _ => s.read.schema(StatsSchema).parquet(s"$dir/stats")
+    }
+
   /** Per-tier postings mass + the size policy's pending decision — the
     * maintenance-curve observability hook (tools/MaintenanceCurve).
     * Read-only; manifest indexes answer from the manifest (zero Spark

@@ -43,6 +43,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // same probed-index shape again — the tiered work index is reset
     // and Minor-folded per invocation, the probe is unchanged
     "ann_ivf_compact_topk",
+    // identical probe plan once more, on the versioned-manifest commit
+    // protocol (snapshot-resolved dirs; same k-row centroid broadcast)
+    "ann_ivf_manifest_topk",
     // the ≤20-row anchor set broadcast over the corpus scan (same
     // bounded-query-set shape as ann_brute_topk)
     "contrastive_pairs",
@@ -77,6 +80,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // same 1-row stats crossJoin, probing after the postings compaction
     // fold (identical probe plan over the re-laid bucket files)
     "bm25_index_compact_topk",
+    // same 1-row stats crossJoin, on the versioned-manifest commit
+    // protocol (snapshot-resolved dirs; identical probe plan)
+    "bm25_index_manifest_topk",
     // 1-row vocabulary aggregate onto the bigram stream (as in
     // quality_lm_score) plus the ≤|langs|-row tercile-cutoff table
     "quality_ppl_buckets",
