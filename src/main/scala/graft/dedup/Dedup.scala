@@ -1176,6 +1176,22 @@ object Dedup {
         "widths", action, wd)); ()
   }
 
+  /** Zero-copy migration of a rename-protocol MinHash index onto the
+    * versioned-manifest protocol (see ManifestTiered.adoptRenameTiered
+    * for the adoption semantics) — the operational path from a local
+    * index to the object-store deployment: copy the tree, adopt where
+    * it lands, and every future maintenance step runs manifest-side.
+    * The params meta marker is shared by both protocols and carries
+    * over untouched; committed batch ids carry over too.
+    */
+  def migrateMinHashIndexToManifest(spark: SparkSession,
+                                    indexDir: String): Unit = {
+    readIndexMetaText(spark, indexDir) // fail loudly on an unknown layout
+    ManifestTiered.adoptRenameTiered(spark, indexDir,
+      tiered = Seq("bands" -> BandsSchema, "widths" -> WidthsSchema),
+      plain = Nil); ()
+  }
+
   private def readIndexMetaText(spark: SparkSession, indexDir: String): String = {
     val fs = indexMetaPath(indexDir).getFileSystem(
       spark.sessionState.newHadoopConf())

@@ -100,7 +100,10 @@ object JobCli {
       |        ann_index_compact (input = INDEX_DIR: tiered tail fold) |
       |        index_vacuum (input = MANIFEST-protocol INDEX_DIR:
       |                GC superseded generations; --output_option keep=K
-      |                grace_minutes=M) — index builds take
+      |                grace_minutes=M) |
+      |        index_migrate (input = RENAME-protocol INDEX_DIR:
+      |                zero-copy adoption onto the manifest protocol) —
+      |                index builds take
       |                [--commit_protocol auto|rename|manifest] |
       |        datacard | heavy_hitters (--top_k K) | chunk | funnel | dq |
       |        compact (--output_option target_mb=N
@@ -431,6 +434,33 @@ object JobRunner {
             spark.read.parquet(cli.input), s"${cli.addInputs.head}/minhash",
             batchId = cli.batchId)
           graft.dedup.Dedup.indexBandCounts(spark, s"${cli.addInputs.head}/minhash")
+        }
+      case "index_migrate" =>
+        // input = a RENAME-protocol index dir (the minhash dir from
+        // dedup_index_build, a bm25_index_build dir, or an
+        // ann_index_build dir — kind inferred from its artifacts).
+        // Zero-copy adoption onto the manifest protocol: no data byte
+        // rewritten, committed batch ids carried over; the operational
+        // path from a local index to an object-store deployment (copy
+        // the tree, migrate where it lands).
+        {
+          val conf = spark.sessionState.newHadoopConf()
+          val fs = new org.apache.hadoop.fs.Path(cli.input).getFileSystem(conf)
+          def has(n: String) =
+            fs.exists(new org.apache.hadoop.fs.Path(cli.input, n))
+          if (has("_graft_minhash_meta"))
+            graft.dedup.Dedup.migrateMinHashIndexToManifest(spark, cli.input)
+          else if (has("postings"))
+            graft.text.InvertedIndex.migrateToManifest(spark, cli.input)
+          else if (has("vectors") && has("centroids"))
+            graft.vector.VectorOps.migrateIvfIndexToManifest(spark, cli.input)
+          else sys.error(s"index_migrate: ${cli.input} is not a recognized " +
+            s"index layout (expected a minhash, bm25, or ivf index dir)")
+          val m = graft.util.ManifestCommit.current(conf, cli.input)
+          import spark.implicits._
+          m.tables.toSeq.sortBy(_._1)
+            .map { case (t, dirs) => (t, dirs.size.toLong, m.rows(t)) }
+            .toDF("table", "n_dirs", "n_rows")
         }
       case "index_vacuum" =>
         // input = a MANIFEST-protocol index dir (any of the three

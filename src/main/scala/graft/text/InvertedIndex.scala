@@ -473,6 +473,17 @@ object InvertedIndex {
     }
   }
 
+  /** Zero-copy migration of a rename-protocol BM25 index onto the
+    * versioned-manifest protocol (ManifestTiered.adoptRenameTiered):
+    * postings tiers referenced in place, terms/stats as plain tables,
+    * committed batch ids carried over.
+    */
+  def migrateToManifest(s: SparkSession, dir: String): Unit = {
+    ManifestTiered.adoptRenameTiered(s, dir,
+      tiered = Seq("postings" -> PostingsSchema),
+      plain = Seq("terms" -> TermsSchema, "stats" -> StatsSchema)); ()
+  }
+
   /** The (n_docs, total_dl) stats row, protocol-aware — the CLI verbs'
     * bounded return frame.
     */

@@ -422,6 +422,11 @@ object ManifestCommit {
     * dirs' parquet, schema-read so an empty table (or empty index)
     * loads as empty. The frame is pinned to the SNAPSHOT the caller
     * resolved: a concurrent publish or compaction does not disturb it.
+    * Dirs are read INDIVIDUALLY and unioned (filters still push into
+    * each scan): one table may legally mix partition-dir layouts and
+    * flat layouts — a zero-copy adopted index's legacy partitioned
+    * runs next to new flat runs — and a single multi-root read would
+    * make partition discovery conflict across roots.
     */
   def readTable(spark: SparkSession, indexDir: String, m: Manifest,
                 table: String, schema: StructType): DataFrame = {
@@ -429,7 +434,8 @@ object ManifestCommit {
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(dirs: _*)
+    else dirs.map(spark.read.schema(schema).parquet(_))
+      .reduce(_.unionByName(_))
   }
 
   /** Garbage-collect: delete data dirs referenced by NO manifest in
@@ -477,6 +483,31 @@ object ManifestCommit {
         }
       }
     }
+    // dirs OUTSIDE data/ that a manifest being dropped below referenced
+    // (a zero-copy adopted index's legacy-layout dirs — see
+    // ManifestTiered.adoptRenameTiered) are garbage once no kept
+    // manifest names them, and must be GC'd in the SAME vacuum that
+    // drops their last referencing manifest — the data/ scan above
+    // can't see them, and afterwards nothing remembers them
+    val dropFloor = kept.last._1
+    all.collect { case (g, _, Some(mf)) if g < dropFloor => mf }
+      .flatMap(_.tables.values.flatten.map(_.dir)).distinct
+      .filterNot(_.startsWith("data/"))
+      .filterNot(live.contains)
+      .foreach { rel =>
+        val p = new Path(indexDir, rel)
+        if (f.exists(p) && !isYoung(f.getFileStatus(p))) {
+          f.delete(p, true)
+          // a nested legacy rel (`bands_l1/run=0`) leaves its parent
+          // behind — drop it too once empty (local-FS cosmetics;
+          // object stores have no real dirs)
+          val parent = p.getParent
+          if (parent != null &&
+              parent.toString != new Path(indexDir).toString &&
+              f.exists(parent) && f.listStatus(parent).isEmpty)
+            { f.delete(parent, false); () }
+        }
+      }
     // drop only manifests OLDER than the oldest kept complete gen —
     // never a newer torn object (publishAt's CAS self-heal owns that;
     // deleting it here could race the in-flight write that file IS on

@@ -110,6 +110,74 @@ object ManifestTiered {
     DirEntry(d, spark.read.schema(rows.schema).parquet(path).count())
   }
 
+  /** ZERO-COPY adoption of a rename-protocol index into the manifest
+    * protocol — the local-to-object-store migration path (copy the
+    * index tree with any tool, then adopt where it lands): the first
+    * manifest references the rename layout's dirs IN PLACE (base
+    * `name/`, level-1 runs `name_l1/run=K/`, tail `name_tail/`, plain
+    * tables by dir name), so not one data byte is rewritten. From then
+    * on every fold lays fresh dirs under `data/` and [[ManifestCommit
+    * .vacuum]] GCs a legacy dir in the same pass that drops its last
+    * referencing manifest. `committed/` batch tokens carry over as
+    * free-form ids at the adoption generation (their retention window
+    * restarts — sized far above any retry horizon).
+    *
+    * Caller contract: the rename side must be QUIESCED — no in-flight
+    * maintenance. A leftover commit marker means a crashed step whose
+    * staged artifacts recovery must finish or roll back first; this
+    * fails loudly rather than adopt a half-published layout (unmarked
+    * staging dirs, by contrast, are invisible garbage on both
+    * protocols and are simply never referenced).
+    */
+  def adoptRenameTiered(spark: SparkSession, indexDir: String,
+                        tiered: Seq[(String, StructType)],
+                        plain: Seq[(String, StructType)],
+                        markers: Seq[String] = Seq("_append_commit", "_compact_commit"))
+      : Manifest = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    require(!ManifestCommit.exists(conf, indexDir),
+      s"$indexDir already runs the manifest protocol")
+    markers.foreach { mk =>
+      require(!fs.exists(new org.apache.hadoop.fs.Path(indexDir, mk)),
+        s"$indexDir has an unfinished rename-protocol commit ($mk) — run " +
+          s"the index's recovery (any maintenance open) before adopting")
+    }
+    def entry(rel: String, schema: StructType): Option[DirEntry] = {
+      val p = new org.apache.hadoop.fs.Path(indexDir, rel)
+      if (!fs.exists(p)) None
+      else Some(DirEntry(rel,
+        spark.read.schema(schema).parquet(p.toString).count())) // footer-only
+    }
+    def runRels(name: String): Seq[String] = {
+      val d = new org.apache.hadoop.fs.Path(indexDir, s"${name}_l1")
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("run="))
+        .sortBy(_.stripPrefix("run=").toLong)
+        .map(r => s"${name}_l1/$r")
+    }
+    val tables: Map[String, Seq[DirEntry]] =
+      tiered.flatMap { case (name, schema) =>
+        Seq(
+          name -> entry(name, schema).toSeq,
+          l1Table(name) -> runRels(name).flatMap(entry(_, schema)),
+          tailTable(name) -> entry(s"${name}_tail", schema).toSeq)
+      }.toMap ++
+        plain.flatMap { case (name, schema) =>
+          entry(name, schema).map(e => name -> Seq(e))
+        }.toMap
+    // committed/ tokens carry over (free-form, committed "now")
+    val committedDir = new org.apache.hadoop.fs.Path(indexDir, "committed")
+    val carried: Seq[String] =
+      if (!fs.exists(committedDir)) Nil
+      else fs.listStatus(committedDir).toSeq.map(_.getPath.getName)
+    ManifestCommit.publish(conf, indexDir, m => m.copy(
+      tables = tables,
+      committed = carried.map(_ -> (m.gen + 1)).toMap,
+      writers = Map.empty, floor = 0L))
+  }
+
   /** The manifest update for one tiered table's compaction fold:
     * Minor adds a run and empties the tail; MergeRuns replaces the
     * runs with one and empties the tail; Major replaces the base and

@@ -65,6 +65,10 @@ private[vector] object IvfMaintenance {
   val CentroidsSchema: StructType = StructType(Seq(
     StructField("cell", LongType),
     StructField("centroid", ArrayType(DoubleType))))
+  val CodebooksSchema: StructType = StructType(Seq(
+    StructField("m", IntegerType),
+    StructField("code", IntegerType),
+    StructField("centroid", ArrayType(DoubleType))))
 
   // adds stage both tables (codes_delta simply never exists for the
   // flat layout) and promote into the flat tails under ONE marker

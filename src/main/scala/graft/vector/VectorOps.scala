@@ -586,6 +586,24 @@ object VectorOps {
       IvfMaintenance.recover(indexDir)
     }
 
+  /** Zero-copy migration of a rename-protocol IVF (or IVF-PQ) index
+    * onto the versioned-manifest protocol
+    * (ManifestTiered.adoptRenameTiered): vectors (and codes, when the
+    * PQ flavor's store exists) tiers referenced in place, centroids
+    * (and codebooks) as plain train-once tables, committed batch ids
+    * carried over.
+    */
+  def migrateIvfIndexToManifest(spark: SparkSession, indexDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pq = fs.exists(new org.apache.hadoop.fs.Path(indexDir, "codes"))
+    graft.util.ManifestTiered.adoptRenameTiered(spark, indexDir,
+      tiered = Seq("vectors" -> IvfMaintenance.VectorsSchema) ++
+        (if (pq) Seq("codes" -> IvfMaintenance.CodesSchema) else Nil),
+      plain = Seq("centroids" -> IvfMaintenance.CentroidsSchema) ++
+        (if (pq) Seq("codebooks" -> IvfMaintenance.CodebooksSchema) else Nil)); ()
+  }
+
   /** Per-tier vectors mass + the size policy's pending decision — the
     * maintenance-curve observability hook (tools/MaintenanceCurve).
     * Read-only; manifest indexes answer from the manifest (zero Spark

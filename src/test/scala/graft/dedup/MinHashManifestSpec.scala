@@ -124,6 +124,106 @@ class MinHashManifestSpec extends AnyFunSuite {
     assert(before.nonEmpty)
   }
 
+  test("manifest probes prune the partitioned base statically and push band/bmod to the flat tiers") {
+    assume(sf.isDefined)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mh_mani_p").toString
+    Dedup.saveMinHashIndex(corpus, dir, protocol = CommitProtocol.Manifest)
+    Dedup.appendMinHashIndex(corpus.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 7000000L), dir,
+      batchId = Some("b1"))
+    Dedup.compactMinHashIndex(spark, dir) // tail → one flat L1 run
+    val probe = Dedup.dedupAgainstMinHashIndex(
+      corpus.filter(col("doc_id") < 2), dir)
+    val scans = probe.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("data/bands")) => f
+    }
+    assert(scans.nonEmpty)
+    val (baseScans, flatScans) = scans.partition(
+      _.relation.location.rootPaths.exists(_.toString.contains("data/bands/")))
+    assert(baseScans.nonEmpty, "probe must read the partitioned base")
+    baseScans.foreach { f =>
+      val static = f.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      assert(static.nonEmpty, s"base scan without static partition filter:\n$f")
+      val pruned = f.relation.location.listFiles(static, Nil).map(_.files.size).sum
+      val total = f.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
+      assert(pruned < total,
+        s"2-doc probe must prune the manifest base (pruned=$pruned, total=$total)")
+    }
+    // flat L1 run scans push the direct band/bmod predicates to
+    // parquet footer stats
+    assert(flatScans.nonEmpty, "probe must read the flat L1 run")
+    flatScans.foreach { f =>
+      val pushed = f.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("band") && pushed.contains("bmod"),
+        s"flat-tier scan must push band/bmod, got: $pushed")
+    }
+  }
+
+  test("zero-copy migration: a rename index adopts the manifest protocol in place, probes unchanged, legacy dirs GC on supersede") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mh_migrate").toString
+    // a REAL rename-protocol history: build + batch append + Minor fold
+    // (so the adopted layout has a base, a legacy L1 run, AND a tail)
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 4 <= 1), dir)
+    Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 4 === 2), dir,
+      batchId = Some("crawl-2"))
+    Dedup.compactMinHashIndex(spark, dir) // tail → legacy run
+    Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 4 === 3), dir,
+      batchId = Some("crawl-3")) // leaves a live tail
+    val probe = corpus.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    val before = hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir))
+    assert(before.nonEmpty)
+    val filesBefore = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(_.toString.endsWith(".parquet")) }
+      finally st.close()
+    }
+    Dedup.migrateMinHashIndexToManifest(spark, dir)
+    assert(ManifestCommit.exists(conf, dir))
+    // not one data byte rewritten
+    val filesAfter = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(_.toString.endsWith(".parquet")) }
+      finally st.close()
+    }
+    assert(filesAfter == filesBefore, "adoption must not rewrite data")
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) == before,
+      "migration changed probe results")
+    // committed ids carried over: the replayed batches no-op
+    assert(ManifestCommit.isBatchCommitted(conf, dir, "crawl-2"))
+    Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 4 === 3), dir,
+      batchId = Some("crawl-3"))
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) == before,
+      "carried-over batch id failed to no-op a replay")
+    // manifest-side maintenance: l1+tail (50% of docs) ≥ base (50%) →
+    // MAJOR — every legacy tier folds into a fresh data/ base; probes
+    // invariant
+    Dedup.compactMinHashIndex(spark, dir)
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) == before)
+    val m = ManifestCommit.current(conf, dir)
+    Seq("bands", "widths").foreach { t =>
+      assert(m.table(t).forall(_.startsWith("data/")),
+        s"post-Major base of $t must live under data/")
+    }
+    // vacuum drops the superseded generations AND the legacy-layout
+    // dirs only those generations referenced (the non-data/ GC arm)
+    ManifestCommit.vacuum(conf, dir, keepGens = 1, graceMs = 0L)
+    Seq("bands", "bands_l1", "bands_tail", "widths", "widths_l1",
+      "widths_tail").foreach { legacy =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, legacy)),
+        s"superseded legacy dir $legacy must be GC'd by vacuum")
+    }
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) == before)
+  }
+
   test("a writer crash between lay and publish leaves probes on the old snapshot; the redrive lands clean") {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")

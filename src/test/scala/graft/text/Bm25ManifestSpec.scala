@@ -68,6 +68,32 @@ class Bm25ManifestSpec extends AnyFunSuite {
     assert(ManifestCommit.current(conf, mDir).gen == m1.gen, "NoOp must not publish")
   }
 
+  test("zero-copy migration: a rename BM25 index adopts the manifest protocol, scores unchanged") {
+    assume(sf.isDefined)
+    val docs = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_migrate").toString
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir,
+      batchId = Some("fold-1")) // leaves a live rename-protocol tail
+    val want = scores(dir)
+    assert(want.nonEmpty)
+    InvertedIndex.migrateToManifest(spark, dir)
+    assert(ManifestCommit.exists(conf, dir))
+    assert(scores(dir) == want, "migration changed retrieval")
+    assert(ManifestCommit.isBatchCommitted(conf, dir, "fold-1"),
+      "committed ids must carry over")
+    // manifest-side fold + compact over the adopted layout
+    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 9000000L), dir,
+      batchId = Some("fold-2"))
+    InvertedIndex.compact(spark, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("bm25_migrate_s").toString
+    InvertedIndex.save(docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 9000000L)), scratch)
+    assert(scores(dir) == scores(scratch),
+      "post-migration maintenance must equal a from-scratch build")
+  }
+
   test("a fold publish is all-or-nothing: terms/stats/postings move as one snapshot") {
     assume(sf.isDefined)
     val docs = graft.util.Tables(spark, sf.get, "documents")

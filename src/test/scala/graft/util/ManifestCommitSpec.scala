@@ -282,6 +282,44 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(!ManifestCommit.isBatchCommitted(conf, dir, "crawl-a"))
   }
 
+  test("24/7 cadence: 2000 publishes keep the manifest O(window + writers), never O(history)") {
+    val dir = java.nio.file.Files.createTempDirectory("mc_bound").toString
+    val retain = 64
+    // two sequenced writers (the streaming drains) + a free-form id
+    // every 10th publish (ad-hoc CLI folds), all through the normal
+    // publish path — no data dirs needed to exercise the committed
+    // state (the update just bumps a table entry)
+    (0 until 2000).foreach { i =>
+      val id =
+        if (i % 10 == 5) s"adhoc-$i"
+        else ManifestCommit.seqBatchId(if (i % 2 == 0) "drainA" else "drainB", i.toLong)
+      ManifestCommit.publish(conf, dir,
+        m => ManifestCommit.setDirs(m, "t",
+          Seq(ManifestCommit.DirEntry(s"data/t/d-$i", i.toLong))),
+        batchId = Some(id), retainGens = retain, tornHealGraceMs = 0L)
+    }
+    val m = ManifestCommit.current(conf, dir)
+    assert(m.gen == 2000L)
+    assert(m.writers.keySet == Set("drainA", "drainB"),
+      "sequenced state must be one watermark per writer")
+    assert(m.committed.size <= retain / 10 + 1,
+      s"free-form set must stay inside the window, got ${m.committed.size}")
+    assert(m.floor > 0L, "pruning must have recorded a floor")
+    // the newest manifest FILE is bounded — the growth disease was
+    // each publish re-serializing full history (~multi-MB at a year
+    // of minutes); windowed + watermark state keeps it constant
+    val size = java.nio.file.Files.size(
+      java.nio.file.Paths.get(dir, "_manifests", "m2000"))
+    assert(size < 4096, s"manifest file must stay bounded, got $size bytes")
+    // recent replays (both forms) still no-op
+    val g = m.gen
+    ManifestCommit.publish(conf, dir, mm => mm, batchId = Some("drainA#1998"),
+      retainGens = retain)
+    ManifestCommit.publish(conf, dir, mm => mm, batchId = Some("adhoc-1995"),
+      retainGens = retain)
+    assert(ManifestCommit.current(conf, dir).gen == g, "replays must not publish")
+  }
+
   test("empty index reads as empty; manifest round-trips its encoding") {
     val dir = java.nio.file.Files.createTempDirectory("mc_empty").toString
     assert(ManifestCommit.current(conf, dir) == ManifestCommit.Empty)

@@ -85,6 +85,26 @@ class IvfManifestSpec extends AnyFunSuite {
     assert(ManifestCommit.current(conf, dir).gen == m1.gen, "NoOp must not publish")
   }
 
+  test("zero-copy migration: a rename IVF-PQ index adopts the manifest protocol, ADC probes unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_migrate").toString
+    PqOps.savePqIndex(vecs(0, 160), dir, k = 4, iters = 2)
+    PqOps.addToPqIndex(vecs(160, 20), dir, batchId = Some("b1")) // live tails
+    def adc() = PqOps.annPqIndexed(queries(5), PqOps.loadPqIndex(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val before = adc()
+    assert(before.nonEmpty)
+    VectorOps.migrateIvfIndexToManifest(spark, dir)
+    assert(ManifestCommit.exists(conf, dir))
+    assert(adc() == before, "migration changed ADC probes")
+    assert(ManifestCommit.isBatchCommitted(conf, dir, "b1"))
+    // manifest-side add + compact over the adopted layout: both stores
+    // keep moving as a pair
+    PqOps.addToPqIndex(vecs(180, 20), dir, batchId = Some("b2"))
+    VectorOps.compactIvfIndex(spark, dir)
+    val idx = PqOps.loadPqIndex(spark, dir)
+    assert(idx.vectors.count() == 200 && idx.codes.count() == 200)
+  }
+
   test("PQ flavor: vectors and codes fold atomically in one publish; ADC probes survive compaction") {
     val dir = java.nio.file.Files.createTempDirectory("pq_mani").toString
     PqOps.savePqIndex(vecs(0, 160), dir, k = 4, iters = 2,
