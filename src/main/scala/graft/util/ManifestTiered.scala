@@ -29,6 +29,15 @@ import ManifestCommit.{DirEntry, Manifest}
   * policy runs with ZERO Spark jobs — on an object store the
   * rename-protocol `rowSizes` was a LIST across a many-file base per
   * maintenance cycle.
+  *
+  * Operational contract: each append adds ONE tail dir and reads
+  * union per-dir scans, so the compaction cadence bounds the probe's
+  * scan count (the size policy folds the tail on every cycle with a
+  * non-empty tail — at compact-every-K the union never exceeds
+  * base + MaxL1Runs + K scans per table). An orchestrator that
+  * appends forever without compacting degrades probe PLANNING cost
+  * linearly — same as the rename tail's file count, and with the same
+  * fix: run the compact arm on a cadence.
   */
 object ManifestTiered {
 
