@@ -1089,6 +1089,7 @@ object Dedup {
                                     batchId: Option[String]): Unit = {
     val conf = banded0.sparkSession.sessionState.newHadoopConf()
     val m = ManifestCommit.current(conf, indexDir)
+    ManifestTiered.assertAdopted(conf, indexDir, m, "bands")
     if (batchId.exists(m.isCommitted)) return
     val banded = banded0.persist()
     try appendAtManifest(banded, indexDir, m, batchId)

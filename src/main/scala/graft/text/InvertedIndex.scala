@@ -146,6 +146,7 @@ object InvertedIndex {
     val s = deltaDocs.sparkSession
     val conf = s.sessionState.newHadoopConf()
     val m = ManifestCommit.current(conf, dir)
+    ManifestTiered.assertAdopted(conf, dir, m, "postings")
     if (batchId.exists(m.isCommitted)) return
     val postings = tokenizedPostings(deltaDocs).persist()
     try {

@@ -44,6 +44,30 @@ object ManifestTiered {
   def l1Table(name: String): String = s"$name.l1"
   def tailTable(name: String): String = s"$name.tail"
 
+  /** Fail loudly on the silent-empty trap: a rename-protocol index
+    * tree copied to an object store (or any dir that protocol
+    * resolution maps to Manifest) with NO published manifest reads as
+    * an EMPTY index — a probe would silently return zero rows over a
+    * dir visibly full of data. If the resolved snapshot is
+    * generation 0 but a legacy table dir exists, the tree is an
+    * un-adopted rename layout: point the operator at index_migrate
+    * instead of answering wrong.
+    */
+  def assertAdopted(conf: Configuration, indexDir: String,
+                    m: Manifest, legacyProbe: String): Unit = {
+    if (m.gen != 0L) return
+    val p = new org.apache.hadoop.fs.Path(indexDir, legacyProbe)
+    if (p.getFileSystem(conf).exists(p))
+      throw new IllegalStateException(
+        s"$indexDir resolves to the manifest commit protocol but has no " +
+          s"published manifest, while a rename-layout table ('$legacyProbe') " +
+          s"is present — this is a COPIED rename-protocol index that was " +
+          s"never adopted. Probing it as-is would silently return empty " +
+          s"results. Run JobRunner index_migrate (or the index's " +
+          s"migrate*ToManifest API) once; after that every probe and " +
+          s"maintenance step runs manifest-side.")
+  }
+
   /** Base ∪ runs ∪ tail of one tiered table, pinned to the caller's
     * snapshot. The optional filter prunes the (partitioned) base
     * statically and the flat runs/tail via parquet footer stats —
@@ -52,6 +76,7 @@ object ManifestTiered {
     */
   def read(spark: SparkSession, indexDir: String, m: Manifest, name: String,
            schema: StructType, filter: Option[Column] = None): DataFrame = {
+    assertAdopted(spark.sessionState.newHadoopConf(), indexDir, m, name)
     def f(df: DataFrame) = filter.map(df.filter).getOrElse(df)
     f(ManifestCommit.readTable(spark, indexDir, m, name, schema))
       .unionByName(f(ManifestCommit.readTable(spark, indexDir, m, l1Table(name), schema)))
@@ -79,6 +104,7 @@ object ManifestTiered {
     */
   def sizes(spark: SparkSession, indexDir: String, m: Manifest, name: String,
             schema: StructType): TieredIndex.TierSizes = {
+    assertAdopted(spark.sessionState.newHadoopConf(), indexDir, m, name)
     def mass(table: String): Long = m.rows(table) match {
       case -1L =>
         ManifestCommit.readTable(spark, indexDir, m, table, schema).count()

@@ -192,6 +192,7 @@ private[vector] object IvfMaintenance {
                      batchId: Option[String]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val m = ManifestCommit.current(conf, indexDir)
+    ManifestTiered.assertAdopted(conf, indexDir, m, "vectors")
     if (batchId.exists(m.isCommitted)) return
     val vd = ManifestTiered.layDir(spark, indexDir,
       ManifestTiered.tailTable("vectors"),

@@ -163,6 +163,32 @@ class MinHashManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("an un-adopted rename tree resolved as manifest protocol fails loudly instead of reading empty") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+      .filter(col("doc_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("mh_unadopted").toString
+    Dedup.saveMinHashIndex(corpus, dir) // rename layout, no _manifests
+    // what a probe on an object store would do: resolve current() →
+    // Empty, then read — the silent-empty trap. The read and the size
+    // policy must throw with the index_migrate pointer; appends must
+    // refuse to publish a manifest that hides the legacy data.
+    val e = intercept[IllegalStateException] {
+      graft.util.ManifestTiered.read(spark, dir, ManifestCommit.Empty,
+        "bands", Dedup.BandsSchema).count()
+    }
+    assert(e.getMessage.contains("index_migrate"))
+    intercept[IllegalStateException] {
+      graft.util.ManifestTiered.sizes(spark, dir, ManifestCommit.Empty,
+        "bands", Dedup.BandsSchema)
+    }
+    // after adoption the same calls work
+    Dedup.migrateMinHashIndexToManifest(spark, dir)
+    val m = ManifestCommit.current(conf, dir)
+    assert(graft.util.ManifestTiered.read(spark, dir, m,
+      "bands", Dedup.BandsSchema).count() > 0)
+  }
+
   test("zero-copy migration: a rename index adopts the manifest protocol in place, probes unchanged, legacy dirs GC on supersede") {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
