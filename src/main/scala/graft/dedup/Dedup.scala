@@ -1129,52 +1129,25 @@ object Dedup {
         s"MinHash index at $indexDir has an incompatible layout —\n$meta\n" +
           s"compacting expects hash_family=$MinHashHashFamily and " +
           s"bucket_mods=$MinHashBucketMods; rebuild with saveMinHashIndex.")
-    val m = ManifestCommit.current(conf, indexDir)
-    val sizes = ManifestTiered.sizes(spark, indexDir, m, "bands", BandsSchema)
-    val action = graft.util.TieredIndex.plan(sizes)
-    if (action == graft.util.TieredIndex.NoOp) return
-    val (bandsRows, widthsRows, mass) = action match {
-      case graft.util.TieredIndex.Minor(_) =>
-        (ManifestTiered.readTail(spark, indexDir, m, "bands", BandsSchema),
-          ManifestTiered.readTail(spark, indexDir, m, "widths", WidthsSchema),
-          sizes.tail)
-      case graft.util.TieredIndex.MergeRuns =>
-        (ManifestTiered.readAboveBase(spark, indexDir, m, "bands", BandsSchema),
-          ManifestTiered.readAboveBase(spark, indexDir, m, "widths", WidthsSchema),
-          sizes.l1 + sizes.tail)
-      case _ =>
-        (ManifestTiered.read(spark, indexDir, m, "bands", BandsSchema),
-          ManifestTiered.read(spark, indexDir, m, "widths", WidthsSchema),
-          sizes.base + sizes.l1 + sizes.tail)
-    }
-    // widths re-fold (sum bw / min aid within the folded mass — readers
-    // re-fold across tiers, so probe results are identical at every
-    // tier state, same as the rename protocol's layWidths)
-    val widthsFolded = widthsRows
-      .groupBy(col("band"), col("bmod"), col("bucket"))
-      .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
-      .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
-    val (bd, wd) = action match {
-      case graft.util.TieredIndex.Major =>
-        (ManifestTiered.layDir(spark, indexDir, "bands", bandsRows,
-          partitionBy = Seq("band", "bmod"),
-          sortKeys = Seq(col("bucket"), col("doc_id"))),
-          ManifestTiered.layDir(spark, indexDir, "widths", widthsFolded,
-            partitionBy = Seq("band", "bmod"), sortKeys = Seq(col("bucket"))))
-      case _ =>
-        (ManifestTiered.layDir(spark, indexDir, ManifestTiered.l1Table("bands"),
-          bandsRows, partitionBy = Nil,
-          sortKeys = Seq(col("band"), col("bmod"), col("bucket"), col("doc_id")),
-          sizeHintRows = mass, rowsPerFile = BandsRowsPerRunFile),
-          ManifestTiered.layDir(spark, indexDir, ManifestTiered.l1Table("widths"),
-            widthsFolded, partitionBy = Nil,
-            sortKeys = Seq(col("band"), col("bmod"), col("bucket")),
-            sizeHintRows = mass, rowsPerFile = WidthsRowsPerRunFile))
-    }
-    ManifestCommit.publishAt(conf, indexDir, m, mm =>
-      ManifestTiered.foldUpdate(
-        ManifestTiered.foldUpdate(mm, "bands", action, bd),
-        "widths", action, wd)); ()
+    // shared manifest fold driver: bands (dominant) decides the tier
+    // action; the widths sidecar re-folds (sum bw / min aid within the
+    // folded mass — readers re-fold across tiers, so probe results are
+    // identical at every tier state) and lands in the SAME publish
+    ManifestTiered.compactTables(spark, indexDir, Seq(
+      ManifestTiered.FoldSpec("bands", BandsSchema,
+        basePartitionBy = Seq("band", "bmod"),
+        baseSortKeys = Seq(col("bucket"), col("doc_id")),
+        runSortKeys = Seq(col("band"), col("bmod"), col("bucket"), col("doc_id")),
+        runRowsPerFile = BandsRowsPerRunFile),
+      ManifestTiered.FoldSpec("widths", WidthsSchema,
+        basePartitionBy = Seq("band", "bmod"),
+        baseSortKeys = Seq(col("bucket")),
+        runSortKeys = Seq(col("band"), col("bmod"), col("bucket")),
+        runRowsPerFile = WidthsRowsPerRunFile,
+        refold = w => w
+          .groupBy(col("band"), col("bmod"), col("bucket"))
+          .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
+          .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod")))))
   }
 
   /** Zero-copy migration of a rename-protocol MinHash index onto the
@@ -1530,10 +1503,21 @@ object Dedup {
           try {
             val hits = probeWithBands(spark, banded,
               manifestReader(spark, indexDir, m), perms, threshold)
-            hits.write.mode("overwrite").parquet(s"$hitsOut/batch_id=$hitsBid")
+            val bid = hitsBid
+            hits.write.mode("overwrite").parquet(s"$hitsOut/batch_id=$bid")
             // the append publishes against the SAME snapshot the probe
-            // read — the CAS fails loudly if anything landed in between
-            appendAtManifest(banded, indexDir, m, batchId)
+            // read — the CAS fails loudly if anything landed in between.
+            // On a lost race, a batch-ID'd retry overwrites its own hits
+            // partition, but an ADHOC (generated-id) retry would write a
+            // SECOND partition and double-count the log — drop this
+            // attempt's hits before rethrowing
+            try appendAtManifest(banded, indexDir, m, batchId)
+            catch {
+              case e: IllegalStateException if batchId.isEmpty =>
+                val p = new org.apache.hadoop.fs.Path(s"$hitsOut/batch_id=$bid")
+                p.getFileSystem(conf).delete(p, true)
+                throw e
+            }
           } finally { banded.unpersist(blocking = false); () }
         }
       case _ =>
@@ -1963,16 +1947,9 @@ object Dedup {
             s"$rt/work", batchId = Some("crawl-2"))
           (s"$rt/work", ManifestCommit.current(conf, s"$rt/work").gen)
         })
-      // rewind to the post-append snapshot: drop newer generations,
-      // then GC the dirs only they referenced (bench-harness
-      // time-travel, NOT a production op — production never deletes a
-      // published manifest)
-      val mdir = java.nio.file.Paths.get(work, "_manifests")
-      java.nio.file.Files.list(mdir).forEach { p =>
-        val g = p.getFileName.toString.stripPrefix("m").toLongOption
-        if (g.exists(_ > seedGen)) java.nio.file.Files.delete(p)
-      }
-      ManifestCommit.vacuum(conf, work, keepGens = 1, graceMs = 0L)
+      // rewind to the post-append snapshot (ManifestTiered.benchRewind
+      // — bench-harness time travel, NOT a production op)
+      ManifestTiered.benchRewind(conf, work, seedGen)
       compactMinHashIndex(s, work)
       val m = ManifestCommit.current(conf, work)
       val nSig = ManifestTiered.read(s, work, m, "bands", BandsSchema).count()

@@ -712,9 +712,18 @@ object StreamQueries {
               // under Spark's at-least-once micro-batch retry: hits
               // overwrite a batch-keyed partition and the index append
               // commits under a recorded token, so a replayed batch
-              // can neither double-feed the index nor inflate the log
+              // can neither double-feed the index nor inflate the log.
+              // Manifest indexes take the SEQUENCED id form — one
+              // watermark per writer, replays no-op at ANY age (a
+              // free-form id would age out of the retention window on
+              // a long-running drain)
+              val bid =
+                if (graft.util.ManifestCommit.exists(
+                    batch.sparkSession.sessionState.newHadoopConf(), idxDir))
+                  graft.util.ManifestCommit.seqBatchId("drain", batchId)
+                else s"b$batchId"
               graft.dedup.Dedup.probeAndAppendMinHashIndex(
-                batch, idxDir, hitsDir, batchId = Some(s"b$batchId"))
+                batch, idxDir, hitsDir, batchId = Some(bid))
             }
             .outputMode("append").start()
           try q.processAllAvailable() finally q.stop()
@@ -830,10 +839,17 @@ object StreamQueries {
               val manifest = graft.util.ManifestCommit.exists(
                 s.sessionState.newHadoopConf(), idxDir)
               if (!manifest) graft.vector.VectorOps.recoverIvfIndex(idxDir)
+              // manifest indexes take the SEQUENCED id form (one
+              // watermark per writer, replays no-op at any age); the
+              // hits partition keeps the plain token either way
+              val bid =
+                if (manifest)
+                  graft.util.ManifestCommit.seqBatchId("drain", batchId)
+                else s"b$batchId"
               val committed =
                 if (manifest) graft.util.ManifestCommit.isBatchCommitted(
-                  s.sessionState.newHadoopConf(), idxDir, s"b$batchId")
-                else graft.util.IndexCommit.isBatchCommitted(idxDir, s"b$batchId")
+                  s.sessionState.newHadoopConf(), idxDir, bid)
+                else graft.util.IndexCommit.isBatchCommitted(idxDir, bid)
               if (!committed) {
                 graft.vector.VectorOps.annIvfIndexed(
                   batch.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
@@ -842,7 +858,7 @@ object StreamQueries {
                   .write.mode("overwrite").parquet(s"$hitsDir/batch_id=b$batchId")
                 graft.vector.VectorOps.appendIvfIndex(
                   batch.select(col("vec_id"), col("embedding")), idxDir,
-                  batchId = Some(s"b$batchId"))
+                  batchId = Some(bid))
               }
             }
             .outputMode("append").start()

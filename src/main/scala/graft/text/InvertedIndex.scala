@@ -147,6 +147,15 @@ object InvertedIndex {
     val conf = s.sessionState.newHadoopConf()
     val m = ManifestCommit.current(conf, dir)
     ManifestTiered.assertAdopted(conf, dir, m, "postings")
+    // folding into a NEVER-BUILT dir would publish a real postings
+    // tail next to a ZERO-row stats table — every later probe would
+    // silently return empty top-k (the stats crossJoin yields nothing)
+    if (m.gen == 0L)
+      throw new IllegalStateException(
+        s"$dir has no published index state — appendDelta folds into an " +
+          s"EXISTING BM25 index; build one with InvertedIndex.save first " +
+          s"(a fold into nothing would commit an empty stats table and " +
+          s"every probe would silently return no rows).")
     if (batchId.exists(m.isCommitted)) return
     val postings = tokenizedPostings(deltaDocs).persist()
     try {
@@ -189,36 +198,13 @@ object InvertedIndex {
     } finally postings.unpersist(blocking = false)
   }
 
-  private def compactManifest(s: SparkSession, dir: String): Unit = {
-    val conf = s.sessionState.newHadoopConf()
-    val m = ManifestCommit.current(conf, dir)
-    val sizes = ManifestTiered.sizes(s, dir, m, "postings", PostingsSchema)
-    val action = graft.util.TieredIndex.plan(sizes)
-    if (action == graft.util.TieredIndex.NoOp) return
-    val (rows, mass) = action match {
-      case graft.util.TieredIndex.Minor(_) =>
-        (ManifestTiered.readTail(s, dir, m, "postings", PostingsSchema),
-          sizes.tail)
-      case graft.util.TieredIndex.MergeRuns =>
-        (ManifestTiered.readAboveBase(s, dir, m, "postings", PostingsSchema),
-          sizes.l1 + sizes.tail)
-      case _ =>
-        (ManifestTiered.read(s, dir, m, "postings", PostingsSchema),
-          sizes.base + sizes.l1 + sizes.tail)
-    }
-    val pd = action match {
-      case graft.util.TieredIndex.Major =>
-        ManifestTiered.layDir(s, dir, "postings", rows,
-          partitionBy = Seq("bucket"), sortKeys = Seq(col("term"), col("doc_id")))
-      case _ =>
-        ManifestTiered.layDir(s, dir, ManifestTiered.l1Table("postings"), rows,
-          partitionBy = Nil,
-          sortKeys = Seq(col("bucket"), col("term"), col("doc_id")),
-          sizeHintRows = mass, rowsPerFile = 8L * 1000 * 1000)
-    }
-    ManifestCommit.publishAt(conf, dir, m, mm =>
-      ManifestTiered.foldUpdate(mm, "postings", action, pd)); ()
-  }
+  private def compactManifest(s: SparkSession, dir: String): Unit =
+    ManifestTiered.compactTables(s, dir, Seq(
+      ManifestTiered.FoldSpec("postings", PostingsSchema,
+        basePartitionBy = Seq("bucket"),
+        baseSortKeys = Seq(col("term"), col("doc_id")),
+        runSortKeys = Seq(col("bucket"), col("term"), col("doc_id")),
+        runRowsPerFile = 8L * 1000 * 1000)))
 
   /** BM25 top-k per probe term against the persisted index. The probe
     * terms' bucket ids are computed by one bounded job over the literal
@@ -651,12 +637,7 @@ object InvertedIndex {
             batchId = Some("fold-1"))
           (d, ManifestCommit.current(conf, d).gen)
         })
-      val mdir = java.nio.file.Paths.get(idx, "_manifests")
-      java.nio.file.Files.list(mdir).forEach { p =>
-        val g = p.getFileName.toString.stripPrefix("m").toLongOption
-        if (g.exists(_ > seedGen)) java.nio.file.Files.delete(p)
-      }
-      ManifestCommit.vacuum(conf, idx, keepGens = 1, graceMs = 0L)
+      ManifestTiered.benchRewind(conf, idx, seedGen)
       compact(s, idx)
       probe(s, idx, Seq("join", "vector", "filter", "dup"))
     },

@@ -49,7 +49,7 @@ import org.apache.spark.sql.types.StructType
   *    grow the manifest forever (an id set carrying full history
   *    re-serializes ~0.5 M ids/year at 1/min — multi-MB manifests
   *    with per-publish cost growing without bound):
-  *      - SEQUENCED ids `writer#seq` ([[seqBatchId]]) — the
+  *      - SEQUENCED ids `writer~seq` ([[seqBatchId]]) — the
   *        Delta-Lake-style idempotent-writer contract: the manifest
   *        keeps ONE high-water seq per writer, so state is O(writers)
   *        forever and a replayed (old-seq) batch no-ops at ANY age.
@@ -164,7 +164,7 @@ object ManifestCommit {
     s
   }
 
-  /** A sequenced batch id `writer#seq` — the bounded exactly-once form
+  /** A sequenced batch id `writer~seq` — the bounded exactly-once form
     * (one high-water mark per writer in the manifest, replays no-op at
     * any age). `seq` must be non-decreasing per writer across real
     * batches; a replay re-presents an old seq.
@@ -172,11 +172,11 @@ object ManifestCommit {
   def seqBatchId(writer: String, seq: Long): String = {
     requireToken(writer, "writer")
     require(seq >= 0, s"seq must be >= 0, got $seq")
-    s"$writer#$seq"
+    s"$writer~$seq"
   }
 
   private[util] def parseSeqId(batchId: String): Option[(String, Long)] =
-    batchId.split("#", 2) match {
+    batchId.split("~", 2) match {
       case Array(w, s) if isPlainToken(w) && s.nonEmpty && s.forall(_.isDigit) =>
         s.toLongOption.map(w -> _)
       case _ => None
@@ -184,7 +184,7 @@ object ManifestCommit {
 
   private def requireBatchId(s: String): String = {
     require(isPlainToken(s) || parseSeqId(s).isDefined,
-      s"batchId must be a plain token or writer#seq, got '$s'")
+      s"batchId must be a plain token or writer~seq, got '$s'")
     s
   }
 
@@ -249,7 +249,11 @@ object ManifestCommit {
   }
 
   private def readManifestFile(f: FileSystem, p: Path): Option[Manifest] = {
-    val in = f.open(p)
+    // a file that vanished between the LIST and this read (a racing
+    // vacuum or torn-heal) reads as skippable, same as a torn write
+    val in =
+      try f.open(p)
+      catch { case _: java.io.FileNotFoundException => return None }
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -391,12 +395,16 @@ object ManifestCommit {
       // writer could read the still-streaming manifest as torn,
       // delete it, and silently lose the first writer's publish.
       val (topGen, topPath) = existing.head
+      // a racing healer may delete (and a racing publisher re-create)
+      // the torn object between our read and the stat: a vanished file
+      // reads as NOT-heal-bait — fall through to the create, whose
+      // no-overwrite CAS arbitrates whatever the race left behind
+      def olderThanGrace: Boolean =
+        try System.currentTimeMillis() -
+          f.getFileStatus(topPath).getModificationTime >= tornHealGraceMs
+        catch { case _: java.io.FileNotFoundException => false }
       val tornAndStale = topGen == next.gen &&
-        readManifestFile(f, topPath).isEmpty && {
-          val age = System.currentTimeMillis() -
-            f.getFileStatus(topPath).getModificationTime
-          age >= tornHealGraceMs
-        }
+        readManifestFile(f, topPath).isEmpty && olderThanGrace
       if (tornAndStale) { f.delete(topPath, false); () }
       else if (topGen == next.gen && readManifestFile(f, topPath).isEmpty)
         throw contention(indexDir, next.gen,
@@ -490,29 +498,40 @@ object ManifestCommit {
     // drops their last referencing manifest — the data/ scan above
     // can't see them, and afterwards nothing remembers them
     val dropFloor = kept.last._1
+    val skippedLegacy = scala.collection.mutable.Set[String]()
     all.collect { case (g, _, Some(mf)) if g < dropFloor => mf }
       .flatMap(_.tables.values.flatten.map(_.dir)).distinct
       .filterNot(_.startsWith("data/"))
       .filterNot(live.contains)
       .foreach { rel =>
         val p = new Path(indexDir, rel)
-        if (f.exists(p) && !isYoung(f.getFileStatus(p))) {
-          f.delete(p, true)
-          // a nested legacy rel (`bands_l1/run=0`) leaves its parent
-          // behind — drop it too once empty (local-FS cosmetics;
-          // object stores have no real dirs)
-          val parent = p.getParent
-          if (parent != null &&
-              parent.toString != new Path(indexDir).toString &&
-              f.exists(parent) && f.listStatus(parent).isEmpty)
-            { f.delete(parent, false); () }
+        if (f.exists(p)) {
+          if (isYoung(f.getFileStatus(p))) { skippedLegacy += rel; () }
+          else {
+            f.delete(p, true)
+            // a nested legacy rel (`bands_l1/run=0`) leaves its parent
+            // behind — drop it too once empty (local-FS cosmetics;
+            // object stores have no real dirs)
+            val parent = p.getParent
+            if (parent != null &&
+                parent.toString != new Path(indexDir).toString &&
+                f.exists(parent) && f.listStatus(parent).isEmpty)
+              { f.delete(parent, false); () }
+          }
         }
       }
     // drop only manifests OLDER than the oldest kept complete gen —
     // never a newer torn object (publishAt's CAS self-heal owns that;
     // deleting it here could race the in-flight write that file IS on
-    // a filesystem where partial writes are visible)
-    val floor = kept.last._1
-    all.filter(_._1 < floor).foreach { case (_, p, _) => f.delete(p, false); () }
+    // a filesystem where partial writes are visible). A manifest whose
+    // legacy (non-data/) dirs were SKIPPED by the grace window is
+    // RETAINED too: it is the only record of those dirs (the data/
+    // scan can't see them), and dropping it would leak them forever —
+    // the next vacuum, past the grace window, collects both.
+    all.filter(_._1 < dropFloor).foreach { case (_, p, mf) =>
+      val keepsSkippedRef = mf.exists(_.tables.values.flatten.map(_.dir)
+        .exists(skippedLegacy.contains))
+      if (!keepsSkippedRef) { f.delete(p, false); () }
+    }
   }
 }

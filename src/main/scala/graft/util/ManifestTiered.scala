@@ -213,6 +213,81 @@ object ManifestTiered {
       writers = Map.empty, floor = 0L))
   }
 
+  /** One tiered table's fold parameters for [[compactTables]]:
+    * `refold` re-aggregates the folded mass (the widths sidecar's
+    * sum/min — identity for plain tables); run files are flat-sorted
+    * on `runSortKeys`, a Major's base partition-dir tree sorts within
+    * partitions on `baseSortKeys`.
+    */
+  final case class FoldSpec(name: String, schema: StructType,
+                            basePartitionBy: Seq[String],
+                            baseSortKeys: Seq[Column],
+                            runSortKeys: Seq[Column],
+                            runRowsPerFile: Long,
+                            refold: DataFrame => DataFrame = identity)
+
+  /** The ONE size-tiered manifest compaction driver all three indexes
+    * share (the rename protocol keeps per-index bodies because its
+    * staging paths and markers differ; here the shape is fully
+    * uniform): the FIRST spec is the dominant table and decides the
+    * action; every table folds the SAME action, and all new dirs land
+    * in ONE publish — sidecars can never commit to a different tier
+    * state than their main table.
+    */
+  def compactTables(spark: SparkSession, indexDir: String,
+                    specs: Seq[FoldSpec]): Unit = {
+    require(specs.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    val m = ManifestCommit.current(conf, indexDir)
+    val szs = sizes(spark, indexDir, m, specs.head.name, specs.head.schema)
+    val action = TieredIndex.plan(szs)
+    if (action == TieredIndex.NoOp) return
+    def fold(spec: FoldSpec): ManifestCommit.DirEntry = {
+      val (rows0, mass) = action match {
+        case TieredIndex.Minor(_) =>
+          (readTail(spark, indexDir, m, spec.name, spec.schema), szs.tail)
+        case TieredIndex.MergeRuns =>
+          (readAboveBase(spark, indexDir, m, spec.name, spec.schema),
+            szs.l1 + szs.tail)
+        case _ =>
+          (read(spark, indexDir, m, spec.name, spec.schema),
+            szs.base + szs.l1 + szs.tail)
+      }
+      val rows = spec.refold(rows0)
+      action match {
+        case TieredIndex.Major =>
+          layDir(spark, indexDir, spec.name, rows,
+            partitionBy = spec.basePartitionBy, sortKeys = spec.baseSortKeys)
+        case _ =>
+          layDir(spark, indexDir, l1Table(spec.name), rows,
+            partitionBy = Nil, sortKeys = spec.runSortKeys,
+            sizeHintRows = mass, rowsPerFile = spec.runRowsPerFile)
+      }
+    }
+    val laid = specs.map(s => s -> fold(s))
+    ManifestCommit.publishAt(conf, indexDir, m, mm =>
+      laid.foldLeft(mm) { case (acc, (s, e)) =>
+        foldUpdate(acc, s.name, action, e)
+      }); ()
+  }
+
+  /** BENCH-HARNESS time travel — NOT a production operation
+    * (production never deletes a published manifest): drop every
+    * generation above `gen` and vacuum to the restored snapshot, so a
+    * repeated bench invocation measures one REAL fold each time
+    * instead of a NoOp re-probe. O(fold output).
+    */
+  def benchRewind(conf: Configuration, indexDir: String, gen: Long): Unit = {
+    val mdir = new org.apache.hadoop.fs.Path(indexDir, "_manifests")
+    val f = mdir.getFileSystem(conf)
+    if (f.exists(mdir)) f.listStatus(mdir).foreach { st =>
+      st.getPath.getName.stripPrefix("m").toLongOption.foreach { g =>
+        if (g > gen) { f.delete(st.getPath, false); () }
+      }
+    }
+    ManifestCommit.vacuum(conf, indexDir, keepGens = 1, graceMs = 0L)
+  }
+
   /** The manifest update for one tiered table's compaction fold:
     * Minor adds a run and empties the tail; MergeRuns replaces the
     * runs with one and empties the tail; Major replaces the base and
@@ -261,11 +336,27 @@ object CommitProtocol {
     scheme == null || scheme == "file"
   }
 
-  /** Resolve the protocol to BUILD a new index with. */
+  /** Resolve the protocol to BUILD (or rebuild) an index with. An
+    * existing `_manifests` dir WINS over the scheme: rebuilding a
+    * manifest-protocol index rename-style would lay fresh rename
+    * tables while every reader keeps resolving the surviving (now
+    * stale) manifest — the rebuild would silently change nothing.
+    * Auto therefore stays manifest on an adopted dir, and an explicit
+    * Rename request over one fails loudly instead of splitting the
+    * write and read protocols.
+    */
   def forBuild(conf: Configuration, dir: String,
-               chosen: CommitProtocol): CommitProtocol = chosen match {
-    case Auto => if (isLocal(conf, dir)) Rename else Manifest
-    case p => p
+               chosen: CommitProtocol): CommitProtocol = {
+    val adopted = ManifestCommit.exists(conf, dir)
+    chosen match {
+      case Auto => if (adopted || !isLocal(conf, dir)) Manifest else Rename
+      case Rename if adopted => throw new IllegalArgumentException(
+        s"$dir already runs the manifest commit protocol (_manifests " +
+          s"exists): a rename-protocol rebuild would be invisible to " +
+          s"readers, which resolve the stale manifest. Rebuild with " +
+          s"protocol=Manifest, or delete the index dir first.")
+      case p => p
+    }
   }
 
   /** The protocol an EXISTING index at `dir` runs on: the `_manifests`

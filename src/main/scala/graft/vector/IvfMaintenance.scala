@@ -228,45 +228,19 @@ private[vector] object IvfMaintenance {
     * can never commit to different tier states.
     */
   def compactManifest(spark: SparkSession, indexDir: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val m = ManifestCommit.current(conf, indexDir)
+    val m = ManifestCommit.current(
+      spark.sessionState.newHadoopConf(), indexDir)
     val pq = m.entries("codes").nonEmpty ||
       m.entries(ManifestTiered.tailTable("codes")).nonEmpty
-    val sizes = ManifestTiered.sizes(spark, indexDir, m, "vectors", VectorsSchema)
-    val action = TieredIndex.plan(sizes)
-    if (action == TieredIndex.NoOp) return
-    def tierRows(name: String, schema: org.apache.spark.sql.types.StructType)
-        : (DataFrame, Long) = action match {
-      case TieredIndex.Minor(_) =>
-        (ManifestTiered.readTail(spark, indexDir, m, name, schema), sizes.tail)
-      case TieredIndex.MergeRuns =>
-        (ManifestTiered.readAboveBase(spark, indexDir, m, name, schema),
-          sizes.l1 + sizes.tail)
-      case _ =>
-        (ManifestTiered.read(spark, indexDir, m, name, schema),
-          sizes.base + sizes.l1 + sizes.tail)
-    }
-    def fold(name: String, schema: org.apache.spark.sql.types.StructType)
-        : ManifestCommit.DirEntry = {
-      val (rows, mass) = tierRows(name, schema)
-      action match {
-        case TieredIndex.Major =>
-          ManifestTiered.layDir(spark, indexDir, name, rows,
-            partitionBy = Seq("cell"), sortKeys = Seq(col("vec_id")))
-        case _ =>
-          ManifestTiered.layDir(spark, indexDir, ManifestTiered.l1Table(name),
-            rows, partitionBy = Nil,
-            sortKeys = Seq(col("cell"), col("vec_id")),
-            sizeHintRows = mass, rowsPerFile = 250L * 1000)
-      }
-    }
-    val vd = fold("vectors", VectorsSchema)
-    val cd = if (pq) Some(fold("codes", CodesSchema)) else None
-    ManifestCommit.publishAt(conf, indexDir, m, mm => {
-      val withV = ManifestTiered.foldUpdate(mm, "vectors", action, vd)
-      cd.map(d => ManifestTiered.foldUpdate(withV, "codes", action, d))
-        .getOrElse(withV)
-    }); ()
+    def spec(name: String, schema: org.apache.spark.sql.types.StructType,
+             rowsPerFile: Long) =
+      ManifestTiered.FoldSpec(name, schema,
+        basePartitionBy = Seq("cell"), baseSortKeys = Seq(col("vec_id")),
+        runSortKeys = Seq(col("cell"), col("vec_id")),
+        runRowsPerFile = rowsPerFile)
+    ManifestTiered.compactTables(spark, indexDir,
+      spec("vectors", VectorsSchema, 250L * 1000) +:
+        (if (pq) Seq(spec("codes", CodesSchema, 4L * 1000 * 1000)) else Nil))
   }
 
   private def hasCodes(spark: SparkSession, indexDir: String): Boolean = {

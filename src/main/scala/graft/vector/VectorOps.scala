@@ -951,12 +951,7 @@ object VectorOps {
     (s, dir) => {
       val conf = s.sessionState.newHadoopConf()
       val (idx, seedGen) = sessionIvfManifestRoot(s, dir)
-      val mdir = java.nio.file.Paths.get(idx, "_manifests")
-      java.nio.file.Files.list(mdir).forEach { p =>
-        val g = p.getFileName.toString.stripPrefix("m").toLongOption
-        if (g.exists(_ > seedGen)) java.nio.file.Files.delete(p)
-      }
-      graft.util.ManifestCommit.vacuum(conf, idx, keepGens = 1, graceMs = 0L)
+      graft.util.ManifestTiered.benchRewind(conf, idx, seedGen)
       compactIvfIndex(s, idx)
       annIvfIndexed(queriesDf(s, dir, 10), loadIvfIndex(s, idx))
     },

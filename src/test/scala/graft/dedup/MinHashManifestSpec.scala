@@ -163,6 +163,31 @@ class MinHashManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("a REBUILD over a manifest index stays manifest (Auto) and refuses a rename flip") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+      .filter(col("doc_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("mh_flip").toString
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), dir,
+      protocol = CommitProtocol.Manifest)
+    val probe = corpus.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 6000000L)
+    // an Auto rebuild on LOCAL FS must keep writing manifest-side —
+    // a rename-layout rebuild would be invisible to readers, which
+    // resolve the surviving manifest (the silent split-protocol trap)
+    Dedup.saveMinHashIndex(corpus, dir) // protocol = Auto
+    val scratch = java.nio.file.Files.createTempDirectory("mh_flip_s").toString
+    Dedup.saveMinHashIndex(corpus, scratch, protocol = CommitProtocol.Manifest)
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) ==
+      hitSet(Dedup.dedupAgainstMinHashIndex(probe, scratch)),
+      "Auto rebuild over a manifest index must land manifest-side")
+    // an EXPLICIT rename rebuild over it fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.saveMinHashIndex(corpus, dir, protocol = CommitProtocol.Rename)
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+
   test("an un-adopted rename tree resolved as manifest protocol fails loudly instead of reading empty") {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")

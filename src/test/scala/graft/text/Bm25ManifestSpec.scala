@@ -68,6 +68,23 @@ class Bm25ManifestSpec extends AnyFunSuite {
     assert(ManifestCommit.current(conf, mDir).gen == m1.gen, "NoOp must not publish")
   }
 
+  test("a fold into a never-built manifest dir fails loudly instead of committing an empty-stats index") {
+    assume(sf.isDefined)
+    val docs = graft.util.Tables(spark, sf.get, "documents")
+      .filter(col("doc_id") < 100)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_nobuild").toString
+    // make the dir resolve as manifest-protocol without a build (what
+    // a mistyped object-store path looks like)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_manifests"))
+    val e = intercept[IllegalStateException] {
+      InvertedIndex.appendDelta(docs, dir, batchId = Some("b1"))
+    }
+    assert(e.getMessage.contains("save"), e.getMessage)
+    assert(ManifestCommit.current(conf, dir).gen == 0L,
+      "the refused fold must publish nothing")
+  }
+
   test("zero-copy migration: a rename BM25 index adopts the manifest protocol, scores unchanged") {
     assume(sf.isDefined)
     val docs = graft.util.Tables(spark, sf.get, "documents")

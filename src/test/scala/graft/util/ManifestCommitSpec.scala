@@ -251,9 +251,9 @@ class ManifestCommitSpec extends AnyFunSuite {
     val m = ManifestCommit.current(conf, dir)
     assert(m.writers == Map("drain" -> 2L), "state must be ONE mark per writer")
     assert(m.committed.isEmpty, "sequenced ids must not enter the free-form set")
-    assert(ManifestCommit.isBatchCommitted(conf, dir, "drain#1"))
-    assert(!ManifestCommit.isBatchCommitted(conf, dir, "drain#3"))
-    assert(!ManifestCommit.isBatchCommitted(conf, dir, "other#0"))
+    assert(ManifestCommit.isBatchCommitted(conf, dir, "drain~1"))
+    assert(!ManifestCommit.isBatchCommitted(conf, dir, "drain~3"))
+    assert(!ManifestCommit.isBatchCommitted(conf, dir, "other~0"))
     // a second writer gets its own independent watermark
     append(dir, rows(20, 5), ManifestCommit.seqBatchId("cli", 7))
     assert(ManifestCommit.current(conf, dir).writers ==
@@ -313,7 +313,7 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(size < 4096, s"manifest file must stay bounded, got $size bytes")
     // recent replays (both forms) still no-op
     val g = m.gen
-    ManifestCommit.publish(conf, dir, mm => mm, batchId = Some("drainA#1998"),
+    ManifestCommit.publish(conf, dir, mm => mm, batchId = Some("drainA~1998"),
       retainGens = retain)
     ManifestCommit.publish(conf, dir, mm => mm, batchId = Some("adhoc-1995"),
       retainGens = retain)
