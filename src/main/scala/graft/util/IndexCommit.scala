@@ -116,7 +116,12 @@ object IndexCommit {
   }
 
   /** True iff `batchId` was already folded in — the caller must treat
-    * the whole maintenance step as a completed no-op.
+    * the whole maintenance step as a completed no-op. The token files
+    * accumulate one per batch for the index's lifetime (exact replay
+    * detection at any age, at one empty inode each) — fine at this
+    * protocol's local/dev cadence; a 24/7 deployment belongs on
+    * [[ManifestCommit]], whose committed state is bounded by
+    * construction (writer~seq watermarks + a windowed free-form set).
     */
   def isBatchCommitted(indexDir: String, batchId: String): Boolean =
     Files.exists(committedToken(indexDir, batchId))
