@@ -182,6 +182,13 @@ object Bench {
     // this JVM writes — a tail-capturing harness sees it complete at
     // column 0 (run/outputStrategy forwards forked stdout raw) whether
     // it captures stdout alone or both streams merged.
+    // Logging OFF first: teardown noise isn't only thrown on THIS
+    // thread — a state-store maintenance tick racing stop() asks the
+    // StateStoreCoordinator over an already-stopped RpcEnv and ERROR-
+    // logs a full Netty stack from ITS thread (the r14 bench artifact
+    // shipped one in its tail); no try/catch here can reach that, but
+    // nothing after this point is diagnostic, so drop the log level.
+    spark.sparkContext.setLogLevel("OFF")
     // a throwing stop() (shutdown-hook/FS-close noise after streaming
     // sessions) must not suppress the one line the harness depends on
     try spark.stop() catch { case _: Throwable => }

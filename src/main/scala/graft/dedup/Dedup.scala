@@ -1062,6 +1062,11 @@ object Dedup {
                                   rowsPerBand: Int): Unit = {
     val spark = docs.sparkSession
     val conf = spark.sessionState.newHadoopConf()
+    // a protocol-crossing REBUILD (Auto now resolves manifest) deletes
+    // the old rename tree — unreachable once the manifest exists, and
+    // outside vacuum's universe (rebuilds destroy the old generation
+    // on both protocols; migrate with adoptRenameTiered to keep it)
+    ManifestTiered.clearRenameLayout(conf, indexDir, Seq("bands", "widths"))
     // meta marker first: a reader that can resolve the manifest must
     // always find the params file (between the two writes the index
     // reads as empty, which is the honest mid-build state)
@@ -1851,11 +1856,13 @@ object Dedup {
     "dedup_index_compact",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val root = dicFixed.computeIfAbsent(
-        s.sparkContext.applicationId + ":" + dir, _ => {
+      val root = graft.util.Caches.fill(dicFixed, s.sparkContext.applicationId + ":" + dir) {
           val rt = java.nio.file.Files.createTempDirectory("graft_dic").toString
+          // the RENAME twin (dedup_index_manifest is the other arm):
+          // Auto resolves manifest now, so the rename protocol's bench
+          // coverage opts out explicitly until its bodies retire
           saveMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) <= 1L),
-            s"$rt/work")
+            s"$rt/work", protocol = graft.util.CommitProtocol.Rename)
           appendMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) === 2L),
             s"$rt/work", batchId = Some("crawl-2"))
           graft.util.FileTrees.copyTree(
@@ -1863,7 +1870,7 @@ object Dedup {
           graft.util.FileTrees.copyTree(
             s"$rt/work/widths_tail", s"$rt/widths_tail_seed")
           rt
-        })
+        }
       val work = s"$root/work"
       Seq("bands_l1", "widths_l1", "bands_tail", "widths_tail")
         .foreach(n => graft.util.FileTrees.rmTree(s"$work/$n"))
@@ -1938,15 +1945,14 @@ object Dedup {
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       val conf = s.sessionState.newHadoopConf()
-      val (work, seedGen) = dimFixed.computeIfAbsent(
-        s.sparkContext.applicationId + ":" + dir, _ => {
+      val (work, seedGen) = graft.util.Caches.fill(dimFixed, s.sparkContext.applicationId + ":" + dir) {
           val rt = java.nio.file.Files.createTempDirectory("graft_dim").toString
           saveMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) <= 1L),
             s"$rt/work", protocol = graft.util.CommitProtocol.Manifest)
           appendMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) === 2L),
             s"$rt/work", batchId = Some("crawl-2"))
           (s"$rt/work", ManifestCommit.current(conf, s"$rt/work").gen)
-        })
+        }
       // rewind to the post-append snapshot (ManifestTiered.benchRewind
       // — bench-harness time travel, NOT a production op)
       ManifestTiered.benchRewind(conf, work, seedGen)

@@ -56,37 +56,17 @@ object HostRank {
   private val graphCache =
     new java.util.concurrent.ConcurrentHashMap[String, PreparedGraph]()
 
-  /** Compute-OUTSIDE-the-lock cache fill: computeIfAbsent would run
-    * seconds of Spark work (two caches + a count action) while holding
-    * the CHM bin lock — concurrent first invocations for different
-    * keys hashing to the same bin would serialize, and a reentrant
-    * compute from the same thread throws IllegalStateException.
-    * Compute first, then putIfAbsent; the losing racer's caches are
-    * released. Entries stay persisted for the application lifetime by
-    * design — memory is reclaimed only by Spark's clearCache (which
-    * the re-cache guards below tolerate).
-    */
-  private[jobs] def computeCached[V <: AnyRef](
-      m: java.util.concurrent.ConcurrentHashMap[String, V], key: String)(
-      mk: => V)(release: V => Unit): V = {
-    val existing = m.get(key)
-    if (existing != null) existing
-    else {
-      val fresh = mk
-      val prev = m.putIfAbsent(key, fresh)
-      if (prev == null) fresh else { release(fresh); prev }
-    }
-  }
 
   private def orderGraph(s: SparkSession, dir: String): PreparedGraph = {
-    val g = computeCached(graphCache, s.sparkContext.applicationId + ":" + dir) {
+    val g = graft.util.Caches.fill(graphCache,
+      s.sparkContext.applicationId + ":" + dir, releaseGraph) {
       val o = Tables(s, dir, "orders")
       val l = Tables(s, dir, "lineitem")
       // long node ids shuffle far cheaper than string keys; prefix only
       // for display (customers < 1e6 <= suppliers)
       prepareGraph(o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("s"), (col("l_suppkey") + 1000000L).as("t")))
-    }(releaseGraph)
+    }
     // the bench barrier (and any notebook user) may clearCache() between
     // invocations — a stale handle would silently iterate the per-round
     // joins over UNCACHED join lineage; re-mark and let the first action
@@ -238,10 +218,12 @@ object HostRank {
   private def seededOrderNodes(s: SparkSession, dir: String, tag: String)(
       seedsOf: PreparedGraph => DataFrame): (PreparedGraph, Option[DataFrame]) = {
     val g = orderGraph(s, dir)
-    val nodesOpt = computeCached(seededCache,
-      s.sparkContext.applicationId + ":" + dir + ":" + tag) {
+    val nodesOpt = graft.util.Caches.fill(seededCache,
+      s.sparkContext.applicationId + ":" + dir + ":" + tag,
+      (v: Option[org.apache.spark.sql.DataFrame]) =>
+        v.foreach(_.unpersist(blocking = false))) {
       personalizedPrep(g, seedsOf(g))
-    }(_.foreach(_.unpersist(blocking = false)))
+    }
     // re-cache guard, same rationale as orderGraph
     import org.apache.spark.storage.StorageLevel
     nodesOpt.foreach(n => if (n.storageLevel == StorageLevel.NONE) n.cache())

@@ -523,7 +523,9 @@ object JobRunner {
           graft.text.InvertedIndex.appendDelta(
             spark.read.parquet(cli.input), cli.addInputs.head,
             batchId = Some(cli.batchId.getOrElse(inputDigestBatchId(spark, cli.input))))
-          spark.read.parquet(s"${cli.addInputs.head}/stats")
+          // protocol-aware: a manifest index has no physical stats/ dir
+          // (and a migrated one's legacy dir is vacuumed away)
+          graft.text.InvertedIndex.readStats(spark, cli.addInputs.head)
         }
       case "scd2_build" =>
         // input = events parquet; writes the type-2 slowly-changing
@@ -660,7 +662,9 @@ object JobRunner {
           graft.vector.PqOps.addToPqIndex(
             spark.read.parquet(cli.input), cli.addInputs.head,
             batchId = Some(cli.batchId.getOrElse(inputDigestBatchId(spark, cli.input))))
-          spark.read.parquet(s"${cli.addInputs.head}/centroids")
+          // protocol-aware centroid read (manifest indexes keep them
+          // under data/centroids/d-*, named only by the manifest)
+          graft.vector.VectorOps.loadIvfIndex(spark, cli.addInputs.head).centroids
         }
       case "ann_index_compact" =>
         // input = index dir from ann_index_build. Size-tiered fold of
@@ -670,7 +674,7 @@ object JobRunner {
         // build/probe/update/compact maintenance parity.
         {
           graft.vector.VectorOps.compactIvfIndex(spark, cli.input)
-          spark.read.parquet(s"${cli.input}/centroids")
+          graft.vector.VectorOps.loadIvfIndex(spark, cli.input).centroids
         }
       case "ann_index_probe" =>
         // input = query vectors parquet (vec_id, embedding); --add_input
@@ -692,8 +696,18 @@ object JobRunner {
           // a java.io.File probe would silently fall back to flat
           // probing for any remote index
           val hasPq = {
-            val p = new org.apache.hadoop.fs.Path(s"$idxDir/codes")
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+            val conf = spark.sparkContext.hadoopConfiguration
+            if (graft.util.ManifestCommit.exists(conf, idxDir)) {
+              // a manifest index keeps codes under data/codes/d-* (no
+              // physical codes/ dir), and a migrated index's legacy
+              // codes/ dir is vacuumed once superseded — decide off the
+              // resolved snapshot, so probe mode is protocol-invisible
+              val m = graft.util.ManifestCommit.current(conf, idxDir)
+              m.entries("codes").nonEmpty || m.entries("codes.tail").nonEmpty
+            } else {
+              val p = new org.apache.hadoop.fs.Path(s"$idxDir/codes")
+              p.getFileSystem(conf).exists(p)
+            }
           }
           println(s"[graft] ann_index_probe mode=${if (hasPq) "pq" else "flat"}")
           val topk =

@@ -967,7 +967,7 @@ object Relational {
   private val mvSessions =
     new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
   private def mvScopedSession(s: SparkSession): SparkSession =
-    mvSessions.computeIfAbsent(s.sparkContext.applicationId, _ => s.newSession())
+    graft.util.Caches.fill(mvSessions, s.sparkContext.applicationId)(s.newSession())
 
   /** Materialized-summary aggregate navigation, oracle-checked end to
     * end: the query declares a (l_returnflag, l_linestatus) summary of
@@ -985,14 +985,13 @@ object Relational {
     "mv_rewrite_agg",
     (s0, dir) => {
       import graft.plans.SummaryAggRewrite
-      val sumPath = mvSummaries.computeIfAbsent(
-        s0.sparkContext.applicationId + ":" + dir, _ => {
+      val sumPath = graft.util.Caches.fill(mvSummaries, s0.sparkContext.applicationId + ":" + dir) {
           val p = java.nio.file.Files.createTempDirectory("graft_mv").toString
           SummaryAggRewrite.writeSummary(t(s0, dir, "lineitem"),
             Seq("l_returnflag", "l_linestatus"),
             Seq("l_quantity", "l_extendedprice"), p)
           p
-        })
+        }
       // declaration + rule registration on the mv-scoped child session
       // ONLY — the caller's session stays untouched (see mvScopedSession)
       val s = mvScopedSession(s0)

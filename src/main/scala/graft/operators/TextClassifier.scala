@@ -118,9 +118,7 @@ object TextClassifier {
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]()
 
   private def cachedModel(s: SparkSession, dir: String): (Array[Double], Double) =
-    trainedModel.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + dir,
-      _ => train(ruleLabeled(s, dir)))
+    graft.util.Caches.fill(trainedModel, s.sparkContext.applicationId + ":" + dir)(train(ruleLabeled(s, dir)))
 
   /** Registered query: distill the rule on the 80% split, serve the
     * native scorer over the full corpus, report per-source decision

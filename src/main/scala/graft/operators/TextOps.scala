@@ -163,9 +163,7 @@ object TextOps {
     String, Vector[(String, String)]]()
 
   private def cachedMerges(s: org.apache.spark.sql.SparkSession, dir: String): Vector[(String, String)] =
-    trainedMerges.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + dir,
-      _ => graft.text.Bpe.trainFromCorpus(Tables(s, dir, "documents"), nMerges = 200))
+    graft.util.Caches.fill(trainedMerges, s.sparkContext.applicationId + ":" + dir)(graft.text.Bpe.trainFromCorpus(Tables(s, dir, "documents"), nMerges = 200))
 
   /** DuckDB-escaped (pre-token pattern is already proven RE2-compatible
     * by the token_counts_bpe oracle).

@@ -201,8 +201,7 @@ object SummaryAggRewrite extends Rule[LogicalPlan] {
 
     // fresh exprIds per rewrite (newInstance) over the cached analyzed
     // relation, so the same summary can serve several aggs in one plan
-    val cached = relCache.computeIfAbsent(canonical(path), _ =>
-      SparkSession.active.read.parquet(path)
+    val cached = graft.util.Caches.fill(relCache, canonical(path))(SparkSession.active.read.parquet(path)
         .queryExecution.analyzed.collectFirst { case l: LogicalRelation => l }
         .orNull)
     if (cached == null) return None

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+
+import graft.util.{IndexCommit, ManifestCommit}
+
+/** Batch identity for streaming index-maintenance drains.
+  *
+  * A drain folding micro-batches into a persisted index needs an
+  * exactly-once batch id per fold. On the manifest protocol that is a
+  * SEQUENCED id `writer~seq` (one high-water mark per writer, replays
+  * no-op at any age); the `writer` token must be
+  *
+  *  - STABLE across restarts of the same query (a restart replays
+  *    from the checkpoint — same batch numbers, and they must read as
+  *    replays), and
+  *  - DISTINCT across different queries pointed at the same index
+  *    (two drains sharing one watermark silently no-op each other's
+  *    batches: writer A commits seq 5, writer B's real seq 3 reads as
+  *    a replay — the exact multi-writer confusion sequenced ids exist
+  *    to prevent).
+  *
+  * The one name with both properties is the query's CHECKPOINT
+  * LOCATION: the checkpoint IS the query's identity — Spark itself
+  * resumes batch numbering from it. [[writerFor]] derives the token
+  * from it; a fixed literal (the r14 shape, `"drain"`) is exactly
+  * wrong.
+  */
+object DrainIds {
+
+  /** `drain-<fnv1a64(normalized checkpoint path)>` — a plain token
+    * ([[ManifestCommit.seqBatchId]]-legal), stable per checkpoint,
+    * distinct across checkpoints.
+    */
+  def writerFor(checkpointDir: String): String = {
+    val norm = checkpointDir.stripSuffix("/")
+    var h = 0xcbf29ce484222325L
+    norm.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xffL); h *= 0x100000001b3L
+    }
+    f"drain-$h%016x"
+  }
+
+  /** The batch id to fold `batchId` under, or None when the batch is
+    * already committed and the whole probe+append must be skipped
+    * (its hit partition, keyed on the batch number, already landed on
+    * the first attempt).
+    *
+    * On a manifest index a batch counts as committed under EITHER its
+    * sequenced id or its pre-migration legacy free-form id
+    * `b<batchId>` — the form a rename-era drain committed and
+    * index_migrate carried over. Without the legacy check, a batch
+    * whose rename-side token landed but whose stream checkpoint epoch
+    * did not would replay post-migration under the fresh writer
+    * watermark (empty), read as uncommitted, and double-fold into the
+    * index.
+    */
+  def pending(conf: Configuration, indexDir: String, checkpointDir: String,
+              batchId: Long): Option[String] = {
+    val legacy = s"b$batchId"
+    if (ManifestCommit.exists(conf, indexDir)) {
+      val m = ManifestCommit.current(conf, indexDir)
+      val bid = ManifestCommit.seqBatchId(writerFor(checkpointDir), batchId)
+      if (m.isCommitted(bid) || m.isCommitted(legacy)) None else Some(bid)
+    } else {
+      // rename protocol: the committed/ token is written last, so a
+      // positive answer is final; a negative one is re-checked by the
+      // fold itself after recovery (which may complete a mid-crash
+      // commit) — a Some here can still legally no-op downstream
+      if (IndexCommit.isBatchCommitted(indexDir, legacy)) None
+      else Some(legacy)
+    }
+  }
+}

@@ -45,7 +45,7 @@ object StreamQueries {
 
   private def stagedTable(s: org.apache.spark.sql.SparkSession, dir: String,
                           table: String): String =
-    staged.computeIfAbsent(s.sparkContext.applicationId + s":$table:" + dir, _ => {
+    graft.util.Caches.fill(staged, s.sparkContext.applicationId + s":$table:" + dir) {
       val stage = java.nio.file.Files.createTempDirectory("graft_stream")
       val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
       val parts: Seq[java.nio.file.Path] =
@@ -61,7 +61,7 @@ object StreamQueries {
           stage.resolve(f"part-$i%05d.parquet"), p.toAbsolutePath)
       }
       stage.toString
-    })
+    }
 
   val streamWindows: QueryDef = QueryDef(
     "stream_windows",
@@ -533,7 +533,7 @@ object StreamQueries {
     * (application, sf dir) like the other staged inputs.
     */
   private def stagedWarcs(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    staged.computeIfAbsent(s.sparkContext.applicationId + s":warcgen:" + dir, _ => {
+    graft.util.Caches.fill(staged, s.sparkContext.applicationId + s":warcgen:" + dir) {
       val stage = java.nio.file.Files.createTempDirectory("graft_warc_stream").toString
       import s.implicits._
       graft.util.Tables(s, dir, "documents")
@@ -553,7 +553,7 @@ object StreamQueries {
           () // writeFile returns offsets; the overload needs a Unit lambda
         }
       stage
-    })
+    }
 
   /** Streaming ingest of RAW WARC archives through the custom DSv2
     * micro-batch source (warc format, one archive per batch partition,
@@ -669,8 +669,8 @@ object StreamQueries {
       import org.apache.spark.sql.DataFrame
       val nCrawls = 4
       val docs = graft.util.Tables(s, dir, "documents")
-      val (streamDir, seedIdx) = sdimFixed.computeIfAbsent(
-        s.sparkContext.applicationId + ":" + dir, _ => {
+      val (streamDir, seedIdx) = graft.util.Caches.fill(sdimFixed, 
+        s.sparkContext.applicationId + ":" + dir) {
           val sd = java.nio.file.Files.createTempDirectory("graft_sdim").toString
           val si = java.nio.file.Files.createTempDirectory("graft_sdim_seed").toString
           (1 until nCrawls).foreach { k =>
@@ -689,13 +689,15 @@ object StreamQueries {
             graft.util.FileTrees.rmTree(tmp)
           }
           graft.dedup.Dedup.saveMinHashIndex(
-            docs.filter(pmod(col("doc_id"), lit(nCrawls)) === 0), si)
+            docs.filter(pmod(col("doc_id"), lit(nCrawls)) === 0), si,
+            protocol = graft.util.CommitProtocol.Rename) // rename-drain twin
           (sd, si)
-        })
+        }
       // fresh MUTABLE state per invocation: the drain appends into a
       // file-copy of the seed index, so repeated runs never double-feed
       val idxDir = java.nio.file.Files.createTempDirectory("graft_sdim_idx").toString
       val hitsDir = java.nio.file.Files.createTempDirectory("graft_sdim_hits").toString
+      val cpDir = java.nio.file.Files.createTempDirectory("graft_sdim_cp").toString
       // try/finally around the WHOLE drain-through-collect: the two
       // mutable temp dirs grow to roughly a corpus copy per invocation,
       // and a throw mid-drain would otherwise leak them across bench
@@ -706,6 +708,7 @@ object StreamQueries {
           val q = s.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1).parquet(streamDir)
             .writeStream
+            .option("checkpointLocation", cpDir)
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
               // ONE signature pass per batch serves both the probe and
               // the append; the batchId makes the pair EXACTLY-ONCE
@@ -713,17 +716,17 @@ object StreamQueries {
               // overwrite a batch-keyed partition and the index append
               // commits under a recorded token, so a replayed batch
               // can neither double-feed the index nor inflate the log.
-              // Manifest indexes take the SEQUENCED id form — one
-              // watermark per writer, replays no-op at ANY age (a
-              // free-form id would age out of the retention window on
-              // a long-running drain)
-              val bid =
-                if (graft.util.ManifestCommit.exists(
-                    batch.sparkSession.sessionState.newHadoopConf(), idxDir))
-                  graft.util.ManifestCommit.seqBatchId("drain", batchId)
-                else s"b$batchId"
-              graft.dedup.Dedup.probeAndAppendMinHashIndex(
-                batch, idxDir, hitsDir, batchId = Some(bid))
+              // Manifest indexes take the SEQUENCED id form, with the
+              // writer token derived from the CHECKPOINT LOCATION —
+              // stable across restarts, distinct across queries (see
+              // DrainIds); a committed batch (sequenced OR legacy
+              // pre-migration b<N>) skips probe AND append
+              DrainIds.pending(
+                batch.sparkSession.sessionState.newHadoopConf(),
+                idxDir, cpDir, batchId).foreach { bid =>
+                graft.dedup.Dedup.probeAndAppendMinHashIndex(
+                  batch, idxDir, hitsDir, batchId = Some(bid))
+              }
             }
             .outputMode("append").start()
           try q.processAllAvailable() finally q.stop()
@@ -745,7 +748,7 @@ object StreamQueries {
         // working set; the cached staged crawls + seed index stay for
         // the session's next invocation
         (result.collect().toSeq, result.schema)
-      } finally Seq(idxDir, hitsDir).foreach(graft.util.FileTrees.rmTree)
+      } finally Seq(idxDir, hitsDir, cpDir).foreach(graft.util.FileTrees.rmTree)
       s.createDataFrame(
         s.sparkContext.parallelize(rows._1, 1), rows._2)
     },
@@ -779,7 +782,7 @@ object StreamQueries {
     */
   private def saimInputs(s: org.apache.spark.sql.SparkSession,
                          dir: String): (String, String) =
-    saimFixed.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+    graft.util.Caches.fill(saimFixed, s.sparkContext.applicationId + ":" + dir) {
       val embs = graft.util.Tables(s, dir, "embeddings")
       val sd = java.nio.file.Files.createTempDirectory("graft_saim").toString
       (1 until 4).foreach { k =>
@@ -799,9 +802,10 @@ object StreamQueries {
       }
       val si = java.nio.file.Files.createTempDirectory("graft_saim_seed").toString
       graft.vector.VectorOps.saveIvfIndex(
-        embs.filter(pmod(col("vec_id"), lit(4L)) === 0), si, k = 10, iters = 2)
+        embs.filter(pmod(col("vec_id"), lit(4L)) === 0), si, k = 10, iters = 2,
+        protocol = graft.util.CommitProtocol.Rename) // rename-drain twin
       (sd, si)
-    })
+    }
 
   val streamAnnIndexMaintenance: QueryDef = QueryDef(
     "stream_ann_index_maintenance",
@@ -813,12 +817,14 @@ object StreamQueries {
       // file-copy of the seed index, so repeated runs never double-feed
       val idxDir = java.nio.file.Files.createTempDirectory("graft_saim_idx").toString
       val hitsDir = java.nio.file.Files.createTempDirectory("graft_saim_hits").toString
+      val cpDir = java.nio.file.Files.createTempDirectory("graft_saim_cp").toString
       val rows = try {
         graft.util.FileTrees.copyTree(seedIdx, idxDir)
         withStreamPartitions(s) {
           val q = s.readStream.schema(embs.schema)
             .option("maxFilesPerTrigger", 1).parquet(streamDir)
             .writeStream
+            .option("checkpointLocation", cpDir)
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
               // probe BEFORE append — hits reflect the pre-batch index;
               // the batchId makes the pair EXACTLY-ONCE under Spark's
@@ -839,18 +845,14 @@ object StreamQueries {
               val manifest = graft.util.ManifestCommit.exists(
                 s.sessionState.newHadoopConf(), idxDir)
               if (!manifest) graft.vector.VectorOps.recoverIvfIndex(idxDir)
-              // manifest indexes take the SEQUENCED id form (one
-              // watermark per writer, replays no-op at any age); the
-              // hits partition keeps the plain token either way
-              val bid =
-                if (manifest)
-                  graft.util.ManifestCommit.seqBatchId("drain", batchId)
-                else s"b$batchId"
-              val committed =
-                if (manifest) graft.util.ManifestCommit.isBatchCommitted(
-                  s.sessionState.newHadoopConf(), idxDir, bid)
-                else graft.util.IndexCommit.isBatchCommitted(idxDir, bid)
-              if (!committed) {
+              // manifest indexes take the SEQUENCED id form with the
+              // writer derived from the CHECKPOINT LOCATION (stable
+              // across restarts, distinct across queries — DrainIds);
+              // a batch committed under EITHER its sequenced id or its
+              // pre-migration legacy b<N> token skips probe AND
+              // append. The hits partition keeps the plain token
+              DrainIds.pending(s.sessionState.newHadoopConf(),
+                idxDir, cpDir, batchId).foreach { bid =>
                 graft.vector.VectorOps.annIvfIndexed(
                   batch.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
                   graft.vector.VectorOps.loadIvfIndex(s, idxDir),
@@ -878,7 +880,7 @@ object StreamQueries {
             coalesce(col("n_probed"), lit(0L)).as("n_probed"),
             coalesce(col("avg_top1"), lit(0.0)).as("avg_top1"))
         (result.collect().toSeq, result.schema)
-      } finally Seq(idxDir, hitsDir).foreach(graft.util.FileTrees.rmTree)
+      } finally Seq(idxDir, hitsDir, cpDir).foreach(graft.util.FileTrees.rmTree)
       s.createDataFrame(s.sparkContext.parallelize(rows._1, 1), rows._2)
     },
     oracleGen = Some((s, dir) => {

@@ -122,6 +122,9 @@ object InvertedIndex {
   private def saveManifest(docs: DataFrame, dir: String): Unit = {
     val s = docs.sparkSession
     val conf = s.sessionState.newHadoopConf()
+    // protocol-crossing rebuild: drop the unreachable rename tree
+    ManifestTiered.clearRenameLayout(conf, dir,
+      Seq("postings", "terms", "stats"))
     val postings = tokenizedPostings(docs).persist()
     try {
       val pd = ManifestTiered.layDir(s, dir, "postings", postings,
@@ -515,11 +518,12 @@ object InvertedIndex {
   private val builtIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def sessionIndex(s: SparkSession, dir: String): String =
-    builtIdx.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":" + dir) {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
-      save(Tables(s, dir, "documents"), d)
+      save(Tables(s, dir, "documents"), d,
+        protocol = graft.util.CommitProtocol.Rename) // rename twin
       d
-    })
+    }
 
   /** Registered probe query. Oracle = the direct text_bm25 SQL: the
     * persisted-index path must reproduce the from-scratch computation
@@ -546,14 +550,14 @@ object InvertedIndex {
       SELECT term, doc_id, score, rk FROM r WHERE rk <= 10"""))
 
   private def sessionMergedIndex(s: SparkSession, dir: String): String =
-    builtIdx.computeIfAbsent(s.sparkContext.applicationId + ":merged:" + dir, _ => {
+    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":merged:" + dir) {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_merged").toString
       val docs = Tables(s, dir, "documents")
       save(docs.filter(col("doc_id") % 5 =!= 0), d)
       appendDelta(docs.filter(col("doc_id") % 5 === 0), d,
         batchId = Some("merge-1"))
       d
-    })
+    }
 
   /** Registered incremental-maintenance probe: index built from 80% of
     * the corpus, the remaining 20% folded in via [[appendDelta]], then
@@ -574,7 +578,7 @@ object InvertedIndex {
     * Minor).
     */
   private def sessionFoldedIndex(s: SparkSession, dir: String): String =
-    builtIdx.computeIfAbsent(s.sparkContext.applicationId + ":folded:" + dir, _ => {
+    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":folded:" + dir) {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_folded").toString
       val docs = Tables(s, dir, "documents")
       save(docs.filter(col("doc_id") % 5 =!= 0), s"$d/work")
@@ -582,7 +586,7 @@ object InvertedIndex {
         batchId = Some("fold-1"))
       graft.util.FileTrees.copyTreeIfExists(s"$d/work/postings_tail", s"$d/tail_seed")
       d
-    })
+    }
 
   /** Registered maintenance arm: fold the appended tail into the
     * tiered layout, then probe. Oracle = the SAME full-corpus BM25
@@ -627,8 +631,8 @@ object InvertedIndex {
     "bm25_index_manifest_topk",
     (s, dir) => {
       val conf = s.sessionState.newHadoopConf()
-      val (idx, seedGen) = manifestIdx.computeIfAbsent(
-        s.sparkContext.applicationId + ":" + dir, _ => {
+      val (idx, seedGen) = graft.util.Caches.fill(manifestIdx, 
+        s.sparkContext.applicationId + ":" + dir) {
           val d = java.nio.file.Files.createTempDirectory("graft_bm25_mani").toString
           val docs = Tables(s, dir, "documents")
           save(docs.filter(col("doc_id") % 5 =!= 0), d,
@@ -636,7 +640,7 @@ object InvertedIndex {
           appendDelta(docs.filter(col("doc_id") % 5 === 0), d,
             batchId = Some("fold-1"))
           (d, ManifestCommit.current(conf, d).gen)
-        })
+        }
       ManifestTiered.benchRewind(conf, idx, seedGen)
       compact(s, idx)
       probe(s, idx, Seq("join", "vector", "filter", "dup"))

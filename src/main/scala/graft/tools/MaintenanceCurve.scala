@@ -148,6 +148,29 @@ object MaintenanceCurve {
         st.iterator().asScala.count(_.toString.endsWith(".parquet"))
       } finally st.close()
     }
+    // physical data-dir count (live + not-yet-vacuumed garbage) and
+    // retained manifest generations — the vacuum curve's two columns
+    def dataDirs: Long = {
+      val root = java.nio.file.Paths.get(idx, "data")
+      if (!java.nio.file.Files.isDirectory(root)) return -1L
+      val st = java.nio.file.Files.list(root)
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map { t =>
+          val s2 = java.nio.file.Files.list(t)
+          try { import scala.jdk.CollectionConverters._
+            s2.iterator().asScala.size.toLong
+          } finally s2.close()
+        }.sum
+      } finally st.close()
+    }
+    def manifestCount: Long = {
+      val root = java.nio.file.Paths.get(idx, "_manifests")
+      if (!java.nio.file.Files.isDirectory(root)) return 0L
+      val st = java.nio.file.Files.list(root)
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.size.toLong
+      } finally st.close()
+    }
     def timed[T](f: => T): (T, Double) = {
       m.reset()
       val t0 = System.nanoTime()
@@ -179,6 +202,21 @@ object MaintenanceCurve {
           s"compaction changed held-out probe: $refBefore vs $refAfter")
         probeRef = refAfter
         println(f"""[curve] {"stage":"compact","after_crawl":$k,"action":"$action","base_rows":${sizes.base},"l1_rows":${sizes.l1},"tail_rows":${sizes.tail},"runs":${sizes.runCount},"wall_s":$cw%.1f,"shuffle_mb":$compactShuffleMb%.1f,"files_before":$before,"files_after":$idxFiles,"probe_rows":${refAfter._1}}""")
+        // manifest protocol: GC on the same cadence production would —
+        // superseded generations' dirs otherwise accumulate unobserved
+        // for the whole drill, and the depth claim ("footprint follows
+        // the live tiers, not the fold history") goes unmeasured.
+        // graceMs=0: a single-writer drill has no live racing writer
+        // whose mid-publish lay the grace window exists to protect.
+        val conf = spark.sessionState.newHadoopConf()
+        if (graft.util.ManifestCommit.exists(conf, idx)) {
+          val (_, vw) = timed(graft.util.ManifestCommit.vacuum(
+            conf, idx, keepGens = 2, graceMs = 0L))
+          val refV = ops.probeSig()
+          require(refV == refAfter,
+            s"vacuum changed held-out probe: $refAfter vs $refV")
+          println(f"""[curve] {"stage":"vacuum","after_crawl":$k,"wall_s":$vw%.1f,"live_dirs":$dataDirs,"manifests":$manifestCount,"files_after":$idxFiles,"probe_rows":${refV._1}}""")
+        }
       }
     }
     println(s"[curve] final held-out probe: rows=${probeRef._1} sig=${probeRef._2}")

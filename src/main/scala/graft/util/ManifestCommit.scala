@@ -20,12 +20,21 @@ import org.apache.spark.sql.types.StructType
   *    compaction/replace = a brand-new list. Either way the publish
   *    is a single-file decision point.
   *  - Manifests are numbered `_manifests/m<gen>` with gen strictly
-  *    increasing, created with create-NO-overwrite — the put-if-absent
-  *    every store offers (HDFS atomic create, S3 conditional PUT
-  *    If-None-Match, GCS precondition). Two racing writers cannot
-  *    both win a generation: the loser's create fails LOUDLY. This
-  *    replaces the OS-file-lock lease (advisory locks don't exist on
-  *    object stores).
+  *    increasing, created with an ATOMIC create-no-overwrite. How that
+  *    atomicity is obtained is classified per store ([[createMode]]):
+  *    HDFS-semantics schemes use plain `create(overwrite=false)`
+  *    (atomic at create time); stores advertising Hadoop's
+  *    conditional-create path capability (HADOOP-19256 — S3A with
+  *    conditional writes, i.e. S3 `If-None-Match: *`) go through the
+  *    `createFile` builder, where the condition is enforced
+  *    SERVER-SIDE and a lost race surfaces at close(); a store
+  *    offering neither FAILS LOUDLY (config pointer:
+  *    [[AtomicCreateConfKey]]) — plain `create(path, false)` on such a
+  *    store is a client-side exists-check + PUT, a race window this
+  *    protocol never silently accepts. Two racing writers cannot both
+  *    win a generation: the loser fails LOUDLY. This replaces the
+  *    OS-file-lock lease (advisory locks don't exist on object
+  *    stores).
   *  - Readers resolve the HIGHEST COMPLETE manifest and read exactly
   *    its dir set — a consistent snapshot with no torn-window reads:
   *    a concurrent publish only adds a new manifest file, and
@@ -108,6 +117,88 @@ object ManifestCommit {
     * manifest are the legal mid-publish state of a live writer.
     */
   val VacuumGraceMs = 60L * 60 * 1000
+
+  /** Conf key (settable as `spark.hadoop.graft.manifest.atomic.create`):
+    * an operator's assertion that THIS deployment's plain
+    * `create(path, overwrite=false)` is atomic — the escape hatch for
+    * stores [[createMode]] doesn't know (a GCS connector with
+    * precondition-backed creates, a POSIX-complete fuse mount). Left
+    * unset, only HDFS-semantics schemes get the plain-create path.
+    */
+  val AtomicCreateConfKey = "graft.manifest.atomic.create"
+
+  /** Schemes whose FileSystem contract makes `create(overwrite=false)`
+    * itself the atomic put-if-absent (the HDFS single-namespace
+    * semantics). Everything else must either advertise
+    * [[ConditionalCreateCapability]] or be asserted atomic via
+    * [[AtomicCreateConfKey]] — NEVER silently fall back to a
+    * client-side exists-check + PUT (the S3A plain-create shape),
+    * which is exactly the lost-update race the CAS exists to prevent.
+    */
+  private val AtomicCreateSchemes = Set("file", "hdfs", "viewfs", "webhdfs")
+
+  /** Hadoop 3.4.2's conditional-create path capability (HADOOP-19256):
+    * a store advertising it enforces the no-overwrite condition
+    * SERVER-SIDE on the `createFile(path).overwrite(false)` builder
+    * path (S3 `If-None-Match: *` on the final PUT / multipart
+    * complete) — the lost race then surfaces as an IOException when
+    * the stream CLOSES (the PUT is the close), not at create().
+    */
+  val ConditionalCreateCapability: String =
+    org.apache.hadoop.fs.Options.CreateFileOptionKeys
+      .FS_OPTION_CREATE_CONDITIONAL_OVERWRITE
+
+  /** How [[publishAt]] gets an atomic create-no-overwrite on a store. */
+  private[util] sealed trait CreateMode
+  private[util] object CreateMode {
+    /** `create(path, false)` is the CAS — fails at create(). */
+    case object AtomicCreate extends CreateMode
+    /** the `createFile` builder's server-side condition is the CAS —
+      * a lost race fails the CLOSE.
+      */
+    case object ConditionalClose extends CreateMode
+  }
+
+  /** Classify the store's atomic-create story for `p`, or fail LOUDLY:
+    * a store offering neither HDFS create atomicity nor conditional
+    * create gets an error with the config pointer instead of a silent
+    * check-then-PUT whose race window only ever loses data under
+    * contention — i.e. in production, never in a test.
+    */
+  private[util] def createMode(f: FileSystem, conf: Configuration,
+                               p: Path): CreateMode = {
+    val scheme = f.getUri.getScheme
+    if (scheme == null || AtomicCreateSchemes.contains(scheme) ||
+        conf.getBoolean(AtomicCreateConfKey, false))
+      CreateMode.AtomicCreate
+    else if (try f.hasPathCapability(p, ConditionalCreateCapability)
+             catch { case _: Exception => false })
+      CreateMode.ConditionalClose
+    else
+      throw new IllegalStateException(
+        s"cannot publish a manifest on scheme '$scheme' ($p): the store " +
+          s"offers neither an atomic create(overwrite=false) (HDFS " +
+          s"semantics) nor conditional create (path capability " +
+          s"'$ConditionalCreateCapability', Hadoop 3.4.2+ S3A with " +
+          s"conditional writes enabled). A plain create there is a " +
+          s"client-side exists-check + PUT — two racing writers could " +
+          s"both win a generation. Enable the store's conditional-write " +
+          s"support, or — if this store's create(overwrite=false) is " +
+          s"known atomic — set $AtomicCreateConfKey=true " +
+          s"(spark.hadoop.$AtomicCreateConfKey under Spark).")
+  }
+
+  /** Fail-fast hook for protocol RESOLUTION time (CommitProtocol
+    * .forBuild): a build about to lay data under a store the protocol
+    * cannot publish on should die before the lay, not after.
+    * Publish-time enforcement in [[publishAt]] still backstops paths
+    * that never resolved (an orphaned dir laid before a crash is the
+    * protocol's normal garbage either way).
+    */
+  def assertPublishable(conf: Configuration, indexDir: String): Unit = {
+    val f = fs(conf, indexDir)
+    createMode(f, conf, new Path(manifestsDir(indexDir), "m1")); ()
+  }
 
   /** One live data dir of a table, with the row count recorded at lay
     * time (`rows` = -1 when unknown — manifests written by the
@@ -413,16 +504,48 @@ object ManifestCommit {
       else throw contention(indexDir, next.gen, "a newer publish occupies")
     }
     val p = new Path(manifestsDir(indexDir), s"m${next.gen}")
+    val mode = createMode(f, conf, p) // throws LOUDLY on unsafe stores
     val out =
-      try f.create(p, /*overwrite=*/ false)
+      try mode match {
+        case CreateMode.AtomicCreate => f.create(p, /*overwrite=*/ false)
+        case CreateMode.ConditionalClose =>
+          // the builder form engages the store's conditional create
+          // (HADOOP-19256): overwrite(false) is enforced server-side
+          // and a lost race surfaces at close() — handled below.
+          // recursive(): the parent dir already exists (mkdirs above);
+          // without it the DEFAULT builder routes to createNonRecursive,
+          // which many FileSystems (and object stores) don't implement
+          f.createFile(p).overwrite(false).recursive().build()
+      }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           throw contention(indexDir, next.gen, "a racing publish won")
         case _: java.io.IOException if f.exists(p) =>
           throw contention(indexDir, next.gen, "a racing publish won")
       }
-    try out.write(encode(next).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val payload = encode(next).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    try { out.write(payload); out.close() }
+    catch {
+      case e: java.io.IOException =>
+        try out.close() catch { case _: java.io.IOException => () }
+        if (mode != CreateMode.ConditionalClose) throw e
+        // on a conditional-PUT store the object only materializes at
+        // close, so a close-time failure with a COMPLETE manifest now
+        // visible at p is the racer's winning publish (our PUT hit the
+        // precondition); our own payload visible means our PUT in fact
+        // landed and the failure was post-commit noise. Anything else
+        // (absent / torn) is a genuine IO failure of OUR write — the
+        // torn object is the crash state every reader already skips.
+        val visible = if (f.exists(p)) readManifestFile(f, p) else None
+        visible match {
+          case Some(v) if encode(v) != new String(payload,
+              java.nio.charset.StandardCharsets.UTF_8) =>
+            throw contention(indexDir, next.gen,
+              "a racing publish won (conditional PUT precondition failed on)")
+          case Some(_) => () // our payload is what landed — the publish committed
+          case None => throw e
+        }
+    }
     next
   }
 

@@ -271,6 +271,36 @@ object ManifestTiered {
       }); ()
   }
 
+  /** Delete an old RENAME-protocol layout before a manifest-protocol
+    * REBUILD into the same dir (Auto now resolves manifest, so this is
+    * the protocol-crossing rebuild path): the fresh manifest replaces
+    * every table, which makes the rename tree — `<t>/`, `<t>_l1/`,
+    * `<t>_tail/`, `<t>_delta/` staging, `committed/` tokens, commit
+    * markers — unreachable garbage no vacuum pass would ever see (only
+    * manifest-referenced dirs and `data/` are in vacuum's universe).
+    * Same destroy-the-old-generation semantics as the rename arm's
+    * clearMaintenanceState; no-op on a fresh dir and on an
+    * already-manifest index (its legacy dirs are manifest-referenced
+    * and belong to vacuum).
+    */
+  def clearRenameLayout(conf: Configuration, indexDir: String,
+                        tables: Seq[String],
+                        markers: Seq[String] = Seq("_append_commit", "_compact_commit"))
+      : Unit = {
+    if (ManifestCommit.exists(conf, indexDir)) return
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val rels = tables.flatMap(t =>
+      Seq(t, s"${t}_l1", s"${t}_tail", s"${t}_delta", s"${t}_l1_delta",
+        s"${t}_new", s"${t}_l1_new", s"${t}_tail_new")) ++
+      Seq("committed") ++ markers
+    rels.foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(root, rel)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+  }
+
   /** BENCH-HARNESS time travel — NOT a production operation
     * (production never deletes a published manifest): drop every
     * generation above `gen` and vacuum to the restored snapshot, so a
@@ -336,20 +366,31 @@ object CommitProtocol {
     scheme == null || scheme == "file"
   }
 
-  /** Resolve the protocol to BUILD (or rebuild) an index with. An
-    * existing `_manifests` dir WINS over the scheme: rebuilding a
-    * manifest-protocol index rename-style would lay fresh rename
-    * tables while every reader keeps resolving the surviving (now
-    * stale) manifest — the rebuild would silently change nothing.
-    * Auto therefore stays manifest on an adopted dir, and an explicit
-    * Rename request over one fails loudly instead of splitting the
-    * write and read protocols.
+  /** Resolve the protocol to BUILD (or rebuild) an index with.
+    * `Auto` resolves MANIFEST everywhere: the protocols are measured
+    * perf-equal at every depth (SCALE.md), and manifest deletes the
+    * rename protocol's probe-vs-compaction scheduling caveat and its
+    * unbounded committed-token inodes — rename survives only as an
+    * explicit opt-out (`--commit_protocol rename`) until its bodies
+    * are retired. An existing `_manifests` dir still WINS over any
+    * request: rebuilding a manifest-protocol index rename-style would
+    * lay fresh rename tables while every reader keeps resolving the
+    * surviving (now stale) manifest — the rebuild would silently
+    * change nothing. A rebuild that crosses the protocol the other
+    * way (Auto over an old rename tree) is a REBUILD: the new
+    * manifest replaces the index, and the save's
+    * [[clearRenameLayout]] call deletes the now-unreachable rename
+    * tree (to KEEP a rename index's bytes, migrate with
+    * adoptRenameTiered / index_migrate instead of rebuilding).
+    * Resolving Manifest also proves the store PUBLISHABLE
+    * (ManifestCommit.assertPublishable) — a store with no atomic
+    * create-no-overwrite story fails here, before any data is laid.
     */
   def forBuild(conf: Configuration, dir: String,
                chosen: CommitProtocol): CommitProtocol = {
     val adopted = ManifestCommit.exists(conf, dir)
-    chosen match {
-      case Auto => if (adopted || !isLocal(conf, dir)) Manifest else Rename
+    val resolved = chosen match {
+      case Auto => Manifest
       case Rename if adopted => throw new IllegalArgumentException(
         s"$dir already runs the manifest commit protocol (_manifests " +
           s"exists): a rename-protocol rebuild would be invisible to " +
@@ -357,6 +398,8 @@ object CommitProtocol {
           s"protocol=Manifest, or delete the index dir first.")
       case p => p
     }
+    if (resolved == Manifest) ManifestCommit.assertPublishable(conf, dir)
+    resolved
   }
 
   /** The protocol an EXISTING index at `dir` runs on: the `_manifests`

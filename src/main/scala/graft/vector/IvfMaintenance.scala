@@ -170,6 +170,9 @@ private[vector] object IvfMaintenance {
                    centroids: DataFrame, codes: Option[DataFrame],
                    codebooks: Option[DataFrame]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    // protocol-crossing rebuild: drop the unreachable rename tree
+    ManifestTiered.clearRenameLayout(conf, indexDir,
+      Seq("vectors", "centroids", "codes", "codebooks"))
     val vd = ManifestTiered.layDir(spark, indexDir, "vectors", vectors,
       partitionBy = Seq("cell"), sortKeys = Seq(col("vec_id")))
     val ctd = ManifestTiered.layDir(spark, indexDir, "centroids", centroids,

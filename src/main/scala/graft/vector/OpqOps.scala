@@ -76,9 +76,7 @@ object OpqOps {
     new java.util.concurrent.ConcurrentHashMap[String, Option[Trained]]()
 
   private def cachedTrained(s: SparkSession, dir: String): Option[Trained] =
-    trained.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + dir,
-      _ => PcaOps.cachedEigensystem(s, dir).map { es =>
+    graft.util.Caches.fill(trained, s.sparkContext.applicationId + ":" + dir)(PcaOps.cachedEigensystem(s, dir).map { es =>
         val order = allocateComponents(es.eig)
         val rows = order.map(es.vecs)
         val offs = rows.map(v => v.zip(es.mu).map { case (a, b) => a * b }.sum)

@@ -167,9 +167,7 @@ object PcaOps {
     new java.util.concurrent.ConcurrentHashMap[String, Option[EigenResult]]()
 
   private[vector] def cachedEigensystem(s: SparkSession, dir: String): Option[EigenResult] =
-    trainedEigen.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + dir,
-      _ => eigensystem(Tables(s, dir, "embeddings")))
+    graft.util.Caches.fill(trainedEigen, s.sparkContext.applicationId + ":" + dir)(eigensystem(Tables(s, dir, "embeddings")))
 
   /** None below 2 rows. Bounded end to end: 2 080-row collect +
     * 64-row collect + O(d³) Jacobi.

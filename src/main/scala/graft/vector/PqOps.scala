@@ -159,9 +159,7 @@ object PqOps {
     String, Array[Array[Array[Double]]]]()
 
   private def cachedCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    trainedCodebooks.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + dir,
-      _ => trainCodebooks(Tables(s, dir, "embeddings")))
+    graft.util.Caches.fill(trainedCodebooks, s.sparkContext.applicationId + ":" + dir)(trainCodebooks(Tables(s, dir, "embeddings")))
 
   def pqTopK(s: SparkSession, dir: String,
              rerank: Int = 50, topk: Int = 10): DataFrame = {
@@ -396,8 +394,7 @@ object PqOps {
 
   private def cachedResidCodebooks(s: SparkSession, dir: String)
       : Array[Array[Array[Double]]] =
-    trainedResidCodebooks.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + dir, _ => {
+    graft.util.Caches.fill(trainedResidCodebooks, s.sparkContext.applicationId + ":" + dir) {
         val cents = VectorOps.cachedIvfCentroids(s, dir)
         val sample = trainSample(Tables(s, dir, "embeddings"), None)
         if (cents.isEmpty) trainCodebooksOn(sample)
@@ -410,7 +407,7 @@ object PqOps {
               v(i) - (if (i < ct.length) ct(i) else 0.0))
           })
         }
-      })
+      }
 
   /** Residual ADC top-k: assign → residual (float-rounded, so the
     * DuckDB replay is bit-exact) → encode against the residual
@@ -618,8 +615,16 @@ object PqOps {
       // new vectors with old codes or a different codebook generation
       val m = graft.util.ManifestCommit.current(
         spark.sessionState.newHadoopConf(), indexDir)
-      graft.util.ManifestCommit.readTable(spark, indexDir, m,
-        "codebooks", CodebooksSchema).collect().foreach { r =>
+      val cbRows = graft.util.ManifestCommit.readTable(spark, indexDir, m,
+        "codebooks", CodebooksSchema).collect()
+      // fail like the rename arm's missing-path read would: an absent
+      // codebooks table (a flat saveIvfIndex index loaded as PQ) must
+      // not silently yield all-zero codebooks and garbage ADC scores
+      require(cbRows.nonEmpty,
+        s"$indexDir is not a PQ index: its manifest has no 'codebooks' " +
+          s"table (a flat IVF index? probe it with loadIvfIndex/" +
+          s"annIvfIndexed, or rebuild with savePqIndex)")
+      cbRows.foreach { r =>
         cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
       }
       PqIndex(IvfMaintenance.readVectorsManifest(spark, indexDir, m),

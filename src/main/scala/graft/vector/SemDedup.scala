@@ -35,12 +35,11 @@ object SemDedup {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
 
   private def cachedSemCentroids(c: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
-    trainedCentroids.computeIfAbsent(
-      c.sparkSession.sparkContext.applicationId + ":" + k + ":" +
-        c.queryExecution.analyzed.semanticHash(), _ => {
+    graft.util.Caches.fill(trainedCentroids, c.sparkSession.sparkContext.applicationId + ":" + k + ":" +
+        c.queryExecution.analyzed.semanticHash()) {
         val (_, centroidsDf) = VectorOps.buildIvf(c, k, iters = 2)
         centroidsDf.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      })
+      }
 
   def semanticDupPairs(c: DataFrame, k: Int = 32, tau: Double = 0.95,
                        cellCap: Int = 512): DataFrame = {

@@ -699,11 +699,10 @@ object VectorOps {
 
   private[vector] def cachedIvfCentroids(s: SparkSession, dir: String)
       : Seq[(Long, Seq[Double])] =
-    trainedIvfCentroids.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + dir, _ => {
+    graft.util.Caches.fill(trainedIvfCentroids, s.sparkContext.applicationId + ":" + dir) {
         val (_, centroidsDf) = buildIvf(corpus(s, dir), k = 10, iters = 2)
         centroidsDf.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      })
+      }
 
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val c0 = corpus(s, dir)
@@ -817,11 +816,12 @@ object VectorOps {
   private val builtIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def sessionIvfIndex(s: SparkSession, dir: String): IvfIndex = {
-    val idxDir = builtIdx.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+    val idxDir = graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":" + dir) {
       val d = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
-      saveIvfIndex(corpus(s, dir), d, k = 10, iters = 2)
+      saveIvfIndex(corpus(s, dir), d, k = 10, iters = 2,
+        protocol = graft.util.CommitProtocol.Rename) // rename twin
       d
-    })
+    }
     loadIvfIndex(s, idxDir)
   }
 
@@ -845,14 +845,14 @@ object VectorOps {
       s"${ivfReplayCtes(indexCentroids(sessionIvfIndex(s, dir)), nprobe = 2)}$topkTailSql"))
 
   private def sessionAppendedIvfIndex(s: SparkSession, dir: String): IvfIndex = {
-    val idxDir = builtIdx.computeIfAbsent(
-      s.sparkContext.applicationId + ":appended:" + dir, _ => {
+    val idxDir = graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":appended:" + dir) {
         val d = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
         val c = corpus(s, dir)
-        saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), d, k = 10, iters = 2)
+        saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), d, k = 10, iters = 2,
+          protocol = graft.util.CommitProtocol.Rename) // rename twin
         appendIvfIndex(c.filter(col("vec_id") % 5 === 0), d)
         d
-      })
+      }
     loadIvfIndex(s, idxDir)
   }
 
@@ -880,15 +880,16 @@ object VectorOps {
     * state compaction mutates.
     */
   private def sessionIvfCompactRoot(s: SparkSession, dir: String): String =
-    builtIdx.computeIfAbsent(s.sparkContext.applicationId + ":compact:" + dir, _ => {
+    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":compact:" + dir) {
       val root = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
       val c = corpus(s, dir)
-      saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), s"$root/work", k = 10, iters = 2)
+      saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), s"$root/work", k = 10,
+        iters = 2, protocol = graft.util.CommitProtocol.Rename) // rename twin
       appendIvfIndex(c.filter(col("vec_id") % 5 === 0), s"$root/work",
         batchId = Some("batch-1"))
       graft.util.FileTrees.copyTreeIfExists(s"$root/work/vectors_tail", s"$root/tail_seed")
       root
-    })
+    }
 
   /** Registered maintenance arm (completes the IVF family's
     * build/probe/update/compact parity with the MinHash and BM25
@@ -924,7 +925,7 @@ object VectorOps {
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   private def sessionIvfManifestRoot(s: SparkSession, dir: String): (String, Long) =
-    manifestIdx.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ => {
+    graft.util.Caches.fill(manifestIdx, s.sparkContext.applicationId + ":" + dir) {
       val d = java.nio.file.Files.createTempDirectory("graft_ivf_mani").toString
       val c = corpus(s, dir)
       saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), d, k = 10, iters = 2,
@@ -933,7 +934,7 @@ object VectorOps {
         batchId = Some("batch-1"))
       (d, graft.util.ManifestCommit.current(
         s.sessionState.newHadoopConf(), d).gen)
-    })
+    }
 
   /** The ann_ivf_compact_topk lifecycle on the versioned-manifest
     * (object-store) commit protocol: 80% trained+built with `protocol

@@ -25,7 +25,8 @@ class MinHashIndexSpec extends AnyFunSuite {
     import spark.implicits._
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
-    Dedup.saveMinHashIndex(corpus, dir)
+    Dedup.saveMinHashIndex(corpus, dir,
+      protocol = graft.util.CommitProtocol.Rename)
     // inverted-list layout on disk: one directory per band
     val bandDirs = new java.io.File(s"$dir/bands").listFiles()
       .filter(_.getName.startsWith("band=")).map(_.getName)
@@ -54,7 +55,8 @@ class MinHashIndexSpec extends AnyFunSuite {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx2").toString
-    Dedup.saveMinHashIndex(corpus, dir)
+    Dedup.saveMinHashIndex(corpus, dir,
+      protocol = graft.util.CommitProtocol.Rename)
     val probe = Dedup.dedupAgainstMinHashIndex(
       corpus.filter(col("doc_id") < 5), dir)
     val plan = probe.queryExecution.executedPlan.toString
@@ -66,7 +68,8 @@ class MinHashIndexSpec extends AnyFunSuite {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx3").toString
-    Dedup.saveMinHashIndex(corpus, dir)
+    Dedup.saveMinHashIndex(corpus, dir,
+      protocol = graft.util.CommitProtocol.Rename)
 
     // parameter drift: same index probed with a different banding scheme
     // would silently produce zero bucket collisions — must throw instead
@@ -91,7 +94,8 @@ class MinHashIndexSpec extends AnyFunSuite {
     val newCrawl = corpus.filter(col("doc_id") % 3 === 0)
 
     val grown = java.nio.file.Files.createTempDirectory("mhidx_g").toString
-    Dedup.saveMinHashIndex(oldCrawl, grown)
+    Dedup.saveMinHashIndex(oldCrawl, grown,
+      protocol = graft.util.CommitProtocol.Rename)
     def filesUnder(d: String, sub: String) = {
       val b = scala.collection.mutable.Map[String, Long]()
       val p0 = java.nio.file.Paths.get(d, sub)
@@ -113,7 +117,8 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(filesUnder(grown, "bands_tail").nonEmpty, "no tail files appended")
 
     val scratch = java.nio.file.Files.createTempDirectory("mhidx_s").toString
-    Dedup.saveMinHashIndex(corpus, scratch)
+    Dedup.saveMinHashIndex(corpus, scratch,
+      protocol = graft.util.CommitProtocol.Rename)
     val probe = corpus.filter(col("doc_id") < 5)
     def hits(d: String) = Dedup.dedupAgainstMinHashIndex(probe, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -132,7 +137,8 @@ class MinHashIndexSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_pr").toString
-    Dedup.saveMinHashIndex(corpus, dir)
+    Dedup.saveMinHashIndex(corpus, dir,
+      protocol = graft.util.CommitProtocol.Rename)
     val probe = Dedup.dedupAgainstMinHashIndex(
       corpus.filter(col("doc_id") < 2), dir)
 
@@ -170,7 +176,8 @@ class MinHashIndexSpec extends AnyFunSuite {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_e").toString
-    Dedup.saveMinHashIndex(corpus, dir)
+    Dedup.saveMinHashIndex(corpus, dir,
+      protocol = graft.util.CommitProtocol.Rename)
     val hits = Dedup.dedupAgainstMinHashIndex(corpus.filter(lit(false)), dir)
     assert(hits.columns.toSeq == Seq("new_id", "idx_id", "est_jaccard"))
     assert(hits.count() == 0)
@@ -180,7 +187,8 @@ class MinHashIndexSpec extends AnyFunSuite {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_i").toString
-    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), dir)
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     val delta = corpus.filter(col("doc_id") % 2 === 1)
     def nRows = {
       val base = spark.read.schema(Dedup.BandsSchema).parquet(s"$dir/bands").count()
@@ -213,13 +221,15 @@ class MinHashIndexSpec extends AnyFunSuite {
     val oldCrawl = corpus.filter(col("doc_id") % 2 === 0)
     val newCrawl = corpus.filter(col("doc_id") % 2 === 1)
     val dir = java.nio.file.Files.createTempDirectory("mhidx_c").toString
-    Dedup.saveMinHashIndex(oldCrawl, dir)
+    Dedup.saveMinHashIndex(oldCrawl, dir,
+      protocol = graft.util.CommitProtocol.Rename)
     // reconstruct the exact pre-crash state: both delta dirs fully
     // staged (a real append's promoted tail files ARE the staged files
     // — promote only moves them) and the marker present with the batch
     // id — the writer died between marker and promote
     val stage = java.nio.file.Files.createTempDirectory("mhidx_c_s").toString
-    Dedup.saveMinHashIndex(newCrawl.filter(lit(false)), stage)
+    Dedup.saveMinHashIndex(newCrawl.filter(lit(false)), stage,
+      protocol = graft.util.CommitProtocol.Rename)
     Dedup.appendMinHashIndex(newCrawl, stage)
     java.nio.file.Files.move(java.nio.file.Paths.get(stage, "bands_tail"),
       java.nio.file.Paths.get(dir, "bands_delta"))
@@ -234,7 +244,8 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_append_commit")))
     // the recovered index answers probes exactly like a from-scratch build
     val scratch = java.nio.file.Files.createTempDirectory("mhidx_c2").toString
-    Dedup.saveMinHashIndex(corpus, scratch)
+    Dedup.saveMinHashIndex(corpus, scratch,
+      protocol = graft.util.CommitProtocol.Rename)
     val probe = corpus.filter(col("doc_id") < 5)
     def hits(d: String) = Dedup.dedupAgainstMinHashIndex(probe, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -249,7 +260,8 @@ class MinHashIndexSpec extends AnyFunSuite {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_k").toString
-    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 3 === 0), dir)
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 3 === 0), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 3 === 1), dir,
       batchId = Some("c1"))
     Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 3 === 2), dir,
@@ -299,7 +311,8 @@ class MinHashIndexSpec extends AnyFunSuite {
     val massDup = (0L until 300L).map(i => (i, tpl, "en", "src", 60L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_hot").toString
-    Dedup.saveMinHashIndex(massDup, dir)
+    Dedup.saveMinHashIndex(massDup, dir,
+      protocol = graft.util.CommitProtocol.Rename)
     val twin = Seq((9000L, tpl, "en", "src", 60L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val hits = Dedup.dedupAgainstMinHashIndex(twin, dir)

@@ -38,7 +38,8 @@ class MinHashManifestSpec extends AnyFunSuite {
     val mDir = java.nio.file.Files.createTempDirectory("mh_mani").toString
     val rDir = java.nio.file.Files.createTempDirectory("mh_ren").toString
     Dedup.saveMinHashIndex(corpus, mDir, protocol = CommitProtocol.Manifest)
-    Dedup.saveMinHashIndex(corpus, rDir)
+    Dedup.saveMinHashIndex(corpus, rDir,
+      protocol = graft.util.CommitProtocol.Rename)
     assert(ManifestCommit.exists(conf, mDir), "manifest build must create _manifests")
     assert(!ManifestCommit.exists(conf, rDir), "rename build must NOT")
     val probe = corpus.filter(col("doc_id") < 20)
@@ -193,7 +194,8 @@ class MinHashManifestSpec extends AnyFunSuite {
     val corpus = graft.util.Tables(spark, sf.get, "documents")
       .filter(col("doc_id") < 200)
     val dir = java.nio.file.Files.createTempDirectory("mh_unadopted").toString
-    Dedup.saveMinHashIndex(corpus, dir) // rename layout, no _manifests
+    Dedup.saveMinHashIndex(corpus, dir,
+      protocol = graft.util.CommitProtocol.Rename) // rename layout, no _manifests
     // what a probe on an object store would do: resolve current() →
     // Empty, then read — the silent-empty trap. The read and the size
     // policy must throw with the index_migrate pointer; appends must
@@ -220,7 +222,8 @@ class MinHashManifestSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("mh_migrate").toString
     // a REAL rename-protocol history: build + batch append + Minor fold
     // (so the adopted layout has a base, a legacy L1 run, AND a tail)
-    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 4 <= 1), dir)
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 4 <= 1), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 4 === 2), dir,
       batchId = Some("crawl-2"))
     Dedup.compactMinHashIndex(spark, dir) // tail → legacy run

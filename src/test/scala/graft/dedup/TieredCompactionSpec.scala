@@ -66,7 +66,8 @@ class TieredCompactionSpec extends AnyFunSuite {
 
   test("minor compaction folds ONLY the tail; the base is never rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("tier_minor").toString
-    Dedup.saveMinHashIndex(docs(0, 100), dir) // base: 1600 band rows
+    Dedup.saveMinHashIndex(docs(0, 100), dir,
+      protocol = graft.util.CommitProtocol.Rename) // base: 1600 band rows
     val base0 = baseFiles(dir)
 
     Dedup.appendMinHashIndex(docs(100, 10), dir, batchId = Some("b1"))
@@ -86,7 +87,8 @@ class TieredCompactionSpec extends AnyFunSuite {
 
   test("run-count backstop re-merges runs into one, still without touching the base") {
     val dir = java.nio.file.Files.createTempDirectory("tier_merge").toString
-    Dedup.saveMinHashIndex(docs(0, 100), dir)
+    Dedup.saveMinHashIndex(docs(0, 100), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     val base0 = baseFiles(dir)
     // 8 × 10-doc cycles stay Minor (tail+l1 ≤ 1440 < 1600 base rows);
     // the 9th trips the MaxL1Runs=8 backstop → one merged run, base intact
@@ -117,7 +119,8 @@ class TieredCompactionSpec extends AnyFunSuite {
   test("probes prune level-1 runs via pushed footer predicates (flat sorted runs)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("tier_prune").toString
-    Dedup.saveMinHashIndex(docs(0, 100), dir)
+    Dedup.saveMinHashIndex(docs(0, 100), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     Dedup.appendMinHashIndex(docs(100, 10), dir, batchId = Some("b1"))
     Dedup.compactMinHashIndex(spark, dir) // → one run
     assert(runsOf(dir) == Seq(0L))
@@ -144,7 +147,8 @@ class TieredCompactionSpec extends AnyFunSuite {
 
   test("crash mid-minor-fold: unmarked staging rolls back, marked staging completes") {
     val dir = java.nio.file.Files.createTempDirectory("tier_crash").toString
-    Dedup.saveMinHashIndex(docs(0, 100), dir)
+    Dedup.saveMinHashIndex(docs(0, 100), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     Dedup.appendMinHashIndex(docs(100, 10), dir, batchId = Some("b1"))
     val rowsBefore = visibleRows(dir)
     // torn minor fold: staged run exists, no marker → recovery drops it

@@ -25,11 +25,11 @@ class HostRankSpec extends AnyFunSuite {
     val inFlight = new CountDownLatch(2)
     val serialized = new AtomicInteger(0)
     def fill(key: String): String =
-      HostRank.computeCached(m, key) {
+      graft.util.Caches.fill(m, key) {
         inFlight.countDown()
         if (!inFlight.await(10, TimeUnit.SECONDS)) serialized.incrementAndGet()
         s"v-$key"
-      }(_ => ())
+      }
     val th = Seq("Aa", "BB").map { k =>
       val t = new Thread(() => { fill(k); () }); t.start(); t
     }
@@ -46,10 +46,11 @@ class HostRankSpec extends AnyFunSuite {
     val results = new java.util.concurrent.ConcurrentLinkedQueue[Object]()
     val th2 = (1 to 2).map { _ =>
       val t = new Thread(() => {
-        val v = HostRank.computeCached(m2, "k") {
+        val v = graft.util.Caches.fill(m2, "k",
+          (_: Object) => { released.incrementAndGet(); () }) {
           gate.countDown(); gate.await(10, TimeUnit.SECONDS)
           new Object()
-        }(_ => { released.incrementAndGet(); () })
+        }
         results.add(v); ()
       }); t.start(); t
     }
@@ -63,9 +64,9 @@ class HostRankSpec extends AnyFunSuite {
     //    thread (a graph query whose prep consults a second cache) —
     //    computeIfAbsent throws 'Recursive update' here
     val m3 = new ConcurrentHashMap[String, String]()
-    val outer = HostRank.computeCached(m3, "outer") {
-      HostRank.computeCached(m3, "inner")("i")(_ => ()) + "-o"
-    }(_ => ())
+    val outer = graft.util.Caches.fill(m3, "outer") {
+      graft.util.Caches.fill(m3, "inner")("i") + "-o"
+    }
     assert(outer == "i-o" && m3.get("inner") == "i")
   }
 

@@ -499,11 +499,17 @@ class JobsE2ESpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("annidx").toString
     val emb = s"${sfDir.get}/embeddings.parquet"
     JobRunner.run(spark, JobCli("ann_index_build", emb, s"$dir/idx"))
-    // sqrt-N cells: 500 vectors → 22 centroids, cell-partitioned lists
-    val k = spark.read.parquet(s"$dir/idx/centroids").count()
+    // sqrt-N cells: 500 vectors → 22 centroids, cell-partitioned lists.
+    // The CLI default protocol is manifest now — read protocol-aware,
+    // and find the cell-partitioned base through the manifest
+    val k = graft.vector.VectorOps.loadIvfIndex(spark, s"$dir/idx")
+      .centroids.count()
     assert(k == math.round(math.sqrt(
       spark.read.parquet(emb).count().toDouble)))
-    assert(new java.io.File(s"$dir/idx/vectors").listFiles()
+    val mIdx = graft.util.ManifestCommit.current(
+      spark.sessionState.newHadoopConf(), s"$dir/idx")
+    val vectorsDir = mIdx.table("vectors").head
+    assert(new java.io.File(s"$dir/idx/$vectorsDir").listFiles()
       .exists(_.getName.startsWith("cell=")))
     spark.read.parquet(emb).filter(col("vec_id") < 3)
       .write.parquet(s"$dir/queries")
@@ -529,12 +535,14 @@ class JobsE2ESpec extends AnyFunSuite {
     emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/batch1")
     emb.filter(col("vec_id") % 2 =!= 0).write.parquet(s"$dir/batch2")
     JobRunner.run(spark, JobCli("ann_index_build", s"$dir/batch1", s"$dir/idx"))
-    val centroidsBefore = spark.read.parquet(s"$dir/idx/centroids")
+    val centroidsBefore = graft.vector.VectorOps
+      .loadIvfIndex(spark, s"$dir/idx").centroids
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     JobRunner.run(spark, JobCli("ann_index_update", s"$dir/batch2", s"$dir/upd",
       addInputs = Seq(s"$dir/idx")))
     // centroids and codebooks untouched; stores now hold both batches
-    val centroidsAfter = spark.read.parquet(s"$dir/idx/centroids")
+    val centroidsAfter = graft.vector.VectorOps
+      .loadIvfIndex(spark, s"$dir/idx").centroids
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(centroidsAfter == centroidsBefore)
     // counts through the tiered read (base ∪ runs ∪ tail) — the batch

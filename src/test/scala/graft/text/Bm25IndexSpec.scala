@@ -32,7 +32,8 @@ class Bm25IndexSpec extends AnyFunSuite {
 
   test("probe plan prunes to the probed terms' buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
-    InvertedIndex.save(graft.util.Tables(spark, sf, "documents"), dir)
+    InvertedIndex.save(graft.util.Tables(spark, sf, "documents"), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     val probe = InvertedIndex.probe(spark, dir, Seq("join", "dup"))
     val planStr = probe.queryExecution.executedPlan.toString
     val partFilters = """PartitionFilters: \[([^\]]*)\]""".r
@@ -54,7 +55,8 @@ class Bm25IndexSpec extends AnyFunSuite {
 
   test("stats hold exact integer sums so avgdl is reproducible") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx2").toString
-    InvertedIndex.save(graft.util.Tables(spark, sf, "documents"), dir)
+    InvertedIndex.save(graft.util.Tables(spark, sf, "documents"), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     val stats = spark.read.parquet(s"$dir/stats").collect()
     assert(stats.length == 1)
     assert(stats(0).getLong(0) > 0 && stats(0).getLong(1) > 0)
@@ -64,7 +66,8 @@ class Bm25IndexSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables(spark, sf, "documents")
     val merged = java.nio.file.Files.createTempDirectory("bm25_m").toString
-    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), merged)
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), merged,
+      protocol = graft.util.CommitProtocol.Rename)
     def postingsFiles = {
       val b = scala.collection.mutable.Map[String, Long]()
       java.nio.file.Files.walk(java.nio.file.Paths.get(merged, "postings"))
@@ -85,7 +88,8 @@ class Bm25IndexSpec extends AnyFunSuite {
     finally tail.close()
 
     val scratch = java.nio.file.Files.createTempDirectory("bm25_s").toString
-    InvertedIndex.save(docs, scratch)
+    InvertedIndex.save(docs, scratch,
+      protocol = graft.util.CommitProtocol.Rename)
     val terms = Seq("join", "vector", "filter", "dup")
     val got = InvertedIndex.probe(spark, merged, terms)
       .collect().map(_.toSeq).toSet
@@ -99,7 +103,8 @@ class Bm25IndexSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables(spark, sf, "documents")
     val dir = java.nio.file.Files.createTempDirectory("bm25_c").toString
-    InvertedIndex.save(docs.filter(col("doc_id") % 5 >= 3), dir)
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 >= 3), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 2), dir)
     InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 1), dir)
     def baseFiles = {
@@ -136,7 +141,8 @@ class Bm25IndexSpec extends AnyFunSuite {
     // compacted index still matches a from-scratch full-corpus build
     InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir)
     val scratch = java.nio.file.Files.createTempDirectory("bm25_cs").toString
-    InvertedIndex.save(docs, scratch)
+    InvertedIndex.save(docs, scratch,
+      protocol = graft.util.CommitProtocol.Rename)
     assert(topk == InvertedIndex.probe(spark, scratch, terms).collect().map(_.toSeq).toSet)
     // a second cycle folds the new tail too (Minor or Major depending
     // on the shards' exact row counts — the size policy decides); the
@@ -151,7 +157,8 @@ class Bm25IndexSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables(spark, sf, "documents")
     val dir = Files.createTempDirectory("bm25_ck").toString
-    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir)
     val terms = Seq("join", "vector", "filter", "dup")
     def topk = InvertedIndex.probe(spark, dir, terms).collect().map(_.toSeq).toSet
@@ -173,7 +180,8 @@ class Bm25IndexSpec extends AnyFunSuite {
     // tail still holds the 20% fold; promoting postings_new without
     // emptying the tail would double those rows)
     val real = Files.createTempDirectory("bm25_ck2").toString
-    InvertedIndex.save(docs, real) // full-corpus postings = the compacted target
+    InvertedIndex.save(docs, real,
+      protocol = graft.util.CommitProtocol.Rename) // full-corpus postings = the compacted target
     Files.move(Paths.get(real, "postings"), Paths.get(dir, "postings_new"))
     Files.createDirectories(Paths.get(dir, "postings_l1_new"))
     Files.createDirectories(Paths.get(dir, "postings_tail_new"))
@@ -183,7 +191,8 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(dir, "postings_new")))
     assert(!Files.exists(Paths.get(dir, "_compact_commit")))
     val scratch = Files.createTempDirectory("bm25_ck3").toString
-    InvertedIndex.save(docs, scratch)
+    InvertedIndex.save(docs, scratch,
+      protocol = graft.util.CommitProtocol.Rename)
     assert(recovered ==
       InvertedIndex.probe(spark, scratch, terms).collect().map(_.toSeq).toSet)
   }
@@ -241,7 +250,8 @@ class Bm25IndexSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables(spark, sf, "documents")
     val dir = Files.createTempDirectory("bm25_heal").toString
-    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir)
     val terms = Seq("join", "vector", "filter", "dup")
     val want = InvertedIndex.probe(spark, dir, terms).collect().map(_.toSeq).toSet
@@ -262,7 +272,8 @@ class Bm25IndexSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables(spark, sf, "documents")
     val dir = java.nio.file.Files.createTempDirectory("bm25_once").toString
-    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir,
       batchId = Some("b1"))
     val terms = Seq("join", "vector", "filter", "dup")

@@ -41,7 +41,8 @@ class Bm25ManifestSpec extends AnyFunSuite {
     val mDir = java.nio.file.Files.createTempDirectory("bm25_mani").toString
     val rDir = java.nio.file.Files.createTempDirectory("bm25_ren").toString
     // rename: from-scratch full build — the truth both must equal
-    InvertedIndex.save(docs, rDir)
+    InvertedIndex.save(docs, rDir,
+      protocol = graft.util.CommitProtocol.Rename)
     val want = scores(rDir)
     assert(want.nonEmpty)
     // manifest: 80% build + 20% fold (+ retry) + Minor compact
@@ -89,7 +90,8 @@ class Bm25ManifestSpec extends AnyFunSuite {
     assume(sf.isDefined)
     val docs = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("bm25_migrate").toString
-    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir,
+      protocol = graft.util.CommitProtocol.Rename)
     InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir,
       batchId = Some("fold-1")) // leaves a live rename-protocol tail
     val want = scores(dir)
@@ -106,7 +108,8 @@ class Bm25ManifestSpec extends AnyFunSuite {
     InvertedIndex.compact(spark, dir)
     val scratch = java.nio.file.Files.createTempDirectory("bm25_migrate_s").toString
     InvertedIndex.save(docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
-      .withColumn("doc_id", col("doc_id") + 9000000L)), scratch)
+      .withColumn("doc_id", col("doc_id") + 9000000L)), scratch,
+      protocol = graft.util.CommitProtocol.Rename)
     assert(scores(dir) == scores(scratch),
       "post-migration maintenance must equal a from-scratch build")
   }

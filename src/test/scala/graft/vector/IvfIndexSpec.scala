@@ -21,7 +21,8 @@ class IvfIndexSpec extends AnyFunSuite {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
-    VectorOps.saveIvfIndex(corpus, dir, k = 10, iters = 2)
+    VectorOps.saveIvfIndex(corpus, dir, k = 10, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     val idx = VectorOps.loadIvfIndex(spark, dir)
     assert(idx.centroids.count() == 10)
     assert(idx.vectors.count() == corpus.count())
@@ -81,7 +82,8 @@ class IvfIndexSpec extends AnyFunSuite {
     val corpus = spark.read.parquet(s"${sf.get}/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
-    VectorOps.saveIvfIndex(corpus.filter(col("vec_id") % 5 =!= 0), dir, k = 10, iters = 2)
+    VectorOps.saveIvfIndex(corpus.filter(col("vec_id") % 5 =!= 0), dir, k = 10, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     def vectorFiles = {
       val b = scala.collection.mutable.Map[String, Long]()
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))
@@ -119,7 +121,8 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     // an untrained index refuses adds (FAISS contract)
     val emptyDir = java.nio.file.Files.createTempDirectory("ivf_empty").toString
-    VectorOps.saveIvfIndex(corpus.filter(lit(false)), emptyDir, k = 10, iters = 2)
+    VectorOps.saveIvfIndex(corpus.filter(lit(false)), emptyDir, k = 10, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     intercept[IllegalStateException] {
       VectorOps.appendIvfIndex(corpus.limit(1), emptyDir)
     }

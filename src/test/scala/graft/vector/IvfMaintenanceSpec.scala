@@ -58,7 +58,8 @@ class IvfMaintenanceSpec extends AnyFunSuite {
 
   test("append is exactly-once: a re-driven batch id is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_once").toString
-    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2)
+    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     VectorOps.appendIvfIndex(vecs(80, 20), dir, batchId = Some("b1"))
     assert(visible(dir) == 100)
     val r0 = probe(dir)
@@ -73,7 +74,8 @@ class IvfMaintenanceSpec extends AnyFunSuite {
 
   test("crash BEFORE the marker: unmarked staging is dropped, batch re-drives cleanly") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_pre").toString
-    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2)
+    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     // torn pre-marker state: staged delta exists, no marker — as if the
     // writer died between its parquet write and the commit
     val staged = java.nio.file.Paths.get(dir, "vectors_delta")
@@ -87,7 +89,8 @@ class IvfMaintenanceSpec extends AnyFunSuite {
 
   test("crash AFTER the marker: recovery promotes the staged batch once; the retry is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_post").toString
-    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2)
+    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     val cents = spark.read.schema(IvfMaintenance.CentroidsSchema)
       .parquet(s"$dir/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
@@ -111,7 +114,8 @@ class IvfMaintenanceSpec extends AnyFunSuite {
 
   test("a second concurrent writer fails loudly; probes stay lock-free") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_lease").toString
-    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2)
+    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     graft.util.IndexCommit.withWriterLease(dir) {
       intercept[IllegalStateException] {
         VectorOps.appendIvfIndex(vecs(80, 20), dir, batchId = Some("b1"))
@@ -123,7 +127,8 @@ class IvfMaintenanceSpec extends AnyFunSuite {
 
   test("tiered compaction: minor folds only the tail, major trips at the size ratio, probes identical") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_tier").toString
-    VectorOps.saveIvfIndex(vecs(0, 60), dir, k = 4, iters = 2)
+    VectorOps.saveIvfIndex(vecs(0, 60), dir, k = 4, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     val base0 = baseFiles(dir)
     val truthCents = spark.read.schema(IvfMaintenance.CentroidsSchema)
       .parquet(s"$dir/centroids")
@@ -170,7 +175,8 @@ class IvfMaintenanceSpec extends AnyFunSuite {
 
   test("PQ flavor: vectors and codes commit as ONE atomic pair, fold together") {
     val dir = java.nio.file.Files.createTempDirectory("pq_pair").toString
-    PqOps.savePqIndex(vecs(0, 80), dir, k = 4, iters = 2)
+    PqOps.savePqIndex(vecs(0, 80), dir, k = 4, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     PqOps.addToPqIndex(vecs(80, 20), dir, batchId = Some("b1"))
     PqOps.addToPqIndex(vecs(80, 20), dir, batchId = Some("b1")) // retry no-ops
     val idx = PqOps.loadPqIndex(spark, dir)
@@ -191,13 +197,15 @@ class IvfMaintenanceSpec extends AnyFunSuite {
 
   test("a FLAT rebuild over a former PQ dir drops the stale codes/codebooks generation") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_downgrade").toString
-    PqOps.savePqIndex(vecs(0, 120), dir, k = 4, iters = 2)
+    PqOps.savePqIndex(vecs(0, 120), dir, k = 4, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes")))
     // rebuild as a FLAT index: saveIvfIndex never writes codes, so
     // stale codes/codebooks surviving here would make the dir still
     // read as a PQ index and silently join the OLD generation's codes
     // against the NEW vectors
-    VectorOps.saveIvfIndex(vecs(0, 140), dir, k = 4, iters = 2)
+    VectorOps.saveIvfIndex(vecs(0, 140), dir, k = 4, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     Seq("codes", "codes_l1", "codes_tail", "codebooks").foreach { n =>
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n)),
         s"stale PQ artifact '$n' survived a flat rebuild")

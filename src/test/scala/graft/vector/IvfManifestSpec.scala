@@ -87,7 +87,8 @@ class IvfManifestSpec extends AnyFunSuite {
 
   test("zero-copy migration: a rename IVF-PQ index adopts the manifest protocol, ADC probes unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("pq_migrate").toString
-    PqOps.savePqIndex(vecs(0, 160), dir, k = 4, iters = 2)
+    PqOps.savePqIndex(vecs(0, 160), dir, k = 4, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     PqOps.addToPqIndex(vecs(160, 20), dir, batchId = Some("b1")) // live tails
     def adc() = PqOps.annPqIndexed(queries(5), PqOps.loadPqIndex(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet

@@ -26,7 +26,8 @@ class PqIndexSpec extends AnyFunSuite {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
     val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
-    PqOps.savePqIndex(corpus, dir, k = 10, iters = 2)
+    PqOps.savePqIndex(corpus, dir, k = 10, iters = 2,
+      protocol = graft.util.CommitProtocol.Rename)
     val idx = PqOps.loadPqIndex(spark, dir)
     assert(idx.centroids.count() == 10)
     assert(idx.vectors.count() == corpus.count())
