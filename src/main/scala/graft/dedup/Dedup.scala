@@ -1117,7 +1117,10 @@ object Dedup {
       partitionBy = Nil, sortKeys = Nil)
     val wd = ManifestTiered.layDir(spark, indexDir, "widths.tail",
       widthsOf(banded), partitionBy = Nil, sortKeys = Nil)
-    ManifestCommit.publishAt(conf, indexDir, m, mm =>
+    // COMMUTING update (pure tail addDirs): a lost CAS against a
+    // racing writer retries against the fresh snapshot without
+    // re-laying — two appenders racing one index both land
+    ManifestCommit.publishCommuting(conf, indexDir, m, mm =>
       ManifestCommit.addDir(
         ManifestCommit.addDir(mm, "bands.tail", bd.dir, bd.rows),
         "widths.tail", wd.dir, wd.rows),
@@ -1292,10 +1295,16 @@ object Dedup {
     * executor loss invalidates a local checkpoint and fails the
     * consuming job, which simply re-runs the read-only probe.
     */
+  /** `asOfGen`: probe a RETAINED HISTORICAL generation instead of the
+    * current snapshot (ManifestCommit.atGeneration — audit reruns,
+    * A/B-ing a crawl's contribution). Manifest protocol only: the
+    * rename protocol mutates dirs in place and has no history.
+    */
   def dedupAgainstMinHashIndex(newDocs: DataFrame, indexDir: String,
                                shingleW: Int = 5, perms: Int = 64,
                                rowsPerBand: Int = 4,
-                               threshold: Double = 0.5): DataFrame = {
+                               threshold: Double = 0.5,
+                               asOfGen: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
     validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "probing")
     val banded =
@@ -1306,11 +1315,17 @@ object Dedup {
         // readers resolve ONE manifest snapshot — consistent across any
         // concurrent append/compact/vacuum, no healing needed (a crashed
         // manifest writer leaves only invisible garbage)
-        val m = graft.util.ManifestCommit.current(
-          spark.sessionState.newHadoopConf(), indexDir)
+        val conf = spark.sessionState.newHadoopConf()
+        val m = asOfGen
+          .map(g => graft.util.ManifestCommit.atGeneration(conf, indexDir, g))
+          .getOrElse(graft.util.ManifestCommit.current(conf, indexDir))
         probeWithBands(spark, banded, manifestReader(spark, indexDir, m),
           perms, threshold)
       case _ =>
+        require(asOfGen.isEmpty,
+          s"AS-OF probes need the manifest commit protocol ($indexDir runs " +
+            s"the rename protocol, which mutates dirs in place and keeps " +
+            s"no history — migrate with index_migrate)")
         // self-heal a MARKED commit whose writer died mid-publish (a
         // compaction's dir swap can leave a live dir transiently missing);
         // unmarked staging is never touched — see IndexCommit.healMarkedCommit
@@ -1976,8 +1991,104 @@ object Dedup {
     },
     dedupIndexCompact.oracle)
 
+  /** Build-once per (application, sf dir): the manifest index with a
+    * RETAINED history — gen 1 = crawls 0-1 built, gen 2 = crawl 2
+    * appended. Probes are read-only, so no per-invocation rewind.
+    */
+  private val dttFixed =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** AS-OF (time-travel) probe over the versioned-manifest index:
+    * crawl 3 probes the index BOTH as it stands (crawls 0-2) and as it
+    * stood at the pre-append generation (crawls 0-1,
+    * `ManifestCommit.atGeneration`) — the audit-rerun / crawl-
+    * contribution-A/B read the protocol's retained snapshots give for
+    * free. The oracle replays both states statically: the historical
+    * side filters the indexed corpus (and its bucket widths and
+    * over-cap anchors) to crawls 0-1, the current side to 0-2 — a
+    * probe that leaked post-snapshot rows into the AS-OF result (or
+    * vice versa) hash-fails.
+    */
+  val dedupIndexTimeTravel: QueryDef = QueryDef(
+    "dedup_index_timetravel",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val conf = s.sessionState.newHadoopConf()
+      val (work, buildGen) = graft.util.Caches.fill(
+        dttFixed, s.sparkContext.applicationId + ":" + dir) {
+        val rt = java.nio.file.Files.createTempDirectory("graft_dtt").toString
+        saveMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) <= 1L),
+          s"$rt/work", protocol = graft.util.CommitProtocol.Manifest)
+        val g = ManifestCommit.current(conf, s"$rt/work").gen
+        appendMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) === 2L),
+          s"$rt/work", batchId = Some("crawl-2"))
+        (s"$rt/work", g)
+      }
+      val probe = docs.filter(pmod(col("doc_id"), lit(4L)) === 3L)
+      def counts(asOf: Option[Long]): (Long, Long) = {
+        val r = dedupAgainstMinHashIndex(probe, work, asOfGen = asOf)
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("new_id")).as("n_dup_docs"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val (ah, ad) = counts(Some(buildGen))
+      val (ch, cd) = counts(None)
+      val mOld = ManifestCommit.atGeneration(conf, work, buildGen)
+      val mCur = ManifestCommit.current(conf, work)
+      val sigOld = ManifestTiered.read(s, work, mOld, "bands", BandsSchema).count()
+      val sigCur = ManifestTiered.read(s, work, mCur, "bands", BandsSchema).count()
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq("n_sig_asof", "n_hits_asof", "n_dup_docs_asof",
+          "n_sig_cur", "n_hits_cur", "n_dup_docs_cur")
+          .map(org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.LongType)))
+      s.createDataFrame(s.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(sigOld, ah, ad, sigCur, ch, cd)), 1), schema)
+    },
+    // static replay of BOTH snapshots: the AS-OF side indexes crawls
+    // 0-1 (widths/anchors measured over doc % 4 < 2), the current side
+    // crawls 0-2 (< 3); probe = crawl 3, agreement ≥ 32/64 either way
+    Some(s"""WITH $WordShingleFnvCtes,${sigBandCtes(4)},
+      wdt_old AS (SELECT band, bucket, COUNT(*) AS bw, MIN(doc_id) AS aid
+                  FROM banded WHERE doc_id % 4 < 2 GROUP BY band, bucket),
+      wdt_cur AS (SELECT band, bucket, COUNT(*) AS bw, MIN(doc_id) AS aid
+                  FROM banded WHERE doc_id % 4 < 3 GROUP BY band, bucket),
+      pairs_old AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+        JOIN wdt_old w ON w.band = a.band AND w.bucket = a.bucket
+        WHERE a.doc_id % 4 = 3 AND b.doc_id % 4 < 2
+          AND (w.bw <= $SimHashMaxBucket OR b.doc_id = w.aid)),
+      pairs_cur AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+        JOIN wdt_cur w ON w.band = a.band AND w.bucket = a.bucket
+        WHERE a.doc_id % 4 = 3 AND b.doc_id % 4 < 3
+          AND (w.bw <= $SimHashMaxBucket OR b.doc_id = w.aid)),
+      est_old AS (SELECT p.new_id FROM pairs_old p
+        JOIN sigl sa ON sa.doc_id = p.new_id
+        JOIN sigl sb ON sb.doc_id = p.idx_id
+        WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32),
+      est_cur AS (SELECT p.new_id FROM pairs_cur p
+        JOIN sigl sa ON sa.doc_id = p.new_id
+        JOIN sigl sb ON sb.doc_id = p.idx_id
+        WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32)
+      SELECT
+        CAST((SELECT COUNT(*) FROM banded WHERE doc_id % 4 < 2) AS BIGINT)
+          AS n_sig_asof,
+        CAST((SELECT COUNT(*) FROM est_old) AS BIGINT) AS n_hits_asof,
+        CAST((SELECT COUNT(DISTINCT new_id) FROM est_old) AS BIGINT)
+          AS n_dup_docs_asof,
+        CAST((SELECT COUNT(*) FROM banded WHERE doc_id % 4 < 3) AS BIGINT)
+          AS n_sig_cur,
+        CAST((SELECT COUNT(*) FROM est_cur) AS BIGINT) AS n_hits_cur,
+        CAST((SELECT COUNT(DISTINCT new_id) FROM est_cur) AS BIGINT)
+          AS n_dup_docs_cur"""))
+
   val all: Seq[QueryDef] =
     Seq(dedupMinHash, dedupNgramJaccard, dedupSimHash, dedupClusters,
       dedupJaccardExact, dedupClustersExact, dedupContainment,
-      dedupSubstring, dedupIndexCompact, dedupIndexManifest)
+      dedupSubstring, dedupIndexCompact, dedupIndexManifest,
+      dedupIndexTimeTravel)
 }

@@ -37,11 +37,13 @@ final case class JobCli(
     maxDupFrac: Option[Double] = None,
     mainContent: Boolean = false,
     topK: Int = 20,
+    asOfGeneration: Option[Long] = None,
     commitProtocol: String = "auto") {
 
-  /** Index-build commit protocol: `auto` picks by filesystem scheme
-    * (local → rename, object store → versioned manifests); existing
-    * indexes always dispatch off what they were built with.
+  /** Index-build commit protocol: `auto` resolves the versioned-
+    * manifest protocol for every NEW build (rename is the explicit
+    * opt-out until its bodies retire); existing indexes always
+    * dispatch off what they were built with.
     */
   def indexProtocol: graft.util.CommitProtocol = commitProtocol match {
     case "manifest" => graft.util.CommitProtocol.Manifest
@@ -84,10 +86,13 @@ object JobCli {
       |        md5sum | warc_to_parquet | index_build |
       |        index_export | index_word_count |
       |        warc_to_documents (--main_content: boilerplate removal) | curate |
-      |        dedup_index_build | dedup_index_probe | dedup_index_update
+      |        dedup_index_build | dedup_index_probe
+      |          ([--as_of_generation N: near-probe a retained snapshot]) |
+      |        dedup_index_update
       |          (--add_input INDEX_DIR [--batch_id TOKEN: retry-idempotent]) |
       |        dedup_index_compact (input = INDEX_DIR: fold deltas, re-layout) |
-      |        bm25_index_build | bm25_index_probe (--query t1,t2) |
+      |        bm25_index_build | bm25_index_probe (--query t1,t2
+      |          [--as_of_generation N: probe a retained manifest snapshot]) |
       |        bm25_index_merge (--add_input INDEX_DIR: append-only delta fold) |
       |        bm25_index_compact (input = INDEX_DIR: fold postings deltas) |
       |        scd2_build | scd2_merge (--add_input DIM_DIR) |
@@ -172,6 +177,8 @@ object JobCli {
           value.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
         case "--min_entropy"   => cli = cli.copy(minEntropy = Some(value.toDouble))
         case "--batch_id"      => cli = cli.copy(batchId = Some(value))
+        case "--as_of_generation" =>
+          cli = cli.copy(asOfGeneration = Some(value.toLong))
         case "--commit_protocol" => cli = cli.copy(commitProtocol = value)
         case "--max_dup_frac"  => cli = cli.copy(maxDupFrac = Some(value.toDouble))
         case "--main_content"  => cli = cli.copy(mainContent = true)
@@ -389,7 +396,10 @@ object JobRunner {
             .dedupAgainstDigestIndex(newDocs, s"$idx/exact")
           exact.repartition(cli.outParts)
             .write.mode("overwrite").parquet(s"${cli.output}/exact")
-          graft.dedup.Dedup.dedupAgainstMinHashIndex(newDocs, s"$idx/minhash")
+          // --as_of_generation N probes a retained historical snapshot of
+          // the near-dup index (manifest protocol only)
+          graft.dedup.Dedup.dedupAgainstMinHashIndex(newDocs, s"$idx/minhash",
+              asOfGen = cli.asOfGeneration)
             .repartition(cli.outParts)
             .write.mode("overwrite").parquet(s"${cli.output}/near")
           spark.read.parquet(s"${cli.output}/exact")
@@ -411,7 +421,8 @@ object JobRunner {
             sys.error("bm25_index_probe needs --query term1,term2"))
             .split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
           require(terms.nonEmpty, "bm25_index_probe needs at least one term")
-          graft.text.InvertedIndex.probe(spark, cli.input, terms)
+          graft.text.InvertedIndex.probe(spark, cli.input, terms,
+              asOfGen = cli.asOfGeneration)
             .coalesce(cli.outParts)
             .write.mode("overwrite").parquet(s"${cli.output}/topk")
           spark.read.parquet(s"${cli.output}/topk")

@@ -146,6 +146,24 @@ object InvertedIndex {
 
   private def appendDeltaManifest(deltaDocs: DataFrame, dir: String,
                                   batchId: Option[String]): Unit = {
+    // NOT a commuting update (terms/stats REPLACE aggregates derived
+    // from the snapshot read below), so a lost CAS retries the WHOLE
+    // fold against the fresh snapshot — the superseded lays become
+    // vacuum garbage, never wrong state
+    var attempt = 0
+    while (true) {
+      try return appendDeltaManifestOnce(deltaDocs, dir, batchId)
+      catch {
+        case e: ManifestCommit.ManifestContentionException =>
+          if (attempt >= 5) throw e
+          attempt += 1
+          Thread.sleep(20L * attempt)
+      }
+    }
+  }
+
+  private def appendDeltaManifestOnce(deltaDocs: DataFrame, dir: String,
+                                      batchId: Option[String]): Unit = {
     val s = deltaDocs.sparkSession
     val conf = s.sessionState.newHadoopConf()
     val m = ManifestCommit.current(conf, dir)
@@ -238,16 +256,27 @@ object InvertedIndex {
     * partitioned base and runs statically, and only the
     * compaction-bounded flat tail is row-filtered.
     */
+  /** `asOfGen`: score against a RETAINED HISTORICAL generation
+    * (ManifestCommit.atGeneration) instead of the current snapshot —
+    * manifest protocol only (the rename protocol keeps no history).
+    */
   def probe(s: SparkSession, dir: String, terms: Seq[String], k: Int = 10,
-            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+            k1: Double = 1.2, b: Double = 0.75,
+            asOfGen: Option[Long] = None): DataFrame = {
     import s.implicits._
     val manifest = graft.util.CommitProtocol.ofIndex(
       s.sessionState.newHadoopConf(), dir) match {
       case graft.util.CommitProtocol.Manifest =>
         // one snapshot for all three tables — consistent across any
         // concurrent fold/compact/vacuum, no healing needed
-        Some(ManifestCommit.current(s.sessionState.newHadoopConf(), dir))
+        val conf = s.sessionState.newHadoopConf()
+        Some(asOfGen.map(g => ManifestCommit.atGeneration(conf, dir, g))
+          .getOrElse(ManifestCommit.current(conf, dir)))
       case _ =>
+        require(asOfGen.isEmpty,
+          s"AS-OF probes need the manifest commit protocol ($dir runs the " +
+            s"rename protocol, which mutates dirs in place and keeps no " +
+            s"history — migrate with index_migrate)")
         // self-heal a MARKED commit whose writer died mid-publish — the
         // append layout swaps terms+stats, so a post-marker crash between
         // the two renames leaves a live dir missing and every probe would

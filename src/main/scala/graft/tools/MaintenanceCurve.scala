@@ -179,18 +179,31 @@ object MaintenanceCurve {
       Thread.sleep(300) // listener bus drain
       (out, w)
     }
+    // every MinHash probe/fold localCheckpoints its banded signatures
+    // and nothing downstream unpersists them — over a 12-batch drill
+    // with 3 probes per compaction cycle the leaked blocks OOM the
+    // heap (the bench runner clears the same residue between queries).
+    // The pinned set keeps the corpus cache (reused by every shard).
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def clearLeaked(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinned.contains(id)) { rdd.unpersist(blocking = false); () }
+      }
 
     val (_, seedW) = timed(ops.seed(shard(0)))
     println(f"""[curve] {"stage":"seed","wall_s":$seedW%.1f,"files":$idxFiles}""")
 
     var probeRef = ops.probeSig()
+    clearLeaked()
     (1 until nShards).foreach { k =>
       val (_, w) = timed(ops.foldBatch(shard(k), k))
+      clearLeaked()
       println(f"""[curve] {"stage":"fold","crawl":$k,"wall_s":$w%.1f,"shuffle_mb":${m.shuffleWrite.sum / 1e6}%.1f,"peak_task_mem_mb":${m.peakTaskMem.get / 1e6}%.1f}""")
       if (k % compactEvery == 0 || k == nShards - 1) {
         val (action, sizes) = ops.tiers()
         val before = idxFiles
         val (refBefore, ppw) = timed(ops.probeSig())
+        clearLeaked()
         println(f"""[curve] {"stage":"pre_compact_probe","after_crawl":$k,"wall_s":$ppw%.1f,"shuffle_mb":${m.shuffleWrite.sum / 1e6}%.1f,"probe_rows":${refBefore._1}}""")
         val (_, cw) = timed(ops.compact())
         // capture the compaction's OWN shuffle before the held-out
@@ -198,6 +211,7 @@ object MaintenanceCurve {
         // the per-compaction IO this tool exists to measure
         val compactShuffleMb = m.shuffleWrite.sum / 1e6
         val refAfter = ops.probeSig()
+        clearLeaked()
         require(refBefore == refAfter,
           s"compaction changed held-out probe: $refBefore vs $refAfter")
         probeRef = refAfter
@@ -213,6 +227,7 @@ object MaintenanceCurve {
           val (_, vw) = timed(graft.util.ManifestCommit.vacuum(
             conf, idx, keepGens = 2, graceMs = 0L))
           val refV = ops.probeSig()
+          clearLeaked()
           require(refV == refAfter,
             s"vacuum changed held-out probe: $refAfter vs $refV")
           println(f"""[curve] {"stage":"vacuum","after_crawl":$k,"wall_s":$vw%.1f,"live_dirs":$dataDirs,"manifests":$manifestCount,"files_after":$idxFiles,"probe_rows":${refV._1}}""")

@@ -379,6 +379,35 @@ object ManifestCommit {
       .nextOption().getOrElse(Empty)
   }
 
+  /** Resolve generation `gen` EXACTLY — the AS-OF (time-travel) read.
+    * Versioned manifests give historical snapshots for free: any
+    * retained complete generation is a consistent index state
+    * (its dirs stay on disk until [[vacuum]] drops the generation), so
+    * a reader can probe the index as it stood before any fold — audit
+    * reruns, A/B-ing a crawl's contribution, reproducing a past
+    * pipeline output. Fails loudly (with the retained range) when the
+    * generation was vacuumed, is torn, or never existed: a silent
+    * fallback to a DIFFERENT snapshot would un-reproduce the very run
+    * the caller is pinning. Size vacuum's `keepGens` to the longest
+    * AS-OF horizon readers need.
+    */
+  def atGeneration(conf: Configuration, indexDir: String,
+                   gen: Long): Manifest = {
+    val f = fs(conf, indexDir)
+    val all = listGens(f, indexDir)
+    all.find(_._1 == gen)
+      .flatMap { case (_, p) => readManifestFile(f, p) }
+      .getOrElse {
+        val have = all.map(_._1)
+        throw new IllegalArgumentException(
+          s"generation $gen of $indexDir is not resolvable: " +
+            (if (have.isEmpty) "no manifests exist"
+             else s"retained generations are ${have.min}..${have.max} " +
+               s"(older ones vacuumed, torn ones unreadable)") +
+            s". Size vacuum keepGens to the AS-OF horizon readers need.")
+      }
+  }
+
   /** True iff a manifest-protocol index exists at `indexDir` — the
     * `_manifests` dir is the protocol marker ([[IndexCommit]]-protocol
     * indexes never create one).
@@ -399,13 +428,51 @@ object ManifestCommit {
     s"data/$table/d-${java.util.UUID.randomUUID().toString.take(12)}"
   }
 
+  /** The lost-CAS error — its own type so callers whose updates
+    * COMMUTE (pure appends) can retry on exactly this and nothing
+    * else ([[publishCommuting]]).
+    */
+  final class ManifestContentionException(msg: String)
+    extends IllegalStateException(msg)
+
   private def contention(indexDir: String, gen: Long, why: String) =
-    new IllegalStateException(
+    new ManifestContentionException(
       s"concurrent manifest publish on index $indexDir: $why generation " +
         s"$gen. Index maintenance is single-writer; a second " +
         s"writer lost the create-no-overwrite race (the object-store " +
         s"analogue of the writer lease). Re-resolve the current manifest " +
         s"and retry, or serialize maintenance (one orchestrator per index).")
+
+  /** Publish a COMMUTING update — one that only ADDS fresh dirs
+    * ([[addDir]] appends) and is valid against ANY newer snapshot —
+    * with bounded contention retries: a lost CAS leaves the laid data
+    * dirs fully valid, so the writer re-resolves the new current
+    * manifest and re-applies. Appends therefore no longer waste their
+    * lay work when two writers race one index. NEVER use for
+    * folds/compactions: their updates REPLACE table lists derived
+    * from the snapshot they read, so re-applying over a newer base
+    * would silently drop a racer's concurrent append — those stay
+    * fail-loudly single-writer.
+    */
+  def publishCommuting(conf: Configuration, indexDir: String, base: Manifest,
+                       update: Manifest => Manifest,
+                       batchId: Option[String] = None,
+                       maxRetries: Int = 5): Manifest = {
+    var cur = base
+    var attempt = 0
+    while (true) {
+      try return publishAt(conf, indexDir, cur, update, batchId)
+      catch {
+        case e: ManifestContentionException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          // small backoff so a racing burst settles; then re-resolve
+          Thread.sleep(20L * attempt)
+          cur = current(conf, indexDir)
+      }
+    }
+    sys.error("unreachable")
+  }
 
   /** Publish the next generation on top of the current snapshot —
     * resolve-then-[[publishAt]] in one call.
@@ -507,6 +574,19 @@ object ManifestCommit {
     val mode = createMode(f, conf, p) // throws LOUDLY on unsafe stores
     val out =
       try mode match {
+        case CreateMode.AtomicCreate
+            if f.getUri.getScheme == null || f.getUri.getScheme == "file" =>
+          // the LOCAL scheme needs O_EXCL: RawLocalFileSystem's
+          // create(overwrite=false) is a client-side exists check +
+          // open (check-then-act), so two same-box writers racing one
+          // generation could BOTH succeed, the later truncating the
+          // winner — a silent lost update (the N-writer race spec
+          // caught it live). NIO CREATE_NEW is the POSIX atomic create.
+          val nio = java.nio.file.Paths.get(p.toUri.getPath)
+          new org.apache.hadoop.fs.FSDataOutputStream(
+            java.nio.file.Files.newOutputStream(nio,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE), null)
         case CreateMode.AtomicCreate => f.create(p, /*overwrite=*/ false)
         case CreateMode.ConditionalClose =>
           // the builder form engages the store's conditional create
@@ -519,6 +599,8 @@ object ManifestCommit {
       }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw contention(indexDir, next.gen, "a racing publish won")
+        case _: java.nio.file.FileAlreadyExistsException =>
           throw contention(indexDir, next.gen, "a racing publish won")
         case _: java.io.IOException if f.exists(p) =>
           throw contention(indexDir, next.gen, "a racing publish won")

@@ -205,7 +205,9 @@ private[vector] object IvfMaintenance {
       ManifestTiered.tailTable("codes"),
       c.select(col("vec_id"), col("codes"), col("cell")),
       partitionBy = Nil, sortKeys = Nil))
-    ManifestCommit.publishAt(conf, indexDir, m, mm => {
+    // COMMUTING update (pure tail addDirs): lost CAS → retry against
+    // the fresh snapshot, the laid dirs stay valid
+    ManifestCommit.publishCommuting(conf, indexDir, m, mm => {
       val withV = ManifestCommit.addDir(mm,
         ManifestTiered.tailTable("vectors"), vd.dir, vd.rows)
       cd.map(d => ManifestCommit.addDir(withV,

@@ -608,13 +608,22 @@ object PqOps {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType))))
 
-  def loadPqIndex(spark: SparkSession, indexDir: String): PqIndex = {
+  def loadPqIndex(spark: SparkSession, indexDir: String): PqIndex =
+    loadPqIndex(spark, indexDir, asOfGen = None)
+
+  /** `asOfGen`: load a RETAINED HISTORICAL generation
+    * (ManifestCommit.atGeneration) — manifest protocol only.
+    */
+  def loadPqIndex(spark: SparkSession, indexDir: String,
+                  asOfGen: Option[Long]): PqIndex = {
     val cb = Array.fill(M, Ks)(Array.fill(SubDim)(0.0))
     if (IvfMaintenance.isManifest(spark, indexDir)) {
       // ONE snapshot covers all four tables: a probe can never pair
       // new vectors with old codes or a different codebook generation
-      val m = graft.util.ManifestCommit.current(
-        spark.sessionState.newHadoopConf(), indexDir)
+      val conf = spark.sessionState.newHadoopConf()
+      val m = asOfGen
+        .map(g => graft.util.ManifestCommit.atGeneration(conf, indexDir, g))
+        .getOrElse(graft.util.ManifestCommit.current(conf, indexDir))
       val cbRows = graft.util.ManifestCommit.readTable(spark, indexDir, m,
         "codebooks", CodebooksSchema).collect()
       // fail like the rename arm's missing-path read would: an absent
@@ -632,6 +641,9 @@ object PqOps {
         graft.util.ManifestCommit.readTable(spark, indexDir, m,
           "centroids", IvfMaintenance.CentroidsSchema), cb)
     } else {
+      require(asOfGen.isEmpty,
+        s"AS-OF reads need the manifest commit protocol ($indexDir runs " +
+          s"the rename protocol, which keeps no history)")
       val ivf = VectorOps.loadIvfIndex(spark, indexDir)
       spark.read.parquet(s"$indexDir/codebooks").collect().foreach { r =>
         cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray

@@ -647,17 +647,32 @@ object VectorOps {
     * writer's staged delta (the MinHash probe contract).
     */
   def loadIvfIndex(spark: SparkSession, indexDir: String): IvfIndex =
+    loadIvfIndex(spark, indexDir, asOfGen = None)
+
+  /** `asOfGen`: load a RETAINED HISTORICAL generation
+    * (ManifestCommit.atGeneration) — manifest protocol only (the
+    * rename protocol mutates dirs in place and keeps no history).
+    */
+  def loadIvfIndex(spark: SparkSession, indexDir: String,
+                   asOfGen: Option[Long]): IvfIndex =
     if (IvfMaintenance.isManifest(spark, indexDir)) {
       // ONE snapshot covers both tables — a concurrent fold can never
       // show this probe new vectors against missing/old state
-      val m = graft.util.ManifestCommit.current(
-        spark.sessionState.newHadoopConf(), indexDir)
+      val conf = spark.sessionState.newHadoopConf()
+      val m = asOfGen
+        .map(g => graft.util.ManifestCommit.atGeneration(conf, indexDir, g))
+        .getOrElse(graft.util.ManifestCommit.current(conf, indexDir))
       IvfIndex(IvfMaintenance.readVectorsManifest(spark, indexDir, m),
         graft.util.ManifestCommit.readTable(spark, indexDir, m,
           "centroids", CentroidsSchema))
-    } else
+    } else {
+      require(asOfGen.isEmpty,
+        s"AS-OF reads need the manifest commit protocol ($indexDir runs " +
+          s"the rename protocol, which mutates dirs in place and keeps " +
+          s"no history — migrate with index_migrate)")
       IvfIndex(IvfMaintenance.readVectors(spark, indexDir),
         spark.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids"))
+    }
 
   /** ANN against a persisted index — no k-means at query time, no base
     * corpus access. The probed cell set (≤ nq × nprobe distinct ids,

@@ -307,4 +307,43 @@ class MinHashManifestSpec extends AnyFunSuite {
     assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) ==
       hitSet(Dedup.dedupAgainstMinHashIndex(probe, scratch)))
   }
+
+  test("AS-OF probes read a retained historical generation; vacuumed " +
+      "generations fail loudly; the rename protocol refuses time travel") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+      .filter(col("doc_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("mh_asof").toString
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), dir,
+      protocol = CommitProtocol.Manifest)
+    val g1 = ManifestCommit.current(conf, dir).gen
+    val probe = corpus.filter(col("doc_id") < 40)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+    val oldHits = hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir))
+    Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 2 === 1), dir,
+      batchId = Some("crawl-1"))
+    // the AS-OF probe reproduces the pre-append result exactly, while
+    // the current snapshot sees the appended crawl too
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir,
+      asOfGen = Some(g1))) == oldHits)
+    val curHits = hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir))
+    assert(curHits.size > oldHits.size,
+      "the appended crawl must contribute hits the AS-OF probe lacks")
+    // vacuum to the current generation: the history is gone and the
+    // AS-OF probe must say so (never silently read a different state)
+    ManifestCommit.vacuum(conf, dir, keepGens = 1, graceMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstMinHashIndex(probe, dir, asOfGen = Some(g1)).count()
+    }
+    assert(e.getMessage.contains("retained generations"))
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) == curHits,
+      "vacuum must not disturb the current snapshot")
+    // rename protocol: no history, refuse
+    val rdir = java.nio.file.Files.createTempDirectory("mh_asof_r").toString
+    Dedup.saveMinHashIndex(corpus, rdir, protocol = CommitProtocol.Rename)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstMinHashIndex(probe, rdir, asOfGen = Some(1L)).count()
+    }
+    assert(e2.getMessage.contains("manifest"))
+  }
 }

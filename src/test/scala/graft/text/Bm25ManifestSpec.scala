@@ -144,4 +144,29 @@ class Bm25ManifestSpec extends AnyFunSuite {
     InvertedIndex.save(docs, scratch, protocol = CommitProtocol.Manifest)
     assert(scores(dir) == scores(scratch))
   }
+
+  test("AS-OF probes score against a retained historical generation") {
+    assume(sf.isDefined)
+    val docs = graft.util.Tables(spark, sf.get, "documents")
+      .filter(col("doc_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_asof").toString
+    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir,
+      protocol = CommitProtocol.Manifest)
+    val g1 = ManifestCommit.current(conf, dir).gen
+    val before = scores(dir)
+    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir,
+      batchId = Some("fold-1"))
+    assert(scores(dir) != before, "the fold must change current scores")
+    val asOf = InvertedIndex.probe(spark, dir, terms, asOfGen = Some(g1))
+      .select(col("term"), col("doc_id"), col("score"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(asOf == before,
+      "the AS-OF probe must reproduce the pre-fold scores exactly")
+    ManifestCommit.vacuum(conf, dir, keepGens = 1, graceMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.probe(spark, dir, terms, asOfGen = Some(g1)).count()
+    }
+    assert(e.getMessage.contains("retained generations"))
+  }
 }

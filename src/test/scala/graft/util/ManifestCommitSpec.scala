@@ -370,4 +370,51 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(m.writers.isEmpty && m.floor == 0L)
     assert(m.isCommitted("b1") && !m.isCommitted("b9"))
   }
+
+  test("publishCommuting: a stale-base append retries past a racer and " +
+      "BOTH dirs land; non-commuting callers still fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("mc_commute").toString
+    ManifestCommit.publish(conf, dir, identity) // gen 1
+    val base = ManifestCommit.current(conf, dir)
+    // the racer wins gen 2 first
+    ManifestCommit.publishAt(conf, dir, base,
+      m => ManifestCommit.addDir(m, "t", "data/t/racer", 5L))
+    // a plain publishAt from the stale base loses loudly...
+    intercept[ManifestCommit.ManifestContentionException] {
+      ManifestCommit.publishAt(conf, dir, base,
+        m => ManifestCommit.addDir(m, "t", "data/t/mine", 7L))
+    }
+    // ...but the COMMUTING form re-resolves and lands on top
+    val m2 = ManifestCommit.publishCommuting(conf, dir, base,
+      m => ManifestCommit.addDir(m, "t", "data/t/mine", 7L))
+    assert(m2.gen == 3L)
+    assert(m2.table("t") == Seq("data/t/racer", "data/t/mine"),
+      "the retried append must keep the racer's dir AND add its own")
+  }
+
+  test("publishCommuting: N writers racing one index all land exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("mc_race_n").toString
+    ManifestCommit.publish(conf, dir, identity) // gen 1
+    val n = 6
+    val gate = new java.util.concurrent.CountDownLatch(n)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = (0 until n).map { i =>
+      val th = new Thread(() => {
+        try {
+          // every writer resolves the SAME stale base, then races
+          val base = ManifestCommit.atGeneration(conf, dir, 1L)
+          gate.countDown(); gate.await()
+          ManifestCommit.publishCommuting(conf, dir, base,
+            m => ManifestCommit.addDir(m, "t", s"data/t/w$i", i.toLong),
+            maxRetries = 2 * n); ()
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+      th.start(); th
+    }
+    ths.foreach(_.join(60000))
+    assert(errs.isEmpty, s"racing commuting appends must all land: $errs")
+    val cur = ManifestCommit.current(conf, dir)
+    assert(cur.table("t").toSet == (0 until n).map(i => s"data/t/w$i").toSet)
+    assert(cur.gen == 1L + n, "one generation per append, none lost")
+  }
 }

@@ -128,4 +128,21 @@ class IvfManifestSpec extends AnyFunSuite {
       m1.rows(ManifestTiered.l1Table("codes")) == 20L)
     assert(adc() == before, "compaction changed ADC probe results")
   }
+
+  test("AS-OF loads probe a retained historical generation") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_asof").toString
+    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2,
+      protocol = CommitProtocol.Manifest)
+    val g1 = ManifestCommit.current(conf, dir).gen
+    val before = probe(dir)
+    VectorOps.appendIvfIndex(vecs(80, 40), dir, batchId = Some("b1"))
+    assert(probe(dir) != before, "the add must change current neighbors")
+    val asOfIdx = VectorOps.loadIvfIndex(spark, dir, asOfGen = Some(g1))
+    assert(asOfIdx.vectors.count() == 80,
+      "the AS-OF snapshot must see only the pre-add vectors")
+    ManifestCommit.vacuum(conf, dir, keepGens = 1, graceMs = 0L)
+    intercept[IllegalArgumentException] {
+      VectorOps.loadIvfIndex(spark, dir, asOfGen = Some(g1)).vectors.count()
+    }
+  }
 }
