@@ -2025,17 +2025,24 @@ object Dedup {
         (s"$rt/work", g)
       }
       val probe = docs.filter(pmod(col("doc_id"), lit(4L)) === 3L)
-      def counts(asOf: Option[Long]): (Long, Long) = {
-        val r = dedupAgainstMinHashIndex(probe, work, asOfGen = asOf)
+      // ONE banded-signature pass serves both snapshot probes — the
+      // probe crawl's tokenize→shingle→OPH is the dominant per-probe
+      // cost and is snapshot-independent (the public asOfGen path
+      // recomputes it per call; same probeWithBands underneath)
+      validateIndexMeta(s, work, 5, 64, 4, "probing")
+      val banded = bandedSignatures(probe, 5, 64, 4).localCheckpoint()
+      val mOld = ManifestCommit.atGeneration(conf, work, buildGen)
+      val mCur = ManifestCommit.current(conf, work)
+      def counts(m: ManifestCommit.Manifest): (Long, Long) = {
+        val r = probeWithBands(s, banded, manifestReader(s, work, m),
+            perms = 64, threshold = 0.5)
           .agg(count(lit(1)).as("n_hits"),
             countDistinct(col("new_id")).as("n_dup_docs"))
           .collect()(0)
         (r.getLong(0), r.getLong(1))
       }
-      val (ah, ad) = counts(Some(buildGen))
-      val (ch, cd) = counts(None)
-      val mOld = ManifestCommit.atGeneration(conf, work, buildGen)
-      val mCur = ManifestCommit.current(conf, work)
+      val (ah, ad) = counts(mOld)
+      val (ch, cd) = counts(mCur)
       val sigOld = ManifestTiered.read(s, work, mOld, "bands", BandsSchema).count()
       val sigCur = ManifestTiered.read(s, work, mCur, "bands", BandsSchema).count()
       val schema = org.apache.spark.sql.types.StructType(
