@@ -1097,7 +1097,7 @@ object Dedup {
     ManifestTiered.assertAdopted(conf, indexDir, m, "bands")
     if (batchId.exists(m.isCommitted)) return
     val banded = banded0.persist()
-    try appendAtManifest(banded, indexDir, m, batchId)
+    try appendAtManifest(banded, indexDir, m, batchId, commuting = true)
     finally { banded.unpersist(blocking = false); () }
   }
 
@@ -1107,9 +1107,20 @@ object Dedup {
     * re-sort), both tables landing in ONE publish — atomically, with
     * the batch id.
     */
+  /** `commuting = true` (pure appends, no paired probe): a lost CAS
+    * retries against the fresh snapshot without re-laying — two
+    * appenders racing one index both land. `false` (probe-paired
+    * callers): fail LOUDLY on contention, because the append must
+    * publish against the SAME snapshot the probe read — a silent
+    * retry onto a racer's newer snapshot would commit the batch while
+    * its hit log is missing the cross-batch pairs the racer
+    * introduced; the caller's re-drive (or the streaming engine's
+    * batch retry) re-probes the post-racer snapshot instead.
+    */
   private def appendAtManifest(banded: DataFrame, indexDir: String,
                                m: ManifestCommit.Manifest,
-                               batchId: Option[String]): Unit = {
+                               batchId: Option[String],
+                               commuting: Boolean): Unit = {
     val spark = banded.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val bd = ManifestTiered.layDir(spark, indexDir, "bands.tail",
@@ -1117,14 +1128,14 @@ object Dedup {
       partitionBy = Nil, sortKeys = Nil)
     val wd = ManifestTiered.layDir(spark, indexDir, "widths.tail",
       widthsOf(banded), partitionBy = Nil, sortKeys = Nil)
-    // COMMUTING update (pure tail addDirs): a lost CAS against a
-    // racing writer retries against the fresh snapshot without
-    // re-laying — two appenders racing one index both land
-    ManifestCommit.publishCommuting(conf, indexDir, m, mm =>
+    val update = (mm: ManifestCommit.Manifest) =>
       ManifestCommit.addDir(
         ManifestCommit.addDir(mm, "bands.tail", bd.dir, bd.rows),
-        "widths.tail", wd.dir, wd.rows),
-      batchId); ()
+        "widths.tail", wd.dir, wd.rows)
+    if (commuting)
+      ManifestCommit.publishCommuting(conf, indexDir, m, update, batchId)
+    else ManifestCommit.publishAt(conf, indexDir, m, update, batchId)
+    ()
   }
 
   private def compactMinHashManifest(spark: SparkSession,
@@ -1531,7 +1542,8 @@ object Dedup {
             // partition, but an ADHOC (generated-id) retry would write a
             // SECOND partition and double-count the log — drop this
             // attempt's hits before rethrowing
-            try appendAtManifest(banded, indexDir, m, batchId)
+            try appendAtManifest(banded, indexDir, m, batchId,
+              commuting = false)
             catch {
               case e: IllegalStateException if batchId.isEmpty =>
                 val p = new org.apache.hadoop.fs.Path(s"$hitsOut/batch_id=$bid")
@@ -1871,7 +1883,8 @@ object Dedup {
     "dedup_index_compact",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val root = graft.util.Caches.fill(dicFixed, s.sparkContext.applicationId + ":" + dir) {
+      val root = graft.util.Caches.fill(dicFixed, s.sparkContext.applicationId + ":" + dir,
+        (rt: String) => graft.util.FileTrees.rmTree(rt)) {
           val rt = java.nio.file.Files.createTempDirectory("graft_dic").toString
           // the RENAME twin (dedup_index_manifest is the other arm):
           // Auto resolves manifest now, so the rename protocol's bench
@@ -1960,7 +1973,8 @@ object Dedup {
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       val conf = s.sessionState.newHadoopConf()
-      val (work, seedGen) = graft.util.Caches.fill(dimFixed, s.sparkContext.applicationId + ":" + dir) {
+      val (work, seedGen) = graft.util.Caches.fill(dimFixed, s.sparkContext.applicationId + ":" + dir,
+        (v: (String, Long)) => graft.util.FileTrees.rmTree(v._1)) {
           val rt = java.nio.file.Files.createTempDirectory("graft_dim").toString
           saveMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) <= 1L),
             s"$rt/work", protocol = graft.util.CommitProtocol.Manifest)
@@ -2015,7 +2029,8 @@ object Dedup {
       val docs = Tables(s, dir, "documents")
       val conf = s.sessionState.newHadoopConf()
       val (work, buildGen) = graft.util.Caches.fill(
-        dttFixed, s.sparkContext.applicationId + ":" + dir) {
+        dttFixed, s.sparkContext.applicationId + ":" + dir,
+        (v: (String, Long)) => graft.util.FileTrees.rmTree(v._1)) {
         val rt = java.nio.file.Files.createTempDirectory("graft_dtt").toString
         saveMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) <= 1L),
           s"$rt/work", protocol = graft.util.CommitProtocol.Manifest)

@@ -985,7 +985,8 @@ object Relational {
     "mv_rewrite_agg",
     (s0, dir) => {
       import graft.plans.SummaryAggRewrite
-      val sumPath = graft.util.Caches.fill(mvSummaries, s0.sparkContext.applicationId + ":" + dir) {
+      val sumPath = graft.util.Caches.fill(mvSummaries, s0.sparkContext.applicationId + ":" + dir,
+        (d: String) => graft.util.FileTrees.rmTree(d)) {
           val p = java.nio.file.Files.createTempDirectory("graft_mv").toString
           SummaryAggRewrite.writeSummary(t(s0, dir, "lineitem"),
             Seq("l_returnflag", "l_linestatus"),

@@ -45,7 +45,8 @@ object StreamQueries {
 
   private def stagedTable(s: org.apache.spark.sql.SparkSession, dir: String,
                           table: String): String =
-    graft.util.Caches.fill(staged, s.sparkContext.applicationId + s":$table:" + dir) {
+    graft.util.Caches.fill(staged, s.sparkContext.applicationId + s":$table:" + dir,
+      (d: String) => graft.util.FileTrees.rmTree(d)) {
       val stage = java.nio.file.Files.createTempDirectory("graft_stream")
       val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
       val parts: Seq[java.nio.file.Path] =
@@ -533,7 +534,8 @@ object StreamQueries {
     * (application, sf dir) like the other staged inputs.
     */
   private def stagedWarcs(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    graft.util.Caches.fill(staged, s.sparkContext.applicationId + s":warcgen:" + dir) {
+    graft.util.Caches.fill(staged, s.sparkContext.applicationId + s":warcgen:" + dir,
+      (d: String) => graft.util.FileTrees.rmTree(d)) {
       val stage = java.nio.file.Files.createTempDirectory("graft_warc_stream").toString
       import s.implicits._
       graft.util.Tables(s, dir, "documents")
@@ -669,8 +671,10 @@ object StreamQueries {
       import org.apache.spark.sql.DataFrame
       val nCrawls = 4
       val docs = graft.util.Tables(s, dir, "documents")
-      val (streamDir, seedIdx) = graft.util.Caches.fill(sdimFixed, 
-        s.sparkContext.applicationId + ":" + dir) {
+      val (streamDir, seedIdx) = graft.util.Caches.fill(sdimFixed,
+        s.sparkContext.applicationId + ":" + dir,
+        (v: (String, String)) =>
+          Seq(v._1, v._2).foreach(graft.util.FileTrees.rmTree)) {
           val sd = java.nio.file.Files.createTempDirectory("graft_sdim").toString
           val si = java.nio.file.Files.createTempDirectory("graft_sdim_seed").toString
           (1 until nCrawls).foreach { k =>
@@ -782,7 +786,9 @@ object StreamQueries {
     */
   private def saimInputs(s: org.apache.spark.sql.SparkSession,
                          dir: String): (String, String) =
-    graft.util.Caches.fill(saimFixed, s.sparkContext.applicationId + ":" + dir) {
+    graft.util.Caches.fill(saimFixed, s.sparkContext.applicationId + ":" + dir,
+      (v: (String, String)) =>
+        Seq(v._1, v._2).foreach(graft.util.FileTrees.rmTree)) {
       val embs = graft.util.Tables(s, dir, "embeddings")
       val sd = java.nio.file.Files.createTempDirectory("graft_saim").toString
       (1 until 4).foreach { k =>
@@ -858,9 +864,13 @@ object StreamQueries {
                   graft.vector.VectorOps.loadIvfIndex(s, idxDir),
                   nprobe = 2, topk = 1)
                   .write.mode("overwrite").parquet(s"$hitsDir/batch_id=b$batchId")
+                // probe-PAIRED append: fail loudly on contention so
+                // the streaming engine's batch retry re-probes the
+                // post-racer snapshot (hits must reflect the snapshot
+                // this batch probed)
                 graft.vector.VectorOps.appendIvfIndex(
                   batch.select(col("vec_id"), col("embedding")), idxDir,
-                  batchId = Some(bid))
+                  batchId = Some(bid), commuting = false)
               }
             }
             .outputMode("append").start()

@@ -150,15 +150,8 @@ object InvertedIndex {
     // from the snapshot read below), so a lost CAS retries the WHOLE
     // fold against the fresh snapshot — the superseded lays become
     // vacuum garbage, never wrong state
-    var attempt = 0
-    while (true) {
-      try return appendDeltaManifestOnce(deltaDocs, dir, batchId)
-      catch {
-        case e: ManifestCommit.ManifestContentionException =>
-          if (attempt >= 5) throw e
-          attempt += 1
-          Thread.sleep(20L * attempt)
-      }
+    ManifestCommit.retryOnContention() {
+      appendDeltaManifestOnce(deltaDocs, dir, batchId)
     }
   }
 
@@ -547,7 +540,8 @@ object InvertedIndex {
   private val builtIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def sessionIndex(s: SparkSession, dir: String): String =
-    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":" + dir) {
+    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":" + dir,
+      (d: String) => graft.util.FileTrees.rmTree(d)) {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
       save(Tables(s, dir, "documents"), d,
         protocol = graft.util.CommitProtocol.Rename) // rename twin
@@ -579,10 +573,12 @@ object InvertedIndex {
       SELECT term, doc_id, score, rk FROM r WHERE rk <= 10"""))
 
   private def sessionMergedIndex(s: SparkSession, dir: String): String =
-    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":merged:" + dir) {
+    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":merged:" + dir,
+      (d: String) => graft.util.FileTrees.rmTree(d)) {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_merged").toString
       val docs = Tables(s, dir, "documents")
-      save(docs.filter(col("doc_id") % 5 =!= 0), d)
+      save(docs.filter(col("doc_id") % 5 =!= 0), d,
+        protocol = graft.util.CommitProtocol.Rename) // rename twin
       appendDelta(docs.filter(col("doc_id") % 5 === 0), d,
         batchId = Some("merge-1"))
       d
@@ -607,10 +603,16 @@ object InvertedIndex {
     * Minor).
     */
   private def sessionFoldedIndex(s: SparkSession, dir: String): String =
-    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":folded:" + dir) {
+    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":folded:" + dir,
+      (d: String) => graft.util.FileTrees.rmTree(d)) {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_folded").toString
       val docs = Tables(s, dir, "documents")
-      save(docs.filter(col("doc_id") % 5 =!= 0), s"$d/work")
+      // the RENAME twin: its per-invocation reset copies the physical
+      // postings_tail dir, which only the rename layout has (Auto
+      // resolves manifest now — without the pin the reset silently
+      // no-ops and the bench measures a NoOp re-probe)
+      save(docs.filter(col("doc_id") % 5 =!= 0), s"$d/work",
+        protocol = graft.util.CommitProtocol.Rename)
       appendDelta(docs.filter(col("doc_id") % 5 === 0), s"$d/work",
         batchId = Some("fold-1"))
       graft.util.FileTrees.copyTreeIfExists(s"$d/work/postings_tail", s"$d/tail_seed")
@@ -660,8 +662,9 @@ object InvertedIndex {
     "bm25_index_manifest_topk",
     (s, dir) => {
       val conf = s.sessionState.newHadoopConf()
-      val (idx, seedGen) = graft.util.Caches.fill(manifestIdx, 
-        s.sparkContext.applicationId + ":" + dir) {
+      val (idx, seedGen) = graft.util.Caches.fill(manifestIdx,
+        s.sparkContext.applicationId + ":" + dir,
+        (v: (String, Long)) => graft.util.FileTrees.rmTree(v._1)) {
           val d = java.nio.file.Files.createTempDirectory("graft_bm25_mani").toString
           val docs = Tables(s, dir, "documents")
           save(docs.filter(col("doc_id") % 5 =!= 0), d,

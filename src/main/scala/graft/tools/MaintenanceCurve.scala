@@ -183,8 +183,13 @@ object MaintenanceCurve {
     // and nothing downstream unpersists them — over a 12-batch drill
     // with 3 probes per compaction cycle the leaked blocks OOM the
     // heap (the bench runner clears the same residue between queries).
-    // The pinned set keeps the corpus cache (reused by every shard).
-    val pinned = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // The pinned set keeps the caches the drill REUSES (the corpus;
+    // ivf mode's held-out query slice) — captured after the first
+    // probe below, because those caches are lazy and only materialize
+    // inside it (pinning earlier would unpersist them every cycle and
+    // the re-computation would skew the probe timings this tool
+    // exists to measure).
+    var pinned: Set[Int] = Set.empty
     def clearLeaked(): Unit =
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!pinned.contains(id)) { rdd.unpersist(blocking = false); () }
@@ -194,7 +199,9 @@ object MaintenanceCurve {
     println(f"""[curve] {"stage":"seed","wall_s":$seedW%.1f,"files":$idxFiles}""")
 
     var probeRef = ops.probeSig()
-    clearLeaked()
+    // pin everything live now (corpus + lazily-built probe caches; the
+    // first probe's own leaked checkpoint rides along — one bounded block)
+    pinned = spark.sparkContext.getPersistentRDDs.keySet.toSet
     (1 until nShards).foreach { k =>
       val (_, w) = timed(ops.foldBatch(shard(k), k))
       clearLeaked()

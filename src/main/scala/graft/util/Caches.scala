@@ -24,6 +24,11 @@ object Caches {
     if (existing != null) existing
     else {
       val fresh = mk
+      // computeIfAbsent semantics for a null factory result: nothing
+      // is inserted and null returns to the caller (SummaryAggRewrite
+      // caches a `.orNull` lookup and declines on null — a
+      // putIfAbsent(key, null) here would NPE inside an optimizer rule)
+      if (fresh == null) return fresh
       val prev = m.putIfAbsent(key, fresh)
       if (prev == null) fresh else { release(fresh); prev }
     }

@@ -459,16 +459,32 @@ object ManifestCommit {
                        batchId: Option[String] = None,
                        maxRetries: Int = 5): Manifest = {
     var cur = base
+    retryOnContention(maxRetries) {
+      try publishAt(conf, indexDir, cur, update, batchId)
+      catch {
+        case e: ManifestContentionException =>
+          cur = current(conf, indexDir) // re-resolve, then let the retry re-apply
+          throw e
+      }
+    }
+  }
+
+  /** Bounded retry-with-backoff on [[ManifestContentionException]] —
+    * the ONE retry policy for contention-tolerant steps: commuting
+    * publishes ([[publishCommuting]]) and whole-step retries whose
+    * body re-reads a fresh snapshot and recomputes (the BM25 fold).
+    * Retries nothing else: the unsafe-store refusal and every other
+    * failure propagate on the first throw.
+    */
+  def retryOnContention[T](maxRetries: Int = 5)(body: => T): T = {
     var attempt = 0
     while (true) {
-      try return publishAt(conf, indexDir, cur, update, batchId)
+      try return body
       catch {
         case e: ManifestContentionException =>
           if (attempt >= maxRetries) throw e
           attempt += 1
-          // small backoff so a racing burst settles; then re-resolve
-          Thread.sleep(20L * attempt)
-          cur = current(conf, indexDir)
+          Thread.sleep(20L * attempt) // let the racing burst settle
       }
     }
     sys.error("unreachable")

@@ -190,9 +190,15 @@ private[vector] object IvfMaintenance {
   /** FAISS add on the manifest protocol: flat unsorted tail dirs for
     * vectors (+ codes), ONE publish, exactly-once under the batch id.
     */
+  /** `commuting = false` is for probe-paired callers (the streaming
+    * drain): fail LOUDLY on contention so the re-driven batch
+    * re-probes the post-racer snapshot — see the MinHash
+    * appendAtManifest contract.
+    */
   def appendManifest(spark: SparkSession, indexDir: String, vectors: DataFrame,
                      codes: Option[DataFrame],
-                     batchId: Option[String]): Unit = {
+                     batchId: Option[String],
+                     commuting: Boolean = true): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val m = ManifestCommit.current(conf, indexDir)
     ManifestTiered.assertAdopted(conf, indexDir, m, "vectors")
@@ -206,13 +212,18 @@ private[vector] object IvfMaintenance {
       c.select(col("vec_id"), col("codes"), col("cell")),
       partitionBy = Nil, sortKeys = Nil))
     // COMMUTING update (pure tail addDirs): lost CAS → retry against
-    // the fresh snapshot, the laid dirs stay valid
-    ManifestCommit.publishCommuting(conf, indexDir, m, mm => {
+    // the fresh snapshot, the laid dirs stay valid (probe-paired
+    // callers opt out and fail loudly instead)
+    val update = (mm: ManifestCommit.Manifest) => {
       val withV = ManifestCommit.addDir(mm,
         ManifestTiered.tailTable("vectors"), vd.dir, vd.rows)
       cd.map(d => ManifestCommit.addDir(withV,
         ManifestTiered.tailTable("codes"), d.dir, d.rows)).getOrElse(withV)
-    }, batchId); ()
+    }
+    if (commuting)
+      ManifestCommit.publishCommuting(conf, indexDir, m, update, batchId)
+    else ManifestCommit.publishAt(conf, indexDir, m, update, batchId)
+    ()
   }
 
   /** One snapshot's tiered reads — every consumer of a manifest index

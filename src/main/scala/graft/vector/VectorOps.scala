@@ -532,7 +532,8 @@ object VectorOps {
     * the tail back into pruned `cell=` layout on the tiered cadence.
     */
   def appendIvfIndex(delta: DataFrame, indexDir: String,
-                     batchId: Option[String] = None): Unit = {
+                     batchId: Option[String] = None,
+                     commuting: Boolean = true): Unit = {
     val s = delta.sparkSession
     val manifest = IvfMaintenance.isManifest(s, indexDir)
     val snap =
@@ -554,7 +555,7 @@ object VectorOps {
     }
     if (manifest)
       return IvfMaintenance.appendManifest(s, indexDir,
-        assignCells(delta, cents), codes = None, batchId)
+        assignCells(delta, cents), codes = None, batchId, commuting)
     graft.util.IndexCommit.assertRenameCommitFs(
       s.sessionState.newHadoopConf(), indexDir, "appendIvfIndex")
     graft.util.IndexCommit.withWriterLease(indexDir) {
@@ -831,7 +832,8 @@ object VectorOps {
   private val builtIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def sessionIvfIndex(s: SparkSession, dir: String): IvfIndex = {
-    val idxDir = graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":" + dir) {
+    val idxDir = graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":" + dir,
+      (d: String) => graft.util.FileTrees.rmTree(d)) {
       val d = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
       saveIvfIndex(corpus(s, dir), d, k = 10, iters = 2,
         protocol = graft.util.CommitProtocol.Rename) // rename twin
@@ -860,7 +862,8 @@ object VectorOps {
       s"${ivfReplayCtes(indexCentroids(sessionIvfIndex(s, dir)), nprobe = 2)}$topkTailSql"))
 
   private def sessionAppendedIvfIndex(s: SparkSession, dir: String): IvfIndex = {
-    val idxDir = graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":appended:" + dir) {
+    val idxDir = graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":appended:" + dir,
+      (d: String) => graft.util.FileTrees.rmTree(d)) {
         val d = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
         val c = corpus(s, dir)
         saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), d, k = 10, iters = 2,
@@ -895,7 +898,8 @@ object VectorOps {
     * state compaction mutates.
     */
   private def sessionIvfCompactRoot(s: SparkSession, dir: String): String =
-    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":compact:" + dir) {
+    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":compact:" + dir,
+      (d: String) => graft.util.FileTrees.rmTree(d)) {
       val root = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
       val c = corpus(s, dir)
       saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), s"$root/work", k = 10,
@@ -940,7 +944,8 @@ object VectorOps {
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   private def sessionIvfManifestRoot(s: SparkSession, dir: String): (String, Long) =
-    graft.util.Caches.fill(manifestIdx, s.sparkContext.applicationId + ":" + dir) {
+    graft.util.Caches.fill(manifestIdx, s.sparkContext.applicationId + ":" + dir,
+      (v: (String, Long)) => graft.util.FileTrees.rmTree(v._1)) {
       val d = java.nio.file.Files.createTempDirectory("graft_ivf_mani").toString
       val c = corpus(s, dir)
       saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), d, k = 10, iters = 2,
