@@ -1974,7 +1974,8 @@ object Dedup {
       val docs = Tables(s, dir, "documents")
       val conf = s.sessionState.newHadoopConf()
       val (work, seedGen) = graft.util.Caches.fill(dimFixed, s.sparkContext.applicationId + ":" + dir,
-        (v: (String, Long)) => graft.util.FileTrees.rmTree(v._1)) {
+        (v: (String, Long)) => graft.util.FileTrees.rmTree(
+          java.nio.file.Paths.get(v._1).getParent.toString)) {
           val rt = java.nio.file.Files.createTempDirectory("graft_dim").toString
           saveMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) <= 1L),
             s"$rt/work", protocol = graft.util.CommitProtocol.Manifest)
@@ -2030,7 +2031,8 @@ object Dedup {
       val conf = s.sessionState.newHadoopConf()
       val (work, buildGen) = graft.util.Caches.fill(
         dttFixed, s.sparkContext.applicationId + ":" + dir,
-        (v: (String, Long)) => graft.util.FileTrees.rmTree(v._1)) {
+        (v: (String, Long)) => graft.util.FileTrees.rmTree(
+          java.nio.file.Paths.get(v._1).getParent.toString)) {
         val rt = java.nio.file.Files.createTempDirectory("graft_dtt").toString
         saveMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) <= 1L),
           s"$rt/work", protocol = graft.util.CommitProtocol.Manifest)

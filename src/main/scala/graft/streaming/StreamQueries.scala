@@ -859,18 +859,27 @@ object StreamQueries {
               // append. The hits partition keeps the plain token
               DrainIds.pending(s.sessionState.newHadoopConf(),
                 idxDir, cpDir, batchId).foreach { bid =>
+                // resolve ONE snapshot, probe it AS-OF, and pin the
+                // append's CAS to the SAME snapshot: a racer landing
+                // anywhere after this resolve fails the append loudly
+                // and the streaming engine's batch retry re-probes
+                // the post-racer state (hits must reflect the
+                // snapshot this batch probed — letting the append
+                // re-resolve internally left a silent gap between the
+                // probe's resolve and the append's)
+                val snap =
+                  if (manifest) Some(graft.util.ManifestCommit.current(
+                    s.sessionState.newHadoopConf(), idxDir))
+                  else None
                 graft.vector.VectorOps.annIvfIndexed(
                   batch.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-                  graft.vector.VectorOps.loadIvfIndex(s, idxDir),
+                  graft.vector.VectorOps.loadIvfIndex(s, idxDir,
+                    asOfGen = snap.map(_.gen)),
                   nprobe = 2, topk = 1)
                   .write.mode("overwrite").parquet(s"$hitsDir/batch_id=b$batchId")
-                // probe-PAIRED append: fail loudly on contention so
-                // the streaming engine's batch retry re-probes the
-                // post-racer snapshot (hits must reflect the snapshot
-                // this batch probed)
                 graft.vector.VectorOps.appendIvfIndex(
                   batch.select(col("vec_id"), col("embedding")), idxDir,
-                  batchId = Some(bid), commuting = false)
+                  batchId = Some(bid), commuting = false, at = snap)
               }
             }
             .outputMode("append").start()

@@ -459,13 +459,15 @@ object ManifestCommit {
                        batchId: Option[String] = None,
                        maxRetries: Int = 5): Manifest = {
     var cur = base
+    var first = true
     retryOnContention(maxRetries) {
-      try publishAt(conf, indexDir, cur, update, batchId)
-      catch {
-        case e: ManifestContentionException =>
-          cur = current(conf, indexDir) // re-resolve, then let the retry re-apply
-          throw e
-      }
+      // re-resolve at the START of each retry — i.e. AFTER the
+      // backoff — so the CAS never runs against a snapshot that went
+      // stale during the sleep (resolving before the backoff burned
+      // bounded retries on foreseeably-stale bases under a burst)
+      if (!first) cur = current(conf, indexDir)
+      first = false
+      publishAt(conf, indexDir, cur, update, batchId)
     }
   }
 

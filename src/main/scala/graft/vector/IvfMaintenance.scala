@@ -193,14 +193,19 @@ private[vector] object IvfMaintenance {
   /** `commuting = false` is for probe-paired callers (the streaming
     * drain): fail LOUDLY on contention so the re-driven batch
     * re-probes the post-racer snapshot — see the MinHash
-    * appendAtManifest contract.
+    * appendAtManifest contract. Such callers must ALSO pass the
+    * snapshot their probe read via `at`: without it the append
+    * re-resolves current() internally, and a racer landing between
+    * the probe's resolve and this one would commit silently — the
+    * exact gap the fail-loud contract exists to close.
     */
   def appendManifest(spark: SparkSession, indexDir: String, vectors: DataFrame,
                      codes: Option[DataFrame],
                      batchId: Option[String],
-                     commuting: Boolean = true): Unit = {
+                     commuting: Boolean = true,
+                     at: Option[ManifestCommit.Manifest] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val m = ManifestCommit.current(conf, indexDir)
+    val m = at.getOrElse(ManifestCommit.current(conf, indexDir))
     ManifestTiered.assertAdopted(conf, indexDir, m, "vectors")
     if (batchId.exists(m.isCommitted)) return
     val vd = ManifestTiered.layDir(spark, indexDir,

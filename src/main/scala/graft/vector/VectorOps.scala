@@ -531,14 +531,21 @@ object VectorOps {
     * rebuild (saveIvfIndex) is the retrain. [[compactIvfIndex]] folds
     * the tail back into pruned `cell=` layout on the tiered cadence.
     */
+  /** Probe-paired callers pass `at` = the snapshot their probe read
+    * (and `commuting = false`): the publish then CASes against THAT
+    * snapshot, so anything landing after the probe fails loudly and
+    * the re-drive re-probes — see IvfMaintenance.appendManifest.
+    */
   def appendIvfIndex(delta: DataFrame, indexDir: String,
                      batchId: Option[String] = None,
-                     commuting: Boolean = true): Unit = {
+                     commuting: Boolean = true,
+                     at: Option[graft.util.ManifestCommit.Manifest] = None)
+      : Unit = {
     val s = delta.sparkSession
     val manifest = IvfMaintenance.isManifest(s, indexDir)
     val snap =
-      if (manifest) Some(graft.util.ManifestCommit.current(
-        s.sessionState.newHadoopConf(), indexDir))
+      if (manifest) at.orElse(Some(graft.util.ManifestCommit.current(
+        s.sessionState.newHadoopConf(), indexDir)))
       else None
     val cents: Seq[(Long, Seq[Double])] = snap
       .map(m => graft.util.ManifestCommit.readTable(s, indexDir, m,
@@ -555,7 +562,7 @@ object VectorOps {
     }
     if (manifest)
       return IvfMaintenance.appendManifest(s, indexDir,
-        assignCells(delta, cents), codes = None, batchId, commuting)
+        assignCells(delta, cents), codes = None, batchId, commuting, at)
     graft.util.IndexCommit.assertRenameCommitFs(
       s.sessionState.newHadoopConf(), indexDir, "appendIvfIndex")
     graft.util.IndexCommit.withWriterLease(indexDir) {
