@@ -99,7 +99,8 @@ object JobCli {
       |        asof (native point-in-time join over events) |
       |        crawl_diff (--add_input SNAPSHOT_B)
       |        decontam (--add_input EVAL_DOCS)
-      |        ann_index_build / ann_index_probe / ann_index_update
+      |        ann_index_build / ann_index_probe ([--as_of_generation N:
+      |           probe a retained manifest snapshot]) / ann_index_update
       |          (--add_input INDEX_DIR [--batch_id TOKEN: retry-idempotent,
       |           default = digest of input path + its file listing]) |
       |        ann_index_compact (input = INDEX_DIR: tiered tail fold) |
@@ -712,8 +713,12 @@ object JobRunner {
               // a manifest index keeps codes under data/codes/d-* (no
               // physical codes/ dir), and a migrated index's legacy
               // codes/ dir is vacuumed once superseded — decide off the
-              // resolved snapshot, so probe mode is protocol-invisible
-              val m = graft.util.ManifestCommit.current(conf, idxDir)
+              // resolved snapshot (the AS-OF one when pinned: a
+              // generation before the codes landed must probe flat),
+              // so probe mode is protocol-invisible
+              val m = cli.asOfGeneration
+                .map(g => graft.util.ManifestCommit.atGeneration(conf, idxDir, g))
+                .getOrElse(graft.util.ManifestCommit.current(conf, idxDir))
               m.entries("codes").nonEmpty || m.entries("codes.tail").nonEmpty
             } else {
               val p = new org.apache.hadoop.fs.Path(s"$idxDir/codes")
@@ -723,9 +728,11 @@ object JobRunner {
           println(s"[graft] ann_index_probe mode=${if (hasPq) "pq" else "flat"}")
           val topk =
             if (hasPq) graft.vector.PqOps.annPqIndexed(
-              q, graft.vector.PqOps.loadPqIndex(spark, idxDir))
+              q, graft.vector.PqOps.loadPqIndex(spark, idxDir,
+                asOfGen = cli.asOfGeneration))
             else graft.vector.VectorOps.annIvfIndexed(
-              q, graft.vector.VectorOps.loadIvfIndex(spark, idxDir))
+              q, graft.vector.VectorOps.loadIvfIndex(spark, idxDir,
+                asOfGen = cli.asOfGeneration))
           topk.coalesce(cli.outParts)
             .write.mode("overwrite").parquet(s"${cli.output}/topk")
           spark.read.parquet(s"${cli.output}/topk")

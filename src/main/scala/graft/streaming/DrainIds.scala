@@ -30,7 +30,9 @@ object DrainIds {
 
   /** `drain-<fnv1a64(normalized checkpoint path)>` — a plain token
     * ([[ManifestCommit.seqBatchId]]-legal), stable per checkpoint,
-    * distinct across checkpoints.
+    * distinct across checkpoints. Prefer the conf overload: this form
+    * hashes the SPELLING as given (minus a trailing slash), so
+    * `file:/cp` and `/cp` read as different writers.
     */
   def writerFor(checkpointDir: String): String = {
     val norm = checkpointDir.stripSuffix("/")
@@ -39,6 +41,31 @@ object DrainIds {
       h ^= (b & 0xffL); h *= 0x100000001b3L
     }
     f"drain-$h%016x"
+  }
+
+  /** The canonical writer token: the checkpoint path fully QUALIFIED
+    * against its own FileSystem (scheme + authority + absolute path)
+    * before hashing, so `file:/cp`, `/cp`, `cp/` (relative to the FS
+    * working dir) and any other spelling of one location all hash to
+    * ONE writer — a respelled restart replays under the same
+    * watermark instead of double-folding as a fresh writer. The token
+    * DOES change if the checkpoint is physically MOVED (or reached
+    * through a different symlink/mount spelling the FS cannot see
+    * through): a moved checkpoint is a new query identity, and its
+    * first batches fold as new work.
+    */
+  def writerFor(conf: Configuration, checkpointDir: String): String =
+    writerFor(canonicalCheckpoint(conf, checkpointDir))
+
+  private[streaming] def canonicalCheckpoint(conf: Configuration,
+                                             checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val u = p.getFileSystem(conf).makeQualified(p).toUri
+    // rebuild from components: makeQualified leaves `file:/x` vs
+    // `file:///x` distinguishable through toString (null vs empty
+    // authority), and those must be ONE writer
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"${u.getScheme}://$auth${u.getPath}".stripSuffix("/")
   }
 
   /** The batch id to fold `batchId` under, or None when the batch is
@@ -60,7 +87,7 @@ object DrainIds {
     val legacy = s"b$batchId"
     if (ManifestCommit.exists(conf, indexDir)) {
       val m = ManifestCommit.current(conf, indexDir)
-      val bid = ManifestCommit.seqBatchId(writerFor(checkpointDir), batchId)
+      val bid = ManifestCommit.seqBatchId(writerFor(conf, checkpointDir), batchId)
       if (m.isCommitted(bid) || m.isCommitted(legacy)) None else Some(bid)
     } else {
       // rename protocol: the committed/ token is written last, so a

@@ -398,12 +398,20 @@ object ManifestCommit {
     all.find(_._1 == gen)
       .flatMap { case (_, p) => readManifestFile(f, p) }
       .getOrElse {
-        val have = all.map(_._1)
+        // advertise only what an AS-OF read can actually resolve:
+        // decode each retained file and report torn ones separately,
+        // so the range never names a generation this same call would
+        // refuse (decoding here is fine — this is the error path)
+        val complete = all.filter { case (_, p) =>
+          readManifestFile(f, p).isDefined }.map(_._1)
+        val torn = all.map(_._1).filterNot(complete.contains).sorted
         throw new IllegalArgumentException(
           s"generation $gen of $indexDir is not resolvable: " +
-            (if (have.isEmpty) "no manifests exist"
-             else s"retained generations are ${have.min}..${have.max} " +
-               s"(older ones vacuumed, torn ones unreadable)") +
+            (if (complete.isEmpty) "no complete manifests exist"
+             else s"resolvable retained generations are " +
+               s"${complete.min}..${complete.max} (older ones vacuumed)") +
+            (if (torn.isEmpty) ""
+             else s"; torn/unreadable: ${torn.mkString(",")}") +
             s". Size vacuum keepGens to the AS-OF horizon readers need.")
       }
   }

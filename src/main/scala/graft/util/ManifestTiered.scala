@@ -355,7 +355,9 @@ object ManifestTiered {
   */
 sealed trait CommitProtocol
 object CommitProtocol {
-  /** Local filesystem → [[Rename]]; anything else → [[Manifest]]. */
+  /** Resolves [[Manifest]] everywhere at build time (see [[forBuild]]);
+    * an EXISTING index still dispatches off its own layout ([[ofIndex]]).
+    */
   case object Auto extends CommitProtocol
   case object Rename extends CommitProtocol
   case object Manifest extends CommitProtocol

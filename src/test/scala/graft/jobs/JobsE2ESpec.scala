@@ -574,6 +574,26 @@ class JobsE2ESpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(topk2 == topk.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet,
       "compaction changed CLI probe results")
+    // --as_of_generation: probe the index AS IT STOOD at the build
+    // (before the update batch and the compaction) through the CLI —
+    // no odd (new-batch) vector may surface, and the result must be
+    // identical to the API's AS-OF read of the same generation
+    val conf = spark.sessionState.newHadoopConf()
+    val buildGen = graft.util.ManifestCommit
+      .atGeneration(conf, s"$dir/idx", 1L).gen // build publishes gen 1
+    JobRunner.run(spark, JobCli("ann_index_probe", s"$dir/queries", s"$dir/asof",
+      addInputs = Seq(s"$dir/idx"), asOfGeneration = Some(buildGen)))
+    val topkAsOf = spark.read.parquet(s"$dir/asof/topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(topkAsOf.forall(_._2 % 2 == 0),
+      "AS-OF probe of the pre-update generation surfaced a new-batch vector")
+    val apiAsOf = graft.vector.PqOps.annPqIndexed(
+      emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      graft.vector.PqOps.loadPqIndex(spark, s"$dir/idx",
+        asOfGen = Some(buildGen))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(topkAsOf == apiAsOf, "CLI AS-OF probe diverged from the API read")
   }
 
   test("dq job profiles any parquet input, including awkward column names") {

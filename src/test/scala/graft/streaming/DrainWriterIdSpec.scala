@@ -53,6 +53,17 @@ class DrainWriterIdSpec extends AnyFunSuite {
     ManifestCommit.seqBatchId(a, 0)
   }
 
+  test("canonical writer: every spelling of one checkpoint hashes to ONE " +
+      "writer (file:/cp vs /cp vs trailing slash)") {
+    val q = DrainIds.writerFor(conf, "/cp/queryA")
+    assert(q == DrainIds.writerFor(conf, "file:/cp/queryA"),
+      "scheme spelling must not change identity")
+    assert(q == DrainIds.writerFor(conf, "file:///cp/queryA"),
+      "authority spelling must not change identity")
+    assert(q == DrainIds.writerFor(conf, "/cp/queryA/"))
+    assert(q != DrainIds.writerFor(conf, "/cp/queryB"))
+  }
+
   test("two drains on ONE index fold disjoint batches without eating " +
       "each other's watermarks; per-drain replays still no-op") {
     val idx = tmp("dw_idx")
@@ -86,7 +97,7 @@ class DrainWriterIdSpec extends AnyFunSuite {
     assert(DrainIds.pending(conf, idx, cpB, 0).isEmpty, "B's replay must skip")
     // and even a direct re-fold under the same id no-ops at the publish
     Dedup.probeAndAppendMinHashIndex(docs(100, 10), idx, s"$hits/a0r",
-      batchId = Some(ManifestCommit.seqBatchId(DrainIds.writerFor(cpA), 0)))
+      batchId = Some(ManifestCommit.seqBatchId(DrainIds.writerFor(conf, cpA), 0)))
     assert(bandRows(idx) == afterB0, "replayed fold must not change the index")
 
     // both drains advance independently
