@@ -1062,11 +1062,6 @@ object Dedup {
                                   rowsPerBand: Int): Unit = {
     val spark = docs.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    // a protocol-crossing REBUILD (Auto now resolves manifest) deletes
-    // the old rename tree — unreachable once the manifest exists, and
-    // outside vacuum's universe (rebuilds destroy the old generation
-    // on both protocols; migrate with adoptRenameTiered to keep it)
-    ManifestTiered.clearRenameLayout(conf, indexDir, Seq("bands", "widths"))
     // meta marker first: a reader that can resolve the manifest must
     // always find the params file (between the two writes the index
     // reads as empty, which is the honest mid-build state)
@@ -1088,6 +1083,12 @@ object Dedup {
         tables = Map("bands" -> Seq(bd), "widths" -> Seq(wd)),
         committed = Map.empty, writers = Map.empty, floor = 0L)); ()
     } finally { banded.unpersist(blocking = false); () }
+    // protocol-crossing REBUILD (Auto resolves manifest): the old
+    // rename tree is unreachable now that the manifest is published —
+    // delete it AFTER the publish, so a crash mid-build leaves readers
+    // serving the old rename index instead of nothing (a crash in the
+    // gap merely leaks the tree until the next rebuild's pass here)
+    ManifestTiered.clearRenameLayout(conf, indexDir, Seq("bands", "widths"))
   }
 
   private def appendMinHashManifest(banded0: DataFrame, indexDir: String,
@@ -1132,9 +1133,25 @@ object Dedup {
       ManifestCommit.addDir(
         ManifestCommit.addDir(mm, "bands.tail", bd.dir, bd.rows),
         "widths.tail", wd.dir, wd.rows)
-    if (commuting)
-      ManifestCommit.publishCommuting(conf, indexDir, m, update, batchId)
-    else ManifestCommit.publishAt(conf, indexDir, m, update, batchId)
+    if (commuting) {
+      // the batch was banded under the params this index advertised
+      // when the lay started; a racing REBUILD with different params
+      // rewrites the meta marker, and re-applying the retry would land
+      // rows banded under the superseded hash family/params — probe
+      // buckets that silently never collide with the rebuilt corpus
+      val metaAtLay = readIndexMetaText(spark, indexDir)
+      ManifestCommit.publishCommuting(conf, indexDir, m, update, batchId,
+        invariant = _ => {
+          val now = readIndexMetaText(spark, indexDir)
+          if (now != metaAtLay) throw new IllegalStateException(
+            s"a concurrent rebuild of $indexDir changed the MinHash " +
+              s"params while this append was retrying a lost publish " +
+              s"race — was:\n$metaAtLay\nnow:\n$now\nThe batch's banded " +
+              s"signatures derive from the superseded params and must " +
+              s"not land in the rebuilt index. Re-run the append " +
+              s"(re-banding the batch) against the new index.")
+        })
+    } else ManifestCommit.publishAt(conf, indexDir, m, update, batchId)
     ()
   }
 

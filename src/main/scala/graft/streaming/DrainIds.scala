@@ -73,12 +73,16 @@ object DrainIds {
     * (its hit partition, keyed on the batch number, already landed on
     * the first attempt).
     *
-    * On a manifest index a batch counts as committed under EITHER its
-    * sequenced id or its pre-migration legacy free-form id
-    * `b<batchId>` — the form a rename-era drain committed and
-    * index_migrate carried over. Without the legacy check, a batch
-    * whose rename-side token landed but whose stream checkpoint epoch
-    * did not would replay post-migration under the fresh writer
+    * On a manifest index a batch counts as committed under ANY of its
+    * sequenced id, its pre-migration legacy free-form id `b<batchId>`
+    * (the form a rename-era drain committed and index_migrate carried
+    * over), or the reserved [[graft.util.ManifestTiered
+    * .LegacyDrainWriter]] watermark adoption seeded from the highest
+    * carried `b<N>` — the age-proof form: the free-form ids prune out
+    * of the committed window eventually, the watermark never does, so
+    * a pre-migration replay no-ops at any age. Without these checks, a
+    * batch whose rename-side token landed but whose stream checkpoint
+    * epoch did not would replay post-migration under the fresh writer
     * watermark (empty), read as uncommitted, and double-fold into the
     * index.
     */
@@ -88,7 +92,11 @@ object DrainIds {
     if (ManifestCommit.exists(conf, indexDir)) {
       val m = ManifestCommit.current(conf, indexDir)
       val bid = ManifestCommit.seqBatchId(writerFor(conf, checkpointDir), batchId)
-      if (m.isCommitted(bid) || m.isCommitted(legacy)) None else Some(bid)
+      if (m.isCommitted(bid) || m.isCommitted(legacy) ||
+          m.isCommitted(ManifestCommit.seqBatchId(
+            graft.util.ManifestTiered.LegacyDrainWriter, batchId)))
+        None
+      else Some(bid)
     } else {
       // rename protocol: the committed/ token is written last, so a
       // positive answer is final; a negative one is re-checked by the

@@ -122,9 +122,6 @@ object InvertedIndex {
   private def saveManifest(docs: DataFrame, dir: String): Unit = {
     val s = docs.sparkSession
     val conf = s.sessionState.newHadoopConf()
-    // protocol-crossing rebuild: drop the unreachable rename tree
-    ManifestTiered.clearRenameLayout(conf, dir,
-      Seq("postings", "terms", "stats"))
     val postings = tokenizedPostings(docs).persist()
     try {
       val pd = ManifestTiered.layDir(s, dir, "postings", postings,
@@ -142,6 +139,12 @@ object InvertedIndex {
           "stats" -> Seq(sd)),
         committed = Map.empty, writers = Map.empty, floor = 0L)); ()
     } finally postings.unpersist(blocking = false)
+    // protocol-crossing rebuild: drop the now-unreachable rename tree
+    // AFTER the publish (readers keep serving the old rename index
+    // until the manifest lands; a crash in the gap only leaks the
+    // tree until the next rebuild's pass here)
+    ManifestTiered.clearRenameLayout(conf, dir,
+      Seq("postings", "terms", "stats"))
   }
 
   private def appendDeltaManifest(deltaDocs: DataFrame, dir: String,

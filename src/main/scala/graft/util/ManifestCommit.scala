@@ -423,6 +423,19 @@ object ManifestCommit {
   def exists(conf: Configuration, indexDir: String): Boolean =
     fs(conf, indexDir).exists(manifestsDir(indexDir))
 
+  /** Every data dir (relative path) referenced by ANY retained complete
+    * manifest — what a cleanup outside [[vacuum]]'s universe (the
+    * post-publish rename-tree deletion of a protocol-crossing rebuild)
+    * must never touch: a zero-copy adopted index's legacy dirs are
+    * live data exactly as long as a retained manifest names them.
+    */
+  def referencedDirs(conf: Configuration, indexDir: String): Set[String] = {
+    val f = fs(conf, indexDir)
+    listGens(f, indexDir)
+      .flatMap { case (_, p) => readManifestFile(f, p) }
+      .flatMap(_.tables.values.flatten.map(_.dir)).toSet
+  }
+
   def isBatchCommitted(conf: Configuration, indexDir: String,
                        batchId: String): Boolean =
     current(conf, indexDir).isCommitted(requireBatchId(batchId))
@@ -461,11 +474,26 @@ object ManifestCommit {
     * from the snapshot they read, so re-applying over a newer base
     * would silently drop a racer's concurrent append — those stay
     * fail-loudly single-writer.
+    *
+    * "Valid against any newer snapshot" is a claim about the LAID
+    * ROWS, and it only holds while the artifacts the lay derived from
+    * (k-means centroids, PQ codebooks, hash-family params) are the
+    * ones the newer snapshot still carries — a racing REBUILD
+    * replaces them, and re-applying would land rows
+    * cell-assigned/banded under the superseded artifacts into the new
+    * index: silently wrong probe results. Callers pass `invariant`,
+    * which is run against each re-resolved snapshot BEFORE the
+    * re-apply and must throw (anything but
+    * [[ManifestContentionException]] — that would be retried as
+    * contention) when the lay's dependencies no longer hold; the
+    * default accepts any snapshot, which is only correct for updates
+    * with no trained/parameterized dependencies.
     */
   def publishCommuting(conf: Configuration, indexDir: String, base: Manifest,
                        update: Manifest => Manifest,
                        batchId: Option[String] = None,
-                       maxRetries: Int = 5): Manifest = {
+                       maxRetries: Int = 5,
+                       invariant: Manifest => Unit = _ => ()): Manifest = {
     var cur = base
     var first = true
     retryOnContention(maxRetries) {
@@ -473,7 +501,7 @@ object ManifestCommit {
       // backoff — so the CAS never runs against a snapshot that went
       // stale during the sleep (resolving before the backoff burned
       // bounded retries on foreseeably-stale bases under a burst)
-      if (!first) cur = current(conf, indexDir)
+      if (!first) { cur = current(conf, indexDir); invariant(cur) }
       first = false
       publishAt(conf, indexDir, cur, update, batchId)
     }

@@ -44,6 +44,21 @@ object ManifestTiered {
   def l1Table(name: String): String = s"$name.l1"
   def tailTable(name: String): String = s"$name.tail"
 
+  /** The reserved sequenced-id writer [[adoptRenameTiered]] seeds from
+    * the highest carried rename-era `b<N>` drain token. Rename-era
+    * drains committed free-form `b<batch>` ids, which the manifest
+    * prunes once they age past the committed-retention window — after
+    * which a very late replay of a pre-migration batch would read as
+    * uncommitted and double-fold. Recording their high-water mark
+    * under this writer makes the replay no-op at ANY age (sequenced
+    * watermarks never prune). Sound because a streaming drain commits
+    * its batches in order: batch N committed ⇒ every batch ≤ N of
+    * that query committed (an index shared by several rename-era
+    * drains had colliding `b<N>` tokens already — the defect the
+    * checkpoint-derived writers fixed going forward).
+    */
+  val LegacyDrainWriter = "legacy-drain"
+
   /** Fail loudly on the silent-empty trap: a rename-protocol index
     * tree copied to an object store (or any dir that protocol
     * resolution maps to Manifest) with NO published manifest reads as
@@ -202,15 +217,22 @@ object ManifestTiered {
         plain.flatMap { case (name, schema) =>
           entry(name, schema).map(e => name -> Seq(e))
         }.toMap
-    // committed/ tokens carry over (free-form, committed "now")
+    // committed/ tokens carry over (free-form, committed "now") — and
+    // the drain-token high-water mark ALSO seeds the reserved legacy
+    // writer, so a pre-migration batch replay still no-ops after the
+    // free-form window has pruned the b<N> ids themselves
     val committedDir = new org.apache.hadoop.fs.Path(indexDir, "committed")
     val carried: Seq[String] =
       if (!fs.exists(committedDir)) Nil
       else fs.listStatus(committedDir).toSeq.map(_.getPath.getName)
+    val legacyDrainMax: Option[Long] = carried.flatMap { t =>
+      if (t.startsWith("b")) t.stripPrefix("b").toLongOption else None
+    }.maxOption
     ManifestCommit.publish(conf, indexDir, m => m.copy(
       tables = tables,
       committed = carried.map(_ -> (m.gen + 1)).toMap,
-      writers = Map.empty, floor = 0L))
+      writers = legacyDrainMax.map(LegacyDrainWriter -> _).toMap,
+      floor = 0L))
   }
 
   /** One tiered table's fold parameters for [[compactTables]]:
@@ -271,33 +293,42 @@ object ManifestTiered {
       }); ()
   }
 
-  /** Delete an old RENAME-protocol layout before a manifest-protocol
-    * REBUILD into the same dir (Auto now resolves manifest, so this is
-    * the protocol-crossing rebuild path): the fresh manifest replaces
-    * every table, which makes the rename tree — `<t>/`, `<t>_l1/`,
-    * `<t>_tail/`, `<t>_delta/` staging, `committed/` tokens, commit
-    * markers — unreachable garbage no vacuum pass would ever see (only
-    * manifest-referenced dirs and `data/` are in vacuum's universe).
-    * Same destroy-the-old-generation semantics as the rename arm's
-    * clearMaintenanceState; no-op on a fresh dir and on an
-    * already-manifest index (its legacy dirs are manifest-referenced
-    * and belong to vacuum).
+  /** Delete an old RENAME-protocol layout AFTER a manifest-protocol
+    * REBUILD into the same dir published (Auto now resolves manifest,
+    * so this is the protocol-crossing rebuild path): the fresh
+    * manifest replaces every table, which makes the rename tree —
+    * `<t>/`, `<t>_l1/`, `<t>_tail/`, `<t>_delta/` staging,
+    * `committed/` tokens, commit markers — unreachable garbage no
+    * vacuum pass would ever see (only manifest-referenced dirs and
+    * `data/` are in vacuum's universe).
+    *
+    * Call ONLY after the rebuild's first publish succeeds: until the
+    * manifest lands, readers still resolve the rename protocol and
+    * keep serving the OLD index off this very tree — deleting it first
+    * left a crash window (delete → crash → no readable index at all)
+    * where deleting late is equally correct and crash-safe (a crash
+    * between the publish and this call leaks the tree; the next
+    * rebuild's own post-publish call collects it). Dirs a retained
+    * manifest still REFERENCES (a zero-copy adopted index's legacy
+    * dirs) are never touched — those are live data and belong to
+    * vacuum's legacy-GC arm.
     */
   def clearRenameLayout(conf: Configuration, indexDir: String,
                         tables: Seq[String],
                         markers: Seq[String] = Seq("_append_commit", "_compact_commit"))
       : Unit = {
-    if (ManifestCommit.exists(conf, indexDir)) return
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return
+    val referenced = ManifestCommit.referencedDirs(conf, indexDir)
     val rels = tables.flatMap(t =>
       Seq(t, s"${t}_l1", s"${t}_tail", s"${t}_delta", s"${t}_l1_delta",
         s"${t}_new", s"${t}_l1_new", s"${t}_tail_new")) ++
       Seq("committed") ++ markers
     rels.foreach { rel =>
+      val live = referenced.exists(r => r == rel || r.startsWith(s"$rel/"))
       val p = new org.apache.hadoop.fs.Path(root, rel)
-      if (fs.exists(p)) { fs.delete(p, true); () }
+      if (!live && fs.exists(p)) { fs.delete(p, true); () }
     }
   }
 

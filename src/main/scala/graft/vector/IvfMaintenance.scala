@@ -170,9 +170,6 @@ private[vector] object IvfMaintenance {
                    centroids: DataFrame, codes: Option[DataFrame],
                    codebooks: Option[DataFrame]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    // protocol-crossing rebuild: drop the unreachable rename tree
-    ManifestTiered.clearRenameLayout(conf, indexDir,
-      Seq("vectors", "centroids", "codes", "codebooks"))
     val vd = ManifestTiered.layDir(spark, indexDir, "vectors", vectors,
       partitionBy = Seq("cell"), sortKeys = Seq(col("vec_id")))
     val ctd = ManifestTiered.layDir(spark, indexDir, "centroids", centroids,
@@ -184,7 +181,13 @@ private[vector] object IvfMaintenance {
     ManifestCommit.publish(conf, indexDir, m => m.copy(
       tables = Map("vectors" -> Seq(vd), "centroids" -> Seq(ctd)) ++
         cd.map("codes" -> Seq(_)) ++ cbd.map("codebooks" -> Seq(_)),
-      committed = Map.empty, writers = Map.empty, floor = 0L)); ()
+      committed = Map.empty, writers = Map.empty, floor = 0L))
+    // protocol-crossing rebuild: drop the now-unreachable rename tree
+    // AFTER the publish (readers keep serving the old rename index
+    // until the manifest lands; a crash in the gap only leaks the
+    // tree until the next rebuild's pass here)
+    ManifestTiered.clearRenameLayout(conf, indexDir,
+      Seq("vectors", "centroids", "codes", "codebooks"))
   }
 
   /** FAISS add on the manifest protocol: flat unsorted tail dirs for
@@ -226,7 +229,24 @@ private[vector] object IvfMaintenance {
         ManifestTiered.tailTable("codes"), d.dir, d.rows)).getOrElse(withV)
     }
     if (commuting)
-      ManifestCommit.publishCommuting(conf, indexDir, m, update, batchId)
+      ManifestCommit.publishCommuting(conf, indexDir, m, update, batchId,
+        // the lay cell-assigned (and PQ-encoded) this batch under the
+        // base snapshot's train-once artifacts; a racing REBUILD
+        // replaces them, and re-applying would land rows coded under
+        // superseded centroids/codebooks — appends commute across
+        // other appends and compactions (which never touch these
+        // tables), never across a rebuild
+        invariant = fresh => {
+          val changed = Seq("centroids", "codebooks")
+            .filter(t => fresh.table(t) != m.table(t))
+          if (changed.nonEmpty) throw new IllegalStateException(
+            s"a concurrent rebuild of $indexDir replaced " +
+              s"${changed.mkString(" and ")} while this append was " +
+              s"retrying a lost publish race: the batch's cell " +
+              s"assignments/codes derive from the superseded artifacts " +
+              s"and must not land in the rebuilt index. Re-run the " +
+              s"append against the new index (re-assigning the batch).")
+        })
     else ManifestCommit.publishAt(conf, indexDir, m, update, batchId)
     ()
   }

@@ -346,4 +346,40 @@ class MinHashManifestSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("manifest"))
   }
+
+  test("protocol-crossing rebuild deletes the rename tree only AFTER the " +
+      "publish; an adopted index's manifest-referenced legacy dirs survive") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("mh_cross").toString
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), dir,
+      protocol = CommitProtocol.Rename)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")))
+    // crossing rebuild (Auto → Manifest): the old rename tree must be
+    // gone afterwards — and because the deletion now runs POST-publish,
+    // a crash mid-build would have left it (and its readers) whole
+    Dedup.saveMinHashIndex(corpus, dir)
+    assert(ManifestCommit.exists(conf, dir))
+    Seq("bands", "widths", "bands_tail", "widths_tail", "committed").foreach { n =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n)),
+        s"rename-layout dir '$n' must be deleted by the crossing rebuild")
+    }
+    val probe = corpus.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)).nonEmpty)
+    // ADOPTED index: its legacy dirs are manifest-referenced live data —
+    // a rebuild must leave them for vacuum's legacy-GC arm (the retained
+    // pre-rebuild generation still resolves them via AS-OF)
+    val adir = java.nio.file.Files.createTempDirectory("mh_cross_a").toString
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), adir,
+      protocol = CommitProtocol.Rename)
+    Dedup.migrateMinHashIndexToManifest(spark, adir)
+    val adoptedGen = ManifestCommit.current(conf, adir).gen
+    Dedup.saveMinHashIndex(corpus, adir) // rebuild over the adopted index
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(adir, "bands")),
+      "a manifest-referenced legacy dir must survive the rebuild")
+    // the retained adoption generation still probes whole
+    assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, adir,
+      asOfGen = Some(adoptedGen))).nonEmpty)
+  }
 }

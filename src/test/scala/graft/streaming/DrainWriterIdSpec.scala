@@ -122,4 +122,38 @@ class DrainWriterIdSpec extends AnyFunSuite {
     // batch 2 is genuinely new
     assert(DrainIds.pending(conf, idx, cp, 2).isDefined)
   }
+
+  test("age-proof migrated-drain replay: a pre-migration batch still " +
+      "no-ops after its legacy b<N> token pruned out of the window") {
+    val idx = tmp("dw_age")
+    Dedup.saveMinHashIndex(docs(0, 20), idx,
+      protocol = CommitProtocol.Rename)
+    // rename-era drain committed batches 0..3 under legacy tokens
+    (0 to 3).foreach(b =>
+      Dedup.appendMinHashIndex(docs(400 + b * 10, 5), idx,
+        batchId = Some(s"b$b")))
+    Dedup.migrateMinHashIndexToManifest(spark, idx)
+    // adoption carried the free-form b0..b3 AND seeded the reserved
+    // legacy-drain watermark at 3
+    val m0 = ManifestCommit.current(conf, idx)
+    assert((0 to 3).forall(b => m0.isCommitted(s"b$b")))
+    assert(m0.writers.get(graft.util.ManifestTiered.LegacyDrainWriter)
+      .contains(3L))
+    // age the index FAR past the committed-retention window (retainGens
+    // override simulates the 4096 publishes of a 24/7 cadence): the
+    // free-form tokens prune out...
+    (1 to 3).foreach(_ =>
+      ManifestCommit.publish(conf, idx, identity, retainGens = 1))
+    val aged = ManifestCommit.current(conf, idx)
+    assert((0 to 3).forall(b => !aged.committed.contains(s"b$b")),
+      "test setup: the legacy free-form ids must actually have pruned")
+    // ...and the replay of a pre-migration batch STILL no-ops, at the
+    // pending() gate, through the never-pruning legacy-drain watermark
+    val cp = tmp("dw_age_cp")
+    (0 to 3).foreach(b =>
+      assert(DrainIds.pending(conf, idx, cp, b).isEmpty,
+        s"pre-migration batch $b must not double-fold at any age"))
+    // the first genuinely-new batch past the watermark folds normally
+    assert(DrainIds.pending(conf, idx, cp, 4).isDefined)
+  }
 }

@@ -392,6 +392,42 @@ class ManifestCommitSpec extends AnyFunSuite {
       "the retried append must keep the racer's dir AND add its own")
   }
 
+  test("publishCommuting: the invariant hook vetoes a retry across a " +
+      "racing REBUILD, and is not consulted on the uncontended first try") {
+    val dir = java.nio.file.Files.createTempDirectory("mc_invariant").toString
+    ManifestCommit.publish(conf, dir,
+      m => ManifestCommit.setDirs(m, "centroids",
+        Seq(ManifestCommit.DirEntry("data/centroids/d-old", 4L)))) // gen 1
+    val base = ManifestCommit.current(conf, dir)
+    def centroidsUnchanged(fresh: ManifestCommit.Manifest): Unit =
+      if (fresh.table("centroids") != base.table("centroids"))
+        throw new IllegalStateException("rebuild replaced centroids")
+    // uncontended: lands without ever running the invariant
+    val m2 = ManifestCommit.publishCommuting(conf, dir, base,
+      m => ManifestCommit.addDir(m, "t.tail", "data/t.tail/a", 1L),
+      invariant = _ => fail("invariant must not run on the first attempt"))
+    assert(m2.gen == 2L)
+    // a racer REBUILDS (replaces centroids) — the stale-base retry must
+    // fail LOUDLY through the invariant instead of landing its rows
+    ManifestCommit.publish(conf, dir, m => ManifestCommit.setDirs(
+      m.copy(committed = Map.empty, writers = Map.empty, floor = 0L),
+      "centroids", Seq(ManifestCommit.DirEntry("data/centroids/d-new", 9L))))
+    val e = intercept[IllegalStateException] {
+      ManifestCommit.publishCommuting(conf, dir, m2,
+        m => ManifestCommit.addDir(m, "t.tail", "data/t.tail/b", 1L),
+        invariant = centroidsUnchanged)
+    }
+    assert(e.getMessage.contains("rebuild replaced centroids"))
+    assert(!ManifestCommit.current(conf, dir).table("t.tail")
+      .contains("data/t.tail/b"), "the vetoed retry must not have published")
+    // a retry across a mere APPEND (invariant holds) still lands
+    val m4 = ManifestCommit.publishCommuting(conf, dir,
+      ManifestCommit.current(conf, dir), // fresh base
+      m => ManifestCommit.addDir(m, "t.tail", "data/t.tail/c", 1L),
+      invariant = _ => ())
+    assert(m4.table("t.tail").contains("data/t.tail/c"))
+  }
+
   test("publishCommuting: N writers racing one index all land exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("mc_race_n").toString
     ManifestCommit.publish(conf, dir, identity) // gen 1

@@ -212,4 +212,40 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     }
     assert(VectorOps.loadIvfIndex(spark, dir).vectors.count() == 140)
   }
+
+  test("manifest append: a commuting retry across a racing REBUILD fails " +
+      "loudly instead of landing rows coded under superseded centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild_race").toString
+    val conf = spark.sessionState.newHadoopConf()
+    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2,
+      protocol = graft.util.CommitProtocol.Manifest)
+    val base = graft.util.ManifestCommit.current(conf, dir)
+    // the appender's batch was cell-assigned under base's centroids;
+    // before its publish lands, a REBUILD retrains and replaces them
+    VectorOps.saveIvfIndex(vecs(0, 120), dir, k = 8, iters = 2,
+      protocol = graft.util.CommitProtocol.Manifest)
+    val batch = vecs(200, 10).withColumn("cell", lit(0L))
+    val e = intercept[IllegalStateException] {
+      IvfMaintenance.appendManifest(spark, dir, batch, None,
+        batchId = Some("race1"), commuting = true, at = Some(base))
+    }
+    assert(e.getMessage.contains("concurrent rebuild"), e.getMessage)
+    // nothing from the vetoed batch is visible, and the batch id was
+    // never committed — the re-driven (re-assigned) append still runs
+    val cur = graft.util.ManifestCommit.current(conf, dir)
+    assert(cur.rows(graft.util.ManifestTiered.tailTable("vectors")) == 0L)
+    assert(!cur.isCommitted("race1"))
+    // a commuting retry across a mere racing APPEND still lands: both
+    // writers resolved the SAME post-rebuild base (centroids unchanged
+    // between that base and the retry's re-resolve)
+    IvfMaintenance.appendManifest(spark, dir, batch, None,
+      batchId = Some("a1"), commuting = true, at = Some(cur))
+    IvfMaintenance.appendManifest(spark, dir,
+      vecs(210, 10).withColumn("cell", lit(1L)), None,
+      batchId = Some("a2"), commuting = true, at = Some(cur))
+    val fin = graft.util.ManifestCommit.current(conf, dir)
+    assert(fin.isCommitted("a1") && fin.isCommitted("a2"))
+    assert(fin.rows(graft.util.ManifestTiered.tailTable("vectors")) == 20L)
+    assert(fin.gen == cur.gen + 2, "one generation per append, none lost")
+  }
 }
