@@ -905,125 +905,34 @@ object Dedup {
 
   // ---- size-tiered LSM layout + maintenance commit protocol ----
   //
-  // LSM shape (generic layout/policy in graft.util.TieredIndex):
-  // `bands/` + `widths/` are the BASE — (band, bmod)-partitioned so
-  // probes prune statically; `bands_l1/run=K` + `widths_l1/run=K` are
-  // LEVEL-1 runs in the same partitioned layout (one per minor
-  // compaction, equally pruned); `bands_tail/` + `widths_tail/` are the
-  // level-0 TAIL where appends land as a handful of FLAT files
-  // (band/bmod as data columns). A micro-batch append therefore costs
-  // two small unpartitioned writes, never a 100+-partition-dir commit
-  // (measured ~12 ms/dir — 14× the sf0.1 drain's wall when appends
-  // wrote the partitioned layout directly); probes read the pruned
-  // base + pruned runs + the whole tail, which the tiered compaction
-  // cadence keeps bounded at O(tail) IO per cycle (see
-  // compactMinHashIndex). This is the Delta/Iceberg-style split of
-  // cheap appends vs. clustered layout, with LevelDB-style tiering so
-  // maintenance never pays a full-index rewrite per cycle.
-  //
-  // Commit protocol: graft.util.IndexCommit — the ONE staged-promote +
-  // marker + committed-token + dir-swap implementation all three
-  // persisted indexes share (BM25 postings and the IVF inverted lists
-  // declare their own Layouts over the same module). Appends stage under
-  // bands_delta/ + widths_delta/ and move into the tails only under the
-  // _append_commit marker; a crashed/retried maintenance step can
-  // neither half-append nor double-append, and committed/<batchId>
-  // tokens make a re-driven batch a no-op. Writers run under the
-  // module's OS-file-lock lease — a concurrent second writer throws
-  // instead of silently overwriting the fixed staging paths.
-  private val AppendLayout = graft.util.IndexCommit.Layout("_append_commit",
-    staged = Seq("bands_delta" -> "bands_tail", "widths_delta" -> "widths_tail"))
-  // compaction publishes one of three artifact subsets (minor / run
-  // re-merge / major — see compactMinHashIndex) under ONE marker name;
-  // recovery uses the UNION layout and acts on whatever exists
-  private val MinorCompactLayout = graft.util.IndexCommit.Layout("_compact_commit",
-    staged = Seq("bands_l1_delta" -> "bands_l1", "widths_l1_delta" -> "widths_l1"),
-    swaps = Seq("bands_tail", "widths_tail"))
-  private val MergeCompactLayout = graft.util.IndexCommit.Layout("_compact_commit",
-    swaps = Seq("bands_l1", "widths_l1", "bands_tail", "widths_tail"))
-  private val MajorCompactLayout = graft.util.IndexCommit.Layout("_compact_commit",
-    swaps = Seq("bands", "widths", "bands_l1", "widths_l1",
-      "bands_tail", "widths_tail"))
-  private val CompactRecoveryLayout = graft.util.IndexCommit.Layout(
-    "_compact_commit",
-    staged = MinorCompactLayout.staged, swaps = MajorCompactLayout.swaps)
-
-  /** True iff `batchId` was already folded into the index — the caller
-    * must treat the whole probe+append as a completed no-op.
-    */
-  def isBatchCommitted(indexDir: String, batchId: String): Boolean =
-    graft.util.IndexCommit.isBatchCommitted(indexDir, batchId)
-
-  /** Finish (or roll back) any maintenance step interrupted mid-flight;
-    * runs on every maintenance open (under the writer lease). At most
-    * one marker exists — the lease serializes writers.
-    */
-  private[dedup] def recoverIndex(indexDir: String): Unit =
-    graft.util.IndexCommit.recover(indexDir, Seq(CompactRecoveryLayout, AppendLayout))
-
-  /** Stage the batch's banded signatures + widths deltas, then commit
-    * them live under the marker. Both parquet writes complete BEFORE the
-    * marker appears — the marker is the single decision point.
-    */
-  private def stageAndCommitAppend(indexDir: String, banded0: DataFrame,
-                                   batchId: Option[String]): Unit = {
-    // the bands and widths deltas both consume the banded signatures —
-    // the dominant per-batch CPU (tokenize → shingle → 64-bin OPH);
-    // persist so the pass runs once (idempotent when the maintenance
-    // caller already persisted for its probe side)
-    val banded = banded0.persist()
-    try {
-      // level-0 tail files: FLAT, band/bmod as data columns, a handful
-      // of part files per batch — the append's cost follows the batch,
-      // not the partition-dir count (compaction owns the re-layout)
-      banded
-        .select(col("doc_id"), col("bucket"), col("sig"), col("band"), col("bmod"))
-        .write.mode("overwrite").parquet(s"$indexDir/bands_delta")
-      widthsOf(banded)
-        .write.mode("overwrite").parquet(s"$indexDir/widths_delta")
-      graft.util.IndexCommit.commit(indexDir, AppendLayout, batchId)
-    } finally { banded.unpersist(blocking = false); () }
-  }
+  // LSM shape over the versioned-manifest commit protocol
+  // (graft.util.ManifestCommit / ManifestTiered): `bands` + `widths`
+  // are the BASE — (band, bmod)-partitioned so probes prune
+  // statically; `bands.l1` / `widths.l1` hold LEVEL-1 runs as flat
+  // (band, bmod, bucket)-sorted files pruned by parquet footer stats
+  // (one run per minor compaction); `bands.tail` / `widths.tail` are
+  // the level-0 TAIL where appends land as a handful of FLAT dirs. A
+  // micro-batch append therefore costs two small unpartitioned writes
+  // + ONE manifest publish, never a 100+-partition-dir commit; probes
+  // resolve one manifest snapshot and read pruned base + pruned runs
+  // + the (compaction-bounded) tail. This is the Delta/Iceberg-style
+  // split of cheap appends vs. clustered layout, with LevelDB-style
+  // tiering so maintenance never pays a full-index rewrite per cycle.
+  // Exactly-once folds ride the manifest's committed-batch state; a
+  // crashed writer leaves only unreferenced dirs vacuum collects.
+  // (The former rename-based protocol — staged dirs promoted under
+  // marker files with OS-lock leases, graft.util.IndexCommit — is
+  // retired: proven bit-identical and perf-equal first, SCALE.md
+  // §Rounds 13-15. Legacy rename indexes adopt zero-copy via
+  // migrateMinHashIndexToManifest / JobRunner index_migrate.)
 
   def saveMinHashIndex(docs: DataFrame, indexDir: String, shingleW: Int = 5,
                        perms: Int = 64, rowsPerBand: Int = 4,
                        protocol: graft.util.CommitProtocol =
                          graft.util.CommitProtocol.Auto): Unit = {
     val conf = docs.sparkSession.sessionState.newHadoopConf()
-    graft.util.CommitProtocol.forBuild(conf, indexDir, protocol) match {
-      case graft.util.CommitProtocol.Manifest =>
-        return saveMinHashManifest(docs, indexDir, shingleW, perms, rowsPerBand)
-      case _ => ()
-    }
-    graft.util.IndexCommit.assertRenameCommitFs(
-      docs.sparkSession.sessionState.newHadoopConf(), indexDir,
-      "saveMinHashIndex")
-    graft.util.IndexCommit.withWriterLease(indexDir) {
-    // a REBUILD into a previously-maintained dir must not inherit the
-    // old generation's state: stale tail files would union into every
-    // probe (with possibly different signature params), and surviving
-    // committed/ tokens would silently no-op a new crawl that reuses a
-    // batch id — the exact dir validateIndexMeta's "rebuild it" remedy
-    // points at. The artifact set derives from the layouts themselves
-    // (IndexCommit.clearMaintenanceState), never a hand-kept list.
-    graft.util.IndexCommit.clearMaintenanceState(indexDir,
-      Seq(CompactRecoveryLayout, AppendLayout))
-    // one signature pass serves both tables (see stageAndCommitAppend)
-    val banded = bandedSignatures(docs, shingleW, perms, rowsPerBand).persist()
-    try {
-      banded
-        .repartition(col("band"), col("bmod"))
-        .sortWithinPartitions(col("bucket"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("band", "bmod")
-        .parquet(s"$indexDir/bands")
-      widthsOf(banded)
-        .repartition(col("band"), col("bmod"))
-        .sortWithinPartitions(col("bucket"))
-        .write.mode("overwrite").partitionBy("band", "bmod")
-        .parquet(s"$indexDir/widths")
-    } finally { banded.unpersist(blocking = false); () }
-    writeIndexMeta(docs.sparkSession, indexDir, shingleW, perms, rowsPerBand)
-    }
+    graft.util.CommitProtocol.forBuild(conf, indexDir, protocol)
+    saveMinHashManifest(docs, indexDir, shingleW, perms, rowsPerBand)
   }
 
   private def writeIndexMeta(spark: SparkSession, indexDir: String,
@@ -1275,20 +1184,12 @@ object Dedup {
                          batchId: Option[String] = None): Unit = {
     validateIndexMeta(newDocs.sparkSession, indexDir,
       shingleW, perms, rowsPerBand, "appending")
-    graft.util.CommitProtocol.ofIndex(
-      newDocs.sparkSession.sessionState.newHadoopConf(), indexDir) match {
-      case graft.util.CommitProtocol.Manifest =>
-        appendMinHashManifest(
-          bandedSignatures(newDocs, shingleW, perms, rowsPerBand),
-          indexDir, batchId)
-      case _ =>
-        graft.util.IndexCommit.withWriterLease(indexDir) {
-          recoverIndex(indexDir)
-          if (!batchId.exists(isBatchCommitted(indexDir, _)))
-            stageAndCommitAppend(indexDir,
-              bandedSignatures(newDocs, shingleW, perms, rowsPerBand), batchId)
-        }
-    }
+    graft.util.CommitProtocol.requireManifest(
+      newDocs.sparkSession.sessionState.newHadoopConf(), indexDir,
+      "appendMinHashIndex")
+    appendMinHashManifest(
+      bandedSignatures(newDocs, shingleW, perms, rowsPerBand),
+      indexDir, batchId)
   }
 
   /** New-batch dedup probe against a saved index: candidates = band-bucket
@@ -1335,43 +1236,25 @@ object Dedup {
                                asOfGen: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
     validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "probing")
+    val conf = spark.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.requireManifest(conf, indexDir,
+      "dedupAgainstMinHashIndex")
     val banded =
       bandedSignatures(newDocs, shingleW, perms, rowsPerBand).localCheckpoint()
-    graft.util.CommitProtocol.ofIndex(
-      spark.sessionState.newHadoopConf(), indexDir) match {
-      case graft.util.CommitProtocol.Manifest =>
-        // readers resolve ONE manifest snapshot — consistent across any
-        // concurrent append/compact/vacuum, no healing needed (a crashed
-        // manifest writer leaves only invisible garbage)
-        val conf = spark.sessionState.newHadoopConf()
-        val m = asOfGen
-          .map(g => graft.util.ManifestCommit.atGeneration(conf, indexDir, g))
-          .getOrElse(graft.util.ManifestCommit.current(conf, indexDir))
-        probeWithBands(spark, banded, manifestReader(spark, indexDir, m),
-          perms, threshold)
-      case _ =>
-        require(asOfGen.isEmpty,
-          s"AS-OF probes need the manifest commit protocol ($indexDir runs " +
-            s"the rename protocol, which mutates dirs in place and keeps " +
-            s"no history — migrate with index_migrate)")
-        // self-heal a MARKED commit whose writer died mid-publish (a
-        // compaction's dir swap can leave a live dir transiently missing);
-        // unmarked staging is never touched — see IndexCommit.healMarkedCommit
-        graft.util.IndexCommit.healMarkedCommit(indexDir,
-          Seq(CompactRecoveryLayout, AppendLayout))
-        probeWithBands(spark, banded, renameReader(spark, indexDir),
-          perms, threshold)
-    }
+    // readers resolve ONE manifest snapshot — consistent across any
+    // concurrent append/compact/vacuum, no healing needed (a crashed
+    // manifest writer leaves only invisible garbage)
+    val m = asOfGen
+      .map(g => graft.util.ManifestCommit.atGeneration(conf, indexDir, g))
+      .getOrElse(graft.util.ManifestCommit.current(conf, indexDir))
+    probeWithBands(spark, banded, manifestReader(spark, indexDir, m),
+      perms, threshold)
   }
 
-  /** The two probe-side index readers, one per commit protocol — both
-    * present base ∪ level-1 runs ∪ tail behind the same (table, schema,
-    * filter) shape so [[probeWithBands]] is protocol-blind.
+  /** The probe-side index reader: base ∪ level-1 runs ∪ tail of one
+    * resolved snapshot behind a (table, schema, filter) shape, so
+    * [[probeWithBands]] is snapshot-blind.
     */
-  private def renameReader(spark: SparkSession, indexDir: String)
-      : (String, org.apache.spark.sql.types.StructType, Option[Column]) => DataFrame =
-    (t, sch, f) => readWithTail(spark, indexDir, t, sch, f)
-
   private def manifestReader(spark: SparkSession, indexDir: String,
                              m: graft.util.ManifestCommit.Manifest)
       : (String, org.apache.spark.sql.types.StructType, Option[Column]) => DataFrame =
@@ -1393,16 +1276,6 @@ object Dedup {
     * a full-index aggregate: per-batch probe cost follows the BATCH
     * and its collisions, not the accumulated index.
     */
-  /** The ONE base ∪ L1-runs ∪ tail reader every index consumer goes
-    * through (graft.util.TieredIndex.read): partition-pruned base and
-    * runs plus the flat level-0 tail, explicit-schema'd so an empty
-    * index reads as empty.
-    */
-  private def readWithTail(spark: SparkSession, indexDir: String, base: String,
-                           schema: org.apache.spark.sql.types.StructType,
-                           filter: Option[Column] = None): DataFrame =
-    graft.util.TieredIndex.read(spark, indexDir, base, schema, filter)
-
   /** Over this many distinct (band, bucket) batch keys the probe skips
     * the broadcast semi-join and falls back to the shuffled candidate
     * join: 16 M keys × two longs ≈ 256 MB broadcast — the ceiling a
@@ -1517,16 +1390,15 @@ object Dedup {
     * Exactly-once with a `batchId` (Spark's micro-batch retry is
     * at-least-once): hits write to `$hitsOut/batch_id=<id>` with
     * OVERWRITE (a replay rewrites the same partition, never duplicates
-    * rows), the index append commits under the marker protocol, and a
-    * batch whose committed/ token exists is a complete no-op. Crash
-    * anywhere: before the marker — recovery drops the staged delta and
-    * the re-driven batch recomputes against the unchanged index;
-    * after — recovery finishes the promote + token, and the retry
-    * skips. Without a batchId the append is crash-ATOMIC but a
-    * re-driven call double-appends; callers with retry semantics must
-    * pass one. Batch-less hits still land under a GENERATED
-    * `batch_id=adhoc-*` partition so one hitsOut dir never mixes flat
-    * and partitioned layouts (a Spark read-time error).
+    * rows), the index append rides one manifest publish carrying the
+    * batch id, and a batch already committed in the resolved snapshot
+    * is a complete no-op. A crashed publish leaves only unreferenced
+    * dirs (vacuum garbage) and the re-driven batch recomputes against
+    * the unchanged index. Without a batchId the append is
+    * crash-ATOMIC but a re-driven call double-appends; callers with
+    * retry semantics must pass one. Batch-less hits still land under a
+    * GENERATED `batch_id=adhoc-*` partition so one hitsOut dir never
+    * mixes flat and partitioned layouts (a Spark read-time error).
     */
   def probeAndAppendMinHashIndex(newDocs: DataFrame, indexDir: String,
                                  hitsOut: String, shingleW: Int = 5,
@@ -1535,53 +1407,38 @@ object Dedup {
                                  batchId: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
     validateIndexMeta(spark, indexDir, shingleW, perms, rowsPerBand, "maintaining")
+    val conf = spark.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.requireManifest(conf, indexDir,
+      "probeAndAppendMinHashIndex")
     // hits ALWAYS land under a batch_id partition — mixing flat and
     // partitioned layouts in one hitsOut dir is a read-time error
     // ("Conflicting directory structures"), so a batch-less call
     // gets a generated unique token instead of a root-level append
     def hitsBid = batchId.getOrElse(
       s"adhoc-${java.util.UUID.randomUUID().toString.take(12)}")
-    graft.util.CommitProtocol.ofIndex(
-      spark.sessionState.newHadoopConf(), indexDir) match {
-      case graft.util.CommitProtocol.Manifest =>
-        val conf = spark.sessionState.newHadoopConf()
-        val m = ManifestCommit.current(conf, indexDir)
-        if (!batchId.exists(m.isCommitted)) {
-          val banded = bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist()
-          try {
-            val hits = probeWithBands(spark, banded,
-              manifestReader(spark, indexDir, m), perms, threshold)
-            val bid = hitsBid
-            hits.write.mode("overwrite").parquet(s"$hitsOut/batch_id=$bid")
-            // the append publishes against the SAME snapshot the probe
-            // read — the CAS fails loudly if anything landed in between.
-            // On a lost race, a batch-ID'd retry overwrites its own hits
-            // partition, but an ADHOC (generated-id) retry would write a
-            // SECOND partition and double-count the log — drop this
-            // attempt's hits before rethrowing
-            try appendAtManifest(banded, indexDir, m, batchId,
-              commuting = false)
-            catch {
-              case e: IllegalStateException if batchId.isEmpty =>
-                val p = new org.apache.hadoop.fs.Path(s"$hitsOut/batch_id=$bid")
-                p.getFileSystem(conf).delete(p, true)
-                throw e
-            }
-          } finally { banded.unpersist(blocking = false); () }
+    val m = ManifestCommit.current(conf, indexDir)
+    if (!batchId.exists(m.isCommitted)) {
+      val banded = bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist()
+      try {
+        val hits = probeWithBands(spark, banded,
+          manifestReader(spark, indexDir, m), perms, threshold)
+        val bid = hitsBid
+        hits.write.mode("overwrite").parquet(s"$hitsOut/batch_id=$bid")
+        // the append publishes against the SAME snapshot the probe
+        // read — the CAS fails loudly if anything landed in between.
+        // On a lost race, a batch-ID'd retry overwrites its own hits
+        // partition, but an ADHOC (generated-id) retry would write a
+        // SECOND partition and double-count the log — drop this
+        // attempt's hits before rethrowing
+        try appendAtManifest(banded, indexDir, m, batchId,
+          commuting = false)
+        catch {
+          case e: IllegalStateException if batchId.isEmpty =>
+            val p = new org.apache.hadoop.fs.Path(s"$hitsOut/batch_id=$bid")
+            p.getFileSystem(conf).delete(p, true)
+            throw e
         }
-      case _ =>
-        graft.util.IndexCommit.withWriterLease(indexDir) {
-          recoverIndex(indexDir)
-          if (!batchId.exists(isBatchCommitted(indexDir, _))) {
-            val banded = bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist()
-            try {
-              val hits = probeWithBands(spark, banded,
-                renameReader(spark, indexDir), perms, threshold)
-              hits.write.mode("overwrite").parquet(s"$hitsOut/batch_id=$hitsBid")
-              stageAndCommitAppend(indexDir, banded, batchId)
-            } finally { banded.unpersist(blocking = false); () }
-          }
-        }
+      } finally { banded.unpersist(blocking = false); () }
     }
   }
 
@@ -1600,131 +1457,40 @@ object Dedup {
     * At every tier the widths sidecar folds alongside its bands rows
     * (sum bw / min aid per bucket WITHIN the folded mass; readers
     * re-fold across tiers), so probe results are identical across every
-    * level state. Committed-batch tokens and the meta marker are
-    * untouched. Crash-safe under ONE `_compact_commit` marker decision
-    * per cycle; NOT concurrent with other writers (enforced by the
-    * lease) NOR with probes — a probe racing the multi-dir publish can
-    * transiently double-count a bucket's width across a promoted run
-    * and the not-yet-emptied tail, and the anchor-only filter would
-    * then drop real candidates. Appends, by contrast, stay
-    * probe-concurrent: their staged dirs are invisible and the
-    * worst-case race UNDER-counts a width, which only widens the
-    * candidate set. Schedule compaction from the single maintenance
-    * orchestrator, between probes — this caveat applies to the RENAME
-    * protocol only: building the index with
-    * `saveMinHashIndex(protocol = CommitProtocol.Manifest)` routes
-    * every maintenance step through the versioned-manifest protocol,
-    * where probes resolve one snapshot and compaction needs no
-    * scheduling at all (the object-store deployment default).
+    * level state — all tables land in ONE manifest publish, and probes
+    * resolve one snapshot, so compaction needs no scheduling against
+    * probes at all. Committed-batch state and the meta marker are
+    * untouched.
     */
-  def compactMinHashIndex(spark: SparkSession, indexDir: String): Unit = {
-    graft.util.CommitProtocol.ofIndex(
-      spark.sessionState.newHadoopConf(), indexDir) match {
-      case graft.util.CommitProtocol.Manifest =>
-        return compactMinHashManifest(spark, indexDir)
-      case _ => ()
-    }
-    import java.nio.file.{Files, Paths}
-    val metaP = Paths.get(indexDir, "_graft_minhash_meta")
-    if (!Files.exists(metaP))
-      throw new IllegalStateException(
-        s"MinHash index at $indexDir has no _graft_minhash_meta marker; " +
-          s"refusing to compact an unrecognized layout.")
-    // compaction is agnostic to the signature params (it only re-lays
-    // rows) but NOT to the hash family or the partition modulus — a
-    // rewrite under a different bucket_mods would silently relocate
-    // every row out of the partitions future probes prune to
-    val meta = new String(Files.readAllBytes(metaP),
-      java.nio.charset.StandardCharsets.UTF_8)
-    if (!meta.contains(s"hash_family=$MinHashHashFamily\n") ||
-        !meta.contains(s"bucket_mods=$MinHashBucketMods\n"))
-      throw new IllegalStateException(
-        s"MinHash index at $indexDir has an incompatible layout —\n$meta\n" +
-          s"compacting expects hash_family=$MinHashHashFamily and " +
-          s"bucket_mods=$MinHashBucketMods; rebuild with saveMinHashIndex.")
-    graft.util.IndexCommit.assertRenameCommitFs(
-      spark.sessionState.newHadoopConf(), indexDir, "compactMinHashIndex")
-    import graft.util.TieredIndex
-    // the BASE keeps the (band, bmod) partition-dir tree (statically
-    // pruned, rewritten only at the ratio trip); LEVEL-1 RUNS are laid
-    // as flat (band, bmod, bucket)-sorted files instead — a Minor
-    // fold's cost floor used to be the 2×(partition count)-dir commit
-    // (~5.8 s at ANY toy SF, rows irrelevant), while flat runs are one
-    // small write pruned by parquet footer stats on the probe's direct
-    // band/bmod predicates (see TieredIndex.layFlatSorted)
-    def layBands(rows: DataFrame, path: String): Unit =
-      rows.repartition(col("band"), col("bmod"))
-        .sortWithinPartitions(col("bucket"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("band", "bmod").parquet(path)
-    def foldWidths(rows: DataFrame): DataFrame =
-      rows.groupBy(col("band"), col("bmod"), col("bucket"))
-        .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
-        .select(col("bucket"), col("bw"), col("aid"), col("band"), col("bmod"))
-    def layWidths(rows: DataFrame, path: String): Unit =
-      foldWidths(rows)
-        .repartition(col("band"), col("bmod"))
-        .write.mode("overwrite").partitionBy("band", "bmod").parquet(path)
-    def layBandsRun(rows: DataFrame, path: String, mass: Long): Unit =
-      TieredIndex.layFlatSorted(rows, path,
-        Seq(col("band"), col("bmod"), col("bucket"), col("doc_id")),
-        mass, BandsRowsPerRunFile)
-    def layWidthsRun(rows: DataFrame, path: String, mass: Long): Unit =
-      TieredIndex.layFlatSorted(foldWidths(rows), path,
-        Seq(col("band"), col("bmod"), col("bucket")),
-        mass, WidthsRowsPerRunFile)
-    // empty replacement dirs, created BEFORE the marker so the swap set
-    // is complete when the decision point appears
-    def emptyNew(names: String*): Unit =
-      names.foreach(n => Files.createDirectories(Paths.get(indexDir, s"${n}_new")))
-    graft.util.IndexCommit.withWriterLease(indexDir) {
-      recoverIndex(indexDir)
-      val (action, sizes) =
-        TieredIndex.planWithSizes(spark, indexDir, "bands", BandsSchema)
-      action match {
-        case TieredIndex.NoOp => ()
-        case TieredIndex.Minor(k) =>
-          layBandsRun(TieredIndex.readTail(spark, indexDir, "bands", BandsSchema),
-            s"$indexDir/bands_l1_delta/run=$k", sizes.tail)
-          layWidthsRun(TieredIndex.readTail(spark, indexDir, "widths", WidthsSchema),
-            s"$indexDir/widths_l1_delta/run=$k", sizes.tail)
-          emptyNew("bands_tail", "widths_tail")
-          graft.util.IndexCommit.commit(indexDir, MinorCompactLayout)
-        case TieredIndex.MergeRuns =>
-          layBandsRun(
-            TieredIndex.readAboveBase(spark, indexDir, "bands", BandsSchema),
-            s"$indexDir/bands_l1_new/run=0", sizes.l1 + sizes.tail)
-          layWidthsRun(
-            TieredIndex.readAboveBase(spark, indexDir, "widths", WidthsSchema),
-            s"$indexDir/widths_l1_new/run=0", sizes.l1 + sizes.tail)
-          emptyNew("bands_tail", "widths_tail")
-          graft.util.IndexCommit.commit(indexDir, MergeCompactLayout)
-        case TieredIndex.Major =>
-          layBands(readWithTail(spark, indexDir, "bands", BandsSchema),
-            s"$indexDir/bands_new")
-          layWidths(readWithTail(spark, indexDir, "widths", WidthsSchema),
-            s"$indexDir/widths_new")
-          emptyNew("bands_l1", "widths_l1", "bands_tail", "widths_tail")
-          graft.util.IndexCommit.commit(indexDir, MajorCompactLayout)
-      }
-    }
+  /** `vacuumKeep`: run [[graft.util.ManifestCommit.vacuum]] inline
+    * after the fold, retaining the newest K generations — the 24/7
+    * deployment ergonomic (one compaction verb on a cadence keeps both
+    * the tier shape AND the garbage bounded, no separate vacuum
+    * orchestration; SCALE.md §Round-15 measures probe parity across
+    * every compact+vacuum pair). Size K to the longest AS-OF horizon
+    * readers need.
+    */
+  def compactMinHashIndex(spark: SparkSession, indexDir: String,
+                          vacuumKeep: Option[Int] = None): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.requireManifest(conf, indexDir,
+      "compactMinHashIndex")
+    compactMinHashManifest(spark, indexDir)
+    vacuumKeep.foreach(k => ManifestCommit.vacuum(conf, indexDir, keepGens = k))
   }
 
   /** Per-tier row mass + the size policy's pending decision for this
     * index — the maintenance-curve observability hook
     * (tools/MaintenanceCurve, SCALE.md's per-compaction IO rows).
-    * Read-only; costs three metadata counts.
+    * Read-only; tier masses ride the manifest (zero Spark jobs).
     */
   def compactionTiers(spark: SparkSession, indexDir: String)
       : (String, graft.util.TieredIndex.TierSizes) = {
-    val sizes = graft.util.CommitProtocol.ofIndex(
-      spark.sessionState.newHadoopConf(), indexDir) match {
-      case graft.util.CommitProtocol.Manifest =>
-        val m = ManifestCommit.current(
-          spark.sessionState.newHadoopConf(), indexDir)
-        ManifestTiered.sizes(spark, indexDir, m, "bands", BandsSchema)
-      case _ =>
-        graft.util.TieredIndex.rowSizes(spark, indexDir, "bands", BandsSchema)
-    }
+    graft.util.CommitProtocol.requireManifest(
+      spark.sessionState.newHadoopConf(), indexDir, "compactionTiers")
+    val m = ManifestCommit.current(
+      spark.sessionState.newHadoopConf(), indexDir)
+    val sizes = ManifestTiered.sizes(spark, indexDir, m, "bands", BandsSchema)
     val action = graft.util.TieredIndex.plan(sizes) match {
       case graft.util.TieredIndex.NoOp => "NoOp"
       case graft.util.TieredIndex.Minor(_) => "Minor"
@@ -1734,20 +1500,17 @@ object Dedup {
     (action, sizes)
   }
 
-  /** Per-band signature row counts across base + tail — the CLI
+  /** Per-band signature row counts across base ∪ runs ∪ tail — the CLI
     * maintenance arms' report frame. Schema-read like the probe: an
     * empty-seeded index has zero part files and inference would throw.
     */
   def indexBandCounts(spark: SparkSession, indexDir: String): DataFrame = {
-    val rows = graft.util.CommitProtocol.ofIndex(
-      spark.sessionState.newHadoopConf(), indexDir) match {
-      case graft.util.CommitProtocol.Manifest =>
-        val m = ManifestCommit.current(
-          spark.sessionState.newHadoopConf(), indexDir)
-        ManifestTiered.read(spark, indexDir, m, "bands", BandsSchema)
-      case _ => readWithTail(spark, indexDir, "bands", BandsSchema)
-    }
-    rows.groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
+    graft.util.CommitProtocol.requireManifest(
+      spark.sessionState.newHadoopConf(), indexDir, "indexBandCounts")
+    val m = ManifestCommit.current(
+      spark.sessionState.newHadoopConf(), indexDir)
+    ManifestTiered.read(spark, indexDir, m, "bands", BandsSchema)
+      .groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
   }
 
   /** Exact-substring duplication mass (Lee et al. 2021's suffix-array
@@ -1878,54 +1641,48 @@ object Dedup {
   /** Build-once per (application, sf dir): the seed index (crawls 0-1
     * via saveMinHashIndex, crawl 2 folded with a batch-id'd append —
     * tail 25% of docs vs base 50%, so the size policy picks the
-    * ROUTINE Minor fold), plus pristine snapshots of the post-append
-    * tails — the only tier state compaction mutates at this shape.
+    * ROUTINE Minor fold) and the post-append generation each
+    * invocation rewinds to.
     */
   private val dicFixed =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   /** Registered maintenance arm: fold the appended tail into the
-    * tiered layout, then probe crawl 3 against it — proving the fold +
-    * re-layout preserve probe semantics exactly (the oracle replays
-    * the probe statically; MinHashIndexSpec additionally pins before
-    * == after byte-for-byte; TieredCompactionSpec covers the
-    * MergeRuns/Major arms). Each invocation RESETS only the tiers
-    * compaction mutates (tails + level-1 runs) from the snapshots — an
-    * O(batch) copy — so the bench measures one real Minor fold + probe
-    * every time. The r12 registration copied the WHOLE seed tree per
-    * call (the copy dominated its 6.3 s bench median) and then paid a
-    * full single-level rewrite.
+    * tiered layout WITH THE INLINE VACUUM (`vacuumKeep` — the 24/7
+    * compact-verb ergonomic), then probe crawl 3 against it — proving
+    * fold + re-layout + vacuum preserve probe semantics exactly (the
+    * oracle replays the probe statically; dedup_index_manifest is the
+    * no-vacuum twin; TieredCompactionSpec covers the MergeRuns/Major
+    * arms). Each invocation rewinds the index to the post-append
+    * snapshot (ManifestTiered.benchRewind), so the bench measures one
+    * real Minor fold + vacuum pass + probe every time.
     */
   val dedupIndexCompact: QueryDef = QueryDef(
     "dedup_index_compact",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val root = graft.util.Caches.fill(dicFixed, s.sparkContext.applicationId + ":" + dir,
-        (rt: String) => graft.util.FileTrees.rmTree(rt)) {
+      val conf = s.sessionState.newHadoopConf()
+      val (work, seedGen) = graft.util.Caches.fill(
+        dicFixed, s.sparkContext.applicationId + ":" + dir,
+        (v: (String, Long)) => graft.util.FileTrees.rmTree(
+          java.nio.file.Paths.get(v._1).getParent.toString)) {
           val rt = java.nio.file.Files.createTempDirectory("graft_dic").toString
-          // the RENAME twin (dedup_index_manifest is the other arm):
-          // Auto resolves manifest now, so the rename protocol's bench
-          // coverage opts out explicitly until its bodies retire
           saveMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) <= 1L),
-            s"$rt/work", protocol = graft.util.CommitProtocol.Rename)
+            s"$rt/work", protocol = graft.util.CommitProtocol.Manifest)
           appendMinHashIndex(docs.filter(pmod(col("doc_id"), lit(4L)) === 2L),
             s"$rt/work", batchId = Some("crawl-2"))
-          graft.util.FileTrees.copyTree(
-            s"$rt/work/bands_tail", s"$rt/bands_tail_seed")
-          graft.util.FileTrees.copyTree(
-            s"$rt/work/widths_tail", s"$rt/widths_tail_seed")
-          rt
+          (s"$rt/work", ManifestCommit.current(conf, s"$rt/work").gen)
         }
-      val work = s"$root/work"
-      Seq("bands_l1", "widths_l1", "bands_tail", "widths_tail")
-        .foreach(n => graft.util.FileTrees.rmTree(s"$work/$n"))
-      graft.util.FileTrees.copyTreeIfExists(s"$root/bands_tail_seed", s"$work/bands_tail")
-      graft.util.FileTrees.copyTreeIfExists(s"$root/widths_tail_seed", s"$work/widths_tail")
-      compactMinHashIndex(s, work)
+      ManifestTiered.benchRewind(conf, work, seedGen)
+      // keep=2 retains the pre-fold snapshot the next invocation
+      // rewinds to; the vacuum pass itself (list + decode + GC walk)
+      // runs for real every cycle
+      compactMinHashIndex(s, work, vacuumKeep = Some(2))
       // bounded driver artifacts: one count + a 1-row aggregate.
       // n_sig_rows counts the PROBE-VISIBLE mass (base ∪ runs ∪ tail)
       // — invariant across whichever tier the size policy rewrote
-      val nSig = readWithTail(s, work, "bands", BandsSchema).count()
+      val m = ManifestCommit.current(conf, work)
+      val nSig = ManifestTiered.read(s, work, m, "bands", BandsSchema).count()
       val h = dedupAgainstMinHashIndex(
           docs.filter(pmod(col("doc_id"), lit(4L)) === 3L), work)
         .agg(count(lit(1)).as("n_hits"),

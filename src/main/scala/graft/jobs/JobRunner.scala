@@ -41,17 +41,26 @@ final case class JobCli(
     commitProtocol: String = "auto") {
 
   /** Index-build commit protocol: `auto` resolves the versioned-
-    * manifest protocol for every NEW build (rename is the explicit
-    * opt-out until its bodies retire); existing indexes always
-    * dispatch off what they were built with.
+    * manifest protocol for every NEW build. `rename` still parses —
+    * the build then fails with the retirement pointer (index_migrate)
+    * instead of an unknown-flag error; legacy rename indexes are
+    * read-only until adopted.
     */
   def indexProtocol: graft.util.CommitProtocol = commitProtocol match {
     case "manifest" => graft.util.CommitProtocol.Manifest
     case "rename" => graft.util.CommitProtocol.Rename
     case "auto" => graft.util.CommitProtocol.Auto
     case other => sys.error(
-      s"--commit_protocol must be auto|rename|manifest, got '$other'")
+      s"--commit_protocol must be auto|manifest, got '$other' " +
+        s"(rename is retired — see index_migrate)")
   }
+
+  /** `--output_option vacuum_keep=K` on the compaction verbs: run the
+    * manifest vacuum inline after the fold, retaining the newest K
+    * generations — one verb on a cadence keeps both the tier shape and
+    * the garbage bounded (no separate index_vacuum orchestration).
+    */
+  def vacuumKeep: Option[Int] = outputOptions.get("vacuum_keep").map(_.toInt)
 
   def jobConfig: JobConfig = JobConfig(input, output, inParts, outParts,
     outputFormat, outputCompression, outputOptions, outputBucketBy)
@@ -90,11 +99,13 @@ object JobCli {
       |          ([--as_of_generation N: near-probe a retained snapshot]) |
       |        dedup_index_update
       |          (--add_input INDEX_DIR [--batch_id TOKEN: retry-idempotent]) |
-      |        dedup_index_compact (input = INDEX_DIR: fold deltas, re-layout) |
+      |        dedup_index_compact (input = INDEX_DIR: fold deltas, re-layout;
+      |          [--output_option vacuum_keep=K: inline generation GC]) |
       |        bm25_index_build | bm25_index_probe (--query t1,t2
       |          [--as_of_generation N: probe a retained manifest snapshot]) |
       |        bm25_index_merge (--add_input INDEX_DIR: append-only delta fold) |
-      |        bm25_index_compact (input = INDEX_DIR: fold postings deltas) |
+      |        bm25_index_compact (input = INDEX_DIR: fold postings deltas;
+      |          [--output_option vacuum_keep=K: inline generation GC]) |
       |        scd2_build | scd2_merge (--add_input DIM_DIR) |
       |        asof (native point-in-time join over events) |
       |        crawl_diff (--add_input SNAPSHOT_B)
@@ -103,14 +114,16 @@ object JobCli {
       |           probe a retained manifest snapshot]) / ann_index_update
       |          (--add_input INDEX_DIR [--batch_id TOKEN: retry-idempotent,
       |           default = digest of input path + its file listing]) |
-      |        ann_index_compact (input = INDEX_DIR: tiered tail fold) |
+      |        ann_index_compact (input = INDEX_DIR: tiered tail fold;
+      |          [--output_option vacuum_keep=K: inline generation GC]) |
       |        index_vacuum (input = MANIFEST-protocol INDEX_DIR:
       |                GC superseded generations; --output_option keep=K
       |                grace_minutes=M) |
-      |        index_migrate (input = RENAME-protocol INDEX_DIR:
-      |                zero-copy adoption onto the manifest protocol) —
-      |                index builds take
-      |                [--commit_protocol auto|rename|manifest] |
+      |        index_migrate (input = legacy RENAME-protocol INDEX_DIR:
+      |                zero-copy adoption onto the manifest protocol —
+      |                required before any probe/maintenance of one;
+      |                rename builds are retired) — index builds take
+      |                [--commit_protocol auto|manifest] |
       |        datacard | heavy_hitters (--top_k K) | chunk | funnel | dq |
       |        compact (--output_option target_mb=N
       |                 --output_option zorder=colA,colB: Morton-clustered
@@ -504,10 +517,12 @@ object JobRunner {
         // each and folds the widths sidecar's per-batch delta rows —
         // the maintenance arm that keeps a 24/7 update cadence from
         // rotting the index into a small-files scan. Probe results are
-        // byte-identical before/after (marker + rename-aside swap, same
-        // crash-safety as the BM25 terms/stats fold).
+        // identical before/after (one manifest publish per fold).
+        // --output_option vacuum_keep=K additionally GCs superseded
+        // generations inline (see JobCli.vacuumKeep).
         {
-          graft.dedup.Dedup.compactMinHashIndex(spark, s"${cli.input}/minhash")
+          graft.dedup.Dedup.compactMinHashIndex(spark,
+            s"${cli.input}/minhash", vacuumKeep = cli.vacuumKeep)
           graft.dedup.Dedup.indexBandCounts(spark, s"${cli.input}/minhash")
         }
       case "bm25_index_compact" =>
@@ -515,8 +530,11 @@ object JobRunner {
         // postings delta file sets back to one sorted file set per
         // bucket (terms/stats already re-aggregate per merge); probe
         // results identical, row-group term pruning restored.
+        // --output_option vacuum_keep=K GCs superseded generations
+        // inline (see JobCli.vacuumKeep).
         {
-          graft.text.InvertedIndex.compact(spark, cli.input)
+          graft.text.InvertedIndex.compact(spark, cli.input,
+            vacuumKeep = cli.vacuumKeep)
           graft.text.InvertedIndex.readStats(spark, cli.input)
         }
       case "bm25_index_merge" =>
@@ -684,8 +702,11 @@ object JobRunner {
         // (vector/IvfMaintenance) — probe results identical, per-cycle
         // IO follows the tail. Completes the ANN index's
         // build/probe/update/compact maintenance parity.
+        // --output_option vacuum_keep=K GCs superseded generations
+        // inline (see JobCli.vacuumKeep).
         {
-          graft.vector.VectorOps.compactIvfIndex(spark, cli.input)
+          graft.vector.VectorOps.compactIvfIndex(spark, cli.input,
+            vacuumKeep = cli.vacuumKeep)
           graft.vector.VectorOps.loadIvfIndex(spark, cli.input).centroids
         }
       case "ann_index_probe" =>

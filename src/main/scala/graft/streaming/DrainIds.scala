@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.conf.Configuration
 
-import graft.util.{IndexCommit, ManifestCommit}
+import graft.util.ManifestCommit
 
 /** Batch identity for streaming index-maintenance drains.
   *
@@ -98,12 +98,16 @@ object DrainIds {
         None
       else Some(bid)
     } else {
-      // rename protocol: the committed/ token is written last, so a
-      // positive answer is final; a negative one is re-checked by the
-      // fold itself after recovery (which may complete a mid-crash
-      // commit) — a Some here can still legally no-op downstream
-      if (IndexCommit.isBatchCommitted(indexDir, legacy)) None
-      else Some(legacy)
+      // a legacy rename-protocol index cannot take drains (the rename
+      // maintenance bodies are retired) — the fold this id feeds would
+      // fail the same way, but failing HERE names the fix before any
+      // per-batch work is spent
+      throw new IllegalStateException(
+        s"streaming drain into $indexDir: the index runs the RETIRED " +
+          s"rename commit protocol. Adopt it zero-copy (JobRunner " +
+          s"index_migrate / the index's migrate*ToManifest API) before " +
+          s"pointing a drain at it — rename-era b<N> batch tokens carry " +
+          s"over, so already-committed batches stay no-ops.")
     }
   }
 }

@@ -693,8 +693,7 @@ object StreamQueries {
             graft.util.FileTrees.rmTree(tmp)
           }
           graft.dedup.Dedup.saveMinHashIndex(
-            docs.filter(pmod(col("doc_id"), lit(nCrawls)) === 0), si,
-            protocol = graft.util.CommitProtocol.Rename) // rename-drain twin
+            docs.filter(pmod(col("doc_id"), lit(nCrawls)) === 0), si)
           (sd, si)
         }
       // fresh MUTABLE state per invocation: the drain appends into a
@@ -808,8 +807,7 @@ object StreamQueries {
       }
       val si = java.nio.file.Files.createTempDirectory("graft_saim_seed").toString
       graft.vector.VectorOps.saveIvfIndex(
-        embs.filter(pmod(col("vec_id"), lit(4L)) === 0), si, k = 10, iters = 2,
-        protocol = graft.util.CommitProtocol.Rename) // rename-drain twin
+        embs.filter(pmod(col("vec_id"), lit(4L)) === 0), si, k = 10, iters = 2)
       (sd, si)
     }
 
@@ -840,23 +838,15 @@ object StreamQueries {
               // stream checkpoint landed) would otherwise overwrite its
               // hit partition with a probe against the POST-append
               // index — same-crawl neighbors the first attempt (and the
-              // static oracle) never saw.
-              // finish any crashed prior commit FIRST (the MinHash
-              // drain's order): a batch that died between its marker
-              // and its token must complete before the check below, or
-              // its replay would probe a half-promoted tail. Manifest
-              // indexes need neither: a crashed publish left only
-              // invisible garbage, and the committed state rides the
-              // snapshot itself
-              val manifest = graft.util.ManifestCommit.exists(
-                s.sessionState.newHadoopConf(), idxDir)
-              if (!manifest) graft.vector.VectorOps.recoverIvfIndex(idxDir)
-              // manifest indexes take the SEQUENCED id form with the
-              // writer derived from the CHECKPOINT LOCATION (stable
-              // across restarts, distinct across queries — DrainIds);
-              // a batch committed under EITHER its sequenced id or its
-              // pre-migration legacy b<N> token skips probe AND
-              // append. The hits partition keeps the plain token
+              // static oracle) never saw. No recovery step: a crashed
+              // manifest publish left only invisible garbage, and the
+              // committed state rides the snapshot itself.
+              // The SEQUENCED id's writer derives from the CHECKPOINT
+              // LOCATION (stable across restarts, distinct across
+              // queries — DrainIds); a batch committed under its
+              // sequenced id, its pre-migration legacy b<N> token, or
+              // the adoption-seeded legacy-drain watermark skips probe
+              // AND append. The hits partition keeps the plain token
               DrainIds.pending(s.sessionState.newHadoopConf(),
                 idxDir, cpDir, batchId).foreach { bid =>
                 // resolve ONE snapshot, probe it AS-OF, and pin the
@@ -867,19 +857,17 @@ object StreamQueries {
                 // snapshot this batch probed — letting the append
                 // re-resolve internally left a silent gap between the
                 // probe's resolve and the append's)
-                val snap =
-                  if (manifest) Some(graft.util.ManifestCommit.current(
-                    s.sessionState.newHadoopConf(), idxDir))
-                  else None
+                val snap = graft.util.ManifestCommit.current(
+                  s.sessionState.newHadoopConf(), idxDir)
                 graft.vector.VectorOps.annIvfIndexed(
                   batch.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
                   graft.vector.VectorOps.loadIvfIndex(s, idxDir,
-                    asOfGen = snap.map(_.gen)),
+                    asOfGen = Some(snap.gen)),
                   nprobe = 2, topk = 1)
                   .write.mode("overwrite").parquet(s"$hitsDir/batch_id=b$batchId")
                 graft.vector.VectorOps.appendIvfIndex(
                   batch.select(col("vec_id"), col("embedding")), idxDir,
-                  batchId = Some(bid), commuting = false, at = snap)
+                  batchId = Some(bid), commuting = false, at = Some(snap))
               }
             }
             .outputMode("append").start()

@@ -25,11 +25,10 @@ import org.apache.spark.sql.types.DoubleType
   *  - `stats/`: one row (n_docs, total_dl) — exact integer sums, so the
   *    probe recomputes avgdl by one double division and scores match the
   *    direct query bit for bit.
-  *  - `postings_l1/run=K/bucket=B/` + `postings_tail/`: the size-tiered
-  *    maintenance layout (graft.util.TieredIndex) — folds land in the
-  *    flat tail under the shared commit protocol
-  *    (graft.util.IndexCommit), [[compact]] re-lays them into pruned
-  *    bucket dirs on the tiered cadence.
+  *  - `postings.l1` + `postings.tail`: the size-tiered maintenance
+  *    layout (graft.util.TieredIndex's policy over ManifestTiered) —
+  *    folds land in the flat tail in one manifest publish, [[compact]]
+  *    re-lays them into pruned bucket dirs on the tiered cadence.
   *
   * A probe reads ONLY the probed buckets' files in the base and runs
   * (≤ |terms| of 64 directories each, asserted on the plan by
@@ -57,31 +56,8 @@ object InvertedIndex {
            protocol: graft.util.CommitProtocol =
              graft.util.CommitProtocol.Auto): Unit = {
     val conf = docs.sparkSession.sessionState.newHadoopConf()
-    graft.util.CommitProtocol.forBuild(conf, dir, protocol) match {
-      case graft.util.CommitProtocol.Manifest => return saveManifest(docs, dir)
-      case _ => ()
-    }
-    graft.util.IndexCommit.assertRenameCommitFs(
-      docs.sparkSession.sessionState.newHadoopConf(), dir, "InvertedIndex.save")
-    graft.util.IndexCommit.withWriterLease(dir) {
-    // a rebuild must not inherit a previous generation's tail, runs,
-    // staging, markers, or committed-batch tokens; the artifact set
-    // derives from the layouts (IndexCommit.clearMaintenanceState)
-    graft.util.IndexCommit.clearMaintenanceState(dir,
-      Seq(CompactRecoveryLayout, AppendLayout))
-    val postings = tokenizedPostings(docs).persist()
-    try {
-      postings
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-      // df = rows per term in postings ((term, doc) pairs are distinct)
-      postings.groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
-        .repartition(col("bucket")).sortWithinPartitions(col("term"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
-      statsOf(docs, postings).write.mode("overwrite").parquet(s"$dir/stats")
-    } finally postings.unpersist(blocking = false)
-    }
+    graft.util.CommitProtocol.forBuild(conf, dir, protocol)
+    saveManifest(docs, dir)
   }
 
   /** One tokenize pass → (term, doc_id, dl, tf, bucket) — shared by
@@ -244,62 +220,34 @@ object InvertedIndex {
   private val StatsSchema = StructType(Seq(
     StructField("n_docs", LongType), StructField("total_dl", LongType)))
 
-  /** READ-ONLY — runs no crash recovery, so concurrent probes can
-    * never destroy a writer's staged delta (recovery runs on every
-    * MAINTENANCE open instead; staged-but-uncommitted rows stay
-    * invisible until then — the MinHash probe contract). Postings
-    * read base ∪ level-1 runs ∪ tail: the bucket IN-filter prunes the
-    * partitioned base and runs statically, and only the
+  /** READ-ONLY: probes resolve ONE manifest snapshot for all three
+    * tables — consistent across any concurrent fold/compact/vacuum.
+    * Postings read base ∪ level-1 runs ∪ tail: the bucket IN-filter
+    * prunes the partitioned base and runs statically, and only the
     * compaction-bounded flat tail is row-filtered.
-    */
-  /** `asOfGen`: score against a RETAINED HISTORICAL generation
-    * (ManifestCommit.atGeneration) instead of the current snapshot —
-    * manifest protocol only (the rename protocol keeps no history).
+    *
+    * `asOfGen`: score against a RETAINED HISTORICAL generation
+    * (ManifestCommit.atGeneration) instead of the current snapshot.
     */
   def probe(s: SparkSession, dir: String, terms: Seq[String], k: Int = 10,
             k1: Double = 1.2, b: Double = 0.75,
             asOfGen: Option[Long] = None): DataFrame = {
     import s.implicits._
-    val manifest = graft.util.CommitProtocol.ofIndex(
-      s.sessionState.newHadoopConf(), dir) match {
-      case graft.util.CommitProtocol.Manifest =>
-        // one snapshot for all three tables — consistent across any
-        // concurrent fold/compact/vacuum, no healing needed
-        val conf = s.sessionState.newHadoopConf()
-        Some(asOfGen.map(g => ManifestCommit.atGeneration(conf, dir, g))
-          .getOrElse(ManifestCommit.current(conf, dir)))
-      case _ =>
-        require(asOfGen.isEmpty,
-          s"AS-OF probes need the manifest commit protocol ($dir runs the " +
-            s"rename protocol, which mutates dirs in place and keeps no " +
-            s"history — migrate with index_migrate)")
-        // self-heal a MARKED commit whose writer died mid-publish — the
-        // append layout swaps terms+stats, so a post-marker crash between
-        // the two renames leaves a live dir missing and every probe would
-        // otherwise throw until the next maintenance open; unmarked
-        // staging is never touched (IndexCommit.healMarkedCommit)
-        graft.util.IndexCommit.healMarkedCommit(dir,
-          Seq(CompactRecoveryLayout, AppendLayout))
-        None
-    }
+    val conf = s.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.requireManifest(conf, dir,
+      "InvertedIndex.probe")
+    val m = asOfGen.map(g => ManifestCommit.atGeneration(conf, dir, g))
+      .getOrElse(ManifestCommit.current(conf, dir))
     val bucketIds = terms.toDF("term").select(bucketOf(col("term")).as("bucket"))
       .distinct().as[Long].collect().toSeq
     val postFilter =
       col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*)
-    val post = manifest match {
-      case Some(m) => ManifestTiered.read(s, dir, m, "postings",
-        PostingsSchema, Some(postFilter))
-      case None => graft.util.TieredIndex.read(s, dir, "postings",
-        PostingsSchema, Some(postFilter))
-    }
-    val df = manifest
-      .map(m => ManifestCommit.readTable(s, dir, m, "terms", TermsSchema))
-      .getOrElse(s.read.schema(TermsSchema).parquet(s"$dir/terms"))
+    val post = ManifestTiered.read(s, dir, m, "postings",
+      PostingsSchema, Some(postFilter))
+    val df = ManifestCommit.readTable(s, dir, m, "terms", TermsSchema)
       .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
       .select(col("term"), col("df"))
-    val stats = manifest
-      .map(m => ManifestCommit.readTable(s, dir, m, "stats", StatsSchema))
-      .getOrElse(s.read.schema(StatsSchema).parquet(s"$dir/stats"))
+    val stats = ManifestCommit.readTable(s, dir, m, "stats", StatsSchema)
       .select(col("n_docs"),
         // nullif: an empty corpus has n_docs = 0 and no postings — avgdl
         // is never consumed then, but ANSI mode would fail fast on 0/0
@@ -316,109 +264,44 @@ object InvertedIndex {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
-  // ---- maintenance commit protocol + size-tiered postings layout ----
+  // ---- maintenance + size-tiered postings layout (manifest) ----
   //
-  // The ONE staged-promote + marker + committed-token + dir-swap
-  // implementation all three persisted indexes share
-  // (graft.util.IndexCommit) and the shared size-tiered layout/policy
-  // (graft.util.TieredIndex): `postings/bucket=B/` is the BASE,
-  // `postings_l1/run=K/bucket=B/` are level-1 runs (equally pruned by
-  // a probe's bucket IN-filter), `postings_tail/` is the flat level-0
-  // tail where folds land as a handful of unpartitioned files. Appends
-  // also swap the vocabulary-sized `terms/` + 1-row `stats/` pair —
-  // the pair rides the SAME marker as the staged postings, so a crash
-  // can never commit new-terms/old-stats (df counts including the
-  // delta but n_docs/total_dl without it).
-  private[text] val AppendLayout = graft.util.IndexCommit.Layout(
-    "_append_commit",
-    staged = Seq("postings_delta" -> "postings_tail"),
-    swaps = Seq("terms", "stats"))
-  private val MinorCompactLayout = graft.util.IndexCommit.Layout(
-    "_compact_commit",
-    staged = Seq("postings_l1_delta" -> "postings_l1"),
-    swaps = Seq("postings_tail"))
-  private val MergeCompactLayout = graft.util.IndexCommit.Layout(
-    "_compact_commit",
-    swaps = Seq("postings_l1", "postings_tail"))
-  private val MajorCompactLayout = graft.util.IndexCommit.Layout(
-    "_compact_commit",
-    swaps = Seq("postings", "postings_l1", "postings_tail"))
-  private[text] val CompactRecoveryLayout = graft.util.IndexCommit.Layout(
-    "_compact_commit",
-    staged = MinorCompactLayout.staged, swaps = MajorCompactLayout.swaps)
-
-  /** Finish (or roll back) a maintenance step interrupted mid-flight;
-    * runs on every maintenance open, under the writer lease.
-    */
-  private[text] def recoverIndex(dir: String): Unit =
-    graft.util.IndexCommit.recover(dir, Seq(CompactRecoveryLayout, AppendLayout))
+  // The shared size-tiered layout/policy (graft.util.TieredIndex's
+  // plan over graft.util.ManifestTiered's tables): `postings` base is
+  // bucket-partitioned (pruned by a probe's bucket IN-filter),
+  // `postings.l1` runs are flat (bucket, term, doc_id)-sorted files
+  // (footer-stat pruned), `postings.tail` holds the fold deltas flat.
+  // Every fold also replaces the vocabulary-sized `terms` + 1-row
+  // `stats` pair in the SAME manifest publish, so a probe can never
+  // see new-terms/old-stats. (The rename-protocol bodies — staged
+  // dirs + markers + leases — are retired; legacy indexes adopt via
+  // [[migrateToManifest]] / JobRunner index_migrate.)
 
   /** Incremental maintenance: fold a DELTA corpus into an existing
     * index without re-reading the indexed corpus. doc_ids must be new
     * (dedup/decontam are upstream's job). IO shape at scale:
     *
-    *  - postings: APPEND-ONLY — the delta stages under
-    *    `postings_delta/` and moves into the flat level-0 TAIL only
-    *    under the commit marker (one small unpartitioned write, never
-    *    a 64-bucket-dir commit; [[compact]] owns the re-layout into
-    *    pruned bucket dirs on the tiered cadence). The index's
-    *    dominant bytes are never rewritten, and a crashed/retried
-    *    fold can neither half-append nor double-append — with a
-    *    `batchId`, a batch already recorded under `committed/` is a
-    *    no-op.
+    *  - postings: APPEND-ONLY — the delta lands as one flat tail dir
+    *    (one small unpartitioned write, never a 64-bucket-dir commit;
+    *    [[compact]] owns the re-layout into pruned bucket dirs on the
+    *    tiered cadence). The index's dominant bytes are never
+    *    rewritten, and with a `batchId` a batch already committed in
+    *    the resolved snapshot is a no-op.
     *  - terms: df is additive, but the table must be REPLACED — base ∪
     *    delta re-aggregated (vocabulary-sized, orders of magnitude
-    *    below postings) and swapped in under the SAME marker, never
-    *    overwritten in place while being read.
-    *  - stats: one additive row, same swap, same marker.
+    *    below postings).
+    *  - stats: one additive row, same replace.
     *
-    * Writers run under the module's OS-file-lock lease — a concurrent
-    * second writer throws instead of silently overwriting the fixed
-    * staging paths.
+    * All three land in ONE manifest publish; a lost CAS retries the
+    * whole fold against the fresh snapshot (the update is NOT
+    * commuting — terms/stats derive from the snapshot read).
     */
   def appendDelta(deltaDocs: DataFrame, dir: String,
                   batchId: Option[String] = None): Unit = {
-    val s = deltaDocs.sparkSession
-    graft.util.CommitProtocol.ofIndex(
-      s.sessionState.newHadoopConf(), dir) match {
-      case graft.util.CommitProtocol.Manifest =>
-        return appendDeltaManifest(deltaDocs, dir, batchId)
-      case _ => ()
-    }
-    graft.util.IndexCommit.assertRenameCommitFs(
-      s.sessionState.newHadoopConf(), dir, "InvertedIndex.appendDelta")
-    graft.util.IndexCommit.withWriterLease(dir) {
-      recoverIndex(dir)
-      if (!batchId.exists(graft.util.IndexCommit.isBatchCommitted(dir, _))) {
-      val postings = tokenizedPostings(deltaDocs).persist()
-      try {
-        postings
-          .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("bucket"))
-          .write.mode("overwrite").parquet(s"$dir/postings_delta")
-        val deltaTerms = postings.groupBy(col("term"), col("bucket"))
-          .agg(count(lit(1)).as("df"))
-        val mergedTerms = s.read.schema(TermsSchema).parquet(s"$dir/terms")
-          .select(col("term"), col("bucket"), col("df"))
-          .unionByName(deltaTerms)
-          .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
-        mergedTerms.repartition(col("bucket")).sortWithinPartitions(col("term"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms_new")
-        val deltaStats = deltaDocs.select(col("doc_id"))
-          .agg(count(lit(1)).as("d_docs"))
-          .crossJoin(postings.select(col("doc_id"), col("dl"))
-            .dropDuplicates("doc_id")
-            .agg(coalesce(sum(col("dl")), lit(0L)).as("d_dl")))
-        s.read.schema(StatsSchema).parquet(s"$dir/stats").crossJoin(deltaStats)
-          .select((col("n_docs") + col("d_docs")).as("n_docs"),
-            (col("total_dl") + col("d_dl")).as("total_dl"))
-          .write.mode("overwrite").parquet(s"$dir/stats_new")
-        // every artifact (staged postings, terms_new, stats_new) is
-        // complete BEFORE the marker appears — the single decision
-        // point; recovery promotes ALL of them or NONE
-        graft.util.IndexCommit.commit(dir, AppendLayout, batchId)
-      } finally postings.unpersist(blocking = false)
-      }
-    }
+    graft.util.CommitProtocol.requireManifest(
+      deltaDocs.sparkSession.sessionState.newHadoopConf(), dir,
+      "InvertedIndex.appendDelta")
+    appendDeltaManifest(deltaDocs, dir, batchId)
   }
 
   /** SIZE-TIERED compaction of the fold-grown postings (policy in
@@ -431,61 +314,21 @@ object InvertedIndex {
     * MajorRatio × base, so the O(base) rewrite amortizes over O(base)
     * of appended bytes — the r12 single-level design rewrote the whole
     * postings table every cycle. terms/stats are already one file set
-    * per fold and are not touched. Crash-safe under one
-    * `_compact_commit` marker; writer-leased; NOT probe-concurrent
-    * (the multi-dir publish can transiently double-read rows across a
-    * promoted run and the not-yet-emptied tail — schedule from the
-    * single maintenance orchestrator, between probes).
+    * per fold and are not touched. One manifest publish per fold;
+    * probes resolve a snapshot, so compaction needs no scheduling.
+    *
+    * `vacuumKeep`: run [[ManifestCommit.vacuum]] inline after the
+    * fold, retaining the newest K generations — the 24/7 deployment
+    * ergonomic (no separate vacuum orchestration step; size K to the
+    * longest AS-OF horizon readers need).
     */
-  def compact(s: SparkSession, dir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import graft.util.TieredIndex
-    graft.util.CommitProtocol.ofIndex(
-      s.sessionState.newHadoopConf(), dir) match {
-      case graft.util.CommitProtocol.Manifest =>
-        return compactManifest(s, dir)
-      case _ => ()
-    }
-    graft.util.IndexCommit.assertRenameCommitFs(
-      s.sessionState.newHadoopConf(), dir, "InvertedIndex.compact")
-    // the BASE keeps the bucket partition-dir tree; LEVEL-1 runs are
-    // flat (bucket, term, doc_id)-sorted files — a Minor fold costs a
-    // handful-of-files write instead of a 64-bucket-dir commit, and
-    // the probe's direct bucket/term predicates prune them via parquet
-    // footer stats (TieredIndex.layFlatSorted)
-    def lay(rows: DataFrame, path: String): Unit =
-      rows.repartition(col("bucket"))
-        .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    def layRun(rows: DataFrame, path: String, mass: Long): Unit =
-      TieredIndex.layFlatSorted(rows, path,
-        Seq(col("bucket"), col("term"), col("doc_id")),
-        mass, 8L * 1000 * 1000)
-    def emptyNew(names: String*): Unit =
-      names.foreach(n => Files.createDirectories(Paths.get(dir, s"${n}_new")))
-    graft.util.IndexCommit.withWriterLease(dir) {
-      recoverIndex(dir)
-      val (action, sizes) =
-        TieredIndex.planWithSizes(s, dir, "postings", PostingsSchema)
-      action match {
-        case TieredIndex.NoOp => ()
-        case TieredIndex.Minor(k) =>
-          layRun(TieredIndex.readTail(s, dir, "postings", PostingsSchema),
-            s"$dir/postings_l1_delta/run=$k", sizes.tail)
-          emptyNew("postings_tail")
-          graft.util.IndexCommit.commit(dir, MinorCompactLayout)
-        case TieredIndex.MergeRuns =>
-          layRun(TieredIndex.readAboveBase(s, dir, "postings", PostingsSchema),
-            s"$dir/postings_l1_new/run=0", sizes.l1 + sizes.tail)
-          emptyNew("postings_tail")
-          graft.util.IndexCommit.commit(dir, MergeCompactLayout)
-        case TieredIndex.Major =>
-          lay(TieredIndex.read(s, dir, "postings", PostingsSchema),
-            s"$dir/postings_new")
-          emptyNew("postings_l1", "postings_tail")
-          graft.util.IndexCommit.commit(dir, MajorCompactLayout)
-      }
-    }
+  def compact(s: SparkSession, dir: String,
+              vacuumKeep: Option[Int] = None): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.requireManifest(conf, dir,
+      "InvertedIndex.compact")
+    compactManifest(s, dir)
+    vacuumKeep.foreach(k => ManifestCommit.vacuum(conf, dir, keepGens = k))
   }
 
   /** Zero-copy migration of a rename-protocol BM25 index onto the
@@ -499,34 +342,27 @@ object InvertedIndex {
       plain = Seq("terms" -> TermsSchema, "stats" -> StatsSchema)); ()
   }
 
-  /** The (n_docs, total_dl) stats row, protocol-aware — the CLI verbs'
-    * bounded return frame.
+  /** The (n_docs, total_dl) stats row — the CLI verbs' bounded return
+    * frame.
     */
-  def readStats(s: SparkSession, dir: String): DataFrame =
-    graft.util.CommitProtocol.ofIndex(
-      s.sessionState.newHadoopConf(), dir) match {
-      case graft.util.CommitProtocol.Manifest =>
-        ManifestCommit.readTable(s, dir,
-          ManifestCommit.current(s.sessionState.newHadoopConf(), dir),
-          "stats", StatsSchema)
-      case _ => s.read.schema(StatsSchema).parquet(s"$dir/stats")
-    }
+  def readStats(s: SparkSession, dir: String): DataFrame = {
+    graft.util.CommitProtocol.requireManifest(
+      s.sessionState.newHadoopConf(), dir, "InvertedIndex.readStats")
+    ManifestCommit.readTable(s, dir,
+      ManifestCommit.current(s.sessionState.newHadoopConf(), dir),
+      "stats", StatsSchema)
+  }
 
   /** Per-tier postings mass + the size policy's pending decision — the
     * maintenance-curve observability hook (tools/MaintenanceCurve).
-    * Read-only; manifest indexes answer from the manifest (zero Spark
-    * jobs), rename indexes from three metadata counts.
+    * Read-only; tier masses ride the manifest (zero Spark jobs).
     */
   def compactionTiers(s: SparkSession, dir: String)
       : (String, graft.util.TieredIndex.TierSizes) = {
-    val sizes = graft.util.CommitProtocol.ofIndex(
-      s.sessionState.newHadoopConf(), dir) match {
-      case graft.util.CommitProtocol.Manifest =>
-        val m = ManifestCommit.current(s.sessionState.newHadoopConf(), dir)
-        ManifestTiered.sizes(s, dir, m, "postings", PostingsSchema)
-      case _ =>
-        graft.util.TieredIndex.rowSizes(s, dir, "postings", PostingsSchema)
-    }
+    graft.util.CommitProtocol.requireManifest(
+      s.sessionState.newHadoopConf(), dir, "InvertedIndex.compactionTiers")
+    val m = ManifestCommit.current(s.sessionState.newHadoopConf(), dir)
+    val sizes = ManifestTiered.sizes(s, dir, m, "postings", PostingsSchema)
     val action = graft.util.TieredIndex.plan(sizes) match {
       case graft.util.TieredIndex.NoOp => "NoOp"
       case graft.util.TieredIndex.Minor(_) => "Minor"
@@ -546,8 +382,7 @@ object InvertedIndex {
     graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":" + dir,
       (d: String) => graft.util.FileTrees.rmTree(d)) {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
-      save(Tables(s, dir, "documents"), d,
-        protocol = graft.util.CommitProtocol.Rename) // rename twin
+      save(Tables(s, dir, "documents"), d)
       d
     }
 
@@ -580,8 +415,7 @@ object InvertedIndex {
       (d: String) => graft.util.FileTrees.rmTree(d)) {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_merged").toString
       val docs = Tables(s, dir, "documents")
-      save(docs.filter(col("doc_id") % 5 =!= 0), d,
-        protocol = graft.util.CommitProtocol.Rename) // rename twin
+      save(docs.filter(col("doc_id") % 5 =!= 0), d)
       appendDelta(docs.filter(col("doc_id") % 5 === 0), d,
         batchId = Some("merge-1"))
       d
@@ -601,44 +435,42 @@ object InvertedIndex {
     bm25IndexTopk.oracle)
 
   /** Build-once per (application, sf dir): an 80/20 build+fold index
-    * plus a pristine snapshot of the post-fold TAIL — the only tier
-    * state compaction mutates at this shape (tail 20% < base 80% →
-    * Minor).
+    * plus the post-fold generation — the snapshot each invocation
+    * rewinds to (tail 20% < base 80% → Minor).
     */
-  private def sessionFoldedIndex(s: SparkSession, dir: String): String =
-    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":folded:" + dir,
-      (d: String) => graft.util.FileTrees.rmTree(d)) {
+  private val foldedIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def sessionFoldedIndex(s: SparkSession, dir: String): (String, Long) =
+    graft.util.Caches.fill(foldedIdx, s.sparkContext.applicationId + ":folded:" + dir,
+      (v: (String, Long)) => graft.util.FileTrees.rmTree(v._1)) {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_folded").toString
       val docs = Tables(s, dir, "documents")
-      // the RENAME twin: its per-invocation reset copies the physical
-      // postings_tail dir, which only the rename layout has (Auto
-      // resolves manifest now — without the pin the reset silently
-      // no-ops and the bench measures a NoOp re-probe)
-      save(docs.filter(col("doc_id") % 5 =!= 0), s"$d/work",
-        protocol = graft.util.CommitProtocol.Rename)
-      appendDelta(docs.filter(col("doc_id") % 5 === 0), s"$d/work",
+      save(docs.filter(col("doc_id") % 5 =!= 0), d)
+      appendDelta(docs.filter(col("doc_id") % 5 === 0), d,
         batchId = Some("fold-1"))
-      graft.util.FileTrees.copyTreeIfExists(s"$d/work/postings_tail", s"$d/tail_seed")
-      d
+      (d, ManifestCommit.current(s.sessionState.newHadoopConf(), d).gen)
     }
 
   /** Registered maintenance arm: fold the appended tail into the
-    * tiered layout, then probe. Oracle = the SAME full-corpus BM25
-    * SQL: compaction must be invisible to retrieval, hash-checked.
-    * Each invocation RESETS only the tiers compaction mutates (tail +
-    * level-1 runs) from the pristine snapshot — an O(batch) copy — so
-    * the bench measures one real Minor fold + probe every time, not a
-    * NoOp re-probe of the first invocation's fold.
+    * tiered layout WITH THE INLINE VACUUM (`vacuumKeep` — the 24/7
+    * compact-verb ergonomic), then probe. Oracle = the SAME
+    * full-corpus BM25 SQL: compaction + vacuum must be invisible to
+    * retrieval, hash-checked (bm25_index_manifest_topk is the
+    * no-vacuum twin). Each invocation rewinds to the post-fold
+    * snapshot (manifest time-travel), so the bench measures one real
+    * Minor fold + vacuum pass + probe every time, not a NoOp re-probe
+    * of the first invocation's fold.
     */
   val bm25IndexCompactTopk: QueryDef = QueryDef(
     "bm25_index_compact_topk",
     (s, dir) => {
-      val root = sessionFoldedIndex(s, dir)
-      val idx = s"$root/work"
-      graft.util.FileTrees.rmTree(s"$idx/postings_l1")
-      graft.util.FileTrees.rmTree(s"$idx/postings_tail")
-      graft.util.FileTrees.copyTreeIfExists(s"$root/tail_seed", s"$idx/postings_tail")
-      compact(s, idx)
+      val conf = s.sessionState.newHadoopConf()
+      val (idx, seedGen) = sessionFoldedIndex(s, dir)
+      ManifestTiered.benchRewind(conf, idx, seedGen)
+      // keep=2 retains the pre-fold snapshot the next invocation
+      // rewinds to; the vacuum pass itself runs for real every cycle
+      compact(s, idx, vacuumKeep = Some(2))
       probe(s, idx, Seq("join", "vector", "filter", "dup"))
     },
     bm25IndexTopk.oracle)

@@ -2,17 +2,15 @@ package graft.util
 
 import java.nio.file.{Files, Path}
 
-/** Local-filesystem tree helpers shared by the persisted-index
-  * maintenance paths (text/InvertedIndex, dedup/Dedup's MinHash index)
-  * and the streaming drains that stage per-run working copies. One
-  * implementation of the recursive traversal/close logic instead of a
-  * private copy per call site.
+/** Local-filesystem tree helpers for TEST/BENCH fixtures — the
+  * streaming drains and bench queries that stage per-run working
+  * copies of a seed index, and fixture teardown. One implementation of
+  * the recursive traversal/close logic instead of a private copy per
+  * call site.
   *
-  * Local-fs only by design: these back [[IndexCommit]]'s rename-based
-  * single-writer protocol. An object-store deployment uses
-  * [[ManifestCommit]]'s versioned-manifest protocol instead — no
-  * renames on data paths, create-no-overwrite manifest publishes,
-  * snapshot-isolated readers.
+  * Local-fs only by design, and deliberately NOT part of any
+  * production commit path: the index protocol ([[ManifestCommit]])
+  * never renames or copies data paths.
   */
 object FileTrees {
 

@@ -5,11 +5,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-/** The OBJECT-STORE-SAFE commit protocol for persisted indexes — the
-  * versioned-manifest alternative to [[IndexCommit]]'s rename-based
-  * protocol (which is local-FS-only by design: atomic same-FS renames
-  * + OS file locks do not exist on S3-class stores, and the
-  * reference's own deployment story is an object store).
+/** The OBJECT-STORE-SAFE commit protocol for persisted indexes —
+  * versioned manifests in place of the retired rename-based protocol
+  * (which was local-FS-only by design: atomic same-FS renames + OS
+  * file locks do not exist on S3-class stores, and the reference's
+  * own deployment story is an object store).
   *
   * Invariants, in place of renames:
   *
@@ -417,8 +417,8 @@ object ManifestCommit {
   }
 
   /** True iff a manifest-protocol index exists at `indexDir` — the
-    * `_manifests` dir is the protocol marker ([[IndexCommit]]-protocol
-    * indexes never create one).
+    * `_manifests` dir is the protocol marker (legacy rename-protocol
+    * indexes never created one).
     */
   def exists(conf: Configuration, indexDir: String): Boolean =
     fs(conf, indexDir).exists(manifestsDir(indexDir))

@@ -6,10 +6,9 @@ import org.apache.spark.sql.types.StructType
 
 import ManifestCommit.{DirEntry, Manifest}
 
-/** The size-tiered LSM layout expressed over [[ManifestCommit]]'s
-  * versioned manifests — what [[TieredIndex]] (fixed dirs + rename
-  * commits) is to [[IndexCommit]]. One tiered table `name` maps to
-  * three manifest tables:
+/** The size-tiered LSM layout ([[TieredIndex]]'s policy) expressed
+  * over [[ManifestCommit]]'s versioned manifests. One tiered table
+  * `name` maps to three manifest tables:
   *
   *  - `name`       — the BASE: normally one dir holding a partitioned
   *    file tree (probes prune it statically, exactly like the rename
@@ -374,22 +373,27 @@ object ManifestTiered {
   }
 }
 
-/** Which commit protocol a persisted index runs on. [[IndexCommit]]'s
-  * rename protocol needs atomic same-FS renames + OS file locks —
-  * local-FS only; [[ManifestCommit]]'s versioned manifests need only
-  * fresh-file create + delete and run anywhere (the object-store
-  * deployment the reference targets). `Auto` picks by filesystem
-  * scheme at BUILD time; after that the index itself records the
-  * choice (`_manifests/` exists ⇔ manifest protocol) and every
-  * maintenance/probe entry dispatches off the index, so one binary
-  * drives both kinds.
+/** Which commit protocol a persisted index runs on. The RENAME
+  * protocol (atomic same-FS renames + OS file locks — local-FS only)
+  * is RETIRED as a build/maintenance target: [[ManifestCommit]]'s
+  * versioned manifests need only fresh-file create + delete, run
+  * anywhere (the object-store deployment the reference targets), and
+  * measured perf-equal at every depth (SCALE.md) — so every build
+  * resolves Manifest, and `Rename` survives only as (a) the DETECTED
+  * protocol of a legacy index dir ([[ofIndex]]), whose one legal
+  * operation is zero-copy adoption ([[ManifestTiered
+  * .adoptRenameTiered]] / JobRunner index_migrate), and (b) a refused
+  * build request with that pointer.
   */
 sealed trait CommitProtocol
 object CommitProtocol {
-  /** Resolves [[Manifest]] everywhere at build time (see [[forBuild]]);
-    * an EXISTING index still dispatches off its own layout ([[ofIndex]]).
+  /** Resolves [[Manifest]] at build time (see [[forBuild]]); an
+    * EXISTING index still dispatches off its own layout ([[ofIndex]]).
     */
   case object Auto extends CommitProtocol
+  /** Retired. A legacy rename-protocol index resolves this from
+    * [[ofIndex]]; requesting it for a build throws in [[forBuild]].
+    */
   case object Rename extends CommitProtocol
   case object Manifest extends CommitProtocol
 
@@ -399,50 +403,60 @@ object CommitProtocol {
     scheme == null || scheme == "file"
   }
 
-  /** Resolve the protocol to BUILD (or rebuild) an index with.
-    * `Auto` resolves MANIFEST everywhere: the protocols are measured
-    * perf-equal at every depth (SCALE.md), and manifest deletes the
-    * rename protocol's probe-vs-compaction scheduling caveat and its
-    * unbounded committed-token inodes — rename survives only as an
-    * explicit opt-out (`--commit_protocol rename`) until its bodies
-    * are retired. An existing `_manifests` dir still WINS over any
-    * request: rebuilding a manifest-protocol index rename-style would
-    * lay fresh rename tables while every reader keeps resolving the
-    * surviving (now stale) manifest — the rebuild would silently
-    * change nothing. A rebuild that crosses the protocol the other
-    * way (Auto over an old rename tree) is a REBUILD: the new
-    * manifest replaces the index, and the save's
-    * [[clearRenameLayout]] call deletes the now-unreachable rename
-    * tree (to KEEP a rename index's bytes, migrate with
-    * adoptRenameTiered / index_migrate instead of rebuilding).
-    * Resolving Manifest also proves the store PUBLISHABLE
+  /** Resolve the protocol to BUILD (or rebuild) an index with: always
+    * [[Manifest]] — a `Rename` request is refused (the rename
+    * maintenance bodies are retired; the protocols were proven
+    * bit-identical and perf-equal before retirement, SCALE.md). A
+    * rebuild over an old rename tree is a REBUILD: the new manifest
+    * replaces the index, and the save's [[ManifestTiered
+    * .clearRenameLayout]] call deletes the then-unreachable rename
+    * tree after the publish (to KEEP a rename index's bytes, migrate
+    * with adoptRenameTiered / index_migrate instead of rebuilding).
+    * Resolving also proves the store PUBLISHABLE
     * (ManifestCommit.assertPublishable) — a store with no atomic
     * create-no-overwrite story fails here, before any data is laid.
     */
   def forBuild(conf: Configuration, dir: String,
                chosen: CommitProtocol): CommitProtocol = {
-    val adopted = ManifestCommit.exists(conf, dir)
-    val resolved = chosen match {
-      case Auto => Manifest
-      case Rename if adopted => throw new IllegalArgumentException(
-        s"$dir already runs the manifest commit protocol (_manifests " +
-          s"exists): a rename-protocol rebuild would be invisible to " +
-          s"readers, which resolve the stale manifest. Rebuild with " +
-          s"protocol=Manifest, or delete the index dir first.")
-      case p => p
+    chosen match {
+      case Rename => throw new IllegalArgumentException(
+        s"the rename commit protocol is retired: index builds run the " +
+          s"versioned-manifest protocol everywhere (proven bit-identical " +
+          s"and perf-equal before retirement). Build $dir with " +
+          s"protocol=Auto or Manifest; to keep an EXISTING rename " +
+          s"index's bytes, adopt it zero-copy with JobRunner " +
+          s"index_migrate (or the index's migrate*ToManifest API).")
+      case _ => ()
     }
-    if (resolved == Manifest) ManifestCommit.assertPublishable(conf, dir)
-    resolved
+    ManifestCommit.assertPublishable(conf, dir)
+    Manifest
   }
 
   /** The protocol an EXISTING index at `dir` runs on: the `_manifests`
     * dir is the marker a manifest-protocol build always creates (its
-    * first publish writes there); without one, a local dir is a
+    * first publish writes there); without one, a local dir is a legacy
     * rename-protocol index and a non-local dir can only legally hold a
-    * manifest one (the rename protocol refuses to build there).
+    * manifest one (the rename protocol never built there).
     */
   def ofIndex(conf: Configuration, dir: String): CommitProtocol =
     if (ManifestCommit.exists(conf, dir)) Manifest
     else if (isLocal(conf, dir)) Rename
     else Manifest
+
+  /** Every probe/maintenance entry point's gate: the index at `dir`
+    * must run the manifest protocol. A legacy rename index fails
+    * loudly with the one supported path — zero-copy adoption — instead
+    * of running the retired rename arms (and instead of resolving the
+    * manifest protocol over a manifest-less tree, which would silently
+    * read an EMPTY index).
+    */
+  def requireManifest(conf: Configuration, dir: String, what: String): Unit =
+    if (ofIndex(conf, dir) != Manifest)
+      throw new IllegalStateException(
+        s"$what: the index at $dir runs the RETIRED rename commit " +
+          s"protocol (no _manifests dir on a local filesystem). Adopt it " +
+          s"onto the manifest protocol zero-copy — JobRunner " +
+          s"index_migrate (or the index's migrate*ToManifest API), a " +
+          s"one-time metadata-only step — after which every probe and " +
+          s"maintenance verb runs manifest-side.")
 }

@@ -1,21 +1,14 @@
 package graft.util
 
-import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.DataFrame
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-
-/** Size-tiered LSM layout shared by the persisted indexes. A tiered
-  * table `name` under an index dir lives as:
-  *
-  *  - `<name>/`          — the partitioned BASE (one sorted file set per
-  *    partition; probes prune it statically),
-  *  - `<name>_l1/run=K/` — LEVEL-1 runs, same partitioned layout, one
-  *    run per minor compaction (probes prune each run the same way),
-  *  - `<name>_tail/`     — the flat LEVEL-0 tail where appends land as a
-  *    handful of unpartitioned files (partition keys as data columns), so
-  *    a micro-batch append never pays a 100+-partition-dir commit,
-  *  - `<name>_delta/`, `<name>_l1_delta/` — staging dirs owned by the
-  *    [[IndexCommit]] marker protocol.
+/** Size-tiered LSM POLICY shared by the persisted indexes, over the
+  * versioned-manifest layout ([[ManifestTiered]]): a tiered table
+  * `name` lives as the partitioned BASE (probes prune it statically),
+  * LEVEL-1 runs of flat sorted files (one per minor compaction,
+  * footer-stat pruned), and the flat LEVEL-0 tail where appends land
+  * as a handful of unpartitioned dirs — so a micro-batch append never
+  * pays a 100+-partition-dir commit.
   *
   * Why tiers: the r12 design folded the tail straight into the base, so
   * EVERY compaction rewrote the whole index (measured 48.6 s / 27.2 GB
@@ -27,14 +20,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * reaches [[MajorRatio]] × base — so its O(base) cost amortizes over
   * O(base) of appended bytes, and per-cycle compaction IO follows the
   * TAIL, not the accumulated index. Every row is rewritten at most
-  * ~2+maxRuns/…≈3 times on its way into the base (tail → run → base,
-  * plus at most one run re-merge between), the classic size-tiered
+  * ~3 times on its way into the base (tail → run → base, plus at most
+  * one run re-merge between), the classic size-tiered
   * write-amplification bound.
   *
-  * This module owns the layout, the read-side union, and the policy
-  * decision; the index-specific code owns the parquet writes (sort
-  * keys and sidecar folds differ per index) and publishes them through
-  * [[IndexCommit]].
+  * This module owns the policy decision and the flat-run lay shape;
+  * [[ManifestTiered]] owns the layout, the read-side union, and the
+  * manifest publishes. (The rename-protocol layout this module once
+  * also read — `<name>_l1/run=K` physical dirs promoted under marker
+  * files — is retired; [[ManifestTiered.adoptRenameTiered]] is the one
+  * remaining reader of that tree, for zero-copy migration.)
   */
 object TieredIndex {
 
@@ -61,45 +56,15 @@ object TieredIndex {
   /** Fold base + runs + tail into a new base; O(base), ratio-gated. */
   case object Major extends CompactAction
 
-  def l1Dir(indexDir: String, name: String): Path =
-    Paths.get(indexDir, s"${name}_l1")
-
-  /** Existing level-1 run ids, ascending (bounded by [[MaxL1Runs]]). */
-  def runIds(indexDir: String, name: String): Seq[Long] = {
-    val d = l1Dir(indexDir, name)
-    if (!Files.isDirectory(d)) return Nil
-    val st = Files.list(d)
-    try {
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("run="))
-        .map(_.stripPrefix("run=").toLong)
-        .toSeq.sorted
-    } finally st.close()
-  }
-
   /** Per-tier mass of one table. Measured in ROWS, not file bytes:
     * index rows are fixed-width, so rows ∝ data bytes at any scale,
     * while raw file sizes are skewed by the per-file parquet footer
     * overhead of the base's many small partition files (at small scale
     * a 512-file base "outweighs" a compact flat tail holding twice its
-    * rows, and the ratio trip would mis-fire). Row counts come from
-    * parquet footers (a metadata-only Spark count per tier).
+    * rows, and the ratio trip would mis-fire). Row counts ride the
+    * manifest's DirEntry records ([[ManifestTiered.sizes]]).
     */
   final case class TierSizes(base: Long, l1: Long, tail: Long, runCount: Int)
-
-  def rowSizes(spark: SparkSession, indexDir: String, name: String,
-               schema: org.apache.spark.sql.types.StructType): TierSizes = {
-    def rows(read: => DataFrame): Long = read.count()
-    val runs = runIds(indexDir, name)
-    TierSizes(
-      base = rows(spark.read.schema(schema).parquet(s"$indexDir/$name")),
-      l1 = runs.map(k =>
-        rows(spark.read.schema(schema).parquet(s"$indexDir/${name}_l1/run=$k"))).sum,
-      tail = rows(readTail(spark, indexDir, name, schema)),
-      runCount = runs.size)
-  }
 
   /** The policy decision for a tiered table, from its per-tier mass. */
   def plan(sizes: TierSizes,
@@ -111,27 +76,6 @@ object TieredIndex {
     else if (sizes.tail > 0) Minor(-1L) // run id resolved by the caller
     else NoOp
   }
-
-  /** Policy + next-run-id resolution for table `name` of an index.
-    * Returns the measured tier masses alongside the decision so the
-    * fold can size its output files without re-counting.
-    */
-  def planWithSizes(spark: SparkSession, indexDir: String, name: String,
-                    schema: org.apache.spark.sql.types.StructType)
-      : (CompactAction, TierSizes) = {
-    val sizes = rowSizes(spark, indexDir, name, schema)
-    val action = plan(sizes) match {
-      case Minor(_) =>
-        Minor(runIds(indexDir, name).lastOption.getOrElse(-1L) + 1L)
-      case other => other
-    }
-    (action, sizes)
-  }
-
-  /** Policy + next-run-id resolution for table `name` of an index. */
-  def plan(spark: SparkSession, indexDir: String, name: String,
-           schema: org.apache.spark.sql.types.StructType): CompactAction =
-    planWithSizes(spark, indexDir, name, schema)._1
 
   /** Lay `rows` as a handful of FLAT range-partitioned files sorted on
     * `sortKeys` — the LEVEL-1 run layout. Runs deliberately skip the
@@ -153,62 +97,5 @@ object TieredIndex {
     rows.repartitionByRange(n, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
       .write.mode("overwrite").parquet(path)
-  }
-
-  /** The ONE base ∪ runs ∪ tail reader every consumer goes through,
-    * with the probes' explicit-schema discipline (a just-seeded index
-    * may hold ZERO part files and schema inference over a part-less
-    * partitioned dir throws; an empty index must read as empty). The
-    * optional filter prunes base and run partitions statically and
-    * applies as a row filter on the flat tail.
-    */
-  def read(spark: SparkSession, indexDir: String, name: String,
-           schema: org.apache.spark.sql.types.StructType,
-           filter: Option[Column] = None): DataFrame = {
-    def f(df: DataFrame) = filter.map(df.filter).getOrElse(df)
-    def exists(sub: String) = {
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
-      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-    }
-    var out = f(spark.read.schema(schema).parquet(s"$indexDir/$name"))
-    runIds(indexDir, name).foreach { k =>
-      out = out.unionByName(
-        f(spark.read.schema(schema).parquet(s"$indexDir/${name}_l1/run=$k")))
-    }
-    if (exists(s"${name}_tail"))
-      out = out.unionByName(
-        f(spark.read.schema(schema).parquet(s"$indexDir/${name}_tail")))
-    out
-  }
-
-  /** Rows of the LEVEL-1 + tail mass only — what a [[MergeRuns]] fold
-    * rewrites (the base is deliberately not read).
-    */
-  def readAboveBase(spark: SparkSession, indexDir: String, name: String,
-                    schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    def exists(sub: String) = {
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
-      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-    }
-    var out = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    runIds(indexDir, name).foreach { k =>
-      out = out.unionByName(
-        spark.read.schema(schema).parquet(s"$indexDir/${name}_l1/run=$k"))
-    }
-    if (exists(s"${name}_tail"))
-      out = out.unionByName(
-        spark.read.schema(schema).parquet(s"$indexDir/${name}_tail"))
-    out
-  }
-
-  /** Rows of the tail only (what a [[Minor]] fold rewrites). */
-  def readTail(spark: SparkSession, indexDir: String, name: String,
-               schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/${name}_tail")
-    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
-      spark.read.schema(schema).parquet(s"$indexDir/${name}_tail")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 }

@@ -552,41 +552,19 @@ object PqOps {
     val spark = c.sparkSession
     import spark.implicits._
     graft.util.CommitProtocol.forBuild(
-      spark.sessionState.newHadoopConf(), indexDir, protocol) match {
-      case graft.util.CommitProtocol.Manifest =>
-        val (assignments, centroids) = VectorOps.buildIvf(c, k, iters, nKnown = nKnown)
-        val codebooks = trainCodebooks(c, nKnown)
-        return IvfMaintenance.saveManifest(spark, indexDir,
-          c.join(assignments, "vec_id")
-            .select(col("vec_id"), col("embedding"), col("cell")),
-          centroids,
-          codes = Some(encode(c, codebooks).join(assignments, "vec_id")
-            .select(col("vec_id"), col("codes"), col("cell"))),
-          codebooks = Some(
-            (for ((cb, m) <- codebooks.zipWithIndex.toSeq; (ct, j) <- cb.zipWithIndex)
-              yield (m, j, ct.toSeq))
-              .toDF("m", "code", "centroid").coalesce(1)))
-      case _ => ()
-    }
-    graft.util.IndexCommit.assertRenameCommitFs(
-      spark.sessionState.newHadoopConf(), indexDir, "savePqIndex")
-    graft.util.IndexCommit.withWriterLease(indexDir) {
-      // a rebuild must not inherit a previous generation's tails, runs,
-      // or committed-batch tokens (IvfMaintenance.clearMaintenanceState)
-      IvfMaintenance.clearMaintenanceState(indexDir)
-      val (assignments, centroids) = VectorOps.buildIvf(c, k, iters, nKnown = nKnown)
-      val codebooks = trainCodebooks(c, nKnown)
+      spark.sessionState.newHadoopConf(), indexDir, protocol)
+    val (assignments, centroids) = VectorOps.buildIvf(c, k, iters, nKnown = nKnown)
+    val codebooks = trainCodebooks(c, nKnown)
+    IvfMaintenance.saveManifest(spark, indexDir,
       c.join(assignments, "vec_id")
-        .select(col("vec_id"), col("embedding"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
-      encode(c, codebooks).join(assignments, "vec_id")
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
-      centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
-      (for ((cb, m) <- codebooks.zipWithIndex.toSeq; (ct, j) <- cb.zipWithIndex)
-        yield (m, j, ct.toSeq))
-        .toDF("m", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    }
+        .select(col("vec_id"), col("embedding"), col("cell")),
+      centroids,
+      codes = Some(encode(c, codebooks).join(assignments, "vec_id")
+        .select(col("vec_id"), col("codes"), col("cell"))),
+      codebooks = Some(
+        (for ((cb, m) <- codebooks.zipWithIndex.toSeq; (ct, j) <- cb.zipWithIndex)
+          yield (m, j, ct.toSeq))
+          .toDF("m", "code", "centroid").coalesce(1)))
   }
 
   final case class PqIndex(vectors: DataFrame, codes: DataFrame,
@@ -612,45 +590,34 @@ object PqOps {
     loadPqIndex(spark, indexDir, asOfGen = None)
 
   /** `asOfGen`: load a RETAINED HISTORICAL generation
-    * (ManifestCommit.atGeneration) — manifest protocol only.
+    * (ManifestCommit.atGeneration).
     */
   def loadPqIndex(spark: SparkSession, indexDir: String,
                   asOfGen: Option[Long]): PqIndex = {
     val cb = Array.fill(M, Ks)(Array.fill(SubDim)(0.0))
-    if (IvfMaintenance.isManifest(spark, indexDir)) {
-      // ONE snapshot covers all four tables: a probe can never pair
-      // new vectors with old codes or a different codebook generation
-      val conf = spark.sessionState.newHadoopConf()
-      val m = asOfGen
-        .map(g => graft.util.ManifestCommit.atGeneration(conf, indexDir, g))
-        .getOrElse(graft.util.ManifestCommit.current(conf, indexDir))
-      val cbRows = graft.util.ManifestCommit.readTable(spark, indexDir, m,
-        "codebooks", CodebooksSchema).collect()
-      // fail like the rename arm's missing-path read would: an absent
-      // codebooks table (a flat saveIvfIndex index loaded as PQ) must
-      // not silently yield all-zero codebooks and garbage ADC scores
-      require(cbRows.nonEmpty,
-        s"$indexDir is not a PQ index: its manifest has no 'codebooks' " +
-          s"table (a flat IVF index? probe it with loadIvfIndex/" +
-          s"annIvfIndexed, or rebuild with savePqIndex)")
-      cbRows.foreach { r =>
-        cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
-      }
-      PqIndex(IvfMaintenance.readVectorsManifest(spark, indexDir, m),
-        IvfMaintenance.readCodesManifest(spark, indexDir, m),
-        graft.util.ManifestCommit.readTable(spark, indexDir, m,
-          "centroids", IvfMaintenance.CentroidsSchema), cb)
-    } else {
-      require(asOfGen.isEmpty,
-        s"AS-OF reads need the manifest commit protocol ($indexDir runs " +
-          s"the rename protocol, which keeps no history)")
-      val ivf = VectorOps.loadIvfIndex(spark, indexDir)
-      spark.read.parquet(s"$indexDir/codebooks").collect().foreach { r =>
-        cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
-      }
-      PqIndex(ivf.vectors, IvfMaintenance.readCodes(spark, indexDir),
-        ivf.centroids, cb)
+    val conf = spark.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.requireManifest(conf, indexDir, "loadPqIndex")
+    // ONE snapshot covers all four tables: a probe can never pair
+    // new vectors with old codes or a different codebook generation
+    val m = asOfGen
+      .map(g => graft.util.ManifestCommit.atGeneration(conf, indexDir, g))
+      .getOrElse(graft.util.ManifestCommit.current(conf, indexDir))
+    val cbRows = graft.util.ManifestCommit.readTable(spark, indexDir, m,
+      "codebooks", CodebooksSchema).collect()
+    // an absent codebooks table (a flat saveIvfIndex index loaded as
+    // PQ) must not silently yield all-zero codebooks and garbage ADC
+    // scores
+    require(cbRows.nonEmpty,
+      s"$indexDir is not a PQ index: its manifest has no 'codebooks' " +
+        s"table (a flat IVF index? probe it with loadIvfIndex/" +
+        s"annIvfIndexed, or rebuild with savePqIndex)")
+    cbRows.foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
+    PqIndex(IvfMaintenance.readVectorsManifest(spark, indexDir, m),
+      IvfMaintenance.readCodesManifest(spark, indexDir, m),
+      graft.util.ManifestCommit.readTable(spark, indexDir, m,
+        "centroids", IvfMaintenance.CentroidsSchema), cb)
   }
 
   /** Add a NEW vector batch to an existing persisted index without
@@ -660,19 +627,20 @@ object PqOps {
     * vector's cell). The existing centroids place the batch (map-stage
     * assignCells), the existing codebooks encode it (map-stage encode),
     * and both cell-partitioned stores take the batch in their flat
-    * level-0 tails under ONE [[graft.util.IndexCommit]] marker
-    * (writer-leased, staged under `vectors_delta/` + `codes_delta/`) —
-    * a crashed or retried update can neither half-append (vectors
-    * landed, codes lost: the ADC scan would silently miss the batch)
-    * nor double-append, and with a `batchId` a re-driven batch is a
-    * no-op. Old files are untouched and a probe sees old and new
-    * vectors in the same layout; [[VectorOps.compactIvfIndex]] folds
-    * the tails into pruned `cell=` dirs on the tiered cadence. Caller
-    * owns vec_id uniqueness across batches (as with any append store).
+    * level-0 tails in ONE manifest publish — a crashed or retried
+    * update can neither half-append (vectors landed, codes lost: the
+    * ADC scan would silently miss the batch) nor double-append, and
+    * with a `batchId` a re-driven batch is a no-op. Old files are
+    * untouched and a probe sees old and new vectors in the same
+    * layout; [[VectorOps.compactIvfIndex]] folds the tails into pruned
+    * `cell=` dirs on the tiered cadence. Caller owns vec_id uniqueness
+    * across batches (as with any append store).
     */
   def addToPqIndex(newBatch: DataFrame, indexDir: String,
                    batchId: Option[String] = None): Unit = {
     val spark = newBatch.sparkSession
+    graft.util.CommitProtocol.requireManifest(
+      spark.sessionState.newHadoopConf(), indexDir, "addToPqIndex")
     val idx = loadPqIndex(spark, indexDir)
     val centroids = idx.centroids.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
@@ -680,25 +648,12 @@ object PqOps {
       s"$indexDir has no centroids — build the index before updating it")
     val assigned = VectorOps.assignCells(newBatch, centroids)
       .select(col("vec_id"), col("cell"))
-    if (IvfMaintenance.isManifest(spark, indexDir))
-      return IvfMaintenance.appendManifest(spark, indexDir,
-        newBatch.join(assigned, "vec_id")
-          .select(col("vec_id"), col("embedding"), col("cell")),
-        codes = Some(encode(newBatch, idx.codebooks).join(assigned, "vec_id")
-          .select(col("vec_id"), col("codes"), col("cell"))),
-        batchId)
-    graft.util.IndexCommit.assertRenameCommitFs(
-      spark.sessionState.newHadoopConf(), indexDir, "addToPqIndex")
-    graft.util.IndexCommit.withWriterLease(indexDir) {
-      IvfMaintenance.recover(indexDir)
-      if (!batchId.exists(IvfMaintenance.isBatchCommitted(indexDir, _)))
-        IvfMaintenance.stageAndCommitAdd(indexDir,
-          newBatch.join(assigned, "vec_id")
-            .select(col("vec_id"), col("embedding"), col("cell")),
-          codes = Some(encode(newBatch, idx.codebooks).join(assigned, "vec_id")
-            .select(col("vec_id"), col("codes"), col("cell"))),
-          batchId)
-    }
+    IvfMaintenance.appendManifest(spark, indexDir,
+      newBatch.join(assigned, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell")),
+      codes = Some(encode(newBatch, idx.codebooks).join(assigned, "vec_id")
+        .select(col("vec_id"), col("codes"), col("cell"))),
+      batchId)
   }
 
   /** Probe the persisted IVF-PQ index: no k-means, no codebook training,

@@ -480,49 +480,23 @@ object VectorOps {
                    protocol: graft.util.CommitProtocol =
                      graft.util.CommitProtocol.Auto): Unit = {
     val conf = c.sparkSession.sessionState.newHadoopConf()
-    graft.util.CommitProtocol.forBuild(conf, indexDir, protocol) match {
-      case graft.util.CommitProtocol.Manifest =>
-        val (assignments, centroids) = buildIvf(c, k, iters)
-        return IvfMaintenance.saveManifest(c.sparkSession, indexDir,
-          c.join(assignments, "vec_id")
-            .select(col("vec_id"), col("embedding"), col("cell")),
-          centroids, codes = None, codebooks = None)
-      case _ => ()
-    }
-    graft.util.IndexCommit.assertRenameCommitFs(
-      c.sparkSession.sessionState.newHadoopConf(), indexDir, "saveIvfIndex")
-    graft.util.IndexCommit.withWriterLease(indexDir) {
-      // a rebuild must not inherit a previous generation's tails, runs,
-      // or committed-batch tokens (a surviving token would silently
-      // no-op a new ingest that reuses a batch id)
-      IvfMaintenance.clearMaintenanceState(indexDir)
-      // a FLAT rebuild over a dir that previously held a PQ index must
-      // also drop the live codes/codebooks tables: this build never
-      // overwrites them, so the dir would still read as a valid PQ
-      // index (hasCodes) and loadPqIndex would silently join the OLD
-      // generation's codes against the NEW vectors — wrong ADC results
-      // with no error
-      Seq("codes", "codes_l1", "codes_tail", "codebooks")
-        .foreach(n => graft.util.FileTrees.rmTree(
-          java.nio.file.Paths.get(indexDir, n)))
-      val (assignments, centroids) = buildIvf(c, k, iters)
+    graft.util.CommitProtocol.forBuild(conf, indexDir, protocol)
+    val (assignments, centroids) = buildIvf(c, k, iters)
+    IvfMaintenance.saveManifest(c.sparkSession, indexDir,
       c.join(assignments, "vec_id")
-        .select(col("vec_id"), col("embedding"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
-      centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    }
+        .select(col("vec_id"), col("embedding"), col("cell")),
+      centroids, codes = None, codebooks = None)
   }
 
   /** FAISS-style `add`: fold new vectors into a persisted IVF index by
     * assigning them to the EXISTING centroids — no re-clustering, no
-    * base read, no rewrite. The batch stages under `vectors_delta/`
-    * and lands in the flat level-0 tail only under the shared
-    * [[graft.util.IndexCommit]] marker (writer-leased), so a
+    * base read, no rewrite. The batch lands as one flat level-0 tail
+    * dir in ONE manifest publish carrying the batch id, so a
     * crashed/retried add can neither half-append nor double-append —
-    * with a `batchId`, a batch already recorded under `committed/` is
-    * a no-op (the exactly-once contract a foreachBatch retry or a
-    * re-run CLI `ann_index_update` needs; the r12 bare
-    * `mode("append")` double-appended here). The centroid table is
+    * a batch already committed in the resolved snapshot is a no-op
+    * (the exactly-once contract a foreachBatch retry or a re-run CLI
+    * `ann_index_update` needs; the r12 bare `mode("append")`
+    * double-appended here). The centroid table is
     * untouched, so every already-planned probe stays valid. By
     * construction the result is row-identical to assigning base ∪
     * delta against the same centroids (spec-pinned); recall drifts
@@ -542,15 +516,13 @@ object VectorOps {
                      at: Option[graft.util.ManifestCommit.Manifest] = None)
       : Unit = {
     val s = delta.sparkSession
-    val manifest = IvfMaintenance.isManifest(s, indexDir)
-    val snap =
-      if (manifest) at.orElse(Some(graft.util.ManifestCommit.current(
-        s.sessionState.newHadoopConf(), indexDir)))
-      else None
-    val cents: Seq[(Long, Seq[Double])] = snap
-      .map(m => graft.util.ManifestCommit.readTable(s, indexDir, m,
-        "centroids", CentroidsSchema))
-      .getOrElse(s.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids"))
+    graft.util.CommitProtocol.requireManifest(
+      s.sessionState.newHadoopConf(), indexDir, "appendIvfIndex")
+    val snap = at.getOrElse(graft.util.ManifestCommit.current(
+      s.sessionState.newHadoopConf(), indexDir))
+    val cents: Seq[(Long, Seq[Double])] =
+      graft.util.ManifestCommit.readTable(s, indexDir, snap,
+        "centroids", CentroidsSchema)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     if (cents.isEmpty) {
       // empty-corpus build has no centroids; folding an empty delta
@@ -560,39 +532,27 @@ object VectorOps {
       throw new IllegalStateException(
         s"$indexDir has no centroids — an untrained index cannot take adds (FAISS contract); build with saveIvfIndex first")
     }
-    if (manifest)
-      return IvfMaintenance.appendManifest(s, indexDir,
-        assignCells(delta, cents), codes = None, batchId, commuting, at)
-    graft.util.IndexCommit.assertRenameCommitFs(
-      s.sessionState.newHadoopConf(), indexDir, "appendIvfIndex")
-    graft.util.IndexCommit.withWriterLease(indexDir) {
-      IvfMaintenance.recover(indexDir)
-      if (!batchId.exists(IvfMaintenance.isBatchCommitted(indexDir, _)))
-        IvfMaintenance.stageAndCommitAdd(indexDir,
-          assignCells(delta, cents), codes = None, batchId)
-    }
+    IvfMaintenance.appendManifest(s, indexDir,
+      assignCells(delta, cents), codes = None, batchId, commuting, at)
   }
 
   /** Size-tiered compaction of a persisted IVF (or IVF-PQ) index —
-    * see [[IvfMaintenance.compact]]. Probe results are identical
-    * before and after (spec-pinned); per-cycle IO follows the tail.
+    * see [[IvfMaintenance.compactManifest]]. Probe results are
+    * identical before and after (spec-pinned); per-cycle IO follows
+    * the tail. `vacuumKeep`: run [[graft.util.ManifestCommit.vacuum]]
+    * inline after the fold, retaining the newest K generations — the
+    * 24/7 deployment ergonomic (size K to the longest AS-OF horizon
+    * readers need).
     */
-  def compactIvfIndex(spark: SparkSession, indexDir: String): Unit =
-    if (IvfMaintenance.isManifest(spark, indexDir))
-      IvfMaintenance.compactManifest(spark, indexDir)
-    else IvfMaintenance.compact(spark, indexDir)
-
-  /** Finish (or roll back) a maintenance step interrupted mid-flight,
-    * under the writer lease — for orchestrators (the streaming drain)
-    * that must complete a crashed prior commit BEFORE their
-    * committed-batch check, so a batch that died between its marker
-    * and its token is finished (and then skipped) rather than probed
-    * against a half-promoted tail.
-    */
-  def recoverIvfIndex(indexDir: String): Unit =
-    graft.util.IndexCommit.withWriterLease(indexDir) {
-      IvfMaintenance.recover(indexDir)
-    }
+  def compactIvfIndex(spark: SparkSession, indexDir: String,
+                      vacuumKeep: Option[Int] = None): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.requireManifest(conf, indexDir,
+      "compactIvfIndex")
+    IvfMaintenance.compactManifest(spark, indexDir)
+    vacuumKeep.foreach(k =>
+      graft.util.ManifestCommit.vacuum(conf, indexDir, keepGens = k))
+  }
 
   /** Zero-copy migration of a rename-protocol IVF (or IVF-PQ) index
     * onto the versioned-manifest protocol
@@ -614,19 +574,16 @@ object VectorOps {
 
   /** Per-tier vectors mass + the size policy's pending decision — the
     * maintenance-curve observability hook (tools/MaintenanceCurve).
-    * Read-only; manifest indexes answer from the manifest (zero Spark
-    * jobs), rename indexes from three metadata counts.
+    * Read-only; tier masses ride the manifest (zero Spark jobs).
     */
   def compactionTiers(spark: SparkSession, indexDir: String)
       : (String, graft.util.TieredIndex.TierSizes) = {
-    val sizes =
-      if (IvfMaintenance.isManifest(spark, indexDir)) {
-        val m = graft.util.ManifestCommit.current(
-          spark.sessionState.newHadoopConf(), indexDir)
-        graft.util.ManifestTiered.sizes(spark, indexDir, m, "vectors",
-          IvfMaintenance.VectorsSchema)
-      } else graft.util.TieredIndex.rowSizes(spark, indexDir, "vectors",
-        IvfMaintenance.VectorsSchema)
+    graft.util.CommitProtocol.requireManifest(
+      spark.sessionState.newHadoopConf(), indexDir, "compactionTiers")
+    val m = graft.util.ManifestCommit.current(
+      spark.sessionState.newHadoopConf(), indexDir)
+    val sizes = graft.util.ManifestTiered.sizes(spark, indexDir, m, "vectors",
+      IvfMaintenance.VectorsSchema)
     val action = graft.util.TieredIndex.plan(sizes) match {
       case graft.util.TieredIndex.NoOp => "NoOp"
       case graft.util.TieredIndex.Minor(_) => "Minor"
@@ -647,40 +604,30 @@ object VectorOps {
     */
   private val CentroidsSchema = IvfMaintenance.CentroidsSchema
 
-  /** `vectors` reads base ∪ level-1 runs ∪ tail (TieredIndex.read):
-    * a probe's cell IN-filter pushes through the union, so the base
-    * and run scans stay statically pruned to probed `cell=` dirs and
-    * only the compaction-bounded flat tail is row-filtered. READ-ONLY
-    * — runs no recovery, so concurrent probes can never destroy a
-    * writer's staged delta (the MinHash probe contract).
+  /** `vectors` reads base ∪ level-1 runs ∪ tail of ONE resolved
+    * snapshot (a concurrent fold can never show this probe new vectors
+    * against missing/old state): a probe's cell IN-filter pushes
+    * through the union, so the base and run scans stay statically
+    * pruned to probed `cell=` dirs and only the compaction-bounded
+    * flat tail is row-filtered.
     */
   def loadIvfIndex(spark: SparkSession, indexDir: String): IvfIndex =
     loadIvfIndex(spark, indexDir, asOfGen = None)
 
   /** `asOfGen`: load a RETAINED HISTORICAL generation
-    * (ManifestCommit.atGeneration) — manifest protocol only (the
-    * rename protocol mutates dirs in place and keeps no history).
+    * (ManifestCommit.atGeneration).
     */
   def loadIvfIndex(spark: SparkSession, indexDir: String,
-                   asOfGen: Option[Long]): IvfIndex =
-    if (IvfMaintenance.isManifest(spark, indexDir)) {
-      // ONE snapshot covers both tables — a concurrent fold can never
-      // show this probe new vectors against missing/old state
-      val conf = spark.sessionState.newHadoopConf()
-      val m = asOfGen
-        .map(g => graft.util.ManifestCommit.atGeneration(conf, indexDir, g))
-        .getOrElse(graft.util.ManifestCommit.current(conf, indexDir))
-      IvfIndex(IvfMaintenance.readVectorsManifest(spark, indexDir, m),
-        graft.util.ManifestCommit.readTable(spark, indexDir, m,
-          "centroids", CentroidsSchema))
-    } else {
-      require(asOfGen.isEmpty,
-        s"AS-OF reads need the manifest commit protocol ($indexDir runs " +
-          s"the rename protocol, which mutates dirs in place and keeps " +
-          s"no history — migrate with index_migrate)")
-      IvfIndex(IvfMaintenance.readVectors(spark, indexDir),
-        spark.read.schema(CentroidsSchema).parquet(s"$indexDir/centroids"))
-    }
+                   asOfGen: Option[Long]): IvfIndex = {
+    val conf = spark.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.requireManifest(conf, indexDir, "loadIvfIndex")
+    val m = asOfGen
+      .map(g => graft.util.ManifestCommit.atGeneration(conf, indexDir, g))
+      .getOrElse(graft.util.ManifestCommit.current(conf, indexDir))
+    IvfIndex(IvfMaintenance.readVectorsManifest(spark, indexDir, m),
+      graft.util.ManifestCommit.readTable(spark, indexDir, m,
+        "centroids", CentroidsSchema))
+  }
 
   /** ANN against a persisted index — no k-means at query time, no base
     * corpus access. The probed cell set (≤ nq × nprobe distinct ids,
@@ -842,8 +789,7 @@ object VectorOps {
     val idxDir = graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":" + dir,
       (d: String) => graft.util.FileTrees.rmTree(d)) {
       val d = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
-      saveIvfIndex(corpus(s, dir), d, k = 10, iters = 2,
-        protocol = graft.util.CommitProtocol.Rename) // rename twin
+      saveIvfIndex(corpus(s, dir), d, k = 10, iters = 2)
       d
     }
     loadIvfIndex(s, idxDir)
@@ -873,8 +819,7 @@ object VectorOps {
       (d: String) => graft.util.FileTrees.rmTree(d)) {
         val d = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
         val c = corpus(s, dir)
-        saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), d, k = 10, iters = 2,
-          protocol = graft.util.CommitProtocol.Rename) // rename twin
+        saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), d, k = 10, iters = 2)
         appendIvfIndex(c.filter(col("vec_id") % 5 === 0), d)
         d
       }
@@ -901,47 +846,48 @@ object VectorOps {
 
   /** Build-once per (application, sf dir): an 80%-trained index with
     * the remaining 20% batch-appended (exactly-once, `batch-1`), plus
-    * a pristine snapshot of the post-append TAIL — the only tier
-    * state compaction mutates.
+    * the post-append generation — the snapshot each invocation rewinds
+    * to.
     */
-  private def sessionIvfCompactRoot(s: SparkSession, dir: String): String =
-    graft.util.Caches.fill(builtIdx, s.sparkContext.applicationId + ":compact:" + dir,
-      (d: String) => graft.util.FileTrees.rmTree(d)) {
-      val root = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+  private val compactIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def sessionIvfCompactRoot(s: SparkSession, dir: String): (String, Long) =
+    graft.util.Caches.fill(compactIdx, s.sparkContext.applicationId + ":compact:" + dir,
+      (v: (String, Long)) => graft.util.FileTrees.rmTree(v._1)) {
+      val d = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
       val c = corpus(s, dir)
-      saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), s"$root/work", k = 10,
-        iters = 2, protocol = graft.util.CommitProtocol.Rename) // rename twin
-      appendIvfIndex(c.filter(col("vec_id") % 5 === 0), s"$root/work",
+      saveIvfIndex(c.filter(col("vec_id") % 5 =!= 0), d, k = 10, iters = 2)
+      appendIvfIndex(c.filter(col("vec_id") % 5 === 0), d,
         batchId = Some("batch-1"))
-      graft.util.FileTrees.copyTreeIfExists(s"$root/work/vectors_tail", s"$root/tail_seed")
-      root
+      (d, graft.util.ManifestCommit.current(
+        s.sessionState.newHadoopConf(), d).gen)
     }
 
   /** Registered maintenance arm (completes the IVF family's
     * build/probe/update/compact parity with the MinHash and BM25
-    * indexes): fold the appended tail into the tiered layout, then
-    * probe — compaction must be invisible to retrieval, hash-checked
-    * against the same full-corpus replay as `ann_ivf_append_topk`.
-    * Each invocation RESETS only the tiers compaction mutates (tail +
-    * level-1 runs) from the pristine snapshot — an O(batch) copy — so
-    * the bench measures one real Minor fold + probe every time, not a
-    * NoOp re-probe of the first invocation's fold (and not the
-    * full-index tree copy the r12 dedup_index_compact registration
-    * paid per call).
+    * indexes): fold the appended tail into the tiered layout WITH THE
+    * INLINE VACUUM (`vacuumKeep` — the 24/7 compact-verb ergonomic),
+    * then probe — compaction + vacuum must be invisible to retrieval,
+    * hash-checked against the same full-corpus replay as
+    * `ann_ivf_append_topk` (ann_ivf_manifest_topk is the no-vacuum
+    * twin). Each invocation rewinds to the post-append snapshot
+    * (manifest time-travel, an O(fold output) reset), so the bench
+    * measures one real Minor fold + vacuum pass + probe every time.
     */
   val annIvfCompactQuery: QueryDef = QueryDef(
     "ann_ivf_compact_topk",
     (s, dir) => {
-      val root = sessionIvfCompactRoot(s, dir)
-      val work = s"$root/work"
-      graft.util.FileTrees.rmTree(s"$work/vectors_l1")
-      graft.util.FileTrees.rmTree(s"$work/vectors_tail")
-      graft.util.FileTrees.copyTreeIfExists(s"$root/tail_seed", s"$work/vectors_tail")
-      compactIvfIndex(s, work)
+      val conf = s.sessionState.newHadoopConf()
+      val (work, seedGen) = sessionIvfCompactRoot(s, dir)
+      graft.util.ManifestTiered.benchRewind(conf, work, seedGen)
+      // keep=2 retains the pre-fold snapshot the next invocation
+      // rewinds to; the vacuum pass itself runs for real every cycle
+      compactIvfIndex(s, work, vacuumKeep = Some(2))
       annIvfIndexed(queriesDf(s, dir, 10), loadIvfIndex(s, work))
     },
     oracleGen = Some((s, dir) =>
-      s"${ivfReplayCtes(indexCentroids(loadIvfIndex(s, s"${sessionIvfCompactRoot(s, dir)}/work")), nprobe = 2)}$topkTailSql"))
+      s"${ivfReplayCtes(indexCentroids(loadIvfIndex(s, sessionIvfCompactRoot(s, dir)._1)), nprobe = 2)}$topkTailSql"))
 
   /** Build-once per (application, sf dir): the manifest-protocol
     * 80%-trained index with the remaining 20% batch-appended, plus the

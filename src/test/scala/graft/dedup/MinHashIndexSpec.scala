@@ -4,9 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.util.{ManifestCommit, ManifestTiered}
+
 /** Incremental dedup against a persisted MinHash index: the new batch
   * must find its near-dups among previously indexed documents without
-  * the index side re-reading any text.
+  * the index side re-reading any text. Everything runs on the
+  * versioned-manifest commit protocol (the only one — the rename
+  * bodies are retired; MinHashManifestSpec holds the protocol-level
+  * cases, TieredCompactionSpec the MergeRuns/Major arms).
   */
 class MinHashIndexSpec extends AnyFunSuite {
 
@@ -16,19 +21,24 @@ class MinHashIndexSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  private def conf = spark.sessionState.newHadoopConf()
+
   private def sf: Option[String] =
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
       .find(d => new java.io.File(d).exists())
 
-  test("new batch finds exact copies and misses disjoint docs; layout is band-partitioned") {
+  private def baseDir(dir: String): String =
+    s"$dir/${ManifestCommit.current(conf, dir).table("bands").head}"
+
+  test("new batch finds exact copies and misses disjoint docs; base layout is band-partitioned") {
     assume(sf.isDefined)
     import spark.implicits._
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
-    Dedup.saveMinHashIndex(corpus, dir,
-      protocol = graft.util.CommitProtocol.Rename)
-    // inverted-list layout on disk: one directory per band
-    val bandDirs = new java.io.File(s"$dir/bands").listFiles()
+    Dedup.saveMinHashIndex(corpus, dir)
+    // inverted-list layout on disk: one directory per band inside the
+    // manifest's base dir
+    val bandDirs = new java.io.File(baseDir(dir)).listFiles()
       .filter(_.getName.startsWith("band=")).map(_.getName)
     assert(bandDirs.length == 16) // 64 perms / 4 rows per band
 
@@ -55,8 +65,7 @@ class MinHashIndexSpec extends AnyFunSuite {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx2").toString
-    Dedup.saveMinHashIndex(corpus, dir,
-      protocol = graft.util.CommitProtocol.Rename)
+    Dedup.saveMinHashIndex(corpus, dir)
     val probe = Dedup.dedupAgainstMinHashIndex(
       corpus.filter(col("doc_id") < 5), dir)
     val plan = probe.queryExecution.executedPlan.toString
@@ -68,8 +77,7 @@ class MinHashIndexSpec extends AnyFunSuite {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx3").toString
-    Dedup.saveMinHashIndex(corpus, dir,
-      protocol = graft.util.CommitProtocol.Rename)
+    Dedup.saveMinHashIndex(corpus, dir)
 
     // parameter drift: same index probed with a different banding scheme
     // would silently produce zero bucket collisions — must throw instead
@@ -94,31 +102,31 @@ class MinHashIndexSpec extends AnyFunSuite {
     val newCrawl = corpus.filter(col("doc_id") % 3 === 0)
 
     val grown = java.nio.file.Files.createTempDirectory("mhidx_g").toString
-    Dedup.saveMinHashIndex(oldCrawl, grown,
-      protocol = graft.util.CommitProtocol.Rename)
-    def filesUnder(d: String, sub: String) = {
+    Dedup.saveMinHashIndex(oldCrawl, grown)
+    def filesUnder(root: String) = {
       val b = scala.collection.mutable.Map[String, Long]()
-      val p0 = java.nio.file.Paths.get(d, sub)
+      val p0 = java.nio.file.Paths.get(root)
       if (java.nio.file.Files.isDirectory(p0))
         java.nio.file.Files.walk(p0)
           .filter(_.toString.endsWith(".parquet"))
           .forEach(p => b(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis)
       b.toMap
     }
-    val before = filesUnder(grown, "bands")
+    val base = baseDir(grown)
+    val before = filesUnder(base)
     Dedup.appendMinHashIndex(newCrawl, grown)
     // level-0 shape: the partitioned BASE survives byte-untouched — the
-    // delta lands as a handful of flat tail files
-    val after = filesUnder(grown, "bands")
+    // delta lands as fresh flat tail dirs named by the new manifest
+    val after = filesUnder(base)
     before.foreach { case (f, mtime) =>
       assert(after.contains(f) && after(f) == mtime, s"base band file rewritten: $f")
     }
     assert(after.size == before.size, "append must not touch the base layout")
-    assert(filesUnder(grown, "bands_tail").nonEmpty, "no tail files appended")
+    val m = ManifestCommit.current(conf, grown)
+    assert(m.rows(ManifestTiered.tailTable("bands")) > 0, "no tail rows appended")
 
     val scratch = java.nio.file.Files.createTempDirectory("mhidx_s").toString
-    Dedup.saveMinHashIndex(corpus, scratch,
-      protocol = graft.util.CommitProtocol.Rename)
+    Dedup.saveMinHashIndex(corpus, scratch)
     val probe = corpus.filter(col("doc_id") < 5)
     def hits(d: String) = Dedup.dedupAgainstMinHashIndex(probe, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -137,24 +145,24 @@ class MinHashIndexSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_pr").toString
-    Dedup.saveMinHashIndex(corpus, dir,
-      protocol = graft.util.CommitProtocol.Rename)
+    Dedup.saveMinHashIndex(corpus, dir)
     val probe = Dedup.dedupAgainstMinHashIndex(
       corpus.filter(col("doc_id") < 2), dir)
 
+    // manifest data dirs: data/bands/d-*/band=... and data/widths/d-*/...
     def scansOf(sub: String) = probe.queryExecution.sparkPlan.collect {
       case f: FileSourceScanExec
         if f.relation.location.rootPaths.exists(_.toString.contains(sub)) => f
     }
-    // the r11 design scanned bands/ TWICE per probe (candidate join +
+    // the r11 design scanned bands TWICE per probe (candidate join +
     // a full-index over-cap groupBy); the widths sidecar removes the
     // second scan entirely
-    val bandsScans = scansOf("/bands")
+    val bandsScans = scansOf("/bands/")
     assert(bandsScans.size == 1, s"bands must be scanned exactly once, got ${bandsScans.size}")
     // both index-side scans carry a static partition filter from the
     // batch's bounded touched set — the probe reads only the partitions
     // the batch can collide with, never the whole persisted index
-    (bandsScans ++ scansOf("/widths")).foreach { f =>
+    (bandsScans ++ scansOf("/widths/")).foreach { f =>
       // the batch's touched set arrives as STATIC literals (the join may
       // add a DynamicPruningSubquery on top, which listFiles can't
       // evaluate — the static filter alone must already prune)
@@ -176,25 +184,21 @@ class MinHashIndexSpec extends AnyFunSuite {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_e").toString
-    Dedup.saveMinHashIndex(corpus, dir,
-      protocol = graft.util.CommitProtocol.Rename)
+    Dedup.saveMinHashIndex(corpus, dir)
     val hits = Dedup.dedupAgainstMinHashIndex(corpus.filter(lit(false)), dir)
     assert(hits.columns.toSeq == Seq("new_id", "idx_id", "est_jaccard"))
     assert(hits.count() == 0)
   }
 
-  test("batch-id'd append is retry-idempotent; un-committed staging is rolled back") {
+  test("batch-id'd append is retry-idempotent at any later point") {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_i").toString
-    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), dir,
-      protocol = graft.util.CommitProtocol.Rename)
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), dir)
     val delta = corpus.filter(col("doc_id") % 2 === 1)
     def nRows = {
-      val base = spark.read.schema(Dedup.BandsSchema).parquet(s"$dir/bands").count()
-      val tp = java.nio.file.Paths.get(dir, "bands_tail")
-      base + (if (java.nio.file.Files.isDirectory(tp))
-        spark.read.schema(Dedup.BandsSchema).parquet(tp.toString).count() else 0L)
+      val m = ManifestCommit.current(conf, dir)
+      ManifestTiered.read(spark, dir, m, "bands", Dedup.BandsSchema).count()
     }
     val before = nRows
     Dedup.appendMinHashIndex(delta, dir, batchId = Some("crawl-7"))
@@ -203,65 +207,21 @@ class MinHashIndexSpec extends AnyFunSuite {
     // at-least-once redelivery of the same batch: a no-op, not a double-append
     Dedup.appendMinHashIndex(delta, dir, batchId = Some("crawl-7"))
     assert(nRows == once, "re-driven committed batch must not double-append")
-    assert(Dedup.isBatchCommitted(dir, "crawl-7"))
-
-    // crash BEFORE the commit marker: staged delta dirs exist, marker
-    // absent — recovery must drop the torn staging, not promote it
-    val staged = java.nio.file.Paths.get(dir, "bands_delta", "band=0", "bmod=0")
-    java.nio.file.Files.createDirectories(staged)
-    java.nio.file.Files.write(staged.resolve("part-torn.parquet"), Array[Byte](1, 2, 3))
-    Dedup.recoverIndex(dir)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands_delta")))
-    assert(nRows == once)
+    assert(ManifestCommit.isBatchCommitted(conf, dir, "crawl-7"))
+    // still a no-op after an unrelated append advanced the snapshot
+    Dedup.appendMinHashIndex(
+      delta.withColumn("doc_id", col("doc_id") + 3000000L), dir,
+      batchId = Some("crawl-8"))
+    val grown = nRows
+    Dedup.appendMinHashIndex(delta, dir, batchId = Some("crawl-7"))
+    assert(nRows == grown, "an old committed batch must stay a no-op")
   }
 
-  test("crash AFTER the commit marker: recovery promotes the staged batch exactly once") {
-    assume(sf.isDefined)
-    val corpus = graft.util.Tables(spark, sf.get, "documents")
-    val oldCrawl = corpus.filter(col("doc_id") % 2 === 0)
-    val newCrawl = corpus.filter(col("doc_id") % 2 === 1)
-    val dir = java.nio.file.Files.createTempDirectory("mhidx_c").toString
-    Dedup.saveMinHashIndex(oldCrawl, dir,
-      protocol = graft.util.CommitProtocol.Rename)
-    // reconstruct the exact pre-crash state: both delta dirs fully
-    // staged (a real append's promoted tail files ARE the staged files
-    // — promote only moves them) and the marker present with the batch
-    // id — the writer died between marker and promote
-    val stage = java.nio.file.Files.createTempDirectory("mhidx_c_s").toString
-    Dedup.saveMinHashIndex(newCrawl.filter(lit(false)), stage,
-      protocol = graft.util.CommitProtocol.Rename)
-    Dedup.appendMinHashIndex(newCrawl, stage)
-    java.nio.file.Files.move(java.nio.file.Paths.get(stage, "bands_tail"),
-      java.nio.file.Paths.get(dir, "bands_delta"))
-    java.nio.file.Files.move(java.nio.file.Paths.get(stage, "widths_tail"),
-      java.nio.file.Paths.get(dir, "widths_delta"))
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_append_commit"),
-      "crawl-9".getBytes("UTF-8"))
-
-    Dedup.recoverIndex(dir)
-    assert(Dedup.isBatchCommitted(dir, "crawl-9"),
-      "recovery must finish the committed batch's token")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_append_commit")))
-    // the recovered index answers probes exactly like a from-scratch build
-    val scratch = java.nio.file.Files.createTempDirectory("mhidx_c2").toString
-    Dedup.saveMinHashIndex(corpus, scratch,
-      protocol = graft.util.CommitProtocol.Rename)
-    val probe = corpus.filter(col("doc_id") < 5)
-    def hits(d: String) = Dedup.dedupAgainstMinHashIndex(probe, d)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(hits(dir) == hits(scratch) && hits(dir).nonEmpty)
-    // and the re-driven batch is a no-op
-    val n = spark.read.schema(Dedup.BandsSchema).parquet(s"$dir/bands").count()
-    Dedup.appendMinHashIndex(newCrawl, dir, batchId = Some("crawl-9"))
-    assert(spark.read.schema(Dedup.BandsSchema).parquet(s"$dir/bands").count() == n)
-  }
-
-  test("compaction folds deltas + re-lays partitions; probes are identical before/after") {
+  test("compaction folds deltas + re-lays tiers; probes are identical before/after; vacuum reclaims") {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_k").toString
-    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 3 === 0), dir,
-      protocol = graft.util.CommitProtocol.Rename)
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 3 === 0), dir)
     Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 3 === 1), dir,
       batchId = Some("c1"))
     Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 3 === 2), dir,
@@ -269,33 +229,38 @@ class MinHashIndexSpec extends AnyFunSuite {
     val probe = corpus.filter(col("doc_id") < 5)
     def hits = Dedup.dedupAgainstMinHashIndex(probe, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    def files(sub: String) = {
+    def files() = {
       val c = new java.util.concurrent.atomic.AtomicLong()
-      val p0 = java.nio.file.Paths.get(dir, sub)
-      if (java.nio.file.Files.isDirectory(p0))
-        java.nio.file.Files.walk(p0)
-          .forEach(p => if (p.toString.endsWith(".parquet")) { c.incrementAndGet(); () })
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .forEach(p => if (p.toString.endsWith(".parquet")) { c.incrementAndGet(); () })
       c.get()
     }
     val hitsBefore = hits
-    val totalBefore = files("")
-    assert(files("bands_tail") > 0, "appends must have landed in the tail")
+    val totalBefore = files()
+    assert(ManifestCommit.current(conf, dir)
+      .rows(ManifestTiered.tailTable("bands")) > 0,
+      "appends must have landed in the tail")
 
+    // the inline-vacuum arm (grace 0: everything superseded is fair game)
     Dedup.compactMinHashIndex(spark, dir)
+    ManifestCommit.vacuum(conf, dir, keepGens = 1, graceMs = 0L)
 
     assert(hits == hitsBefore && hits.nonEmpty,
-      "compaction must not change probe results")
-    // the tail folded into the base: fewer files overall, empty tails
-    assert(files("") < totalBefore,
-      s"index file count must drop (${files("")} vs $totalBefore)")
-    assert(files("bands_tail") == 0 && files("widths_tail") == 0,
+      "compaction + vacuum must not change probe results")
+    val m = ManifestCommit.current(conf, dir)
+    // the tail folded into a level-1 run; vacuum dropped the superseded
+    // tail dirs, so the physical file count shrinks too
+    assert(m.rows(ManifestTiered.tailTable("bands")) == 0 &&
+      m.rows(ManifestTiered.tailTable("widths")) == 0,
       "tails must be empty after compaction")
+    assert(files() < totalBefore,
+      s"vacuum must reclaim superseded dirs (${files()} vs $totalBefore)")
     // widths deltas are FOLDED: one row per (band, bucket) again
-    val w = spark.read.schema(Dedup.WidthsSchema).parquet(s"$dir/widths")
+    val w = ManifestTiered.read(spark, dir, m, "widths", Dedup.WidthsSchema)
     assert(w.groupBy(col("band"), col("bucket")).count()
       .filter(col("count") > 1).count() == 0, "widths must fold to one row per bucket")
     // committed tokens + meta survive; appends keep working after compact
-    assert(Dedup.isBatchCommitted(dir, "c1") && Dedup.isBatchCommitted(dir, "c2"))
+    assert(m.isCommitted("c1") && m.isCommitted("c2"))
     Dedup.appendMinHashIndex(probe.withColumn("doc_id", col("doc_id") + 5000000L),
       dir, batchId = Some("c3"))
     assert(Dedup.dedupAgainstMinHashIndex(
@@ -311,8 +276,7 @@ class MinHashIndexSpec extends AnyFunSuite {
     val massDup = (0L until 300L).map(i => (i, tpl, "en", "src", 60L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_hot").toString
-    Dedup.saveMinHashIndex(massDup, dir,
-      protocol = graft.util.CommitProtocol.Rename)
+    Dedup.saveMinHashIndex(massDup, dir)
     val twin = Seq((9000L, tpl, "en", "src", 60L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val hits = Dedup.dedupAgainstMinHashIndex(twin, dir)

@@ -32,18 +32,27 @@ class MinHashManifestSpec extends AnyFunSuite {
   private def hitSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
-  test("manifest build + probe equals the rename-protocol index bit for bit") {
+  test("a LEGACY rename index refuses probes with the migrate pointer; " +
+      "after adoption it probes bit-for-bit like a manifest build") {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val mDir = java.nio.file.Files.createTempDirectory("mh_mani").toString
     val rDir = java.nio.file.Files.createTempDirectory("mh_ren").toString
     Dedup.saveMinHashIndex(corpus, mDir, protocol = CommitProtocol.Manifest)
-    Dedup.saveMinHashIndex(corpus, rDir,
-      protocol = graft.util.CommitProtocol.Rename)
+    graft.util.RenameFixtures.minhashIndex(spark, rDir) { scratch =>
+      Dedup.saveMinHashIndex(corpus, scratch)
+    }
     assert(ManifestCommit.exists(conf, mDir), "manifest build must create _manifests")
-    assert(!ManifestCommit.exists(conf, rDir), "rename build must NOT")
+    assert(!ManifestCommit.exists(conf, rDir), "the legacy fixture must NOT")
     val probe = corpus.filter(col("doc_id") < 20)
       .withColumn("doc_id", col("doc_id") + 1000000L)
+    // the retired protocol's one legal operation is adoption — probing
+    // as-is names the fix
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupAgainstMinHashIndex(probe, rDir).count()
+    }
+    assert(e.getMessage.contains("index_migrate"), e.getMessage)
+    Dedup.migrateMinHashIndexToManifest(spark, rDir)
     assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, mDir)) ==
       hitSet(Dedup.dedupAgainstMinHashIndex(probe, rDir)))
     assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, mDir)).nonEmpty)
@@ -182,11 +191,13 @@ class MinHashManifestSpec extends AnyFunSuite {
     assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) ==
       hitSet(Dedup.dedupAgainstMinHashIndex(probe, scratch)),
       "Auto rebuild over a manifest index must land manifest-side")
-    // an EXPLICIT rename rebuild over it fails loudly
+    // an EXPLICIT rename rebuild request is refused — the protocol is
+    // retired, with the adoption pointer in the message
     val e = intercept[IllegalArgumentException] {
       Dedup.saveMinHashIndex(corpus, dir, protocol = CommitProtocol.Rename)
     }
-    assert(e.getMessage.contains("manifest"))
+    assert(e.getMessage.contains("retired"), e.getMessage)
+    assert(e.getMessage.contains("index_migrate"), e.getMessage)
   }
 
   test("an un-adopted rename tree resolved as manifest protocol fails loudly instead of reading empty") {
@@ -194,8 +205,9 @@ class MinHashManifestSpec extends AnyFunSuite {
     val corpus = graft.util.Tables(spark, sf.get, "documents")
       .filter(col("doc_id") < 200)
     val dir = java.nio.file.Files.createTempDirectory("mh_unadopted").toString
-    Dedup.saveMinHashIndex(corpus, dir,
-      protocol = graft.util.CommitProtocol.Rename) // rename layout, no _manifests
+    graft.util.RenameFixtures.minhashIndex(spark, dir) { scratch =>
+      Dedup.saveMinHashIndex(corpus, scratch)
+    } // rename layout, no _manifests
     // what a probe on an object store would do: resolve current() →
     // Empty, then read — the silent-empty trap. The read and the size
     // policy must throw with the index_migrate pointer; appends must
@@ -220,18 +232,22 @@ class MinHashManifestSpec extends AnyFunSuite {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mh_migrate").toString
-    // a REAL rename-protocol history: build + batch append + Minor fold
-    // (so the adopted layout has a base, a legacy L1 run, AND a tail)
-    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 4 <= 1), dir,
-      protocol = graft.util.CommitProtocol.Rename)
-    Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 4 === 2), dir,
-      batchId = Some("crawl-2"))
-    Dedup.compactMinHashIndex(spark, dir) // tail → legacy run
-    Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 4 === 3), dir,
-      batchId = Some("crawl-3")) // leaves a live tail
+    // a REAL rename-protocol history shape: base + legacy L1 run + live
+    // tail, with the two drain tokens committed legacy-style
+    graft.util.RenameFixtures.minhashIndex(spark, dir,
+      committed = Seq("crawl-2", "crawl-3")) { scratch =>
+      Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 4 <= 1), scratch)
+      Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 4 === 2), scratch)
+      Dedup.compactMinHashIndex(spark, scratch) // tail → run
+      Dedup.appendMinHashIndex(corpus.filter(col("doc_id") % 4 === 3), scratch)
+    } // leaves a live tail
     val probe = corpus.filter(col("doc_id") < 25)
       .withColumn("doc_id", col("doc_id") + 5000000L)
-    val before = hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir))
+    // the expected hit set: a from-scratch manifest build over the same
+    // corpus (the probe a pre-retirement rename reader produced)
+    val truth = java.nio.file.Files.createTempDirectory("mh_migrate_t").toString
+    Dedup.saveMinHashIndex(corpus, truth)
+    val before = hitSet(Dedup.dedupAgainstMinHashIndex(probe, truth))
     assert(before.nonEmpty)
     val filesBefore = {
       val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
@@ -338,13 +354,16 @@ class MinHashManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("retained generations"))
     assert(hitSet(Dedup.dedupAgainstMinHashIndex(probe, dir)) == curHits,
       "vacuum must not disturb the current snapshot")
-    // rename protocol: no history, refuse
+    // a legacy rename index: no probes at all (let alone time travel)
+    // until adopted
     val rdir = java.nio.file.Files.createTempDirectory("mh_asof_r").toString
-    Dedup.saveMinHashIndex(corpus, rdir, protocol = CommitProtocol.Rename)
-    val e2 = intercept[IllegalArgumentException] {
+    graft.util.RenameFixtures.minhashIndex(spark, rdir) { scratch =>
+      Dedup.saveMinHashIndex(corpus, scratch)
+    }
+    val e2 = intercept[IllegalStateException] {
       Dedup.dedupAgainstMinHashIndex(probe, rdir, asOfGen = Some(1L)).count()
     }
-    assert(e2.getMessage.contains("manifest"))
+    assert(e2.getMessage.contains("index_migrate"))
   }
 
   test("protocol-crossing rebuild deletes the rename tree only AFTER the " +
@@ -352,8 +371,9 @@ class MinHashManifestSpec extends AnyFunSuite {
     assume(sf.isDefined)
     val corpus = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("mh_cross").toString
-    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), dir,
-      protocol = CommitProtocol.Rename)
+    graft.util.RenameFixtures.minhashIndex(spark, dir) { scratch =>
+      Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), scratch)
+    }
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")))
     // crossing rebuild (Auto → Manifest): the old rename tree must be
     // gone afterwards — and because the deletion now runs POST-publish,
@@ -371,8 +391,9 @@ class MinHashManifestSpec extends AnyFunSuite {
     // a rebuild must leave them for vacuum's legacy-GC arm (the retained
     // pre-rebuild generation still resolves them via AS-OF)
     val adir = java.nio.file.Files.createTempDirectory("mh_cross_a").toString
-    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), adir,
-      protocol = CommitProtocol.Rename)
+    graft.util.RenameFixtures.minhashIndex(spark, adir) { scratch =>
+      Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), scratch)
+    }
     Dedup.migrateMinHashIndexToManifest(spark, adir)
     val adoptedGen = ManifestCommit.current(conf, adir).gen
     Dedup.saveMinHashIndex(corpus, adir) // rebuild over the adopted index

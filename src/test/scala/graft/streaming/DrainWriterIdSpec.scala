@@ -108,10 +108,13 @@ class DrainWriterIdSpec extends AnyFunSuite {
   test("post-migration: a batch committed rename-side as b<N> reads as " +
       "committed under the new writer scheme (no double-fold)") {
     val idx = tmp("dw_mig")
-    Dedup.saveMinHashIndex(docs(0, 20), idx,
-      protocol = CommitProtocol.Rename)
-    // the rename-era drain committed batch 1 under its legacy token
-    Dedup.appendMinHashIndex(docs(300, 10), idx, batchId = Some("b1"))
+    // legacy layout: the rename-era drain committed batch 1 under its
+    // free-form b1 token
+    graft.util.RenameFixtures.minhashIndex(spark, idx,
+      committed = Seq("b1")) { scratch =>
+      Dedup.saveMinHashIndex(docs(0, 20), scratch)
+      Dedup.appendMinHashIndex(docs(300, 10), scratch)
+    }
     Dedup.migrateMinHashIndexToManifest(spark, idx)
     assert(ManifestCommit.exists(conf, idx))
     val cp = tmp("dw_mig_cp")
@@ -126,12 +129,14 @@ class DrainWriterIdSpec extends AnyFunSuite {
   test("age-proof migrated-drain replay: a pre-migration batch still " +
       "no-ops after its legacy b<N> token pruned out of the window") {
     val idx = tmp("dw_age")
-    Dedup.saveMinHashIndex(docs(0, 20), idx,
-      protocol = CommitProtocol.Rename)
-    // rename-era drain committed batches 0..3 under legacy tokens
-    (0 to 3).foreach(b =>
-      Dedup.appendMinHashIndex(docs(400 + b * 10, 5), idx,
-        batchId = Some(s"b$b")))
+    // legacy layout: the rename-era drain committed batches 0..3 under
+    // free-form b<N> tokens
+    graft.util.RenameFixtures.minhashIndex(spark, idx,
+      committed = (0 to 3).map(b => s"b$b")) { scratch =>
+      Dedup.saveMinHashIndex(docs(0, 20), scratch)
+      (0 to 3).foreach(b =>
+        Dedup.appendMinHashIndex(docs(400 + b * 10, 5), scratch))
+    }
     Dedup.migrateMinHashIndexToManifest(spark, idx)
     // adoption carried the free-form b0..b3 AND seeded the reserved
     // legacy-drain watermark at 3

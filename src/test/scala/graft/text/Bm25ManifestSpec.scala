@@ -35,14 +35,13 @@ class Bm25ManifestSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .toSet
 
-  test("manifest build + fold + compact probes score-identical to the rename index") {
+  test("manifest build + fold + compact probes score-identical to a from-scratch build") {
     assume(sf.isDefined)
     val docs = graft.util.Tables(spark, sf.get, "documents")
     val mDir = java.nio.file.Files.createTempDirectory("bm25_mani").toString
-    val rDir = java.nio.file.Files.createTempDirectory("bm25_ren").toString
-    // rename: from-scratch full build — the truth both must equal
-    InvertedIndex.save(docs, rDir,
-      protocol = graft.util.CommitProtocol.Rename)
+    val rDir = java.nio.file.Files.createTempDirectory("bm25_scr").toString
+    // from-scratch full build — the truth the folded index must equal
+    InvertedIndex.save(docs, rDir)
     val want = scores(rDir)
     assert(want.nonEmpty)
     // manifest: 80% build + 20% fold (+ retry) + Minor compact
@@ -86,16 +85,24 @@ class Bm25ManifestSpec extends AnyFunSuite {
       "the refused fold must publish nothing")
   }
 
-  test("zero-copy migration: a rename BM25 index adopts the manifest protocol, scores unchanged") {
+  test("zero-copy migration: a legacy rename BM25 index adopts the manifest protocol, scores unchanged") {
     assume(sf.isDefined)
     val docs = graft.util.Tables(spark, sf.get, "documents")
     val dir = java.nio.file.Files.createTempDirectory("bm25_migrate").toString
-    InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), dir,
-      protocol = graft.util.CommitProtocol.Rename)
-    InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), dir,
-      batchId = Some("fold-1")) // leaves a live rename-protocol tail
-    val want = scores(dir)
+    // legacy layout with a live tail + a committed fold token
+    graft.util.RenameFixtures.bm25Index(spark, dir,
+      committed = Seq("fold-1")) { scratch =>
+      InvertedIndex.save(docs.filter(col("doc_id") % 5 =!= 0), scratch)
+      InvertedIndex.appendDelta(docs.filter(col("doc_id") % 5 === 0), scratch)
+    }
+    // the truth: a from-scratch build over the same corpus
+    val truth = java.nio.file.Files.createTempDirectory("bm25_migrate_t").toString
+    InvertedIndex.save(docs, truth)
+    val want = scores(truth)
     assert(want.nonEmpty)
+    // pre-adoption the legacy index refuses probes with the fix named
+    val e = intercept[IllegalStateException] { scores(dir) }
+    assert(e.getMessage.contains("index_migrate"), e.getMessage)
     InvertedIndex.migrateToManifest(spark, dir)
     assert(ManifestCommit.exists(conf, dir))
     assert(scores(dir) == want, "migration changed retrieval")
@@ -108,8 +115,7 @@ class Bm25ManifestSpec extends AnyFunSuite {
     InvertedIndex.compact(spark, dir)
     val scratch = java.nio.file.Files.createTempDirectory("bm25_migrate_s").toString
     InvertedIndex.save(docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
-      .withColumn("doc_id", col("doc_id") + 9000000L)), scratch,
-      protocol = graft.util.CommitProtocol.Rename)
+      .withColumn("doc_id", col("doc_id") + 9000000L)), scratch)
     assert(scores(dir) == scores(scratch),
       "post-migration maintenance must equal a from-scratch build")
   }

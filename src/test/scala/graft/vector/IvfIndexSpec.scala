@@ -21,13 +21,15 @@ class IvfIndexSpec extends AnyFunSuite {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
-    VectorOps.saveIvfIndex(corpus, dir, k = 10, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
+    VectorOps.saveIvfIndex(corpus, dir, k = 10, iters = 2)
     val idx = VectorOps.loadIvfIndex(spark, dir)
     assert(idx.centroids.count() == 10)
     assert(idx.vectors.count() == corpus.count())
-    // inverted-list layout on disk: one directory per cell
-    val cellDirs = new java.io.File(s"$dir/vectors").listFiles()
+    // inverted-list layout on disk: one directory per cell inside the
+    // manifest's base dir
+    val baseRel = graft.util.ManifestCommit.current(
+      spark.sessionState.newHadoopConf(), dir).table("vectors").head
+    val cellDirs = new java.io.File(s"$dir/$baseRel").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
     assert(cellDirs.nonEmpty)
 
@@ -82,31 +84,30 @@ class IvfIndexSpec extends AnyFunSuite {
     val corpus = spark.read.parquet(s"${sf.get}/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
-    VectorOps.saveIvfIndex(corpus.filter(col("vec_id") % 5 =!= 0), dir, k = 10, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
+    VectorOps.saveIvfIndex(corpus.filter(col("vec_id") % 5 =!= 0), dir, k = 10, iters = 2)
+    val conf = spark.sessionState.newHadoopConf()
+    val baseRel = graft.util.ManifestCommit.current(conf, dir)
+      .table("vectors").head
     def vectorFiles = {
       val b = scala.collection.mutable.Map[String, Long]()
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, baseRel))
         .filter(_.toString.endsWith(".parquet"))
         .forEach(p => b(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis)
       b.toMap
     }
-    val centroidsBefore = spark.read.parquet(s"$dir/centroids")
+    def centroids = VectorOps.loadIvfIndex(spark, dir).centroids
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val centroidsBefore = centroids
     val before = vectorFiles
     VectorOps.appendIvfIndex(corpus.filter(col("vec_id") % 5 === 0), dir)
     val after = vectorFiles
     // the BASE cell files are byte-untouched: the batch lands in the
     // flat level-0 tail (compaction owns the re-layout into cell dirs)
     assert(after == before, "base cell files changed by an append")
-    val tailFiles = java.nio.file.Files.list(
-      java.nio.file.Paths.get(dir, "vectors_tail"))
-    try assert(tailFiles.anyMatch(_.toString.endsWith(".parquet")),
-      "no tail files appended")
-    finally tailFiles.close()
-    val centroidsAfter = spark.read.parquet(s"$dir/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    assert(centroidsAfter === centroidsBefore)
+    assert(graft.util.ManifestCommit.current(conf, dir)
+      .rows(graft.util.ManifestTiered.tailTable("vectors")) > 0,
+      "no tail rows appended")
+    assert(centroids === centroidsBefore)
     // the appended index row-equals assigning the FULL corpus against
     // the same centroids (the invariant that keeps probes correct);
     // read through loadIvfIndex — the base ∪ runs ∪ tail union every
@@ -121,8 +122,7 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     // an untrained index refuses adds (FAISS contract)
     val emptyDir = java.nio.file.Files.createTempDirectory("ivf_empty").toString
-    VectorOps.saveIvfIndex(corpus.filter(lit(false)), emptyDir, k = 10, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
+    VectorOps.saveIvfIndex(corpus.filter(lit(false)), emptyDir, k = 10, iters = 2)
     intercept[IllegalStateException] {
       VectorOps.appendIvfIndex(corpus.limit(1), emptyDir)
     }

@@ -4,14 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.util.{ManifestCommit, ManifestTiered}
+
 /** Exactly-once + tiered-compaction contract of the persisted IVF
-  * index family — the r12 gap this round closes: the IVF add was the
-  * one index-append sibling without the staged-delta + marker +
-  * committed-token treatment (a retried add double-appended vectors)
-  * and the only persisted index with no compaction arm. Kill-tests
-  * drive recovery from BOTH sides of the append marker; probe results
-  * must be identical across every tier state; the PQ flavor's two
-  * stores (vectors + codes) must commit atomically as a pair.
+  * index family, on the versioned-manifest commit protocol (the
+  * rename bodies are retired; IvfManifestSpec holds the
+  * publish-atomicity and migration cases). Probe results must be
+  * identical across every tier state; the PQ flavor's two stores
+  * (vectors + codes) must commit as one snapshot; a commuting append
+  * retry must never land rows coded under a superseded rebuild.
   */
 class IvfMaintenanceSpec extends AnyFunSuite {
 
@@ -22,6 +23,8 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val Dim = 64
+
+  private def conf = spark.sessionState.newHadoopConf()
 
   /** Deterministic synthetic vectors: id `from until from+n`. */
   private def vecs(from: Long, n: Long): DataFrame = {
@@ -41,25 +44,26 @@ class IvfMaintenanceSpec extends AnyFunSuite {
   private def visible(dir: String): Long =
     VectorOps.loadIvfIndex(spark, dir).vectors.count()
 
+  private def m(dir: String) = ManifestCommit.current(conf, dir)
+
   private def baseFiles(dir: String): Map[String, Long] = {
     val b = scala.collection.mutable.Map[String, Long]()
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))
+    java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dir, m(dir).table("vectors").head))
       .filter(_.toString.endsWith(".parquet"))
       .forEach(p => b(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis)
     b.toMap
   }
 
-  private def runsOf(dir: String): Seq[Long] =
-    graft.util.TieredIndex.runIds(dir, "vectors")
+  private def runsOf(dir: String): Seq[String] =
+    m(dir).table(ManifestTiered.l1Table("vectors"))
 
   private def tailRows(dir: String): Long =
-    graft.util.TieredIndex.readTail(spark, dir, "vectors",
-      IvfMaintenance.VectorsSchema).count()
+    m(dir).rows(ManifestTiered.tailTable("vectors"))
 
   test("append is exactly-once: a re-driven batch id is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_once").toString
-    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
+    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2)
     VectorOps.appendIvfIndex(vecs(80, 20), dir, batchId = Some("b1"))
     assert(visible(dir) == 100)
     val r0 = probe(dir)
@@ -72,81 +76,26 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(visible(dir) == 120)
   }
 
-  test("crash BEFORE the marker: unmarked staging is dropped, batch re-drives cleanly") {
-    val dir = java.nio.file.Files.createTempDirectory("ivf_pre").toString
-    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
-    // torn pre-marker state: staged delta exists, no marker — as if the
-    // writer died between its parquet write and the commit
-    val staged = java.nio.file.Paths.get(dir, "vectors_delta")
-    java.nio.file.Files.createDirectories(staged)
-    java.nio.file.Files.write(staged.resolve("part-torn.parquet"), Array[Byte](1))
-    VectorOps.appendIvfIndex(vecs(80, 20), dir, batchId = Some("b1")) // runs recovery
-    assert(!java.nio.file.Files.exists(staged), "unmarked staging must be dropped")
-    assert(visible(dir) == 100, "torn rows leaked into the index")
-    assert(probe(dir).nonEmpty)
-  }
-
-  test("crash AFTER the marker: recovery promotes the staged batch once; the retry is a no-op") {
-    val dir = java.nio.file.Files.createTempDirectory("ivf_post").toString
-    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
-    val cents = spark.read.schema(IvfMaintenance.CentroidsSchema)
-      .parquet(s"$dir/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    // reproduce the writer's exact pre-crash state: delta fully staged,
-    // marker (with batch id) atomically placed, then death before the
-    // promote — the other side of the decision point
-    VectorOps.assignCells(vecs(80, 20), cents)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode("overwrite").parquet(s"$dir/vectors_delta")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_append_commit"),
-      "b1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // the orchestrator retries the SAME batch: recovery must finish the
-    // interrupted promote + token, and the retry must then no-op
-    VectorOps.appendIvfIndex(vecs(80, 20), dir, batchId = Some("b1"))
-    assert(visible(dir) == 100, "marked batch promoted twice (or lost)")
-    assert(graft.util.IndexCommit.isBatchCommitted(dir, "b1"))
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "_append_commit")))
-  }
-
-  test("a second concurrent writer fails loudly; probes stay lock-free") {
-    val dir = java.nio.file.Files.createTempDirectory("ivf_lease").toString
-    VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
-    graft.util.IndexCommit.withWriterLease(dir) {
-      intercept[IllegalStateException] {
-        VectorOps.appendIvfIndex(vecs(80, 20), dir, batchId = Some("b1"))
-      }
-      // read-only probe takes no lease — must succeed under the lock
-      assert(probe(dir).nonEmpty)
-    }
-  }
-
   test("tiered compaction: minor folds only the tail, major trips at the size ratio, probes identical") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_tier").toString
-    VectorOps.saveIvfIndex(vecs(0, 60), dir, k = 4, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
+    VectorOps.saveIvfIndex(vecs(0, 60), dir, k = 4, iters = 2)
     val base0 = baseFiles(dir)
-    val truthCents = spark.read.schema(IvfMaintenance.CentroidsSchema)
-      .parquet(s"$dir/centroids")
+    val truthCents = VectorOps.loadIvfIndex(spark, dir).centroids
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
 
-    // cycle 1: tail 20 < base 60 → Minor (run=0, base untouched)
+    // cycle 1: tail 20 < base 60 → Minor (one run, base untouched)
     VectorOps.appendIvfIndex(vecs(60, 20), dir, batchId = Some("c1"))
     val r1 = probe(dir)
     VectorOps.compactIvfIndex(spark, dir)
-    assert(runsOf(dir) == Seq(0L) && tailRows(dir) == 0)
+    assert(runsOf(dir).size == 1 && tailRows(dir) == 0)
     assert(baseFiles(dir) == base0, "minor fold must not touch base files")
     assert(probe(dir) == r1, "compaction changed probe results")
 
-    // cycle 2: l1 20 + tail 20 = 40 < 60 → Minor again (run=1)
+    // cycle 2: l1 20 + tail 20 = 40 < 60 → Minor again (second run)
     VectorOps.appendIvfIndex(vecs(80, 20), dir, batchId = Some("c2"))
     val r2 = probe(dir)
     VectorOps.compactIvfIndex(spark, dir)
-    assert(runsOf(dir) == Seq(0L, 1L))
+    assert(runsOf(dir).size == 2)
     assert(baseFiles(dir) == base0)
     assert(probe(dir) == r2)
 
@@ -167,16 +116,16 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       .select(col("vec_id"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
-    // compaction is a NoOp when there is nothing to fold
-    val files0 = baseFiles(dir)
+    // compaction is a NoOp when there is nothing to fold — no new
+    // generation is published
+    val gen0 = m(dir).gen
     VectorOps.compactIvfIndex(spark, dir)
-    assert(baseFiles(dir) == files0)
+    assert(m(dir).gen == gen0)
   }
 
-  test("PQ flavor: vectors and codes commit as ONE atomic pair, fold together") {
+  test("PQ flavor: vectors and codes commit as ONE snapshot, fold together") {
     val dir = java.nio.file.Files.createTempDirectory("pq_pair").toString
-    PqOps.savePqIndex(vecs(0, 80), dir, k = 4, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
+    PqOps.savePqIndex(vecs(0, 80), dir, k = 4, iters = 2)
     PqOps.addToPqIndex(vecs(80, 20), dir, batchId = Some("b1"))
     PqOps.addToPqIndex(vecs(80, 20), dir, batchId = Some("b1")) // retry no-ops
     val idx = PqOps.loadPqIndex(spark, dir)
@@ -184,10 +133,9 @@ class IvfMaintenanceSpec extends AnyFunSuite {
       "vectors/codes counts diverged — the pair did not commit atomically")
     val r0 = PqOps.annPqIndexed(queries(5), idx, topk = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
-    VectorOps.compactIvfIndex(spark, dir) // folds BOTH stores under one marker
+    VectorOps.compactIvfIndex(spark, dir) // folds BOTH stores in one publish
     assert(tailRows(dir) == 0)
-    assert(graft.util.TieredIndex.readTail(spark, dir, "codes",
-      IvfMaintenance.CodesSchema).count() == 0)
+    assert(m(dir).rows(ManifestTiered.tailTable("codes")) == 0)
     val idx1 = PqOps.loadPqIndex(spark, dir)
     assert(idx1.vectors.count() == 100 && idx1.codes.count() == 100)
     val r1 = PqOps.annPqIndexed(queries(5), idx1, topk = 5)
@@ -197,29 +145,33 @@ class IvfMaintenanceSpec extends AnyFunSuite {
 
   test("a FLAT rebuild over a former PQ dir drops the stale codes/codebooks generation") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_downgrade").toString
-    PqOps.savePqIndex(vecs(0, 120), dir, k = 4, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes")))
-    // rebuild as a FLAT index: saveIvfIndex never writes codes, so
-    // stale codes/codebooks surviving here would make the dir still
-    // read as a PQ index and silently join the OLD generation's codes
-    // against the NEW vectors
-    VectorOps.saveIvfIndex(vecs(0, 140), dir, k = 4, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
-    Seq("codes", "codes_l1", "codes_tail", "codebooks").foreach { n =>
-      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n)),
-        s"stale PQ artifact '$n' survived a flat rebuild")
+    PqOps.savePqIndex(vecs(0, 120), dir, k = 4, iters = 2)
+    assert(m(dir).entries("codes").nonEmpty)
+    // rebuild as a FLAT index: saveIvfIndex never writes codes, so a
+    // snapshot that kept the old codes/codebooks tables would make the
+    // dir still read as a PQ index and silently join the OLD
+    // generation's codes against the NEW vectors
+    VectorOps.saveIvfIndex(vecs(0, 140), dir, k = 4, iters = 2)
+    val cur = m(dir)
+    Seq("codes", ManifestTiered.l1Table("codes"),
+      ManifestTiered.tailTable("codes"), "codebooks").foreach { t =>
+      assert(cur.entries(t).isEmpty,
+        s"stale PQ table '$t' survived a flat rebuild's snapshot")
     }
+    // loading it as PQ must fail loudly, never yield garbage ADC scores
+    val e = intercept[IllegalArgumentException] {
+      PqOps.loadPqIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("not a PQ index"))
     assert(VectorOps.loadIvfIndex(spark, dir).vectors.count() == 140)
   }
 
   test("manifest append: a commuting retry across a racing REBUILD fails " +
       "loudly instead of landing rows coded under superseded centroids") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild_race").toString
-    val conf = spark.sessionState.newHadoopConf()
     VectorOps.saveIvfIndex(vecs(0, 80), dir, k = 4, iters = 2,
       protocol = graft.util.CommitProtocol.Manifest)
-    val base = graft.util.ManifestCommit.current(conf, dir)
+    val base = ManifestCommit.current(conf, dir)
     // the appender's batch was cell-assigned under base's centroids;
     // before its publish lands, a REBUILD retrains and replaces them
     VectorOps.saveIvfIndex(vecs(0, 120), dir, k = 8, iters = 2,
@@ -232,8 +184,8 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent rebuild"), e.getMessage)
     // nothing from the vetoed batch is visible, and the batch id was
     // never committed — the re-driven (re-assigned) append still runs
-    val cur = graft.util.ManifestCommit.current(conf, dir)
-    assert(cur.rows(graft.util.ManifestTiered.tailTable("vectors")) == 0L)
+    val cur = ManifestCommit.current(conf, dir)
+    assert(cur.rows(ManifestTiered.tailTable("vectors")) == 0L)
     assert(!cur.isCommitted("race1"))
     // a commuting retry across a mere racing APPEND still lands: both
     // writers resolved the SAME post-rebuild base (centroids unchanged
@@ -243,9 +195,9 @@ class IvfMaintenanceSpec extends AnyFunSuite {
     IvfMaintenance.appendManifest(spark, dir,
       vecs(210, 10).withColumn("cell", lit(1L)), None,
       batchId = Some("a2"), commuting = true, at = Some(cur))
-    val fin = graft.util.ManifestCommit.current(conf, dir)
+    val fin = ManifestCommit.current(conf, dir)
     assert(fin.isCommitted("a1") && fin.isCommitted("a2"))
-    assert(fin.rows(graft.util.ManifestTiered.tailTable("vectors")) == 20L)
+    assert(fin.rows(ManifestTiered.tailTable("vectors")) == 20L)
     assert(fin.gen == cur.gen + 2, "one generation per append, none lost")
   }
 }

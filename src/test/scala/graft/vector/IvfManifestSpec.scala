@@ -85,15 +85,27 @@ class IvfManifestSpec extends AnyFunSuite {
     assert(ManifestCommit.current(conf, dir).gen == m1.gen, "NoOp must not publish")
   }
 
-  test("zero-copy migration: a rename IVF-PQ index adopts the manifest protocol, ADC probes unchanged") {
+  test("zero-copy migration: a legacy rename IVF-PQ index adopts the manifest protocol, ADC probes unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("pq_migrate").toString
-    PqOps.savePqIndex(vecs(0, 160), dir, k = 4, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
-    PqOps.addToPqIndex(vecs(160, 20), dir, batchId = Some("b1")) // live tails
-    def adc() = PqOps.annPqIndexed(queries(5), PqOps.loadPqIndex(spark, dir))
+    // legacy layout with live tails + a committed batch token, and the
+    // SAME snapshot kept manifest-side as the probe truth (the scratch
+    // build is deterministic, so a second build reproduces it exactly)
+    graft.util.RenameFixtures.ivfIndex(spark, dir,
+      committed = Seq("b1")) { scratch =>
+      PqOps.savePqIndex(vecs(0, 160), scratch, k = 4, iters = 2)
+      PqOps.addToPqIndex(vecs(160, 20), scratch)
+    }
+    val truth = java.nio.file.Files.createTempDirectory("pq_migrate_t").toString
+    PqOps.savePqIndex(vecs(0, 160), truth, k = 4, iters = 2)
+    PqOps.addToPqIndex(vecs(160, 20), truth)
+    def adcOf(d: String) = PqOps.annPqIndexed(queries(5), PqOps.loadPqIndex(spark, d))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
-    val before = adc()
+    def adc() = adcOf(dir)
+    val before = adcOf(truth)
     assert(before.nonEmpty)
+    // pre-adoption the legacy index refuses probes with the fix named
+    val e = intercept[IllegalStateException] { adc() }
+    assert(e.getMessage.contains("index_migrate"), e.getMessage)
     VectorOps.migrateIvfIndexToManifest(spark, dir)
     assert(ManifestCommit.exists(conf, dir))
     assert(adc() == before, "migration changed ADC probes")

@@ -26,14 +26,15 @@ class PqIndexSpec extends AnyFunSuite {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
     val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
-    PqOps.savePqIndex(corpus, dir, k = 10, iters = 2,
-      protocol = graft.util.CommitProtocol.Rename)
+    PqOps.savePqIndex(corpus, dir, k = 10, iters = 2)
     val idx = PqOps.loadPqIndex(spark, dir)
     assert(idx.centroids.count() == 10)
     assert(idx.vectors.count() == corpus.count())
     assert(idx.codes.count() == corpus.count())
     // code lists share the cell-partitioned inverted-list layout
-    assert(new java.io.File(s"$dir/codes").listFiles()
+    val codesRel = graft.util.ManifestCommit.current(
+      spark.sessionState.newHadoopConf(), dir).table("codes").head
+    assert(new java.io.File(s"$dir/$codesRel").listFiles()
       .exists(_.getName.startsWith("cell=")))
     // codebooks round-trip: M×Ks entries, none left at the zero default
     assert(idx.codebooks.length == 8 && idx.codebooks.forall(_.length == 16))
