@@ -507,6 +507,13 @@ object ManifestCommit {
     }
   }
 
+  /** Process-wide count of contention retries taken by
+    * [[retryOnContention]] — observability for multi-writer drills and
+    * deployments (how often did racing writers actually collide?).
+    * Monotone; read deltas around the window of interest.
+    */
+  val ContentionRetries = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Bounded retry-with-backoff on [[ManifestContentionException]] —
     * the ONE retry policy for contention-tolerant steps: commuting
     * publishes ([[publishCommuting]]) and whole-step retries whose
@@ -522,6 +529,7 @@ object ManifestCommit {
         case e: ManifestContentionException =>
           if (attempt >= maxRetries) throw e
           attempt += 1
+          ContentionRetries.incrementAndGet()
           Thread.sleep(20L * attempt) // let the racing burst settle
       }
     }
