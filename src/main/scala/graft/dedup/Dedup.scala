@@ -1132,6 +1132,12 @@ object Dedup {
   /** (doc_id, band, bucket, sig, bmod) for a batch — the rows both the
     * probe and the append consume; computed ONCE per maintenance step.
     */
+  /** Dev-tools hook (ProbeProf) — the probe's signature pass at the
+    * index defaults, for sub-stage timing only.
+    */
+  private[graft] def bandedSignaturesDev(docs: DataFrame): DataFrame =
+    bandedSignatures(docs, 5, 64, 4)
+
   private def bandedSignatures(docs: DataFrame, shingleW: Int, perms: Int,
                                rowsPerBand: Int): DataFrame = {
     val sig = minHashSignature(wordShingles(docs, shingleW), perms)
@@ -1276,12 +1282,15 @@ object Dedup {
     * a full-index aggregate: per-batch probe cost follows the BATCH
     * and its collisions, not the accumulated index.
     */
-  /** Over this many distinct (band, bucket) batch keys the probe skips
-    * the broadcast semi-join and falls back to the shuffled candidate
-    * join: 16 M keys × two longs ≈ 256 MB broadcast — the ceiling a
-    * real executor fleet absorbs comfortably; a batch this wide (≥1 M
-    * docs in ONE maintenance step) is no longer a micro-batch and can
-    * afford the index-side shuffle it pays instead.
+  /** Over this many (band, bucket) batch key ROWS the probe skips the
+    * broadcast semi-join and falls back to the shuffled candidate
+    * join: 16 M rows × two longs ≈ 256 MB broadcast payload — the
+    * ceiling a real executor fleet absorbs comfortably; a batch this
+    * wide (≥1 M docs in ONE maintenance step) is no longer a
+    * micro-batch and can afford the index-side shuffle it pays
+    * instead. Counted over the RAW (un-deduped) key frame — exactly
+    * what gets broadcast (the build-side dedup happens inside the
+    * HashedRelation).
     */
   private val MaxProbeBroadcastKeys = 16L * 1000 * 1000
 
@@ -1298,7 +1307,12 @@ object Dedup {
     val batchStats = bandedBatch.agg(
       collect_set(col("band").cast("long") * MinHashBucketMods + col("bmod"))
         .as("pks"),
-      countDistinct(col("band"), col("bucket")).as("nk")).collect()(0)
+      // a plain row count, NOT countDistinct(band, bucket): the gate
+      // below sizes the BROADCAST PAYLOAD, which is the un-deduped key
+      // frame — and countDistinct planned an Expand + distinct
+      // aggregation inside this job, a per-probe constant the drain
+      // pays per micro-batch
+      count(lit(1)).as("nk")).collect()(0)
     val touched = batchStats.getSeq[Long](0)
     val nKeys = batchStats.getLong(1)
     if (touched.isEmpty)
@@ -1327,8 +1341,13 @@ object Dedup {
     // probe's shuffle follows the BATCH and its collisions. The keys
     // frame is |batch| × nBands two-long rows, its count folded into
     // the batch-stats job above, and broadcast only under
-    // [[MaxProbeBroadcastKeys]].
-    val keysDf = bandedBatch.select(col("band"), col("bucket")).distinct()
+    // [[MaxProbeBroadcastKeys]]. Deliberately NOT .distinct()'d: the
+    // broadcast HashedRelation dedups keys as it builds, so a semi
+    // join against duplicate build keys is row-identical — while the
+    // distinct added a full shuffle of the key frame to every probe
+    // (another fixed per-micro-batch cost in the streaming drain), and
+    // near-dup-free batches (the normal case) barely shrink under it
+    val keysDf = bandedBatch.select(col("band"), col("bucket"))
     val semiKeys =
       if (nKeys <= MaxProbeBroadcastKeys) Some(broadcast(keysDf))
       else None
