@@ -1001,13 +1001,15 @@ object Dedup {
   }
 
   private def appendMinHashManifest(banded0: DataFrame, indexDir: String,
-                                    batchId: Option[String]): Unit = {
+                                    batchId: Option[String],
+                                    expectMeta: String): Unit = {
     val conf = banded0.sparkSession.sessionState.newHadoopConf()
     val m = ManifestCommit.current(conf, indexDir)
     ManifestTiered.assertAdopted(conf, indexDir, m, "bands")
     if (batchId.exists(m.isCommitted)) return
     val banded = banded0.persist()
-    try appendAtManifest(banded, indexDir, m, batchId, commuting = true)
+    try appendAtManifest(banded, indexDir, m, batchId, commuting = true,
+      expectMeta)
     finally { banded.unpersist(blocking = false); () }
   }
 
@@ -1027,10 +1029,25 @@ object Dedup {
     * introduced; the caller's re-drive (or the streaming engine's
     * batch retry) re-probes the post-racer snapshot instead.
     */
-  private def appendAtManifest(banded: DataFrame, indexDir: String,
-                               m: ManifestCommit.Manifest,
-                               batchId: Option[String],
-                               commuting: Boolean): Unit = {
+  /** `expectMeta`: the exact meta text the caller's validateIndexMeta
+    * matched — i.e. the params this batch is BANDED under. Re-checked
+    * immediately before EVERY publish attempt (not just commuting
+    * retries): a racing rebuild with different params can land at any
+    * point after validation — including before the first attempt, with
+    * its manifest already current, where the CAS sees no contention
+    * and would commit rows banded under the superseded hash
+    * family/params — probe buckets that silently never collide with
+    * the rebuilt corpus. The pre-publish check plus the CAS close
+    * every interleaving: a rebuild publishing AFTER the check races
+    * our create for the same generation, exactly one side wins, and
+    * the loser fails loudly (our commuting retry then re-runs this
+    * check through the invariant).
+    */
+  private[dedup] def appendAtManifest(banded: DataFrame, indexDir: String,
+                                      m: ManifestCommit.Manifest,
+                                      batchId: Option[String],
+                                      commuting: Boolean,
+                                      expectMeta: String): Unit = {
     val spark = banded.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val bd = ManifestTiered.layDir(spark, indexDir, "bands.tail",
@@ -1042,25 +1059,21 @@ object Dedup {
       ManifestCommit.addDir(
         ManifestCommit.addDir(mm, "bands.tail", bd.dir, bd.rows),
         "widths.tail", wd.dir, wd.rows)
-    if (commuting) {
-      // the batch was banded under the params this index advertised
-      // when the lay started; a racing REBUILD with different params
-      // rewrites the meta marker, and re-applying the retry would land
-      // rows banded under the superseded hash family/params — probe
-      // buckets that silently never collide with the rebuilt corpus
-      val metaAtLay = readIndexMetaText(spark, indexDir)
+    def metaUnchanged(): Unit = {
+      val now = readIndexMetaText(spark, indexDir)
+      if (now != expectMeta) throw new IllegalStateException(
+        s"a concurrent rebuild of $indexDir changed the MinHash params " +
+          s"while this append was in flight — was:\n$expectMeta\nnow:\n" +
+          s"$now\nThe batch's banded signatures derive from the " +
+          s"superseded params and must not land in the rebuilt index. " +
+          s"Re-run the append (re-banding the batch) against the new " +
+          s"index.")
+    }
+    metaUnchanged()
+    if (commuting)
       ManifestCommit.publishCommuting(conf, indexDir, m, update, batchId,
-        invariant = _ => {
-          val now = readIndexMetaText(spark, indexDir)
-          if (now != metaAtLay) throw new IllegalStateException(
-            s"a concurrent rebuild of $indexDir changed the MinHash " +
-              s"params while this append was retrying a lost publish " +
-              s"race — was:\n$metaAtLay\nnow:\n$now\nThe batch's banded " +
-              s"signatures derive from the superseded params and must " +
-              s"not land in the rebuilt index. Re-run the append " +
-              s"(re-banding the batch) against the new index.")
-        })
-    } else ManifestCommit.publishAt(conf, indexDir, m, update, batchId)
+        invariant = _ => metaUnchanged())
+    else ManifestCommit.publishAt(conf, indexDir, m, update, batchId)
     ()
   }
 
@@ -1195,7 +1208,8 @@ object Dedup {
       "appendMinHashIndex")
     appendMinHashManifest(
       bandedSignatures(newDocs, shingleW, perms, rowsPerBand),
-      indexDir, batchId)
+      indexDir, batchId,
+      expectMeta = minHashMeta(shingleW, perms, rowsPerBand))
   }
 
   /** New-batch dedup probe against a saved index: candidates = band-bucket
@@ -1450,7 +1464,8 @@ object Dedup {
         // SECOND partition and double-count the log — drop this
         // attempt's hits before rethrowing
         try appendAtManifest(banded, indexDir, m, batchId,
-          commuting = false)
+          commuting = false,
+          expectMeta = minHashMeta(shingleW, perms, rowsPerBand))
         catch {
           case e: IllegalStateException if batchId.isEmpty =>
             val p = new org.apache.hadoop.fs.Path(s"$hitsOut/batch_id=$bid")

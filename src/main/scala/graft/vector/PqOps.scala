@@ -639,9 +639,16 @@ object PqOps {
   def addToPqIndex(newBatch: DataFrame, indexDir: String,
                    batchId: Option[String] = None): Unit = {
     val spark = newBatch.sparkSession
-    graft.util.CommitProtocol.requireManifest(
-      spark.sessionState.newHadoopConf(), indexDir, "addToPqIndex")
-    val idx = loadPqIndex(spark, indexDir)
+    val conf = spark.sessionState.newHadoopConf()
+    graft.util.CommitProtocol.requireManifest(conf, indexDir, "addToPqIndex")
+    // resolve ONE snapshot and pin both the artifact loads AND the
+    // publish to it: the batch is encoded under THIS snapshot's
+    // centroids + codebooks, and publishing against a later-resolved
+    // manifest would let a rebuild landing in between take the
+    // stale-coded batch on the FIRST attempt (no contention, so not
+    // even the commuting invariant would have seen it)
+    val snap = graft.util.ManifestCommit.current(conf, indexDir)
+    val idx = loadPqIndex(spark, indexDir, asOfGen = Some(snap.gen))
     val centroids = idx.centroids.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     require(centroids.nonEmpty,
@@ -653,7 +660,7 @@ object PqOps {
         .select(col("vec_id"), col("embedding"), col("cell")),
       codes = Some(encode(newBatch, idx.codebooks).join(assigned, "vec_id")
         .select(col("vec_id"), col("codes"), col("cell"))),
-      batchId)
+      batchId, at = Some(snap))
   }
 
   /** Probe the persisted IVF-PQ index: no k-means, no codebook training,

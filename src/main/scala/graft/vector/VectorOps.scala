@@ -532,8 +532,15 @@ object VectorOps {
       throw new IllegalStateException(
         s"$indexDir has no centroids — an untrained index cannot take adds (FAISS contract); build with saveIvfIndex first")
     }
+    // pin the publish to the SNAPSHOT the centroids came from (even
+    // when the caller passed no `at`): letting the append re-resolve
+    // internally left a window where a rebuild landing between the two
+    // resolves would take the batch's old-centroid cell assignments
+    // into its new index on the FIRST attempt — no contention, so not
+    // even the commuting invariant would have seen it
     IvfMaintenance.appendManifest(s, indexDir,
-      assignCells(delta, cents), codes = None, batchId, commuting, at)
+      assignCells(delta, cents), codes = None, batchId, commuting,
+      at = Some(snap))
   }
 
   /** Size-tiered compaction of a persisted IVF (or IVF-PQ) index —

@@ -366,6 +366,40 @@ class MinHashManifestSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("index_migrate"))
   }
 
+  test("an append never publishes rows banded under superseded params — " +
+      "even on an uncontended FIRST attempt") {
+    assume(sf.isDefined)
+    val corpus = graft.util.Tables(spark, sf.get, "documents")
+      .filter(col("doc_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("mh_toctou").toString
+    Dedup.saveMinHashIndex(corpus.filter(col("doc_id") % 2 === 0), dir)
+    val m0 = ManifestCommit.current(conf, dir)
+    // the appender validated + banded under the defaults; BEFORE its
+    // publish, a racing rebuild rewrites the meta marker (its first
+    // step — the rebuild's own manifest may not even have landed yet,
+    // so the publish CAS alone would see NO contention)
+    val banded = Dedup.bandedSignaturesDev(
+      corpus.filter(col("doc_id") % 2 === 1)).localCheckpoint()
+    val metaPath = java.nio.file.Paths.get(dir, "_graft_minhash_meta")
+    val origMeta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    // rewrite through the Hadoop FS, exactly as a real rebuild's
+    // writeIndexMeta does (a raw NIO write leaves a stale .crc sidecar)
+    val hp = new org.apache.hadoop.fs.Path(dir, "_graft_minhash_meta")
+    val out = hp.getFileSystem(conf).create(hp, true)
+    try out.write(origMeta.replace("shingle_w=5", "shingle_w=9")
+      .getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      Dedup.appendAtManifest(banded, dir, m0, Some("t1"),
+        commuting = true, expectMeta = origMeta)
+    }
+    assert(e.getMessage.contains("changed the MinHash params"), e.getMessage)
+    val cur = ManifestCommit.current(conf, dir)
+    assert(cur.rows(ManifestTiered.tailTable("bands")) == 0L &&
+      !cur.isCommitted("t1"),
+      "the stale-banded batch must not have published")
+  }
+
   test("protocol-crossing rebuild deletes the rename tree only AFTER the " +
       "publish; an adopted index's manifest-referenced legacy dirs survive") {
     assume(sf.isDefined)
