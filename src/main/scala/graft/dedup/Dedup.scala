@@ -1154,7 +1154,19 @@ object Dedup {
   private def bandedSignatures(docs: DataFrame, shingleW: Int, perms: Int,
                                rowsPerBand: Int): DataFrame = {
     val sig = minHashSignature(wordShingles(docs, shingleW), perms)
-    bands(sig, perms, rowsPerBand).join(sig, "doc_id")
+    // the band explode CARRIES the signature column instead of
+    // re-attaching it with a doc_id self-join: the old
+    // `bands(sig).join(sig, "doc_id")` planned a sort-merge self-join —
+    // two exchanges, two sorts, and the whole tokenize→shingle→OPH
+    // expression computed TWICE (once per join side) — on every
+    // signature pass (index build, append, probe, and once per
+    // micro-batch in the streaming drain). A generator in the same
+    // select is a single narrow map pass: zero exchanges, signatures
+    // computed once; row set and values are identical (the join merely
+    // re-attached each doc's own sig to its 16 band rows).
+    sig.select(col("doc_id"), col("sig"),
+        posexplode(graft.functions.FnvHashes.fnvBandBuckets(
+          col("sig"), perms, rowsPerBand)).as(Seq("band", "bucket")))
       .withColumn("bmod",
         pmod(col("bucket"), lit(MinHashBucketMods.toLong)).cast("int"))
   }
@@ -1534,6 +1546,19 @@ object Dedup {
     (action, sizes)
   }
 
+  /** Probe-visible signature mass (base ∪ runs ∪ tail) read off the
+    * manifest's exact per-dir row counts — zero Spark jobs where the
+    * old `ManifestTiered.read(...).count()` re-scanned every tier's
+    * parquet footers; falls back to a real count only for a v1
+    * manifest with unknown rows (sizes() handles that), so the value
+    * is identical by construction.
+    */
+  private def sigMass(spark: SparkSession, indexDir: String,
+                      m: ManifestCommit.Manifest): Long = {
+    val t = ManifestTiered.sizes(spark, indexDir, m, "bands", BandsSchema)
+    t.base + t.l1 + t.tail
+  }
+
   /** Per-band signature row counts across base ∪ runs ∪ tail — the CLI
     * maintenance arms' report frame. Schema-read like the probe: an
     * empty-seeded index has zero part files and inference would throw.
@@ -1712,11 +1737,12 @@ object Dedup {
       // rewinds to; the vacuum pass itself (list + decode + GC walk)
       // runs for real every cycle
       compactMinHashIndex(s, work, vacuumKeep = Some(2))
-      // bounded driver artifacts: one count + a 1-row aggregate.
-      // n_sig_rows counts the PROBE-VISIBLE mass (base ∪ runs ∪ tail)
-      // — invariant across whichever tier the size policy rewrote
+      // bounded driver artifacts: one manifest-metadata sum + a 1-row
+      // aggregate. n_sig_rows counts the PROBE-VISIBLE mass (base ∪
+      // runs ∪ tail) — invariant across whichever tier the size policy
+      // rewrote — read off the manifest's exact per-dir row counts
       val m = ManifestCommit.current(conf, work)
-      val nSig = ManifestTiered.read(s, work, m, "bands", BandsSchema).count()
+      val nSig = sigMass(s, work, m)
       val h = dedupAgainstMinHashIndex(
           docs.filter(pmod(col("doc_id"), lit(4L)) === 3L), work)
         .agg(count(lit(1)).as("n_hits"),
