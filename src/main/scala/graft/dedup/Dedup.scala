@@ -404,8 +404,17 @@ object Dedup {
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       val sh = wordShingles(docs, 5)
+      // both PAIR tables are consumed twice (their own count aggregate
+      // and the true-positive semi join) — un-checkpointed, the whole
+      // LSH pipeline and the whole exact-truth pipeline each re-ran per
+      // consumer (executed plan: 28 parquet scans). The checkpoints
+      // hold only the near-dup PAIRS — bounded by the dup mass, tiny at
+      // any corpus scale — never the shingle intermediates the r2 A/B
+      // rejected persisting (see minHashDedup's doc).
       val lsh = minHashDedup(sh, perms = 64, rowsPerBand = 4, threshold = 0.5)
+        .localCheckpoint()
       val exact = jaccardExactPairs(docs).select(col("id1"), col("id2"))
+        .localCheckpoint()
       val tp = lsh.join(exact, Seq("id1", "id2"), "left_semi")
       lsh.agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("id1")).as("n_docs_with_dup"),
@@ -466,10 +475,14 @@ object Dedup {
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       val sh = charShingles(docs, 5)
+      // same pair-table checkpoint rationale as dedup_minhash (each
+      // pair frame is consumed twice; 29 executed scans before)
       val lsh = minHashDedup(sh, perms = 64, rowsPerBand = 8, threshold = 0.7)
         .select(col("id1"), col("id2"), col("jaccard"))
+        .localCheckpoint()
       val exact = charJaccardExactPairs(docs)
         .select(col("id1"), col("id2"))
+        .localCheckpoint()
       val tp = lsh.join(exact, Seq("id1", "id2"), "left_semi")
       lsh.agg(count(lit(1)).as("n_pairs_lsh"),
           coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
@@ -737,10 +750,20 @@ object Dedup {
       .select(col("doc_id"),
         explode(graft.functions.ShingleHashes.longWindowHashes(col("th"), n)).as("s"))
     val counts = sharedShingleCounts(sh, maxDf)
-    counts.select(col("id1").as("doc_id"), col("id2").as("container_id"),
-        (col("inter").cast("double") / col("na")).as("containment"))
-      .union(counts.select(col("id2").as("doc_id"), col("id1").as("container_id"),
-        (col("inter").cast("double") / col("nb")).as("containment")))
+    // both directions EXPLODE from the one (inter, na, nb) row instead
+    // of a self-union: the union's two branches each re-planned the
+    // whole shared-shingle pipeline (scan → bounded-collect → pair
+    // expansion → two size joins) and left deduplication to runtime
+    // stage reuse; a 2-struct posexplode emits the identical row pair
+    // from a SINGLE subtree — one pipeline in the plan by construction
+    counts.select(explode(array(
+        struct(col("id1").as("doc_id"), col("id2").as("container_id"),
+          (col("inter").cast("double") / col("na")).as("containment")),
+        struct(col("id2").as("doc_id"), col("id1").as("container_id"),
+          (col("inter").cast("double") / col("nb")).as("containment")))).as("x"))
+      .select(col("x.doc_id").as("doc_id"),
+        col("x.container_id").as("container_id"),
+        col("x.containment").as("containment"))
       .filter(col("containment") >= tau)
   }
 
@@ -1822,7 +1845,8 @@ object Dedup {
       ManifestTiered.benchRewind(conf, work, seedGen)
       compactMinHashIndex(s, work)
       val m = ManifestCommit.current(conf, work)
-      val nSig = ManifestTiered.read(s, work, m, "bands", BandsSchema).count()
+      // manifest-metadata sum, not a Spark count — see sigMass
+      val nSig = sigMass(s, work, m)
       val h = dedupAgainstMinHashIndex(
           docs.filter(pmod(col("doc_id"), lit(4L)) === 3L), work)
         .agg(count(lit(1)).as("n_hits"),
@@ -1894,8 +1918,10 @@ object Dedup {
       }
       val (ah, ad) = counts(mOld)
       val (ch, cd) = counts(mCur)
-      val sigOld = ManifestTiered.read(s, work, mOld, "bands", BandsSchema).count()
-      val sigCur = ManifestTiered.read(s, work, mCur, "bands", BandsSchema).count()
+      // manifest-metadata sums, not Spark counts — see sigMass; each
+      // snapshot's manifest carries its own exact per-dir row counts
+      val sigOld = sigMass(s, work, mOld)
+      val sigCur = sigMass(s, work, mCur)
       val schema = org.apache.spark.sql.types.StructType(
         Seq("n_sig_asof", "n_hits_asof", "n_dup_docs_asof",
           "n_sig_cur", "n_hits_cur", "n_dup_docs_cur")

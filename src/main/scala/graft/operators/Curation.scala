@@ -313,6 +313,12 @@ object Curation {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // boundary token CLOSES its chunk: cid = boundaries strictly before
       val withCid = tok.withColumn("cid", sum(col("b")).over(win) - col("b"))
+      // consumed twice (the dup-digest aggregate and the accounting
+      // join); the eager localCheckpoint materializes the per-chunk
+      // digest table once — un-checkpointed, both consumers re-ran the
+      // tokenize → posexplode → running-sum window → md5 pipeline (the
+      // digest rows are ~1/16th of the token stream, the cheap side of
+      // that trade at any scale)
       val chunks = withCid.groupBy(col("doc_id"), col("source"), col("cid"))
         .agg(concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("w")))),
@@ -320,6 +326,7 @@ object Curation {
         .select(col("doc_id"), col("source"),
           md5(col("chunk").cast("binary")).as("h"),
           length(col("chunk")).as("chunk_chars"))
+        .localCheckpoint()
       val dup = chunks.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)

@@ -81,9 +81,16 @@ object Decontam {
     "decontamination",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      decontaminate(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0))
+      // ONE tokenize pass serves both splits and every downstream
+      // consumer (totals + matched each re-derived the token hashes
+      // from the raw text otherwise — the regex tokenize is the
+      // dominant per-doc CPU); the eager localCheckpoint materializes
+      // the compact per-doc hash arrays (~8 B/token vs the text's
+      // tens of chars), the CLI decontam job's persist pattern
+      val th = tokenHashes(docs).localCheckpoint()
+      decontaminateTh(
+        th.filter(col("doc_id") % 10 =!= 0),
+        th.filter(col("doc_id") % 10 === 0))
     },
     Some("""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         FROM documents),
@@ -172,9 +179,13 @@ object Decontam {
     "decontam_near",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      decontaminateNear(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0))
+      // same tokenize-once pattern as `decontamination` above — the
+      // near filter's df/semi-join/intersection consumers re-ran the
+      // tokenize up to three times per side otherwise
+      val th = tokenHashes(docs).localCheckpoint()
+      decontaminateNearTh(
+        th.filter(col("doc_id") % 10 =!= 0),
+        th.filter(col("doc_id") % 10 === 0))
     },
     Some("""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         FROM documents),

@@ -48,9 +48,21 @@ object NgramLm {
     */
   def perDocPerplexity(trainDocs: DataFrame, scoreDocs: DataFrame): DataFrame = {
     val train = bigrams(trainDocs)
+    // head and vocab DERIVE FROM pair instead of re-aggregating train:
+    // c1 = Σ_w2 c2 exactly, and v = |distinct w2| over pair's distinct
+    // (w1, w2) keys exactly — while three independent aggregations over
+    // `train` planned three copies of the tokenize→posexplode scan.
+    // pair is CHECKPOINTED because plan-level reuse does not close the
+    // gap by itself (the scoring join pushes an isnotnull(w2) filter
+    // into its pair copy that head's copy lacks, so the canonical forms
+    // differ and AQE stage reuse never fires — read off the executed
+    // plan): the train-side tokenize→bigram pass runs exactly once, and
+    // the materialized table is model-sized (observed-vocab² bounded),
+    // orders of magnitude below the corpus that produced it.
     val pair = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val head = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = train.agg(countDistinct(col("w2")).as("v")).withColumn("one", lit(1))
+      .localCheckpoint()
+    val head = pair.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = pair.agg(countDistinct(col("w2")).as("v")).withColumn("one", lit(1))
     val scored = bigrams(scoreDocs)
       .join(pair, Seq("w1", "w2"), "left")
       .join(head, Seq("w1"), "left")
@@ -127,13 +139,24 @@ object NgramLm {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
+      // the scored per-doc table is consumed twice (the distinct-value
+      // ranking and the final bucketing join); an eager localCheckpoint
+      // materializes the expensive scoring pipeline (tokenize →
+      // bigram explode → two model joins → per-doc agg) exactly once —
+      // un-checkpointed, each consumer re-executed it from the scan
+      // (blocks are reclaimed by the ContextCleaner when the result
+      // frame is garbage-collected, the probe-path pattern)
       val perDoc = perDocPerplexity(docs.filter(splitKey < 800), docs)
+        .localCheckpoint()
       val valueCounts = perDoc.groupBy(col("lang"), col("ppl6"))
         .agg(count(lit(1)).as("c"))
       val wl = Window.partitionBy(col("lang")).orderBy(col("ppl6"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = valueCounts.withColumn("cum", sum(col("c")).over(wl))
-      val totals = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      // per-lang doc totals fold off the bounded distinct-value table
+      // (Σ c per lang ≡ count of perDoc rows per lang) — not a third
+      // pass over perDoc
+      val totals = valueCounts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
       val cuts = cum.join(totals, "lang")
         .groupBy(col("lang")).agg(
           min(when(col("cum") >= ceil(col("n") * lit(1.0) / lit(3.0)),

@@ -637,6 +637,10 @@ object TextOps {
           // distinct(), so the fingerprint stream shuffles exactly once
           // (the df aggregation)
           explode(graft.functions.ShingleHashes.winnowFingerprints(col("t"), k, w)).as("fp"))
+        // consumed twice (the df aggregate and the rollup join) — the
+        // eager localCheckpoint runs the normalize+winnow kernel scan
+        // once; un-checkpointed, both consumers re-ran it
+        .localCheckpoint()
       val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       fps.join(df, "fp")
         .groupBy(col("source"))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   */
 object IterAB {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local("8", "iter-ab")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "iter-ab")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
