@@ -30,7 +30,16 @@ object HostRank {
   private[jobs] final case class PreparedGraph(e: DataFrame, nodes: DataFrame, n: Long)
 
   private[jobs] def prepareGraph(edges: DataFrame): PreparedGraph = {
-    val e = edges.select(col("s"), col("t")).dropDuplicates().cache()
+    // cache the edge table HASH-PARTITIONED ON THE PER-ROUND JOIN KEY:
+    // every rank iteration joins ranks⋈e on node = s, and a cache laid
+    // out by dropDuplicates' (s, t) hash re-shuffled the FULL EDGE MASS
+    // once per round to satisfy the join (the rank table, checkpointed
+    // and partitioning-less, must shuffle each round either way — but
+    // it is |nodes| rows against the edge table's |edges|). One extra
+    // prep-time exchange, shared by the whole graph family via the
+    // session cache, removes the per-iteration edge exchange.
+    val e = edges.select(col("s"), col("t")).dropDuplicates()
+      .repartition(col("s")).cache()
     // deg is a per-NODE constant — join it to the node set ONCE and
     // carry (node, deg) through every round inside the checkpointed
     // frame, instead of re-joining ranks⋈outDeg each iteration (one
@@ -252,7 +261,11 @@ object HostRank {
     * every half-step, again because scalars commute).
     */
   def hits(edges0: DataFrame, iters: Int = 3): DataFrame = {
-    val e = edges0.select(col("s"), col("t")).dropDuplicates().cache()
+    // same join-key layout as prepareGraph: both h-push joins per round
+    // key on s (the ar-pull keys on t and still exchanges — one edge
+    // shuffle per round instead of two)
+    val e = edges0.select(col("s"), col("t")).dropDuplicates()
+      .repartition(col("s")).cache()
     try hitsCore(e, iters) finally { e.unpersist(blocking = false); () }
   }
 

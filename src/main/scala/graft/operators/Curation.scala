@@ -460,8 +460,12 @@ object Curation {
   val temperatureMix: QueryDef = QueryDef(
     "curation_temperature_mix",
     (s, dir) => {
+      // |langs| rows, consumed by the total aggregate AND the weight
+      // table — un-checkpointed, the corpus count-by-lang ran per
+      // consumer
       val byLang = Tables(s, dir, "documents")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint()
       val tot = byLang.agg(sum(col("n_docs")).as("total")).withColumn("one", lit(1))
       val w = byLang.withColumn("one", lit(1)).join(broadcast(tot), "one")
         .withColumn("p6", round(col("n_docs").cast("double") / col("total"), 6))
@@ -505,11 +509,15 @@ object Curation {
     * the xxhash64(url) ids warc_to_documents assigns).
     */
   def crawlMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    // slim digest rows (~80 B/row, no text), consumed by BOTH the
+    // winner aggregate and the join probe — un-checkpointed, the
+    // union+md5 pass over both crawls ran twice
     val m = a.withColumn("crawl", lit(1L))
       .unionByName(b.withColumn("crawl", lit(2L)))
       .select(col("doc_id"), col("source"), col("crawl"),
         md5(col("text").cast("binary")).as("h"),
         struct(col("crawl"), col("doc_id")).as("key"))
+      .localCheckpoint()
     val winners = m.groupBy(col("h")).agg(min(col("key")).as("win_key"))
     m.join(winners, "h")
       .withColumn("kept", col("key") === col("win_key"))

@@ -34,8 +34,16 @@ object Pipeline {
     * the registered query aggregates it per source.
     */
   def outcomeFlags(docs: DataFrame): DataFrame = {
-      val base = docs
-        .filter(col("doc_id") % 10 =!= 0) // held-out eval split stays out
+      val nonEval = docs.filter(col("doc_id") % 10 =!= 0) // eval split stays out
+      // SLIM per-doc flag table, eagerly checkpointed WITHOUT the token
+      // arrays: every stage (quality gate, dedup survivor pick, the
+      // final accounting join) consumed `base` and un-checkpointed each
+      // re-ran the tokenize+md5 corpus pass (~4 executed passes); the
+      // checkpoint is ~50 B/doc — materializing the token arrays
+      // themselves is the trade minHashDedup's r2 A/B rejected, so the
+      // decontamination gram pass below re-derives tokens for the
+      // DEDUP SURVIVORS only instead of riding a fat checkpoint
+      val base = nonEval
         .select(col("doc_id"), col("source"),
           tokens(col("text")).as("toks"),
           md5(col("text").cast("binary")).as("sig"))
@@ -43,15 +51,17 @@ object Pipeline {
           size(col("toks")).as("n_tok"),
           size(array_distinct(filter(col("toks"),
             t => t.isin(Seq("the", "be", "to", "of", "and", "that", "have", "with"): _*))))
-            .as("stop_hits"),
-          col("toks"))
+            .as("stop_hits"))
+        .localCheckpoint()
       val qualifiedCond = col("n_tok") >= 20 && col("stop_hits") >= 1
       val qualified = base.filter(qualifiedCond)
       // exact dedup: survivor = min doc_id per digest
       val keepers = qualified
         .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), lit(true).as("is_keeper"))
-      val deduped = qualified.join(keepers.drop("is_keeper"), Seq("doc_id"), "left_semi")
+      val dedupedIds = qualified
+        .join(keepers.drop("is_keeper"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"))
       // decontamination: any shared 13-gram with the eval split drops
       val evalGrams = docs.filter(col("doc_id") % 10 === 0)
         .select(tokens(col("text")).as("toks"))
@@ -59,7 +69,9 @@ object Pipeline {
         .select(explode(ShingleHashes.longWindowHashes(
           expr("transform(toks, t -> xxhash64(t))"), 13)).as("g"))
         .distinct()
-      val contaminatedIds = deduped
+      val contaminatedIds = nonEval
+        .join(dedupedIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 13)
         .select(col("doc_id"), explode(ShingleHashes.longWindowHashes(
           expr("transform(toks, t -> xxhash64(t))"), 13)).as("g"))

@@ -1128,7 +1128,14 @@ object Relational {
     (s, dir) => {
       val acc = 1000
       val ev = t(s, dir, "events").select(col("event_type"), col("value").as("v"))
-      val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      // ONE aggregation computes both the exact count and the sketch —
+      // they group by the same key, and splitting them re-scanned the
+      // events table; the tiny per-type frame is checkpointed because
+      // it feeds both the bounds join and the final projection
+      val n = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("v"), lit(0.5), lit(acc)).as("p50_approx"))
+        .localCheckpoint()
       val cum = ScaleUtils.cumCountDesc(ev, "v",
         v => floor(v / lit(8.0)), Seq("event_type"))
       // from-top median rank k = (n+1) div 2; tolerance t = 2·n/acc + 2:
@@ -1136,16 +1143,14 @@ object Relational {
       // Spark's target rank differs from ours by up to one — double the
       // guarantee plus the off-by-ones keeps the audit meaningful (a
       // ~6-of-2000 rank window) without false alarms
-      val bounds = cum.join(n, Seq("event_type"))
+      val bounds = cum.join(n.select(col("event_type"), col("n")), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(
           max(when(col("cum") >= expr(s"(n + 1) div 2 + (2 * (n div $acc) + 2)"),
             col("v"))).as("p50_lo"),
           max(when(col("cum") >= expr(s"greatest((n + 1) div 2 - (2 * (n div $acc) + 2), 1)"),
             col("v"))).as("p50_hi"))
-      val approx = ev.groupBy(col("event_type"))
-        .agg(percentile_approx(col("v"), lit(0.5), lit(acc)).as("p50_approx"))
-      n.join(bounds, Seq("event_type")).join(approx, Seq("event_type"))
+      n.join(bounds, Seq("event_type"))
         .select(col("event_type"), col("n").as("n_events"),
           col("p50_lo"), col("p50_hi"),
           col("p50_approx").between(col("p50_lo"), col("p50_hi"))
@@ -1705,6 +1710,9 @@ object Relational {
         .filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type"), col("event_type"))
         .agg(count(lit(1)).as("n"))
+        // |types|² rows, consumed by the row-total aggregate AND the
+        // join — un-checkpointed, the user_id lag window ran twice
+        .localCheckpoint()
       val tot = trans.groupBy(col("prev_type")).agg(sum(col("n")).as("row_total"))
       trans.join(tot, "prev_type")
         .select(col("prev_type"), col("event_type"), col("n"),
@@ -2007,7 +2015,11 @@ object Relational {
     "scd2_merge",
     (s, dir) => {
       val raw = t(s, dir, "events")
-      scd2Merge(scd2(raw.filter(col("event_id") % 5 =!= 0)),
+      // the built dimension is consumed twice inside scd2Merge (the
+      // untouched anti-join and the affected-rows semi-join) — the
+      // checkpoint materializes the SCD2 window pipeline once
+      // (dimension-sized rows, far below the event volume)
+      scd2Merge(scd2(raw.filter(col("event_id") % 5 =!= 0)).localCheckpoint(),
         raw.filter(col("event_id") % 5 === 0))
     },
     Some(Scd2OracleSql))

@@ -480,10 +480,16 @@ object TextOps {
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
       val stats = d.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      // tf is |terms| × |matching docs| — bounded and tiny — but it is
+      // consumed by BOTH df and the scoring join, and un-checkpointed
+      // each consumer re-ran the tokenize+explode corpus pass; the
+      // eager localCheckpoint caps the query at two tokenize passes
+      // (the stats aggregate and this one)
       val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
         .filter(col("term").isin(terms: _*))
         .groupBy(col("term"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       val scored = tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(stats))
         .select(col("term"), col("doc_id"),
