@@ -127,20 +127,39 @@ object Dedup {
     full.union(star).distinct()
   }
 
-  /** Eagerly localCheckpoint several INDEPENDENT frames at once: Spark
+  /** Eagerly checkpoint several INDEPENDENT frames at once: Spark
     * happily runs jobs submitted from separate driver threads in
     * parallel (the idle-capacity overlap every A/B here confirmed),
     * while sequential eager checkpoints serialize pipelines a single
     * lazy DAG would have overlapped. Values are unaffected — each
     * frame materializes exactly once either way.
+    *
+    * STABLE checkpoints (graft.util.Checkpoints): these frames feed
+    * the query result, and a lineage-free executor block
+    * (localCheckpoint) dies with its executor on a real cluster — on
+    * a cluster master the materialization routes through reliable
+    * checkpoint files; locally it keeps the cheaper memory blocks.
+    * The worker threads inherit the caller's job group / description /
+    * scheduler pool (local properties are thread-local, so a bare
+    * Future would otherwise break cancellation and fair-pool routing),
+    * and the await is FINITE — a hung materialization fails the query
+    * instead of hanging it forever.
     */
   private def checkpointConcurrently(dfs: Seq[DataFrame]): Seq[DataFrame] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    if (dfs.isEmpty) return Nil
+    val sc = dfs.head.sparkSession.sparkContext
+    val inherit = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel", "spark.scheduler.pool")
+      .flatMap(k => Option(sc.getLocalProperty(k)).map(k -> _))
     Await.result(
-      Future.sequence(dfs.map(df => Future(df.localCheckpoint()))),
-      Duration.Inf)
+      Future.sequence(dfs.map(df => Future {
+        inherit.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+        graft.util.Checkpoints.ReliableOps(df).stableCheckpoint()
+      })),
+      Duration(30, java.util.concurrent.TimeUnit.MINUTES))
   }
 
   /** Exact Jaccard verification of candidate pairs against shingle sets. */
@@ -879,17 +898,22 @@ object Dedup {
     * Recorded in the meta marker: a probe computing bmod with a
     * different modulus would prune REAL candidates away silently.
     *
-    * Sizing: COMPACTION rewrites one part file per non-empty
-    * (band, bmod) partition ×2 tables (measured ~12 ms of commit cost
-    * per dir per write at local[8] — row count irrelevant), and a
-    * pruned probe's partition-listing work follows the same count.
-    * Appends never pay it: they land in the flat tail (below). 16
-    * (=256 dirs with 16 bands) keeps small probes ~97% pruned at a
-    * compaction cost the sf0.1 corpus absorbs in single-digit seconds;
-    * a petabyte-deep index would raise it with index size (the rewrite
-    * amortizes over compacted bytes).
+    * Sizing: every PROBE opens one parquet file per non-empty
+    * (band, bmod) base dir — a fixed per-file reader-init constant
+    * (measured ~2.5 ms/file: a one-task scan of the 256-file r16 base
+    * took ~0.7 s against ~0.18 s at 64 files, tools/ProbeProf r17) —
+    * and COMPACTION rewrites the same count (~12 ms commit cost per
+    * dir per write, row count irrelevant). Appends never pay it: they
+    * land in the flat tail (below). 4 (=64 dirs with 16 bands) is the
+    * guide-§6 file-sizing call: it quarters the per-probe open/commit
+    * constants that dominated the streaming drain's micro-batches
+    * while a 1-doc interactive probe still prunes ≥75% of the base
+    * statically (16 of 64 dirs; 2-doc ≤50%) — at petabyte depth the
+    * dirs hold GB-scale files either way and the larger files are the
+    * better object-store layout. Raise it only for deployments whose
+    * probes are tiny AND whose base dirs would stay large.
     */
-  private[graft] val MinHashBucketMods = 16
+  private[graft] val MinHashBucketMods = 4
 
   private def indexMetaPath(indexDir: String) =
     new org.apache.hadoop.fs.Path(s"$indexDir/_graft_minhash_meta")
@@ -1089,11 +1113,15 @@ object Dedup {
                                       expectMeta: String): Unit = {
     val spark = banded.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    val bd = ManifestTiered.layDir(spark, indexDir, "bands.tail",
-      banded.select(col("doc_id"), col("bucket"), col("sig"), col("band"), col("bmod")),
-      partitionBy = Nil, sortKeys = Nil)
-    val wd = ManifestTiered.layDir(spark, indexDir, "widths.tail",
-      widthsOf(banded), partitionBy = Nil, sortKeys = Nil)
+    // the two tail lays are independent reads of the persisted batch —
+    // overlap their write jobs from driver threads (§2.6); the widths
+    // lay rides the bands lay's wall-clock
+    val Seq(bd, wd) = graft.util.DriverPar.inParallel(spark.sparkContext)(Seq(
+      () => ManifestTiered.layDir(spark, indexDir, "bands.tail",
+        banded.select(col("doc_id"), col("bucket"), col("sig"), col("band"), col("bmod")),
+        partitionBy = Nil, sortKeys = Nil),
+      () => ManifestTiered.layDir(spark, indexDir, "widths.tail",
+        widthsOf(banded), partitionBy = Nil, sortKeys = Nil)))
     val update = (mm: ManifestCommit.Manifest) =>
       ManifestCommit.addDir(
         ManifestCommit.addDir(mm, "bands.tail", bd.dir, bd.rows),
@@ -1319,7 +1347,7 @@ object Dedup {
       .map(g => graft.util.ManifestCommit.atGeneration(conf, indexDir, g))
       .getOrElse(graft.util.ManifestCommit.current(conf, indexDir))
     probeWithBands(spark, banded, manifestReader(spark, indexDir, m),
-      perms, threshold)
+      perms, threshold, nBands = perms / rowsPerBand)
   }
 
   /** The probe-side index reader: base ∪ level-1 runs ∪ tail of one
@@ -1363,7 +1391,8 @@ object Dedup {
                              readIdx: (String, org.apache.spark.sql.types.StructType,
                                Option[Column]) => DataFrame,
                              perms: Int,
-                             threshold: Double): DataFrame = {
+                             threshold: Double,
+                             nBands: Int): DataFrame = {
     // ONE bounded job serves both driver artifacts: the touched
     // (band, bmod) partition set (≤ nBands × MinHashBucketMods values)
     // and the distinct collision-key count that gates the broadcast
@@ -1388,11 +1417,21 @@ object Dedup {
     // parquet can only push DIRECT column predicates to row-group
     // stats — the band/bmod isin conjuncts are what let the flat
     // (band, bmod, bucket)-sorted level-1 runs and tail skip row
-    // groups instead of being scanned whole per probe
+    // groups instead of being scanned whole per probe.
+    // FULL-COVERAGE batches (every (band, bmod) pair touched — any
+    // maintenance-scale batch: ≥~80 docs hits all nBands×16 pairs)
+    // skip the filter outright: it prunes nothing, its ~1k literals
+    // are evaluated against every index row, and — the expensive part
+    // — the literal set varies per batch, so every micro-batch probe
+    // planned a UNIQUE stage and paid a fresh whole-stage-codegen
+    // compile where a literal-free plan hits the codegen cache across
+    // the whole drain
     val partFilter =
-      col("band").isin(touched.map(p => (p / MinHashBucketMods).toInt).distinct: _*) &&
-        col("bmod").isin(touched.map(p => (p % MinHashBucketMods).toInt).distinct: _*) &&
-        (col("band").cast("long") * MinHashBucketMods + col("bmod")).isin(touched: _*)
+      if (touched.size >= nBands.toLong * MinHashBucketMods) None
+      else Some(
+        col("band").isin(touched.map(p => (p / MinHashBucketMods).toInt).distinct: _*) &&
+          col("bmod").isin(touched.map(p => (p % MinHashBucketMods).toInt).distinct: _*) &&
+          (col("band").cast("long") * MinHashBucketMods + col("bmod")).isin(touched: _*))
     // The batch's distinct collision keys, broadcast-SEMI-joined
     // against both index-side reads BEFORE any exchange: index rows
     // whose (band, bucket) no batch row carries can never produce a
@@ -1419,7 +1458,7 @@ object Dedup {
     def collidable(df: DataFrame): DataFrame =
       semiKeys.map(k => df.join(k, Seq("band", "bucket"), "left_semi")).getOrElse(df)
     val idx0 = collidable(
-      readIdx("bands", BandsSchema, Some(partFilter)))
+      readIdx("bands", BandsSchema, partFilter))
       .select(col("band"), col("bucket"),
         col("doc_id").as("idx_id"), col("sig").as("idx_sig"))
     // Degenerate-bucket cap on the INDEX side (the probe-join analogue
@@ -1443,7 +1482,7 @@ object Dedup {
     // the same semi-join turns the sidecar fold from O(touched widths)
     // into O(batch collisions) before its aggregation shuffles
     val overCap = collidable(
-      readIdx("widths", WidthsSchema, Some(partFilter)))
+      readIdx("widths", WidthsSchema, partFilter))
       .groupBy(col("band"), col("bucket"))
       .agg(sum(col("bw")).as("bw"), min(col("aid")).as("aid"))
       .filter(col("bw") > SimHashMaxBucket)
@@ -1505,7 +1544,8 @@ object Dedup {
       val banded = bandedSignatures(newDocs, shingleW, perms, rowsPerBand).persist()
       try {
         val hits = probeWithBands(spark, banded,
-          manifestReader(spark, indexDir, m), perms, threshold)
+          manifestReader(spark, indexDir, m), perms, threshold,
+          nBands = perms / rowsPerBand)
         val bid = hitsBid
         hits.write.mode("overwrite").parquet(s"$hitsOut/batch_id=$bid")
         // the append publishes against the SAME snapshot the probe
@@ -1919,14 +1959,19 @@ object Dedup {
       // ONE banded-signature pass serves both snapshot probes — the
       // probe crawl's tokenize→shingle→OPH is the dominant per-probe
       // cost and is snapshot-independent (the public asOfGen path
-      // recomputes it per call; same probeWithBands underneath)
+      // recomputes it per call; same probeWithBands underneath).
+      // Stable checkpoint: this table feeds the query result across
+      // two consuming jobs, and a lineage-free executor block would
+      // fail both on a cluster executor loss (util/Checkpoints
+      // rationale; local masters keep the cheaper memory blocks)
       validateIndexMeta(s, work, 5, 64, 4, "probing")
-      val banded = bandedSignatures(probe, 5, 64, 4).localCheckpoint()
+      val banded = graft.util.Checkpoints.ReliableOps(
+        bandedSignatures(probe, 5, 64, 4)).stableCheckpoint()
       val mOld = ManifestCommit.atGeneration(conf, work, buildGen)
       val mCur = ManifestCommit.current(conf, work)
       def counts(m: ManifestCommit.Manifest): (Long, Long) = {
         val r = probeWithBands(s, banded, manifestReader(s, work, m),
-            perms = 64, threshold = 0.5)
+            perms = 64, threshold = 0.5, nBands = 16)
           .agg(count(lit(1)).as("n_hits"),
             countDistinct(col("new_id")).as("n_dup_docs"))
           .collect()(0)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.ReliableOps
 import graft.QueryDef
 import graft.functions.GraftFunctions._
 import graft.functions.ShingleHashes
@@ -314,7 +315,7 @@ object Curation {
       // boundary token CLOSES its chunk: cid = boundaries strictly before
       val withCid = tok.withColumn("cid", sum(col("b")).over(win) - col("b"))
       // consumed twice (the dup-digest aggregate and the accounting
-      // join); the eager localCheckpoint materializes the per-chunk
+      // join); the eager stable checkpoint materializes the per-chunk
       // digest table once — un-checkpointed, both consumers re-ran the
       // tokenize → posexplode → running-sum window → md5 pipeline (the
       // digest rows are ~1/16th of the token stream, the cheap side of
@@ -326,7 +327,7 @@ object Curation {
         .select(col("doc_id"), col("source"),
           md5(col("chunk").cast("binary")).as("h"),
           length(col("chunk")).as("chunk_chars"))
-        .localCheckpoint()
+        .stableCheckpoint()
       val dup = chunks.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
@@ -465,7 +466,7 @@ object Curation {
       // consumer
       val byLang = Tables(s, dir, "documents")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-        .localCheckpoint()
+        .stableCheckpoint()
       val tot = byLang.agg(sum(col("n_docs")).as("total")).withColumn("one", lit(1))
       val w = byLang.withColumn("one", lit(1)).join(broadcast(tot), "one")
         .withColumn("p6", round(col("n_docs").cast("double") / col("total"), 6))
@@ -517,7 +518,7 @@ object Curation {
       .select(col("doc_id"), col("source"), col("crawl"),
         md5(col("text").cast("binary")).as("h"),
         struct(col("crawl"), col("doc_id")).as("key"))
-      .localCheckpoint()
+      .stableCheckpoint()
     val winners = m.groupBy(col("h")).agg(min(col("key")).as("win_key"))
     m.join(winners, "h")
       .withColumn("kept", col("key") === col("win_key"))

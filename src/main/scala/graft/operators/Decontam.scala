@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.ReliableOps
 import graft.QueryDef
 import graft.functions.GraftFunctions._
 import graft.functions.ShingleHashes
@@ -84,10 +85,10 @@ object Decontam {
       // ONE tokenize pass serves both splits and every downstream
       // consumer (totals + matched each re-derived the token hashes
       // from the raw text otherwise — the regex tokenize is the
-      // dominant per-doc CPU); the eager localCheckpoint materializes
+      // dominant per-doc CPU); the eager stable checkpoint materializes
       // the compact per-doc hash arrays (~8 B/token vs the text's
       // tens of chars), the CLI decontam job's persist pattern
-      val th = tokenHashes(docs).localCheckpoint()
+      val th = tokenHashes(docs).stableCheckpoint()
       decontaminateTh(
         th.filter(col("doc_id") % 10 =!= 0),
         th.filter(col("doc_id") % 10 === 0))
@@ -182,7 +183,7 @@ object Decontam {
       // same tokenize-once pattern as `decontamination` above — the
       // near filter's df/semi-join/intersection consumers re-ran the
       // tokenize up to three times per side otherwise
-      val th = tokenHashes(docs).localCheckpoint()
+      val th = tokenHashes(docs).stableCheckpoint()
       decontaminateNearTh(
         th.filter(col("doc_id") % 10 =!= 0),
         th.filter(col("doc_id") % 10 === 0))

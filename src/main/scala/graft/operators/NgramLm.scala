@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.ReliableOps
 import graft.QueryDef
 import graft.functions.GraftFunctions._
 import graft.util.Tables
@@ -60,7 +61,7 @@ object NgramLm {
     // the materialized table is model-sized (observed-vocab² bounded),
     // orders of magnitude below the corpus that produced it.
     val pair = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      .localCheckpoint()
+      .stableCheckpoint()
     val head = pair.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = pair.agg(countDistinct(col("w2")).as("v")).withColumn("one", lit(1))
     val scored = bigrams(scoreDocs)
@@ -140,14 +141,14 @@ object NgramLm {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
       // the scored per-doc table is consumed twice (the distinct-value
-      // ranking and the final bucketing join); an eager localCheckpoint
+      // ranking and the final bucketing join); an eager stable checkpoint
       // materializes the expensive scoring pipeline (tokenize →
       // bigram explode → two model joins → per-doc agg) exactly once —
       // un-checkpointed, each consumer re-executed it from the scan
       // (blocks are reclaimed by the ContextCleaner when the result
       // frame is garbage-collected, the probe-path pattern)
       val perDoc = perDocPerplexity(docs.filter(splitKey < 800), docs)
-        .localCheckpoint()
+        .stableCheckpoint()
       val valueCounts = perDoc.groupBy(col("lang"), col("ppl6"))
         .agg(count(lit(1)).as("c"))
       val wl = Window.partitionBy(col("lang")).orderBy(col("ppl6"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.ReliableOps
 import graft.QueryDef
 import graft.functions.GraftFunctions._
 import graft.functions.ShingleHashes
@@ -52,7 +53,7 @@ object Pipeline {
           size(array_distinct(filter(col("toks"),
             t => t.isin(Seq("the", "be", "to", "of", "and", "that", "have", "with"): _*))))
             .as("stop_hits"))
-        .localCheckpoint()
+        .stableCheckpoint()
       val qualifiedCond = col("n_tok") >= 20 && col("stop_hits") >= 1
       val qualified = base.filter(qualifiedCond)
       // exact dedup: survivor = min doc_id per digest

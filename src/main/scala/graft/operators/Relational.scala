@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.ReliableOps
 import graft.QueryDef
 import graft.functions.GraftFunctions._
 import graft.util.Tables
@@ -1135,7 +1136,7 @@ object Relational {
       val n = ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           percentile_approx(col("v"), lit(0.5), lit(acc)).as("p50_approx"))
-        .localCheckpoint()
+        .stableCheckpoint()
       val cum = ScaleUtils.cumCountDesc(ev, "v",
         v => floor(v / lit(8.0)), Seq("event_type"))
       // from-top median rank k = (n+1) div 2; tolerance t = 2·n/acc + 2:
@@ -1712,7 +1713,7 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         // |types|² rows, consumed by the row-total aggregate AND the
         // join — un-checkpointed, the user_id lag window ran twice
-        .localCheckpoint()
+        .stableCheckpoint()
       val tot = trans.groupBy(col("prev_type")).agg(sum(col("n")).as("row_total"))
       trans.join(tot, "prev_type")
         .select(col("prev_type"), col("event_type"), col("n"),
@@ -2019,7 +2020,7 @@ object Relational {
       // untouched anti-join and the affected-rows semi-join) — the
       // checkpoint materializes the SCD2 window pipeline once
       // (dimension-sized rows, far below the event volume)
-      scd2Merge(scd2(raw.filter(col("event_id") % 5 =!= 0)).localCheckpoint(),
+      scd2Merge(scd2(raw.filter(col("event_id") % 5 =!= 0)).stableCheckpoint(),
         raw.filter(col("event_id") % 5 === 0))
     },
     Some(Scd2OracleSql))

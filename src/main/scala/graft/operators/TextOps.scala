@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.ReliableOps
 import graft.QueryDef
 import graft.functions.GraftFunctions._
 import graft.functions.NfcNormalize.nfc
@@ -483,13 +484,13 @@ object TextOps {
       // tf is |terms| × |matching docs| — bounded and tiny — but it is
       // consumed by BOTH df and the scoring join, and un-checkpointed
       // each consumer re-ran the tokenize+explode corpus pass; the
-      // eager localCheckpoint caps the query at two tokenize passes
+      // eager stable checkpoint caps the query at two tokenize passes
       // (the stats aggregate and this one)
       val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
         .filter(col("term").isin(terms: _*))
         .groupBy(col("term"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+        .stableCheckpoint()
       val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       val scored = tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(stats))
         .select(col("term"), col("doc_id"),
@@ -644,9 +645,9 @@ object TextOps {
           // (the df aggregation)
           explode(graft.functions.ShingleHashes.winnowFingerprints(col("t"), k, w)).as("fp"))
         // consumed twice (the df aggregate and the rollup join) — the
-        // eager localCheckpoint runs the normalize+winnow kernel scan
+        // eager stable checkpoint runs the normalize+winnow kernel scan
         // once; un-checkpointed, both consumers re-ran it
-        .localCheckpoint()
+        .stableCheckpoint()
       val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       fps.join(df, "fp")
         .groupBy(col("source"))

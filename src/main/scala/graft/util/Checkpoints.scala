@@ -70,7 +70,63 @@ object Checkpoints {
     }
   }
 
+  /** Eager materialization for a multi-consumer table that FEEDS a
+    * query result, master-adaptive:
+    *
+    *  - LOCAL master: `localCheckpoint()` — executors live in the
+    *    driver process, so the lineage-loss failure mode reliable()
+    *    guards against cannot outlive a failure the job itself
+    *    survives; memory blocks are the cheapest read for every
+    *    consumer (a reliable checkpoint measured ~2× on the ngram
+    *    pair-table sites at sf0.1 — file write + per-consumer file
+    *    read vs memory blocks, tools/IterAB round 17).
+    *  - CLUSTER master: [[reliable]] — an executor loss costs a
+    *    re-read of the checkpoint files instead of failing every
+    *    consuming action (the 100 TB availability story; blocks of a
+    *    localCheckpoint die with their executor).
+    *
+    * `spark.graft.checkpoint.mode` (`local` | `reliable`) overrides.
+    */
+  implicit class ReliableOps(private val df: DataFrame) extends AnyVal {
+    def stableCheckpoint(): DataFrame =
+      df.sparkSession.conf.getOption("spark.graft.checkpoint.mode") match {
+        case Some("local") => df.localCheckpoint()
+        case Some("reliable") => reliableOnce(df)
+        case _ =>
+          if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint()
+          else reliableOnce(df)
+      }
+  }
+
   def reliable(df: DataFrame): DataFrame = {
+    // first-use dir init is synchronized: concurrent materialization
+    // (Dedup.checkpointConcurrently) calls this from several driver
+    // threads, and two racing setCheckpointDir calls would leave one
+    // thread's checkpoint in a dir the other just replaced
+    ensureDir(df)
+    // plain checkpoint: the write job recomputes the frame, which for
+    // ITERATION rounds reads the previous round's files + cached graph
+    // and measured FASTER than a persist-bracketed write locally
+    // (persist's columnar encode + per-round cache churn cost more
+    // than the cheap recompute — IterAB round 17: dedup_clusters
+    // 2.8→4.5 s, graph_hits 3.1→4.6 s with the bracket). One-shot
+    // expensive pipelines use [[reliableOnce]] instead.
+    df.checkpoint()
+  }
+
+  /** [[reliable]] with the persist-bracketed write (the documented
+    * persist-before-checkpoint rule): the checkpoint write job reads
+    * cached blocks instead of RECOMPUTING the frame — for one-shot
+    * tables whose pipeline is the dominant cost (tokenize/shingle
+    * passes, pair tables), the bracket halves the materialization.
+    */
+  def reliableOnce(df: DataFrame): DataFrame = {
+    ensureDir(df)
+    val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try c.checkpoint() finally { c.unpersist(blocking = false); () }
+  }
+
+  private def ensureDir(df: DataFrame): Unit = synchronized {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty) {
       val dir = resolveDir(sc.isLocal, sc.master,
@@ -83,6 +139,5 @@ object Checkpoints {
           "set spark.cleaner.referenceTracking.cleanCheckpoints=true to " +
             s"reclaim per-iteration checkpoints under $dir")
     }
-    df.checkpoint()
   }
 }
