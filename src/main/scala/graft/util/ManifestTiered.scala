@@ -156,7 +156,15 @@ object ManifestTiered {
         math.max(0L, sizeHintRows), rowsPerFile)
     else
       rows.write.mode("overwrite").parquet(path)
-    DirEntry(d, spark.read.schema(rows.schema).parquet(path).count())
+    // exact row count off the fresh footers, driver-side — the
+    // Spark-job count was a fixed per-lay scheduling constant the
+    // streaming drains paid twice per micro-batch; footer reads are
+    // the same metadata, no job. Falls back to the distributed count
+    // when the lay is wide (a Major-compacted base at corpus scale).
+    val n = ParquetFooters
+      .rowCount(spark.sessionState.newHadoopConf(), path)
+      .getOrElse(spark.read.schema(rows.schema).parquet(path).count())
+    DirEntry(d, n)
   }
 
   /** ZERO-COPY adoption of a rename-protocol index into the manifest
@@ -285,7 +293,11 @@ object ManifestTiered {
             sizeHintRows = mass, rowsPerFile = spec.runRowsPerFile)
       }
     }
-    val laid = specs.map(s => s -> fold(s))
+    // per-table folds are independent (disjoint tables, fresh dirs,
+    // one publish below) — overlap their jobs from driver threads
+    // (§2.6): the widths sidecar's fold rides the bands fold's wall
+    val laid = specs.zip(
+      DriverPar.inParallel(spark.sparkContext)(specs.map(s => () => fold(s))))
     ManifestCommit.publishAt(conf, indexDir, m, mm =>
       laid.foldLeft(mm) { case (acc, (s, e)) =>
         foldUpdate(acc, s.name, action, e)
