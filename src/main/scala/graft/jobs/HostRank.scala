@@ -30,26 +30,63 @@ object HostRank {
   private[jobs] final case class PreparedGraph(e: DataFrame, nodes: DataFrame, n: Long)
 
   private[jobs] def prepareGraph(edges: DataFrame): PreparedGraph = {
-    // cache the edge table HASH-PARTITIONED ON THE PER-ROUND JOIN KEY:
-    // every rank iteration joins ranks⋈e on node = s, and a cache laid
-    // out by dropDuplicates' (s, t) hash re-shuffled the FULL EDGE MASS
-    // once per round to satisfy the join (the rank table, checkpointed
-    // and partitioning-less, must shuffle each round either way — but
-    // it is |nodes| rows against the edge table's |edges|). One extra
-    // prep-time exchange, shared by the whole graph family via the
-    // session cache, removes the per-iteration edge exchange.
-    val e = edges.select(col("s"), col("t")).dropDuplicates()
-      .repartition(col("s")).cache()
+    val e0 = edges.select(col("s"), col("t")).dropDuplicates().cache()
     // deg is a per-NODE constant — join it to the node set ONCE and
     // carry (node, deg) through every round inside the checkpointed
     // frame, instead of re-joining ranks⋈outDeg each iteration (one
     // keyed join per round saved; at cluster scale, one fewer shuffle
     // of the rank table per round)
-    val outDeg = e.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("s").as("node"))
-      .union(e.select(col("t").as("node"))).distinct()
+    val outDeg = e0.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+    val nodes = e0.select(col("s").as("node"))
+      .union(e0.select(col("t").as("node"))).distinct()
       .join(outDeg, Seq("node"), "left").cache()
-    PreparedGraph(e, nodes, nodes.count())
+    val n = nodes.count() // materializes e0's cache as a side effect
+    PreparedGraph(layEdgeCache(e0), nodes, n)
+  }
+
+  /** Lay the MATERIALIZED deduped edge cache out for the per-round
+    * ranks⋈e join. Two regimes:
+    *
+    *  - BROADCAST (small edge mass — every test SF): the planner ships
+    *    e into each rank join as a broadcast relation, so a cache
+    *    layout on the join key is dead weight — it only costs one
+    *    extra prep exchange, re-paid whenever the session cache
+    *    refills (r16 measured +0.3–0.5 s locally with no payoff).
+    *    Keep dropDuplicates' layout.
+    *  - SORT-MERGE (edge mass over the broadcast threshold — any real
+    *    webgraph): a cache laid out by dropDuplicates' (s, t) hash
+    *    re-shuffles the FULL EDGE MASS once per round to satisfy the
+    *    join; re-laying it HASH(s) at prep time moves that to ONE
+    *    prep exchange shared by the whole graph family (the rank
+    *    table still shuffles each round, but it is |nodes| rows
+    *    against the edge table's |edges|). tools/GraphRound evidences
+    *    both regimes.
+    *
+    * The regime test compares the cache's materialized byte size (the
+    * same statistic the planner's broadcast decision reads off the
+    * InMemoryRelation) against spark.sql.autoBroadcastJoinThreshold;
+    * `spark.graft.graph.edgeLayout` (`auto`/`s`/`none`) overrides.
+    */
+  private[jobs] def layEdgeCache(e0: DataFrame): DataFrame = {
+    val conf = e0.sparkSession.conf
+    val relay = conf.getOption("spark.graft.graph.edgeLayout")
+      .getOrElse("auto") match {
+      case "s" => true
+      case "none" => false
+      case _ =>
+        val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+        // thr < 0 disables auto-broadcast: every per-round join is
+        // sort-merge and the join-key layout always pays
+        thr < 0 || e0.queryExecution.optimizedPlan.stats.sizeInBytes > thr
+    }
+    if (!relay) e0
+    else {
+      val e = e0.repartition(col("s")).cache()
+      e.count()
+      e0.unpersist(blocking = false)
+      e
+    }
   }
 
   private def releaseGraph(g: PreparedGraph): Unit = {
@@ -261,11 +298,14 @@ object HostRank {
     * every half-step, again because scalars commute).
     */
   def hits(edges0: DataFrame, iters: Int = 3): DataFrame = {
-    // same join-key layout as prepareGraph: both h-push joins per round
-    // key on s (the ar-pull keys on t and still exchanges — one edge
-    // shuffle per round instead of two)
-    val e = edges0.select(col("s"), col("t")).dropDuplicates()
-      .repartition(col("s")).cache()
+    // same regime-gated join-key layout as prepareGraph: above the
+    // broadcast threshold both h-push joins per round key on s (the
+    // ar-pull keys on t and still exchanges — one edge shuffle per
+    // round instead of two); below it the joins broadcast e and the
+    // layout would be dead weight
+    val e0 = edges0.select(col("s"), col("t")).dropDuplicates().cache()
+    e0.count()
+    val e = layEdgeCache(e0)
     try hitsCore(e, iters) finally { e.unpersist(blocking = false); () }
   }
 

@@ -31,6 +31,9 @@ object GraphRound {
       contribs.collect()
       val p = contribs.queryExecution.executedPlan.toString()
       println(s"===== [graphround] $label =====")
+      println(s"[graphround] cached stats bytes = " +
+        s"${e.queryExecution.optimizedPlan.stats.sizeInBytes}; " +
+        s"join = ${p.linesIterator.find(_.contains("Join")).getOrElse("?").trim}")
       // print only the join-and-above region: stop at the cached scan
       p.linesIterator.takeWhile(!_.contains("InMemoryRelation"))
         .foreach(println)
