@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// run suites CONCURRENTLY inside the one forked JVM: the suite set is
+// written for a shared SparkSession (getOrCreate; per-suite newSession()
+// where conf isolation matters), and the sequential wall (~25 min: 95
+// suites, six of them full-registry sweeps) exceeded the driver's test
+// budget on a contended box in round 16. Overlap puts the wall at the
+// longest suite plus contention instead of the sum.
+Test / testForkedParallel := true
 run / fork := true
 // Forward the forked run's stdout RAW instead of through sbt's logger:
 // the logger prefixes every forwarded line with "[info] ", so no stdout

@@ -138,6 +138,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       barrier()
+      if (debug) {
+        val rt = Runtime.getRuntime
+        val ccMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+          .asScala.filter(_.getName.startsWith("CodeHeap"))
+          .map(_.getUsage.getUsed).sum / (1 << 20)
+        System.err.println(
+          f"[benchdbg-steady] $name%-28s med=${times(times.size / 2)}%7.2fs heap=${(rt.totalMemory() - rt.freeMemory()) / (1 << 20)}%5dMB codecache=${ccMb}%4dMB rdds=${spark.sparkContext.getPersistentRDDs.size}%3d")
+      }
       name -> times(times.size / 2)
     }
     val wall = (System.nanoTime() - wall0) / 1e9

@@ -151,9 +151,11 @@ object Dedup {
     import scala.concurrent.duration.Duration
     if (dfs.isEmpty) return Nil
     val sc = dfs.head.sparkSession.sparkContext
+    // nulls included — clears a reused pool thread's stale properties
+    // (same rationale as graft.util.DriverPar)
     val inherit = Seq("spark.jobGroup.id", "spark.job.description",
       "spark.job.interruptOnCancel", "spark.scheduler.pool")
-      .flatMap(k => Option(sc.getLocalProperty(k)).map(k -> _))
+      .map(k => k -> sc.getLocalProperty(k))
     Await.result(
       Future.sequence(dfs.map(df => Future {
         inherit.foreach { case (k, v) => sc.setLocalProperty(k, v) }
@@ -1811,22 +1813,25 @@ object Dedup {
             s"$rt/work", batchId = Some("crawl-2"))
           (s"$rt/work", ManifestCommit.current(conf, s"$rt/work").gen)
         }
-      ManifestTiered.benchRewind(conf, work, seedGen)
-      // keep=2 retains the pre-fold snapshot the next invocation
-      // rewinds to; the vacuum pass itself (list + decode + GC walk)
-      // runs for real every cycle
-      compactMinHashIndex(s, work, vacuumKeep = Some(2))
-      // bounded driver artifacts: one manifest-metadata sum + a 1-row
-      // aggregate. n_sig_rows counts the PROBE-VISIBLE mass (base ∪
-      // runs ∪ tail) — invariant across whichever tier the size policy
-      // rewrote — read off the manifest's exact per-dir row counts
-      val m = ManifestCommit.current(conf, work)
-      val nSig = sigMass(s, work, m)
-      val h = dedupAgainstMinHashIndex(
-          docs.filter(pmod(col("doc_id"), lit(4L)) === 3L), work)
-        .agg(count(lit(1)).as("n_hits"),
-          countDistinct(col("new_id")).as("n_dup_docs"))
-        .collect()(0)
+      // single-writer maintenance: serialize concurrent invocations
+      // in one session (graft.util.WorkLocks)
+      val (nSig, h) = graft.util.WorkLocks.sync(work) {
+        ManifestTiered.benchRewind(conf, work, seedGen)
+        // keep=2 retains the pre-fold snapshot the next invocation
+        // rewinds to; the vacuum pass itself (list + decode + GC walk)
+        // runs for real every cycle
+        compactMinHashIndex(s, work, vacuumKeep = Some(2))
+        // bounded driver artifacts: one manifest-metadata sum + a 1-row
+        // aggregate. n_sig_rows counts the PROBE-VISIBLE mass (base ∪
+        // runs ∪ tail) — invariant across whichever tier the size policy
+        // rewrote — read off the manifest's exact per-dir row counts
+        val m = ManifestCommit.current(conf, work)
+        (sigMass(s, work, m), dedupAgainstMinHashIndex(
+            docs.filter(pmod(col("doc_id"), lit(4L)) === 3L), work)
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("new_id")).as("n_dup_docs"))
+          .collect()(0))
+      }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("n_sig_rows",
           org.apache.spark.sql.types.LongType),
@@ -1898,16 +1903,18 @@ object Dedup {
         }
       // rewind to the post-append snapshot (ManifestTiered.benchRewind
       // — bench-harness time travel, NOT a production op)
-      ManifestTiered.benchRewind(conf, work, seedGen)
-      compactMinHashIndex(s, work)
-      val m = ManifestCommit.current(conf, work)
-      // manifest-metadata sum, not a Spark count — see sigMass
-      val nSig = sigMass(s, work, m)
-      val h = dedupAgainstMinHashIndex(
-          docs.filter(pmod(col("doc_id"), lit(4L)) === 3L), work)
-        .agg(count(lit(1)).as("n_hits"),
-          countDistinct(col("new_id")).as("n_dup_docs"))
-        .collect()(0)
+      // single-writer maintenance: serialize concurrent invocations
+      val (nSig, h) = graft.util.WorkLocks.sync(work) {
+        ManifestTiered.benchRewind(conf, work, seedGen)
+        compactMinHashIndex(s, work)
+        val m = ManifestCommit.current(conf, work)
+        // manifest-metadata sum, not a Spark count — see sigMass
+        (sigMass(s, work, m), dedupAgainstMinHashIndex(
+            docs.filter(pmod(col("doc_id"), lit(4L)) === 3L), work)
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("new_id")).as("n_dup_docs"))
+          .collect()(0))
+      }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("n_sig_rows",
           org.apache.spark.sql.types.LongType),

@@ -74,8 +74,11 @@ object HostRank {
       case "s" => true
       case "none" => false
       case _ =>
-        val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-          conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+        // the conf value may be a plain number ("-1" disables
+        // auto-broadcast; "10485760") or a byte string ("10MB")
+        val raw = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+        val thr = raw.toLongOption.getOrElse(
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
         // thr < 0 disables auto-broadcast: every per-round join is
         // sort-merge and the join-key layout always pays
         thr < 0 || e0.queryExecution.optimizedPlan.stats.sizeInBytes > thr

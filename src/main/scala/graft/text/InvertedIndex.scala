@@ -100,14 +100,17 @@ object InvertedIndex {
     val conf = s.sessionState.newHadoopConf()
     val postings = tokenizedPostings(docs).persist()
     try {
-      val pd = ManifestTiered.layDir(s, dir, "postings", postings,
-        partitionBy = Seq("bucket"), sortKeys = Seq(col("term"), col("doc_id")))
-      val td = ManifestTiered.layDir(s, dir, "terms",
-        postings.groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
-          .select(col("term"), col("df"), col("bucket")),
-        partitionBy = Seq("bucket"), sortKeys = Seq(col("term")))
-      val sd = ManifestTiered.layDir(s, dir, "stats", statsOf(docs, postings),
-        partitionBy = Nil, sortKeys = Nil)
+      // three independent lays off the persisted postings — overlap
+      // their jobs from driver threads (§2.6, one publish below)
+      val Seq(pd, td, sd) = graft.util.DriverPar.inParallel(s.sparkContext)(Seq(
+        () => ManifestTiered.layDir(s, dir, "postings", postings,
+          partitionBy = Seq("bucket"), sortKeys = Seq(col("term"), col("doc_id"))),
+        () => ManifestTiered.layDir(s, dir, "terms",
+          postings.groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
+            .select(col("term"), col("df"), col("bucket")),
+          partitionBy = Seq("bucket"), sortKeys = Seq(col("term"))),
+        () => ManifestTiered.layDir(s, dir, "stats", statsOf(docs, postings),
+          partitionBy = Nil, sortKeys = Nil)))
       // a REBUILD replaces every table and resets the committed-batch
       // state (a new logical index must not inherit tokens)
       ManifestCommit.publish(conf, dir, m => m.copy(
@@ -156,9 +159,6 @@ object InvertedIndex {
       // re-sort); terms/stats: additive re-aggregates REPLACING their
       // single-dir tables — vocabulary-sized and 1-row, orders of
       // magnitude below postings
-      val pd = ManifestTiered.layDir(s, dir, ManifestTiered.tailTable("postings"),
-        postings.select(col("term"), col("doc_id"), col("dl"), col("tf"), col("bucket")),
-        partitionBy = Nil, sortKeys = Nil)
       val deltaTerms = postings.groupBy(col("term"), col("bucket"))
         .agg(count(lit(1)).as("df"))
       val mergedTerms = ManifestCommit.readTable(s, dir, m, "terms", TermsSchema)
@@ -166,19 +166,26 @@ object InvertedIndex {
         .unionByName(deltaTerms)
         .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
         .select(col("term"), col("df"), col("bucket"))
-      val td = ManifestTiered.layDir(s, dir, "terms", mergedTerms,
-        partitionBy = Seq("bucket"), sortKeys = Seq(col("term")))
       val deltaStats = deltaDocs.select(col("doc_id"))
         .agg(count(lit(1)).as("d_docs"))
         .crossJoin(postings.select(col("doc_id"), col("dl"))
           .dropDuplicates("doc_id")
           .agg(coalesce(sum(col("dl")), lit(0L)).as("d_dl")))
-      val sd = ManifestTiered.layDir(s, dir, "stats",
-        ManifestCommit.readTable(s, dir, m, "stats", StatsSchema)
-          .crossJoin(deltaStats)
-          .select((col("n_docs") + col("d_docs")).as("n_docs"),
-            (col("total_dl") + col("d_dl")).as("total_dl")),
-        partitionBy = Nil, sortKeys = Nil)
+      // three independent lays off the persisted postings + snapshot
+      // reads — overlap their jobs from driver threads (§2.6); the
+      // terms/stats re-aggregates ride the postings tail's wall clock
+      val Seq(pd, td, sd) = graft.util.DriverPar.inParallel(s.sparkContext)(Seq(
+        () => ManifestTiered.layDir(s, dir, ManifestTiered.tailTable("postings"),
+          postings.select(col("term"), col("doc_id"), col("dl"), col("tf"), col("bucket")),
+          partitionBy = Nil, sortKeys = Nil),
+        () => ManifestTiered.layDir(s, dir, "terms", mergedTerms,
+          partitionBy = Seq("bucket"), sortKeys = Seq(col("term"))),
+        () => ManifestTiered.layDir(s, dir, "stats",
+          ManifestCommit.readTable(s, dir, m, "stats", StatsSchema)
+            .crossJoin(deltaStats)
+            .select((col("n_docs") + col("d_docs")).as("n_docs"),
+              (col("total_dl") + col("d_dl")).as("total_dl")),
+          partitionBy = Nil, sortKeys = Nil)))
       // ONE publish lands all three — atomically, with the batch id
       ManifestCommit.publishAt(conf, dir, m, mm =>
         ManifestCommit.setDirs(
@@ -467,11 +474,15 @@ object InvertedIndex {
     (s, dir) => {
       val conf = s.sessionState.newHadoopConf()
       val (idx, seedGen) = sessionFoldedIndex(s, dir)
-      ManifestTiered.benchRewind(conf, idx, seedGen)
-      // keep=2 retains the pre-fold snapshot the next invocation
-      // rewinds to; the vacuum pass itself runs for real every cycle
-      compact(s, idx, vacuumKeep = Some(2))
-      probe(s, idx, Seq("join", "vector", "filter", "dup"))
+      // index maintenance is single-writer: serialize concurrent
+      // invocations in one session (graft.util.WorkLocks)
+      graft.util.WorkLocks.sync(idx) {
+        ManifestTiered.benchRewind(conf, idx, seedGen)
+        // keep=2 retains the pre-fold snapshot the next invocation
+        // rewinds to; the vacuum pass itself runs for real every cycle
+        compact(s, idx, vacuumKeep = Some(2))
+        probe(s, idx, Seq("join", "vector", "filter", "dup"))
+      }
     },
     bm25IndexTopk.oracle)
 
@@ -508,9 +519,11 @@ object InvertedIndex {
             batchId = Some("fold-1"))
           (d, ManifestCommit.current(conf, d).gen)
         }
-      ManifestTiered.benchRewind(conf, idx, seedGen)
-      compact(s, idx)
-      probe(s, idx, Seq("join", "vector", "filter", "dup"))
+      graft.util.WorkLocks.sync(idx) {
+        ManifestTiered.benchRewind(conf, idx, seedGen)
+        compact(s, idx)
+        probe(s, idx, Seq("join", "vector", "filter", "dup"))
+      }
     },
     bm25IndexTopk.oracle)
 

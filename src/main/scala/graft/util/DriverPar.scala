@@ -18,9 +18,13 @@ object DriverPar {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     if (thunks.sizeIs <= 1) return thunks.map(_())
+    // mirror the caller's properties EXACTLY, nulls included: the
+    // global pool reuses threads, and a stale jobGroup left by a
+    // previous task (e.g. a streaming micro-batch body) would tag this
+    // job into a group a concurrent StreamingQuery.stop() cancels
     val inherit = Seq("spark.jobGroup.id", "spark.job.description",
       "spark.job.interruptOnCancel", "spark.scheduler.pool")
-      .flatMap(k => Option(sc.getLocalProperty(k)).map(k -> _))
+      .map(k => k -> sc.getLocalProperty(k))
     Await.result(
       Future.sequence(thunks.map(t => Future {
         inherit.foreach { case (k, v) => sc.setLocalProperty(k, v) }

@@ -357,7 +357,13 @@ object ManifestTiered {
         if (g > gen) { f.delete(st.getPath, false); () }
       }
     }
-    ManifestCommit.vacuum(conf, indexDir, keepGens = 1, graceMs = 0L)
+    // 60s grace: a CONCURRENT invocation of the same registered query
+    // (parallel test suites) may still be reading the dirs of the
+    // generations just dropped — its resolved Manifest lives in memory,
+    // so leaving young data dirs in place keeps that reader whole; the
+    // next rewind past the grace window collects them (bounded: one
+    // fold output per invocation)
+    ManifestCommit.vacuum(conf, indexDir, keepGens = 1, graceMs = 60000L)
   }
 
   /** The manifest update for one tiered table's compaction fold:

@@ -124,14 +124,20 @@ private[vector] object IvfMaintenance {
     val m = at.getOrElse(ManifestCommit.current(conf, indexDir))
     ManifestTiered.assertAdopted(conf, indexDir, m, "vectors")
     if (batchId.exists(m.isCommitted)) return
-    val vd = ManifestTiered.layDir(spark, indexDir,
-      ManifestTiered.tailTable("vectors"),
-      vectors.select(col("vec_id"), col("embedding"), col("cell")),
-      partitionBy = Nil, sortKeys = Nil)
-    val cd = codes.map(c => ManifestTiered.layDir(spark, indexDir,
-      ManifestTiered.tailTable("codes"),
-      c.select(col("vec_id"), col("codes"), col("cell")),
-      partitionBy = Nil, sortKeys = Nil))
+    // the two tail lays are independent single-publish writes —
+    // overlap their jobs from driver threads (§2.6, the MinHash
+    // appendAtManifest pattern)
+    val lays = graft.util.DriverPar.inParallel(spark.sparkContext)(
+      Seq(() => ManifestTiered.layDir(spark, indexDir,
+        ManifestTiered.tailTable("vectors"),
+        vectors.select(col("vec_id"), col("embedding"), col("cell")),
+        partitionBy = Nil, sortKeys = Nil)) ++
+      codes.map(c => () => ManifestTiered.layDir(spark, indexDir,
+        ManifestTiered.tailTable("codes"),
+        c.select(col("vec_id"), col("codes"), col("cell")),
+        partitionBy = Nil, sortKeys = Nil)))
+    val vd = lays.head
+    val cd = codes.map(_ => lays(1))
     // COMMUTING update (pure tail addDirs): lost CAS → retry against
     // the fresh snapshot, the laid dirs stay valid (probe-paired
     // callers opt out and fail loudly instead)

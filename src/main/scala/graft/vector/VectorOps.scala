@@ -887,11 +887,14 @@ object VectorOps {
     (s, dir) => {
       val conf = s.sessionState.newHadoopConf()
       val (work, seedGen) = sessionIvfCompactRoot(s, dir)
-      graft.util.ManifestTiered.benchRewind(conf, work, seedGen)
-      // keep=2 retains the pre-fold snapshot the next invocation
-      // rewinds to; the vacuum pass itself runs for real every cycle
-      compactIvfIndex(s, work, vacuumKeep = Some(2))
-      annIvfIndexed(queriesDf(s, dir, 10), loadIvfIndex(s, work))
+      // single-writer maintenance: serialize concurrent invocations
+      graft.util.WorkLocks.sync(work) {
+        graft.util.ManifestTiered.benchRewind(conf, work, seedGen)
+        // keep=2 retains the pre-fold snapshot the next invocation
+        // rewinds to; the vacuum pass itself runs for real every cycle
+        compactIvfIndex(s, work, vacuumKeep = Some(2))
+        annIvfIndexed(queriesDf(s, dir, 10), loadIvfIndex(s, work))
+      }
     },
     oracleGen = Some((s, dir) =>
       s"${ivfReplayCtes(indexCentroids(loadIvfIndex(s, sessionIvfCompactRoot(s, dir)._1)), nprobe = 2)}$topkTailSql"))
@@ -932,9 +935,11 @@ object VectorOps {
     (s, dir) => {
       val conf = s.sessionState.newHadoopConf()
       val (idx, seedGen) = sessionIvfManifestRoot(s, dir)
-      graft.util.ManifestTiered.benchRewind(conf, idx, seedGen)
-      compactIvfIndex(s, idx)
-      annIvfIndexed(queriesDf(s, dir, 10), loadIvfIndex(s, idx))
+      graft.util.WorkLocks.sync(idx) {
+        graft.util.ManifestTiered.benchRewind(conf, idx, seedGen)
+        compactIvfIndex(s, idx)
+        annIvfIndexed(queriesDf(s, dir, 10), loadIvfIndex(s, idx))
+      }
     },
     oracleGen = Some((s, dir) =>
       s"${ivfReplayCtes(indexCentroids(loadIvfIndex(s, sessionIvfManifestRoot(s, dir)._1)), nprobe = 2)}$topkTailSql"))
